@@ -1,13 +1,35 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Driver contract — see /root/repo/SURVEY.md §2/§7.
+  *
+  * All operators live in [[QueryPack]] modules; this object is only the
+  * aggregation point the driver calls.
+  */
 object SparkEntry {
+
+  private def packs: Seq[QueryPack] = Seq(
+    operators.Analytics)
+
+  private lazy val registry: Map[String, GraftQuery] = {
+    val all = packs.flatMap(_.queries)
+    require(all.map(_.name).distinct.size == all.size,
+      "duplicate query names across packs")
+    all.map(q => q.name -> q).toMap
+  }
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    registry("q1_agg").fn(spark, "/root/testdata/sf0.001")
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    registry.map { case (n, q) => n -> q.fn }
+
+  /** DuckDB-runnable oracle SQL for each oracle-verifiable query. */
+  def oracleSql: Map[String, String] =
+    registry.collect { case (n, q) if q.oracle.isDefined =>
+      n -> q.oracle.get.stripMargin.trim
+    }
 }

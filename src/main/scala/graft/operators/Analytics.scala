@@ -1,0 +1,227 @@
+package graft.operators
+
+import graft.{GraftQuery, QueryPack}
+import graft.sources.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.types._
+
+/** SURVEY.md §2 block B — general analytics over the TPC-H-ish tables.
+  *
+  * Scale notes (100 TB):
+  *  - Fact scans carry filters/projections that push to parquet
+  *    (PushedFilters / narrow ReadSchema).
+  *  - Dimension tables (region/nation/customer/supplier/part) are
+  *    broadcast — the only shuffles are the aggregation exchanges on the
+  *    grouping keys, which partial (map-side) aggregation shrinks first.
+  *  - Money math is exact decimal (cents-precision inputs), then cast back
+  *    to double: results are bit-identical regardless of partition order,
+  *    so correctness does not depend on a single-partition plan.
+  */
+object Analytics extends QueryPack {
+
+  /** Exact sum of a cents-precision double column, returned as double. */
+  private def dsum(c: Column): Column =
+    sum(c.cast(DecimalType(18, 2))).cast(DoubleType)
+
+  /** l_extendedprice * (1 - l_discount) in exact decimal. */
+  private def discPrice: Column =
+    col("l_extendedprice").cast(DecimalType(18, 2)) *
+      (lit(BigDecimal(1).setScale(2)) - col("l_discount").cast(DecimalType(18, 2)))
+
+  private def charge: Column =
+    discPrice * (lit(BigDecimal(1).setScale(2)) + col("l_tax").cast(DecimalType(18, 2)))
+
+  // B1 — pricing summary (TPC-H Q1 shape). One scan, one shuffle on the
+  // 2-value grouping key; partial agg reduces each partition to <=6 rows
+  // before the exchange, so the shuffle is O(partitions), not O(rows).
+  private val q1 = GraftQuery(
+    "q1_agg",
+    (s, d) => {
+      Tables.lineitem(s, d)
+        .filter(col("l_shipdate") <= to_timestamp(lit("1998-09-02")))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          dsum(col("l_quantity")).as("sum_qty"),
+          dsum(col("l_extendedprice")).as("sum_base_price"),
+          sum(discPrice).cast(DoubleType).as("sum_disc_price"),
+          sum(charge).cast(DoubleType).as("sum_charge"),
+          (sum(col("l_quantity").cast(DecimalType(18, 2))).cast(DoubleType) /
+            count(lit(1))).as("avg_qty"),
+          (sum(col("l_extendedprice").cast(DecimalType(18, 2))).cast(DoubleType) /
+            count(lit(1))).as("avg_price"),
+          count(lit(1)).as("count_order"))
+        .orderBy(col("l_returnflag"), col("l_linestatus"))
+    },
+    Some("""
+      SELECT l_returnflag, l_linestatus,
+        CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+        CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price,
+        CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(18,2))) * (CAST(1 AS DECIMAL(3,2)) + CAST(l_tax AS DECIMAL(18,2)))) AS DOUBLE) AS sum_charge,
+        CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_qty,
+        CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_price,
+        COUNT(*) AS count_order
+      FROM lineitem
+      WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+      GROUP BY l_returnflag, l_linestatus
+      ORDER BY l_returnflag, l_linestatus
+    """))
+
+  // B2 — shipping priority (TPC-H Q3 shape). customer is the small side of
+  // the first join → broadcast; lineitem⋈orders shuffles on the order key.
+  private val q3 = GraftQuery(
+    "q3_join",
+    (s, d) => {
+      val cust = Tables.customer(s, d)
+        .filter(col("c_mktsegment") === "BUILDING")
+        .select("c_custkey")
+      val ord = Tables.orders(s, d)
+        .filter(col("o_orderdate") < to_timestamp(lit("1998-03-15")))
+        .select("o_orderkey", "o_custkey", "o_orderdate")
+      val li = Tables.lineitem(s, d)
+        .filter(col("l_shipdate") > to_timestamp(lit("1998-03-15")))
+        .select("l_orderkey", "l_extendedprice", "l_discount")
+      li.join(broadcast(ord.join(broadcast(cust),
+          col("o_custkey") === col("c_custkey"))),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("l_orderkey"), col("o_orderdate"))
+        .agg(sum(discPrice).cast(DoubleType).as("revenue"))
+        .orderBy(col("revenue").desc, col("l_orderkey"))
+        .limit(10)
+    },
+    Some("""
+      SELECT l_orderkey, o_orderdate,
+        CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+      FROM customer, orders, lineitem
+      WHERE c_mktsegment = 'BUILDING'
+        AND c_custkey = o_custkey
+        AND l_orderkey = o_orderkey
+        AND o_orderdate < TIMESTAMP '1998-03-15'
+        AND l_shipdate > TIMESTAMP '1998-03-15'
+      GROUP BY l_orderkey, o_orderdate
+      ORDER BY revenue DESC, l_orderkey
+      LIMIT 10
+    """))
+
+  // B3 — multiway join through the dimension chain (TPC-H Q5 shape).
+  // region→nation→customer collapses to one broadcastable map before it
+  // ever touches the facts; lineitem⋈orders is the only big shuffle.
+  private val q5 = GraftQuery(
+    "q5_multijoin",
+    (s, d) => {
+      val dims = Tables.customer(s, d)
+        .join(broadcast(Tables.nation(s, d)), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(Tables.region(s, d).filter(col("r_name") === "ASIA")),
+          col("n_regionkey") === col("r_regionkey"))
+        .select("c_custkey", "n_name")
+      val ord = Tables.orders(s, d)
+        .filter(col("o_orderdate") >= to_timestamp(lit("1996-01-01")) &&
+          col("o_orderdate") < to_timestamp(lit("1998-01-01")))
+        .select("o_orderkey", "o_custkey")
+      Tables.lineitem(s, d)
+        .select("l_orderkey", "l_extendedprice", "l_discount")
+        .join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(dims), col("o_custkey") === col("c_custkey"))
+        .groupBy(col("n_name"))
+        .agg(sum(discPrice).cast(DoubleType).as("revenue"))
+        .orderBy(col("revenue").desc, col("n_name"))
+    },
+    Some("""
+      SELECT n_name,
+        CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+      FROM customer, orders, lineitem, nation, region
+      WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+        AND c_nationkey = n_nationkey AND n_regionkey = r_regionkey
+        AND r_name = 'ASIA'
+        AND o_orderdate >= TIMESTAMP '1996-01-01'
+        AND o_orderdate < TIMESTAMP '1998-01-01'
+      GROUP BY n_name
+      ORDER BY revenue DESC, n_name
+    """))
+
+  // B4 — window functions: per-customer top-3 orders by price plus a
+  // running total. One shuffle on the window partition key.
+  private val qWindow = GraftQuery(
+    "q_window",
+    (s, d) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      Tables.orders(s, d)
+        .select(col("o_custkey"), col("o_orderkey"),
+          col("o_totalprice").cast(DecimalType(18, 2)).as("price_d"))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(col("o_custkey"))
+            .orderBy(col("price_d").desc, col("o_orderkey"))))
+        .withColumn("running_spend",
+          sum(col("price_d")).over(
+            Window.partitionBy(col("o_custkey"))
+              .orderBy(col("price_d").desc, col("o_orderkey"))
+              .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .filter(col("rn") <= 3)
+        .select(col("o_custkey"), col("o_orderkey"),
+          col("price_d").cast(DoubleType).as("o_totalprice"), col("rn"),
+          col("running_spend").cast(DoubleType).as("running_spend"))
+        .orderBy(col("o_custkey"), col("rn"))
+    },
+    Some("""
+      WITH t AS (
+        SELECT o_custkey, o_orderkey,
+          CAST(o_totalprice AS DECIMAL(18,2)) AS price_d,
+          ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY CAST(o_totalprice AS DECIMAL(18,2)) DESC, o_orderkey) AS rn,
+          SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (PARTITION BY o_custkey ORDER BY CAST(o_totalprice AS DECIMAL(18,2)) DESC, o_orderkey ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_spend
+        FROM orders)
+      SELECT o_custkey, o_orderkey, CAST(price_d AS DOUBLE) AS o_totalprice,
+        rn, CAST(running_spend AS DOUBLE) AS running_spend
+      FROM t WHERE rn <= 3
+      ORDER BY o_custkey, rn
+    """))
+
+  // B5 — global top-k: per-partition top-k then a single-reducer merge of
+  // k*partitions rows (Spark's TakeOrderedAndProject), never a full sort.
+  private val qTopk = GraftQuery(
+    "q_topk",
+    (s, d) => {
+      Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_custkey"),
+          col("o_totalprice"), col("o_orderpriority"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        .limit(20)
+    },
+    Some("""
+      SELECT o_orderkey, o_custkey, o_totalprice, o_orderpriority
+      FROM orders
+      ORDER BY o_totalprice DESC, o_orderkey
+      LIMIT 20
+    """))
+
+  // B6 — rollup aggregation (grouping sets). Spark expands grouping sets
+  // before the exchange, so it is still one shuffle with partial agg.
+  private val qCube = GraftQuery(
+    "q_cube",
+    (s, d) => {
+      Tables.lineitem(s, d)
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          dsum(col("l_quantity")).as("sum_qty"),
+          count(lit(1)).as("n"),
+          grouping(col("l_returnflag")).as("g_flag"),
+          grouping(col("l_linestatus")).as("g_status"))
+        .orderBy(col("g_flag"), col("g_status"),
+          col("l_returnflag"), col("l_linestatus"))
+    },
+    Some("""
+      SELECT l_returnflag, l_linestatus,
+        CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        COUNT(*) AS n,
+        GROUPING(l_returnflag) AS g_flag,
+        GROUPING(l_linestatus) AS g_status
+      FROM lineitem
+      GROUP BY ROLLUP (l_returnflag, l_linestatus)
+      ORDER BY g_flag, g_status, l_returnflag, l_linestatus
+    """))
+
+  override val queries: Seq[GraftQuery] =
+    Seq(q1, q3, q5, qWindow, qTopk, qCube)
+}
