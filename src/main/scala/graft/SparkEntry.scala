@@ -10,7 +10,9 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 object SparkEntry {
 
   private def packs: Seq[QueryPack] = Seq(
-    operators.Analytics)
+    operators.Analytics,
+    operators.CloudFrontPack,
+    operators.TimeSeriesPack)
 
   private lazy val registry: Map[String, GraftQuery] = {
     val all = packs.flatMap(_.queries)

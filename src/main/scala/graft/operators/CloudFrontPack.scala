@@ -1,0 +1,222 @@
+package graft.operators
+
+import graft.{GraftQuery, QueryPack}
+import graft.cloudfront.CloudFrontLogs
+import graft.sources.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** SURVEY.md §2 block A1–A3 — the CloudFront log engine itself.
+  *
+  * The testdata has no raw CloudFront lines, so each query first
+  * SYNTHESIZES faithful tab-delimited real-time log lines (all 40 fields,
+  * mapping order, '-' for absent values) deterministically from the
+  * `events` table, then runs them through the real parser. The DuckDB
+  * oracle computes the same final answers directly from `events` — so a
+  * match proves parse(format(x)) == x across every typed field, the NULL
+  * ('-') path included.
+  *
+  * Synthesis uses only exact arithmetic (integer %, floor of cents
+  * values, division by powers of two) so both engines derive bit-equal
+  * doubles. Spark's double→string cast round-trips exactly.
+  */
+object CloudFrontPack extends QueryPack {
+
+  // ---- shared synthesis (Spark side) ----
+
+  private def statusCol: Column =
+    when(col("event_type") === "error", 500)
+      .when(col("event_type") === "purchase", 201)
+      .when(col("event_type") === "signup", 200)
+      .when(col("event_type") === "view", 304)
+      .otherwise(200)
+
+  private def resultTypeCol: Column =
+    when(col("event_type") === "error", "Error")
+      .when(pmod(col("event_id"), lit(3)) === 0, "Hit")
+      .when(pmod(col("event_id"), lit(3)) === 1, "Miss")
+      .otherwise("RefreshHit")
+
+  private def bytesCol: Column =
+    (floor(col("value") * 100).cast(LongType) + 200)
+
+  private def hostCol: Column =
+    concat(lit("d"), pmod(col("user_id"), lit(10)).cast(StringType),
+      lit(".cloudfront.net"))
+
+  /** events → DataFrame with one `line` column of CloudFront log lines. */
+  private[graft] def synthLines(events: DataFrame): DataFrame = {
+    val dash = lit("-")
+    val fields: Seq[Column] = Seq(
+      unix_seconds(col("ts").cast(TimestampType)).cast(StringType), // timestamp
+      concat(lit("10."), pmod(col("user_id"), lit(200)).cast(StringType),
+        lit("."), pmod(col("event_id"), lit(250)).cast(StringType),
+        lit(".7")), // c-ip
+      (col("value") / 1024.0d).cast(StringType), // time-to-first-byte
+      statusCol.cast(StringType), // sc-status
+      bytesCol.cast(StringType), // sc-bytes
+      when(col("event_type") === "purchase", "POST").otherwise("GET"), // cs-method
+      lit("https"), // cs-protocol
+      hostCol, // cs-host
+      concat(lit("/"), col("event_type"), lit("/"),
+        pmod(col("event_id"), lit(100)).cast(StringType)), // cs-uri-stem
+      (pmod(col("event_id"), lit(960)) + 40).cast(StringType), // cs-bytes
+      concat(lit("EDGE-"), pmod(col("user_id"), lit(8)).cast(StringType)), // x-edge-location
+      md5(col("event_id").cast(StringType)), // x-edge-request-id
+      hostCol, // x-host-header
+      (col("value") / 64.0d).cast(StringType), // time-taken
+      lit("HTTP/2.0"), // cs-protocol-version
+      lit("IPv4"), // c-ip-version
+      lit("Mozilla/5.0"), // cs-user-agent
+      dash, // cs-referer (exercises the NULL path)
+      dash, // cs-cookie
+      dash, // cs-uri-query
+      resultTypeCol, // x-edge-response-result-type
+      dash, // x-forwarded-for
+      lit("TLSv1.3"), // ssl-protocol
+      lit("TLS_AES_128_GCM_SHA256"), // ssl-cipher
+      resultTypeCol, // x-edge-result-type
+      dash, // fle-encrypted-fields
+      dash, // fle-status
+      lit("text/html"), // sc-content-type
+      (floor(col("value") * 100).cast(LongType) + 100).cast(StringType), // sc-content-len
+      dash, // sc-range-start
+      dash, // sc-range-end
+      (pmod(col("event_id"), lit(20000)) + 40000).cast(StringType), // c-port
+      resultTypeCol, // x-edge-detailed-result-type
+      concat(lit("C"), pmod(col("user_id"), lit(20)).cast(StringType)), // c-country
+      lit("gzip"), // cs-accept-encoding
+      lit("*/*"), // cs-accept
+      lit("*"), // cache-behavior-path-pattern
+      dash, // cs-headers
+      dash, // cs-header-names
+      lit("3") // cs-headers-count
+    )
+    require(fields.size == CloudFrontLogs.fieldMappings.size)
+    events.select(concat_ws("\t", fields: _*).as("line"))
+  }
+
+  /** The same derivations, as DuckDB SQL over `events` (oracle side). */
+  private val oracleDerived: String = """
+    SELECT
+      CASE WHEN event_type = 'error' THEN 500
+           WHEN event_type = 'purchase' THEN 201
+           WHEN event_type = 'signup' THEN 200
+           WHEN event_type = 'view' THEN 304
+           ELSE 200 END AS sc_status,
+      CASE WHEN event_type = 'error' THEN 'Error'
+           WHEN event_id % 3 = 0 THEN 'Hit'
+           WHEN event_id % 3 = 1 THEN 'Miss'
+           ELSE 'RefreshHit' END AS x_edge_result_type,
+      CAST(floor(value * 100) AS BIGINT) + 200 AS sc_bytes,
+      value / 64.0 AS time_taken,
+      value / 1024.0 AS time_to_first_byte,
+      '10.' || CAST(user_id % 200 AS VARCHAR) || '.' ||
+        CAST(event_id % 250 AS VARCHAR) || '.7' AS c_ip,
+      'EDGE-' || CAST(user_id % 8 AS VARCHAR) AS x_edge_location,
+      make_timestamp(CAST(floor(epoch(ts)) AS BIGINT) * 1000000) AS time
+    FROM events"""
+
+  // A1 — full parser round-trip. The aggregation groups on two PARSED
+  // typed columns and checks counts, exact sums, distincts, and that '-'
+  // parsed to NULL (n_referer must be 0).
+  private val cfParse = GraftQuery(
+    "cf_parse",
+    (s, d) => {
+      val parsed = CloudFrontLogs.parse(synthLines(Tables.events(s, d)))
+      parsed.groupBy(col("x_edge_result_type"), col("sc_status"))
+        .agg(
+          count(lit(1)).as("n"),
+          sum(col("sc_bytes")).as("total_bytes"),
+          sum(col("time_taken").cast(DecimalType(28, 10))).cast(DoubleType)
+            .as("total_time"),
+          countDistinct(col("c_ip")).as("uniq_ips"),
+          count(col("cs_referer")).as("n_referer"))
+        .orderBy(col("x_edge_result_type"), col("sc_status"))
+    },
+    Some(s"""
+      WITH derived AS ($oracleDerived)
+      SELECT x_edge_result_type, sc_status,
+        COUNT(*) AS n,
+        CAST(SUM(sc_bytes) AS BIGINT) AS total_bytes,
+        CAST(SUM(CAST(time_taken AS DECIMAL(28,10))) AS DOUBLE) AS total_time,
+        COUNT(DISTINCT c_ip) AS uniq_ips,
+        0 AS n_referer
+      FROM derived
+      GROUP BY x_edge_result_type, sc_status
+      ORDER BY x_edge_result_type, sc_status
+    """))
+
+  // A2 — header parsing. Synthesizes URL-encoded cs-headers values (the
+  // escape set %3A %0A %20 — DuckDB 1.0 lacks url_decode, the oracle
+  // decodes with replace()) and aggregates the exploded name:value pairs.
+  private val cfHeaders = GraftQuery(
+    "cf_headers",
+    (s, d) => {
+      val enc = Tables.events(s, d).select(
+        concat(
+          lit("Host:"), hostCol,
+          lit("%0AUser-Agent:Mozilla%205.0"),
+          lit("%0AX-Req:"), pmod(col("event_id"), lit(50)).cast(StringType)
+        ).as("cs_headers"))
+      enc
+        .select(explode(CloudFrontLogs.parseHeaders(col("cs_headers")))
+          .as("h"))
+        .groupBy(col("h.name").as("header_name"))
+        .agg(count(lit(1)).as("n"),
+          countDistinct(col("h.value")).as("uniq_values"))
+        .orderBy(col("header_name"))
+    },
+    Some("""
+      WITH hdrs AS (
+        SELECT 'Host' AS header_name,
+               'd' || CAST(user_id % 10 AS VARCHAR) || '.cloudfront.net' AS value
+        FROM events
+        UNION ALL
+        SELECT 'User-Agent', 'Mozilla 5.0' FROM events
+        UNION ALL
+        SELECT 'X-Req', CAST(event_id % 50 AS VARCHAR) FROM events)
+      SELECT header_name, COUNT(*) AS n,
+        COUNT(DISTINCT value) AS uniq_values
+      FROM hdrs
+      GROUP BY header_name
+      ORDER BY header_name
+    """))
+
+  // A3 — wide→long melt to Timestream-style records (measure_name,
+  // measure_value, time), then an aggregate per measure over the long
+  // form. Proves the record model the reference ingests into Timestream.
+  private val cfMelt = GraftQuery(
+    "cf_melt",
+    (s, d) => {
+      val parsed = CloudFrontLogs.parse(synthLines(Tables.events(s, d)))
+      val records = CloudFrontLogs.toRecords(parsed,
+        measures = Seq("sc_bytes", "time_taken"),
+        dimensions = Seq("x_edge_location", "c_country", "sc_status"))
+      records.groupBy(col("measure_name"))
+        .agg(
+          count(lit(1)).as("n"),
+          sum(col("measure_value").cast(DecimalType(28, 10)))
+            .cast(DoubleType).as("total"),
+          min(col("time")).as("min_time"),
+          max(col("time")).as("max_time"))
+        .orderBy(col("measure_name"))
+    },
+    Some(s"""
+      WITH derived AS ($oracleDerived),
+      long_form AS (
+        SELECT 'sc_bytes' AS measure_name,
+               CAST(sc_bytes AS DOUBLE) AS measure_value, time FROM derived
+        UNION ALL
+        SELECT 'time_taken', time_taken, time FROM derived)
+      SELECT measure_name, COUNT(*) AS n,
+        CAST(SUM(CAST(measure_value AS DECIMAL(28,10))) AS DOUBLE) AS total,
+        MIN(time) AS min_time, MAX(time) AS max_time
+      FROM long_form
+      GROUP BY measure_name
+      ORDER BY measure_name
+    """))
+
+  override val queries: Seq[GraftQuery] = Seq(cfParse, cfHeaders, cfMelt)
+}

@@ -1,0 +1,231 @@
+package graft.operators
+
+import graft.{GraftQuery, QueryPack}
+import graft.sources.Tables
+import graft.timeseries.TimeSeries
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** SURVEY.md §2 block A4–A10 — the Timestream-style query surface over the
+  * `events` stream table (ts ↔ CloudFront `timestamp`, event_type ↔ a
+  * dimension such as x_edge_location, value ↔ the sc_bytes measure).
+  *
+  * Every aggregate is exact (decimal sums, integer counts, IEEE-identical
+  * divisions) so results are partition-order independent — the property
+  * that makes them safe on a 1000-executor cluster, and incidentally what
+  * lets DuckDB hash-match them.
+  */
+object TimeSeriesPack extends QueryPack {
+
+  private def dsumValue = sum(col("value").cast(DecimalType(18, 2)))
+    .cast(DoubleType)
+
+  // A4/A6 — the README headline query shape: bin(time, 1h) × dimension,
+  // SUM(measure). One scan, one shuffle on (bin, dim) with map-side
+  // partial aggregation.
+  private val tsBin = GraftQuery(
+    "ts_bin",
+    (s, d) => {
+      Tables.events(s, d)
+        .groupBy(
+          TimeSeries.bin(col("ts"), 3600).cast(TimestampNTZType)
+            .as("binned_time"),
+          col("event_type"))
+        .agg(count(lit(1)).as("n"), dsumValue.as("sum_value"))
+        .orderBy(col("binned_time"), col("event_type"))
+    },
+    Some("""
+      SELECT make_timestamp(epoch_us(ts) - epoch_us(ts) % 3600000000) AS binned_time,
+        event_type, COUNT(*) AS n,
+        CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+      FROM events
+      GROUP BY 1, 2
+      ORDER BY binned_time, event_type
+    """))
+
+  // A5 — ago(24h) relative-time filter, anchored at max(ts) so the answer
+  // is a function of the data alone. The anchor is a 1-row broadcast.
+  private val tsAgo = GraftQuery(
+    "ts_ago",
+    (s, d) => {
+      TimeSeries.ago(Tables.events(s, d), "ts", 24 * 3600)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), dsumValue.as("sum_value"))
+        .orderBy(col("event_type"))
+    },
+    Some("""
+      SELECT event_type, COUNT(*) AS n,
+        CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+      FROM events
+      WHERE ts >= (SELECT max(ts) - INTERVAL 24 HOUR FROM events)
+      GROUP BY event_type
+      ORDER BY event_type
+    """))
+
+  // A7 — CREATE_TIME_SERIES: per-dimension time-ordered array of measure
+  // values (bounded per-key cardinality, like Timestream series).
+  private val tsSeries = GraftQuery(
+    "create_time_series",
+    (s, d) => {
+      TimeSeries.createTimeSeries(Tables.events(s, d),
+          key = col("event_type"), ts = col("ts"),
+          tiebreak = col("event_id"), value = col("value"))
+        .withColumn("n", size(col("series")))
+        .orderBy(col("event_type"))
+    },
+    Some("""
+      SELECT event_type,
+        list(value ORDER BY ts, event_id) AS series,
+        COUNT(*) AS n
+      FROM events
+      GROUP BY event_type
+      ORDER BY event_type
+    """))
+
+  // A9 — gap-based sessionization (30-min inactivity): window functions
+  // over one shuffle on the user key, then a session-level rollup.
+  private val sessionize = GraftQuery(
+    "sessionize",
+    (s, d) => {
+      TimeSeries.sessionize(Tables.events(s, d),
+          userCol = "user_id", tsCol = "ts", tiebreakCol = "event_id",
+          gapSeconds = 1800)
+        .groupBy(col("user_id"), col("session_seq"))
+        .agg(
+          count(lit(1)).as("n_events"),
+          min(col("ts")).as("start_ts"),
+          max(col("ts")).as("end_ts"),
+          dsumValue.as("session_value"))
+        .orderBy(col("user_id"), col("session_seq"))
+    },
+    Some("""
+      WITH flagged AS (
+        SELECT user_id, ts, event_id, value,
+          CASE WHEN lag(ts) OVER w IS NULL
+                 OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+               THEN 1 ELSE 0 END AS is_new
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      sessions AS (
+        SELECT *, SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+        FROM flagged)
+      SELECT user_id, session_seq, COUNT(*) AS n_events,
+        MIN(ts) AS start_ts, MAX(ts) AS end_ts,
+        CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS session_value
+      FROM sessions
+      GROUP BY user_id, session_seq
+      ORDER BY user_id, session_seq
+    """))
+
+  // A10a — daily operational metrics: volumes, error rate, exact distinct
+  // visitors. Counts and IEEE division only — deterministic everywhere.
+  private val metricsDaily = GraftQuery(
+    "metrics_daily",
+    (s, d) => {
+      Tables.events(s, d)
+        .groupBy(TimeSeries.bin(col("ts"), 86400).cast(TimestampNTZType)
+          .as("day"))
+        .agg(
+          count(lit(1)).as("n"),
+          sum(when(col("event_type") === "error", 1L).otherwise(0L))
+            .as("n_errors"),
+          (sum(when(col("event_type") === "error", 1L).otherwise(0L))
+            .cast(DoubleType) / count(lit(1))).as("error_rate"),
+          countDistinct(col("user_id")).as("uniq_users"),
+          dsumValue.as("total_value"))
+        .orderBy(col("day"))
+    },
+    Some("""
+      SELECT make_timestamp(epoch_us(ts) - epoch_us(ts) % 86400000000) AS day,
+        COUNT(*) AS n,
+        SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS n_errors,
+        CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS DOUBLE)
+          / COUNT(*) AS error_rate,
+        COUNT(DISTINCT user_id) AS uniq_users,
+        CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+      FROM events
+      GROUP BY 1
+      ORDER BY day
+    """))
+
+  // A10b — exact discrete percentiles per dimension, via rank selection
+  // (identical construction on both engines: element at floor((n-1)*p)).
+  private val percentiles = GraftQuery(
+    "metrics_percentiles",
+    (s, d) => {
+      val w = Window.partitionBy(col("event_type"))
+        .orderBy(col("value"), col("event_id"))
+      val ranked = Tables.events(s, d)
+        .select(col("event_type"), col("value"), col("event_id"))
+        .withColumn("rn", row_number().over(w))
+        .withColumn("cnt", count(lit(1)).over(
+          Window.partitionBy(col("event_type"))))
+      def pick(p: Double) = max(when(
+        col("rn") === (floor((col("cnt") - 1) * p).cast(LongType) + 1),
+        col("value")))
+      ranked.groupBy(col("event_type"))
+        .agg(
+          pick(0.5).as("p50"),
+          pick(0.9).as("p90"),
+          pick(0.99).as("p99"),
+          max(col("value")).as("vmax"))
+        .orderBy(col("event_type"))
+    },
+    Some("""
+      WITH ranked AS (
+        SELECT event_type, value,
+          ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY value, event_id) AS rn,
+          COUNT(*) OVER (PARTITION BY event_type) AS cnt
+        FROM events)
+      SELECT event_type,
+        MAX(CASE WHEN rn = CAST(floor((cnt-1) * 0.5) AS BIGINT) + 1 THEN value END) AS p50,
+        MAX(CASE WHEN rn = CAST(floor((cnt-1) * 0.9) AS BIGINT) + 1 THEN value END) AS p90,
+        MAX(CASE WHEN rn = CAST(floor((cnt-1) * 0.99) AS BIGINT) + 1 THEN value END) AS p99,
+        MAX(value) AS vmax
+      FROM ranked
+      GROUP BY event_type
+      ORDER BY event_type
+    """))
+
+  // A10c — top-k dimension values by exact total (top URIs / heavy
+  // hitters): per-partition top-k then single merge, never a full sort.
+  private val topUsers = GraftQuery(
+    "metrics_top_users",
+    (s, d) => {
+      Tables.events(s, d)
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n"), dsumValue.as("total_value"))
+        .orderBy(col("total_value").desc, col("user_id"))
+        .limit(10)
+    },
+    Some("""
+      SELECT user_id, COUNT(*) AS n,
+        CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+      FROM events
+      GROUP BY user_id
+      ORDER BY total_value DESC, user_id
+      LIMIT 10
+    """))
+
+  // A10d — the scale path for distincts/percentiles: sketches (HLL,
+  // KLL-style quantiles). Approximate by design → rows-only driver check;
+  // the spec asserts bounded error against the exact variants.
+  private val approxMetrics = GraftQuery(
+    "metrics_approx",
+    (s, d) => {
+      Tables.events(s, d)
+        .groupBy(col("event_type"))
+        .agg(
+          approx_count_distinct(col("user_id")).as("approx_users"),
+          approx_percentile(col("value"), lit(0.5), lit(10000)).as("ap50"),
+          approx_percentile(col("value"), lit(0.99), lit(10000)).as("ap99"))
+        .orderBy(col("event_type"))
+    },
+    None)
+
+  override val queries: Seq[GraftQuery] = Seq(
+    tsBin, tsAgo, tsSeries, sessionize, metricsDaily, percentiles,
+    topUsers, approxMetrics)
+}

@@ -1,0 +1,71 @@
+package graft.timeseries
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Timestream-style time-series query primitives over ordinary DataFrames
+  * (the reference's query surface: README.md example queries use
+  * bin(time, 1h), ago(24h), SUM(measure) GROUP BY dimension, and
+  * CREATE_TIME_SERIES(time, value)).
+  *
+  * All primitives are pure column expressions or single-shuffle
+  * aggregations — each composes into whatever plan the caller builds and
+  * stays inside whole-stage codegen.
+  */
+object TimeSeries {
+
+  /** Timestream `bin(ts, interval)`: floor ts to a multiple of
+    * `binSeconds` since the epoch. Pure long arithmetic (no float
+    * round-trip) so it is exact for any timestamp and any bin width.
+    */
+  def bin(ts: Column, binSeconds: Long): Column = {
+    val us = binSeconds * 1000000L
+    val u = unix_micros(ts.cast(TimestampType))
+    timestamp_micros(u - pmod(u, lit(us)))
+  }
+
+  /** Timestream `time >= ago(N)` made deterministic for batch data: the
+    * anchor is max(ts) of the dataset itself (a 1-row broadcast, not a
+    * driver collect — stays one lazy plan).
+    */
+  def ago(df: DataFrame, tsCol: String, seconds: Long): DataFrame = {
+    val anchor = df.agg(max(col(tsCol)).as("__anchor"))
+    df.join(broadcast(anchor),
+        col(tsCol) >= col("__anchor") - expr(s"INTERVAL $seconds SECONDS"))
+      .drop("__anchor")
+  }
+
+  /** Timestream CREATE_TIME_SERIES(time, value): per group key, the
+    * time-ordered array of measure values. `tiebreak` makes ordering total
+    * when timestamps collide. Requires bounded per-key cardinality (same
+    * constraint Timestream places on a series) — one shuffle on the key,
+    * partial collect_list on the map side.
+    */
+  def createTimeSeries(df: DataFrame, key: Column, ts: Column,
+                       tiebreak: Column, value: Column): DataFrame =
+    df.groupBy(key)
+      .agg(transform(
+        array_sort(collect_list(struct(ts.as("t"), tiebreak.as("k"),
+          value.as("v")))),
+        x => x.getField("v")).as("series"))
+
+  /** Gap-based sessionization (batch): assigns a per-user session sequence
+    * number, a new session starting when the gap from the previous event
+    * exceeds `gapSeconds`. One shuffle on the user key; everything else is
+    * window functions over the sorted partition.
+    */
+  def sessionize(df: DataFrame, userCol: String, tsCol: String,
+                 tiebreakCol: String, gapSeconds: Long): DataFrame = {
+    val w = Window.partitionBy(col(userCol))
+      .orderBy(col(tsCol), col(tiebreakCol))
+    val us = unix_micros(col(tsCol).cast(TimestampType))
+    val prev = lag(us, 1).over(w)
+    val isNew = when(prev.isNull ||
+      (us - prev) > gapSeconds * 1000000L, 1).otherwise(0)
+    df.withColumn("session_seq",
+      sum(isNew).over(w.rowsBetween(Window.unboundedPreceding,
+        Window.currentRow)))
+  }
+}

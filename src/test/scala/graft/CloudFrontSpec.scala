@@ -1,0 +1,85 @@
+package graft
+
+import graft.cloudfront.CloudFrontLogs
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+class CloudFrontSpec extends GraftSpec {
+  import spark.implicits._
+
+  // One realistic line, mirroring the reference's test.json event (40
+  // fields, mapping order, '-' for absent values).
+  private val sampleLine = Seq(
+    "1602646738.145", "1.2.3.4", "0.002", "200", "16653", "GET", "https",
+    "somehost123.cloudfront.net", "/image.jpg", "59", "IAD66-C1",
+    "boNb1al7B50G5T7jXDOGi2zlYAF2VWrba2fnZWfuc_UA==",
+    "somehost123.cloudfront.net", "0.002", "HTTP/2.0", "IPv4",
+    "curl/7.53.1", "-", "-", "-", "Hit", "-", "TLSv1.2",
+    "ECDHE-RSA-AES128-GCM-SHA256", "Hit", "-", "-", "image/jpeg", "16335",
+    "-", "-", "50226", "Hit", "US", "gzip", "*/*", "*",
+    "Host:somehost123.cloudfront.net%0AUser-Agent:curl%2F7.53.1",
+    "Host%0AUser-Agent", "2").mkString("\t")
+
+  test("parse maps all 40 fields with types; '-' becomes NULL") {
+    val df = CloudFrontLogs.parse(Seq(sampleLine).toDF("line"),
+      dropHeaders = false)
+    assert(df.columns.length == 40)
+    val r = df.collect()(0)
+    assert(r.getAs[Double]("timestamp") == 1602646738.145)
+    assert(r.getAs[Int]("sc_status") == 200)
+    assert(r.getAs[Long]("sc_bytes") == 16653L)
+    assert(r.getAs[Double]("time_taken") == 0.002)
+    assert(r.getAs[String]("c_ip") == "1.2.3.4")
+    assert(r.getAs[String]("x_edge_location") == "IAD66-C1")
+    assert(r.isNullAt(r.fieldIndex("cs_referer")))
+    assert(r.isNullAt(r.fieldIndex("sc_range_start")))
+    assert(r.getAs[Int]("cs_headers_count") == 2)
+    val schema = df.schema
+    assert(schema("sc_bytes").dataType == LongType)
+    assert(schema("time_to_first_byte").dataType == DoubleType)
+    assert(schema("c_port").dataType == IntegerType)
+  }
+
+  test("parse drops header fields by default, like the reference") {
+    val df = CloudFrontLogs.parse(Seq(sampleLine).toDF("line"))
+    assert(df.columns.length == 38)
+    assert(!df.columns.contains("cs_headers"))
+    assert(!df.columns.contains("cs_header_names"))
+  }
+
+  test("parseHeaders decodes and splits name:value pairs") {
+    val df = CloudFrontLogs.parse(Seq(sampleLine).toDF("line"),
+        dropHeaders = false)
+      .select(CloudFrontLogs.parseHeaders(col("cs_headers")).as("h"),
+        CloudFrontLogs.parseHeaderNames(col("cs_header_names")).as("hn"))
+    val r = df.collect()(0)
+    val headers = r.getSeq[org.apache.spark.sql.Row](0)
+    assert(headers.map(h => (h.getString(0), h.getString(1))) ==
+      Seq(("Host", "somehost123.cloudfront.net"),
+        ("User-Agent", "curl/7.53.1")))
+    assert(r.getSeq[String](1) == Seq("Host", "User-Agent"))
+  }
+
+  test("toRecords melts to Timestream record shape") {
+    val parsed = CloudFrontLogs.parse(Seq(sampleLine).toDF("line"))
+    val rec = CloudFrontLogs.toRecords(parsed,
+      measures = Seq("sc_bytes", "time_taken"),
+      dimensions = Seq("x_edge_location", "c_country"))
+    assert(rec.columns.toSeq ==
+      Seq("time", "measure_name", "measure_value", "dimensions"))
+    val rows = rec.orderBy("measure_name").collect()
+    assert(rows.length == 2)
+    assert(rows(0).getAs[Double]("measure_value") == 16653.0)
+    assert(rows(0).getAs[Map[String, String]]("dimensions") ==
+      Map("x_edge_location" -> "IAD66-C1", "c_country" -> "US"))
+    // time truncated to whole seconds, like the reference's int(timestamp)
+    assert(rows(0).getAs[java.time.LocalDateTime]("time").getNano == 0)
+  }
+
+  test("synthLines emits exactly 40 tab-separated fields") {
+    val events = graft.sources.Tables.events(spark, sfDir)
+    val n = graft.operators.CloudFrontPack.synthLines(events)
+      .select(size(split(col("line"), "\t")).as("n")).distinct().collect()
+    assert(n.map(_.getInt(0)).toSeq == Seq(40))
+  }
+}

@@ -1,0 +1,66 @@
+package graft
+
+import graft.sources.Tables
+import graft.timeseries.TimeSeries
+import org.apache.spark.sql.functions._
+
+class TimeSeriesSpec extends GraftSpec {
+  import spark.implicits._
+
+  test("bin floors to the interval boundary") {
+    val df = Seq("2024-01-05 10:47:33.123", "2024-01-05 10:59:59.999")
+      .toDF("s").select(to_timestamp(col("s")).as("ts"))
+    val binned = df.select(TimeSeries.bin(col("ts"), 3600).as("b"))
+      .distinct().collect()
+    assert(binned.length == 1)
+    assert(binned(0).getTimestamp(0).toInstant.toString ==
+      "2024-01-05T10:00:00Z")
+  }
+
+  test("ago keeps only rows within the window of max(ts)") {
+    val ev = Tables.events(spark, sfDir)
+    val maxTs = ev.agg(max(col("ts"))).collect()(0).getAs[java.time.LocalDateTime](0)
+    val recent = TimeSeries.ago(ev, "ts", 24 * 3600)
+    val rows = recent.select(col("ts")).collect()
+    assert(rows.nonEmpty)
+    val cutoff = maxTs.minusSeconds(24 * 3600)
+    assert(rows.forall(r => !r.getAs[java.time.LocalDateTime]("ts").isBefore(cutoff)))
+    assert(recent.count() < ev.count())
+  }
+
+  test("createTimeSeries returns time-ordered values per key") {
+    val ev = Tables.events(spark, sfDir)
+    val ts = TimeSeries.createTimeSeries(ev, col("event_type"), col("ts"),
+      col("event_id"), col("value"))
+    val byType = ts.collect().map(r =>
+      r.getString(0) -> r.getSeq[Double](1)).toMap
+    val expected = ev.filter(col("event_type") === "error")
+      .orderBy(col("ts"), col("event_id"))
+      .select(col("value")).collect().map(_.getDouble(0)).toSeq
+    assert(byType("error") == expected)
+  }
+
+  test("sessionize splits on gaps > threshold only") {
+    val ev = Tables.events(spark, sfDir)
+    val sessions = TimeSeries.sessionize(ev, "user_id", "ts", "event_id", 1800)
+    // session_seq must be monotone per user in event-time order
+    val u = sessions.filter(col("user_id") === 0)
+      .orderBy(col("ts"), col("event_id"))
+      .select(col("session_seq")).collect().map(_.getLong(0))
+    assert(u.nonEmpty && u.head == 1L)
+    assert(u.sliding(2).forall(p => p.length < 2 || p(1) - p(0) <= 1))
+    assert(u.sameElements(u.sorted))
+  }
+
+  test("approx metrics are close to exact counterparts") {
+    val exact = Tables.events(spark, sfDir)
+      .groupBy(col("event_type"))
+      .agg(countDistinct(col("user_id")).as("u")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val approx = SparkEntry.queries("metrics_approx")(spark, sfDir)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    for ((k, v) <- exact)
+      assert(math.abs(approx(k) - v).toDouble / v < 0.1,
+        s"$k: approx ${approx(k)} vs exact $v")
+  }
+}
