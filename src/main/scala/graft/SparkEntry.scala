@@ -12,7 +12,8 @@ object SparkEntry {
   private def packs: Seq[QueryPack] = Seq(
     operators.Analytics,
     operators.CloudFrontPack,
-    operators.TimeSeriesPack)
+    operators.TimeSeriesPack,
+    operators.TextPack)
 
   private lazy val registry: Map[String, GraftQuery] = {
     val all = packs.flatMap(_.queries)

@@ -1,0 +1,64 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Cross-engine deterministic primitives (SURVEY.md §6).
+  *
+  * Every hash/normalization here has a bit-identical DuckDB spelling, so
+  * oracle SQL can mirror the computation exactly:
+  *  - hash60: first 15 hex chars of md5 as a 60-bit non-negative long
+  *    (Spark `conv(substring(md5 x),16,10)` == DuckDB
+  *    `CAST('0x'||substr(md5(x),1,15) AS BIGINT)`).
+  *  - hashP: hash60 mod P, P = 2^31-1, so affine hash-family transforms
+  *    `(a*h+b) mod P` stay inside exact int64 arithmetic (a<=255 →
+  *    a*h < 2^39... < 2^63) in both engines.
+  *  - words/normText/shingles3: one canonical tokenization shared by all
+  *    text operators (lower, trim, split on \s+, drop empties).
+  *
+  * All of these are pure per-row column expressions: no shuffle, fully
+  * whole-stage-codegen'd, safe at any scale.
+  */
+object Portable {
+
+  /** 2^31-1, the modulus of the portable hash family. */
+  val P: Long = 2147483647L
+
+  /** 60-bit md5-derived hash of a string column (non-negative). */
+  def hash60(c: Column): Column =
+    conv(substring(md5(c), 1, 15), 16, 10).cast(LongType)
+
+  /** hash60 reduced mod P — the base hash for affine hash families. */
+  def hashP(c: Column): Column = pmod(hash60(c), lit(P))
+
+  /** i-th member of the affine hash family over a base hash mod P. */
+  def affine(i: Int, base: Column): Column =
+    pmod(lit(2L * i + 1) * base + lit((i.toLong * 40503L + 13L) % P), lit(P))
+
+  /** Canonical word tokenization: lower, trim, split \s+, drop empties. */
+  def words(text: Column): Column =
+    filter(split(lower(trim(text)), "\\s+"), w => length(w) > 0)
+
+  /** Canonical single-space normal form of a text column. */
+  def normText(text: Column): Column = concat_ws(" ", words(text))
+
+  /** Distinct 3-word shingles of a word array (requires size >= 3). */
+  def shingles3(ws: Column): Column =
+    array_distinct(transform(sequence(lit(0), size(ws) - 3), i =>
+      concat_ws(" ",
+        element_at(ws, i + 1), element_at(ws, i + 2), element_at(ws, i + 3))))
+
+  /** DuckDB spellings of the same primitives, for oracle SQL mirrors. */
+  object sql {
+    /** 60-bit md5 hash of SQL expression `e`. */
+    def hash60(e: String): String =
+      s"CAST('0x'||substr(md5($e),1,15) AS BIGINT)"
+    def hashP(e: String): String = s"(${hash60(e)} % $P)"
+    val words: String =
+      """list_filter(regexp_split_to_array(lower(trim(text)), '\s+'), x -> x <> '')"""
+    /** shingles over a word-list column named `w`. */
+    val shingles3: String =
+      "list_distinct(list_transform(range(len(w)-2), i -> w[i+1] || ' ' || w[i+2] || ' ' || w[i+3]))"
+  }
+}

@@ -1,0 +1,208 @@
+package graft.operators
+
+import graft.{GraftQuery, QueryPack}
+import graft.functions.Portable
+import graft.sources.Tables
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** SURVEY.md §2 block E — text analysis over the `documents` table: the
+  * per-document scoring passes a training-data pipeline runs before
+  * filtering/dedup (language ID, quality, token counts, fingerprints).
+  *
+  * Every operator is a pure per-row projection (no shuffle at all except
+  * the output ORDER BY, which exists only for the deterministic oracle
+  * compare): at 100 TB these pipeline into the parquet scan and run at
+  * I/O speed. No UDFs — all string work is codegen'd Spark functions with
+  * exact DuckDB mirrors (SURVEY.md §6 determinism rules).
+  */
+object TextPack extends QueryPack {
+
+  import Portable._
+
+  /** Stopword profiles for the n-gram/stopword language-ID heuristic.
+    * Ordered — the CASE preference order on score ties is the list order.
+    */
+  private val profiles: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of", "and", "to", "is", "in", "that"),
+    "es" -> Seq("el", "la", "de", "y", "que", "en", "los", "una"),
+    "fr" -> Seq("le", "la", "et", "les", "des", "en", "un", "est"),
+    "de" -> Seq("der", "die", "und", "das", "ist", "ein", "zu", "den"),
+    "zh" -> Seq("的", "是", "了", "在", "和"))
+
+  private def scoreCol(ws: Column, stop: Seq[String]): Column = {
+    val set = array(stop.map(lit): _*)
+    round(size(filter(ws, w => array_contains(set, w))).cast(DoubleType) /
+      size(ws), 6)
+  }
+
+  private def scoreSql(stop: Seq[String]): String = {
+    val set = stop.map(s => s"'$s'").mkString("[", ", ", "]")
+    s"round(len(list_filter(w, x -> list_contains($set, x)))::DOUBLE / len(w), 6)"
+  }
+
+  // E1 — language ID: stopword-profile scores per language, argmax with a
+  // fixed preference order on ties. (On this synthetic corpus every text
+  // draws from one English-ish vocabulary, so the mechanism — not corpus
+  // accuracy — is what the oracle verifies.)
+  private val langId = GraftQuery(
+    "lang_id",
+    (s, d) => {
+      val base = Tables.documents(s, d)
+        .select(col("doc_id"), words(col("text")).as("w"))
+        .filter(size(col("w")) > 0)
+      val scored = base.select(
+        (col("doc_id") +: profiles.map { case (l, st) =>
+          scoreCol(col("w"), st).as(s"score_$l")
+        }): _*)
+      val pred = profiles.init.foldRight(lit(profiles.last._1)) {
+        case ((l, _), els) =>
+          val c = col(s"score_$l")
+          val beats = profiles.filter(_._1 != l)
+            .map(o => c >= col(s"score_${o._1}")).reduce(_ && _)
+          when(beats, l).otherwise(els)
+      }
+      scored.withColumn("pred_lang", pred).orderBy(col("doc_id"))
+    },
+    Some {
+      val scores = profiles.map { case (l, st) =>
+        s"${scoreSql(st)} AS score_$l"
+      }.mkString(",\n          ")
+      val pred = profiles.init.map { case (l, _) =>
+        val beats = profiles.filter(_._1 != l)
+          .map(o => s"score_$l >= score_${o._1}").mkString(" AND ")
+        s"WHEN $beats THEN '$l'"
+      }.mkString("\n          ")
+      s"""
+      WITH w AS (
+        SELECT doc_id, ${Portable.sql.words} AS w FROM documents),
+      scored AS (
+        SELECT doc_id,
+          $scores
+        FROM w WHERE len(w) > 0)
+      SELECT *, CASE $pred ELSE '${profiles.last._1}' END AS pred_lang
+      FROM scored ORDER BY doc_id
+      """
+    })
+
+  // E2 — quality scoring: length, word stats, alpha ratio, stopword
+  // ratio, lexical diversity, and a composite score. No round(): every
+  // ratio is floor-to-ppm integer arithmetic carried in doubles (all
+  // intermediates are exact integers < 2^53), so the compound score is
+  // bit-identical across engines — compound float-then-round would
+  // disagree at .5-ULP boundaries (SURVEY.md §6).
+  private val textQuality = GraftQuery(
+    "text_quality",
+    (s, d) => {
+      val base = Tables.documents(s, d)
+        .select(col("doc_id"), col("text"), words(col("text")).as("w"))
+        .filter(size(col("w")) > 0)
+      val nWords = size(col("w"))
+      val nChars = length(col("text"))
+      def ppm(numer: Column, denom: Column): Column =
+        floor(numer.cast(DoubleType) * 1000000.0 / denom)
+      val meanWlPpm = ppm(
+        aggregate(col("w"), lit(0L), (acc, x) => acc + length(x)), nWords)
+      val alphaPpm = ppm(
+        nChars - length(regexp_replace(col("text"), "[a-zA-Z]", "")), nChars)
+      val stopSet = array(profiles.head._2.map(lit): _*)
+      val stopPpm = ppm(
+        size(filter(col("w"), x => array_contains(stopSet, x))), nWords)
+      val uniqPpm = ppm(size(array_distinct(col("w"))), nWords)
+      base.select(
+          col("doc_id"),
+          nChars.as("n_chars"),
+          nWords.as("n_words"),
+          (meanWlPpm / 1.0e6).as("mean_word_len"),
+          (alphaPpm / 1.0e6).as("alpha_ratio"),
+          (stopPpm / 1.0e6).as("stopword_ratio"),
+          (uniqPpm / 1.0e6).as("uniq_word_ratio"),
+          ((least(nWords.cast(DoubleType) * 10000.0, lit(1000000.0)) * 5
+            + uniqPpm * 3 + alphaPpm * 2) / 1.0e7).as("quality_score"))
+        .orderBy(col("doc_id"))
+    },
+    Some(s"""
+      WITH w AS (
+        SELECT doc_id, text, ${Portable.sql.words} AS w FROM documents),
+      m AS (
+        SELECT doc_id,
+          len(text) AS n_chars,
+          len(w) AS n_words,
+          floor(list_sum(list_transform(w, x -> len(x)))::DOUBLE * 1000000.0 / len(w)) AS mean_wl_ppm,
+          floor((len(text) - len(regexp_replace(text, '[a-zA-Z]', '', 'g')))::DOUBLE * 1000000.0 / len(text)) AS alpha_ppm,
+          floor(len(list_filter(w, x -> list_contains(${profiles.head._2.map(s => s"'$s'").mkString("[", ", ", "]")}, x)))::DOUBLE * 1000000.0 / len(w)) AS stop_ppm,
+          floor(len(list_distinct(w))::DOUBLE * 1000000.0 / len(w)) AS uniq_ppm
+        FROM w WHERE len(w) > 0)
+      SELECT doc_id, n_chars, n_words,
+        mean_wl_ppm / 1e6 AS mean_word_len,
+        alpha_ppm / 1e6 AS alpha_ratio,
+        stop_ppm / 1e6 AS stopword_ratio,
+        uniq_ppm / 1e6 AS uniq_word_ratio,
+        (least(n_words::DOUBLE * 10000.0, 1000000.0) * 5
+          + uniq_ppm * 3 + alpha_ppm * 2) / 1e7 AS quality_score
+      FROM m ORDER BY doc_id
+      """))
+
+  // E3 — token counting: whitespace tokens and a BPE-ish regex token
+  // stream (letter runs / digit runs / single other glyphs), plus
+  // chars-per-token — the budget metric an LLM-data pipeline tracks.
+  private val tokenCount = GraftQuery(
+    "token_count",
+    (s, d) => {
+      val pat = "[a-z]+|[0-9]+|[^a-z0-9\\s]"
+      val base = Tables.documents(s, d).select(
+        col("doc_id"),
+        size(words(col("text"))).as("ws_tokens"),
+        size(regexp_extract_all(lower(col("text")), lit(pat), lit(0)))
+          .as("re_tokens"),
+        length(col("text")).as("n_chars"))
+      base
+        .withColumn("chars_per_token",
+          round(col("n_chars").cast(DoubleType) / col("re_tokens"), 6))
+        .orderBy(col("doc_id"))
+    },
+    Some(s"""
+      SELECT doc_id,
+        len(${Portable.sql.words}) AS ws_tokens,
+        len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\s]')) AS re_tokens,
+        len(text) AS n_chars,
+        round(len(text)::DOUBLE
+          / len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\s]')), 6) AS chars_per_token
+      FROM documents ORDER BY doc_id
+      """))
+
+  // E4 — document fingerprinting: md5 of the canonical normal form plus a
+  // base-31 polynomial rolling hash mod P over its characters (the
+  // portable stand-in for a Rabin fingerprint; char-level fold, exact
+  // int64 arithmetic in both engines).
+  private val fingerprint = GraftQuery(
+    "fingerprint",
+    (s, d) => {
+      val norm = normText(col("text"))
+      val chars = filter(split(norm, ""), c => length(c) > 0)
+      val poly = aggregate(chars, lit(0L),
+        (h, c) => pmod(h * 31 + ascii(c), lit(P)))
+      Tables.documents(s, d).select(
+          col("doc_id"),
+          md5(norm).as("fp_md5"),
+          poly.as("fp_poly"),
+          length(norm).as("n_norm_chars"))
+        .orderBy(col("doc_id"))
+    },
+    Some(s"""
+      WITH n AS (
+        SELECT doc_id,
+          list_aggregate(${Portable.sql.words}, 'string_agg', ' ') AS norm
+        FROM documents)
+      SELECT doc_id, md5(norm) AS fp_md5,
+        list_reduce(list_prepend(CAST(0 AS BIGINT),
+          list_transform(string_split(norm, ''), c -> CAST(ord(c) AS BIGINT))),
+          (h, c) -> (h * 31 + c) % $P) AS fp_poly,
+        len(norm) AS n_norm_chars
+      FROM n ORDER BY doc_id
+      """))
+
+  override val queries: Seq[GraftQuery] =
+    Seq(langId, textQuality, tokenCount, fingerprint)
+}

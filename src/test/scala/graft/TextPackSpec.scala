@@ -1,0 +1,76 @@
+package graft
+
+import graft.functions.Portable
+import org.apache.spark.sql.functions._
+class TextPackSpec extends GraftSpec {
+
+  test("words/normText canonicalize whitespace and case") {
+    import spark.implicits._
+    val df = Seq("  The  QUICK  fox ", "a b", "").toDF("text")
+      .select(Portable.normText(col("text")).as("n"))
+    assert(df.as[String].collect().toSeq ==
+      Seq("the quick fox", "a b", ""))
+  }
+
+  test("shingles3 emits distinct consecutive word triples") {
+    import spark.implicits._
+    val df = Seq("a b c d a b c d").toDF("text")
+      .select(Portable.shingles3(Portable.words(col("text"))).as("s"))
+    val got = df.as[Seq[String]].head()
+    assert(got.toSet == Set("a b c", "b c d", "c d a", "d a b"))
+    assert(got.size == 4) // distinct: "a b c"/"b c d" appear twice in input
+  }
+
+  test("hash60 matches a reference md5-prefix computation") {
+    import spark.implicits._
+    val got = Seq("abc").toDF("s")
+      .select(Portable.hash60(col("s"))).as[Long].head()
+    // first 15 hex chars of md5("abc") = 900150983cd24fb
+    assert(got == java.lang.Long.parseLong("900150983cd24fb", 16))
+  }
+
+  test("lang_id scores sum sensibly and pred_lang is stable") {
+    val df = SparkEntry.queries("lang_id")(spark, sfDir)
+    val rows = df.collect()
+    assert(rows.length > 0)
+    assert(rows.forall(r => !r.isNullAt(r.fieldIndex("pred_lang"))))
+    val s = rows.head.getDouble(rows.head.fieldIndex("score_en"))
+    assert(s >= 0.0 && s <= 1.0)
+  }
+
+  test("text_quality ratios are in [0,1] and exact-integer derived") {
+    val df = SparkEntry.queries("text_quality")(spark, sfDir)
+    val rows = df.collect()
+    assert(rows.length > 0)
+    rows.foreach { r =>
+      val q = r.getDouble(r.fieldIndex("quality_score"))
+      assert(q >= 0.0 && q <= 1.0)
+      val ppm = r.getDouble(r.fieldIndex("uniq_word_ratio")) * 1e6
+      // the ratio is ppm/1e6 for an integer ppm (the *1e6 round-trip here
+      // reintroduces one ulp of dust, hence the tolerance)
+      assert(math.abs(ppm - math.rint(ppm)) < 1e-6)
+    }
+  }
+
+  test("token_count: regex tokens >= whitespace tokens") {
+    val df = SparkEntry.queries("token_count")(spark, sfDir)
+    val bad = df.filter(col("re_tokens") < col("ws_tokens")).count()
+    assert(bad == 0)
+  }
+
+  test("fingerprint: md5 and poly hash agree with a JVM-side recompute") {
+    val df = SparkEntry.queries("fingerprint")(spark, sfDir).limit(5)
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    df.collect().foreach { r =>
+      val norm = docs(r.getLong(0)).trim.toLowerCase
+        .split("\\s+").filter(_.nonEmpty).mkString(" ")
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(norm.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      assert(r.getString(r.fieldIndex("fp_md5")) == md)
+      val poly = norm.foldLeft(0L)((h, c) => (h * 31 + c.toInt) % Portable.P)
+      assert(r.getLong(r.fieldIndex("fp_poly")) == poly)
+    }
+  }
+}
