@@ -13,7 +13,8 @@ object SparkEntry {
     operators.Analytics,
     operators.CloudFrontPack,
     operators.TimeSeriesPack,
-    operators.TextPack)
+    operators.TextPack,
+    operators.DedupPack)
 
   private lazy val registry: Map[String, GraftQuery] = {
     val all = packs.flatMap(_.queries)

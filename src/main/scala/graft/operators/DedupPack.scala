@@ -1,0 +1,203 @@
+package graft.operators
+
+import graft.{GraftQuery, QueryPack}
+import graft.functions.Portable
+import graft.sources.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** SURVEY.md §2 block C (part 1) — deduplication over `documents`:
+  * C1 exact, C2 MinHash+LSH, C4 rare-shingle inverted-index Jaccard.
+  * (C3 SimHash lives in SimHashPack with the custom expressions; C5
+  * embedding near-dup lives in AnnPack with the vector ops.)
+  *
+  * Scale shapes (SURVEY.md §5):
+  *  - Shingling/minhashing is a pure per-row map — no shuffle, codegen'd.
+  *  - LSH banding shuffles once on (band, bucket-key); all candidate
+  *    generation joins happen inside buckets, never all-pairs.
+  *  - C4's inverted index drops shingles with document frequency > maxDF,
+  *    which caps per-shingle join fanout at maxDF² — the standard guard
+  *    against hot-key blowup at corpus scale.
+  *  - Exact-Jaccard verification touches only candidate pairs (band or
+  *    shared-rare-shingle collisions), a vanishing fraction of n².
+  */
+object DedupPack extends QueryPack {
+
+  import Portable._
+
+  /** Hash-family width and LSH geometry: 128 minhashes = 64 bands × 2
+    * rows. At Jaccard τ=0.8 the miss probability per true pair is
+    * (1-τ²)^64 ≈ 6e-29 — banding is effectively lossless recall at the
+    * verification threshold.
+    */
+  private val numHashes = 128
+  private val numBands = 64
+  private val tau = 0.8
+
+  /** doc_id + distinct word-3-shingles (docs with >= 3 words). */
+  private def shingled(s: SparkSession, d: String): DataFrame = {
+    val w = Tables.documents(s, d)
+      .select(col("doc_id"), words(col("text")).as("w"))
+      .filter(size(col("w")) >= 3)
+    w.select(col("doc_id"), shingles3(col("w")).as("shingles"))
+  }
+
+  private val shingledSql: String =
+    s"""w AS (SELECT doc_id, ${Portable.sql.words} AS w FROM documents),
+      sh AS (SELECT doc_id, ${Portable.sql.shingles3} AS shingles
+             FROM w WHERE len(w) >= 3)"""
+
+  /** Exact-Jaccard columns over two shingle-array columns `sa`/`sb`. */
+  private def jaccard(sa: Column, sb: Column): Column = {
+    val inter = size(array_intersect(sa, sb))
+    round(inter.cast(DoubleType) / (size(sa) + size(sb) - inter), 6)
+  }
+
+  // C1 — exact dedup: md5 of the canonical normal form, duplicate groups
+  // by fingerprint (one shuffle on the fingerprint), min-doc_id canonical.
+  private val dedupExact = GraftQuery(
+    "dedup_exact",
+    (s, d) => {
+      val w = Window.partitionBy(col("fingerprint"))
+      Tables.documents(s, d)
+        .select(col("doc_id"), md5(normText(col("text"))).as("fingerprint"))
+        .withColumn("group_size", count(lit(1)).over(w))
+        .withColumn("canonical_id", min(col("doc_id")).over(w))
+        .withColumn("is_dup", col("doc_id") =!= col("canonical_id"))
+        .orderBy(col("doc_id"))
+    },
+    Some(s"""
+      WITH n AS (
+        SELECT doc_id,
+          md5(array_to_string(${Portable.sql.words}, ' ')) AS fingerprint
+        FROM documents)
+      SELECT doc_id, fingerprint,
+        COUNT(*) OVER (PARTITION BY fingerprint) AS group_size,
+        MIN(doc_id) OVER (PARTITION BY fingerprint) AS canonical_id,
+        doc_id <> MIN(doc_id) OVER (PARTITION BY fingerprint) AS is_dup
+      FROM n ORDER BY doc_id
+      """))
+
+  // C2 — MinHash + LSH: shingle → 128 affine minhashes (one md5 per
+  // shingle, then exact int64 affine transforms) → 64 2-row band keys →
+  // bucket self-join for candidates → exact-Jaccard verification at τ.
+  private val dedupMinhash = GraftQuery(
+    "dedup_minhash",
+    (s, d) => {
+      val sh = shingled(s, d)
+      val sig = sh.select(
+        col("doc_id"),
+        transform(sequence(lit(0), lit(numHashes - 1)), i =>
+          array_min(transform(
+            transform(col("shingles"), x => hashP(x)),
+            h => pmod((i * 2 + 1) * h + pmod(i * lit(40503L) + 13, lit(P)),
+              lit(P))))).as("sig"))
+      val keyed = sig
+        .select(col("doc_id"),
+          posexplode(transform(sequence(lit(0), lit(numBands - 1)), b =>
+            concat_ws(",",
+              element_at(col("sig"), b * 2 + 1).cast(StringType),
+              element_at(col("sig"), b * 2 + 2).cast(StringType)))))
+        .withColumnRenamed("pos", "band")
+        .withColumnRenamed("col", "key")
+      val a = keyed.select(col("doc_id").as("doc_a"), col("band"), col("key"))
+      val b = keyed.select(col("doc_id").as("doc_b"),
+        col("band").as("band_b"), col("key").as("key_b"))
+      val cand = a.join(b,
+          col("band") === col("band_b") && col("key") === col("key_b") &&
+            col("doc_a") < col("doc_b"))
+        .groupBy(col("doc_a"), col("doc_b"))
+        .agg(count(lit(1)).as("n_shared_bands"))
+      val sa = sh.select(col("doc_id").as("doc_a"), col("shingles").as("sa"))
+      val sb = sh.select(col("doc_id").as("doc_b"), col("shingles").as("sb"))
+      cand.join(sa, "doc_a").join(sb, "doc_b")
+        .withColumn("jaccard", jaccard(col("sa"), col("sb")))
+        .filter(col("jaccard") >= tau)
+        .select(col("doc_a"), col("doc_b"), col("n_shared_bands"),
+          col("jaccard"))
+        .orderBy(col("doc_a"), col("doc_b"))
+    },
+    Some(s"""
+      WITH $shingledSql,
+      hs AS (SELECT doc_id,
+          list_transform(shingles, s -> ${Portable.sql.hashP("s")}) AS hs
+        FROM sh),
+      sig AS (SELECT doc_id,
+          list_transform(range($numHashes), i -> list_min(list_transform(hs,
+            h -> ((2*i+1)*h + (i*40503+13) % $P) % $P))) AS sig
+        FROM hs),
+      keyed AS (SELECT doc_id, unnest(range($numBands)) AS band, sig
+        FROM sig),
+      k2 AS (SELECT doc_id, band,
+          sig[2*band+1] || ',' || sig[2*band+2] AS key FROM keyed),
+      cand AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+          COUNT(*) AS n_shared_bands
+        FROM k2 a JOIN k2 b
+          ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+        GROUP BY 1, 2),
+      j AS (SELECT doc_a, doc_b, n_shared_bands,
+          len(list_filter(sa.shingles, x -> list_contains(sb.shingles, x)))
+            AS inter,
+          len(sa.shingles) + len(sb.shingles) AS tot
+        FROM cand
+        JOIN sh sa ON cand.doc_a = sa.doc_id
+        JOIN sh sb ON cand.doc_b = sb.doc_id)
+      SELECT doc_a, doc_b, n_shared_bands,
+        round(inter::DOUBLE / (tot - inter), 6) AS jaccard
+      FROM j WHERE round(inter::DOUBLE / (tot - inter), 6) >= $tau
+      ORDER BY doc_a, doc_b
+      """))
+
+  // C4 — inverted-index n-gram Jaccard: explode shingles, keep only
+  // "rare" shingles (2 <= document frequency <= maxDF), join docs sharing
+  // a rare shingle, verify exact Jaccard. The DF cap bounds join fanout.
+  private val maxDF = 10
+  private val tauNgram = 0.5
+  private val ngramJaccard = GraftQuery(
+    "ngram_jaccard",
+    (s, d) => {
+      val sh = shingled(s, d)
+      val ex = sh.select(col("doc_id"), explode(col("shingles")).as("sh"))
+      val rare = ex.groupBy(col("sh"))
+        .agg(count(lit(1)).as("df"))
+        .filter(col("df") >= 2 && col("df") <= maxDF)
+        .select(col("sh"))
+      val exRare = ex.join(rare, "sh")
+      val cand = exRare.select(col("sh"), col("doc_id").as("doc_a"))
+        .join(exRare.select(col("sh").as("sh_b"), col("doc_id").as("doc_b")),
+          col("sh") === col("sh_b") && col("doc_a") < col("doc_b"))
+        .select(col("doc_a"), col("doc_b")).distinct()
+      val sa = sh.select(col("doc_id").as("doc_a"), col("shingles").as("sa"))
+      val sb = sh.select(col("doc_id").as("doc_b"), col("shingles").as("sb"))
+      cand.join(sa, "doc_a").join(sb, "doc_b")
+        .withColumn("jaccard", jaccard(col("sa"), col("sb")))
+        .filter(col("jaccard") >= tauNgram)
+        .select(col("doc_a"), col("doc_b"), col("jaccard"))
+        .orderBy(col("doc_a"), col("doc_b"))
+    },
+    Some(s"""
+      WITH $shingledSql,
+      ex AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+      rare AS (SELECT s FROM ex GROUP BY s
+               HAVING COUNT(*) >= 2 AND COUNT(*) <= $maxDF),
+      exr AS (SELECT ex.doc_id, ex.s FROM ex JOIN rare ON ex.s = rare.s),
+      cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM exr a JOIN exr b ON a.s = b.s AND a.doc_id < b.doc_id),
+      j AS (SELECT doc_a, doc_b,
+          len(list_filter(sa.shingles, x -> list_contains(sb.shingles, x)))
+            AS inter,
+          len(sa.shingles) + len(sb.shingles) AS tot
+        FROM cand
+        JOIN sh sa ON cand.doc_a = sa.doc_id
+        JOIN sh sb ON cand.doc_b = sb.doc_id)
+      SELECT doc_a, doc_b,
+        round(inter::DOUBLE / (tot - inter), 6) AS jaccard
+      FROM j WHERE round(inter::DOUBLE / (tot - inter), 6) >= $tauNgram
+      ORDER BY doc_a, doc_b
+      """))
+
+  override val queries: Seq[GraftQuery] =
+    Seq(dedupExact, dedupMinhash, ngramJaccard)
+}

@@ -1,0 +1,63 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+class DedupPackSpec extends GraftSpec {
+
+  test("dedup_exact groups identical normalized texts") {
+    import spark.implicits._
+    // plant: 1/2 identical modulo case+whitespace, 3 distinct
+    val df = Seq(
+      (1L, "Alpha beta  gamma"),
+      (2L, "  alpha BETA gamma "),
+      (3L, "something else entirely")).toDF("doc_id", "text")
+    df.createOrReplaceTempView("planted")
+    val out = df
+      .select(col("doc_id"),
+        md5(graft.functions.Portable.normText(col("text"))).as("fp"))
+      .groupBy("fp").count().collect()
+    assert(out.map(_.getLong(1)).sorted.toSeq == Seq(1L, 2L))
+  }
+
+  test("dedup_minhash finds the planted near-dup pairs at sf0.001") {
+    val pairs = SparkEntry.queries("dedup_minhash")(spark, sfDir).collect()
+    // every reported pair really is >= tau by exact Jaccard
+    pairs.foreach { r =>
+      assert(r.getDouble(r.fieldIndex("jaccard")) >= 0.8)
+      assert(r.getLong(r.fieldIndex("doc_a")) <
+        r.getLong(r.fieldIndex("doc_b")))
+      // 64 bands x 2 rows at j>=0.8: nearly all bands should collide
+      assert(r.getLong(r.fieldIndex("n_shared_bands")) >= 1)
+    }
+  }
+
+  test("dedup_minhash candidates superset: high-Jaccard pairs survive LSH") {
+    // brute-force exact Jaccard over all pairs; every pair >= tau must be
+    // reported by the banded query (recall check on real data)
+    import spark.implicits._
+    val sh = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id"), graft.functions.Portable.shingles3(
+        graft.functions.Portable.words(col("text"))).as("sh"))
+      .filter(size(col("sh")) >= 1)
+      .as[(Long, Seq[String])].collect().map(t => t._1 -> t._2.toSet)
+    val want = (for {
+      (a, sa) <- sh; (b, sb) <- sh if a < b
+      inter = (sa & sb).size
+      j = inter.toDouble / (sa.size + sb.size - inter)
+      if math.rint(j * 1e6) / 1e6 >= 0.8
+    } yield (a, b)).toSet
+    val got = SparkEntry.queries("dedup_minhash")(spark, sfDir)
+      .select("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == want)
+  }
+
+  test("ngram_jaccard pairs are symmetric-free and above threshold") {
+    val rows = SparkEntry.queries("ngram_jaccard")(spark, sfDir).collect()
+    rows.foreach { r =>
+      assert(r.getDouble(r.fieldIndex("jaccard")) >= 0.5)
+    }
+    val ids = rows.map(r => (r.getLong(0), r.getLong(1)))
+    assert(ids.distinct.length == ids.length)
+  }
+}
