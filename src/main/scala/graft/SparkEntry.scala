@@ -14,7 +14,8 @@ object SparkEntry {
     operators.CloudFrontPack,
     operators.TimeSeriesPack,
     operators.TextPack,
-    operators.DedupPack)
+    operators.DedupPack,
+    operators.SimHashPack)
 
   private lazy val registry: Map[String, GraftQuery] = {
     val all = packs.flatMap(_.queries)
