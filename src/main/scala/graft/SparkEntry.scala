@@ -15,7 +15,8 @@ object SparkEntry {
     operators.TimeSeriesPack,
     operators.TextPack,
     operators.DedupPack,
-    operators.SimHashPack)
+    operators.SimHashPack,
+    operators.AnnPack)
 
   private lazy val registry: Map[String, GraftQuery] = {
     val all = packs.flatMap(_.queries)

@@ -1,0 +1,234 @@
+package graft.operators
+
+import graft.{GraftQuery, QueryPack}
+import graft.functions.Vectors
+import graft.sources.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** SURVEY.md §2 block D (+ C5) — similarity search over `embeddings`.
+  *
+  * Scale design (§5):
+  *  - D1 brute-force: the query set is broadcast (one row per query), the
+  *    corpus is scanned once; per-query top-k is a salted two-stage
+  *    aggregation (per-(query,salt) local top-k, then a merge of
+  *    k·salts rows per query) — bounded memory everywhere, never a full
+  *    sort and never a window over a corpus-sized partition.
+  *  - D2 LSH: 16 deterministic random hyperplanes → 4 bands of 4 sign
+  *    bits; candidates only where a band matches, then exact cosine +
+  *    the same two-stage top-k. The corpus scan for candidates carries
+  *    only (vec_id, band, key) — vectors are joined back per candidate.
+  *  - D3/C5 are label-blocked: pair generation is a co-partitioned join
+  *    on the label, so per-key work is bounded by the block size.
+  */
+object AnnPack extends QueryPack {
+
+  private val K = 5
+  private val numPlanes = 16
+  private val bandBits = 4
+  private val numBands = numPlanes / bandBits
+  private val nearDupTau = 0.45
+
+  /** embeddings with double vectors + precomputed norms. */
+  private def vecs(s: SparkSession, d: String): DataFrame =
+    Tables.embeddings(s, d)
+      .select(col("vec_id"), col("label"),
+        Vectors.toDouble(col("embedding")).as("v"))
+      .withColumn("nrm", Vectors.norm(col("v")))
+
+  private val vecsSql: String =
+    s"""e AS (SELECT vec_id, label,
+          ${Vectors.sql.toDouble("embedding")} AS v FROM embeddings),
+      n AS (SELECT vec_id, label, v, ${Vectors.sql.norm("v")} AS nrm
+            FROM e)"""
+
+  /** Salted two-stage per-query top-k of (cos_sim desc, vec_id asc).
+    * Input needs columns query_id, vec_id, cos_sim + `extra`.
+    */
+  private def topKPerQuery(pairs: DataFrame, k: Int,
+                           extra: Seq[String]): DataFrame = {
+    val cand = struct(
+      ((-col("cos_sim")).as("nc") +: col("vec_id").as("vid") +:
+        col("cos_sim").as("cs") +: extra.map(col)): _*)
+    val exploded = pairs
+      .withColumn("salt", pmod(col("vec_id"), lit(32)))
+      .groupBy(col("query_id"), col("salt"))
+      .agg(slice(array_sort(collect_list(cand)), 1, k).as("top"))
+      .groupBy(col("query_id"))
+      .agg(slice(array_sort(flatten(collect_list(col("top")))), 1, k)
+        .as("top"))
+      .select(col("query_id"), posexplode(col("top")))
+    exploded.select(
+      (col("query_id") +: (col("pos") + 1).cast(LongType).as("rank") +:
+        col("col.vid").as("vec_id") +: col("col.cs").as("cos_sim") +:
+        extra.map(e => col(s"col.$e").as(e))): _*)
+  }
+
+  // D1 — brute-force cosine top-k: every 50th vector is a query, the
+  // rest are the corpus. The exactness baseline for D2's recall.
+  private val annBrute = GraftQuery(
+    "ann_brute",
+    (s, d) => {
+      val n = vecs(s, d)
+      val q = n.filter(pmod(col("vec_id"), lit(50)) === 0)
+        .select(col("vec_id").as("query_id"), col("v").as("qv"),
+          col("nrm").as("qn"))
+      val c = n.filter(pmod(col("vec_id"), lit(50)) =!= 0)
+      val pairs = c.join(broadcast(q))
+        .withColumn("cos_sim",
+          Vectors.cosine(col("qv"), col("v"), col("qn"), col("nrm")))
+        .select(col("query_id"), col("vec_id"), col("label"), col("cos_sim"))
+      topKPerQuery(pairs, K, Seq("label"))
+        .orderBy(col("query_id"), col("rank"))
+    },
+    Some(s"""
+      WITH $vecsSql,
+      q AS (SELECT vec_id AS query_id, v AS qv, nrm AS qn FROM n
+            WHERE vec_id % 50 = 0),
+      c AS (SELECT * FROM n WHERE vec_id % 50 <> 0),
+      pr AS (SELECT q.query_id, c.vec_id, c.label,
+          round(${Vectors.sql.dot("q.qv", "c.v")} / (q.qn * c.nrm), 6)
+            AS cos_sim
+        FROM c CROSS JOIN q),
+      r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+          ORDER BY cos_sim DESC, vec_id) AS rank FROM pr)
+      SELECT query_id, rank, vec_id, cos_sim, label
+      FROM r WHERE rank <= $K ORDER BY query_id, rank
+      """))
+
+  // D2 — random-hyperplane LSH: sign-bit signature → banded candidate
+  // join → exact cosine on candidates only → top-k. Planes are
+  // md5-derived so the oracle rebuilds them bit-identically.
+  private val annLsh = GraftQuery(
+    "ann_lsh",
+    (s, d) => {
+      val planes = Vectors.planeWeights(numPlanes, 64)
+      val n = vecs(s, d)
+      val sigBits = concat((0 until numPlanes).map { p =>
+        val pw = array(planes(p).map(lit): _*)
+        when(Vectors.dot(col("v"), pw) > 0.0, "1").otherwise("0")
+      }: _*)
+      val bands = array((0 until numBands).map(b =>
+        struct(lit(b).as("band"),
+          substring(col("sigbits"), b * bandBits + 1, bandBits)
+            .as("bkey"))): _*)
+      val banded = n.withColumn("sigbits", sigBits)
+        .select(col("vec_id"), explode(bands).as("bc"))
+        .select(col("vec_id"), col("bc.band").as("band"),
+          col("bc.bkey").as("bkey"))
+      val qb = banded.filter(pmod(col("vec_id"), lit(50)) === 0)
+        .select(col("vec_id").as("query_id"), col("band").as("qband"),
+          col("bkey").as("qbkey"))
+      val cb = banded.filter(pmod(col("vec_id"), lit(50)) =!= 0)
+      val cand = cb.join(qb,
+          col("band") === col("qband") && col("bkey") === col("qbkey"))
+        .select(col("query_id"), col("vec_id")).distinct()
+      val q = n.select(col("vec_id").as("qid2"), col("v").as("qv"),
+        col("nrm").as("qn"))
+      val pairs = cand
+        .join(n, "vec_id")
+        .join(broadcast(q), col("query_id") === col("qid2"))
+        .withColumn("cos_sim",
+          Vectors.cosine(col("qv"), col("v"), col("qn"), col("nrm")))
+        .select(col("query_id"), col("vec_id"), col("cos_sim"))
+      topKPerQuery(pairs, K, Nil).orderBy(col("query_id"), col("rank"))
+    },
+    Some(s"""
+      WITH $vecsSql,
+      p AS (${Vectors.sql.planes(numPlanes, 64)}),
+      s AS (SELECT n.vec_id, p.p,
+          CASE WHEN ${Vectors.sql.dot("n.v", "p.pw")} > 0
+               THEN '1' ELSE '0' END AS bit
+        FROM n CROSS JOIN p),
+      sig AS (SELECT vec_id, string_agg(bit, '' ORDER BY p) AS sigbits
+              FROM s GROUP BY vec_id),
+      bands AS (SELECT vec_id, unnest(range($numBands)) AS band, sigbits
+                FROM sig),
+      b2 AS (SELECT vec_id, band,
+          substr(sigbits, CAST(band * $bandBits + 1 AS INTEGER), $bandBits)
+            AS bkey FROM bands),
+      qb AS (SELECT * FROM b2 WHERE vec_id % 50 = 0),
+      cb AS (SELECT * FROM b2 WHERE vec_id % 50 <> 0),
+      cand AS (SELECT DISTINCT qb.vec_id AS query_id, cb.vec_id AS vec_id
+        FROM qb JOIN cb ON qb.band = cb.band AND qb.bkey = cb.bkey),
+      pr AS (SELECT cand.query_id, cand.vec_id,
+          round(${Vectors.sql.dot("a.v", "b.v")} / (a.nrm * b.nrm), 6)
+            AS cos_sim
+        FROM cand
+        JOIN n a ON cand.query_id = a.vec_id
+        JOIN n b ON cand.vec_id = b.vec_id),
+      r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+          ORDER BY cos_sim DESC, vec_id) AS rank FROM pr)
+      SELECT query_id, rank, vec_id, cos_sim
+      FROM r WHERE rank <= $K ORDER BY query_id, rank
+      """))
+
+  /** Label-blocked all-pairs with cosine (shared by D3 and C5). */
+  private def labelPairs(s: SparkSession, d: String): DataFrame = {
+    val n = vecs(s, d)
+    val b = n.select(col("vec_id").as("nn_id"), col("label").as("label_b"),
+      col("v").as("vb"), col("nrm").as("nrmb"))
+    n.join(b,
+        col("label") === col("label_b") && col("vec_id") =!= col("nn_id"))
+      .withColumn("cos_sim",
+        Vectors.cosine(col("v"), col("vb"), col("nrm"), col("nrmb")))
+      .select(col("vec_id"), col("label"), col("nn_id"), col("cos_sim"))
+  }
+
+  private val labelPairsSql: String =
+    s"""$vecsSql,
+      pr AS (SELECT a.vec_id, a.label, b.vec_id AS nn_id,
+          round(${Vectors.sql.dot("a.v", "b.v")} / (a.nrm * b.nrm), 6)
+            AS cos_sim
+        FROM n a JOIN n b
+          ON a.label = b.label AND a.vec_id <> b.vec_id)"""
+
+  // D3 — k-NN self-join per label block (k=3).
+  private val knnJoin = GraftQuery(
+    "knn_join",
+    (s, d) => {
+      val w = Window.partitionBy(col("vec_id"))
+        .orderBy(col("cos_sim").desc, col("nn_id"))
+      labelPairs(s, d)
+        .withColumn("rank", row_number().over(w).cast(LongType))
+        .filter(col("rank") <= 3)
+        .select(col("vec_id"), col("label"), col("rank"), col("nn_id"),
+          col("cos_sim"))
+        .orderBy(col("vec_id"), col("rank"))
+    },
+    Some(s"""
+      WITH $labelPairsSql,
+      r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+          ORDER BY cos_sim DESC, nn_id) AS rank FROM pr)
+      SELECT vec_id, label, rank, nn_id, cos_sim
+      FROM r WHERE rank <= 3 ORDER BY vec_id, rank
+      """))
+
+  // C5 — embedding near-dup: each vector's within-label nearest
+  // neighbor, flagged when cosine clears the near-dup threshold.
+  private val dedupEmbedding = GraftQuery(
+    "dedup_embedding",
+    (s, d) => {
+      val w = Window.partitionBy(col("vec_id"))
+        .orderBy(col("cos_sim").desc, col("nn_id"))
+      labelPairs(s, d)
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("vec_id"), col("label"), col("nn_id"), col("cos_sim"),
+          (col("cos_sim") >= nearDupTau).as("is_near_dup"))
+        .orderBy(col("vec_id"))
+    },
+    Some(s"""
+      WITH $labelPairsSql,
+      r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+          ORDER BY cos_sim DESC, nn_id) AS rn FROM pr)
+      SELECT vec_id, label, nn_id, cos_sim,
+        cos_sim >= $nearDupTau AS is_near_dup
+      FROM r WHERE rn = 1 ORDER BY vec_id
+      """))
+
+  override val queries: Seq[GraftQuery] =
+    Seq(annBrute, annLsh, knnJoin, dedupEmbedding)
+}
