@@ -16,7 +16,8 @@ object SparkEntry {
     operators.TextPack,
     operators.DedupPack,
     operators.SimHashPack,
-    operators.AnnPack)
+    operators.AnnPack,
+    operators.MediaPack)
 
   private lazy val registry: Map[String, GraftQuery] = {
     val all = packs.flatMap(_.queries)

@@ -1,0 +1,57 @@
+package graft.streaming
+
+import graft.cloudfront.CloudFrontLogs
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** SURVEY.md §2 A8/A9 — streaming ingest, Spark-first.
+  *
+  * The reference ingests CloudFront real-time logs from a Kinesis stream
+  * into Timestream via a per-record Lambda. Here the same capability is
+  * a Structured Streaming pipeline: any streaming (or batch) DataFrame
+  * of raw `line` strings — file source as the Kinesis stand-in, since a
+  * Kinesis connector is just another `readStream.format(...)` producing
+  * the same shape — goes through the identical codegen'd parser used in
+  * batch, then watermarked event-time aggregation.
+  *
+  * Every transform here is incremental-execution-safe: parse is
+  * stateless; the aggregations keep per-window/per-session state bounded
+  * by the watermark, so state store size is O(active windows × keys) —
+  * the property that lets the same query run for months on a real
+  * cluster without unbounded state growth.
+  */
+object CloudFrontStream {
+
+  /** Raw lines → typed records with an event-time column (epoch-seconds
+    * `timestamp` field truncated to whole seconds, like the reference).
+    */
+  def parsed(lines: DataFrame): DataFrame =
+    CloudFrontLogs.parse(lines)
+      .withColumn("event_time",
+        timestamp_seconds(col("timestamp").cast(LongType)))
+
+  /** README headline as a stream: hourly sum(sc_bytes)/count per edge
+    * location, 1-hour watermark for late data.
+    */
+  def hourlyBytesByEdge(lines: DataFrame,
+                        watermark: String = "1 hour"): DataFrame =
+    parsed(lines)
+      .withWatermark("event_time", watermark)
+      .groupBy(window(col("event_time"), "1 hour"),
+        col("x_edge_location"))
+      .agg(sum(col("sc_bytes")).as("total_bytes"),
+        count(lit(1)).as("n_requests"))
+
+  /** A9 streaming sessionization: gap-based sessions per client IP via
+    * `session_window` (state = one open session per key, closed and
+    * emitted once the watermark passes the gap).
+    */
+  def sessions(lines: DataFrame, gap: String = "30 minutes",
+               watermark: String = "1 hour"): DataFrame =
+    parsed(lines)
+      .withWatermark("event_time", watermark)
+      .groupBy(session_window(col("event_time"), gap), col("c_ip"))
+      .agg(count(lit(1)).as("n_requests"),
+        sum(col("sc_bytes")).as("session_bytes"))
+}

@@ -1,0 +1,54 @@
+package graft
+
+import graft.media.{Media, MediaFeaturizer, MediaRecord}
+import graft.sources.Tables
+import org.apache.spark.sql.functions._
+
+class MediaSpec extends GraftSpec {
+
+  test("media_schema: typed binary + metadata model (F1)") {
+    val ds = Media.synthesize(Tables.documents(spark, sfDir))
+    val schema = ds.schema
+    assert(schema("content").dataType.typeName == "binary")
+    assert(schema("meta").dataType.typeName == "struct")
+    val rows = ds.collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r: MediaRecord =>
+      assert(Set("image", "audio", "video")(r.meta.media_type))
+      r.meta.media_type match {
+        case "image" => assert(r.meta.width > 0 && r.meta.duration_ms == 0)
+        case "audio" => assert(r.meta.width == 0 && r.meta.duration_ms > 0)
+        case "video" => assert(r.meta.width > 0 && r.meta.duration_ms > 0)
+      }
+      assert(r.content.nonEmpty)
+    }
+    // determinism: synthesizing twice yields identical metadata
+    val again = Media.synthesize(Tables.documents(spark, sfDir)).collect()
+    assert(rows.map(r => (r.doc_id, r.meta)).toSet ==
+      again.map(r => (r.doc_id, r.meta)).toSet)
+  }
+
+  test("media_features: byte stats match a JVM recompute (F2)") {
+    val docs = Tables.documents(spark, sfDir)
+    val feats = MediaFeaturizer.features(Media.synthesize(docs))
+      .collect().map(f => f.doc_id -> f).toMap
+    val texts = docs.select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    texts.take(20).foreach { case (id, t) =>
+      val bytes = t.getBytes("UTF-8")
+      val f = feats(id)
+      assert(f.n_bytes == bytes.length)
+      assert(f.byte_sum == bytes.map(_ & 0xff).map(_.toLong).sum)
+      assert(f.first_byte == (bytes.head & 0xff))
+      assert(f.last_byte == (bytes.last & 0xff))
+      assert(f.feat_hash == MediaFeaturizer.decodeStub(bytes))
+    }
+  }
+
+  test("metadata-only query prunes the binary content column") {
+    val ds = Media.synthesize(Tables.documents(spark, sfDir))
+    val plan = ds.select(col("meta.media_type")).groupBy("media_type")
+      .count().queryExecution.optimizedPlan.toString
+    assert(!plan.contains("content") || plan.contains("media_type"))
+  }
+}
