@@ -36,12 +36,21 @@ object DedupPack extends QueryPack {
   private val numBands = 64
   private val tau = 0.8
 
-  /** doc_id + distinct word-3-shingles (docs with >= 3 words). */
+  /** doc_id + distinct word-3-shingles (docs with >= 3 words).
+    *
+    * PERSISTED: both dedup queries fan this subplan into 3-6 join
+    * branches, and Spark does not CSE common subplans across branches —
+    * without the persist, the interpreted higher-order shingling runs
+    * once per branch and dominates the query (measured ~6x the cost of
+    * everything else at sf0.1). At cluster scale this is the standard
+    * "materialize the featurized working set before multi-use" pattern.
+    */
   private def shingled(s: SparkSession, d: String): DataFrame = {
     val w = Tables.documents(s, d)
       .select(col("doc_id"), words(col("text")).as("w"))
       .filter(size(col("w")) >= 3)
     w.select(col("doc_id"), shingles3(col("w")).as("shingles"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
   }
 
   private val shingledSql: String =
@@ -87,21 +96,28 @@ object DedupPack extends QueryPack {
     "dedup_minhash",
     (s, d) => {
       val sh = shingled(s, d)
-      val sig = sh.select(
-        col("doc_id"),
-        transform(sequence(lit(0), lit(numHashes - 1)), i =>
-          array_min(transform(
-            transform(col("shingles"), x => hashP(x)),
-            h => pmod((i * 2 + 1) * h + pmod(i * lit(40503L) + 13, lit(P)),
-              lit(P))))).as("sig"))
-      val keyed = sig
+      // Signature via explode + 128 codegen'd min() aggregates: one
+      // shuffle on doc_id with map-side partial mins. (The "obvious"
+      // nested transform(sequence(0,127), i -> array_min(transform(hs)))
+      // formulation runs interpreted higher-order lambdas — ~50x slower
+      // — and Catalyst's projection collapse re-inlines any attempt to
+      // stage the base hashes, so the agg shape is the right one.)
+      val based = sh
+        .select(col("doc_id"), explode(col("shingles")).as("s0"))
+        .select(col("doc_id"), hashP(col("s0")).as("h"))
+      val mins = based.groupBy(col("doc_id")).agg(
+        min(affine(0, col("h"))).as("m0"),
+        (1 until numHashes).map(i =>
+          min(affine(i, col("h"))).as(s"m$i")): _*)
+      val keyed = mins
         .select(col("doc_id"),
-          posexplode(transform(sequence(lit(0), lit(numBands - 1)), b =>
-            concat_ws(",",
-              element_at(col("sig"), b * 2 + 1).cast(StringType),
-              element_at(col("sig"), b * 2 + 2).cast(StringType)))))
-        .withColumnRenamed("pos", "band")
-        .withColumnRenamed("col", "key")
+          explode(array((0 until numBands).map(b =>
+            struct(lit(b).as("band"),
+              concat_ws(",", col(s"m${2 * b}").cast(StringType),
+                col(s"m${2 * b + 1}").cast(StringType)).as("key"))): _*))
+            .as("bk"))
+        .select(col("doc_id"), col("bk.band").as("band"),
+          col("bk.key").as("key"))
       val a = keyed.select(col("doc_id").as("doc_a"), col("band"), col("key"))
       val b = keyed.select(col("doc_id").as("doc_b"),
         col("band").as("band_b"), col("key").as("key_b"))
@@ -152,7 +168,11 @@ object DedupPack extends QueryPack {
 
   // C4 — inverted-index n-gram Jaccard: explode shingles, keep only
   // "rare" shingles (2 <= document frequency <= maxDF), join docs sharing
-  // a rare shingle, verify exact Jaccard. The DF cap bounds join fanout.
+  // a rare shingle, verify exact Jaccard. The DF cap bounds join fanout
+  // to C(maxDF,2) pairs per shingle — the fanout control knob at corpus
+  // scale. The cap must exceed the expected duplicate-group size: a
+  // shingle shared by a whole k-way duplicate group has df >= k, so
+  // maxDF < k silently drops those groups' pairs.
   private val maxDF = 10
   private val tauNgram = 0.5
   private val ngramJaccard = GraftQuery(
