@@ -24,13 +24,18 @@ object Vectors {
   /** Float array column → double array (element-exact widening). */
   def toDouble(v: Column): Column = transform(v, x => x.cast(DoubleType))
 
-  /** Sequential left-fold dot product of two double-array columns. */
+  /** Sequential left-fold dot product of two double-array columns.
+    * Delegates to the native codegen'd [[graft.expressions.DotProduct]]
+    * — identical fold order and widening to the
+    * `aggregate(zip_with(...))` formulation, ~10x the throughput
+    * (higher-order functions are CodegenFallback).
+    */
   def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+    graft.expressions.VectorExprs.dotCol(a, b)
 
   /** L2 norm of a double-array column (same fold order as dot). */
   def norm(v: Column): Column =
-    sqrt(aggregate(v, lit(0.0), (acc, x) => acc + x * x))
+    graft.expressions.VectorExprs.normCol(v)
 
   /** round(cosine, 6) given precomputed norms. */
   def cosine(a: Column, b: Column, normA: Column, normB: Column): Column =
