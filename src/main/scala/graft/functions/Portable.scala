@@ -43,11 +43,13 @@ object Portable {
   /** Canonical single-space normal form of a text column. */
   def normText(text: Column): Column = concat_ws(" ", words(text))
 
-  /** Distinct 3-word shingles of a word array (requires size >= 3). */
-  def shingles3(ws: Column): Column =
-    array_distinct(transform(sequence(lit(0), size(ws) - 3), i =>
-      concat_ws(" ",
-        element_at(ws, i + 1), element_at(ws, i + 2), element_at(ws, i + 3))))
+  /** Distinct 3-word shingles of a word array (empty for size < 3).
+    * Native codegen'd expression — see [[graft.expressions.Shingles3]].
+    */
+  def shingles3(ws: Column): Column = {
+    import org.apache.spark.sql.GraftColumnBridge.{column, expression}
+    column(graft.expressions.Shingles3(expression(ws)))
+  }
 
   /** DuckDB spellings of the same primitives, for oracle SQL mirrors. */
   object sql {
