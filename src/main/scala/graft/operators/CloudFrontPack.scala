@@ -218,5 +218,36 @@ object CloudFrontPack extends QueryPack {
       ORDER BY measure_name
     """))
 
-  override val queries: Seq[GraftQuery] = Seq(cfParse, cfHeaders, cfMelt)
+  // A6 — the README headline query, end-to-end through the parser:
+  // hourly SUM(sc_bytes) + request count per x_edge_location (the
+  // reference runs this shape in Timestream: bin(time, 1h), SUM(CASE
+  // WHEN measure_name='sc_bytes' ...) GROUP BY x_edge_location).
+  private val qBytesByEdge = GraftQuery(
+    "q_bytes_by_edge",
+    (s, d) => {
+      val parsed = CloudFrontLogs.parse(synthLines(Tables.events(s, d)))
+      val eventTime = timestamp_seconds(col("timestamp").cast(LongType))
+      parsed
+        .groupBy(
+          graft.timeseries.TimeSeries.bin(eventTime, 3600)
+            .cast(TimestampNTZType).as("binned_time"),
+          col("x_edge_location"))
+        .agg(sum(col("sc_bytes")).as("total_bytes"),
+          count(lit(1)).as("n_requests"))
+        .orderBy(col("binned_time"), col("x_edge_location"))
+    },
+    Some(s"""
+      WITH derived AS ($oracleDerived)
+      SELECT make_timestamp(epoch_us(time) - epoch_us(time) % 3600000000)
+          AS binned_time,
+        x_edge_location,
+        CAST(SUM(sc_bytes) AS BIGINT) AS total_bytes,
+        COUNT(*) AS n_requests
+      FROM derived
+      GROUP BY 1, 2
+      ORDER BY binned_time, x_edge_location
+      """))
+
+  override val queries: Seq[GraftQuery] =
+    Seq(cfParse, cfHeaders, cfMelt, qBytesByEdge)
 }
