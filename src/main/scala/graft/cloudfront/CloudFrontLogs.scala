@@ -98,14 +98,17 @@ object CloudFrontLogs {
   /** Parse a cs-headers value (URL-encoded, '\n'-separated name:value
     * pairs) into array<struct<name,value>> — the reference's
     * parse_headers(…, 'cs-headers') as higher-order column functions.
+    * Entries without a ':' are dropped, exactly like the reference
+    * (lambda_function.py:45-50 only appends when the split produced a
+    * value part).
     */
   def parseHeaders(headers: Column): Column = {
-    val entries = filter(split(url_decode(headers), "\n"), e => length(e) > 0)
+    val entries = filter(split(url_decode(headers), "\n"),
+      e => length(e) > 0 && instr(e, ":") > 0)
     transform(entries, e =>
       struct(
         substring_index(e, ":", 1).as("name"),
-        when(instr(e, ":") > 0, substring(e, instr(e, ":") + 1, lit(1 << 24)))
-          .otherwise(lit(null)).as("value")))
+        substring(e, instr(e, ":") + 1, lit(1 << 24)).as("value")))
   }
 
   /** Parse a cs-header-names value (URL-encoded, '\n'-separated) into
@@ -113,6 +116,16 @@ object CloudFrontLogs {
     */
   def parseHeaderNames(headerNames: Column): Column =
     filter(split(url_decode(headerNames), "\n"), e => length(e) > 0)
+
+  /** Kinesis-shaped ingest: records carrying a base64 `data` payload
+    * (what a Kinesis source/connector emits, and what the reference
+    * base64-decodes per record — lambda_function.py:71-75) → a `line`
+    * column ready for [[parse]]. The reference decodes byte-per-byte
+    * (`chr`); log lines are ASCII, so UTF-8 is byte-identical.
+    */
+  def fromKinesisRecords(records: DataFrame,
+                         dataCol: String = "data"): DataFrame =
+    records.withColumn("line", decode(unbase64(col(dataCol)), "UTF-8"))
 
   /** Wide parsed logs → long Timestream-style records: one row per
     * (record, measure) with the remaining fields packed as the dimension
@@ -127,13 +140,17 @@ object CloudFrontLogs {
   def toRecords(parsed: DataFrame,
                 measures: Seq[String] = Seq("sc_bytes"),
                 dimensions: Seq[String] = Nil): DataFrame = {
-    val dims = if (dimensions.nonEmpty) dimensions
-    else parsed.columns.filterNot(c => (measures :+ "timestamp").contains(c)).toSeq
+    // default = ALL fields as dimensions, measure and timestamp included
+    // — the reference's dimensions_list iterates the full payload dict
+    // (lambda_function.py:105-110)
+    val dims = if (dimensions.nonEmpty) dimensions else parsed.columns.toSeq
     val measureStructs = array(measures.map(m =>
       struct(lit(m).as("measure_name"),
         col(m).cast(DoubleType).as("measure_value"))): _*)
+    // NULL (parsed '-') dimensions surface as the literal '-' string the
+    // reference keeps for absent values (lambda_function.py:88-89)
     val dimMap = map(dims.flatMap(d =>
-      Seq(lit(d), col(d).cast(StringType))): _*)
+      Seq(lit(d), coalesce(col(d).cast(StringType), lit("-")))): _*)
     parsed
       .select(
         timestamp_seconds(col("timestamp").cast(LongType))

@@ -82,4 +82,30 @@ class CloudFrontSpec extends GraftSpec {
       .select(size(split(col("line"), "\t")).as("n")).distinct().collect()
     assert(n.map(_.getInt(0)).toSeq == Seq(40))
   }
+
+  test("fromKinesisRecords base64-decodes payloads into parseable lines") {
+    val b64 = java.util.Base64.getEncoder
+      .encodeToString(sampleLine.getBytes("UTF-8"))
+    val parsed = CloudFrontLogs.parse(
+      CloudFrontLogs.fromKinesisRecords(Seq(b64).toDF("data")))
+    val r = parsed.collect()(0)
+    assert(r.getAs[Long]("sc_bytes") == 16653L)
+    assert(r.getAs[String]("x_edge_location") == "IAD66-C1")
+  }
+
+  test("parseHeaders drops entries without a colon, like the reference") {
+    val raw = "Host:h1%0ANoColonHeader%0AX:1"
+    val hs = Seq(raw).toDF("h")
+      .select(CloudFrontLogs.parseHeaders(col("h")).as("p"))
+      .collect()(0).getSeq[org.apache.spark.sql.Row](0)
+    assert(hs.map(_.getString(0)) == Seq("Host", "X"))
+  }
+
+  test("toRecords default dimensions include every field (reference parity)") {
+    val parsed = CloudFrontLogs.parse(Seq(sampleLine).toDF("line"))
+    val rec = CloudFrontLogs.toRecords(parsed).collect()(0)
+    val dims = rec.getAs[Map[String, String]]("dimensions")
+    assert(dims.contains("sc_bytes") && dims.contains("timestamp"))
+    assert(dims("cs_referer") == "-") // NULL surfaces as literal '-'
+  }
 }
