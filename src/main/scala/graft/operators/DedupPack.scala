@@ -27,13 +27,14 @@ object DedupPack extends QueryPack {
 
   import Portable._
 
-  /** Hash-family width and LSH geometry: 128 minhashes = 64 bands × 2
+  /** Hash-family width and LSH geometry: 64 minhashes = 32 bands × 2
     * rows. At Jaccard τ=0.8 the miss probability per true pair is
-    * (1-τ²)^64 ≈ 6e-29 — banding is effectively lossless recall at the
-    * verification threshold.
+    * (1-τ²)^32 ≈ 8e-15 — banding is effectively lossless recall at the
+    * verification threshold, at half the signature cost of the
+    * conventional 128-hash setup.
     */
-  private val numHashes = 128
-  private val numBands = 64
+  private val numHashes = 64
+  private val numBands = 32
   private val tau = 0.8
 
   /** doc_id + distinct word-3-shingles (docs with >= 3 words).
@@ -89,16 +90,16 @@ object DedupPack extends QueryPack {
       FROM n ORDER BY doc_id
       """))
 
-  // C2 — MinHash + LSH: shingle → 128 affine minhashes (one md5 per
-  // shingle, then exact int64 affine transforms) → 64 2-row band keys →
-  // bucket self-join for candidates → exact-Jaccard verification at τ.
+  // C2 — MinHash + LSH: shingle → numHashes affine minhashes (one md5
+  // per shingle, then exact int64 affine transforms) → 2-row band keys
+  // → bucket self-join for candidates → exact-Jaccard verification at τ.
   private val dedupMinhash = GraftQuery(
     "dedup_minhash",
     (s, d) => {
       val sh = shingled(s, d)
-      // Signature via explode + 128 codegen'd min() aggregates: one
-      // shuffle on doc_id with map-side partial mins. (The "obvious"
-      // nested transform(sequence(0,127), i -> array_min(transform(hs)))
+      // Signature via explode + numHashes codegen'd min() aggregates:
+      // one shuffle on doc_id with map-side partial mins. (The "obvious"
+      // nested transform(sequence(...), i -> array_min(transform(hs)))
       // formulation runs interpreted higher-order lambdas — ~50x slower
       // — and Catalyst's projection collapse re-inlines any attempt to
       // stage the base hashes, so the agg shape is the right one.)
