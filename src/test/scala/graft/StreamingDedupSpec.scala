@@ -1,0 +1,43 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import graft.streaming.StreamingDedup
+import org.apache.spark.sql.functions._
+
+class StreamingDedupSpec extends GraftSpec {
+  import spark.implicits._
+
+  test("batch firstOccurrence keeps one row per key") {
+    val ds = Seq((1L, "a"), (2L, "a"), (3L, "b"), (4L, "a"))
+      .toDF("doc_id", "k").as[(Long, String)]
+    val got = StreamingDedup.firstOccurrence[(Long, String)](ds, _._2)
+      .collect().toMap
+    assert(got.values.toSet == Set("a", "b"))
+    assert(got.size == 2)
+  }
+
+  test("streaming dedup drops repeats across micro-batches") {
+    val dir = Files.createTempDirectory("graft-dedup-stream")
+    // micro-batch 1: docs 1,2 (distinct texts); batch 2: doc 3 repeats 1
+    Files.writeString(Paths.get(dir.toString, "b1.csv"),
+      "1\talpha beta gamma\n2\tdelta epsilon zeta\n")
+    val stream = spark.readStream
+      .schema("doc_id LONG, text STRING")
+      .option("sep", "\t")
+      .csv(dir.toString)
+    val q = StreamingDedup.dedupDocuments(stream.toDF())
+      .writeStream.format("memory").queryName("dedup_stream")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("dedup_stream").count() == 2)
+      Files.writeString(Paths.get(dir.toString, "b2.csv"),
+        "3\tALPHA  beta gamma\n4\tnew unseen text\n")
+      q.processAllAvailable()
+      val rows = spark.table("dedup_stream").collect()
+      // doc 3 normalizes to doc 1's fingerprint -> dropped by state
+      assert(rows.map(_.getLong(0)).toSet == Set(1L, 2L, 4L))
+    } finally q.stop()
+  }
+}
