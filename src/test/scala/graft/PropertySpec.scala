@@ -1,0 +1,104 @@
+package graft
+
+import graft.cloudfront.CloudFrontLogs
+import graft.expressions.SimHashImpl
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.functions._
+import org.apache.spark.unsafe.types.UTF8String
+import org.scalacheck.{Gen, Prop, Test => SCTest}
+
+/** Property-based checks (ScalaCheck driven from FunSuite — no
+  * scalatestplus bridge in the offline dependency set).
+  */
+class PropertySpec extends GraftSpec {
+
+  private def check(p: Prop, n: Int = 100): Unit = {
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(n), p)
+    assert(res.passed, res.status.toString)
+  }
+
+  test("hash60 equals JVM md5-prefix reference for arbitrary strings") {
+    import spark.implicits._
+    val gen = Gen.listOfN(40, Gen.asciiPrintableStr.suchThat(_.length < 50))
+    val strs = gen.sample.getOrElse(Seq("fallback")).distinct
+    val got = strs.toDF("s")
+      .select(col("s"), graft.functions.Portable.hash60(col("s")))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    strs.foreach { s =>
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(15)
+      assert(got(s) == java.lang.Long.parseLong(md, 16), s"for '$s'")
+    }
+  }
+
+  test("simhash is word-order invariant and respects hamming triangle") {
+    val words = Gen.listOf(Gen.oneOf("a", "bb", "ccc", "dd dd", "e!",
+      "word", "table", "spark"))
+    def sig(ws: Seq[String]): Long = SimHashImpl.simhash64(
+      ArrayData.toArrayData(ws.map(UTF8String.fromString).toArray))
+    check(Prop.forAll(words) { ws =>
+      sig(ws) == sig(scala.util.Random.shuffle(ws))
+    })
+    check(Prop.forAll(words, words, words) { (a, b, c) =>
+      val (sa, sb, sc) = (sig(a), sig(b), sig(c))
+      java.lang.Long.bitCount(sa ^ sc) <=
+        java.lang.Long.bitCount(sa ^ sb) + java.lang.Long.bitCount(sb ^ sc)
+    })
+  }
+
+  test("ts bin floors to the bucket containing the timestamp") {
+    import spark.implicits._
+    val epochs = Gen.listOfN(200, Gen.choose(0L, 4102444800L))
+      .sample.get.distinct
+    val rows = epochs.toDF("e")
+      .select(col("e"), unix_seconds(graft.timeseries.TimeSeries.bin(
+        timestamp_seconds(col("e")), 3600).cast("timestamp")).as("b"))
+      .collect()
+    rows.foreach { r =>
+      val (e, b) = (r.getLong(0), r.getLong(1))
+      assert(b % 3600 == 0 && b <= e && e < b + 3600)
+    }
+  }
+
+  test("cf parse round-trips randomized typed fields (NULLs included)") {
+    import spark.implicits._
+    // random per-field values: '-' (absent) or a type-appropriate value
+    val fieldGen: Seq[Gen[String]] = CloudFrontLogs.fieldMappings.map {
+      case (_, dt) =>
+        val real: Gen[String] = dt match {
+          case org.apache.spark.sql.types.DoubleType =>
+            Gen.choose(0, 1e6.toLong).map(v => s"$v.25")
+          case org.apache.spark.sql.types.LongType |
+               org.apache.spark.sql.types.IntegerType =>
+            Gen.choose(0L, 99999L).map(_.toString)
+          case _ => Gen.oneOf("alpha", "b-c", "x/y.z", "Q")
+        }
+        Gen.frequency(3 -> real, 1 -> Gen.const("-"))
+    }
+    val lines = (1 to 60).flatMap { _ =>
+      val vals = fieldGen.map(_.sample.getOrElse("-"))
+      Some((vals.mkString("\t"), vals))
+    }
+    val parsed = CloudFrontLogs.parse(
+      lines.map(_._1).toDF("line"), dropHeaders = false).collect()
+    parsed.zip(lines.map(_._2)).foreach { case (row, vals) =>
+      CloudFrontLogs.fieldMappings.zipWithIndex.foreach {
+        case ((field, dt), i) =>
+          val name = CloudFrontLogs.columnName(field)
+          if (vals(i) == "-") {
+            assert(row.isNullAt(row.fieldIndex(name)), s"$name not null")
+          } else dt match {
+            case org.apache.spark.sql.types.DoubleType =>
+              assert(row.getAs[Double](name) == vals(i).toDouble)
+            case org.apache.spark.sql.types.LongType =>
+              assert(row.getAs[Long](name) == vals(i).toLong)
+            case org.apache.spark.sql.types.IntegerType =>
+              assert(row.getAs[Int](name) == vals(i).toInt)
+            case _ =>
+              assert(row.getAs[String](name) == vals(i))
+          }
+      }
+    }
+  }
+}
