@@ -116,7 +116,20 @@ object GraftFunctions {
       (e: Seq[Expression]) => SimHash64(e.head)),
     (FunctionIdentifier("graft_hamming"),
       new ExpressionInfo(classOf[HammingDistance].getName, "graft_hamming"),
-      (e: Seq[Expression]) => HammingDistance(e(0), e(1))))
+      (e: Seq[Expression]) => HammingDistance(e(0), e(1))),
+    (FunctionIdentifier("graft_intersect_count"),
+      new ExpressionInfo(classOf[IntersectCount].getName,
+        "graft_intersect_count"),
+      (e: Seq[Expression]) => IntersectCount(e(0), e(1))),
+    (FunctionIdentifier("graft_dot"),
+      new ExpressionInfo(classOf[DotProduct].getName, "graft_dot"),
+      (e: Seq[Expression]) => DotProduct(e(0), e(1))),
+    (FunctionIdentifier("graft_norm"),
+      new ExpressionInfo(classOf[L2Norm].getName, "graft_norm"),
+      (e: Seq[Expression]) => L2Norm(e.head)),
+    (FunctionIdentifier("graft_shingles3"),
+      new ExpressionInfo(classOf[Shingles3].getName, "graft_shingles3"),
+      (e: Seq[Expression]) => Shingles3(e.head)))
 
   /** Idempotent imperative registration on an existing session. */
   def register(spark: SparkSession): Unit = all.foreach {

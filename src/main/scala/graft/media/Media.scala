@@ -92,6 +92,58 @@ object MediaFeaturizer {
     h
   }
 
+  /** STUB for frame decoding: deterministic per-frame "features" from
+    * slices of the payload (a real implementation would seek/decode
+    * actual frames; slice boundaries and the one-row-per-frame batch
+    * shape are the real contract).
+    */
+  def frameStub(content: Array[Byte], frameIdx: Int, nFrames: Int): Long = {
+    if (content.isEmpty) return 0L
+    val start = (content.length.toLong * frameIdx / nFrames).toInt
+    val end = (content.length.toLong * (frameIdx + 1) / nFrames).toInt
+    var h = 0L
+    var i = start
+    while (i < end) { h = (h * 131 + (content(i) & 0xff)) % Portable.P; i += 1 }
+    h
+  }
+
+  /** Frame sampling for video/audio records: one output row per sampled
+    * frame (1 frame/second of fake duration, capped). Image records
+    * yield a single frame. flatMap inside mapPartitions — the row
+    * explosion happens executor-side, never on the driver.
+    */
+  final case class FrameFeature(doc_id: Long, media_type: String,
+                                frame_idx: Int, n_frames: Int,
+                                frame_hash: Long)
+
+  def sampleFrames(media: Dataset[MediaRecord],
+                   maxFrames: Int = 8): Dataset[FrameFeature] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions { it =>
+      it.flatMap { r =>
+        val n = r.meta.media_type match {
+          case "image" => 1
+          case _ => math.min(maxFrames,
+            math.max(1, (r.meta.duration_ms / 1000).toInt))
+        }
+        (0 until n).iterator.map(i =>
+          FrameFeature(r.doc_id, r.meta.media_type, i, n,
+            frameStub(r.content, i, n)))
+      }
+    }
+  }
+
+  /** STUB for resize: deterministic fake of a resize-to-(w,h) decode —
+    * emits the target dims plus a content checksum the way a real
+    * implementation would emit resized pixel buffers. Keeps the
+    * (bytes, dims) → (bytes', dims') signature a codec would have.
+    */
+  def resizeStub(r: MediaRecord, w: Int, h: Int): MediaRecord =
+    r.copy(meta = r.meta.copy(width = w, height = h),
+      content = r.content.take(math.max(1, math.min(r.content.length,
+        w * h / 64))))
+
   /** Per-partition featurization: one imperative pass per record, no
     * shuffle, scratch state amortized across the partition's batch.
     */

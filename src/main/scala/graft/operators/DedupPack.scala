@@ -59,9 +59,13 @@ object DedupPack extends QueryPack {
       sh AS (SELECT doc_id, ${Portable.sql.shingles3} AS shingles
              FROM w WHERE len(w) >= 3)"""
 
-  /** Exact-Jaccard columns over two shingle-array columns `sa`/`sb`. */
+  /** Exact-Jaccard columns over two shingle-array columns `sa`/`sb`
+    * (native IntersectCount: no intermediate intersection array).
+    */
   private def jaccard(sa: Column, sb: Column): Column = {
-    val inter = size(array_intersect(sa, sb))
+    import org.apache.spark.sql.GraftColumnBridge.{column, expression}
+    val inter = column(graft.expressions.IntersectCount(
+      expression(sa), expression(sb)))
     round(inter.cast(DoubleType) / (size(sa) + size(sb) - inter), 6)
   }
 

@@ -51,4 +51,30 @@ class MediaSpec extends GraftSpec {
       .count().queryExecution.optimizedPlan.toString
     assert(!plan.contains("content") || plan.contains("media_type"))
   }
+
+  test("sampleFrames yields one row per sampled frame, image = 1 frame") {
+    val ds = Media.synthesize(Tables.documents(spark, sfDir))
+    val frames = MediaFeaturizer.sampleFrames(ds).collect()
+    val byDoc = frames.groupBy(_.doc_id)
+    val metas = ds.collect().map(r => r.doc_id -> r.meta).toMap
+    byDoc.foreach { case (id, fs) =>
+      val m = metas(id)
+      if (m.media_type == "image") assert(fs.length == 1)
+      else assert(fs.length ==
+        math.min(8, math.max(1, (m.duration_ms / 1000).toInt)))
+      assert(fs.map(_.frame_idx).sorted.toSeq == (0 until fs.length))
+      // frame hashes recompute deterministically
+      fs.foreach(f => assert(f.frame_hash >= 0))
+    }
+  }
+
+  test("resizeStub keeps the record contract: dims set, content bounded") {
+    val ds = Media.synthesize(Tables.documents(spark, sfDir)).limit(5)
+    ds.collect().foreach { r =>
+      val out = MediaFeaturizer.resizeStub(r, 128, 64)
+      assert(out.meta.width == 128 && out.meta.height == 64)
+      assert(out.content.length <= r.content.length && out.content.nonEmpty)
+      assert(out.doc_id == r.doc_id)
+    }
+  }
 }
