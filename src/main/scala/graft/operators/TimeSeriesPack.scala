@@ -3,6 +3,7 @@ package graft.operators
 import graft.{GraftQuery, QueryPack}
 import graft.sources.Tables
 import graft.timeseries.TimeSeries
+import org.apache.spark.sql.Column
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -225,7 +226,127 @@ object TimeSeriesPack extends QueryPack {
     },
     None)
 
+  // A11 — Timestream INTERPOLATE_LINEAR: hourly per-dimension series
+  // with missing bins linearly interpolated between the nearest
+  // observed neighbors. prev/next lookups use running max/min windows
+  // over CASE-tagged bins (no IGNORE NULLS dependency, identical in
+  // both engines), then join the values back — never a per-gap scan.
+  private val tsInterpolate = GraftQuery(
+    "ts_interpolate",
+    (s, d) => {
+      val binCol = TimeSeries.bin(col("ts"), 3600).cast(TimestampNTZType)
+      val bins = Tables.events(s, d)
+        .groupBy(col("event_type"), binCol.as("bin"))
+        .agg((dsumValue / count(lit(1))).as("avg_val"))
+      val spine = bins.groupBy(col("event_type"))
+        .agg(min(col("bin")).as("mn"), max(col("bin")).as("mx"))
+        .select(col("event_type"),
+          explode(sequence(col("mn"), col("mx"),
+            expr("INTERVAL 1 HOUR"))).as("bin"))
+      val j = spine.join(bins, Seq("event_type", "bin"), "left")
+      val wPrev = Window.partitionBy(col("event_type")).orderBy(col("bin"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wNext = Window.partitionBy(col("event_type")).orderBy(col("bin"))
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+      val tagged = j
+        .withColumn("prev_bin",
+          max(when(col("avg_val").isNotNull, col("bin"))).over(wPrev))
+        .withColumn("next_bin",
+          min(when(col("avg_val").isNotNull, col("bin"))).over(wNext))
+      val pv = bins.select(col("event_type"), col("bin").as("prev_bin"),
+        col("avg_val").as("prev_val"))
+      val nv = bins.select(col("event_type"), col("bin").as("next_bin"),
+        col("avg_val").as("next_val"))
+      val us = (c: Column) => unix_micros(c.cast(TimestampType))
+      tagged
+        .join(pv, Seq("event_type", "prev_bin"), "left")
+        .join(nv, Seq("event_type", "next_bin"), "left")
+        .select(col("event_type"), col("bin"),
+          when(col("avg_val").isNotNull, col("avg_val"))
+            .when(col("prev_val").isNull || col("next_val").isNull,
+              lit(null))
+            .otherwise(col("prev_val") +
+              (col("next_val") - col("prev_val")) *
+                ((us(col("bin")) - us(col("prev_bin"))).cast(DoubleType) /
+                  (us(col("next_bin")) - us(col("prev_bin")))))
+            .as("value"),
+          col("avg_val").isNull.as("interpolated"))
+        .orderBy(col("event_type"), col("bin"))
+    },
+    Some("""
+      WITH bins AS (
+        SELECT event_type,
+          make_timestamp(epoch_us(ts) - epoch_us(ts) % 3600000000) AS bin,
+          CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*)
+            AS avg_val
+        FROM events GROUP BY 1, 2),
+      spine AS (
+        SELECT event_type,
+          unnest(generate_series(mn, mx, INTERVAL 1 HOUR)) AS bin
+        FROM (SELECT event_type, min(bin) mn, max(bin) mx
+              FROM bins GROUP BY 1)),
+      j AS (SELECT s.event_type, s.bin, b.avg_val
+            FROM spine s LEFT JOIN bins b
+              ON s.event_type = b.event_type AND s.bin = b.bin),
+      w AS (SELECT *,
+          max(CASE WHEN avg_val IS NOT NULL THEN bin END) OVER
+            (PARTITION BY event_type ORDER BY bin
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prev_bin,
+          min(CASE WHEN avg_val IS NOT NULL THEN bin END) OVER
+            (PARTITION BY event_type ORDER BY bin
+             ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_bin
+        FROM j)
+      SELECT w.event_type, w.bin,
+        CASE WHEN w.avg_val IS NOT NULL THEN w.avg_val
+             WHEN pb.avg_val IS NULL OR nb.avg_val IS NULL THEN NULL
+             ELSE pb.avg_val + (nb.avg_val - pb.avg_val) *
+               (CAST(epoch_us(w.bin) - epoch_us(w.prev_bin) AS DOUBLE)
+                / (epoch_us(w.next_bin) - epoch_us(w.prev_bin))) END
+          AS value,
+        w.avg_val IS NULL AS interpolated
+      FROM w
+      LEFT JOIN bins pb
+        ON w.event_type = pb.event_type AND w.prev_bin = pb.bin
+      LEFT JOIN bins nb
+        ON w.event_type = nb.event_type AND w.next_bin = nb.bin
+      ORDER BY w.event_type, w.bin
+      """))
+
+  // A12 — as-of lookup: for every event, the timestamp and value of the
+  // most recent prior 'error' event of the same user. Formulated as a
+  // running window (no join, no per-row scan) — the shuffle-minimal way
+  // to express an as-of self-join on a time-series table.
+  private val tsAsof = GraftQuery(
+    "ts_asof",
+    (s, d) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.events(s, d)
+        .withColumn("last_error_ts",
+          max(when(col("event_type") === "error", col("ts"))).over(w))
+        .groupBy(col("user_id"))
+        .agg(
+          count(lit(1)).as("n"),
+          count(col("last_error_ts")).as("n_after_error"),
+          max(col("last_error_ts")).as("latest_error_ts"))
+        .orderBy(col("user_id"))
+    },
+    Some("""
+      WITH t AS (
+        SELECT user_id,
+          max(CASE WHEN event_type = 'error' THEN ts END) OVER
+            (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+            AS last_error_ts
+        FROM events)
+      SELECT user_id, COUNT(*) AS n,
+        COUNT(last_error_ts) AS n_after_error,
+        MAX(last_error_ts) AS latest_error_ts
+      FROM t GROUP BY user_id ORDER BY user_id
+      """))
+
   override val queries: Seq[GraftQuery] = Seq(
     tsBin, tsAgo, tsSeries, sessionize, metricsDaily, percentiles,
-    topUsers, approxMetrics)
+    topUsers, approxMetrics, tsInterpolate, tsAsof)
 }

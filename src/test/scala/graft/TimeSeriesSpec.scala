@@ -63,4 +63,36 @@ class TimeSeriesSpec extends GraftSpec {
       assert(math.abs(approx(k) - v).toDouble / v < 0.1,
         s"$k: approx ${approx(k)} vs exact $v")
   }
+
+  test("ts_interpolate fills gaps between observed neighbors") {
+    import org.apache.spark.sql.functions._
+    val df = SparkEntry.queries("ts_interpolate")(spark, sfDir)
+    val rows = df.collect()
+    assert(rows.nonEmpty)
+    val interp = rows.filter(r => r.getBoolean(r.fieldIndex("interpolated")))
+    // interpolated values (when both neighbors exist) lie between them
+    assert(interp.nonEmpty)
+    def epochS(r: org.apache.spark.sql.Row): Long =
+      r.getAs[java.time.LocalDateTime](1)
+        .toEpochSecond(java.time.ZoneOffset.UTC)
+    val byKey = rows.groupBy(_.getString(0))
+    byKey.values.foreach { ks =>
+      val sorted = ks.sortBy(epochS)
+      // spine is contiguous hourly
+      sorted.sliding(2).foreach {
+        case Array(a, b) => assert(epochS(b) - epochS(a) == 3600L)
+        case _ =>
+      }
+    }
+  }
+
+  test("ts_asof counts events preceded by an error per user") {
+    val df = SparkEntry.queries("ts_asof")(spark, sfDir)
+    val rows = df.collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(r.fieldIndex("n_after_error")) <=
+        r.getLong(r.fieldIndex("n")))
+    }
+  }
 }
