@@ -222,6 +222,92 @@ object Analytics extends QueryPack {
       ORDER BY g_flag, g_status, l_returnflag, l_linestatus
     """))
 
+  // B7 — EXISTS via left-semi join (TPC-H Q4 shape): orders with at
+  // least one line shipped after the order date, counted per priority.
+  // Semi join never materializes the probe side's payload — the
+  // shuffle carries join keys only.
+  private val qSemi = GraftQuery(
+    "q_semijoin",
+    (s, d) => {
+      val ord = Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+      val li = Tables.lineitem(s, d)
+        .select(col("l_orderkey"), col("l_shipdate"))
+      ord.join(li,
+          col("o_orderkey") === col("l_orderkey") &&
+            col("l_shipdate") > col("o_orderdate"),
+          "left_semi")
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_orders"))
+        .orderBy(col("o_orderpriority"))
+    },
+    Some("""
+      SELECT o_orderpriority, COUNT(*) AS n_orders
+      FROM orders
+      WHERE EXISTS (SELECT 1 FROM lineitem
+                    WHERE l_orderkey = o_orderkey
+                      AND l_shipdate > o_orderdate)
+      GROUP BY o_orderpriority
+      ORDER BY o_orderpriority
+      """))
+
+  // B8 — NOT EXISTS via left-anti join: customers with no recent
+  // orders (none since 1998-06-01), counted per market segment.
+  private val qAnti = GraftQuery(
+    "q_antijoin",
+    (s, d) => {
+      Tables.customer(s, d)
+        .join(Tables.orders(s, d)
+            .filter(col("o_orderdate") >= to_timestamp(lit("1998-06-01")))
+            .select(col("o_custkey")),
+          col("c_custkey") === col("o_custkey"), "left_anti")
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n_customers"),
+          sum(col("c_acctbal").cast(DecimalType(18, 2))).cast(DoubleType)
+            .as("total_acctbal"))
+        .orderBy(col("c_mktsegment"))
+    },
+    Some("""
+      SELECT c_mktsegment, COUNT(*) AS n_customers,
+        CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+          AS total_acctbal
+      FROM customer
+      WHERE NOT EXISTS (SELECT 1 FROM orders
+                        WHERE o_custkey = c_custkey
+                          AND o_orderdate >= TIMESTAMP '1998-06-01')
+      GROUP BY c_mktsegment
+      ORDER BY c_mktsegment
+      """))
+
+  // B9 — semi-structured data: extract a field from the JSON props
+  // column and aggregate it. get_json_object is a codegen'd path
+  // expression — no UDF, no full JSON materialization.
+  private val qJson = GraftQuery(
+    "q_json",
+    (s, d) => {
+      Tables.events(s, d)
+        .select(col("event_type"),
+          get_json_object(col("props"), "$.k").cast(LongType).as("k"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("k")).as("sum_k"),
+          countDistinct(col("k")).as("uniq_k"),
+          min(col("k")).as("min_k"),
+          max(col("k")).as("max_k"))
+        .orderBy(col("event_type"))
+    },
+    Some("""
+      SELECT event_type, COUNT(*) AS n,
+        SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+        COUNT(DISTINCT CAST(json_extract_string(props, '$.k') AS BIGINT))
+          AS uniq_k,
+        MIN(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
+        MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
+      FROM events
+      GROUP BY event_type
+      ORDER BY event_type
+      """))
+
   override val queries: Seq[GraftQuery] =
-    Seq(q1, q3, q5, qWindow, qTopk, qCube)
+    Seq(q1, q3, q5, qWindow, qTopk, qCube, qSemi, qAnti, qJson)
 }
