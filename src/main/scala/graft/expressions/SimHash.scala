@@ -131,10 +131,18 @@ object GraftFunctions {
       new ExpressionInfo(classOf[Shingles3].getName, "graft_shingles3"),
       (e: Seq[Expression]) => Shingles3(e.head)))
 
-  /** Idempotent imperative registration on an existing session. */
-  def register(spark: SparkSession): Unit = all.foreach {
-    case (id, info, builder) =>
+  /** Idempotent imperative registration on an existing session:
+    * SQL functions + the optimizer rewrites.
+    */
+  def register(spark: SparkSession): Unit = {
+    all.foreach { case (id, info, builder) =>
       spark.sessionState.functionRegistry.registerFunction(id, info, builder)
+    }
+    if (!spark.experimental.extraOptimizations
+        .contains(graft.plans.IntersectCountRewrite)) {
+      spark.experimental.extraOptimizations ++=
+        Seq(graft.plans.IntersectCountRewrite)
+    }
   }
 }
 
@@ -143,6 +151,8 @@ object GraftFunctions {
   * makes `graft_simhash64` / `graft_hamming` available as SQL functions.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     GraftFunctions.all.foreach(ext.injectFunction)
+    ext.injectOptimizerRule(_ => graft.plans.IntersectCountRewrite)
+  }
 }
