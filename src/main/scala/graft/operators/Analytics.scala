@@ -308,6 +308,35 @@ object Analytics extends QueryPack {
       ORDER BY event_type
       """))
 
+  // B10 — per-key top-k through the custom Catalyst operator (logical
+  // node → TopKStrategy → partial/final TopKPerKeyExec with bounded
+  // heaps; see graft.plans.TopKPerKey). The oracle computes the same
+  // answer with a window — proving operator equivalence, while the
+  // physical plan never sorts a whole partition.
+  private val qTopkPerKey = GraftQuery(
+    "q_topk_per_key",
+    (s, d) => {
+      graft.plans.TopKPerKey(
+          Tables.orders(s, d)
+            .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice")),
+          keys = Seq(col("o_custkey")),
+          order = Seq(col("o_totalprice").desc, col("o_orderkey")),
+          k = 2)
+        .orderBy(col("o_custkey"), col("o_totalprice").desc,
+          col("o_orderkey"))
+    },
+    Some("""
+      WITH r AS (
+        SELECT o_custkey, o_orderkey, o_totalprice,
+          ROW_NUMBER() OVER (PARTITION BY o_custkey
+            ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        FROM orders)
+      SELECT o_custkey, o_orderkey, o_totalprice
+      FROM r WHERE rn <= 2
+      ORDER BY o_custkey, o_totalprice DESC, o_orderkey
+      """))
+
   override val queries: Seq[GraftQuery] =
-    Seq(q1, q3, q5, qWindow, qTopk, qCube, qSemi, qAnti, qJson)
+    Seq(q1, q3, q5, qWindow, qTopk, qCube, qSemi, qAnti, qJson,
+      qTopkPerKey)
 }

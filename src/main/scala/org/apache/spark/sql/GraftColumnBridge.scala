@@ -11,4 +11,24 @@ object GraftColumnBridge {
   def column(e: Expression): Column = classic.ExpressionUtils.column(e)
   def expression(c: Column): Expression =
     classic.ExpressionUtils.expression(c)
+
+  /** EAGER conversion of a Column to its catalyst expression.
+    * `expression` returns a lazy ColumnNodeExpression wrapper, which
+    * (a) defeats `case SortOrder(...)` matching and (b) is not
+    * java-serializable — use this when the expression is stored in a
+    * custom plan node that ships to executors.
+    */
+  def convertedExpression(c: Column): Expression =
+    classic.ColumnNodeToExpressionConverter.apply(c.node)
+}
+
+/** Bridge for constructing DataFrames from custom logical plans
+  * (Dataset.ofRows is private[sql]).
+  */
+object GraftDatasetBridge {
+  def ofRows(spark: SparkSession,
+             plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)
+      : DataFrame =
+    classic.Dataset.ofRows(
+      spark.asInstanceOf[classic.SparkSession], plan)
 }
