@@ -154,5 +154,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     GraftFunctions.all.foreach(ext.injectFunction)
     ext.injectOptimizerRule(_ => graft.plans.IntersectCountRewrite)
+    ext.injectPlannerStrategy(_ => graft.plans.TopKStrategy)
   }
 }

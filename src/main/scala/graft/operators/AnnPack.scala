@@ -44,26 +44,25 @@ object AnnPack extends QueryPack {
       n AS (SELECT vec_id, label, v, ${Vectors.sql.norm("v")} AS nrm
             FROM e)"""
 
-  /** Salted two-stage per-query top-k of (cos_sim desc, vec_id asc).
-    * Input needs columns query_id, vec_id, cos_sim + `extra`.
+  /** Per-query top-k of (cos_sim desc, vec_id asc) via the custom
+    * TopKPerKey operator (graft.plans): partial bounded-heap pruning
+    * per input partition, one exchange on query_id, final merge — the
+    * rank is assigned afterwards by a window over the k·queries
+    * surviving rows only. Input needs query_id, vec_id, cos_sim +
+    * `extra` columns.
     */
   private def topKPerQuery(pairs: DataFrame, k: Int,
                            extra: Seq[String]): DataFrame = {
-    val cand = struct(
-      ((-col("cos_sim")).as("nc") +: col("vec_id").as("vid") +:
-        col("cos_sim").as("cs") +: extra.map(col)): _*)
-    val exploded = pairs
-      .withColumn("salt", pmod(col("vec_id"), lit(32)))
-      .groupBy(col("query_id"), col("salt"))
-      .agg(slice(array_sort(collect_list(cand)), 1, k).as("top"))
-      .groupBy(col("query_id"))
-      .agg(slice(array_sort(flatten(collect_list(col("top")))), 1, k)
-        .as("top"))
-      .select(col("query_id"), posexplode(col("top")))
-    exploded.select(
-      (col("query_id") +: (col("pos") + 1).cast(LongType).as("rank") +:
-        col("col.vid").as("vec_id") +: col("col.cs").as("cos_sim") +:
-        extra.map(e => col(s"col.$e").as(e))): _*)
+    val top = graft.plans.TopKPerKey(pairs,
+      keys = Seq(col("query_id")),
+      order = Seq(col("cos_sim").desc, col("vec_id")),
+      k = k)
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos_sim").desc, col("vec_id"))
+    top.withColumn("rank", row_number().over(w).cast(LongType))
+      .select(
+        (col("query_id") +: col("rank") +: col("vec_id") +:
+          col("cos_sim") +: extra.map(col)): _*)
   }
 
   // D1 — brute-force cosine top-k: every 50th vector is a query, the
