@@ -336,7 +336,57 @@ object Analytics extends QueryPack {
       ORDER BY o_custkey, o_totalprice DESC, o_orderkey
       """))
 
+  // B11 — range join, the scalable way. Joining events.value into
+  // overlapping irregular [lo, hi) intervals naively is a theta join
+  // (O(n·m) nested loop / BNLJ). The standard fix: quantize the domain
+  // into fixed-width buckets, explode each interval to the buckets it
+  // covers, equi-join on the bucket, then apply the residual range
+  // predicate — one hash join whose fanout is interval_width/bucket.
+  // The oracle runs the plain theta join; equality proves the
+  // bucketing rewrite is lossless.
+  private val qRangeJoin = GraftQuery(
+    "q_range_join",
+    (s, d) => {
+      val bw = 64 // bucket width over the value domain
+      // deterministic overlapping intervals derived from nation keys
+      val ranges = Tables.nation(s, d).select(
+        col("n_nationkey").as("range_id"),
+        (pmod(col("n_nationkey") * 37, lit(500))).cast(DoubleType)
+          .as("lo"),
+        (pmod(col("n_nationkey") * 37, lit(500)) + 40 +
+          pmod(col("n_nationkey") * 13, lit(120))).cast(DoubleType)
+          .as("hi"))
+      val expanded = ranges.select(col("range_id"), col("lo"), col("hi"),
+        explode(sequence(floor(col("lo") / bw).cast(LongType),
+          floor((col("hi") - lit(0.000001)) / bw).cast(LongType)))
+          .as("bucket"))
+      val ev = Tables.events(s, d)
+        .select(col("event_id"), col("value"),
+          floor(col("value") / bw).cast(LongType).as("bucket"))
+      ev.join(broadcast(expanded), Seq("bucket"))
+        .filter(col("value") >= col("lo") && col("value") < col("hi"))
+        .groupBy(col("range_id"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(col("value").cast(DecimalType(18, 2))).cast(DoubleType)
+            .as("sum_value"))
+        .orderBy(col("range_id"))
+    },
+    Some("""
+      WITH ranges AS (
+        SELECT n_nationkey AS range_id,
+          CAST((n_nationkey * 37) % 500 AS DOUBLE) AS lo,
+          CAST((n_nationkey * 37) % 500 + 40
+            + (n_nationkey * 13) % 120 AS DOUBLE) AS hi
+        FROM nation)
+      SELECT range_id, COUNT(*) AS n_events,
+        CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+      FROM events JOIN ranges
+        ON value >= lo AND value < hi
+      GROUP BY range_id
+      ORDER BY range_id
+      """))
+
   override val queries: Seq[GraftQuery] =
     Seq(q1, q3, q5, qWindow, qTopk, qCube, qSemi, qAnti, qJson,
-      qTopkPerKey)
+      qTopkPerKey, qRangeJoin)
 }
