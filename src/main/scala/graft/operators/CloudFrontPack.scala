@@ -248,6 +248,53 @@ object CloudFrontPack extends QueryPack {
       ORDER BY binned_time, x_edge_location
       """))
 
+  // A6b — the reference README's query VERBATIM in shape
+  // (README.md:100-113): over the melted Timestream records,
+  // bin(time, 1h) × x_edge_location, SUM(CASE WHEN measure_name =
+  // 'sc_bytes' THEN measure_value::bigint END), time >= ago(24h)
+  // (anchored at max(time) for batch determinism).
+  private val qTimestreamHeadline = GraftQuery(
+    "q_timestream_headline",
+    (s, d) => {
+      val parsed = CloudFrontLogs.parse(synthLines(Tables.events(s, d)))
+      val records = CloudFrontLogs.toRecords(parsed,
+        measures = Seq("sc_bytes", "time_taken"),
+        dimensions = Seq("x_edge_location", "c_country", "sc_status"))
+      graft.timeseries.TimeSeries.ago(records, "time", 24 * 3600)
+        .filter(col("measure_name").isin("sc_bytes"))
+        .groupBy(
+          graft.timeseries.TimeSeries.bin(col("time"), 3600)
+            .cast(TimestampNTZType).as("binned_time"),
+          col("dimensions")("x_edge_location").as("x_edge_location"))
+        .agg(sum(when(col("measure_name") === "sc_bytes",
+            col("measure_value").cast(LongType)))
+          .as("sum_bytes_downloaded"))
+        .orderBy(col("binned_time"), col("x_edge_location"))
+    },
+    Some(s"""
+      WITH derived AS ($oracleDerived),
+      rec AS (
+        SELECT 'sc_bytes' AS measure_name,
+               CAST(sc_bytes AS DOUBLE) AS measure_value,
+               time, x_edge_location
+        FROM derived
+        UNION ALL
+        SELECT 'time_taken', time_taken, time, x_edge_location
+        FROM derived),
+      anch AS (SELECT max(time) AS mx FROM rec)
+      SELECT make_timestamp(epoch_us(time) - epoch_us(time) % 3600000000)
+          AS binned_time,
+        x_edge_location,
+        SUM(CASE WHEN measure_name = 'sc_bytes'
+            THEN CAST(measure_value AS BIGINT) END)
+          AS sum_bytes_downloaded
+      FROM rec, anch
+      WHERE time >= mx - INTERVAL 24 HOUR
+        AND measure_name IN ('sc_bytes')
+      GROUP BY 1, 2
+      ORDER BY binned_time, x_edge_location
+      """))
+
   override val queries: Seq[GraftQuery] =
-    Seq(cfParse, cfHeaders, cfMelt, qBytesByEdge)
+    Seq(cfParse, cfHeaders, cfMelt, qBytesByEdge, qTimestreamHeadline)
 }
