@@ -228,6 +228,80 @@ object AnnPack extends QueryPack {
       FROM r WHERE rn = 1 ORDER BY vec_id
       """))
 
+  // D4 — IVF-style ANN: a coarse quantizer (label groups stand in for
+  // k-means cells — deterministic, no iterative training) with
+  // exact-decimal centroids, nprobe=3 probing, and exact cosine
+  // re-ranking only within the probed inverted lists. The scale story:
+  // the corpus scan is replaced by |probed cells|/|cells| of the data,
+  // and centroids are a tiny broadcast table.
+  private val nprobe = 3
+  private val annIvf = GraftQuery(
+    "ann_ivf",
+    (s, d) => {
+      val n = vecs(s, d)
+      // centroids: per label, per-dim mean via exact decimal sums (the
+      // double sum would be partition-order dependent)
+      val dims = n.select(col("label"),
+          posexplode(col("v")).as(Seq("j", "x")))
+      val cent = dims.groupBy(col("label"), col("j"))
+        .agg((sum(col("x").cast(DecimalType(28, 12))).cast(DoubleType) /
+          count(lit(1))).as("c"))
+        .groupBy(col("label"))
+        .agg(transform(array_sort(collect_list(struct(col("j"), col("c")))),
+          e => e.getField("c")).as("cv"))
+        .withColumn("cnrm", Vectors.norm(col("cv")))
+      val q = n.filter(pmod(col("vec_id"), lit(50)) === 0)
+        .select(col("vec_id").as("query_id"), col("v").as("qv"),
+          col("nrm").as("qn"))
+      // probe the top-nprobe cells per query by centroid cosine
+      val wProbe = Window.partitionBy(col("query_id"))
+        .orderBy(col("ccos").desc, col("label"))
+      val probed = q.crossJoin(broadcast(cent))
+        .withColumn("ccos",
+          Vectors.cosine(col("qv"), col("cv"), col("qn"), col("cnrm")))
+        .withColumn("pr", row_number().over(wProbe))
+        .filter(col("pr") <= nprobe)
+        .select(col("query_id"), col("qv"), col("qn"), col("label"))
+      // exact search only inside the probed lists
+      val c = n.filter(pmod(col("vec_id"), lit(50)) =!= 0)
+      val pairs = c.join(broadcast(probed), Seq("label"))
+        .withColumn("cos_sim",
+          Vectors.cosine(col("qv"), col("v"), col("qn"), col("nrm")))
+        .select(col("query_id"), col("vec_id"), col("label"), col("cos_sim"))
+      topKPerQuery(pairs, K, Seq("label"))
+        .orderBy(col("query_id"), col("rank"))
+    },
+    Some(s"""
+      WITH $vecsSql,
+      dims AS (SELECT label, unnest(range(len(v))) AS j, v FROM n),
+      cd AS (SELECT label, j,
+          CAST(SUM(CAST(v[CAST(j AS INTEGER)+1] AS DECIMAL(28,12)))
+            AS DOUBLE) / COUNT(*) AS c
+        FROM dims GROUP BY label, j),
+      cent AS (SELECT label, list(c ORDER BY j) AS cv FROM cd
+               GROUP BY label),
+      cn AS (SELECT label, cv, ${Vectors.sql.norm("cv")} AS cnrm FROM cent),
+      q AS (SELECT vec_id AS query_id, v AS qv, nrm AS qn FROM n
+            WHERE vec_id % 50 = 0),
+      pc AS (SELECT q.query_id, q.qv, q.qn, cn.label,
+          round(${Vectors.sql.dot("q.qv", "cn.cv")} / (q.qn * cn.cnrm), 6)
+            AS ccos
+        FROM q CROSS JOIN cn),
+      probed AS (SELECT * FROM (
+          SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+            ORDER BY ccos DESC, label) AS pr FROM pc)
+        WHERE pr <= $nprobe),
+      c AS (SELECT * FROM n WHERE vec_id % 50 <> 0),
+      pr2 AS (SELECT p.query_id, c.vec_id, c.label,
+          round(${Vectors.sql.dot("p.qv", "c.v")} / (p.qn * c.nrm), 6)
+            AS cos_sim
+        FROM c JOIN probed p ON c.label = p.label),
+      r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+          ORDER BY cos_sim DESC, vec_id) AS rank FROM pr2)
+      SELECT query_id, rank, vec_id, cos_sim, label
+      FROM r WHERE rank <= $K ORDER BY query_id, rank
+      """))
+
   override val queries: Seq[GraftQuery] =
-    Seq(annBrute, annLsh, knnJoin, dedupEmbedding)
+    Seq(annBrute, annLsh, knnJoin, dedupEmbedding, annIvf)
 }

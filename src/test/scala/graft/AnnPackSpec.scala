@@ -68,4 +68,21 @@ class AnnPackSpec extends GraftSpec {
     assert(df.count() == n)
     assert(df.select("vec_id").distinct().count() == n)
   }
+
+  test("ann_ivf never beats brute top-1 and probes limit the search") {
+    val brute = SparkEntry.queries("ann_brute")(spark, sfDir)
+      .filter(col("rank") === 1).collect()
+      .map(r => r.getLong(0) -> r.getDouble(r.fieldIndex("cos_sim"))).toMap
+    val ivf = SparkEntry.queries("ann_ivf")(spark, sfDir)
+      .filter(col("rank") === 1).collect()
+      .map(r => r.getLong(0) -> r.getDouble(r.fieldIndex("cos_sim"))).toMap
+    ivf.foreach { case (q, c) =>
+      assert(brute.contains(q) && c <= brute(q) + 1e-9)
+    }
+    // each query returns hits from at most nprobe distinct labels
+    SparkEntry.queries("ann_ivf")(spark, sfDir).collect()
+      .groupBy(_.getLong(0)).values.foreach { rs =>
+        assert(rs.map(_.getAs[Int]("label")).distinct.length <= 3)
+      }
+  }
 }
