@@ -256,11 +256,24 @@ object CloudFrontPack extends QueryPack {
   private val qTimestreamHeadline = GraftQuery(
     "q_timestream_headline",
     (s, d) => {
-      val parsed = CloudFrontLogs.parse(synthLines(Tables.events(s, d)))
+      // ago(24h) pushed BELOW the synth+parse+melt: records.time is
+      // floor-to-second of ts, and floor is monotonic, so
+      // `time >= floor(max_epoch) - 24h` ⟺ `epoch(ts) >= floor(max) -
+      // 86400` on the raw events — the anchor pass scans one long
+      // column instead of re-synthesizing and re-parsing every line,
+      // and the expensive parse touches only the surviving window.
+      val ev = Tables.events(s, d)
+      val anchor = ev.agg(
+        unix_seconds(max(col("ts")).cast(TimestampType)).as("mx"))
+      val recent = ev.join(broadcast(anchor),
+          unix_seconds(col("ts").cast(TimestampType)) >=
+            col("mx") - 24L * 3600)
+        .drop("mx")
+      val parsed = CloudFrontLogs.parse(synthLines(recent))
       val records = CloudFrontLogs.toRecords(parsed,
         measures = Seq("sc_bytes", "time_taken"),
         dimensions = Seq("x_edge_location", "c_country", "sc_status"))
-      graft.timeseries.TimeSeries.ago(records, "time", 24 * 3600)
+      records
         .filter(col("measure_name").isin("sc_bytes"))
         .groupBy(
           graft.timeseries.TimeSeries.bin(col("time"), 3600)
