@@ -298,7 +298,8 @@ object Analytics extends QueryPack {
     },
     Some("""
       SELECT event_type, COUNT(*) AS n,
-        SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+        CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT))
+          AS BIGINT) AS sum_k,
         COUNT(DISTINCT CAST(json_extract_string(props, '$.k') AS BIGINT))
           AS uniq_k,
         MIN(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,

@@ -298,8 +298,8 @@ object CloudFrontPack extends QueryPack {
       SELECT make_timestamp(epoch_us(time) - epoch_us(time) % 3600000000)
           AS binned_time,
         x_edge_location,
-        SUM(CASE WHEN measure_name = 'sc_bytes'
-            THEN CAST(measure_value AS BIGINT) END)
+        CAST(SUM(CASE WHEN measure_name = 'sc_bytes'
+            THEN CAST(measure_value AS BIGINT) END) AS BIGINT)
           AS sum_bytes_downloaded
       FROM rec, anch
       WHERE time >= mx - INTERVAL 24 HOUR

@@ -65,19 +65,27 @@ object TimeSeriesPack extends QueryPack {
     """))
 
   // A7 — CREATE_TIME_SERIES: per-dimension time-ordered array of measure
-  // values (bounded per-key cardinality, like Timestream series).
+  // values (bounded per-key cardinality, like Timestream series). The
+  // verify surface serializes the series to a ppm-integer string — the
+  // driver's comparison sorts rows by every column, which an array-typed
+  // column cannot support; floor-to-ppm avoids float-formatting drift.
   private val tsSeries = GraftQuery(
     "create_time_series",
     (s, d) => {
       TimeSeries.createTimeSeries(Tables.events(s, d),
           key = col("event_type"), ts = col("ts"),
           tiebreak = col("event_id"), value = col("value"))
-        .withColumn("n", size(col("series")))
+        .select(col("event_type"),
+          array_join(transform(col("series"),
+            v => floor(v * lit(1000000.0d)).cast(LongType)
+              .cast(StringType)), ",").as("series_ppm"),
+          size(col("series")).cast(LongType).as("n"))
         .orderBy(col("event_type"))
     },
     Some("""
       SELECT event_type,
-        list(value ORDER BY ts, event_id) AS series,
+        string_agg(CAST(CAST(floor(value * 1000000.0) AS BIGINT) AS VARCHAR),
+                   ',' ORDER BY ts, event_id) AS series_ppm,
         COUNT(*) AS n
       FROM events
       GROUP BY event_type
@@ -112,7 +120,8 @@ object TimeSeriesPack extends QueryPack {
         SELECT *, SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
         FROM flagged)
-      SELECT user_id, session_seq, COUNT(*) AS n_events,
+      SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq,
+        COUNT(*) AS n_events,
         MIN(ts) AS start_ts, MAX(ts) AS end_ts,
         CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS session_value
       FROM sessions
@@ -141,7 +150,8 @@ object TimeSeriesPack extends QueryPack {
     Some("""
       SELECT make_timestamp(epoch_us(ts) - epoch_us(ts) % 86400000000) AS day,
         COUNT(*) AS n,
-        SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS n_errors,
+        CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+          AS BIGINT) AS n_errors,
         CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS DOUBLE)
           / COUNT(*) AS error_rate,
         COUNT(DISTINCT user_id) AS uniq_users,

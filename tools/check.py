@@ -5,6 +5,11 @@ Runs DuckDB oracle SQL from <outDir>/oracle_sql.json against the testdata
 parquet tables, compares to the Spark results Verify wrote to
 <outDir>/<name>/ (parquet), and prints per-query match status.
 
+Mirrors the driver faithfully (round-2 lesson): columns sorted by name,
+rows sorted by all columns, then a dtype-sensitive per-row hash
+(pd.util.hash_pandas_object). int64 vs float64 (e.g. DuckDB HUGEINT from
+SUM(BIGINT)) is a FAILURE here even when values are numerically equal.
+
 Usage: python3 tools/check.py <sfDir> <outDir>
 """
 import glob
@@ -19,14 +24,20 @@ TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
 
 
-def norm(df: pd.DataFrame) -> pd.DataFrame:
+def canon(df: pd.DataFrame) -> pd.DataFrame:
     df = df.reindex(sorted(df.columns), axis=1)
-    # canonicalize value representations a bit before comparing
+    # tz-aware (Spark TimestampType) vs naive (DuckDB) timestamps hash to
+    # the same i8 epoch in the driver; normalize so sorting+hashing agree.
     for c in df.columns:
-        if df[c].dtype == object:
-            df[c] = df[c].map(lambda v: tuple(v) if isinstance(v, (list, tuple)) or
-                              type(v).__name__ == "ndarray" else v)
+        if str(df[c].dtype).startswith("datetime64") and getattr(
+                df[c].dtype, "tz", None) is not None:
+            df[c] = df[c].dt.tz_localize(None)
     return df.reset_index(drop=True)
+
+
+def row_hashes(df: pd.DataFrame):
+    s = df.sort_values(by=list(df.columns)).reset_index(drop=True)
+    return pd.util.hash_pandas_object(s, index=False).values, s
 
 
 def main(sf_dir: str, out_dir: str) -> int:
@@ -43,36 +54,41 @@ def main(sf_dir: str, out_dir: str) -> int:
             print(f"FAIL {name}: no spark output")
             failures += 1
             continue
-        got = norm(con.execute(
-            f"SELECT * FROM read_parquet({files!r})").fetchdf())
+        got = canon(pd.read_parquet(files))
         try:
-            want = norm(con.execute(sql).fetchdf())
+            want = canon(con.execute(sql).fetchdf())
         except Exception as e:
             print(f"FAIL {name}: oracle SQL error: {e}")
             failures += 1
             continue
         if list(got.columns) != list(want.columns):
-            print(f"FAIL {name}: columns {list(got.columns)} != {list(want.columns)}")
+            print(f"FAIL {name}: columns {list(got.columns)} != "
+                  f"{list(want.columns)}")
             failures += 1
             continue
         if len(got) != len(want):
             print(f"FAIL {name}: rows {len(got)} != {len(want)}")
             failures += 1
             continue
-        # row-order-insensitive compare (driver may or may not sort rows;
-        # we sort by all columns to be safe)
-        g = got.sort_values(by=list(got.columns)).reset_index(drop=True)
-        w = want.sort_values(by=list(want.columns)).reset_index(drop=True)
         try:
-            pd.testing.assert_frame_equal(g, w, check_dtype=False,
-                                          check_exact=True)
-            print(f"OK   {name} ({len(got)} rows)")
-        except AssertionError as e:
+            hg, g = row_hashes(got)
+            hw, w = row_hashes(want)
+        except Exception as e:
+            print(f"FAIL {name}: unsortable/unhashable output: {e!r:.300}")
             failures += 1
-            print(f"FAIL {name}: value mismatch\n{str(e)[:1200]}")
-            diff = g.compare(w) if g.shape == w.shape else None
-            if diff is not None and not diff.empty:
-                print(diff.head(10))
+            continue
+        if (hg == hw).all():
+            print(f"OK   {name} ({len(got)} rows)")
+            continue
+        failures += 1
+        print(f"FAIL {name}: hash mismatch")
+        for c in g.columns:
+            if str(g[c].dtype) != str(w[c].dtype):
+                print(f"  dtype {c}: spark={g[c].dtype} oracle={w[c].dtype}")
+        bad = (hg != hw).nonzero()[0][:5]
+        for i in bad:
+            print(f"  row {i}:\n   spark  {g.iloc[i].to_dict()}"
+                  f"\n   oracle {w.iloc[i].to_dict()}")
     print(f"\n{'ALL OK' if failures == 0 else f'{failures} FAILURES'}")
     return 1 if failures else 0
 
