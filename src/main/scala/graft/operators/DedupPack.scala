@@ -190,10 +190,18 @@ object DedupPack extends QueryPack {
         .filter(col("df") >= 2 && col("df") <= maxDF)
         .select(col("sh"))
       val exRare = ex.join(rare, "sh")
-      val cand = exRare.select(col("sh"), col("doc_id").as("doc_a"))
-        .join(exRare.select(col("sh").as("sh_b"), col("doc_id").as("doc_b")),
-          col("sh") === col("sh_b") && col("doc_a") < col("doc_b"))
-        .select(col("doc_a"), col("doc_b")).distinct()
+      // Pairs via a bounded per-shingle collect_list (<= maxDF elements by
+      // construction — safe at any corpus size) instead of a bucket
+      // self-join: the exRare subplan — which Spark would otherwise
+      // recompute for the second join branch (no cross-branch CSE) — runs
+      // exactly once, and when the rare-set join is sort-merge (the
+      // at-scale path) the groupBy reuses its sh-partitioning.
+      val cand = exRare.groupBy(col("sh"))
+        .agg(collect_list(col("doc_id")).as("docs"))
+        .select(explode(col("docs")).as("doc_a"), col("docs"))
+        .select(col("doc_a"), explode(col("docs")).as("doc_b"))
+        .filter(col("doc_a") < col("doc_b"))
+        .distinct()
       val sa = sh.select(col("doc_id").as("doc_a"), col("shingles").as("sa"))
       val sb = sh.select(col("doc_id").as("doc_b"), col("shingles").as("sb"))
       cand.join(sa, "doc_a").join(sb, "doc_b")
