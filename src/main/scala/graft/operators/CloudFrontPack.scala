@@ -115,8 +115,22 @@ object CloudFrontPack extends QueryPack {
       '10.' || CAST(user_id % 200 AS VARCHAR) || '.' ||
         CAST(event_id % 250 AS VARCHAR) || '.7' AS c_ip,
       'EDGE-' || CAST(user_id % 8 AS VARCHAR) AS x_edge_location,
+      'C' || CAST(user_id % 20 AS VARCHAR) AS c_country,
+      '/' || event_type || '/' || CAST(event_id % 100 AS VARCHAR)
+        AS cs_uri_stem,
+      md5(CAST(event_id AS VARCHAR)) AS x_edge_request_id,
       make_timestamp(CAST(floor(epoch(ts)) AS BIGINT) * 1000000) AS time
     FROM events"""
+
+  /** Parse-once-query-many: the four metric queries below share one
+    * persisted parse of the synthesized log lines (Spark's CacheManager
+    * dedupes the identical subplan across queries). At cluster scale this
+    * is the same shape as parsing the raw stream once and serving every
+    * dashboard panel from the columnar result.
+    */
+  private def parsedCached(s: SparkSession, d: String): DataFrame =
+    CloudFrontLogs.parse(synthLines(Tables.events(s, d)))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
   // A1 — full parser round-trip. The aggregation groups on two PARSED
   // typed columns and checks counts, exact sums, distincts, and that '-'
@@ -308,6 +322,159 @@ object CloudFrontPack extends QueryPack {
       ORDER BY binned_time, x_edge_location
       """))
 
+  // A13 — cache-result metrics, the reference's "cache result types"
+  // purpose (README): per-edge hit ratio over x_edge_result_type.
+  // Count-based, single IEEE division — deterministic on any cluster.
+  private val cfCacheHitRatio = GraftQuery(
+    "cf_cache_hit_ratio",
+    (s, d) => {
+      parsedCached(s, d)
+        .groupBy(col("x_edge_location"))
+        .agg(
+          count(lit(1)).as("n_requests"),
+          sum(when(col("x_edge_result_type").isin("Hit", "RefreshHit"), 1L)
+            .otherwise(0L)).as("n_hits"),
+          (sum(when(col("x_edge_result_type").isin("Hit", "RefreshHit"), 1L)
+            .otherwise(0L)).cast(DoubleType) / count(lit(1)))
+            .as("hit_ratio"))
+        .orderBy(col("x_edge_location"))
+    },
+    Some(s"""
+      WITH derived AS ($oracleDerived)
+      SELECT x_edge_location, COUNT(*) AS n_requests,
+        CAST(SUM(CASE WHEN x_edge_result_type IN ('Hit','RefreshHit')
+             THEN 1 ELSE 0 END) AS BIGINT) AS n_hits,
+        CAST(SUM(CASE WHEN x_edge_result_type IN ('Hit','RefreshHit')
+             THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*) AS hit_ratio
+      FROM derived
+      GROUP BY x_edge_location
+      ORDER BY x_edge_location
+      """))
+
+  // A14 — status-class breakdown per hour (the reference's "status"
+  // purpose): 2xx/3xx/4xx/5xx counts + error rate, one scan, one
+  // shuffle on the hour bin with map-side partial aggregation.
+  private val cfStatusClasses = GraftQuery(
+    "cf_status_classes",
+    (s, d) => {
+      val parsed = parsedCached(s, d)
+      val eventTime = timestamp_seconds(col("timestamp").cast(LongType))
+      def cls(c: Int) = sum(
+        when(floor(col("sc_status") / 100) === c, 1L).otherwise(0L))
+      parsed
+        .groupBy(graft.timeseries.TimeSeries.bin(eventTime, 3600)
+          .cast(TimestampNTZType).as("binned_time"))
+        .agg(
+          count(lit(1)).as("n"),
+          cls(2).as("n_2xx"), cls(3).as("n_3xx"),
+          cls(4).as("n_4xx"), cls(5).as("n_5xx"),
+          (cls(5).cast(DoubleType) / count(lit(1))).as("error_rate"))
+        .orderBy(col("binned_time"))
+    },
+    Some(s"""
+      WITH derived AS ($oracleDerived)
+      SELECT make_timestamp(epoch_us(time) - epoch_us(time) % 3600000000)
+          AS binned_time,
+        COUNT(*) AS n,
+        CAST(SUM(CASE WHEN floor(sc_status/100) = 2 THEN 1 ELSE 0 END)
+          AS BIGINT) AS n_2xx,
+        CAST(SUM(CASE WHEN floor(sc_status/100) = 3 THEN 1 ELSE 0 END)
+          AS BIGINT) AS n_3xx,
+        CAST(SUM(CASE WHEN floor(sc_status/100) = 4 THEN 1 ELSE 0 END)
+          AS BIGINT) AS n_4xx,
+        CAST(SUM(CASE WHEN floor(sc_status/100) = 5 THEN 1 ELSE 0 END)
+          AS BIGINT) AS n_5xx,
+        CAST(SUM(CASE WHEN floor(sc_status/100) = 5 THEN 1 ELSE 0 END)
+          AS DOUBLE) / COUNT(*) AS error_rate
+      FROM derived
+      GROUP BY 1
+      ORDER BY binned_time
+      """))
+
+  // A15 — per-country top URIs by bytes (the reference's "per-country /
+  // per-URI" purpose). Aggregate once on (country, uri), then a bounded
+  // per-country window rank — the agg shrinks the data before the rank
+  // shuffle, so the window never sees raw events.
+  private val cfTopUris = GraftQuery(
+    "cf_top_uris",
+    (s, d) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("c_country"))
+        .orderBy(col("total_bytes").desc, col("cs_uri_stem"))
+      parsedCached(s, d)
+        .groupBy(col("c_country"), col("cs_uri_stem"))
+        .agg(count(lit(1)).as("n_requests"),
+          sum(col("sc_bytes")).as("total_bytes"))
+        .withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") <= 3)
+        .orderBy(col("c_country"), col("rnk"))
+    },
+    Some(s"""
+      WITH derived AS ($oracleDerived),
+      agg AS (
+        SELECT c_country, cs_uri_stem, COUNT(*) AS n_requests,
+          CAST(SUM(sc_bytes) AS BIGINT) AS total_bytes
+        FROM derived GROUP BY 1, 2),
+      ranked AS (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY c_country
+          ORDER BY total_bytes DESC, cs_uri_stem) AS rnk
+        FROM agg)
+      SELECT c_country, cs_uri_stem, n_requests, total_bytes,
+        CAST(rnk AS INTEGER) AS rnk
+      FROM ranked WHERE rnk <= 3
+      ORDER BY c_country, rnk
+      """))
+
+  // A16 — per-edge latency percentiles (the reference's "latency"
+  // purpose: time_taken / time_to_first_byte): exact p50/p90/p99 by
+  // rank selection, the same engine-portable construction as
+  // metrics_percentiles; x_edge_request_id breaks ties totally.
+  private val cfLatencyPercentiles = GraftQuery(
+    "cf_latency_percentiles",
+    (s, d) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("x_edge_location"))
+        .orderBy(col("time_taken"), col("x_edge_request_id"))
+      val ranked = parsedCached(s, d)
+        .select(col("x_edge_location"), col("time_taken"),
+          col("x_edge_request_id"))
+        .withColumn("rn", row_number().over(w))
+        .withColumn("cnt", count(lit(1)).over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy(col("x_edge_location"))))
+      def pick(p: Double) = max(when(
+        col("rn") === (floor((col("cnt") - 1) * p).cast(LongType) + 1),
+        col("time_taken")))
+      ranked.groupBy(col("x_edge_location"))
+        .agg(
+          pick(0.5).as("p50"),
+          pick(0.9).as("p90"),
+          pick(0.99).as("p99"),
+          max(col("time_taken")).as("tmax"))
+        .orderBy(col("x_edge_location"))
+    },
+    Some(s"""
+      WITH derived AS ($oracleDerived),
+      ranked AS (
+        SELECT x_edge_location, time_taken,
+          ROW_NUMBER() OVER (PARTITION BY x_edge_location
+            ORDER BY time_taken, x_edge_request_id) AS rn,
+          COUNT(*) OVER (PARTITION BY x_edge_location) AS cnt
+        FROM derived)
+      SELECT x_edge_location,
+        MAX(CASE WHEN rn = CAST(floor((cnt-1) * 0.5) AS BIGINT) + 1
+          THEN time_taken END) AS p50,
+        MAX(CASE WHEN rn = CAST(floor((cnt-1) * 0.9) AS BIGINT) + 1
+          THEN time_taken END) AS p90,
+        MAX(CASE WHEN rn = CAST(floor((cnt-1) * 0.99) AS BIGINT) + 1
+          THEN time_taken END) AS p99,
+        MAX(time_taken) AS tmax
+      FROM ranked
+      GROUP BY x_edge_location
+      ORDER BY x_edge_location
+      """))
+
   override val queries: Seq[GraftQuery] =
-    Seq(cfParse, cfHeaders, cfMelt, qBytesByEdge, qTimestreamHeadline)
+    Seq(cfParse, cfHeaders, cfMelt, qBytesByEdge, qTimestreamHeadline,
+      cfCacheHitRatio, cfStatusClasses, cfTopUris, cfLatencyPercentiles)
 }
