@@ -97,9 +97,9 @@ object DedupPack extends QueryPack {
   // C2 — MinHash + LSH: shingle → numHashes affine minhashes (one md5
   // per shingle, then exact int64 affine transforms) → 2-row band keys
   // → bucket self-join for candidates → exact-Jaccard verification at τ.
-  private val dedupMinhash = GraftQuery(
-    "dedup_minhash",
-    (s, d) => {
+  // The verified pairs are PERSISTED and shared with dedup_cluster
+  // (CacheManager dedupes the identical subplan across queries).
+  private def minhashPairs(s: SparkSession, d: String): DataFrame = {
       val sh = shingled(s, d)
       // Signature via explode + numHashes codegen'd min() aggregates:
       // one shuffle on doc_id with map-side partial mins. (The "obvious"
@@ -138,10 +138,13 @@ object DedupPack extends QueryPack {
         .filter(col("jaccard") >= tau)
         .select(col("doc_a"), col("doc_b"), col("n_shared_bands"),
           col("jaccard"))
-        .orderBy(col("doc_a"), col("doc_b"))
-    },
-    Some(s"""
-      WITH $shingledSql,
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+  }
+
+  /** The C2 pipeline through verified pairs, as DuckDB CTEs ending in
+    * `pairs(doc_a, doc_b, n_shared_bands, jaccard)`.
+    */
+  private val minhashPairsSql: String = s"""$shingledSql,
       hs AS (SELECT doc_id,
           list_transform(shingles, s -> ${Portable.sql.hashP("s")}) AS hs
         FROM sh),
@@ -164,11 +167,83 @@ object DedupPack extends QueryPack {
           len(sa.shingles) + len(sb.shingles) AS tot
         FROM cand
         JOIN sh sa ON cand.doc_a = sa.doc_id
-        JOIN sh sb ON cand.doc_b = sb.doc_id)
-      SELECT doc_a, doc_b, n_shared_bands,
-        round(inter::DOUBLE / (tot - inter), 6) AS jaccard
-      FROM j WHERE round(inter::DOUBLE / (tot - inter), 6) >= $tau
+        JOIN sh sb ON cand.doc_b = sb.doc_id),
+      pairs AS (SELECT doc_a, doc_b,
+          CAST(n_shared_bands AS BIGINT) AS n_shared_bands,
+          round(inter::DOUBLE / (tot - inter), 6) AS jaccard
+        FROM j WHERE round(inter::DOUBLE / (tot - inter), 6) >= $tau)"""
+
+  private val dedupMinhash = GraftQuery(
+    "dedup_minhash",
+    (s, d) => minhashPairs(s, d).orderBy(col("doc_a"), col("doc_b")),
+    Some(s"""
+      WITH $minhashPairsSql
+      SELECT doc_a, doc_b, n_shared_bands, jaccard
+      FROM pairs
       ORDER BY doc_a, doc_b
+      """))
+
+  // C6 — duplicate-pair CLUSTERING: connected components over the C2
+  // pairs graph by iterative min-label propagation — the step that turns
+  // pairwise matches into dedup groups (keep one canonical doc per
+  // cluster). Each iteration is one edge⋈label join + a min-aggregate —
+  // the standard distributed-CC shape; the driver-side loop only reads a
+  // single convergence COUNT per iteration, never row data. Duplicate
+  // components have tiny diameters in practice, so the fixpoint lands in
+  // a handful of iterations; a cap bounds the pathological chain case.
+  // The oracle computes the same fixpoint as a DuckDB recursive-CTE
+  // transitive closure with MIN over the reachable set.
+  private val dedupCluster = GraftQuery(
+    "dedup_cluster",
+    (s, d) => {
+      val pairs = minhashPairs(s, d).select(col("doc_a"), col("doc_b"))
+      val edges = pairs
+        .union(pairs.select(col("doc_b"), col("doc_a")))
+        .toDF("src", "dst")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      var labels = edges.select(col("src").as("node")).distinct()
+        .withColumn("lab", col("node"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      var changed = 1L
+      var iter = 0
+      while (changed > 0 && iter < 20) {
+        val prop = edges
+          .join(labels.select(col("node").as("dst"), col("lab").as("dlab")),
+            "dst")
+          .groupBy(col("src").as("node")).agg(min(col("dlab")).as("nlab"))
+        val next = labels.join(prop, Seq("node"), "left")
+          .select(col("node"),
+            least(col("lab"), coalesce(col("nlab"), col("lab"))).as("lab"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        changed = next.join(
+            labels.select(col("node"), col("lab").as("old")), "node")
+          .filter(col("lab") =!= col("old")).count()
+        labels.unpersist()
+        labels = next
+        iter += 1
+      }
+      val wc = Window.partitionBy(col("cluster_id"))
+      labels
+        .select(col("node").as("doc_id"), col("lab").as("cluster_id"))
+        .withColumn("cluster_size", count(lit(1)).over(wc))
+        .orderBy(col("doc_id"))
+    },
+    Some(s"""
+      WITH RECURSIVE $minhashPairsSql,
+      nodes AS (SELECT doc_a AS node FROM pairs
+                UNION SELECT doc_b FROM pairs),
+      edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+                UNION ALL SELECT doc_b, doc_a FROM pairs),
+      reach(a, b) AS (
+        SELECT node, node FROM nodes
+        UNION
+        SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+      res AS (SELECT a AS doc_id, MIN(b) AS cluster_id
+              FROM reach GROUP BY a)
+      SELECT doc_id, cluster_id,
+        COUNT(*) OVER (PARTITION BY cluster_id) AS cluster_size
+      FROM res
+      ORDER BY doc_id
       """))
 
   // C4 — inverted-index n-gram Jaccard: explode shingles, keep only
@@ -232,5 +307,5 @@ object DedupPack extends QueryPack {
       """))
 
   override val queries: Seq[GraftQuery] =
-    Seq(dedupExact, dedupMinhash, ngramJaccard)
+    Seq(dedupExact, dedupMinhash, dedupCluster, ngramJaccard)
 }
