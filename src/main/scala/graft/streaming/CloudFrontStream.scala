@@ -54,4 +54,41 @@ object CloudFrontStream {
       .groupBy(session_window(col("event_time"), gap), col("c_ip"))
       .agg(count(lit(1)).as("n_requests"),
         sum(col("sc_bytes")).as("session_bytes"))
+
+  /** The reference's STORE step (lambda → Timestream), Spark-first: melt
+    * the parsed stream to long-form records and continuously append them
+    * to a time-partitioned columnar store via foreachBatch. Partitioning
+    * by (measure_name, day) is the Timestream layout's moral equivalent:
+    * a dashboard query for one measure over a time range prunes to
+    * exactly the partitions it touches. foreachBatch keeps the write
+    * exactly-once per micro-batch (Spark retries a failed batch id with
+    * the same data) and works against any batch writer — parquet here, a
+    * real TSDB client in production.
+    */
+  def toTimestreamStore(lines: DataFrame, outDir: String,
+      checkpointDir: String,
+      measures: Seq[String] = Seq("sc_bytes", "time_taken"),
+      dimensions: Seq[String] =
+        Seq("x_edge_location", "c_country", "sc_status"))
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val records = CloudFrontLogs.toRecords(
+        parsed(lines).drop("event_time"), measures, dimensions)
+      .withColumn("day", to_date(col("time")))
+    records.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        batch.write.mode("append")
+          .partitionBy("measure_name", "day")
+          .parquet(outDir)
+      }
+      .start()
+  }
+
+  /** Stream-static enrichment: join the parsed stream against a slowly-
+    * changing dimension table (edge location → geography here). The
+    * static side is broadcast — no shuffle of the stream, no streaming
+    * state; Spark re-resolves the static relation each micro-batch.
+    */
+  def enrich(lines: DataFrame, edgeDims: DataFrame): DataFrame =
+    parsed(lines).join(broadcast(edgeDims), Seq("x_edge_location"), "left")
 }

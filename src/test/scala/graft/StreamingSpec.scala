@@ -67,4 +67,54 @@ class StreamingSpec extends GraftSpec {
       assert(got.count() == batch.count())
     } finally q.stop()
   }
+
+  test("cf_stream store: melted records land partitioned by measure/day") {
+    val dir = Files.createTempDirectory("graft-stream-in").toString
+    val out = Files.createTempDirectory("graft-tsdb").toString + "/store"
+    val ckpt = Files.createTempDirectory("graft-ckpt").toString
+    val n = writeLines(dir)
+    val stream = spark.readStream.schema("value STRING").text(dir)
+      .withColumnRenamed("value", "line")
+    val q = CloudFrontStream.toTimestreamStore(stream, out, ckpt)
+    try q.processAllAvailable() finally q.stop()
+    val stored = spark.read.parquet(out)
+    // two measures per input line; partition columns round-trip
+    assert(stored.count() == 2 * n)
+    assert(stored.select("measure_name").distinct().collect()
+      .map(_.getString(0)).sorted.toSeq == Seq("sc_bytes", "time_taken"))
+    assert(stored.columns.contains("day"))
+    // partition pruning surface: one measure+day selects a strict subset
+    val one = spark.read.parquet(out)
+      .filter(col("measure_name") === "sc_bytes")
+    assert(one.count() == n)
+    // dimensions map survives the store round-trip
+    assert(stored.select(col("dimensions")("x_edge_location")).distinct()
+      .count() == 8)
+  }
+
+  test("cf_stream enrich: stream-static broadcast join adds geography") {
+    val dir = Files.createTempDirectory("graft-stream-e").toString
+    val n = writeLines(dir)
+    import spark.implicits._
+    val dims = (0 until 8)
+      .map(i => (s"EDGE-$i", if (i < 4) "us-east" else "eu-west"))
+      .toDF("x_edge_location", "region")
+    val stream = spark.readStream.schema("value STRING").text(dir)
+      .withColumnRenamed("value", "line")
+    val q = CloudFrontStream.enrich(stream, dims)
+      .groupBy(col("region")).agg(count(lit(1)).as("n"))
+      .writeStream.format("memory").queryName("cf_enriched")
+      .outputMode("complete").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("cf_enriched")
+      assert(got.agg(sum("n")).head().getLong(0) == n)
+      assert(got.filter(col("region").isNull).count() == 0)
+      val batch = CloudFrontStream.enrich(
+          CloudFrontPack.synthLines(Tables.events(spark, sfDir)), dims)
+        .groupBy(col("region")).agg(count(lit(1)).as("n"))
+      assert(got.orderBy("region").collect().toSeq ==
+        batch.orderBy("region").collect().toSeq)
+    } finally q.stop()
+  }
 }
