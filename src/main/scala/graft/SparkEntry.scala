@@ -17,7 +17,8 @@ object SparkEntry {
     operators.DedupPack,
     operators.SimHashPack,
     operators.AnnPack,
-    operators.MediaPack)
+    operators.MediaPack,
+    operators.CurationPack)
 
   private lazy val registry: Map[String, GraftQuery] = {
     val all = packs.flatMap(_.queries)

@@ -1,0 +1,153 @@
+package graft.operators
+
+import graft.{GraftQuery, QueryPack}
+import graft.functions.Portable
+import graft.sources.Tables
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Training-data curation operators over `documents` — the selection
+  * stage of an LLM-data pipeline (what survives into the training set,
+  * and how it is laid out). Companions to the C/E blocks: dedup finds
+  * what to drop, text analysis scores quality; these decide and pack.
+  *
+  * Scale shapes:
+  *  - Sampling is a pure per-row hash comparison — no shuffle, no
+  *    driver-side randomness, reproducible run-to-run and engine-to-
+  *    engine (the property `df.sample` does NOT have: its Bernoulli
+  *    draw depends on partitioning and seed plumbing).
+  *  - Shard packing is one window cumsum per stratum — a single shuffle
+  *    on the stratum key. At corpus scale the stratum would be
+  *    (lang, date-bucket) so no single ordering spans the whole corpus.
+  *  - The filter is a stateless per-row predicate over per-row features
+  *    plus one fingerprint window for exact-dup detection.
+  */
+object CurationPack extends QueryPack {
+
+  import Portable._
+
+  // ---- H1: deterministic hash-based stratified sampling ----
+  // Per-language keep rates in ppm. The keep decision is
+  // hash(salt|doc_id) % 1e6 < rate — i.i.d. Bernoulli per doc under the
+  // md5 hash, exact in both engines, and stable under repartitioning.
+  private val ratesPpm: Seq[(String, Long)] = Seq(
+    "en" -> 500000L, "de" -> 300000L, "es" -> 300000L,
+    "fr" -> 300000L, "zh" -> 200000L)
+  private val defaultPpm = 100000L
+  private val salt = "sample|"
+
+  private val sampleStratified = GraftQuery(
+    "sample_stratified",
+    (s, d) => {
+      val rate = ratesPpm.foldLeft(lit(defaultPpm)) { case (acc, (k, v)) =>
+        when(col("lang") === k, lit(v)).otherwise(acc)
+      }
+      val draw = pmod(hashP(concat(lit(salt), col("doc_id").cast(StringType))),
+        lit(1000000L))
+      Tables.documents(s, d)
+        .withColumn("keep_rate_ppm", rate)
+        .withColumn("draw", draw)
+        .filter(col("draw") < col("keep_rate_ppm"))
+        .select(col("doc_id"), col("lang"), col("source"),
+          col("keep_rate_ppm"), col("draw"))
+        .orderBy(col("doc_id"))
+    },
+    Some(s"""
+      WITH r AS (
+        SELECT doc_id, lang, source,
+          CASE lang WHEN 'zh' THEN 200000 WHEN 'fr' THEN 300000
+                    WHEN 'es' THEN 300000 WHEN 'de' THEN 300000
+                    WHEN 'en' THEN 500000 ELSE $defaultPpm END
+            AS keep_rate_ppm,
+          ${Portable.sql.hashP(s"'$salt' || CAST(doc_id AS VARCHAR)")}
+            % 1000000 AS draw
+        FROM documents)
+      SELECT doc_id, lang, source,
+        CAST(keep_rate_ppm AS BIGINT) AS keep_rate_ppm, draw
+      FROM r WHERE draw < keep_rate_ppm
+      ORDER BY doc_id
+      """))
+
+  // ---- H2: token-budget shard packing ----
+  // Lay kept documents into fixed-token-budget training shards: within
+  // each language stratum, documents in doc_id order, a document's shard
+  // is the budget-quotient of its start offset in the running token
+  // stream. Integer `div` keeps the arithmetic exact in both engines.
+  private val shardBudget = 20000L
+
+  private val shardPack = GraftQuery(
+    "shard_pack",
+    (s, d) => {
+      val w = Window.partitionBy(col("lang")).orderBy(col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"),
+          size(words(col("text"))).as("n_tokens"))
+        .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
+        .withColumn("shard_id",
+          expr(s"(cum_tokens - n_tokens) div ${shardBudget}L"))
+        .orderBy(col("doc_id"))
+    },
+    Some(s"""
+      WITH t AS (
+        SELECT doc_id, lang, len(${Portable.sql.words}) AS n_tokens
+        FROM documents),
+      c AS (
+        SELECT doc_id, lang, n_tokens,
+          CAST(SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+            AS cum_tokens
+        FROM t)
+      SELECT doc_id, lang, n_tokens, cum_tokens,
+        (cum_tokens - n_tokens) // $shardBudget AS shard_id
+      FROM c ORDER BY doc_id
+      """))
+
+  // ---- H3: the composed curation decision ----
+  // One pass deciding keep/drop per document: token-length band, exact-
+  // duplicate check (canonical = min doc_id per fingerprint), language
+  // allowlist. Per-row features + one fingerprint window — the shape of
+  // the final filter stage before packing.
+  private val minTokens = 20L
+  private val maxTokens = 2000L
+
+  private val curationFilter = GraftQuery(
+    "curation_filter",
+    (s, d) => {
+      val wf = Window.partitionBy(col("fingerprint"))
+      Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"),
+          size(words(col("text"))).cast(LongType).as("n_tokens"),
+          md5(normText(col("text"))).as("fingerprint"))
+        .withColumn("is_dup",
+          col("doc_id") =!= min(col("doc_id")).over(wf))
+        .withColumn("keep",
+          col("lang").isin("en", "de", "es", "fr", "zh") &&
+            col("n_tokens") >= minTokens && col("n_tokens") <= maxTokens &&
+            !col("is_dup"))
+        .select(col("doc_id"), col("lang"), col("n_tokens"),
+          col("is_dup"), col("keep"))
+        .orderBy(col("doc_id"))
+    },
+    Some(s"""
+      WITH f AS (
+        SELECT doc_id, lang,
+          CAST(len(${Portable.sql.words}) AS BIGINT) AS n_tokens,
+          md5(list_aggregate(${Portable.sql.words}, 'string_agg', ' '))
+            AS fingerprint
+        FROM documents),
+      d2 AS (
+        SELECT *, doc_id <> MIN(doc_id) OVER (PARTITION BY fingerprint)
+          AS is_dup
+        FROM f)
+      SELECT doc_id, lang, n_tokens, is_dup,
+        (lang IN ('en','de','es','fr','zh')
+          AND n_tokens >= $minTokens AND n_tokens <= $maxTokens
+          AND NOT is_dup) AS keep
+      FROM d2 ORDER BY doc_id
+      """))
+
+  override val queries: Seq[GraftQuery] =
+    Seq(sampleStratified, shardPack, curationFilter)
+}
