@@ -138,7 +138,7 @@ object CloudFrontPack extends QueryPack {
   private val cfParse = GraftQuery(
     "cf_parse",
     (s, d) => {
-      val parsed = CloudFrontLogs.parse(synthLines(Tables.events(s, d)))
+      val parsed = parsedCached(s, d)
       parsed.groupBy(col("x_edge_result_type"), col("sc_status"))
         .agg(
           count(lit(1)).as("n"),
@@ -204,7 +204,7 @@ object CloudFrontPack extends QueryPack {
   private val cfMelt = GraftQuery(
     "cf_melt",
     (s, d) => {
-      val parsed = CloudFrontLogs.parse(synthLines(Tables.events(s, d)))
+      val parsed = parsedCached(s, d)
       val records = CloudFrontLogs.toRecords(parsed,
         measures = Seq("sc_bytes", "time_taken"),
         dimensions = Seq("x_edge_location", "c_country", "sc_status"))
@@ -239,7 +239,7 @@ object CloudFrontPack extends QueryPack {
   private val qBytesByEdge = GraftQuery(
     "q_bytes_by_edge",
     (s, d) => {
-      val parsed = CloudFrontLogs.parse(synthLines(Tables.events(s, d)))
+      val parsed = parsedCached(s, d)
       val eventTime = timestamp_seconds(col("timestamp").cast(LongType))
       parsed
         .groupBy(

@@ -201,9 +201,17 @@ object DedupPack extends QueryPack {
         .union(pairs.select(col("doc_b"), col("doc_a")))
         .toDF("src", "dst")
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      var labels = edges.select(col("src").as("node")).distinct()
-        .withColumn("lab", col("node"))
+      // Initialize each node's label to min(self, direct neighbors) in a
+      // single aggregation (edges are symmetric, so every node appears as
+      // src — this also yields the node set for free). Duplicate
+      // components are near-cliques in practice, so most of the graph
+      // converges at initialization and the loop only runs one confirming
+      // round; longer chains still converge by propagation below.
+      var cached = edges.groupBy(col("src").as("node"))
+        .agg(min(col("dst")).as("mn"))
+        .select(col("node"), least(col("node"), col("mn")).as("lab"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      var labels = cached
       var changed = 1L
       var iter = 0
       while (changed > 0 && iter < 20) {
@@ -211,15 +219,18 @@ object DedupPack extends QueryPack {
           .join(labels.select(col("node").as("dst"), col("lab").as("dlab")),
             "dst")
           .groupBy(col("src").as("node")).agg(min(col("dlab")).as("nlab"))
+        // Carry the previous label through so the convergence count is a
+        // filter over this round's cached result — one join and one
+        // action per round, not two of each.
         val next = labels.join(prop, Seq("node"), "left")
           .select(col("node"),
-            least(col("lab"), coalesce(col("nlab"), col("lab"))).as("lab"))
+            least(col("lab"), coalesce(col("nlab"), col("lab"))).as("lab"),
+            col("lab").as("old"))
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        changed = next.join(
-            labels.select(col("node"), col("lab").as("old")), "node")
-          .filter(col("lab") =!= col("old")).count()
-        labels.unpersist()
-        labels = next
+        changed = next.filter(col("lab") =!= col("old")).count()
+        cached.unpersist()
+        cached = next
+        labels = next.select(col("node"), col("lab"))
         iter += 1
       }
       val wc = Window.partitionBy(col("cluster_id"))
