@@ -51,6 +51,30 @@ object TimeSeries {
           value.as("v")))),
         x => x.getField("v")).as("series"))
 
+  /** Mergeable-sketch pre-aggregation — the scale path for distinct
+    * counts a dashboard asks at many granularities. Build one HLL sketch
+    * per (key, day) — a few-KB binary, map-side combinable — persist
+    * that PRE-AGGREGATE, and answer any coarser rollup (weekly, whole-
+    * period, per-key) by unioning sketches instead of rescanning raw
+    * data. At
+    * 100 TB the raw scan happens once; every rollup after it touches
+    * only days × keys rows.
+    */
+  def dailyDistinctSketches(df: DataFrame, key: Column, ts: Column,
+                            id: Column): DataFrame =
+    df.groupBy(key.as("key"), bin(ts, 86400).cast(TimestampNTZType).as("day"))
+      .agg(hll_sketch_agg(id).as("sketch"),
+        count(lit(1)).as("n_rows"))
+
+  /** Roll daily sketches up to one estimate per key (union is exact over
+    * sketches: same answer as sketching the raw data directly).
+    */
+  def rollupDistinct(daily: DataFrame): DataFrame =
+    daily.groupBy(col("key"))
+      .agg(hll_sketch_estimate(hll_union_agg(col("sketch")))
+        .as("approx_distinct"),
+        sum(col("n_rows")).as("n_rows"))
+
   /** Gap-based sessionization (batch): assigns a per-user session sequence
     * number, a new session starting when the gap from the previous event
     * exceeds `gapSeconds`. One shuffle on the user key; everything else is

@@ -64,6 +64,33 @@ class TimeSeriesSpec extends GraftSpec {
         s"$k: approx ${approx(k)} vs exact $v")
   }
 
+  test("sketch rollup: daily HLL sketches union to the whole-period answer") {
+    import org.apache.spark.sql.functions._
+    val ev = Tables.events(spark, sfDir)
+    val daily = graft.timeseries.TimeSeries.dailyDistinctSketches(
+      ev, col("event_type"), col("ts"), col("user_id"))
+    // pre-aggregate is small: one row per (key, day)
+    val nDays = ev.select(
+      graft.timeseries.TimeSeries.bin(col("ts"), 86400)).distinct().count()
+    val nKeys = ev.select(col("event_type")).distinct().count()
+    assert(daily.count() <= nDays * nKeys)
+    val rolled = graft.timeseries.TimeSeries.rollupDistinct(daily)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // merging daily sketches gives the SAME estimate as sketching the
+    // raw stream directly (union is lossless over sketches)...
+    val direct = ev.groupBy(col("event_type"))
+      .agg(hll_sketch_estimate(hll_sketch_agg(col("user_id"))).as("e"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    for ((k, v) <- direct) assert(rolled(k) == v, s"$k: ${rolled(k)} vs $v")
+    // ...and both are within HLL error of the exact distinct
+    val exact = ev.groupBy(col("event_type"))
+      .agg(countDistinct(col("user_id")).as("u"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    for ((k, v) <- exact)
+      assert(math.abs(rolled(k) - v).toDouble / v < 0.05,
+        s"$k: sketch ${rolled(k)} vs exact $v")
+  }
+
   test("ts_interpolate fills gaps between observed neighbors") {
     import org.apache.spark.sql.functions._
     val df = SparkEntry.queries("ts_interpolate")(spark, sfDir)
