@@ -27,9 +27,13 @@ object SparkEntry {
     all.map(q => q.name -> q).toMap
   }
 
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks
+    * rows>0. The reference README's own headline query — synthesized
+    * lines through the parser, melted to Timestream records, ago(24h),
+    * bin(1h) × edge location, SUM(CASE measure_name).
+    */
   def entry(spark: SparkSession): DataFrame =
-    registry("q1_agg").fn(spark, "/root/testdata/sf0.001")
+    registry("q_timestream_headline").fn(spark, "/root/testdata/sf0.001")
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -84,6 +84,30 @@ object CloudFrontStream {
       .start()
   }
 
+  /** Continuous "top URIs" dashboard feed: watermarked per-(window, uri)
+    * counts — state bounded by the watermark; the aggregate is small
+    * (windows × URIs), so the final per-window rank is a cheap batch
+    * step on each micro-batch's output (see [[rankTop]]), not streaming
+    * state.
+    */
+  def uriCountsPerWindow(lines: DataFrame, window_ : String = "1 hour",
+                         watermark: String = "1 hour"): DataFrame =
+    parsed(lines)
+      .withWatermark("event_time", watermark)
+      .groupBy(window(col("event_time"), window_), col("cs_uri_stem"))
+      .agg(count(lit(1)).as("n_requests"),
+        sum(col("sc_bytes")).as("total_bytes"))
+
+  /** Rank a uriCountsPerWindow aggregate to top-k per window (run inside
+    * foreachBatch or on the complete-mode sink table).
+    */
+  def rankTop(agg: DataFrame, k: Int): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("window"))
+      .orderBy(col("total_bytes").desc, col("cs_uri_stem"))
+    agg.withColumn("rnk", row_number().over(w)).filter(col("rnk") <= k)
+  }
+
   /** Stream-static enrichment: join the parsed stream against a slowly-
     * changing dimension table (edge location → geography here). The
     * static side is broadcast — no shuffle of the stream, no streaming

@@ -16,4 +16,8 @@ class AllQueriesSpec extends GraftSpec {
         s"$name returned no rows")
     }
   }
+
+  test("flagship entry returns rows (driver smoke contract)") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
 }

@@ -33,4 +33,23 @@ class AnalyticsSpec extends GraftSpec {
     assert(prices.sameElements(prices.sorted(Ordering[Double].reverse)))
     assert(rows.length == 20)
   }
+
+  test("salted aggregation equals the direct aggregation") {
+    import org.apache.spark.sql.functions._
+    val ev = graft.sources.Tables.events(spark, sfDir)
+    val salted = graft.functions.Skew.saltedSumCount(
+        ev, col("event_type"), col("value").cast("decimal(18,2)"),
+        col("event_id"), salts = 16)
+      .withColumn("sum_value", col("sum_value").cast("double"))
+    val direct = ev.groupBy(col("event_type").as("key"))
+      .agg(sum(col("value").cast("decimal(18,2)")).cast("double")
+        .as("sum_value"), count(lit(1)).as("n"))
+    assert(salted.orderBy("key").collect().toSeq ==
+      direct.orderBy("key").collect().toSeq)
+    // phase 1 really fans each key out across salts
+    val fan = ev.groupBy(col("event_type"),
+      pmod(graft.functions.Portable.hash60(col("event_id").cast("string")),
+        lit(16L))).count()
+    assert(fan.count() > direct.count())
+  }
 }

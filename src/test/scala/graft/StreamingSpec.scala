@@ -92,6 +92,29 @@ class StreamingSpec extends GraftSpec {
       .count() == 8)
   }
 
+  test("cf_stream top-k: windowed uri counts rank to the batch answer") {
+    val dir = Files.createTempDirectory("graft-stream-t").toString
+    writeLines(dir)
+    val stream = spark.readStream.schema("value STRING").text(dir)
+      .withColumnRenamed("value", "line")
+    val q = CloudFrontStream.uriCountsPerWindow(stream)
+      .writeStream.format("memory").queryName("cf_uri_counts")
+      .outputMode("complete").start()
+    try {
+      q.processAllAvailable()
+      val got = CloudFrontStream.rankTop(spark.table("cf_uri_counts"), 3)
+      val batch = CloudFrontStream.rankTop(
+        CloudFrontStream.uriCountsPerWindow(
+          CloudFrontPack.synthLines(Tables.events(spark, sfDir))), 3)
+      assert(got.count() == batch.count())
+      assert(got.agg(sum("total_bytes")).head().getLong(0) ==
+        batch.agg(sum("total_bytes")).head().getLong(0))
+      // every window contributes at most k rows
+      assert(got.groupBy("window").count()
+        .filter(col("count") > 3).count() == 0)
+    } finally q.stop()
+  }
+
   test("cf_stream enrich: stream-static broadcast join adds geography") {
     val dir = Files.createTempDirectory("graft-stream-e").toString
     val n = writeLines(dir)
