@@ -387,7 +387,97 @@ object Analytics extends QueryPack {
       ORDER BY range_id
       """))
 
+  // B12 — cohort retention over the events stream: cohort = a user's
+  // first active day, retention = distinct users from each cohort active
+  // again N days later. Counts only — deterministic on any cluster. The
+  // (user, day) de-dup happens BEFORE the cohort join, so the join and
+  // final aggregation see at most users × active-days rows, never raw
+  // events.
+  private val qRetention = GraftQuery(
+    "q_retention",
+    (s, d) => {
+      val day = graft.timeseries.TimeSeries.bin(col("ts"), 86400)
+        .cast(TimestampNTZType)
+      val userDays = Tables.events(s, d)
+        .select(col("user_id"), day.as("day")).distinct()
+      val cohorts = userDays.groupBy(col("user_id"))
+        .agg(min(col("day")).as("cohort_day"))
+      userDays.join(cohorts, "user_id")
+        .withColumn("offset_days",
+          ((unix_seconds(col("day").cast(TimestampType)) -
+            unix_seconds(col("cohort_day").cast(TimestampType))) /
+            86400L).cast(LongType))
+        .groupBy(col("cohort_day"), col("offset_days"))
+        .agg(countDistinct(col("user_id")).as("n_users"))
+        .orderBy(col("cohort_day"), col("offset_days"))
+    },
+    Some("""
+      WITH ud AS (
+        SELECT DISTINCT user_id,
+          make_timestamp(epoch_us(ts) - epoch_us(ts) % 86400000000) AS day
+        FROM events),
+      c AS (SELECT user_id, MIN(day) AS cohort_day FROM ud GROUP BY 1)
+      SELECT c.cohort_day,
+        (epoch(ud.day)::BIGINT - epoch(c.cohort_day)::BIGINT) // 86400
+          AS offset_days,
+        COUNT(DISTINCT ud.user_id) AS n_users
+      FROM ud JOIN c ON ud.user_id = c.user_id
+      GROUP BY 1, 2
+      ORDER BY cohort_day, offset_days
+      """))
+
+  // B13 — ordered funnel: view -> signup -> purchase, each stage's
+  // timestamp constrained to follow the previous stage's. Per-user
+  // stage times come from ONE conditional aggregation pass (min ts per
+  // type), then running constraints compose on that 1-row-per-user
+  // frame — no self-joins over raw events.
+  private val qFunnel = GraftQuery(
+    "q_funnel",
+    (s, d) => {
+      val ev = Tables.events(s, d)
+      val stages = ev.groupBy(col("user_id")).agg(
+        min(when(col("event_type") === "view", col("ts"))).as("t_view"),
+        min(when(col("event_type") === "signup", col("ts"))).as("t_signup_any"),
+        min(when(col("event_type") === "purchase", col("ts")))
+          .as("t_purchase_any"))
+      // signup counts only if at/after first view; purchase only if
+      // at/after a qualifying signup
+      val funnel = stages
+        .withColumn("s1", col("t_view").isNotNull)
+        .withColumn("s2", col("s1") && col("t_signup_any") >= col("t_view"))
+        .withColumn("s3",
+          col("s2") && col("t_purchase_any") >= col("t_signup_any"))
+      funnel.agg(
+        count(lit(1)).as("n_users"),
+        sum(when(col("s1"), 1L).otherwise(0L)).as("n_view"),
+        sum(when(col("s2"), 1L).otherwise(0L)).as("n_signup_after_view"),
+        sum(when(col("s3"), 1L).otherwise(0L)).as("n_purchase_after_signup"))
+    },
+    Some("""
+      WITH stages AS (
+        SELECT user_id,
+          MIN(CASE WHEN event_type = 'view' THEN ts END) AS t_view,
+          MIN(CASE WHEN event_type = 'signup' THEN ts END) AS t_signup_any,
+          MIN(CASE WHEN event_type = 'purchase' THEN ts END)
+            AS t_purchase_any
+        FROM events GROUP BY 1),
+      f AS (
+        SELECT user_id,
+          t_view IS NOT NULL AS s1,
+          (t_view IS NOT NULL AND t_signup_any >= t_view) AS s2,
+          (t_view IS NOT NULL AND t_signup_any >= t_view
+            AND t_purchase_any >= t_signup_any) AS s3
+        FROM stages)
+      SELECT COUNT(*) AS n_users,
+        CAST(SUM(CASE WHEN s1 THEN 1 ELSE 0 END) AS BIGINT) AS n_view,
+        CAST(SUM(CASE WHEN s2 THEN 1 ELSE 0 END) AS BIGINT)
+          AS n_signup_after_view,
+        CAST(SUM(CASE WHEN s3 THEN 1 ELSE 0 END) AS BIGINT)
+          AS n_purchase_after_signup
+      FROM f
+      """))
+
   override val queries: Seq[GraftQuery] =
-    Seq(q1, q3, q5, qWindow, qTopk, qCube, qSemi, qAnti, qJson,
+    Seq(qRetention, qFunnel, q1, q3, q5, qWindow, qTopk, qCube, qSemi, qAnti, qJson,
       qTopkPerKey, qRangeJoin)
 }

@@ -356,7 +356,62 @@ object TimeSeriesPack extends QueryPack {
       FROM t GROUP BY user_id ORDER BY user_id
       """))
 
+  // A17 — z-score anomaly detection on the hourly series: per dimension,
+  // flag hours whose bin total departs the dimension's own mean by >= 2
+  // population standard deviations — the "alert on unusual traffic"
+  // query a monitoring stack runs on exactly this data. Two shuffles
+  // (bin agg, per-dimension moments); moments via decimal sums so they
+  // are partition-order independent; sqrt/divide are IEEE-identical in
+  // both engines, and the reported z is floored to ppm (§7: compound
+  // float results are compared via floor-to-integer, never round).
+  private val tsAnomaly = GraftQuery(
+    "ts_anomaly",
+    (s, d) => {
+      val bins = Tables.events(s, d)
+        .groupBy(col("event_type"),
+          TimeSeries.bin(col("ts"), 3600).cast(TimestampNTZType).as("bin"))
+        .agg(dsumValue.as("x"))
+      val dec = DecimalType(28, 10)
+      val moments = bins.groupBy(col("event_type"))
+        .agg(
+          count(lit(1)).as("n"),
+          (sum(col("x").cast(dec)).cast(DoubleType) / count(lit(1)))
+            .as("mean"),
+          (sum((col("x") * col("x")).cast(dec)).cast(DoubleType) /
+            count(lit(1))).as("meansq"))
+        .withColumn("std", sqrt(col("meansq") - col("mean") * col("mean")))
+      bins.join(moments, "event_type")
+        .filter(col("n") > 1 && col("std") > 0)
+        .withColumn("z", (col("x") - col("mean")) / col("std"))
+        .filter(col("z") >= 2.0 || col("z") <= -2.0)
+        .select(col("event_type"), col("bin"), col("x"),
+          floor(col("z") * 1000000.0d).cast(LongType).as("z_ppm"))
+        .orderBy(col("event_type"), col("bin"))
+    },
+    Some("""
+      WITH bins AS (
+        SELECT event_type,
+          make_timestamp(epoch_us(ts) - epoch_us(ts) % 3600000000) AS bin,
+          CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS x
+        FROM events GROUP BY 1, 2),
+      m AS (
+        SELECT event_type, COUNT(*) AS n,
+          CAST(SUM(CAST(x AS DECIMAL(28,10))) AS DOUBLE) / COUNT(*) AS mean,
+          CAST(SUM(CAST(x * x AS DECIMAL(28,10))) AS DOUBLE) / COUNT(*)
+            AS meansq
+        FROM bins GROUP BY 1),
+      z AS (
+        SELECT b.event_type, b.bin, b.x,
+          (b.x - m.mean) / sqrt(m.meansq - m.mean * m.mean) AS z
+        FROM bins b JOIN m ON b.event_type = m.event_type
+        WHERE m.n > 1 AND sqrt(m.meansq - m.mean * m.mean) > 0)
+      SELECT event_type, bin, x,
+        CAST(floor(z * 1000000.0) AS BIGINT) AS z_ppm
+      FROM z WHERE z >= 2.0 OR z <= -2.0
+      ORDER BY event_type, bin
+      """))
+
   override val queries: Seq[GraftQuery] = Seq(
     tsBin, tsAgo, tsSeries, sessionize, metricsDaily, percentiles,
-    topUsers, approxMetrics, tsInterpolate, tsAsof)
+    topUsers, approxMetrics, tsInterpolate, tsAsof, tsAnomaly)
 }
