@@ -127,6 +127,31 @@ object CloudFrontLogs {
                          dataCol: String = "data"): DataFrame =
     records.withColumn("line", decode(unbase64(col(dataCol)), "UTF-8"))
 
+  /** Lambda-trigger-shaped ingest: JSON event envelopes
+    * (`{"Records":[{"kinesis":{"data":"<base64>"}}]}` — the exact shape
+    * the reference handler receives, lambda_function.py:66-71 /
+    * test.json) → one `line` row per wrapped record. JSON path
+    * extraction + explode, all codegen'd; works identically on a
+    * streaming DataFrame of envelope strings.
+    */
+  def fromKinesisEnvelopes(envelopes: DataFrame,
+                           jsonCol: String = "value"): DataFrame =
+    envelopes
+      .select(explode(from_json(col(jsonCol),
+          org.apache.spark.sql.types.DataType.fromDDL(
+            "Records ARRAY<STRUCT<kinesis: STRUCT<data: STRING>>>")
+            .asInstanceOf[org.apache.spark.sql.types.StructType])
+        ("Records")).as("r"))
+      .select(decode(unbase64(col("r.kinesis.data")), "UTF-8").as("line"))
+
+  /** Batch ingest of raw tab-delimited real-time log files: text source
+    * → [[parse]]. The file layout plays the Kinesis stream's role for
+    * backfill — same parser, same downstream plan.
+    */
+  def readLogs(spark: org.apache.spark.sql.SparkSession,
+               path: String): DataFrame =
+    parse(spark.read.text(path).withColumnRenamed("value", "line"))
+
   /** Wide parsed logs → long Timestream-style records: one row per
     * (record, measure) with the remaining fields packed as the dimension
     * map, time taken from the epoch-seconds `timestamp` field truncated to

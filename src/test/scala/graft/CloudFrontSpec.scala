@@ -93,6 +93,27 @@ class CloudFrontSpec extends GraftSpec {
     assert(r.getAs[String]("x_edge_location") == "IAD66-C1")
   }
 
+  test("fromKinesisEnvelopes unwraps lambda-trigger JSON to lines") {
+    val b64 = java.util.Base64.getEncoder
+      .encodeToString(sampleLine.getBytes("UTF-8"))
+    val env =
+      s"""{"Records":[{"kinesis":{"data":"$b64"}},{"kinesis":{"data":"$b64"}}]}"""
+    val lines = CloudFrontLogs.fromKinesisEnvelopes(Seq(env).toDF("value"))
+    assert(lines.count() == 2)
+    val parsed = CloudFrontLogs.parse(lines).collect()
+    assert(parsed.forall(_.getAs[Long]("sc_bytes") == 16653L))
+  }
+
+  test("readLogs round-trips a written log file through the parser") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-logs").toString
+    val events = graft.sources.Tables.events(spark, sfDir)
+    graft.operators.CloudFrontPack.synthLines(events)
+      .coalesce(1).write.mode("overwrite").text(dir)
+    val parsed = CloudFrontLogs.readLogs(spark, dir)
+    assert(parsed.count() == events.count())
+    assert(parsed.select(sum(col("sc_bytes"))).head().getLong(0) > 0)
+  }
+
   test("parseHeaders drops entries without a colon, like the reference") {
     val raw = "Host:h1%0ANoColonHeader%0AX:1"
     val hs = Seq(raw).toDF("h")

@@ -101,4 +101,43 @@ class PropertySpec extends GraftSpec {
       }
     }
   }
+
+  test("shard_pack invariants: per-stratum monotone shards at budget boundaries") {
+    val rows = SparkEntry.queries("shard_pack")(spark, sfDir).collect()
+    val budget = 20000L
+    rows.groupBy(_.getAs[String]("lang")).values.foreach { lg =>
+      val sorted = lg.sortBy(_.getAs[Long]("doc_id"))
+      var cum = 0L
+      sorted.foreach { r =>
+        // shard id is exactly the budget quotient of the start offset
+        assert(r.getAs[Long]("shard_id") == cum / budget)
+        cum += r.getAs[Int]("n_tokens")
+        assert(r.getAs[Long]("cum_tokens") == cum)
+      }
+    }
+  }
+
+  test("sample_stratified rates land near targets and are deterministic") {
+    val df = SparkEntry.queries("sample_stratified")(spark,
+      "/root/testdata/sf0.01")
+    val kept = df.collect()
+    // every draw respects its stratum's threshold by construction;
+    // realized rates should be within a loose binomial band of target
+    val byLang = kept.groupBy(_.getAs[String]("lang")).view
+      .mapValues(_.length).toMap
+    val totals = graft.sources.Tables
+      .documents(spark, "/root/testdata/sf0.01")
+      .groupBy(org.apache.spark.sql.functions.col("lang")).count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val target = Map("en" -> 0.5, "de" -> 0.3, "es" -> 0.3,
+      "fr" -> 0.3, "zh" -> 0.2)
+    for ((lang, t) <- target) {
+      val rate = byLang.getOrElse(lang, 0).toDouble / totals(lang)
+      assert(math.abs(rate - t) < 0.15, s"$lang: $rate vs $t")
+    }
+    // determinism: the same call yields the identical kept set
+    val again = SparkEntry.queries("sample_stratified")(spark,
+      "/root/testdata/sf0.01").collect()
+    assert(kept.map(_.toString).toSeq == again.map(_.toString).toSeq)
+  }
 }
