@@ -130,6 +130,14 @@ object CloudFrontPack extends QueryPack {
     */
   private def parsedCached(s: SparkSession, d: String): DataFrame =
     CloudFrontLogs.parse(synthLines(Tables.events(s, d)))
+      // cache only the union of columns the sharing queries touch —
+      // materializing all 40 parsed fields costs ~3x the pruned set and
+      // nothing downstream reads the rest (a cluster deployment would
+      // likewise persist a projected columnar view, not the raw width)
+      .select(col("timestamp"), col("sc_status"), col("sc_bytes"),
+        col("time_taken"), col("c_ip"), col("cs_referer"),
+        col("x_edge_location"), col("x_edge_result_type"),
+        col("c_country"), col("cs_uri_stem"), col("x_edge_request_id"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
   // A1 — full parser round-trip. The aggregation groups on two PARSED
