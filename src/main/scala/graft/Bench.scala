@@ -14,15 +14,19 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
     // JIT/codegen warmup so the first timed query doesn't absorb it
     spark.range(1000).selectExpr("sum(id)").collect()
-    val results = SparkEntry.queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+    def pass(): Map[String, Double] = SparkEntry.queries.map {
+      case (name, fn) =>
+        val t0 = System.nanoTime()
+        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+        name -> (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
+    val results = pass() // cold: planning + codegen + cache builds
+    val steady = pass() // warm: plan/codegen cached, shared caches hot
+    def fmt(m: Map[String, Double]) = m
+      .map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val steadyTotal = if (steady.nonEmpty) steady.values.sum else 0.0
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":${fmt(results)},"sf":"$sfDir","steady_total":$steadyTotal,"queries_steady":${fmt(steady)}}""")
     spark.stop()
   }
 }

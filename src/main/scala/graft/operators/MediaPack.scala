@@ -43,5 +43,45 @@ object MediaPack extends QueryPack {
       ORDER BY doc_id
       """))
 
-  override val queries: Seq[GraftQuery] = Seq(mediaFeatures)
+  // F3 — frame sampling surface: one row per sampled frame (1 fps of
+  // fake duration, capped at 8; images one frame), frame features from
+  // the decode STUB over deterministic payload slices. The oracle
+  // rebuilds the slice boundaries with integer arithmetic and the same
+  // base-131 fold over character ordinals (ASCII text: ord == byte).
+  private val mediaFrames = GraftQuery(
+    "media_frames",
+    (s, d) => {
+      MediaFeaturizer.sampleFrames(Media.synthesize(Tables.documents(s, d)))
+        .toDF()
+        .orderBy(col("doc_id"), col("frame_idx"))
+    },
+    Some(s"""
+      WITH m AS (
+        SELECT doc_id, text,
+          $mediaTypeSql AS media_type,
+          CASE WHEN doc_id % 3 = 0 THEN 1
+               ELSE least(8, greatest(1,
+                 ((doc_id % 600) * 1000 + 1000) // 1000)) END AS n_frames,
+          CAST(octet_length(encode(text)) AS BIGINT) AS len
+        FROM documents),
+      f AS (
+        SELECT doc_id, media_type, n_frames, len,
+          unnest(range(n_frames)) AS frame_idx, text
+        FROM m)
+      SELECT doc_id, media_type,
+        CAST(frame_idx AS INTEGER) AS frame_idx,
+        CAST(n_frames AS INTEGER) AS n_frames,
+        list_reduce(list_prepend(CAST(0 AS BIGINT),
+          list_transform(string_split(substr(text,
+              CAST((len * frame_idx) // n_frames AS BIGINT) + 1,
+              CAST((len * (frame_idx + 1)) // n_frames
+                - (len * frame_idx) // n_frames AS BIGINT)), ''),
+            c -> CAST(ord(c) AS BIGINT))),
+          (h, c) -> (h * 131 + c) % ${graft.functions.Portable.P})
+          AS frame_hash
+      FROM f
+      ORDER BY doc_id, frame_idx
+      """))
+
+  override val queries: Seq[GraftQuery] = Seq(mediaFeatures, mediaFrames)
 }
