@@ -271,19 +271,19 @@ object DedupPack extends QueryPack {
     (s, d) => {
       val sh = shingled(s, d)
       val ex = sh.select(col("doc_id"), explode(col("shingles")).as("sh"))
-      val rare = ex.groupBy(col("sh"))
-        .agg(count(lit(1)).as("df"))
+      // ONE shuffle builds the whole inverted index: exact df + the
+      // per-shingle posting list through the G8 bounded-collect aggregate
+      // (cap maxDF+1, so under-cap groups carry their complete doc set
+      // and a hot shingle's buffer can never exceed maxDF+1 elements on
+      // any partial-aggregation path — the memory-safety property plain
+      // collect_list lacks at corpus scale). The previous two-pass shape
+      // (df agg → rare-set join-back → second groupBy) is collapsed into
+      // this single aggregation.
+      val cand = ex.groupBy(col("sh"))
+        .agg(count(lit(1)).as("df"),
+          graft.expressions.BoundedCollectList
+            .boundedCollect(col("doc_id"), maxDF + 1).as("docs"))
         .filter(col("df") >= 2 && col("df") <= maxDF)
-        .select(col("sh"))
-      val exRare = ex.join(rare, "sh")
-      // Pairs via a bounded per-shingle collect_list (<= maxDF elements by
-      // construction — safe at any corpus size) instead of a bucket
-      // self-join: the exRare subplan — which Spark would otherwise
-      // recompute for the second join branch (no cross-branch CSE) — runs
-      // exactly once, and when the rare-set join is sort-merge (the
-      // at-scale path) the groupBy reuses its sh-partitioning.
-      val cand = exRare.groupBy(col("sh"))
-        .agg(collect_list(col("doc_id")).as("docs"))
         .select(explode(col("docs")).as("doc_a"), col("docs"))
         .select(col("doc_a"), explode(col("docs")).as("doc_b"))
         .filter(col("doc_a") < col("doc_b"))
