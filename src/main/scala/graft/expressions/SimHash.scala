@@ -129,7 +129,10 @@ object GraftFunctions {
       (e: Seq[Expression]) => L2Norm(e.head)),
     (FunctionIdentifier("graft_shingles3"),
       new ExpressionInfo(classOf[Shingles3].getName, "graft_shingles3"),
-      (e: Seq[Expression]) => Shingles3(e.head)))
+      (e: Seq[Expression]) => Shingles3(e.head)),
+    (FunctionIdentifier("graft_hash60"),
+      new ExpressionInfo(classOf[Hash60].getName, "graft_hash60"),
+      (e: Seq[Expression]) => Hash60(e.head)))
 
   /** Idempotent imperative registration on an existing session:
     * SQL functions + the optimizer rewrites.

@@ -25,9 +25,15 @@ object Portable {
   /** 2^31-1, the modulus of the portable hash family. */
   val P: Long = 2147483647L
 
-  /** 60-bit md5-derived hash of a string column (non-negative). */
-  def hash60(c: Column): Column =
-    conv(substring(md5(c), 1, 15), 16, 10).cast(LongType)
+  /** 60-bit md5-derived hash of a string column (non-negative). Native
+    * codegen'd kernel ([[graft.expressions.Hash60]]) — bit-identical to
+    * `conv(substring(md5(c),1,15),16,10)` without the hex-string
+    * round-trip (property-tested against the JVM md5 reference).
+    */
+  def hash60(c: Column): Column = {
+    import org.apache.spark.sql.GraftColumnBridge.{column, expression}
+    column(graft.expressions.Hash60(expression(c)))
+  }
 
   /** hash60 reduced mod P — the base hash for affine hash families. */
   def hashP(c: Column): Column = pmod(hash60(c), lit(P))
