@@ -9,6 +9,12 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      // Bytes-based partition coalescing misjudges compute-dense,
+      // byte-light stages (candidate-pair verification reads ~4MB but
+      // burns ~10s of CPU); a smaller floor keeps such stages parallel.
+      // At cluster scale shuffle partitions exceed any floor anyway.
+      .config("spark.sql.adaptive.coalescePartitions.minPartitionSize",
+        "64KB")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

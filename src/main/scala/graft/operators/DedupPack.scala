@@ -270,7 +270,13 @@ object DedupPack extends QueryPack {
     "ngram_jaccard",
     (s, d) => {
       val sh = shingled(s, d)
-      val ex = sh.select(col("doc_id"), explode(col("shingles")).as("sh"))
+      // Index on the HASH of the shingle, not the string: 8-byte shuffle
+      // keys instead of ~25-char strings (the standard hashed-inverted-
+      // index trade: a 60-bit collision can merge two shingles' postings,
+      // harmless here because candidates are exact-Jaccard-verified and
+      // the oracle mirrors the same hashing).
+      val ex = sh.select(col("doc_id"), explode(col("shingles")).as("s0"))
+        .select(col("doc_id"), hashP(col("s0")).as("sh"))
       // ONE shuffle builds the whole inverted index: exact df + the
       // per-shingle posting list through the G8 bounded-collect aggregate
       // (cap maxDF+1, so under-cap groups carry their complete doc set
@@ -298,7 +304,8 @@ object DedupPack extends QueryPack {
     },
     Some(s"""
       WITH $shingledSql,
-      ex AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+      ex0 AS (SELECT doc_id, unnest(shingles) AS s0 FROM sh),
+      ex AS (SELECT doc_id, ${Portable.sql.hashP("s0")} AS s FROM ex0),
       rare AS (SELECT s FROM ex GROUP BY s
                HAVING COUNT(*) >= 2 AND COUNT(*) <= $maxDF),
       exr AS (SELECT ex.doc_id, ex.s FROM ex JOIN rare ON ex.s = rare.s),
