@@ -387,6 +387,40 @@ object Analytics extends QueryPack {
       ORDER BY range_id
       """))
 
+  // B14 — pivot to a wide reporting table: one row per day, one column
+  // per event type. Spark's relational pivot compiles to exactly the
+  // CASE-sum aggregation the oracle spells out — one scan, one shuffle.
+  private val qPivot = GraftQuery(
+    "q_pivot",
+    (s, d) => {
+      val day = graft.timeseries.TimeSeries.bin(col("ts"), 86400)
+        .cast(TimestampNTZType)
+      Tables.events(s, d)
+        .groupBy(day.as("day"))
+        .pivot("event_type",
+          Seq("click", "error", "purchase", "signup", "view"))
+        .agg(count(lit(1)))
+        .na.fill(0L)
+        .orderBy(col("day"))
+    },
+    Some("""
+      SELECT make_timestamp(epoch_us(ts) - epoch_us(ts) % 86400000000)
+          AS day,
+        CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+          AS BIGINT) AS click,
+        CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+          AS BIGINT) AS error,
+        CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+          AS BIGINT) AS purchase,
+        CAST(SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END)
+          AS BIGINT) AS signup,
+        CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+          AS BIGINT) AS view
+      FROM events
+      GROUP BY 1
+      ORDER BY day
+      """))
+
   // B12 — cohort retention over the events stream: cohort = a user's
   // first active day, retention = distinct users from each cohort active
   // again N days later. Counts only — deterministic on any cluster. The
@@ -478,6 +512,7 @@ object Analytics extends QueryPack {
       """))
 
   override val queries: Seq[GraftQuery] =
-    Seq(qRetention, qFunnel, q1, q3, q5, qWindow, qTopk, qCube, qSemi, qAnti, qJson,
+    Seq(qRetention, qFunnel, qPivot, q1, q3, q5, qWindow, qTopk, qCube,
+      qSemi, qAnti, qJson,
       qTopkPerKey, qRangeJoin)
 }

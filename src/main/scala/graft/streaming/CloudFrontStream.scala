@@ -115,4 +115,30 @@ object CloudFrontStream {
     */
   def enrich(lines: DataFrame, edgeDims: DataFrame): DataFrame =
     parsed(lines).join(broadcast(edgeDims), Seq("x_edge_location"), "left")
+
+  /** Stream-stream join: pair every request with 5xx errors from the
+    * same client IP in the PRECEDING `horizon` — "what did this client
+    * hit just before/while erroring". Both sides carry watermarks and
+    * the join condition bounds event-time distance, so each side's
+    * state store retains only a horizon's worth of rows — the condition
+    * Structured Streaming requires to age state out of an inner
+    * stream-stream join. Works identically on batch frames (the spec's
+    * equivalence check).
+    */
+  def errorsNearRequests(lines: DataFrame, horizon: String = "10 minutes",
+                         watermark: String = "1 hour"): DataFrame = {
+    val reqs = parsed(lines)
+      .withWatermark("event_time", watermark)
+      .select(col("c_ip").as("ip"), col("event_time").as("req_time"),
+        col("cs_uri_stem").as("uri"))
+    val errs = parsed(lines)
+      .filter(col("sc_status") >= 500)
+      .withWatermark("event_time", watermark)
+      .select(col("c_ip").as("err_ip"), col("event_time").as("err_time"))
+    reqs.join(errs,
+      col("ip") === col("err_ip") &&
+        col("req_time") >= col("err_time") - expr(s"INTERVAL $horizon") &&
+        col("req_time") <= col("err_time"))
+      .select(col("ip"), col("uri"), col("req_time"), col("err_time"))
+  }
 }

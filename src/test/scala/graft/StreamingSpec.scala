@@ -115,6 +115,30 @@ class StreamingSpec extends GraftSpec {
     } finally q.stop()
   }
 
+  test("cf_stream stream-stream join bounds state and matches batch") {
+    val dir = Files.createTempDirectory("graft-stream-j").toString
+    writeLines(dir)
+    val stream = spark.readStream.schema("value STRING").text(dir)
+      .withColumnRenamed("value", "line")
+    val q = CloudFrontStream.errorsNearRequests(stream)
+      .writeStream.format("memory").queryName("cf_err_near")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("cf_err_near")
+      val batch = CloudFrontStream.errorsNearRequests(
+        CloudFrontPack.synthLines(Tables.events(spark, sfDir)))
+      // inner stream-stream joins emit only watermark-resolved matches;
+      // everything emitted must be a true batch match, and the join must
+      // produce a substantial share of them on this bounded input
+      val gotKeys = got.collect().map(_.toString).toSet
+      val batchKeys = batch.collect().map(_.toString).toSet
+      assert(gotKeys.nonEmpty)
+      assert(gotKeys.subsetOf(batchKeys))
+      assert(gotKeys.size >= batchKeys.size / 2)
+    } finally q.stop()
+  }
+
   test("cf_stream enrich: stream-static broadcast join adds geography") {
     val dir = Files.createTempDirectory("graft-stream-e").toString
     val n = writeLines(dir)
