@@ -411,7 +411,47 @@ object TimeSeriesPack extends QueryPack {
       ORDER BY event_type, bin
       """))
 
+  // §5 — the salted two-phase aggregation, oracle-verified: the oracle
+  // is the PLAIN single-phase aggregation, so the hash-match proves the
+  // hot-key-safe rewrite is lossless (decimal partials re-aggregate
+  // exactly; counts are associative).
+  private val qSkewAgg = GraftQuery(
+    "q_skew_agg",
+    (s, d) => {
+      graft.functions.Skew.saltedSumCount(
+          Tables.events(s, d), col("event_type"),
+          col("value").cast(DecimalType(18, 2)), col("event_id"),
+          salts = 16)
+        .select(col("key").as("event_type"),
+          col("sum_value").cast(DoubleType).as("sum_value"), col("n"))
+        .orderBy(col("event_type"))
+    },
+    Some("""
+      SELECT event_type,
+        CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
+        COUNT(*) AS n
+      FROM events
+      GROUP BY event_type
+      ORDER BY event_type
+      """))
+
+  // A10d' — the mergeable-sketch pre-aggregate surface as a registry
+  // entry (approximate by design → rows-only driver check; the spec
+  // asserts union-losslessness and the 5% bound against exact).
+  private val sketchRollup = GraftQuery(
+    "metrics_sketch_rollup",
+    (s, d) => {
+      val daily = TimeSeries.dailyDistinctSketches(
+        Tables.events(s, d), col("event_type"), col("ts"), col("user_id"))
+      TimeSeries.rollupDistinct(daily)
+        .select(col("key").as("event_type"), col("approx_distinct"),
+          col("n_rows"))
+        .orderBy(col("event_type"))
+    },
+    None)
+
   override val queries: Seq[GraftQuery] = Seq(
     tsBin, tsAgo, tsSeries, sessionize, metricsDaily, percentiles,
-    topUsers, approxMetrics, tsInterpolate, tsAsof, tsAnomaly)
+    topUsers, approxMetrics, tsInterpolate, tsAsof, tsAnomaly,
+    qSkewAgg, sketchRollup)
 }

@@ -115,6 +115,27 @@ class StreamingSpec extends GraftSpec {
     } finally q.stop()
   }
 
+  test("cf_stream dedup: dropDuplicatesWithinWatermark keeps one per request id") {
+    val dir = Files.createTempDirectory("graft-stream-d").toString
+    // duplicate every line (retry semantics) by writing the corpus twice
+    val lines = CloudFrontPack.synthLines(Tables.events(spark, sfDir))
+    val n = lines.count()
+    lines.union(lines).coalesce(1).write.mode("overwrite").text(dir)
+    val stream = spark.readStream.schema("value STRING").text(dir)
+      .withColumnRenamed("value", "line")
+    val q = CloudFrontStream.parsed(stream)
+      .withWatermark("event_time", "1 hour")
+      .dropDuplicatesWithinWatermark("x_edge_request_id")
+      .groupBy().count()
+      .writeStream.format("memory").queryName("cf_dedup_stream")
+      .outputMode("complete").start()
+    try {
+      q.processAllAvailable()
+      // every duplicate collapsed: one row per unique request id
+      assert(spark.table("cf_dedup_stream").head().getLong(0) == n)
+    } finally q.stop()
+  }
+
   test("cf_stream stream-stream join bounds state and matches batch") {
     val dir = Files.createTempDirectory("graft-stream-j").toString
     writeLines(dir)
