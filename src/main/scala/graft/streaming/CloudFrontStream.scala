@@ -108,6 +108,34 @@ object CloudFrontStream {
     agg.withColumn("rnk", row_number().over(w)).filter(col("rnk") <= k)
   }
 
+  /** Small-file compaction for the partitioned store: continuous
+    * foreachBatch appends leave one file per (micro-batch × partition);
+    * a periodic compaction rewrites each (measure_name, day) partition
+    * into `filesPerPartition` files. Dynamic partition overwrite touches
+    * only partitions present in the read — an idempotent maintenance
+    * job a scheduler runs beside the stream (on live partitions, pair
+    * it with the stream's epoch/commit coordination).
+    */
+  def compactStore(spark: org.apache.spark.sql.SparkSession,
+                   path: String, filesPerPartition: Int = 1): Unit = {
+    // Spark (rightly) refuses to overwrite a path it is reading, so the
+    // compacted copy lands in a sibling directory and swaps in with two
+    // renames — the same swap a table format does with a metadata commit.
+    val hadoop = spark.sparkContext.hadoopConfiguration
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(hadoop)
+    val tmp = new org.apache.hadoop.fs.Path(path + "__compacting")
+    val old = new org.apache.hadoop.fs.Path(path + "__precompact")
+    spark.read.parquet(path)
+      .repartition(filesPerPartition, col("measure_name"), col("day"))
+      .write.mode("overwrite")
+      .partitionBy("measure_name", "day")
+      .parquet(tmp.toString)
+    require(fs.rename(p, old), s"compact: could not stage $path")
+    require(fs.rename(tmp, p), s"compact: could not swap in $tmp")
+    fs.delete(old, true)
+  }
+
   /** Stream-static enrichment: join the parsed stream against a slowly-
     * changing dimension table (edge location → geography here). The
     * static side is broadcast — no shuffle of the stream, no streaming

@@ -160,6 +160,36 @@ class StreamingSpec extends GraftSpec {
     } finally q.stop()
   }
 
+  test("cf_stream store compaction collapses micro-batch files, keeps data") {
+    val dir = Files.createTempDirectory("graft-stream-c").toString
+    val out = Files.createTempDirectory("graft-tsdb-c").toString + "/store"
+    val n = writeLines(dir)
+    // two separate micro-batched runs → >= 2 files per partition
+    (1 to 2).foreach { i =>
+      val ckpt = Files.createTempDirectory(s"graft-ckpt-c$i").toString
+      val stream = spark.readStream.schema("value STRING").text(dir)
+        .withColumnRenamed("value", "line")
+      val q = CloudFrontStream.toTimestreamStore(stream, out, ckpt)
+      try q.processAllAvailable() finally q.stop()
+    }
+    val before = spark.read.parquet(out)
+    val beforeCount = before.count()
+    val beforeSum = before.filter(col("measure_name") === "sc_bytes")
+      .agg(sum(col("measure_value"))).head().getDouble(0)
+    assert(beforeCount == 4 * n) // 2 runs x 2 measures
+    CloudFrontStream.compactStore(spark, out)
+    val files = new java.io.File(out).listFiles()
+      .filter(_.getName.startsWith("measure_name="))
+      .flatMap(_.listFiles()).filter(_.isDirectory)
+      .map(d => d -> d.listFiles().count(_.getName.endsWith(".parquet")))
+    assert(files.nonEmpty && files.forall(_._2 == 1),
+      files.map { case (d, c) => s"${d.getName}: $c" }.mkString(", "))
+    val after = spark.read.parquet(out)
+    assert(after.count() == beforeCount)
+    assert(after.filter(col("measure_name") === "sc_bytes")
+      .agg(sum(col("measure_value"))).head().getDouble(0) == beforeSum)
+  }
+
   test("cf_stream enrich: stream-static broadcast join adds geography") {
     val dir = Files.createTempDirectory("graft-stream-e").toString
     val n = writeLines(dir)
