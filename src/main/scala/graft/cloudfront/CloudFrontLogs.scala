@@ -87,9 +87,15 @@ object CloudFrontLogs {
             keep: Seq[String] = Nil): DataFrame = {
     val parts = split(col(lineCol), "\t")
     val parsed = fieldMappings.zipWithIndex.map { case ((name, dt), i) =>
-      val raw = trim(element_at(parts, i + 1))
+      // try_element_at: a truncated record yields NULL fields instead of
+      // failing the job — one malformed line in a 100 TB scan must never
+      // kill the query (the reference's per-record lambda would raise on
+      // that record alone; a distributed scan has no such isolation).
+      // try_cast likewise nulls un-castable numerics ('abc' in an int
+      // field) instead of aborting under ANSI semantics.
+      val raw = trim(try_element_at(parts, lit(i + 1)))
       when(raw === "-" || raw === "", lit(null))
-        .otherwise(raw).cast(dt).as(columnName(name))
+        .otherwise(raw).try_cast(dt).as(columnName(name))
     }
     val out = lines.select(keep.map(col) ++ parsed: _*)
     if (dropHeaders) out.drop("cs_headers", "cs_header_names") else out

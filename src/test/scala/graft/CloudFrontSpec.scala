@@ -93,6 +93,24 @@ class CloudFrontSpec extends GraftSpec {
     assert(r.getAs[String]("x_edge_location") == "IAD66-C1")
   }
 
+  test("parse survives truncated and corrupt records with NULLs, not failures") {
+    import spark.implicits._
+    val lines = Seq(
+      "1700000000.1\t1.2.3.4\t0.5", // 3 of 40 fields
+      "", // empty line
+      sampleLine.replace("16653", "not-a-number") // corrupt int field
+    ).toDF("line")
+    val rows = CloudFrontLogs.parse(lines).collect()
+    assert(rows.length == 3)
+    // truncated: present fields typed, absent fields NULL
+    assert(rows(0).getAs[Double]("timestamp") == 1700000000.1)
+    assert(rows(0).getAs[Any]("sc_status") == null)
+    // corrupt numeric: that field NULL, neighbors intact
+    val corrupt = rows(2)
+    assert(corrupt.getAs[Any]("sc_bytes") == null)
+    assert(corrupt.getAs[String]("x_edge_location") == "IAD66-C1")
+  }
+
   test("fromKinesisEnvelopes unwraps lambda-trigger JSON to lines") {
     val b64 = java.util.Base64.getEncoder
       .encodeToString(sampleLine.getBytes("UTF-8"))
