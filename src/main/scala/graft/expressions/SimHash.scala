@@ -132,7 +132,23 @@ object GraftFunctions {
       (e: Seq[Expression]) => Shingles3(e.head)),
     (FunctionIdentifier("graft_hash60"),
       new ExpressionInfo(classOf[Hash60].getName, "graft_hash60"),
-      (e: Seq[Expression]) => Hash60(e.head)))
+      (e: Seq[Expression]) => Hash60(e.head)),
+    // Timestream bin(time, seconds) as a SQL function: composed from the
+    // same exact-long-arithmetic column expression TimeSeries.bin uses.
+    (FunctionIdentifier("graft_bin"),
+      new ExpressionInfo(classOf[Hash60].getName, "graft_bin"),
+      (e: Seq[Expression]) => {
+        import org.apache.spark.sql.GraftColumnBridge
+        val seconds = e(1) match {
+          case lit: org.apache.spark.sql.catalyst.expressions.Literal =>
+            lit.value.toString.toLong
+          case other => throw new IllegalArgumentException(
+            s"graft_bin(ts, seconds): seconds must be a literal, got $other")
+        }
+        GraftColumnBridge.convertedExpression(
+          graft.timeseries.TimeSeries.bin(
+            GraftColumnBridge.column(e.head), seconds))
+      }))
 
   /** Idempotent imperative registration on an existing session:
     * SQL functions + the optimizer rewrites.
