@@ -411,6 +411,52 @@ object TimeSeriesPack extends QueryPack {
       ORDER BY event_type, bin
       """))
 
+  // A18 — TWO-TABLE as-of join through the generic union-and-carry
+  // operator (TimeSeries.asofJoin): every event picks up the most
+  // recent quota row (a sparse per-type daily table — only every third
+  // day has one, so matches genuinely reach back across gaps). The
+  // oracle is DuckDB's NATIVE `ASOF JOIN` — an independent
+  // implementation of the semantics, not a rebuild of our plan.
+  private val qAsofJoin = GraftQuery(
+    "q_asof_join",
+    (s, d) => {
+      val ev = Tables.events(s, d)
+      val quotas = ev
+        .select(col("event_type"),
+          TimeSeries.bin(col("ts"), 86400).cast(TimestampNTZType).as("qts"))
+        .distinct()
+        .withColumn("dday",
+          expr("unix_seconds(CAST(qts AS TIMESTAMP)) div 86400"))
+        .filter(pmod(col("dday"), lit(3)) === 0)
+        .withColumn("quota",
+          pmod(col("dday"), lit(7)) * 100 + length(col("event_type")))
+        .select(col("event_type"), col("qts"), col("quota"))
+      TimeSeries.asofJoin(ev, quotas, "event_type", "ts", "qts",
+          Seq("quota"))
+        .filter(col("asof_quota").isNotNull)
+        .groupBy(col("event_type"), col("asof_quota"))
+        .agg(count(lit(1)).as("n"), dsumValue.as("sum_value"))
+        .orderBy(col("event_type"), col("asof_quota"))
+    },
+    Some("""
+      WITH days AS (
+        SELECT DISTINCT event_type,
+          make_timestamp(epoch_us(ts) - epoch_us(ts) % 86400000000) AS qts
+        FROM events),
+      quotas AS (
+        SELECT event_type, qts,
+          ((epoch(qts)::BIGINT // 86400) % 7) * 100 + length(event_type)
+            AS quota
+        FROM days
+        WHERE (epoch(qts)::BIGINT // 86400) % 3 = 0)
+      SELECT e.event_type, q.quota AS asof_quota, COUNT(*) AS n,
+        CAST(SUM(CAST(e.value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+      FROM events e ASOF JOIN quotas q
+        ON e.event_type = q.event_type AND e.ts >= q.qts
+      GROUP BY 1, 2
+      ORDER BY 1, 2
+      """))
+
   // §5 — the salted two-phase aggregation, oracle-verified: the oracle
   // is the PLAIN single-phase aggregation, so the hash-match proves the
   // hot-key-safe rewrite is lossless (decimal partials re-aggregate
@@ -453,5 +499,5 @@ object TimeSeriesPack extends QueryPack {
   override val queries: Seq[GraftQuery] = Seq(
     tsBin, tsAgo, tsSeries, sessionize, metricsDaily, percentiles,
     topUsers, approxMetrics, tsInterpolate, tsAsof, tsAnomaly,
-    qSkewAgg, sketchRollup)
+    qAsofJoin, qSkewAgg, sketchRollup)
 }

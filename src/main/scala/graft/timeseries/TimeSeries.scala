@@ -51,6 +51,46 @@ object TimeSeries {
           value.as("v")))),
         x => x.getField("v")).as("series"))
 
+  /** Two-table as-of join: for every left row, the most recent right row
+    * with the same key and right.ts <= left.ts. Implemented as the
+    * shuffle-minimal union-and-carry shape: tag both sides, ONE shuffle
+    * on the key, sort within partitions by (ts, side, tiebreak) — right
+    * rows before left rows at equal timestamps, matching `>=` as-of
+    * semantics — then a running last-non-null carries each right value
+    * forward. No per-row probe, no range join, no broadcast requirement
+    * on either side: both sides stream through a single window, which is
+    * the property that matters when BOTH tables are 100 TB facts.
+    *
+    * @param rightTiebreak column making right-side ordering total when
+    *                      right timestamps collide (determinism).
+    */
+  def asofJoin(left: DataFrame, right: DataFrame, key: String,
+               leftTs: String, rightTs: String, rightVals: Seq[String],
+               rightTiebreak: Column = lit(0)): DataFrame = {
+    val l = left
+      .withColumn("__t", col(leftTs))
+      .withColumn("__side", lit(1))
+      .withColumn("__tb", lit(0))
+    val r0 = right.select((key +: rightTs +: rightVals).map(col): _*)
+    val r = rightVals.foldLeft(
+        r0.withColumn("__t", col(rightTs))
+          .withColumn("__side", lit(0))
+          .withColumn("__tb", rightTiebreak)) {
+      (df, v) => df.withColumnRenamed(v, s"__r_$v")
+    }
+    val u = l.unionByName(r, allowMissingColumns = true)
+    val w = Window.partitionBy(col(key))
+      .orderBy(col("__t"), col("__side"), col("__tb"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val carried = rightVals.foldLeft(u) { (df, v) =>
+      df.withColumn(s"asof_$v",
+        last(col(s"__r_$v"), ignoreNulls = true).over(w))
+    }
+    carried.filter(col("__side") === 1)
+      .drop(("__t" +: "__side" +: "__tb" +: rightTs +:
+        rightVals.map(v => s"__r_$v")): _*)
+  }
+
   /** Mergeable-sketch pre-aggregation — the scale path for distinct
     * counts a dashboard asks at many granularities. Build one HLL sketch
     * per (key, day) — a few-KB binary, map-side combinable — persist
