@@ -21,19 +21,31 @@ case class IntersectCount(left: Expression, right: Expression)
     (left.dataType, right.dataType) match {
       case (ArrayType(StringType, _), ArrayType(StringType, _)) =>
         TypeCheckResult.TypeCheckSuccess
+      case (ArrayType(LongType, _), ArrayType(LongType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
       case (l, r) => TypeCheckResult.TypeCheckFailure(
-        s"graft_intersect_count needs two array<string>, got ($l, $r)")
+        s"graft_intersect_count needs two array<string|long>, got ($l, $r)")
     }
   override def dataType: DataType = IntegerType
   override def prettyName: String = "graft_intersect_count"
 
+  private def isLong: Boolean =
+    left.dataType.asInstanceOf[ArrayType].elementType == LongType
+
   override protected def nullSafeEval(l: Any, r: Any): Any =
-    IntersectImpl.count(l.asInstanceOf[ArrayData], r.asInstanceOf[ArrayData])
+    if (isLong)
+      IntersectImpl.countLong(l.asInstanceOf[ArrayData],
+        r.asInstanceOf[ArrayData])
+    else
+      IntersectImpl.count(l.asInstanceOf[ArrayData],
+        r.asInstanceOf[ArrayData])
 
   override protected def doGenCode(ctx: CodegenContext,
-                                   ev: ExprCode): ExprCode =
+                                   ev: ExprCode): ExprCode = {
+    val m = if (isLong) "countLong" else "count"
     defineCodeGen(ctx, ev, (a, b) =>
-      s"graft.expressions.IntersectImpl.count($a, $b)")
+      s"graft.expressions.IntersectImpl.$m($a, $b)")
+  }
 
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): IntersectCount =
@@ -56,6 +68,25 @@ object IntersectImpl {
     i = 0
     while (i < large.numElements()) {
       if (!large.isNullAt(i) && set.remove(large.getUTF8String(i))) n += 1
+      i += 1
+    }
+    n
+  }
+
+  /** Long-array variant (hashed-shingle sets). */
+  def countLong(a: ArrayData, b: ArrayData): Int = {
+    val (small, large) =
+      if (a.numElements() <= b.numElements()) (a, b) else (b, a)
+    val set = new java.util.HashSet[java.lang.Long](small.numElements() * 2)
+    var i = 0
+    while (i < small.numElements()) {
+      if (!small.isNullAt(i)) set.add(small.getLong(i))
+      i += 1
+    }
+    var n = 0
+    i = 0
+    while (i < large.numElements()) {
+      if (!large.isNullAt(i) && set.remove(large.getLong(i))) n += 1
       i += 1
     }
     n

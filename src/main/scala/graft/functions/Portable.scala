@@ -57,6 +57,15 @@ object Portable {
     column(graft.expressions.Shingles3(expression(ws)))
   }
 
+  /** Distinct word-3-shingles directly as 60-bit hashes mod P — the
+    * dedup pipeline's working form (8-byte elements, no intermediate
+    * shingle strings). See [[graft.expressions.Shingles3Hashed]].
+    */
+  def shingles3Hashed(ws: Column): Column = {
+    import org.apache.spark.sql.GraftColumnBridge.{column, expression}
+    column(graft.expressions.Shingles3Hashed(expression(ws)))
+  }
+
   /** DuckDB spellings of the same primitives, for oracle SQL mirrors. */
   object sql {
     /** 60-bit md5 hash of SQL expression `e`. */
@@ -68,5 +77,8 @@ object Portable {
     /** shingles over a word-list column named `w`. */
     val shingles3: String =
       "list_distinct(list_transform(range(len(w)-2), i -> w[i+1] || ' ' || w[i+2] || ' ' || w[i+3]))"
+    /** hashed shingles over `w` (mirror of shingles3Hashed). */
+    val shingles3Hashed: String =
+      s"list_distinct(list_transform(list_transform(range(len(w)-2), i -> w[i+1] || ' ' || w[i+2] || ' ' || w[i+3]), s -> ${hashP("s")}))"
   }
 }

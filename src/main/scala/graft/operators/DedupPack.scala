@@ -50,17 +50,18 @@ object DedupPack extends QueryPack {
     val w = Tables.documents(s, d)
       .select(col("doc_id"), words(col("text")).as("w"))
       .filter(size(col("w")) >= 3)
-    w.select(col("doc_id"), shingles3(col("w")).as("shingles"))
+    w.select(col("doc_id"), shingles3Hashed(col("w")).as("shingles"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
   }
 
   private val shingledSql: String =
     s"""w AS (SELECT doc_id, ${Portable.sql.words} AS w FROM documents),
-      sh AS (SELECT doc_id, ${Portable.sql.shingles3} AS shingles
+      sh AS (SELECT doc_id, ${Portable.sql.shingles3Hashed} AS shingles
              FROM w WHERE len(w) >= 3)"""
 
-  /** Exact-Jaccard columns over two shingle-array columns `sa`/`sb`
-    * (native IntersectCount: no intermediate intersection array).
+  /** Jaccard columns over two hashed-shingle-array columns `sa`/`sb`
+    * (native IntersectCount long kernel: no intermediate intersection
+    * array, 8-byte elements).
     */
   private def jaccard(sa: Column, sb: Column): Column = {
     import org.apache.spark.sql.GraftColumnBridge.{column, expression}
@@ -108,8 +109,7 @@ object DedupPack extends QueryPack {
       // — and Catalyst's projection collapse re-inlines any attempt to
       // stage the base hashes, so the agg shape is the right one.)
       val based = sh
-        .select(col("doc_id"), explode(col("shingles")).as("s0"))
-        .select(col("doc_id"), hashP(col("s0")).as("h"))
+        .select(col("doc_id"), explode(col("shingles")).as("h"))
       val mins = based.groupBy(col("doc_id")).agg(
         min(affine(0, col("h"))).as("m0"),
         (1 until numHashes).map(i =>
@@ -145,9 +145,7 @@ object DedupPack extends QueryPack {
     * `pairs(doc_a, doc_b, n_shared_bands, jaccard)`.
     */
   private val minhashPairsSql: String = s"""$shingledSql,
-      hs AS (SELECT doc_id,
-          list_transform(shingles, s -> ${Portable.sql.hashP("s")}) AS hs
-        FROM sh),
+      hs AS (SELECT doc_id, shingles AS hs FROM sh),
       sig AS (SELECT doc_id,
           list_transform(range($numHashes), i -> list_min(list_transform(hs,
             h -> ((2*i+1)*h + (i*40503+13) % $P) % $P))) AS sig
@@ -270,13 +268,11 @@ object DedupPack extends QueryPack {
     "ngram_jaccard",
     (s, d) => {
       val sh = shingled(s, d)
-      // Index on the HASH of the shingle, not the string: 8-byte shuffle
-      // keys instead of ~25-char strings (the standard hashed-inverted-
-      // index trade: a 60-bit collision can merge two shingles' postings,
-      // harmless here because candidates are exact-Jaccard-verified and
-      // the oracle mirrors the same hashing).
-      val ex = sh.select(col("doc_id"), explode(col("shingles")).as("s0"))
-        .select(col("doc_id"), hashP(col("s0")).as("sh"))
+      // Shingles are already 60-bit hashes (G9 at shingling time): the
+      // whole index works on 8-byte keys; collisions merge postings,
+      // harmless because candidates are Jaccard-verified and the oracle
+      // mirrors the same hashing.
+      val ex = sh.select(col("doc_id"), explode(col("shingles")).as("sh"))
       // ONE shuffle builds the whole inverted index: exact df + the
       // per-shingle posting list through the G8 bounded-collect aggregate
       // (cap maxDF+1, so under-cap groups carry their complete doc set
@@ -304,8 +300,7 @@ object DedupPack extends QueryPack {
     },
     Some(s"""
       WITH $shingledSql,
-      ex0 AS (SELECT doc_id, unnest(shingles) AS s0 FROM sh),
-      ex AS (SELECT doc_id, ${Portable.sql.hashP("s0")} AS s FROM ex0),
+      ex AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
       rare AS (SELECT s FROM ex GROUP BY s
                HAVING COUNT(*) >= 2 AND COUNT(*) <= $maxDF),
       exr AS (SELECT ex.doc_id, ex.s FROM ex JOIN rare ON ex.s = rare.s),
