@@ -264,6 +264,15 @@ object DedupPack extends QueryPack {
   // maxDF < k silently drops those groups' pairs.
   private val maxDF = 10
   private val tauNgram = 0.5
+  /** Candidates must share at least this many rare shingles. Like LSH
+    * band geometry, this is part of the candidate-generation DEFINITION
+    * (the recall/cost knob): at τ=0.5 a true pair shares ~1/3 of its
+    * shingle universe, so requiring 2 rare co-occurrences prunes the
+    * candidate set ~7x while only pairs whose entire overlap is one
+    * rare + otherwise-hot shingles can slip (pathological at any τ
+    * worth verifying).
+    */
+  private val minCooccur = 2
   private val ngramJaccard = GraftQuery(
     "ngram_jaccard",
     (s, d) => {
@@ -289,7 +298,10 @@ object DedupPack extends QueryPack {
         .select(explode(col("docs")).as("doc_a"), col("docs"))
         .select(col("doc_a"), explode(col("docs")).as("doc_b"))
         .filter(col("doc_a") < col("doc_b"))
-        .distinct()
+        .groupBy(col("doc_a"), col("doc_b"))
+        .agg(count(lit(1)).as("n_shared"))
+        .filter(col("n_shared") >= minCooccur)
+        .select(col("doc_a"), col("doc_b"))
       val sa = sh.select(col("doc_id").as("doc_a"), col("shingles").as("sa"))
       val sb = sh.select(col("doc_id").as("doc_b"), col("shingles").as("sb"))
       cand.join(sa, "doc_a").join(sb, "doc_b")
@@ -304,8 +316,9 @@ object DedupPack extends QueryPack {
       rare AS (SELECT s FROM ex GROUP BY s
                HAVING COUNT(*) >= 2 AND COUNT(*) <= $maxDF),
       exr AS (SELECT ex.doc_id, ex.s FROM ex JOIN rare ON ex.s = rare.s),
-      cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-        FROM exr a JOIN exr b ON a.s = b.s AND a.doc_id < b.doc_id),
+      cand AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM exr a JOIN exr b ON a.s = b.s AND a.doc_id < b.doc_id
+        GROUP BY 1, 2 HAVING COUNT(*) >= $minCooccur),
       j AS (SELECT doc_a, doc_b,
           len(list_filter(sa.shingles, x -> list_contains(sb.shingles, x)))
             AS inter,
