@@ -102,24 +102,25 @@ object DedupPack extends QueryPack {
   // (CacheManager dedupes the identical subplan across queries).
   private def minhashPairs(s: SparkSession, d: String): DataFrame = {
       val sh = shingled(s, d)
-      // Signature via explode + numHashes codegen'd min() aggregates:
-      // one shuffle on doc_id with map-side partial mins. (The "obvious"
-      // nested transform(sequence(...), i -> array_min(transform(hs)))
-      // formulation runs interpreted higher-order lambdas — ~50x slower
-      // — and Catalyst's projection collapse re-inlines any attempt to
-      // stage the base hashes, so the agg shape is the right one.)
+      // Signature via explode + ONE MinHashAgg (G11): one shuffle on
+      // doc_id with map-side partial element-wise mins over a primitive
+      // long[64] buffer. (History: the nested transform(sequence(...))
+      // HOF formulation ran interpreted, ~50x slower; 64 separate
+      // declarative min() aggs were bit-identical but their generated
+      // update code dominated the pipeline's cold compile time.)
       val based = sh
         .select(col("doc_id"), explode(col("shingles")).as("h"))
       val mins = based.groupBy(col("doc_id")).agg(
-        min(affine(0, col("h"))).as("m0"),
-        (1 until numHashes).map(i =>
-          min(affine(i, col("h"))).as(s"m$i")): _*)
+        graft.expressions.MinHashAgg.minhashAgg(col("h"), numHashes)
+          .as("sig"))
       val keyed = mins
         .select(col("doc_id"),
           explode(array((0 until numBands).map(b =>
             struct(lit(b).as("band"),
-              concat_ws(",", col(s"m${2 * b}").cast(StringType),
-                col(s"m${2 * b + 1}").cast(StringType)).as("key"))): _*))
+              concat_ws(",",
+                element_at(col("sig"), 2 * b + 1).cast(StringType),
+                element_at(col("sig"), 2 * b + 2).cast(StringType))
+                .as("key"))): _*))
             .as("bk"))
         .select(col("doc_id"), col("bk.band").as("band"),
           col("bk.key").as("key"))

@@ -33,6 +33,22 @@ class BoundedCollectSpec extends GraftSpec {
     }
   }
 
+  test("MinHashAgg is bit-identical to 64 separate min(affine) aggregates") {
+    import graft.functions.Portable.{affine, hashP}
+    val n = 64
+    val base = graft.sources.Tables.documents(spark, sfDir)
+      .select($"doc_id", hashP(col("text")).as("h"))
+    val one = base.groupBy($"doc_id")
+      .agg(graft.expressions.MinHashAgg.minhashAgg($"h", n).as("sig"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    val many = base.groupBy($"doc_id")
+      .agg(min(affine(0, $"h")).as("m0"),
+        (1 until n).map(i => min(affine(i, $"h")).as(s"m$i")): _*)
+      .collect().map(r => r.getLong(0) ->
+        (1 to n).map(i => r.getLong(i)).toSeq).toMap
+    assert(one == many)
+  }
+
   test("matches collect_list as a set when the cap exceeds group size") {
     val ev = graft.sources.Tables.events(spark, sfDir).limit(2000)
     val a = ev.groupBy($"event_type")
