@@ -95,9 +95,9 @@ object DedupPack extends QueryPack {
       FROM n ORDER BY doc_id
       """))
 
-  // C2 — MinHash + LSH: shingle → numHashes affine minhashes (one md5
-  // per shingle, then exact int64 affine transforms) → 2-row band keys
-  // → bucket self-join for candidates → exact-Jaccard verification at τ.
+  // C2 — MinHash + LSH: pre-hashed shingles (G10) → one MinHashAgg
+  // signature (G11: numHashes exact int64 affine mins) → 2-row band
+  // keys → bucket self-join for candidates → Jaccard verification at τ.
   // The verified pairs are PERSISTED and shared with dedup_cluster
   // (CacheManager dedupes the identical subplan across queries).
   private def minhashPairs(s: SparkSession, d: String): DataFrame = {
