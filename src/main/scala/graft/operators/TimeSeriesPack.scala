@@ -457,6 +457,39 @@ object TimeSeriesPack extends QueryPack {
       ORDER BY 1, 2
       """))
 
+  // A19 — latest-record-per-key snapshot (the SCD / changelog-compaction
+  // read pattern): one row per user carrying the most recent event's
+  // attributes. max_by-shaped via a single struct-max aggregation — one
+  // shuffle with map-side partials, no window over raw history. The
+  // (ts, event_id) prefix makes the max total, so the pick is
+  // deterministic under timestamp ties.
+  private val qLatest = GraftQuery(
+    "q_latest",
+    (s, d) => {
+      Tables.events(s, d)
+        .groupBy(col("user_id"))
+        .agg(
+          max(struct(col("ts"), col("event_id"), col("event_type"),
+            col("value"))).as("m"),
+          count(lit(1)).as("n_events"))
+        .select(col("user_id"), col("m.ts").as("last_ts"),
+          col("m.event_id").as("last_event_id"),
+          col("m.event_type").as("last_event_type"),
+          col("m.value").as("last_value"), col("n_events"))
+        .orderBy(col("user_id"))
+    },
+    Some("""
+      WITH r AS (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+          ORDER BY ts DESC, event_id DESC) AS rn,
+          COUNT(*) OVER (PARTITION BY user_id) AS n_events
+        FROM events)
+      SELECT user_id, ts AS last_ts, event_id AS last_event_id,
+        event_type AS last_event_type, value AS last_value, n_events
+      FROM r WHERE rn = 1
+      ORDER BY user_id
+      """))
+
   // §5 — the salted two-phase aggregation, oracle-verified: the oracle
   // is the PLAIN single-phase aggregation, so the hash-match proves the
   // hot-key-safe rewrite is lossless (decimal partials re-aggregate
@@ -499,5 +532,5 @@ object TimeSeriesPack extends QueryPack {
   override val queries: Seq[GraftQuery] = Seq(
     tsBin, tsAgo, tsSeries, sessionize, metricsDaily, percentiles,
     topUsers, approxMetrics, tsInterpolate, tsAsof, tsAnomaly,
-    qAsofJoin, qSkewAgg, sketchRollup)
+    qAsofJoin, qLatest, qSkewAgg, sketchRollup)
 }
