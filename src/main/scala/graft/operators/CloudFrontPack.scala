@@ -129,7 +129,8 @@ object CloudFrontPack extends QueryPack {
     * dashboard panel from the columnar result.
     */
   private def parsedCached(s: SparkSession, d: String): DataFrame =
-    CloudFrontLogs.parse(synthLines(Tables.events(s, d)))
+    CloudFrontLogs.parse(synthLines(
+        Tables.parallelized(Tables.events(s, d))))
       // cache only the union of columns the sharing queries touch —
       // materializing all 40 parsed fields costs ~3x the pruned set and
       // nothing downstream reads the rest (a cluster deployment would

@@ -47,7 +47,7 @@ object DedupPack extends QueryPack {
     * "materialize the featurized working set before multi-use" pattern.
     */
   private def shingled(s: SparkSession, d: String): DataFrame = {
-    val w = Tables.documents(s, d)
+    val w = Tables.parallelized(Tables.documents(s, d))
       .select(col("doc_id"), words(col("text")).as("w"))
       .filter(size(col("w")) >= 3)
     w.select(col("doc_id"), shingles3Hashed(col("w")).as("shingles"))

@@ -26,7 +26,7 @@ object SimHashPack extends QueryPack {
     "dedup_simhash",
     (s, d) => {
       GraftFunctions.register(s)
-      val sigs = Tables.documents(s, d)
+      val sigs = Tables.parallelized(Tables.documents(s, d))
         .select(col("doc_id"), words(col("text")).as("w"))
         .filter(size(col("w")) > 0)
         .select(col("doc_id"), expr("graft_simhash64(w)").as("sig"))

@@ -18,6 +18,26 @@ object Tables {
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame =
     spark.read.parquet(s"$sfDir/$name.parquet")
 
+  /** Redistribute a scan whose parallelism falls short of the session's
+    * — the testdata files are single-row-group parquet (unsplittable →
+    * one-partition scans), so a CPU-heavy narrow pipeline (parsing,
+    * shingling, signatures, vector math) would otherwise run on one
+    * core until its first exchange. Apply ONLY at the head of such
+    * pipelines: for cheap scan+aggregate queries the extra exchange
+    * costs more than the serial map. On a real deployment file/
+    * row-group counts exceed core counts and this is a no-op — the
+    * condition, not the repartition, is the contract. (Round-robin
+    * repartition is deterministic: Spark sorts partition input before
+    * redistributing, and every operator downstream is partition-order
+    * independent by design.)
+    */
+  def parallelized(df: DataFrame): DataFrame = {
+    val spark = df.sparkSession
+    val scanParts = df.rdd.getNumPartitions
+    val target = spark.sparkContext.defaultParallelism
+    if (scanParts * 2 <= target) df.repartition(target) else df
+  }
+
   def region(s: SparkSession, d: String): DataFrame = load(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame = load(s, d, "nation")
   def customer(s: SparkSession, d: String): DataFrame = load(s, d, "customer")
