@@ -102,6 +102,34 @@ class PropertySpec extends GraftSpec {
     }
   }
 
+  test("asofJoin matches brute-force most-recent-prior on random tables") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(42)
+    val keys = Seq("a", "b", "c")
+    val left = (1 to 200).map(i =>
+      (keys(rnd.nextInt(3)), rnd.nextInt(1000), i.toLong))
+      .toDF("k", "lt", "lid")
+    val right = (1 to 60).map(i =>
+      (keys(rnd.nextInt(3)), rnd.nextInt(1000), i * 10L))
+      .toDF("k", "rt", "quota")
+    val got = graft.timeseries.TimeSeries.asofJoin(
+        left, right, "k", "lt", "rt", Seq("quota"),
+        rightTiebreak = col("quota"))
+      .select(col("k"), col("lt"), col("lid"), col("asof_quota"))
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2)) ->
+        Option(r.get(3)).map(_.asInstanceOf[Long])).toMap
+    // brute force: for each left row, the max-(rt, quota) right row with
+    // rt <= lt and the same key
+    val rs = right.collect().map(r =>
+      (r.getString(0), r.getInt(1), r.getLong(2)))
+    left.collect().foreach { l =>
+      val (k, lt, lid) = (l.getString(0), l.getInt(1), l.getLong(2))
+      val want = rs.filter(r => r._1 == k && r._2 <= lt)
+        .sortBy(r => (r._2, r._3)).lastOption.map(_._3)
+      assert(got((k, lt, lid)) == want, s"key=$k lt=$lt")
+    }
+  }
+
   test("shard_pack invariants: per-stratum monotone shards at budget boundaries") {
     val rows = SparkEntry.queries("shard_pack")(spark, sfDir).collect()
     val budget = 20000L

@@ -160,6 +160,35 @@ class StreamingSpec extends GraftSpec {
     } finally q.stop()
   }
 
+  test("cf_stream end-to-end: stream into the store, answer the dashboard from it") {
+    val dir = Files.createTempDirectory("graft-stream-e2e").toString
+    val out = Files.createTempDirectory("graft-tsdb-e2e").toString + "/store"
+    val ckpt = Files.createTempDirectory("graft-ckpt-e2e").toString
+    writeLines(dir)
+    val stream = spark.readStream.schema("value STRING").text(dir)
+      .withColumnRenamed("value", "line")
+    val q = CloudFrontStream.toTimestreamStore(stream, out, ckpt)
+    try q.processAllAvailable() finally q.stop()
+    // the README headline query served FROM THE STORE: measure+day
+    // partition pruning, bin(1h) × edge, sum of the melted measure
+    val stored = spark.read.parquet(out)
+      .filter(col("measure_name") === "sc_bytes")
+    val got = stored.groupBy(
+        graft.timeseries.TimeSeries.bin(col("time"), 3600).as("bin"),
+        col("dimensions")("x_edge_location").as("edge"))
+      .agg(sum(col("measure_value").cast("long")).as("bytes"))
+    // equals the same aggregation straight off the raw parse
+    val parsed = CloudFrontStream.parsed(
+      CloudFrontPack.synthLines(Tables.events(spark, sfDir)))
+    val want = parsed.groupBy(
+        graft.timeseries.TimeSeries.bin(
+          col("event_time"), 3600).as("bin"),
+        col("x_edge_location").as("edge"))
+      .agg(sum(col("sc_bytes")).as("bytes"))
+    assert(got.orderBy("bin", "edge").collect().toSeq ==
+      want.orderBy("bin", "edge").collect().toSeq)
+  }
+
   test("cf_stream store compaction collapses micro-batch files, keeps data") {
     val dir = Files.createTempDirectory("graft-stream-c").toString
     val out = Files.createTempDirectory("graft-tsdb-c").toString + "/store"
