@@ -46,4 +46,28 @@ object StreamingDedup {
       .as[Fingerprinted]
     firstOccurrence[Fingerprinted](fp, _.fingerprint)
   }
+
+  /** Streaming latest-per-key (the stream counterpart of q_latest's SCD
+    * snapshot): state per key is ONE element — the max-by-`order` row
+    * seen so far — emitted whenever it changes (Update mode). State
+    * size is O(distinct keys × row size); with an event-time timeout
+    * the key set itself ages out, same parameterization as
+    * [[firstOccurrence]].
+    */
+  def latestPerKey[T](ds: Dataset[T], key: T => String,
+      order: T => (Long, Long),
+      timeout: GroupStateTimeout = GroupStateTimeout.NoTimeout)(
+      implicit enc: Encoder[T]): Dataset[T] =
+    ds.groupByKey(key)(Encoders.STRING)
+      .mapGroupsWithState[T, T](timeout) {
+        (_: String, it: Iterator[T], state: GroupState[T]) =>
+          val incoming = it.maxBy(order)
+          val best = state.getOption match {
+            case Some(prev) if Ordering[(Long, Long)]
+              .gteq(order(prev), order(incoming)) => prev
+            case _ => incoming
+          }
+          state.update(best)
+          best
+      }
 }

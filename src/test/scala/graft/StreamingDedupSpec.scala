@@ -40,4 +40,35 @@ class StreamingDedupSpec extends GraftSpec {
       assert(rows.map(_.getLong(0)).toSet == Set(1L, 2L, 4L))
     } finally q.stop()
   }
+
+  test("latestPerKey keeps the max-ordered row per key across batches") {
+    import java.nio.file.{Files, Paths}
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-latest")
+    Files.writeString(Paths.get(dir.toString, "b1.csv"),
+      "u1,10,100\nu1,20,101\nu2,5,102\n")
+    val stream = spark.readStream
+      .schema("user STRING, ts LONG, eid LONG")
+      .csv(dir.toString)
+      .as[(String, Long, Long)]
+    val q = StreamingDedup.latestPerKey[(String, Long, Long)](
+        stream, _._1, r => (r._2, r._3))
+      .toDF("user", "ts", "eid")
+      .writeStream.format("memory").queryName("latest_stream")
+      .outputMode("update").start()
+    try {
+      q.processAllAvailable()
+      // batch 2: a NEWER u2 row and an OLDER (late) u1 row
+      Files.writeString(Paths.get(dir.toString, "b2.csv"),
+        "u2,50,103\nu1,15,104\n")
+      q.processAllAvailable()
+      val latest = spark.table("latest_stream").collect()
+        .groupBy(_.getString(0))
+        .map { case (k, rs) => k -> rs.map(r =>
+          (r.getLong(1), r.getLong(2))).max }
+      // late u1 row must NOT displace the newer state
+      assert(latest("u1") == (20L, 101L))
+      assert(latest("u2") == (50L, 103L))
+    } finally q.stop()
+  }
 }
