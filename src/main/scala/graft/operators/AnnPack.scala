@@ -302,6 +302,135 @@ object AnnPack extends QueryPack {
       FROM r WHERE rank <= $K ORDER BY query_id, rank
       """))
 
+  // D5 — IVF with a REAL (deterministic) k-means coarse quantizer:
+  // hash-ordered seed pick, two unrolled Lloyd iterations (assignment =
+  // exact-double squared-distance argmin with cell-id tiebreak; update
+  // = exact-decimal per-dim means), then nprobe probing + exact cosine
+  // re-rank inside the probed lists. Every arithmetic step is an
+  // identical IEEE/decimal sequence in both engines, so even the
+  // trained cell boundaries hash-match. Scale: each Lloyd round is one
+  // broadcast-join assignment pass + one mean aggregation — the
+  // standard distributed k-means; cells and centroids stay tiny.
+  private val kmK = 8
+  private val kmIters = 2
+  private val annIvfKmeans = GraftQuery(
+    "ann_ivf_kmeans",
+    (s, d) => {
+      val n = vecs(s, d)
+      val corpus = n.filter(pmod(col("vec_id"), lit(50)) =!= 0)
+        .withColumn("vv", Vectors.dot(col("v"), col("v")))
+      val seeds = corpus
+        .withColumn("hk", pmod(col("vec_id") * lit(2654435761L), lit(4096L)))
+        .orderBy(col("hk"), col("vec_id"))
+        .limit(kmK)
+        .select(col("vec_id").as("cell"), col("v").as("cv"))
+        .withColumn("cc", Vectors.dot(col("cv"), col("cv")))
+      def assign(cent: DataFrame): DataFrame = {
+        val w = Window.partitionBy(col("vec_id"))
+          .orderBy(col("dist2"), col("cell"))
+        corpus.crossJoin(broadcast(cent))
+          .withColumn("dist2",
+            col("vv") + col("cc") - lit(2.0d) * Vectors.dot(col("v"), col("cv")))
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1)
+          .select(col("vec_id"), col("v"), col("cell"))
+      }
+      def recenter(assigned: DataFrame): DataFrame =
+        assigned
+          .select(col("cell"), posexplode(col("v")).as(Seq("j", "x")))
+          .groupBy(col("cell"), col("j"))
+          .agg((sum(col("x").cast(DecimalType(28, 12))).cast(DoubleType) /
+            count(lit(1))).as("c"))
+          .groupBy(col("cell"))
+          .agg(transform(array_sort(collect_list(struct(col("j"), col("c")))),
+            e => e.getField("c")).as("cv"))
+          .withColumn("cc", Vectors.dot(col("cv"), col("cv")))
+      val cent = (1 to kmIters).foldLeft(seeds: DataFrame) {
+        (c, _) => recenter(assign(c))
+      }
+      val lists = assign(cent)
+      val q = n.filter(pmod(col("vec_id"), lit(50)) === 0)
+        .select(col("vec_id").as("query_id"), col("v").as("qv"),
+          col("nrm").as("qn"))
+        .withColumn("qq", Vectors.dot(col("qv"), col("qv")))
+      val wProbe = Window.partitionBy(col("query_id"))
+        .orderBy(col("dist2"), col("cell"))
+      val probed = q.crossJoin(broadcast(cent))
+        .withColumn("dist2",
+          col("qq") + col("cc") - lit(2.0d) * Vectors.dot(col("qv"), col("cv")))
+        .withColumn("pr", row_number().over(wProbe))
+        .filter(col("pr") <= nprobe)
+        .select(col("query_id"), col("qv"), col("qn"), col("cell"))
+      val pairs = lists.join(n.select(col("vec_id"), col("nrm")), "vec_id")
+        .join(broadcast(probed), Seq("cell"))
+        .withColumn("cos_sim",
+          Vectors.cosine(col("qv"), col("v"), col("qn"), col("nrm")))
+        .select(col("query_id"), col("vec_id"), col("cell"), col("cos_sim"))
+      topKPerQuery(pairs, K, Seq("cell"))
+        .orderBy(col("query_id"), col("rank"))
+    },
+    Some(s"""
+      WITH $vecsSql,
+      corpus AS (SELECT vec_id, label, v, nrm,
+          ${Vectors.sql.dot("v", "v")} AS vv
+        FROM n WHERE vec_id % 50 <> 0),
+      seeds AS (SELECT vec_id AS cell, v AS cv,
+          ${Vectors.sql.dot("v", "v")} AS cc
+        FROM corpus ORDER BY (vec_id * 2654435761) % 4096, vec_id
+        LIMIT $kmK),
+      s1 AS (SELECT a1.vec_id, a1.v, s.cell,
+          ROW_NUMBER() OVER (PARTITION BY a1.vec_id ORDER BY
+            a1.vv + s.cc - 2.0 * ${Vectors.sql.dot("a1.v", "s.cv")}, s.cell)
+            AS rn
+        FROM corpus a1 CROSS JOIN seeds s),
+      g1 AS (SELECT vec_id, v, cell FROM s1 WHERE rn = 1),
+      d1 AS (SELECT cell, unnest(range(len(v))) AS j, v FROM g1),
+      m1 AS (SELECT cell, j,
+          CAST(SUM(CAST(v[CAST(j AS INTEGER)+1] AS DECIMAL(28,12)))
+            AS DOUBLE) / COUNT(*) AS c
+        FROM d1 GROUP BY cell, j),
+      c1 AS (SELECT cell, list(c ORDER BY j) AS cv FROM m1 GROUP BY cell),
+      cn1 AS (SELECT cell, cv, ${Vectors.sql.dot("cv", "cv")} AS cc
+              FROM c1),
+      s2 AS (SELECT co.vec_id, co.v, s.cell,
+          ROW_NUMBER() OVER (PARTITION BY co.vec_id ORDER BY
+            co.vv + s.cc - 2.0 * ${Vectors.sql.dot("co.v", "s.cv")}, s.cell)
+            AS rn
+        FROM corpus co CROSS JOIN cn1 s),
+      g2 AS (SELECT vec_id, v, cell FROM s2 WHERE rn = 1),
+      d2 AS (SELECT cell, unnest(range(len(v))) AS j, v FROM g2),
+      m2 AS (SELECT cell, j,
+          CAST(SUM(CAST(v[CAST(j AS INTEGER)+1] AS DECIMAL(28,12)))
+            AS DOUBLE) / COUNT(*) AS c
+        FROM d2 GROUP BY cell, j),
+      c2 AS (SELECT cell, list(c ORDER BY j) AS cv FROM m2 GROUP BY cell),
+      cn2 AS (SELECT cell, cv, ${Vectors.sql.dot("cv", "cv")} AS cc
+              FROM c2),
+      lists AS (SELECT co.vec_id, co.v, co.nrm, s.cell,
+          ROW_NUMBER() OVER (PARTITION BY co.vec_id ORDER BY
+            co.vv + s.cc - 2.0 * ${Vectors.sql.dot("co.v", "s.cv")}, s.cell)
+            AS rn
+        FROM corpus co CROSS JOIN cn2 s),
+      li AS (SELECT vec_id, v, nrm, cell FROM lists WHERE rn = 1),
+      q AS (SELECT vec_id AS query_id, v AS qv, nrm AS qn,
+          ${Vectors.sql.dot("v", "v")} AS qq
+        FROM n WHERE vec_id % 50 = 0),
+      pc AS (SELECT q.query_id, q.qv, q.qn, s.cell,
+          ROW_NUMBER() OVER (PARTITION BY q.query_id ORDER BY
+            q.qq + s.cc - 2.0 * ${Vectors.sql.dot("q.qv", "s.cv")}, s.cell)
+            AS pr
+        FROM q CROSS JOIN cn2 s),
+      probed AS (SELECT query_id, qv, qn, cell FROM pc WHERE pr <= $nprobe),
+      pr2 AS (SELECT p.query_id, li.vec_id, li.cell,
+          round(${Vectors.sql.dot("p.qv", "li.v")} / (p.qn * li.nrm), 6)
+            AS cos_sim
+        FROM li JOIN probed p ON li.cell = p.cell),
+      r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+          ORDER BY cos_sim DESC, vec_id) AS rank FROM pr2)
+      SELECT query_id, rank, vec_id, cos_sim, cell
+      FROM r WHERE rank <= $K ORDER BY query_id, rank
+      """))
+
   override val queries: Seq[GraftQuery] =
-    Seq(annBrute, annLsh, knnJoin, dedupEmbedding, annIvf)
+    Seq(annBrute, annLsh, knnJoin, dedupEmbedding, annIvf, annIvfKmeans)
 }
