@@ -219,6 +219,36 @@ class StreamingSpec extends GraftSpec {
       .agg(sum(col("measure_value"))).head().getDouble(0) == beforeSum)
   }
 
+  test("cf_stream store resumes from checkpoint without re-ingesting") {
+    import java.nio.file.Paths
+    val dir = Files.createTempDirectory("graft-stream-r").toString
+    val out = Files.createTempDirectory("graft-tsdb-r").toString + "/store"
+    val ckpt = Files.createTempDirectory("graft-ckpt-r").toString
+    val lines = CloudFrontPack.synthLines(Tables.events(spark, sfDir))
+      .limit(500).collect().map(_.getString(0))
+    java.nio.file.Files.write(Paths.get(dir, "a.txt"),
+      lines.take(300).mkString("\n").getBytes)
+    def run(): Unit = {
+      val stream = spark.readStream.schema("value STRING").text(dir)
+        .withColumnRenamed("value", "line")
+      val q = CloudFrontStream.toTimestreamStore(stream, out, ckpt,
+        dimensions = Seq("x_edge_location", "x_edge_request_id"))
+      try q.processAllAvailable() finally q.stop()
+    }
+    run()
+    assert(spark.read.parquet(out).count() == 2 * 300)
+    // second run against the SAME checkpoint: only the new file lands
+    java.nio.file.Files.write(Paths.get(dir, "b.txt"),
+      lines.drop(300).mkString("\n").getBytes)
+    run()
+    val stored = spark.read.parquet(out)
+    assert(stored.count() == 2 * 500)
+    // no request id ingested twice per measure
+    assert(stored.groupBy(col("measure_name"),
+        col("dimensions")("x_edge_request_id")).count()
+      .filter(col("count") > 1).count() == 0)
+  }
+
   test("cf_stream enrich: stream-static broadcast join adds geography") {
     val dir = Files.createTempDirectory("graft-stream-e").toString
     val n = writeLines(dir)
