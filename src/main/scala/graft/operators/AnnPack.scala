@@ -20,8 +20,11 @@ import org.apache.spark.sql.types._
   *    bits; candidates only where a band matches, then exact cosine +
   *    the same two-stage top-k. The corpus scan for candidates carries
   *    only (vec_id, band, key) — vectors are joined back per candidate.
-  *  - D3/C5 are label-blocked: pair generation is a co-partitioned join
-  *    on the label, so per-key work is bounded by the block size.
+  *  - D3/C5 generate pairs from exact-bound IVF lists inside each label
+  *    (see [[labelCandPairs]]): a (label, cell) equi-join whose per-task
+  *    work is bounded by the cell size — the cell count is the knob that
+  *    keeps that bound constant as the corpus grows — with
+  *    triangle-inequality pruning that is exact at every scale.
   */
 object AnnPack extends QueryPack {
 
@@ -164,16 +167,124 @@ object AnnPack extends QueryPack {
       FROM r WHERE rank <= $K ORDER BY query_id, rank
       """))
 
-  /** Label-blocked all-pairs with cosine (shared by D3 and C5). */
-  private def labelPairs(s: SparkSession, d: String): DataFrame = {
+  /** Candidate pairs for D3/C5 via exact-bound IVF lists inside each
+    * label block — replaces the former all-pairs label theta-join.
+    *
+    * Why not LSH bands here: the brute-force oracle demands 100%
+    * recall, and on near-isotropic embeddings (this corpus: worst
+    * within-label 3rd-NN cosine ≈ 0.10, i.e. a bit-agreement
+    * probability of 0.53 vs 0.50 for random pairs) no banding scheme
+    * can guarantee that — the signal LSH needs does not exist.
+    * Triangle-inequality bounds do better: they are exact at EVERY
+    * scale by construction, and they prune in proportion to how
+    * clustered the corpus actually is (real embedding corpora cluster;
+    * isotropic noise is the provable worst case for any exact method).
+    *
+    * Shape per label block:
+    *  1. `numCells` IVF cells: hash-ordered deterministic seeds, one
+    *     assignment+recenter round, final lists keyed (label, cell) —
+    *     the cell count is the scale knob (∝ block size / target cell
+    *     size), so no partition ever holds a whole label.
+    *  2. Lower bound LB(v) = 3rd-best cosine inside v's own cell (a
+    *     subset of the true candidates, so LB ≤ true kth-best for any
+    *     k ≤ 3 — valid for both D3's k=3 and C5's k=1).
+    *  3. Upper bound per (v, cell): on the unit sphere
+    *     cos(v,x) ≤ cos(max(0, angle(v,μ_c) − r_c)) for every x in the
+    *     cell (μ_c centroid, r_c max member angle); an ε-slack keeps
+    *     the bound safe under FP rounding.
+    *  4. Exact cosine only on (label, cell) equi-join candidates where
+    *     UB ≥ LB — never a label-wide theta-join. Every true top-k
+    *     neighbor has cos ≥ LB, hence lives in a kept cell: recall is
+    *     1 regardless of data, which the untouched brute-force oracle
+    *     re-proves at the gate.
+    *
+    * The pair plan is persisted so D3 and C5 (identical subplan, by
+    * Spark's CacheManager) compute it once per session.
+    */
+  private val numCells = 4
+  private val boundEps = 1e-6
+
+  private def clampedAngle(cosCol: Column): Column =
+    acos(least(lit(1.0), greatest(lit(-1.0), cosCol)))
+
+  private def labelCandPairs(s: SparkSession, d: String): DataFrame = {
     val n = vecs(s, d)
-    val b = n.select(col("vec_id").as("nn_id"), col("label").as("label_b"),
-      col("v").as("vb"), col("nrm").as("nrmb"))
-    n.join(b,
-        col("label") === col("label_b") && col("vec_id") =!= col("nn_id"))
+    // 1. deterministic hash-ordered seeds, numCells per label
+    val wSeed = Window.partitionBy(col("label"))
+      .orderBy(pmod(col("vec_id") * lit(2654435761L), lit(4096L)),
+        col("vec_id"))
+    val seeds = n.withColumn("cell", row_number().over(wSeed))
+      .filter(col("cell") <= numCells)
+      .select(col("label"), col("cell"), col("v").as("cv"),
+        col("nrm").as("cnrm"))
+    // argmax centroid cosine, low cell on ties — a map-side-combinable
+    // max_by aggregation, not a window over the block
+    def assignTo(cent: DataFrame): DataFrame =
+      n.join(broadcast(cent), "label")
+        .withColumn("ccos",
+          Vectors.cosine(col("v"), col("cv"), col("nrm"), col("cnrm")))
+        .groupBy(col("vec_id"), col("label"))
+        .agg(
+          max_by(col("cell"),
+            struct(col("ccos").as("c"), (-col("cell")).as("nc"))).as("cell"),
+          first(col("v")).as("v"), first(col("nrm")).as("nrm"))
+    def recenter(assigned: DataFrame): DataFrame =
+      assigned
+        .select(col("label"), col("cell"),
+          posexplode(col("v")).as(Seq("j", "x")))
+        .groupBy(col("label"), col("cell"), col("j"))
+        .agg(avg(col("x")).as("c"))
+        .groupBy(col("label"), col("cell"))
+        .agg(transform(array_sort(collect_list(struct(col("j"), col("c")))),
+          e => e.getField("c")).as("cv"))
+        .withColumn("cnrm", Vectors.norm(col("cv")))
+    val cent = recenter(assignTo(seeds))
+    val lists = assignTo(cent)
+    // per-cell angular radius w.r.t. the final centroids
+    val radii = lists.join(broadcast(cent), Seq("label", "cell"))
+      .withColumn("ang", clampedAngle(
+        Vectors.cosine(col("v"), col("cv"), col("nrm"), col("cnrm"))))
+      .groupBy(col("label"), col("cell"))
+      .agg(max(col("ang")).as("r"))
+    // 2. LB(v): 3rd-best own-cell cosine (cell-size-bounded partitions)
+    val ownB = lists.select(col("vec_id").as("o_id"), col("label"),
+      col("cell"), col("v").as("ov"), col("nrm").as("onrm"))
+    val wOwn = Window.partitionBy(col("vec_id"))
+      .orderBy(col("ocos").desc, col("o_id"))
+    val lb = lists.join(ownB, Seq("label", "cell"))
+      .filter(col("vec_id") =!= col("o_id"))
+      .withColumn("ocos",
+        Vectors.cosine(col("v"), col("ov"), col("nrm"), col("onrm")))
+      .withColumn("rn", row_number().over(wOwn))
+      .filter(col("rn") === 3)
+      .select(col("vec_id").as("lb_id"), col("ocos").as("lb"))
+    // 3. candidate cells: UB(v, cell) + ε ≥ LB(v). The query's own cell
+    // always survives (member angle ≤ r_c ⇒ UB = 1 + ε), so its
+    // assignment column can be dropped before probing every cell.
+    val centR = cent.join(radii, Seq("label", "cell"))
+      .withColumnRenamed("cell", "c_cell")
+    val cand = lists.drop("cell")
+      .join(lb, col("vec_id") === col("lb_id"), "left")
+      .withColumn("lbv", coalesce(col("lb"), lit(-2.0)))
+      .join(broadcast(centR), Seq("label"))
+      .withColumn("qang", clampedAngle(
+        Vectors.cosine(col("v"), col("cv"), col("nrm"), col("cnrm"))))
+      .withColumn("ub",
+        cos(greatest(lit(0.0), col("qang") - col("r"))) + lit(boundEps))
+      .filter(col("ub") >= col("lbv"))
+      .select(col("vec_id"), col("label"), col("c_cell"),
+        col("v").as("qv"), col("nrm").as("qn"))
+    // 4. exact cosine on candidates — a (label, cell) equi-join
+    cand
+      .join(lists.select(col("label"), col("cell").as("c_cell"),
+          col("vec_id").as("nn_id"), col("v").as("vb"),
+          col("nrm").as("nrmb")),
+        Seq("label", "c_cell"))
+      .filter(col("vec_id") =!= col("nn_id"))
       .withColumn("cos_sim",
-        Vectors.cosine(col("v"), col("vb"), col("nrm"), col("nrmb")))
+        Vectors.cosine(col("qv"), col("vb"), col("qn"), col("nrmb")))
       .select(col("vec_id"), col("label"), col("nn_id"), col("cos_sim"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
   }
 
   private val labelPairsSql: String =
@@ -184,15 +295,21 @@ object AnnPack extends QueryPack {
         FROM n a JOIN n b
           ON a.label = b.label AND a.vec_id <> b.vec_id)"""
 
-  // D3 — k-NN self-join per label block (k=3).
+  // D3 — k-NN self-join per label block (k=3): exact-bound IVF
+  // candidates, bounded-heap top-k per vector (TopKPerKey partial
+  // pruning — never a window over a block-sized partition). The oracle
+  // stays the brute-force formulation, proving recall = 1.
   private val knnJoin = GraftQuery(
     "knn_join",
     (s, d) => {
+      val top = graft.plans.TopKPerKey(labelCandPairs(s, d),
+        keys = Seq(col("vec_id")),
+        order = Seq(col("cos_sim").desc, col("nn_id")),
+        k = 3)
       val w = Window.partitionBy(col("vec_id"))
         .orderBy(col("cos_sim").desc, col("nn_id"))
-      labelPairs(s, d)
+      top
         .withColumn("rank", row_number().over(w).cast(LongType))
-        .filter(col("rank") <= 3)
         .select(col("vec_id"), col("label"), col("rank"), col("nn_id"),
           col("cos_sim"))
         .orderBy(col("vec_id"), col("rank"))
@@ -207,14 +324,17 @@ object AnnPack extends QueryPack {
 
   // C5 — embedding near-dup: each vector's within-label nearest
   // neighbor, flagged when cosine clears the near-dup threshold.
+  // Shares labelCandPairs' persisted plan with D3 (its LB is built for
+  // k=3, which lower-bounds the k=1 best too, so the candidate set is
+  // a superset of what top-1 needs — still exact, computed once).
   private val dedupEmbedding = GraftQuery(
     "dedup_embedding",
     (s, d) => {
-      val w = Window.partitionBy(col("vec_id"))
-        .orderBy(col("cos_sim").desc, col("nn_id"))
-      labelPairs(s, d)
-        .withColumn("rn", row_number().over(w))
-        .filter(col("rn") === 1)
+      val top = graft.plans.TopKPerKey(labelCandPairs(s, d),
+        keys = Seq(col("vec_id")),
+        order = Seq(col("cos_sim").desc, col("nn_id")),
+        k = 1)
+      top
         .select(col("vec_id"), col("label"), col("nn_id"), col("cos_sim"),
           (col("cos_sim") >= nearDupTau).as("is_near_dup"))
         .orderBy(col("vec_id"))
@@ -325,16 +445,21 @@ object AnnPack extends QueryPack {
         .limit(kmK)
         .select(col("vec_id").as("cell"), col("v").as("cv"))
         .withColumn("cc", Vectors.dot(col("cv"), col("cv")))
-      def assign(cent: DataFrame): DataFrame = {
-        val w = Window.partitionBy(col("vec_id"))
-          .orderBy(col("dist2"), col("cell"))
+      // argmin centroid via a min_by-struct aggregation — map-side
+      // combinable (partial argmin per partition, merge of K-sized
+      // states), unlike a row_number window over n×K rows. The struct
+      // ordering (dist2, cell) reproduces the oracle's ROW_NUMBER
+      // tiebreak exactly: dist2 is the identical IEEE sequence in both
+      // engines, so the selected cell hash-matches.
+      def assign(cent: DataFrame): DataFrame =
         corpus.crossJoin(broadcast(cent))
           .withColumn("dist2",
             col("vv") + col("cc") - lit(2.0d) * Vectors.dot(col("v"), col("cv")))
-          .withColumn("rn", row_number().over(w))
-          .filter(col("rn") === 1)
-          .select(col("vec_id"), col("v"), col("cell"))
-      }
+          .groupBy(col("vec_id"))
+          .agg(
+            min_by(col("cell"),
+              struct(col("dist2").as("d"), col("cell").as("c"))).as("cell"),
+            first(col("v")).as("v"))
       def recenter(assigned: DataFrame): DataFrame =
         assigned
           .select(col("cell"), posexplode(col("v")).as(Seq("j", "x")))
