@@ -17,9 +17,9 @@ import org.apache.spark.sql.types._
   *    driver-side randomness, reproducible run-to-run and engine-to-
   *    engine (the property `df.sample` does NOT have: its Bernoulli
   *    draw depends on partitioning and seed plumbing).
-  *  - Shard packing is one window cumsum per stratum — a single shuffle
-  *    on the stratum key. At corpus scale the stratum would be
-  *    (lang, date-bucket) so no single ordering spans the whole corpus.
+  *  - Shard packing is a two-level cumsum: bounded (lang, bucket) local
+  *    windows plus an exclusive prefix sum over per-bucket totals
+  *    (metadata-scale), so no single ordering spans a whole language.
   *  - The filter is a stateless per-row predicate over per-row features
   *    plus one fingerprint window for exact-dup detection.
   */
@@ -74,19 +74,40 @@ object CurationPack extends QueryPack {
   // each language stratum, documents in doc_id order, a document's shard
   // is the budget-quotient of its start offset in the running token
   // stream. Integer `div` keeps the arithmetic exact in both engines.
+  //
+  // Two-level cumsum so no window partition ever spans a whole
+  // language: (1) a local running sum inside each (lang, doc_id-range
+  // bucket) — task size bounded by `packBucketSpan`, the scale knob;
+  // (2) an exclusive prefix sum over the per-bucket TOTALS (one row per
+  // bucket — metadata-scale) gives each bucket's starting offset, which
+  // is broadcast back. Integer addition is associative, so
+  // local + offset equals the single-window cumsum exactly.
   private val shardBudget = 20000L
+  private val packBucketSpan = 256L
 
   private val shardPack = GraftQuery(
     "shard_pack",
     (s, d) => {
-      val w = Window.partitionBy(col("lang")).orderBy(col("doc_id"))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      Tables.documents(s, d)
+      val t = Tables.documents(s, d)
         .select(col("doc_id"), col("lang"),
           size(words(col("text"))).as("n_tokens"))
-        .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
+        .withColumn("bkt", expr(s"doc_id div ${packBucketSpan}L"))
+      val wLocal = Window.partitionBy(col("lang"), col("bkt"))
+        .orderBy(col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wOff = Window.partitionBy(col("lang")).orderBy(col("bkt"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val offsets = t.groupBy(col("lang"), col("bkt"))
+        .agg(sum(col("n_tokens")).as("bkt_tokens"))
+        .withColumn("off", coalesce(sum(col("bkt_tokens")).over(wOff), lit(0L)))
+        .select(col("lang"), col("bkt"), col("off"))
+      t.withColumn("loc_cum", sum(col("n_tokens")).over(wLocal))
+        .join(broadcast(offsets), Seq("lang", "bkt"))
+        .withColumn("cum_tokens", col("loc_cum") + col("off"))
         .withColumn("shard_id",
           expr(s"(cum_tokens - n_tokens) div ${shardBudget}L"))
+        .select(col("doc_id"), col("lang"), col("n_tokens"),
+          col("cum_tokens"), col("shard_id"))
         .orderBy(col("doc_id"))
     },
     Some(s"""

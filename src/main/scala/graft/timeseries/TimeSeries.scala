@@ -53,20 +53,38 @@ object TimeSeries {
 
   /** Two-table as-of join: for every left row, the most recent right row
     * with the same key and right.ts <= left.ts. Implemented as the
-    * shuffle-minimal union-and-carry shape: tag both sides, ONE shuffle
-    * on the key, sort within partitions by (ts, side, tiebreak) — right
+    * union-and-carry shape, TIME-SLICED so a low-cardinality key cannot
+    * serialize the sort:
+    *
+    *  1. both sides are tagged and unioned, and every row gets a
+    *     `__slice` = floor(ts / sliceSeconds) — the window partition key
+    *     is (key, slice), so partition size is bounded by slice width,
+    *     not by the key's share of the corpus;
+    *  2. a running last-non-null inside each (key, slice) partition
+    *     resolves every match whose right row lives in the same slice;
+    *  3. each slice's FINAL right values (one row per key×slice — a
+    *     per-partition summary, metadata-scale) feed an exclusive
+    *     running carry across slices per key, giving each slice its
+    *     boundary value from earlier slices — including across slices
+    *     that contain no right rows at all;
+    *  4. asof value = coalesce(local running last, carried boundary).
+    *
+    * Integer slice arithmetic plus the (ts, side, tiebreak) sort — right
     * rows before left rows at equal timestamps, matching `>=` as-of
-    * semantics — then a running last-non-null carries each right value
-    * forward. No per-row probe, no range join, no broadcast requirement
-    * on either side: both sides stream through a single window, which is
-    * the property that matters when BOTH tables are 100 TB facts.
+    * semantics — makes the decomposition exactly equal to the
+    * single-window formulation. No per-row probe, no range join, no
+    * broadcast requirement on either side, which is the property that
+    * matters when BOTH tables are 100 TB facts.
     *
     * @param rightTiebreak column making right-side ordering total when
     *                      right timestamps collide (determinism).
+    * @param sliceSeconds  window partition granularity — tune so
+    *                      (key, slice) blocks fit an executor task.
     */
   def asofJoin(left: DataFrame, right: DataFrame, key: String,
                leftTs: String, rightTs: String, rightVals: Seq[String],
-               rightTiebreak: Column = lit(0)): DataFrame = {
+               rightTiebreak: Column = lit(0),
+               sliceSeconds: Long = 86400L): DataFrame = {
     val l = left
       .withColumn("__t", col(leftTs))
       .withColumn("__side", lit(1))
@@ -78,17 +96,52 @@ object TimeSeries {
           .withColumn("__tb", rightTiebreak)) {
       (df, v) => df.withColumnRenamed(v, s"__r_$v")
     }
-    val u = l.unionByName(r, allowMissingColumns = true)
-    val w = Window.partitionBy(col(key))
+    val u0 = l.unionByName(r, allowMissingColumns = true)
+    // any monotone floor of __t is a correct slice key; pick per type
+    // (numeric time axes slice on the raw value, in "seconds")
+    val sliceExpr = u0.schema("__t").dataType match {
+      case TimestampType | TimestampNTZType => expr(
+        s"unix_micros(CAST(`__t` AS TIMESTAMP)) div ${sliceSeconds * 1000000L}L")
+      case DateType => expr(
+        s"(unix_date(`__t`) * 86400L) div ${sliceSeconds}L")
+      case _ => expr(s"CAST(`__t` AS BIGINT) div ${sliceSeconds}L")
+    }
+    val u = u0.withColumn("__slice", sliceExpr)
+    // 2. running last-non-null inside each bounded (key, slice) block
+    val wLoc = Window.partitionBy(col(key), col("__slice"))
       .orderBy(col("__t"), col("__side"), col("__tb"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val carried = rightVals.foldLeft(u) { (df, v) =>
+    val loc = rightVals.foldLeft(u) { (df, v) =>
+      df.withColumn(s"__loc_$v",
+        last(col(s"__r_$v"), ignoreNulls = true).over(wLoc))
+    }
+    // 3. per-slice final right values — one row per (key, slice) even
+    // when the slice has no right rows (fin stays null there), so the
+    // cross-slice carry bridges right-free gaps
+    val finAggs = rightVals.map(v =>
+      expr(s"max_by(`__r_$v`, struct(`__t`, `__tb`)) " +
+        s"FILTER (WHERE `__side` = 0 AND `__r_$v` IS NOT NULL)")
+        .as(s"__fin_$v"))
+    val fins = u.groupBy(col(key), col("__slice"))
+      .agg(finAggs.head, finAggs.tail: _*)
+    val wCarry = Window.partitionBy(col(key)).orderBy(col("__slice"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val carry = rightVals.foldLeft(fins) { (df, v) =>
+      df.withColumn(s"__in_$v",
+        last(col(s"__fin_$v"), ignoreNulls = true).over(wCarry))
+    }.select((col(key) +: col("__slice") +:
+      rightVals.map(v => col(s"__in_$v"))): _*)
+    // 4. combine; the join key (key, slice) matches loc's window
+    // partitioning, and the carry side is per-partition-summary-sized
+    val carried0 = loc.join(carry, Seq(key, "__slice"), "left")
+    val carried = rightVals.foldLeft(carried0) { (df, v) =>
       df.withColumn(s"asof_$v",
-        last(col(s"__r_$v"), ignoreNulls = true).over(w))
+        coalesce(col(s"__loc_$v"), col(s"__in_$v")))
     }
     carried.filter(col("__side") === 1)
-      .drop(("__t" +: "__side" +: "__tb" +: rightTs +:
-        rightVals.map(v => s"__r_$v")): _*)
+      .drop(("__t" +: "__side" +: "__tb" +: "__slice" +: rightTs +:
+        rightVals.flatMap(v =>
+          Seq(s"__r_$v", s"__loc_$v", s"__in_$v"))): _*)
   }
 
   /** Mergeable-sketch pre-aggregation — the scale path for distinct

@@ -130,6 +130,41 @@ class PropertySpec extends GraftSpec {
     }
   }
 
+  test("asofJoin time-slicing: same answer at every slice width, plan splits low-card keys") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val keys = Seq("a", "b") // low-cardinality on purpose
+    val left = (1 to 300).map(i =>
+      (keys(rnd.nextInt(2)), rnd.nextInt(1000), i.toLong))
+      .toDF("k", "lt", "lid")
+    val right = (1 to 40).map(i =>
+      (keys(rnd.nextInt(2)), rnd.nextInt(1000), i * 10L))
+      .toDF("k", "rt", "quota")
+    def run(sliceSeconds: Long): Map[(String, Int, Long), Option[Long]] =
+      graft.timeseries.TimeSeries.asofJoin(
+          left, right, "k", "lt", "rt", Seq("quota"),
+          rightTiebreak = col("quota"), sliceSeconds = sliceSeconds)
+        .select(col("k"), col("lt"), col("lid"), col("asof_quota"))
+        .collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2)) ->
+          Option(r.get(3)).map(_.asInstanceOf[Long])).toMap
+    // one slice spans everything == the single-window formulation;
+    // narrow slices (incl. widths leaving right-free gap slices) must
+    // decompose to the identical result
+    val whole = run(1000000L)
+    Seq(400L, 64L, 7L).foreach { w =>
+      assert(run(w) == whole, s"sliceSeconds=$w diverged")
+    }
+    // the heavy window must partition by (key, slice), not key alone
+    val sliced = graft.timeseries.TimeSeries.asofJoin(
+      left, right, "k", "lt", "rt", Seq("quota"),
+      rightTiebreak = col("quota"), sliceSeconds = 64L)
+    val windowLines = sliced.queryExecution.executedPlan.toString
+      .linesIterator.filter(_.contains("windowspecdefinition")).toSeq
+    assert(windowLines.exists(l =>
+      l.contains("__slice") && l.contains("__loc_")),
+      "local running-last window is not partitioned by (key, __slice)")
+  }
+
   test("shard_pack invariants: per-stratum monotone shards at budget boundaries") {
     val rows = SparkEntry.queries("shard_pack")(spark, sfDir).collect()
     val budget = 20000L
