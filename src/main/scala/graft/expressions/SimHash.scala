@@ -136,7 +136,8 @@ object GraftFunctions {
     // Timestream bin(time, seconds) as a SQL function: composed from the
     // same exact-long-arithmetic column expression TimeSeries.bin uses.
     (FunctionIdentifier("graft_bin"),
-      new ExpressionInfo(classOf[Hash60].getName, "graft_bin"),
+      new ExpressionInfo(
+        "graft.timeseries.TimeSeries.bin", "graft_bin"),
       (e: Seq[Expression]) => {
         import org.apache.spark.sql.GraftColumnBridge
         val seconds = e(1) match {

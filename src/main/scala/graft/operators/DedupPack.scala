@@ -232,6 +232,13 @@ object DedupPack extends QueryPack {
         labels = next.select(col("node"), col("lab"))
         iter += 1
       }
+      // A silent exit at the iteration cap would emit non-converged
+      // (wrong) cluster ids for components whose diameter exceeds it —
+      // fail loudly instead; near-clique dup graphs converge in 1-2
+      // rounds, so hitting this means the input is not what C6 assumes.
+      require(changed == 0,
+        s"dedup_cluster did not converge after $iter rounds " +
+          s"($changed labels still changing)")
       val wc = Window.partitionBy(col("cluster_id"))
       labels
         .select(col("node").as("doc_id"), col("lab").as("cluster_id"))

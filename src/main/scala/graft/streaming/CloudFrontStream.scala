@@ -60,10 +60,20 @@ object CloudFrontStream {
     * to a time-partitioned columnar store via foreachBatch. Partitioning
     * by (measure_name, day) is the Timestream layout's moral equivalent:
     * a dashboard query for one measure over a time range prunes to
-    * exactly the partitions it touches. foreachBatch keeps the write
-    * exactly-once per micro-batch (Spark retries a failed batch id with
-    * the same data) and works against any batch writer — parquet here, a
-    * real TSDB client in production.
+    * exactly the partitions it touches.
+    *
+    * Idempotence: a blind append inside foreachBatch is only
+    * at-least-once (a crash between the batch's file commit and the
+    * checkpoint advancing re-executes the same batchId). The write is
+    * therefore guarded by a per-batchId commit marker under
+    * `outDir/_graft_commits/` (underscore-prefixed, so readers ignore
+    * it): a re-executed batch whose marker exists is skipped. The one
+    * residual window is a crash BETWEEN the data commit and the marker
+    * create — that re-execution duplicates one batch, so the guarantee
+    * is exactly-once under graceful restart and batch re-execution,
+    * at-least-once under a crash landing precisely in that gap (closing
+    * it entirely needs a transactional table format's atomic
+    * log commit).
     */
   def toTimestreamStore(lines: DataFrame, outDir: String,
       checkpointDir: String,
@@ -74,12 +84,28 @@ object CloudFrontStream {
     val records = CloudFrontLogs.toRecords(
         parsed(lines).drop("event_time"), measures, dimensions)
       .withColumn("day", to_date(col("time")))
+    // batchIds are scoped to a checkpoint, so the marker namespace is
+    // the stream's checkpoint identity — two streams appending to one
+    // store don't collide at batch 0
+    val streamTag = java.security.MessageDigest.getInstance("MD5")
+      .digest(checkpointDir.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString.take(12)
     records.writeStream
       .option("checkpointLocation", checkpointDir)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        batch.write.mode("append")
-          .partitionBy("measure_name", "day")
-          .parquet(outDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val hadoop = batch.sparkSession.sparkContext.hadoopConfiguration
+        val commits =
+          new org.apache.hadoop.fs.Path(outDir, "_graft_commits")
+        val fs = commits.getFileSystem(hadoop)
+        val marker =
+          new org.apache.hadoop.fs.Path(commits, s"$streamTag-$batchId")
+        if (!fs.exists(marker)) {
+          batch.write.mode("append")
+            .partitionBy("measure_name", "day")
+            .parquet(outDir)
+          fs.mkdirs(commits)
+          fs.create(marker, false).close()
+        }
       }
       .start()
   }
@@ -111,10 +137,12 @@ object CloudFrontStream {
   /** Small-file compaction for the partitioned store: continuous
     * foreachBatch appends leave one file per (micro-batch × partition);
     * a periodic compaction rewrites each (measure_name, day) partition
-    * into `filesPerPartition` files. Dynamic partition overwrite touches
-    * only partitions present in the read — an idempotent maintenance
-    * job a scheduler runs beside the stream (on live partitions, pair
-    * it with the stream's epoch/commit coordination).
+    * into `filesPerPartition` files. The stream MUST be quiesced (or the
+    * store's partitions otherwise frozen) while this runs: the
+    * directory swap below is two renames, and an append landing between
+    * them would be destroyed — so the swap verifies the live path
+    * stayed absent and aborts (original data intact in the staged
+    * directory) instead of deleting anything it cannot account for.
     */
   def compactStore(spark: org.apache.spark.sql.SparkSession,
                    path: String, filesPerPartition: Int = 1): Unit = {
@@ -132,6 +160,12 @@ object CloudFrontStream {
       .partitionBy("measure_name", "day")
       .parquet(tmp.toString)
     require(fs.rename(p, old), s"compact: could not stage $path")
+    // a writer recreating p here would make the next rename land INSIDE
+    // it (Hadoop rename-into-existing-dir) and the delete below destroy
+    // its rows — fail the swap instead, leaving the original at `old`
+    require(!fs.exists(p),
+      s"compact: $path reappeared mid-swap (live writer?); " +
+        s"aborting with original data intact at $old")
     require(fs.rename(tmp, p), s"compact: could not swap in $tmp")
     fs.delete(old, true)
   }
