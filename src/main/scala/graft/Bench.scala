@@ -32,7 +32,15 @@ object Bench {
       .map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
     val steadyTotal = if (steady.nonEmpty) steady.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":${fmt(results)},"sf":"$sfDir","steady_total":$steadyTotal,"queries_steady":${fmt(steady)}}""")
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":${fmt(results)},"sf":"$sfDir","steady_total":$steadyTotal,"queries_steady":${fmt(steady)}}"""
+    println(line)
+    // Also land the line in a file: sbt's logger can interleave or
+    // prefix stdout, and a round artifact should carry structured
+    // numbers regardless of how the launcher captures the console.
+    val out = java.nio.file.Paths.get(
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json"))
+    java.nio.file.Files.write(out,
+      (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     spark.stop()
   }
 }

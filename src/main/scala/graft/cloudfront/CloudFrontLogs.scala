@@ -76,17 +76,62 @@ object CloudFrontLogs {
   /** Timestream-compatible column name: '-' → '_'. */
   def columnName(field: String): String = field.replace('-', '_')
 
+  /** Fields the JSON config types "int" that the engine narrows to
+    * int32: bounded-domain values (HTTP status, port, header count).
+    * Every other "int" is a byte/offset counter and stays int64 — at
+    * 100 TB a per-object byte counter overflows int32 routinely.
+    */
+  private val narrowInts = Set("sc-status", "c-port", "cs-headers-count")
+
+  /** Load an ordered field mapping from the reference's JSON config
+    * format ({"cf_realtime_log_fields": {"<field>": "int|float|str"}},
+    * cf_realtime_log_field_mappings.json, loaded at cold start by
+    * lambda_function.py:23-28). Ops teams edit the JSON when CloudFront
+    * appends fields — the engine picks the change up at session init
+    * instead of a code change. Declared order IS the tab order, so the
+    * parse preserves it; the built-in [[fieldMappings]] is exactly what
+    * this loader produces from the reference's own config file (proven
+    * by spec).
+    */
+  def loadFieldMappings(path: String): Seq[(String, DataType)] = {
+    val text = new String(
+      java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path)),
+      "UTF-8")
+    // Jackson (on Spark's classpath) keeps object-field declaration
+    // order, which is load-bearing here
+    val root = new com.fasterxml.jackson.databind.ObjectMapper().readTree(text)
+    val fields = root.get("cf_realtime_log_fields")
+    require(fields != null && fields.isObject,
+      s"$path: expected a top-level cf_realtime_log_fields object")
+    val buf = scala.collection.mutable.ArrayBuffer.empty[(String, DataType)]
+    fields.fields().forEachRemaining { e =>
+      val dt = e.getValue.asText() match {
+        case "float" => DoubleType
+        case "int"   => if (narrowInts(e.getKey)) IntegerType else LongType
+        case "str"   => StringType
+        case other => throw new IllegalArgumentException(
+          s"$path: field ${e.getKey} has unsupported type '$other'")
+      }
+      buf += e.getKey -> dt
+    }
+    buf.toSeq
+  }
+
   /** Parse a raw tab-delimited log line column into the 40 typed columns.
     *
     * @param dropHeaders drop cs_headers / cs_header_names like the
     *                    reference does by default (cost control).
     * @param keep        extra input columns to carry through.
+    * @param mappings    ordered field mapping — the built-in table by
+    *                    default, or [[loadFieldMappings]] output for a
+    *                    config-driven schema.
     */
   def parse(lines: DataFrame, lineCol: String = "line",
             dropHeaders: Boolean = true,
-            keep: Seq[String] = Nil): DataFrame = {
+            keep: Seq[String] = Nil,
+            mappings: Seq[(String, DataType)] = fieldMappings): DataFrame = {
     val parts = split(col(lineCol), "\t")
-    val parsed = fieldMappings.zipWithIndex.map { case ((name, dt), i) =>
+    val parsed = mappings.zipWithIndex.map { case ((name, dt), i) =>
       // try_element_at: a truncated record yields NULL fields instead of
       // failing the job — one malformed line in a 100 TB scan must never
       // kill the query (the reference's per-record lambda would raise on

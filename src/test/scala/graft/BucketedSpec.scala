@@ -45,4 +45,25 @@ class BucketedSpec extends GraftSpec {
       spark.sql("DROP TABLE IF EXISTS ord_b")
     }
   }
+
+  test("q3_bucketed registry query joins the store with zero exchanges") {
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      // kill auto-broadcast so the fact-fact join stays sort-merge; the
+      // dimension side keeps its explicit broadcast hint
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val q = SparkEntry.queries("q3_bucketed")(spark, sfDir)
+      q.collect()
+      val plan = q.queryExecution.executedPlan.toString
+        .split("== Initial Plan ==").head
+      assert(plan.contains("SortMergeJoin"), plan)
+      // both fact scans are bucketed on the join key, whose column also
+      // leads the groupBy — the whole plan runs without ANY shuffle
+      assert(!plan.contains("Exchange") || plan.contains("BroadcastExchange")
+        && !plan.replace("BroadcastExchange", "").contains("Exchange"),
+        s"unexpected shuffle exchange:\n$plan")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+    }
+  }
 }

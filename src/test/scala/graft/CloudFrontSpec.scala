@@ -40,6 +40,35 @@ class CloudFrontSpec extends GraftSpec {
     assert(schema("c_port").dataType == IntegerType)
   }
 
+  test("loadFieldMappings round-trips the reference's own config file") {
+    val loaded = CloudFrontLogs.loadFieldMappings(
+      "/root/reference/log-processor/config/cf_realtime_log_field_mappings.json")
+    // the reference config reproduces the built-in table exactly —
+    // names, order, and types
+    assert(loaded == CloudFrontLogs.fieldMappings)
+    // and a parse driven by the loaded mapping behaves identically
+    val df = CloudFrontLogs.parse(Seq(sampleLine).toDF("line"),
+      dropHeaders = false, mappings = loaded)
+    val builtin = CloudFrontLogs.parse(Seq(sampleLine).toDF("line"),
+      dropHeaders = false)
+    assert(df.schema == builtin.schema)
+    assert(df.collect().toSeq == builtin.collect().toSeq)
+  }
+
+  test("loadFieldMappings rejects malformed config") {
+    val tmp = java.nio.file.Files.createTempFile("graft-badmap", ".json")
+    java.nio.file.Files.write(tmp,
+      """{"cf_realtime_log_fields": {"a": "decimal"}}""".getBytes("UTF-8"))
+    intercept[IllegalArgumentException] {
+      CloudFrontLogs.loadFieldMappings(tmp.toString)
+    }
+    val tmp2 = java.nio.file.Files.createTempFile("graft-badmap2", ".json")
+    java.nio.file.Files.write(tmp2, """{"other": 1}""".getBytes("UTF-8"))
+    intercept[IllegalArgumentException] {
+      CloudFrontLogs.loadFieldMappings(tmp2.toString)
+    }
+  }
+
   test("parse drops header fields by default, like the reference") {
     val df = CloudFrontLogs.parse(Seq(sampleLine).toDF("line"))
     assert(df.columns.length == 38)
