@@ -436,25 +436,29 @@ object CloudFrontPack extends QueryPack {
 
   // A16 — per-edge latency percentiles (the reference's "latency"
   // purpose: time_taken / time_to_first_byte): exact p50/p90/p99 by
-  // rank selection, the same engine-portable construction as
-  // metrics_percentiles; x_edge_request_id breaks ties totally.
+  // two-pass histogram rank-selection, the same scale-safe construction
+  // as metrics_percentiles — the sorted partition holds one edge's
+  // DISTINCT latency values (ms-granular, domain-bounded), never its
+  // raw rows, so an 8-edge fleet at 100× cannot produce a multi-TB
+  // sort task. The histogram determines the value at every rank, so
+  // the result matches the oracle's row_number construction exactly.
   private val cfLatencyPercentiles = GraftQuery(
     "cf_latency_percentiles",
     (s, d) => {
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("x_edge_location"))
-        .orderBy(col("time_taken"), col("x_edge_request_id"))
-      val ranked = parsedCached(s, d)
-        .select(col("x_edge_location"), col("time_taken"),
-          col("x_edge_request_id"))
-        .withColumn("rn", row_number().over(w))
-        .withColumn("cnt", count(lit(1)).over(
+      val hist = parsedCached(s, d)
+        .groupBy(col("x_edge_location"), col("time_taken"))
+        .agg(count(lit(1)).as("cnt"))
+      val cum = hist
+        .withColumn("cum", sum(col("cnt")).over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy(col("x_edge_location")).orderBy(col("time_taken"))))
+        .withColumn("cnt_total", sum(col("cnt")).over(
           org.apache.spark.sql.expressions.Window
             .partitionBy(col("x_edge_location"))))
-      def pick(p: Double) = max(when(
-        col("rn") === (floor((col("cnt") - 1) * p).cast(LongType) + 1),
+      def pick(p: Double) = min(when(
+        col("cum") >= floor((col("cnt_total") - 1) * p).cast(LongType) + 1,
         col("time_taken")))
-      ranked.groupBy(col("x_edge_location"))
+      cum.groupBy(col("x_edge_location"))
         .agg(
           pick(0.5).as("p50"),
           pick(0.9).as("p90"),

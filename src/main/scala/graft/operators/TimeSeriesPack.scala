@@ -161,22 +161,33 @@ object TimeSeriesPack extends QueryPack {
       ORDER BY day
     """))
 
-  // A10b — exact discrete percentiles per dimension, via rank selection
-  // (identical construction on both engines: element at floor((n-1)*p)).
+  // A10b — exact discrete percentiles per dimension via two-pass
+  // histogram rank-selection: pass 1 reduces raw rows to a per-
+  // (dimension, value) count histogram (a map-side-combinable agg on a
+  // well-distributed key); pass 2 cumulates the histogram and picks,
+  // for each target rank floor((n-1)*p)+1, the smallest value whose
+  // cumulative count reaches it. The only sorted partition holds one
+  // dimension's DISTINCT values — bounded by the value domain, not the
+  // row count — so no task ever sorts a dimension's raw rows (the old
+  // row_number formulation did, a multi-TB sort per task at 100×).
+  // The value at a rank is fully determined by the histogram (rows with
+  // equal values are interchangeable), so the result is identical to
+  // the row_number construction the oracle keeps.
   private val percentiles = GraftQuery(
     "metrics_percentiles",
     (s, d) => {
-      val w = Window.partitionBy(col("event_type"))
-        .orderBy(col("value"), col("event_id"))
-      val ranked = Tables.events(s, d)
-        .select(col("event_type"), col("value"), col("event_id"))
-        .withColumn("rn", row_number().over(w))
-        .withColumn("cnt", count(lit(1)).over(
+      val hist = Tables.events(s, d)
+        .groupBy(col("event_type"), col("value"))
+        .agg(count(lit(1)).as("cnt"))
+      val cum = hist
+        .withColumn("cum", sum(col("cnt")).over(
+          Window.partitionBy(col("event_type")).orderBy(col("value"))))
+        .withColumn("cnt_total", sum(col("cnt")).over(
           Window.partitionBy(col("event_type"))))
-      def pick(p: Double) = max(when(
-        col("rn") === (floor((col("cnt") - 1) * p).cast(LongType) + 1),
+      def pick(p: Double) = min(when(
+        col("cum") >= floor((col("cnt_total") - 1) * p).cast(LongType) + 1,
         col("value")))
-      ranked.groupBy(col("event_type"))
+      cum.groupBy(col("event_type"))
         .agg(
           pick(0.5).as("p50"),
           pick(0.9).as("p90"),
