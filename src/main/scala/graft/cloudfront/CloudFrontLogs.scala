@@ -178,6 +178,32 @@ object CloudFrontLogs {
                          dataCol: String = "data"): DataFrame =
     records.withColumn("line", decode(unbase64(col(dataCol)), "UTF-8"))
 
+  /** Connector-shaped ingest: records whose payload is already raw
+    * bytes (what a Kinesis/Kafka source column carries) → `line`.
+    */
+  def fromBinaryRecords(records: DataFrame,
+                        dataCol: String = "data"): DataFrame =
+    records.withColumn("line", decode(col(dataCol), "UTF-8"))
+
+  /** Live Kinesis ingest — the production form of the file-source
+    * stand-in, matching the reference's LogStream wiring
+    * (template.yaml: a Kinesis stream feeding the processor). Requires
+    * a Spark Kinesis connector jar on the classpath (`format
+    * ("kinesis")`); this sandbox has none, so the seam is compile-only
+    * here — the spec pins the failure mode so the adapter can't rot
+    * silently. Everything downstream of the returned `line` column
+    * (parse → melt → store) is byte-identical whichever source feeds
+    * it.
+    */
+  def readKinesisStream(spark: org.apache.spark.sql.SparkSession,
+                        streamName: String, region: String,
+                        endpointUrl: Option[String] = None): DataFrame = {
+    val r = spark.readStream.format("kinesis")
+      .option("streamName", streamName)
+      .option("region", region)
+    fromBinaryRecords(endpointUrl.fold(r)(e => r.option("endpointUrl", e)).load())
+  }
+
   /** Lambda-trigger-shaped ingest: JSON event envelopes
     * (`{"Records":[{"kinesis":{"data":"<base64>"}}]}` — the exact shape
     * the reference handler receives, lambda_function.py:66-71 /

@@ -69,6 +69,21 @@ class CloudFrontSpec extends GraftSpec {
     }
   }
 
+  test("fromBinaryRecords decodes connector-shaped byte payloads") {
+    val df = CloudFrontLogs.fromBinaryRecords(
+      Seq(Tuple1(sampleLine.getBytes("UTF-8"))).toDF("data"))
+    assert(df.select("line").as[String].collect()(0) == sampleLine)
+  }
+
+  test("readKinesisStream is a compile-complete seam: fails only on the missing connector") {
+    val e = intercept[Exception] {
+      CloudFrontLogs.readKinesisStream(spark, "log-stream", "us-east-1")
+    }
+    // the adapter must get as far as source resolution — any earlier
+    // failure means the wiring itself broke
+    assert(e.getMessage.toLowerCase.contains("kinesis"), e.getMessage)
+  }
+
   test("parse drops header fields by default, like the reference") {
     val df = CloudFrontLogs.parse(Seq(sampleLine).toDF("line"))
     assert(df.columns.length == 38)
