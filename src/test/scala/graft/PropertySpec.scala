@@ -165,6 +165,47 @@ class PropertySpec extends GraftSpec {
       "local running-last window is not partitioned by (key, __slice)")
   }
 
+  test("shard_pack plan: no window partition spans a whole language") {
+    val q = SparkEntry.queries("shard_pack")(spark, sfDir)
+    q.collect()
+    val windowLines = q.queryExecution.executedPlan.toString
+      .linesIterator.filter(_.contains("windowspecdefinition")).toSeq
+    // the running-sum window over document rows must partition by
+    // (lang, bkt); the only lang-alone window runs over per-bucket
+    // TOTALS (metadata-scale, one row per bucket)
+    val rowLevel = windowLines.filter(_.contains("n_tokens#"))
+    assert(rowLevel.nonEmpty)
+    assert(rowLevel.forall(_.contains("bkt")),
+      s"row-level window not bucketed:\n${rowLevel.mkString("\n")}")
+  }
+
+  test("knn_join plan: candidate join is a (label, cell) equi-join, never all-pairs") {
+    val q = SparkEntry.queries("knn_join")(spark, sfDir)
+    q.collect()
+    val plan = q.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    assert(!plan.contains("CartesianProduct"), plan)
+    // the only nested-loop joins allowed are the broadcast-tiny
+    // centroid/bound sides; the pair-generating join must carry the
+    // IVF cell key
+    assert(plan.contains("c_cell"),
+      "candidate join lost the IVF cell key")
+  }
+
+  test("metrics_percentiles plan: window input is the histogram, not raw rows") {
+    val q = SparkEntry.queries("metrics_percentiles")(spark, sfDir)
+    q.collect()
+    val plan = q.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    val w = plan.indexOf("Window")
+    assert(w > 0, plan)
+    // in the printed tree children follow parents: an aggregate BELOW
+    // the window proves the sort/window runs over distinct-value counts
+    assert(plan.indexOf("HashAggregate", w) > 0,
+      s"window consumes raw rows:\n$plan")
+    assert(!plan.contains("row_number"), "raw-row ranking reappeared")
+  }
+
   test("shard_pack invariants: per-stratum monotone shards at budget boundaries") {
     val rows = SparkEntry.queries("shard_pack")(spark, sfDir).collect()
     val budget = 20000L
