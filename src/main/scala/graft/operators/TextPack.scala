@@ -203,6 +203,70 @@ object TextPack extends QueryPack {
       FROM n ORDER BY doc_id
       """))
 
+  // E5 — intra-document repetition metrics (the Gopher-class repetition
+  // filters: heavily self-repeating documents are low-value training
+  // text and a known loss-spike source). Per doc: duplicate-word and
+  // duplicate-3-gram fractions plus the top word's frequency share.
+  // Word frequencies come from one explode → (doc_id, word) count agg —
+  // the same shuffle shape as the dedup shingle pipeline, map-side
+  // combinable, well-distributed keys; the 3-gram side stays per-row
+  // (distinct shingle count vs n-2 occurrences). All ratios are exact
+  // integer ppm (`div`), so cross-engine hashes match bit-for-bit.
+  private val textRepetition = GraftQuery(
+    "text_repetition",
+    (s, d) => {
+      val base = Tables.documents(s, d)
+        .select(col("doc_id"), words(col("text")).as("w"))
+        .filter(size(col("w")) > 0)
+      val wc = base
+        .select(col("doc_id"), explode(col("w")).as("word"))
+        .groupBy(col("doc_id"), col("word"))
+        .agg(count(lit(1)).as("c"))
+      val perDoc = wc.groupBy(col("doc_id"))
+        .agg(sum(col("c")).as("n_words"),
+          count(lit(1)).as("n_distinct_words"),
+          max(col("c")).as("top_c"))
+      val grams = base.select(col("doc_id"),
+        size(col("w")).as("n"),
+        size(shingles3Hashed(col("w"))).as("d3"))
+      grams.join(perDoc, "doc_id")
+        .select(
+          col("doc_id"),
+          col("n_words"),
+          col("n_distinct_words"),
+          expr("(1000000 * (n_words - n_distinct_words)) div n_words")
+            .as("dup_word_ppm"),
+          when(col("n") >= 3,
+              expr("(1000000 * (n - 2 - d3)) div (n - 2)"))
+            .otherwise(0L).as("dup_3gram_ppm"),
+          expr("(1000000 * top_c) div n_words").as("top_word_ppm"))
+        .orderBy(col("doc_id"))
+    },
+    Some(s"""
+      WITH w AS (
+        SELECT doc_id, ${Portable.sql.words} AS w FROM documents),
+      base AS (SELECT doc_id, w FROM w WHERE len(w) > 0),
+      e AS (SELECT doc_id, unnest(w) AS word FROM base),
+      wc AS (SELECT doc_id, word, COUNT(*) AS c FROM e GROUP BY 1, 2),
+      pd AS (SELECT doc_id,
+          CAST(SUM(c) AS BIGINT) AS n_words,
+          COUNT(*) AS n_distinct_words,
+          CAST(MAX(c) AS BIGINT) AS top_c
+        FROM wc GROUP BY 1),
+      g AS (SELECT doc_id, len(w) AS n,
+          len(${Portable.sql.shingles3Hashed}) AS d3
+        FROM base)
+      SELECT g.doc_id, pd.n_words, pd.n_distinct_words,
+        (1000000 * (pd.n_words - pd.n_distinct_words)) // pd.n_words
+          AS dup_word_ppm,
+        CASE WHEN g.n >= 3
+          THEN (1000000 * (g.n - 2 - g.d3)) // (g.n - 2)
+          ELSE 0 END AS dup_3gram_ppm,
+        (1000000 * pd.top_c) // pd.n_words AS top_word_ppm
+      FROM g JOIN pd ON g.doc_id = pd.doc_id
+      ORDER BY g.doc_id
+      """))
+
   override val queries: Seq[GraftQuery] =
-    Seq(langId, textQuality, tokenCount, fingerprint)
+    Seq(langId, textQuality, tokenCount, fingerprint, textRepetition)
 }

@@ -540,8 +540,63 @@ object TimeSeriesPack extends QueryPack {
     },
     None)
 
+  // A10d'' — mergeable QUANTILE pre-aggregate: per-(key, day) decimal
+  // log-histograms (TimeSeries.logHistDaily — integer/string bucket
+  // arithmetic, ≤1% relative bucket width) rolled up to per-key
+  // p50/p99 brackets. Unlike KLL/t-digest-style sketches this one is
+  // engine-portable bit-for-bit, so it gets a FULL hash-match oracle —
+  // the daily→global merge is provably lossless (bucket-count sums),
+  // which the spec double-checks against a direct global histogram.
+  private val histRollup = GraftQuery(
+    "metrics_hist_rollup",
+    (s, d) => {
+      val daily = TimeSeries.logHistDaily(
+        Tables.events(s, d), col("event_type"), col("ts"), col("value"))
+      TimeSeries.logHistRollup(daily)
+        .withColumnRenamed("key", "event_type")
+        .orderBy(col("event_type"))
+    },
+    Some("""
+      WITH b AS (
+        SELECT event_type AS key,
+          CAST(round(value * 100, 0) AS BIGINT) AS cents
+        FROM events WHERE value > 0),
+      d AS (SELECT key, cents,
+          CAST(len(CAST(cents AS VARCHAR)) AS BIGINT) AS nd,
+          CAST(substr(CAST(cents AS VARCHAR), 1, 3) AS BIGINT) AS f3
+        FROM b),
+      hb AS (SELECT key, nd * 1000 + f3 AS bucket_id, COUNT(*) AS cnt
+        FROM d GROUP BY 1, 2),
+      c AS (SELECT *,
+          SUM(cnt) OVER (PARTITION BY key ORDER BY bucket_id) AS cum,
+          SUM(cnt) OVER (PARTITION BY key) AS tot
+        FROM hb),
+      pk AS (SELECT key,
+          CAST(MAX(tot) AS BIGINT) AS n_rows,
+          MIN(CASE WHEN cum >= CAST(floor((tot - 1) * 0.5) AS BIGINT) + 1
+            THEN bucket_id END) AS b50,
+          MIN(CASE WHEN cum >= CAST(floor((tot - 1) * 0.99) AS BIGINT) + 1
+            THEN bucket_id END) AS b99
+        FROM c GROUP BY key)
+      SELECT key AS event_type, n_rows,
+        CAST(CAST(b50 % 1000 AS VARCHAR) ||
+          repeat('0', CAST(greatest(b50 // 1000 - 3, 0) AS INTEGER))
+          AS BIGINT) AS p50_lo_cents,
+        CAST(CAST(b50 % 1000 + 1 AS VARCHAR) ||
+          repeat('0', CAST(greatest(b50 // 1000 - 3, 0) AS INTEGER))
+          AS BIGINT) AS p50_hi_cents,
+        CAST(CAST(b99 % 1000 AS VARCHAR) ||
+          repeat('0', CAST(greatest(b99 // 1000 - 3, 0) AS INTEGER))
+          AS BIGINT) AS p99_lo_cents,
+        CAST(CAST(b99 % 1000 + 1 AS VARCHAR) ||
+          repeat('0', CAST(greatest(b99 // 1000 - 3, 0) AS INTEGER))
+          AS BIGINT) AS p99_hi_cents
+      FROM pk
+      ORDER BY event_type
+      """))
+
   override val queries: Seq[GraftQuery] = Seq(
     tsBin, tsAgo, tsSeries, sessionize, metricsDaily, percentiles,
     topUsers, approxMetrics, tsInterpolate, tsAsof, tsAnomaly,
-    qAsofJoin, qLatest, qSkewAgg, sketchRollup)
+    qAsofJoin, qLatest, qSkewAgg, sketchRollup, histRollup)
 }

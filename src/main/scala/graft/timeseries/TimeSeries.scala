@@ -168,6 +168,70 @@ object TimeSeries {
         .as("approx_distinct"),
         sum(col("n_rows")).as("n_rows"))
 
+  /** Mergeable quantile pre-aggregate: a decimal log-histogram over a
+    * positive cents-precision measure. Bucket = (digit count,
+    * leading-3-digits) of the cents value — i.e. a base-10 log scale at
+    * 3-significant-digit resolution, ≤1% relative bucket width. Unlike
+    * float-log sketches (KLL/t-digest/HDR's `log()` buckets) every step
+    * is integer/string arithmetic, identical in any engine — so the
+    * rollup gets a full hash-match oracle, not a rows-only check.
+    *
+    * Scale story: the raw measure column compresses to one row per
+    * (key, day, bucket) — a few hundred buckets per key-day — and any
+    * coarser rollup (weekly, global) is a count-sum over those rows
+    * plus a cum-window over DISTINCT buckets. Merge is lossless by
+    * construction (bucket counts are associative sums); raw data is
+    * never rescanned.
+    */
+  def logHistDaily(df: DataFrame, key: Column, ts: Column,
+                   value: Column): DataFrame =
+    df.filter(value > 0)
+      .withColumn("__cents", round(value * 100).cast(LongType))
+      .withColumn("__nd", length(col("__cents").cast(StringType)))
+      .withColumn("bucket_id",
+        col("__nd").cast(LongType) * 1000 +
+          substring(col("__cents").cast(StringType), 1, 3).cast(LongType))
+      .groupBy(key.as("key"),
+        bin(ts, 86400).cast(TimestampNTZType).as("day"), col("bucket_id"))
+      .agg(count(lit(1)).as("cnt"))
+
+  /** Roll (key, day, bucket) histograms up to per-key quantile BRACKETS:
+    * for each target rank the bucket containing it, decoded to exact
+    * [lo_cents, hi_cents) integer bounds. The histogram fully determines
+    * the bracket, so daily→global merge gives byte-identical output to
+    * histogramming the raw data directly.
+    */
+  def logHistRollup(daily: DataFrame,
+                    ps: Seq[(String, Double)] = Seq("p50" -> 0.5,
+                      "p99" -> 0.99)): DataFrame = {
+    val h = daily.groupBy(col("key"), col("bucket_id"))
+      .agg(sum(col("cnt")).as("cnt"))
+    val cum = h
+      .withColumn("cum", sum(col("cnt")).over(
+        Window.partitionBy(col("key")).orderBy(col("bucket_id"))))
+      .withColumn("tot", sum(col("cnt")).over(Window.partitionBy(col("key"))))
+    def pickBucket(p: Double) = min(when(
+      col("cum") >= floor((col("tot") - 1) * p).cast(LongType) + 1,
+      col("bucket_id")))
+    // decode bucket -> exact integer cents bounds: lo = f3 zero-padded
+    // to nd digits (string-built power of ten — no float pow)
+    def lo(b: String) = expr(
+      s"CAST(CAST($b % 1000 AS STRING) || " +
+        s"repeat('0', int(greatest($b div 1000 - 3, 0))) AS BIGINT)")
+    def hi(b: String) = expr(
+      s"CAST(CAST($b % 1000 + 1 AS STRING) || " +
+        s"repeat('0', int(greatest($b div 1000 - 3, 0))) AS BIGINT)")
+    val agg = cum.groupBy(col("key"))
+      .agg(max(col("tot")).as("n_rows"),
+        ps.map { case (n, p) => pickBucket(p).as(s"__b_$n") }: _*)
+    ps.foldLeft(agg) { case (df, (n, _)) =>
+      df.withColumn(s"${n}_lo_cents", lo(s"__b_$n"))
+        .withColumn(s"${n}_hi_cents", hi(s"__b_$n"))
+    }.select(col("key") +: col("n_rows") +:
+      ps.flatMap { case (n, _) =>
+        Seq(col(s"${n}_lo_cents"), col(s"${n}_hi_cents")) }: _*)
+  }
+
   /** Gap-based sessionization (batch): assigns a per-user session sequence
     * number, a new session starting when the gap from the previous event
     * exceeds `gapSeconds`. One shuffle on the user key; everything else is

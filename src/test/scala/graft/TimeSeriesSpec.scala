@@ -91,6 +91,48 @@ class TimeSeriesSpec extends GraftSpec {
         s"$k: sketch ${rolled(k)} vs exact $v")
   }
 
+  test("log-histogram rollup: brackets contain the exact percentiles and merge is lossless") {
+    import org.apache.spark.sql.functions._
+    import graft.timeseries.TimeSeries
+    val events = graft.sources.Tables.events(spark, sfDir)
+    val daily = TimeSeries.logHistDaily(
+      events, col("event_type"), col("ts"), col("value"))
+    val rolled = TimeSeries.logHistRollup(daily).collect()
+      .map(r => r.getString(0) -> r).toMap
+    // merge losslessness: one global pseudo-day gives identical output
+    val global = TimeSeries.logHistRollup(
+      TimeSeries.logHistDaily(
+        events.withColumn("ts", lit("2020-01-01 00:00:00").cast("timestamp")),
+        col("event_type"), col("ts"), col("value"))).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(rolled.keySet == global.keySet && rolled.keySet.nonEmpty)
+    rolled.foreach { case (k, r) =>
+      (1 to 5).foreach(i => assert(r.getLong(i) == global(k).getLong(i),
+        s"daily-merged != global for $k col $i"))
+    }
+    // bracket correctness: the exact discrete percentile (same rank
+    // construction) falls inside [lo, hi) cents, and the bracket is
+    // <= 1% relative width for 3+-digit values
+    val exact = events.filter(col("value") > 0)
+      .select(col("event_type"),
+        expr("CAST(round(value * 100, 0) AS BIGINT)").as("cents"))
+      .collect().groupBy(_.getString(0))
+      .map { case (k, rs) =>
+        val sorted = rs.map(_.getLong(1)).sorted
+        k -> Seq(0.5, 0.99).map(p =>
+          sorted((math.floor((sorted.length - 1) * p)).toInt))
+      }
+    exact.foreach { case (k, Seq(e50, e99)) =>
+      val r = rolled(k) // cols: key, n_rows, p50_lo, p50_hi, p99_lo, p99_hi
+      assert(r.getLong(2) <= e50 && e50 < r.getLong(3),
+        s"$k p50=$e50 outside [${r.getLong(2)}, ${r.getLong(3)})")
+      assert(r.getLong(4) <= e99 && e99 < r.getLong(5),
+        s"$k p99=$e99 outside [${r.getLong(4)}, ${r.getLong(5)})")
+      if (e50 >= 100)
+        assert((r.getLong(3) - r.getLong(2)).toDouble / r.getLong(2) <= 0.011)
+    }
+  }
+
   test("ts_interpolate fills gaps between observed neighbors") {
     import org.apache.spark.sql.functions._
     val df = SparkEntry.queries("ts_interpolate")(spark, sfDir)
