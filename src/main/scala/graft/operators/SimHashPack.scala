@@ -11,16 +11,23 @@ import org.apache.spark.sql.types._
   * Catalyst expressions (block G).
   *
   * Scale shape: the signature is one codegen'd expression per row (no
-  * shuffle); candidate generation uses 8 bands of 8 signature bits — by
-  * pigeonhole, any pair with hamming <= 7 agrees on at least one full
-  * band, so the banded join has *guaranteed* recall at the threshold
-  * while only ever comparing within buckets. The oracle brute-forces
-  * all pairs (equivalent by the pigeonhole argument) and recomputes the
-  * signatures from scratch in SQL via 32-bit md5 halves.
+  * shuffle). Candidate generation is MULTI-PROBE over 4 blocks of 16
+  * signature bits: hamming <= 7 across 4 blocks forces some block to
+  * differ by AT MOST ONE bit (pigeonhole, 4×2 > 7), so probing each
+  * block's exact 16-bit key plus its 16 single-bit flips has guaranteed
+  * recall at the threshold. Versus the plain 8×8-bit banding (256
+  * buckets per band — bucket population grows as n/256, quadratic
+  * within buckets at corpus scale), the 65536-way keys shrink buckets
+  * 256× for a 8.5× key fanout: random-pair collision probability drops
+  * from 8/2^8 to ~68/2^16 (≈30×), and the bucket-size scale knob
+  * improves by two orders of magnitude. The oracle brute-forces all
+  * pairs independently, so the gate re-proves recall = 1.
   */
 object SimHashPack extends QueryPack {
 
   private val maxHamming = 7
+  private val numBlocks = 4
+  private val blockBits = 16
 
   private val dedupSimhash = GraftQuery(
     "dedup_simhash",
@@ -30,21 +37,31 @@ object SimHashPack extends QueryPack {
         .select(col("doc_id"), words(col("text")).as("w"))
         .filter(size(col("w")) > 0)
         .select(col("doc_id"), expr("graft_simhash64(w)").as("sig"))
-      val chunks = array((0 until 8).map(b =>
-        struct(lit(b).as("band"),
-          shiftrightunsigned(col("sig"), b * 8).bitwiseAND(lit(255L))
-            .as("chunk"))): _*)
-      val banded = sigs
-        .select(col("doc_id"), col("sig"), explode(chunks).as("bc"))
-        .select(col("doc_id"), col("sig"),
-          col("bc.band").as("band"), col("bc.chunk").as("chunk"))
-      val a = banded.select(col("doc_id").as("doc_a"),
-        col("sig").as("sig_a"), col("band"), col("chunk"))
-      val b = banded.select(col("doc_id").as("doc_b"),
-        col("sig").as("sig_b"), col("band").as("band_b"),
-        col("chunk").as("chunk_b"))
-      a.join(b, col("band") === col("band_b") &&
-          col("chunk") === col("chunk_b") && col("doc_a") < col("doc_b"))
+      def blockKey(b: Int) =
+        shiftrightunsigned(col("sig"), b * blockBits)
+          .bitwiseAND(lit((1L << blockBits) - 1))
+      // index side: each block's exact key (numBlocks rows per doc)
+      val exactKeys = array((0 until numBlocks).map(b =>
+        struct(lit(b).as("blk"), blockKey(b).as("key"))): _*)
+      // probe side: exact key + all single-bit flips (17 keys per block)
+      val probeKeys = array((0 until numBlocks).flatMap { b =>
+        struct(lit(b).as("blk"), blockKey(b).as("key")) +:
+          (0 until blockBits).map(i =>
+            struct(lit(b).as("blk"),
+              blockKey(b).bitwiseXOR(lit(1L << i)).as("key")))
+      }: _*)
+      val idx = sigs
+        .select(col("doc_id").as("doc_b"), col("sig").as("sig_b"),
+          explode(exactKeys).as("bc"))
+        .select(col("doc_b"), col("sig_b"),
+          col("bc.blk").as("blk_b"), col("bc.key").as("key_b"))
+      val probe = sigs
+        .select(col("doc_id").as("doc_a"), col("sig").as("sig_a"),
+          explode(probeKeys).as("bc"))
+        .select(col("doc_a"), col("sig_a"),
+          col("bc.blk").as("blk"), col("bc.key").as("key"))
+      probe.join(idx, col("blk") === col("blk_b") &&
+          col("key") === col("key_b") && col("doc_a") < col("doc_b"))
         .select(col("doc_a"), col("doc_b"), col("sig_a"), col("sig_b"))
         .distinct()
         .withColumn("hamming",
