@@ -333,6 +333,100 @@ object TimeSeriesPack extends QueryPack {
       ORDER BY w.event_type, w.bin
       """))
 
+  // A20 — Timestream DERIVATIVE_LINEAR: per-dimension rate of change
+  // between consecutive hourly bins, (x - prev_x) / Δt_seconds. One
+  // shuffle (the bin agg); the lag window runs over per-dimension BIN
+  // rows (bounded by the time range, not the row count). The division
+  // is a single IEEE op on identical inputs in both engines — no
+  // rounding needed.
+  private val tsDerivative = GraftQuery(
+    "ts_derivative",
+    (s, d) => {
+      val w = Window.partitionBy(col("event_type")).orderBy(col("bin"))
+      val bins = Tables.events(s, d)
+        .groupBy(col("event_type"),
+          TimeSeries.bin(col("ts"), 3600).cast(TimestampNTZType).as("bin"))
+        .agg(dsumValue.as("x"))
+      bins
+        .withColumn("prev_x", lag(col("x"), 1).over(w))
+        .withColumn("prev_bin", lag(col("bin"), 1).over(w))
+        .filter(col("prev_x").isNotNull)
+        .select(col("event_type"), col("bin"), col("x"),
+          ((col("x") - col("prev_x")) /
+            (unix_micros(col("bin").cast(TimestampType)) -
+              unix_micros(col("prev_bin").cast(TimestampType)))
+              .cast(DoubleType) * 1000000.0d).as("dx_dt"))
+        .orderBy(col("event_type"), col("bin"))
+    },
+    Some("""
+      WITH bins AS (
+        SELECT event_type,
+          make_timestamp(epoch_us(ts) - epoch_us(ts) % 3600000000) AS bin,
+          CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS x
+        FROM events GROUP BY 1, 2),
+      l AS (
+        SELECT event_type, bin, x,
+          lag(x) OVER (PARTITION BY event_type ORDER BY bin) AS prev_x,
+          lag(bin) OVER (PARTITION BY event_type ORDER BY bin) AS prev_bin
+        FROM bins)
+      SELECT event_type, bin, x,
+        (x - prev_x) / CAST(epoch_us(bin) - epoch_us(prev_bin) AS DOUBLE)
+          * 1000000.0 AS dx_dt
+      FROM l WHERE prev_x IS NOT NULL
+      ORDER BY event_type, bin
+      """))
+
+  // A21 — Timestream INTEGRAL_TRAPEZOIDAL: per-dimension trapezoid
+  // integral of the hourly series over the whole period. Each trapezoid
+  // term is deterministic per-row IEEE arithmetic; the SUM runs in
+  // exact decimal so partition order cannot perturb the total.
+  private val tsIntegral = GraftQuery(
+    "ts_integral",
+    (s, d) => {
+      val w = Window.partitionBy(col("event_type")).orderBy(col("bin"))
+      val bins = Tables.events(s, d)
+        .groupBy(col("event_type"),
+          TimeSeries.bin(col("ts"), 3600).cast(TimestampNTZType).as("bin"))
+        .agg(dsumValue.as("x"))
+      bins
+        .withColumn("prev_x", lag(col("x"), 1).over(w))
+        .withColumn("prev_bin", lag(col("bin"), 1).over(w))
+        .filter(col("prev_x").isNotNull)
+        .withColumn("term",
+          (col("x") + col("prev_x")) * 0.5d *
+            ((unix_micros(col("bin").cast(TimestampType)) -
+              unix_micros(col("prev_bin").cast(TimestampType)))
+              .cast(DoubleType) / 1000000.0d))
+        .groupBy(col("event_type"))
+        .agg(sum(col("term").cast(DecimalType(28, 6))).cast(DoubleType)
+          .as("integral"),
+          count(lit(1)).as("n_segments"))
+        .orderBy(col("event_type"))
+    },
+    Some("""
+      WITH bins AS (
+        SELECT event_type,
+          make_timestamp(epoch_us(ts) - epoch_us(ts) % 3600000000) AS bin,
+          CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS x
+        FROM events GROUP BY 1, 2),
+      l AS (
+        SELECT event_type, bin, x,
+          lag(x) OVER (PARTITION BY event_type ORDER BY bin) AS prev_x,
+          lag(bin) OVER (PARTITION BY event_type ORDER BY bin) AS prev_bin
+        FROM bins),
+      t AS (
+        SELECT event_type,
+          (x + prev_x) * 0.5 *
+            (CAST(epoch_us(bin) - epoch_us(prev_bin) AS DOUBLE) / 1000000.0)
+            AS term
+        FROM l WHERE prev_x IS NOT NULL)
+      SELECT event_type,
+        CAST(SUM(CAST(term AS DECIMAL(28,6))) AS DOUBLE) AS integral,
+        COUNT(*) AS n_segments
+      FROM t GROUP BY event_type
+      ORDER BY event_type
+      """))
+
   // A12 — as-of lookup: for every event, the timestamp and value of the
   // most recent prior 'error' event of the same user. Formulated as a
   // running window (no join, no per-row scan) — the shuffle-minimal way
@@ -598,5 +692,6 @@ object TimeSeriesPack extends QueryPack {
   override val queries: Seq[GraftQuery] = Seq(
     tsBin, tsAgo, tsSeries, sessionize, metricsDaily, percentiles,
     topUsers, approxMetrics, tsInterpolate, tsAsof, tsAnomaly,
+    tsDerivative, tsIntegral,
     qAsofJoin, qLatest, qSkewAgg, sketchRollup, histRollup)
 }
