@@ -26,13 +26,17 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * no cross-group coordination, and n_shared_bands matches the batch
   * count exactly.
   *
-  * State per bucket is the member list (doc_id, signature, shingles):
-  * O(bucket size × doc features). At production scale pair it with an
-  * event-time timeout (same parameterization as StreamingDedup) so
-  * buckets age out beyond the dedup horizon, and cap bucket
-  * membership — a bucket hot enough to overflow is a near-identical
-  * cluster that exact dedup (C1's streaming form) already collapses
-  * upstream.
+  * State per bucket is the member list (doc_id, signature, shingles),
+  * HARD-CAPPED at `maxPerBucket`: a bucket at the cap stops ADMITTING
+  * members but still compares arrivals against the stored ones — a
+  * bucket that hot is a near-identical cluster, and newcomers still
+  * match its resident members, so duplicate FLAGGING survives the cap
+  * (what's lost is only pairs among post-cap arrivals, which exact
+  * dedup upstream collapses anyway). This bounds every bucket's state
+  * and per-arrival work by a constant — the same O(cap) discipline as
+  * the batch side's BoundedCollectList. At production scale pair it
+  * with an event-time timeout (same parameterization as
+  * StreamingDedup) so idle buckets age out of the store entirely.
   */
 object StreamingMinHash {
 
@@ -111,7 +115,8 @@ object StreamingMinHash {
     * group iterator) — the spec's batch/stream equivalence lever.
     */
   def dupPairs(docs: DataFrame,
-      timeout: GroupStateTimeout = GroupStateTimeout.NoTimeout): Dataset[DupPair] = {
+      timeout: GroupStateTimeout = GroupStateTimeout.NoTimeout,
+      maxPerBucket: Int = 64): Dataset[DupPair] = {
     val spark = docs.sparkSession
     import spark.implicits._
     features(docs)
@@ -146,7 +151,7 @@ object StreamingMinHash {
                 }
               }
             }
-            members = f :: members
+            if (members.length < maxPerBucket) members = f :: members
           }
           state.update(members)
           out.result().iterator

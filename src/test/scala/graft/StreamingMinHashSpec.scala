@@ -18,6 +18,20 @@ class StreamingMinHashSpec extends GraftSpec {
     assert(got.nonEmpty)
   }
 
+  test("maxPerBucket caps state but newcomers still match residents") {
+    import spark.implicits._
+    val docs = (1L to 5L)
+      .map(i => (i, "alpha beta gamma delta epsilon zeta"))
+      .toDF("doc_id", "text")
+    val capped = StreamingMinHash.dupPairs(docs, maxPerBucket = 1)
+      .collect()
+    // only doc 1 is resident; every later arrival is flagged against it
+    assert(capped.map(p => (p.doc_a, p.doc_b)).toSet ==
+      (2L to 5L).map(j => (1L, j)).toSet)
+    val uncapped = StreamingMinHash.dupPairs(docs).collect()
+    assert(uncapped.length == 10) // all C(5,2) pairs without the cap
+  }
+
   test("streaming dupPairs equals batch regardless of micro-batch chunking") {
     import java.nio.file.{Files, Paths}
     val docs = graft.sources.Tables.documents(spark, sfDir)
