@@ -407,15 +407,25 @@ object CloudFrontPack extends QueryPack {
   private val cfTopUris = GraftQuery(
     "cf_top_uris",
     (s, d) => {
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("c_country"))
-        .orderBy(col("total_bytes").desc, col("cs_uri_stem"))
-      parsedCached(s, d)
+      // top-3 per country through the custom TopKPerKey operator (G7):
+      // per-partition bounded heaps + one exchange — the URI set per
+      // country is unbounded at corpus scale, so a row_number window
+      // over it would sort an ever-growing partition per task. The
+      // rank window runs only over the <=3 surviving rows per country.
+      val agg = parsedCached(s, d)
         .groupBy(col("c_country"), col("cs_uri_stem"))
         .agg(count(lit(1)).as("n_requests"),
           sum(col("sc_bytes")).as("total_bytes"))
-        .withColumn("rnk", row_number().over(w))
-        .filter(col("rnk") <= 3)
+      val top = graft.plans.TopKPerKey(agg,
+        keys = Seq(col("c_country")),
+        order = Seq(col("total_bytes").desc, col("cs_uri_stem")),
+        k = 3)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("c_country"))
+        .orderBy(col("total_bytes").desc, col("cs_uri_stem"))
+      top.withColumn("rnk", row_number().over(w))
+        .select(col("c_country"), col("cs_uri_stem"), col("n_requests"),
+          col("total_bytes"), col("rnk"))
         .orderBy(col("c_country"), col("rnk"))
     },
     Some(s"""
