@@ -169,6 +169,88 @@ object CurationPack extends QueryPack {
       FROM d2 ORDER BY doc_id
       """))
 
+  // ---- H4: the composed pipeline — the library's user story in one
+  // plan: quality/dup FILTER (H3 semantics) → stratified hash SAMPLE
+  // (H1 semantics) → two-level token-budget SHARD PACK (H2 semantics)
+  // over the survivors. One fingerprint window + one pass of per-row
+  // predicates + the bounded packing windows; the oracle recomputes the
+  // whole chain independently with a SINGLE-window cumsum, so it also
+  // re-proves the two-level packing's equivalence on the composed
+  // survivor set.
+  private val curationPipeline = GraftQuery(
+    "curation_pipeline",
+    (s, d) => {
+      val wf = Window.partitionBy(col("fingerprint"))
+      val rate = ratesPpm.foldLeft(lit(defaultPpm)) { case (acc, (k, v)) =>
+        when(col("lang") === k, lit(v)).otherwise(acc)
+      }
+      val draw = pmod(hashP(concat(lit(salt), col("doc_id").cast(StringType))),
+        lit(1000000L))
+      val kept = Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"),
+          size(words(col("text"))).cast(LongType).as("n_tokens"),
+          md5(normText(col("text"))).as("fingerprint"))
+        .withColumn("is_dup",
+          col("doc_id") =!= min(col("doc_id")).over(wf))
+        .filter(col("lang").isin("en", "de", "es", "fr", "zh") &&
+          col("n_tokens") >= minTokens && col("n_tokens") <= maxTokens &&
+          !col("is_dup"))
+        .filter(draw < rate)
+        .select(col("doc_id"), col("lang"), col("n_tokens"))
+      val bucketed = kept
+        .withColumn("bkt", expr(s"doc_id div ${packBucketSpan}L"))
+      val wLocal = Window.partitionBy(col("lang"), col("bkt"))
+        .orderBy(col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wOff = Window.partitionBy(col("lang")).orderBy(col("bkt"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val offsets = bucketed.groupBy(col("lang"), col("bkt"))
+        .agg(sum(col("n_tokens")).as("bkt_tokens"))
+        .withColumn("off",
+          coalesce(sum(col("bkt_tokens")).over(wOff), lit(0L)))
+        .select(col("lang"), col("bkt"), col("off"))
+      bucketed
+        .withColumn("loc_cum", sum(col("n_tokens")).over(wLocal))
+        .join(broadcast(offsets), Seq("lang", "bkt"))
+        .withColumn("cum_tokens", col("loc_cum") + col("off"))
+        .withColumn("shard_id",
+          expr(s"(cum_tokens - n_tokens) div ${shardBudget}L"))
+        .select(col("doc_id"), col("lang"), col("n_tokens"),
+          col("cum_tokens"), col("shard_id"))
+        .orderBy(col("doc_id"))
+    },
+    Some(s"""
+      WITH f AS (
+        SELECT doc_id, lang,
+          CAST(len(${Portable.sql.words}) AS BIGINT) AS n_tokens,
+          md5(list_aggregate(${Portable.sql.words}, 'string_agg', ' '))
+            AS fingerprint
+        FROM documents),
+      d2 AS (
+        SELECT *, doc_id <> MIN(doc_id) OVER (PARTITION BY fingerprint)
+          AS is_dup
+        FROM f),
+      kept AS (
+        SELECT doc_id, lang, n_tokens FROM d2
+        WHERE lang IN ('en','de','es','fr','zh')
+          AND n_tokens >= $minTokens AND n_tokens <= $maxTokens
+          AND NOT is_dup
+          AND ${Portable.sql.hashP(s"'$salt' || CAST(doc_id AS VARCHAR)")}
+            % 1000000 <
+            CASE lang WHEN 'zh' THEN 200000 WHEN 'fr' THEN 300000
+                      WHEN 'es' THEN 300000 WHEN 'de' THEN 300000
+                      WHEN 'en' THEN 500000 ELSE $defaultPpm END),
+      c AS (
+        SELECT doc_id, lang, n_tokens,
+          CAST(SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+            AS BIGINT) AS cum_tokens
+        FROM kept)
+      SELECT doc_id, lang, n_tokens, cum_tokens,
+        (cum_tokens - n_tokens) // $shardBudget AS shard_id
+      FROM c ORDER BY doc_id
+      """))
+
   override val queries: Seq[GraftQuery] =
-    Seq(sampleStratified, shardPack, curationFilter)
+    Seq(sampleStratified, shardPack, curationFilter, curationPipeline)
 }

@@ -427,6 +427,69 @@ object TimeSeriesPack extends QueryPack {
       ORDER BY event_type
       """))
 
+  // A11b — Timestream INTERPOLATE_LOCF + INTERPOLATE_FILL on the same
+  // hourly spine as A11: gaps carry the last observed value forward
+  // (NULL before the first observation) and, in the fill column, a
+  // constant 0. Same bounded-spine windows; one query covers both
+  // remaining Timestream interpolation modes.
+  private val tsLocfFill = GraftQuery(
+    "ts_locf_fill",
+    (s, d) => {
+      val binCol = TimeSeries.bin(col("ts"), 3600).cast(TimestampNTZType)
+      val bins = Tables.events(s, d)
+        .groupBy(col("event_type"), binCol.as("bin"))
+        .agg((dsumValue / count(lit(1))).as("avg_val"))
+      val spine = bins.groupBy(col("event_type"))
+        .agg(min(col("bin")).as("mn"), max(col("bin")).as("mx"))
+        .select(col("event_type"),
+          explode(sequence(col("mn"), col("mx"),
+            expr("INTERVAL 1 HOUR"))).as("bin"))
+      val j = spine.join(bins, Seq("event_type", "bin"), "left")
+      val wPrev = Window.partitionBy(col("event_type")).orderBy(col("bin"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val pv = bins.select(col("event_type"), col("bin").as("prev_bin"),
+        col("avg_val").as("prev_val"))
+      j.withColumn("prev_bin",
+          max(when(col("avg_val").isNotNull, col("bin"))).over(wPrev))
+        .join(pv, Seq("event_type", "prev_bin"), "left")
+        .select(col("event_type"), col("bin"),
+          coalesce(col("avg_val"), col("prev_val")).as("locf_value"),
+          coalesce(col("avg_val"), lit(0.0d)).as("fill_value"),
+          col("avg_val").isNull.as("filled"))
+        .orderBy(col("event_type"), col("bin"))
+    },
+    Some("""
+      WITH bins AS (
+        SELECT event_type,
+          make_timestamp(epoch_us(ts) - epoch_us(ts) % 3600000000) AS bin,
+          CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*)
+            AS avg_val
+        FROM events GROUP BY 1, 2),
+      spine AS (
+        SELECT event_type,
+          unnest(generate_series(mn, mx, INTERVAL 1 HOUR)) AS bin
+        FROM (SELECT event_type, min(bin) mn, max(bin) mx
+              FROM bins GROUP BY 1)),
+      j AS (SELECT s.event_type, s.bin, b.avg_val
+            FROM spine s LEFT JOIN bins b
+              ON s.event_type = b.event_type AND s.bin = b.bin),
+      w AS (SELECT *,
+          max(CASE WHEN avg_val IS NOT NULL THEN bin END) OVER
+            (PARTITION BY event_type ORDER BY bin
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prev_bin
+        FROM j)
+      SELECT w.event_type, w.bin,
+        CASE WHEN w.avg_val IS NOT NULL THEN w.avg_val
+             ELSE pb.avg_val END AS locf_value,
+        CASE WHEN w.avg_val IS NOT NULL THEN w.avg_val
+             ELSE 0.0 END AS fill_value,
+        w.avg_val IS NULL AS filled
+      FROM w
+      LEFT JOIN bins pb
+        ON w.event_type = pb.event_type AND w.prev_bin = pb.bin
+      ORDER BY w.event_type, w.bin
+      """))
+
   // A12 — as-of lookup: for every event, the timestamp and value of the
   // most recent prior 'error' event of the same user. Formulated as a
   // running window (no join, no per-row scan) — the shuffle-minimal way
@@ -691,7 +754,7 @@ object TimeSeriesPack extends QueryPack {
 
   override val queries: Seq[GraftQuery] = Seq(
     tsBin, tsAgo, tsSeries, sessionize, metricsDaily, percentiles,
-    topUsers, approxMetrics, tsInterpolate, tsAsof, tsAnomaly,
+    topUsers, approxMetrics, tsInterpolate, tsLocfFill, tsAsof, tsAnomaly,
     tsDerivative, tsIntegral,
     qAsofJoin, qLatest, qSkewAgg, sketchRollup, histRollup)
 }
