@@ -207,9 +207,15 @@ object AnnPack extends QueryPack {
   private def clampedAngle(cosCol: Column): Column =
     acos(least(lit(1.0), greatest(lit(-1.0), cosCol)))
 
-  private def labelCandPairs(s: SparkSession, d: String): DataFrame = {
+  /** The (label, cell) coarse structure shared by D3/C5/D6: one
+    * recenter round over hash-ordered seeds, then final inverted lists
+    * and per-cell (centroid, angular radius) for exact upper bounds.
+    * Returns (centR: [label, c_cell, cv, cnrm, r], lists: [vec_id,
+    * label, cell, v, nrm]).
+    */
+  private def labelCells(s: SparkSession, d: String): (DataFrame, DataFrame) = {
     val n = vecs(s, d)
-    // 1. deterministic hash-ordered seeds, numCells per label
+    // deterministic hash-ordered seeds, numCells per label
     val wSeed = Window.partitionBy(col("label"))
       .orderBy(pmod(col("vec_id") * lit(2654435761L), lit(4096L)),
         col("vec_id"))
@@ -246,6 +252,13 @@ object AnnPack extends QueryPack {
         Vectors.cosine(col("v"), col("cv"), col("nrm"), col("cnrm"))))
       .groupBy(col("label"), col("cell"))
       .agg(max(col("ang")).as("r"))
+    val centR = cent.join(radii, Seq("label", "cell"))
+      .withColumnRenamed("cell", "c_cell")
+    (centR, lists)
+  }
+
+  private def labelCandPairs(s: SparkSession, d: String): DataFrame = {
+    val (centR, lists) = labelCells(s, d)
     // 2. LB(v): 3rd-best own-cell cosine (cell-size-bounded partitions)
     val ownB = lists.select(col("vec_id").as("o_id"), col("label"),
       col("cell"), col("v").as("ov"), col("nrm").as("onrm"))
@@ -261,8 +274,6 @@ object AnnPack extends QueryPack {
     // 3. candidate cells: UB(v, cell) + ε ≥ LB(v). The query's own cell
     // always survives (member angle ≤ r_c ⇒ UB = 1 + ε), so its
     // assignment column can be dropped before probing every cell.
-    val centR = cent.join(radii, Seq("label", "cell"))
-      .withColumnRenamed("cell", "c_cell")
     val cand = lists.drop("cell")
       .join(lb, col("vec_id") === col("lb_id"), "left")
       .withColumn("lbv", coalesce(col("lb"), lit(-2.0)))
@@ -346,6 +357,50 @@ object AnnPack extends QueryPack {
       SELECT vec_id, label, nn_id, cos_sim,
         cos_sim >= $nearDupTau AS is_near_dup
       FROM r WHERE rn = 1 ORDER BY vec_id
+      """))
+
+  // D6 — radius (range) similarity search: ALL within-label pairs with
+  // cosine ≥ τ — the "find everything this similar" complement to
+  // top-k, with the same exact-bound cells: a vector probes only cells
+  // whose upper bound clears τ (UB ≥ cos always, so recall is 1 by
+  // construction), then exact cosine on the (label, cell) equi-join.
+  // The oracle brute-forces every within-label pair independently.
+  private val rangeTau = 0.3
+  private val annRange = GraftQuery(
+    "ann_range_search",
+    (s, d) => {
+      val (centR, lists) = labelCells(s, d)
+      val probes = lists.drop("cell")
+        .join(broadcast(centR), Seq("label"))
+        .withColumn("qang", clampedAngle(
+          Vectors.cosine(col("v"), col("cv"), col("nrm"), col("cnrm"))))
+        .withColumn("ub",
+          cos(greatest(lit(0.0), col("qang") - col("r"))) + lit(boundEps))
+        .filter(col("ub") >= rangeTau)
+        .select(col("vec_id"), col("label"), col("c_cell"),
+          col("v").as("qv"), col("nrm").as("qn"))
+      probes
+        .join(lists.select(col("label"), col("cell").as("c_cell"),
+            col("vec_id").as("nn_id"), col("v").as("vb"),
+            col("nrm").as("nrmb")),
+          Seq("label", "c_cell"))
+        .filter(col("vec_id") < col("nn_id"))
+        .withColumn("cos_sim",
+          Vectors.cosine(col("qv"), col("vb"), col("qn"), col("nrmb")))
+        .filter(col("cos_sim") >= rangeTau)
+        .select(col("vec_id"), col("nn_id"), col("label"), col("cos_sim"))
+        .orderBy(col("vec_id"), col("nn_id"))
+    },
+    Some(s"""
+      WITH $vecsSql,
+      pr AS (SELECT a.vec_id, b.vec_id AS nn_id, a.label,
+          round(${Vectors.sql.dot("a.v", "b.v")} / (a.nrm * b.nrm), 6)
+            AS cos_sim
+        FROM n a JOIN n b
+          ON a.label = b.label AND a.vec_id < b.vec_id)
+      SELECT vec_id, nn_id, label, cos_sim
+      FROM pr WHERE cos_sim >= $rangeTau
+      ORDER BY vec_id, nn_id
       """))
 
   // D4 — IVF-style ANN: a coarse quantizer (label groups stand in for
@@ -557,5 +612,5 @@ object AnnPack extends QueryPack {
       """))
 
   override val queries: Seq[GraftQuery] =
-    Seq(annBrute, annLsh, knnJoin, dedupEmbedding, annIvf, annIvfKmeans)
+    Seq(annBrute, annLsh, knnJoin, dedupEmbedding, annIvf, annIvfKmeans, annRange)
 }
