@@ -116,8 +116,12 @@ object Analytics extends QueryPack {
     val tag = java.security.MessageDigest.getInstance("MD5")
       .digest(d.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(10)
     val (ordT, liT) = (s"graft_ord_b_$tag", s"graft_li_b_$tag")
-    val base = java.nio.file.Paths.get(
-      sys.props("java.io.tmpdir"), s"graft_bucketed_$tag").toString
+    // on a cluster the store root is a shared-filesystem URI (HDFS/
+    // object store) via SPARK_GRAFT_STORE_DIR; local tmp is the
+    // single-machine default
+    val root = sys.env.getOrElse("SPARK_GRAFT_STORE_DIR",
+      sys.props("java.io.tmpdir"))
+    val base = s"$root/graft_bucketed_$tag"
     if (!s.catalog.tableExists(ordT))
       graft.sources.Bucketed.writeBucketed(
         Tables.orders(s, d).select("o_orderkey", "o_custkey", "o_orderdate"),

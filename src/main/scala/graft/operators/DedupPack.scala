@@ -343,10 +343,12 @@ object DedupPack extends QueryPack {
   // C7 — benchmark decontamination: flag training documents whose
   // 3-gram-hash overlap with an evaluation set crosses a containment
   // threshold (the pipeline pass that keeps benchmark text out of
-  // training data; containment — shared fraction of the TRAIN doc's
-  // shingles — not Jaccard, because a short benchmark item inside a
-  // long train doc must still flag). The eval set here is the doc_id %
-  // 100 == 0 slice, standing in for an external benchmark suite.
+  // training data). Containment is the shared fraction of the EVAL
+  // item's shingles — not Jaccard and not train-side: a short benchmark
+  // item pasted inside a long train doc covers most of the EVAL item's
+  // shingles while being a sliver of the train doc's, and it must still
+  // flag. The eval set here is the doc_id % 100 == 0 slice, standing in
+  // for an external benchmark suite.
   //
   // Scale shape: benchmark suites are tiny relative to a 100 TB corpus,
   // so the exploded eval side is a BROADCAST — the train corpus streams
@@ -362,37 +364,39 @@ object DedupPack extends QueryPack {
     (s, d) => {
       val sh = shingled(s, d)
       val evalSide = sh.filter(pmod(col("doc_id"), lit(100)) === 0)
-        .select(col("doc_id").as("eval_id"), explode(col("shingles")).as("h"))
-      val train = sh.filter(pmod(col("doc_id"), lit(100)) =!= 0)
-        .select(col("doc_id"), size(col("shingles")).as("n_train"),
+        .select(col("doc_id").as("eval_id"),
+          size(col("shingles")).as("n_eval"),
           explode(col("shingles")).as("h"))
+      val train = sh.filter(pmod(col("doc_id"), lit(100)) =!= 0)
+        .select(col("doc_id"), explode(col("shingles")).as("h"))
       train.join(broadcast(evalSide), "h")
         .groupBy(col("doc_id"), col("eval_id"))
         .agg(count(lit(1)).as("n_shared"),
-          first(col("n_train")).as("n_train"))
+          first(col("n_eval")).as("n_eval"))
         .filter(col("n_shared") >= decontMinShared)
         .select(col("doc_id"), col("eval_id"), col("n_shared"),
-          col("n_train"),
-          expr("(1000000 * n_shared) div n_train").as("containment_ppm"))
+          col("n_eval"),
+          expr("(1000000 * n_shared) div n_eval").as("containment_ppm"))
         .withColumn("is_contaminated",
           col("containment_ppm") >= decontTauPpm)
         .orderBy(col("doc_id"), col("eval_id"))
     },
     Some(s"""
       WITH $shingledSql,
-      ev AS (SELECT doc_id AS eval_id, unnest(shingles) AS h
-             FROM sh WHERE doc_id % 100 = 0),
-      tr AS (SELECT doc_id, len(shingles) AS n_train, unnest(shingles) AS h
+      ev AS (SELECT doc_id AS eval_id, len(shingles) AS n_eval,
+          unnest(shingles) AS h
+        FROM sh WHERE doc_id % 100 = 0),
+      tr AS (SELECT doc_id, unnest(shingles) AS h
              FROM sh WHERE doc_id % 100 <> 0),
       ov AS (SELECT tr.doc_id, ev.eval_id,
-          COUNT(*) AS n_shared, MIN(tr.n_train) AS n_train
+          COUNT(*) AS n_shared, MIN(ev.n_eval) AS n_eval
         FROM tr JOIN ev ON tr.h = ev.h
         GROUP BY 1, 2
         HAVING COUNT(*) >= $decontMinShared)
       SELECT doc_id, eval_id, n_shared,
-        CAST(n_train AS BIGINT) AS n_train,
-        (1000000 * n_shared) // n_train AS containment_ppm,
-        (1000000 * n_shared) // n_train >= $decontTauPpm AS is_contaminated
+        CAST(n_eval AS BIGINT) AS n_eval,
+        (1000000 * n_shared) // n_eval AS containment_ppm,
+        (1000000 * n_shared) // n_eval >= $decontTauPpm AS is_contaminated
       FROM ov
       ORDER BY doc_id, eval_id
       """))
