@@ -87,6 +87,12 @@ class StreamingSpec extends GraftSpec {
     val one = spark.read.parquet(out)
       .filter(col("measure_name") === "sc_bytes")
     assert(one.count() == n)
+    // and the pruning is structural, not a post-scan filter: the
+    // measure predicate must land in the scan's PartitionFilters
+    val scanPlan = one.queryExecution.executedPlan.toString
+    assert("PartitionFilters: \\[[^\\]]*measure_name".r
+        .findFirstIn(scanPlan).isDefined,
+      s"measure_name not pruned at the scan:\n$scanPlan")
     // dimensions map survives the store round-trip
     assert(stored.select(col("dimensions")("x_edge_location")).distinct()
       .count() == 8)
