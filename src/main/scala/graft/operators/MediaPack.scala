@@ -83,5 +83,45 @@ object MediaPack extends QueryPack {
       ORDER BY doc_id, frame_idx
       """))
 
-  override val queries: Seq[GraftQuery] = Seq(mediaFeatures, mediaFrames)
+  // F4 — binary-payload exact dedup: duplicate media by (byte length,
+  // content fingerprint) — the multimodal counterpart of C1, computed
+  // from the featurizer's deterministic byte fold so the whole payload
+  // never leaves the executor (dedup of 100 TB of media moves 16 bytes
+  // per object, not the object). One shuffle on the fingerprint pair;
+  // dup-group windows are bounded by duplicate multiplicity.
+  private val mediaDedup = GraftQuery(
+    "media_dedup",
+    (s, d) => {
+      val wf = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("n_bytes"), col("feat_hash"))
+      MediaFeaturizer.features(Media.synthesize(Tables.documents(s, d)))
+        .toDF()
+        .select(col("doc_id"), col("media_type"), col("n_bytes"),
+          col("feat_hash"))
+        .withColumn("group_size", count(lit(1)).over(wf))
+        .withColumn("canonical_id", min(col("doc_id")).over(wf))
+        .withColumn("is_dup", col("doc_id") =!= col("canonical_id"))
+        .orderBy(col("doc_id"))
+    },
+    Some(s"""
+      WITH f AS (
+        SELECT doc_id, $mediaTypeSql AS media_type,
+          CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+          list_reduce(list_prepend(CAST(0 AS BIGINT),
+            list_transform(string_split(text, ''),
+              c -> CAST(ord(c) AS BIGINT))),
+            (h, c) -> (h * 131 + c) % ${graft.functions.Portable.P})
+            AS feat_hash
+        FROM documents)
+      SELECT doc_id, media_type, n_bytes, feat_hash,
+        COUNT(*) OVER (PARTITION BY n_bytes, feat_hash) AS group_size,
+        MIN(doc_id) OVER (PARTITION BY n_bytes, feat_hash)
+          AS canonical_id,
+        doc_id <> MIN(doc_id) OVER (PARTITION BY n_bytes, feat_hash)
+          AS is_dup
+      FROM f ORDER BY doc_id
+      """))
+
+  override val queries: Seq[GraftQuery] =
+    Seq(mediaFeatures, mediaFrames, mediaDedup)
 }
