@@ -202,7 +202,17 @@ object AnnPack extends QueryPack {
     * Spark's CacheManager) compute it once per session.
     */
   private val numCells = 4
-  private val boundEps = 1e-6
+  /** Slack covering the rounding of [[Vectors.cosine]] (6 decimals,
+    * |Δcos| ≤ 5e-7) through acos near |cos|=1, where the amplification
+    * is unbounded: acos(1−δ) ≈ √(2δ), so a 5e-7 cosine perturbation
+    * moves an angle by at most √(2·5e-7) ≈ 1e-3 rad. Radius and query
+    * angle each carry that error and |d cos| ≤ |d angle|, so 2.5e-3
+    * strictly dominates the total — the bound stays EXACT (UB ≥ true
+    * cos) under the rounded arithmetic, which the recall-1 claim and
+    * the brute-force oracles depend on. (1e-6 only covered the cosine
+    * rounding itself, not the acos amplification.)
+    */
+  private val boundEps = 2.5e-3
 
   private def clampedAngle(cosCol: Column): Column =
     acos(least(lit(1.0), greatest(lit(-1.0), cosCol)))

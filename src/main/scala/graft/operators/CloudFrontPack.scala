@@ -446,36 +446,16 @@ object CloudFrontPack extends QueryPack {
 
   // A16 — per-edge latency percentiles (the reference's "latency"
   // purpose: time_taken / time_to_first_byte): exact p50/p90/p99 by
-  // two-pass histogram rank-selection, the same scale-safe construction
-  // as metrics_percentiles — the sorted partition holds one edge's
-  // DISTINCT latency values (ms-granular, domain-bounded), never its
-  // raw rows, so an 8-edge fleet at 100× cannot produce a multi-TB
-  // sort task. The histogram determines the value at every rank, so
-  // the result matches the oracle's row_number construction exactly.
+  // the shared two-pass histogram rank-selection (HistogramRank.scala)
+  // — the sorted partition holds one edge's DISTINCT latency values
+  // (ms-granular, domain-bounded), never its raw rows, so an 8-edge
+  // fleet at 100× cannot produce a multi-TB sort task.
   private val cfLatencyPercentiles = GraftQuery(
     "cf_latency_percentiles",
-    (s, d) => {
-      val hist = parsedCached(s, d)
-        .groupBy(col("x_edge_location"), col("time_taken"))
-        .agg(count(lit(1)).as("cnt"))
-      val cum = hist
-        .withColumn("cum", sum(col("cnt")).over(
-          org.apache.spark.sql.expressions.Window
-            .partitionBy(col("x_edge_location")).orderBy(col("time_taken"))))
-        .withColumn("cnt_total", sum(col("cnt")).over(
-          org.apache.spark.sql.expressions.Window
-            .partitionBy(col("x_edge_location"))))
-      def pick(p: Double) = min(when(
-        col("cum") >= floor((col("cnt_total") - 1) * p).cast(LongType) + 1,
-        col("time_taken")))
-      cum.groupBy(col("x_edge_location"))
-        .agg(
-          pick(0.5).as("p50"),
-          pick(0.9).as("p90"),
-          pick(0.99).as("p99"),
-          max(col("time_taken")).as("tmax"))
-        .orderBy(col("x_edge_location"))
-    },
+    (s, d) => HistogramRank.percentiles(parsedCached(s, d),
+        col("x_edge_location"), col("time_taken"),
+        Seq("p50" -> 0.5, "p90" -> 0.9, "p99" -> 0.99), "tmax")
+      .orderBy(col("x_edge_location")),
     Some(s"""
       WITH derived AS ($oracleDerived),
       ranked AS (

@@ -37,17 +37,23 @@ object CurationPack extends QueryPack {
   private val defaultPpm = 100000L
   private val salt = "sample|"
 
+  /** Per-language keep rate (ppm) — shared by H1 and H4. */
+  private def rateCol =
+    ratesPpm.foldLeft(lit(defaultPpm)) { case (acc, (k, v)) =>
+      when(col("lang") === k, lit(v)).otherwise(acc)
+    }
+
+  /** Deterministic Bernoulli draw in [0, 1e6) — shared by H1 and H4. */
+  private def drawCol =
+    pmod(hashP(concat(lit(salt), col("doc_id").cast(StringType))),
+      lit(1000000L))
+
   private val sampleStratified = GraftQuery(
     "sample_stratified",
     (s, d) => {
-      val rate = ratesPpm.foldLeft(lit(defaultPpm)) { case (acc, (k, v)) =>
-        when(col("lang") === k, lit(v)).otherwise(acc)
-      }
-      val draw = pmod(hashP(concat(lit(salt), col("doc_id").cast(StringType))),
-        lit(1000000L))
       Tables.documents(s, d)
-        .withColumn("keep_rate_ppm", rate)
-        .withColumn("draw", draw)
+        .withColumn("keep_rate_ppm", rateCol)
+        .withColumn("draw", drawCol)
         .filter(col("draw") < col("keep_rate_ppm"))
         .select(col("doc_id"), col("lang"), col("source"),
           col("keep_rate_ppm"), col("draw"))
@@ -85,31 +91,39 @@ object CurationPack extends QueryPack {
   private val shardBudget = 20000L
   private val packBucketSpan = 256L
 
+  /** Two-level token-budget packing over (doc_id, lang, n_tokens) —
+    * shared by H2 and H4. The bucketed input feeds both the offsets
+    * aggregation and the row-level window (Spark has no cross-branch
+    * CSE), so it is persisted — small row-level columns, no arrays.
+    */
+  private def packShards(docs: org.apache.spark.sql.DataFrame) = {
+    val t = docs.withColumn("bkt", expr(s"doc_id div ${packBucketSpan}L"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val wLocal = Window.partitionBy(col("lang"), col("bkt"))
+      .orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wOff = Window.partitionBy(col("lang")).orderBy(col("bkt"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = t.groupBy(col("lang"), col("bkt"))
+      .agg(sum(col("n_tokens")).as("bkt_tokens"))
+      .withColumn("off", coalesce(sum(col("bkt_tokens")).over(wOff), lit(0L)))
+      .select(col("lang"), col("bkt"), col("off"))
+    t.withColumn("loc_cum", sum(col("n_tokens")).over(wLocal))
+      .join(broadcast(offsets), Seq("lang", "bkt"))
+      .withColumn("cum_tokens", col("loc_cum") + col("off"))
+      .withColumn("shard_id",
+        expr(s"(cum_tokens - n_tokens) div ${shardBudget}L"))
+      .select(col("doc_id"), col("lang"), col("n_tokens"),
+        col("cum_tokens"), col("shard_id"))
+  }
+
   private val shardPack = GraftQuery(
     "shard_pack",
-    (s, d) => {
-      val t = Tables.documents(s, d)
-        .select(col("doc_id"), col("lang"),
-          size(words(col("text"))).as("n_tokens"))
-        .withColumn("bkt", expr(s"doc_id div ${packBucketSpan}L"))
-      val wLocal = Window.partitionBy(col("lang"), col("bkt"))
-        .orderBy(col("doc_id"))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      val wOff = Window.partitionBy(col("lang")).orderBy(col("bkt"))
-        .rowsBetween(Window.unboundedPreceding, -1)
-      val offsets = t.groupBy(col("lang"), col("bkt"))
-        .agg(sum(col("n_tokens")).as("bkt_tokens"))
-        .withColumn("off", coalesce(sum(col("bkt_tokens")).over(wOff), lit(0L)))
-        .select(col("lang"), col("bkt"), col("off"))
-      t.withColumn("loc_cum", sum(col("n_tokens")).over(wLocal))
-        .join(broadcast(offsets), Seq("lang", "bkt"))
-        .withColumn("cum_tokens", col("loc_cum") + col("off"))
-        .withColumn("shard_id",
-          expr(s"(cum_tokens - n_tokens) div ${shardBudget}L"))
-        .select(col("doc_id"), col("lang"), col("n_tokens"),
-          col("cum_tokens"), col("shard_id"))
-        .orderBy(col("doc_id"))
-    },
+    (s, d) => packShards(
+        Tables.documents(s, d)
+          .select(col("doc_id"), col("lang"),
+            size(words(col("text"))).as("n_tokens")))
+      .orderBy(col("doc_id")),
     Some(s"""
       WITH t AS (
         SELECT doc_id, lang, len(${Portable.sql.words}) AS n_tokens
@@ -133,20 +147,30 @@ object CurationPack extends QueryPack {
   private val minTokens = 20L
   private val maxTokens = 2000L
 
+  /** Per-doc curation features (token count, exact-dup flag) — shared
+    * by H3 and H4.
+    */
+  private def docFeatures(s: org.apache.spark.sql.SparkSession, d: String) = {
+    val wf = Window.partitionBy(col("fingerprint"))
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("lang"),
+        size(words(col("text"))).cast(LongType).as("n_tokens"),
+        md5(normText(col("text"))).as("fingerprint"))
+      .withColumn("is_dup",
+        col("doc_id") =!= min(col("doc_id")).over(wf))
+  }
+
+  /** The H3 keep predicate — shared by H3 and H4. */
+  private def keepCol =
+    col("lang").isin("en", "de", "es", "fr", "zh") &&
+      col("n_tokens") >= minTokens && col("n_tokens") <= maxTokens &&
+      !col("is_dup")
+
   private val curationFilter = GraftQuery(
     "curation_filter",
     (s, d) => {
-      val wf = Window.partitionBy(col("fingerprint"))
-      Tables.documents(s, d)
-        .select(col("doc_id"), col("lang"),
-          size(words(col("text"))).cast(LongType).as("n_tokens"),
-          md5(normText(col("text"))).as("fingerprint"))
-        .withColumn("is_dup",
-          col("doc_id") =!= min(col("doc_id")).over(wf))
-        .withColumn("keep",
-          col("lang").isin("en", "de", "es", "fr", "zh") &&
-            col("n_tokens") >= minTokens && col("n_tokens") <= maxTokens &&
-            !col("is_dup"))
+      docFeatures(s, d)
+        .withColumn("keep", keepCol)
         .select(col("doc_id"), col("lang"), col("n_tokens"),
           col("is_dup"), col("keep"))
         .orderBy(col("doc_id"))
@@ -179,46 +203,11 @@ object CurationPack extends QueryPack {
   // survivor set.
   private val curationPipeline = GraftQuery(
     "curation_pipeline",
-    (s, d) => {
-      val wf = Window.partitionBy(col("fingerprint"))
-      val rate = ratesPpm.foldLeft(lit(defaultPpm)) { case (acc, (k, v)) =>
-        when(col("lang") === k, lit(v)).otherwise(acc)
-      }
-      val draw = pmod(hashP(concat(lit(salt), col("doc_id").cast(StringType))),
-        lit(1000000L))
-      val kept = Tables.documents(s, d)
-        .select(col("doc_id"), col("lang"),
-          size(words(col("text"))).cast(LongType).as("n_tokens"),
-          md5(normText(col("text"))).as("fingerprint"))
-        .withColumn("is_dup",
-          col("doc_id") =!= min(col("doc_id")).over(wf))
-        .filter(col("lang").isin("en", "de", "es", "fr", "zh") &&
-          col("n_tokens") >= minTokens && col("n_tokens") <= maxTokens &&
-          !col("is_dup"))
-        .filter(draw < rate)
-        .select(col("doc_id"), col("lang"), col("n_tokens"))
-      val bucketed = kept
-        .withColumn("bkt", expr(s"doc_id div ${packBucketSpan}L"))
-      val wLocal = Window.partitionBy(col("lang"), col("bkt"))
-        .orderBy(col("doc_id"))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      val wOff = Window.partitionBy(col("lang")).orderBy(col("bkt"))
-        .rowsBetween(Window.unboundedPreceding, -1)
-      val offsets = bucketed.groupBy(col("lang"), col("bkt"))
-        .agg(sum(col("n_tokens")).as("bkt_tokens"))
-        .withColumn("off",
-          coalesce(sum(col("bkt_tokens")).over(wOff), lit(0L)))
-        .select(col("lang"), col("bkt"), col("off"))
-      bucketed
-        .withColumn("loc_cum", sum(col("n_tokens")).over(wLocal))
-        .join(broadcast(offsets), Seq("lang", "bkt"))
-        .withColumn("cum_tokens", col("loc_cum") + col("off"))
-        .withColumn("shard_id",
-          expr(s"(cum_tokens - n_tokens) div ${shardBudget}L"))
-        .select(col("doc_id"), col("lang"), col("n_tokens"),
-          col("cum_tokens"), col("shard_id"))
-        .orderBy(col("doc_id"))
-    },
+    (s, d) => packShards(
+        docFeatures(s, d)
+          .filter(keepCol && drawCol < rateCol)
+          .select(col("doc_id"), col("lang"), col("n_tokens")))
+      .orderBy(col("doc_id")),
     Some(s"""
       WITH f AS (
         SELECT doc_id, lang,

@@ -3,7 +3,7 @@ package graft.operators
 import graft.{GraftQuery, QueryPack}
 import graft.sources.Tables
 import graft.timeseries.TimeSeries
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -161,40 +161,16 @@ object TimeSeriesPack extends QueryPack {
       ORDER BY day
     """))
 
-  // A10b — exact discrete percentiles per dimension via two-pass
-  // histogram rank-selection: pass 1 reduces raw rows to a per-
-  // (dimension, value) count histogram (a map-side-combinable agg on a
-  // well-distributed key); pass 2 cumulates the histogram and picks,
-  // for each target rank floor((n-1)*p)+1, the smallest value whose
-  // cumulative count reaches it. The only sorted partition holds one
-  // dimension's DISTINCT values — bounded by the value domain, not the
-  // row count — so no task ever sorts a dimension's raw rows (the old
-  // row_number formulation did, a multi-TB sort per task at 100×).
-  // The value at a rank is fully determined by the histogram (rows with
-  // equal values are interchangeable), so the result is identical to
+  // A10b — exact discrete percentiles per dimension via the shared
+  // two-pass histogram rank-selection (HistogramRank.scala): no task
+  // ever sorts a dimension's raw rows, and the result is identical to
   // the row_number construction the oracle keeps.
   private val percentiles = GraftQuery(
     "metrics_percentiles",
-    (s, d) => {
-      val hist = Tables.events(s, d)
-        .groupBy(col("event_type"), col("value"))
-        .agg(count(lit(1)).as("cnt"))
-      val cum = hist
-        .withColumn("cum", sum(col("cnt")).over(
-          Window.partitionBy(col("event_type")).orderBy(col("value"))))
-        .withColumn("cnt_total", sum(col("cnt")).over(
-          Window.partitionBy(col("event_type"))))
-      def pick(p: Double) = min(when(
-        col("cum") >= floor((col("cnt_total") - 1) * p).cast(LongType) + 1,
-        col("value")))
-      cum.groupBy(col("event_type"))
-        .agg(
-          pick(0.5).as("p50"),
-          pick(0.9).as("p90"),
-          pick(0.99).as("p99"),
-          max(col("value")).as("vmax"))
-        .orderBy(col("event_type"))
-    },
+    (s, d) => HistogramRank.percentiles(Tables.events(s, d),
+        col("event_type"), col("value"),
+        Seq("p50" -> 0.5, "p90" -> 0.9, "p99" -> 0.99), "vmax")
+      .orderBy(col("event_type")),
     Some("""
       WITH ranked AS (
         SELECT event_type, value,
@@ -333,31 +309,39 @@ object TimeSeriesPack extends QueryPack {
       ORDER BY w.event_type, w.bin
       """))
 
+  /** Hourly per-dimension bins with (prev_x, prev_bin) lag columns —
+    * the shared scaffold of the Timestream calculus functions (A20/
+    * A21). One shuffle (the bin agg); the lag window runs over
+    * per-dimension BIN rows, bounded by the time range, never raw
+    * rows. First bin per dimension (no predecessor) is dropped.
+    */
+  private def binsWithPrev(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("event_type")).orderBy(col("bin"))
+    Tables.events(s, d)
+      .groupBy(col("event_type"),
+        TimeSeries.bin(col("ts"), 3600).cast(TimestampNTZType).as("bin"))
+      .agg(dsumValue.as("x"))
+      .withColumn("prev_x", lag(col("x"), 1).over(w))
+      .withColumn("prev_bin", lag(col("bin"), 1).over(w))
+      .filter(col("prev_x").isNotNull)
+  }
+
+  /** Microseconds between a bin and its predecessor, as double. */
+  private def binMicrosDelta: Column =
+    (unix_micros(col("bin").cast(TimestampType)) -
+      unix_micros(col("prev_bin").cast(TimestampType))).cast(DoubleType)
+
   // A20 — Timestream DERIVATIVE_LINEAR: per-dimension rate of change
-  // between consecutive hourly bins, (x - prev_x) / Δt_seconds. One
-  // shuffle (the bin agg); the lag window runs over per-dimension BIN
-  // rows (bounded by the time range, not the row count). The division
-  // is a single IEEE op on identical inputs in both engines — no
-  // rounding needed.
+  // between consecutive hourly bins, (x - prev_x) / Δt_seconds. The
+  // division is a single IEEE op on identical inputs in both engines —
+  // no rounding needed.
   private val tsDerivative = GraftQuery(
     "ts_derivative",
-    (s, d) => {
-      val w = Window.partitionBy(col("event_type")).orderBy(col("bin"))
-      val bins = Tables.events(s, d)
-        .groupBy(col("event_type"),
-          TimeSeries.bin(col("ts"), 3600).cast(TimestampNTZType).as("bin"))
-        .agg(dsumValue.as("x"))
-      bins
-        .withColumn("prev_x", lag(col("x"), 1).over(w))
-        .withColumn("prev_bin", lag(col("bin"), 1).over(w))
-        .filter(col("prev_x").isNotNull)
-        .select(col("event_type"), col("bin"), col("x"),
-          ((col("x") - col("prev_x")) /
-            (unix_micros(col("bin").cast(TimestampType)) -
-              unix_micros(col("prev_bin").cast(TimestampType)))
-              .cast(DoubleType) * 1000000.0d).as("dx_dt"))
-        .orderBy(col("event_type"), col("bin"))
-    },
+    (s, d) => binsWithPrev(s, d)
+      .select(col("event_type"), col("bin"), col("x"),
+        ((col("x") - col("prev_x")) / binMicrosDelta * 1000000.0d)
+          .as("dx_dt"))
+      .orderBy(col("event_type"), col("bin")),
     Some("""
       WITH bins AS (
         SELECT event_type,
@@ -382,27 +366,14 @@ object TimeSeriesPack extends QueryPack {
   // exact decimal so partition order cannot perturb the total.
   private val tsIntegral = GraftQuery(
     "ts_integral",
-    (s, d) => {
-      val w = Window.partitionBy(col("event_type")).orderBy(col("bin"))
-      val bins = Tables.events(s, d)
-        .groupBy(col("event_type"),
-          TimeSeries.bin(col("ts"), 3600).cast(TimestampNTZType).as("bin"))
-        .agg(dsumValue.as("x"))
-      bins
-        .withColumn("prev_x", lag(col("x"), 1).over(w))
-        .withColumn("prev_bin", lag(col("bin"), 1).over(w))
-        .filter(col("prev_x").isNotNull)
-        .withColumn("term",
-          (col("x") + col("prev_x")) * 0.5d *
-            ((unix_micros(col("bin").cast(TimestampType)) -
-              unix_micros(col("prev_bin").cast(TimestampType)))
-              .cast(DoubleType) / 1000000.0d))
-        .groupBy(col("event_type"))
-        .agg(sum(col("term").cast(DecimalType(28, 6))).cast(DoubleType)
-          .as("integral"),
-          count(lit(1)).as("n_segments"))
-        .orderBy(col("event_type"))
-    },
+    (s, d) => binsWithPrev(s, d)
+      .withColumn("term",
+        (col("x") + col("prev_x")) * 0.5d * (binMicrosDelta / 1000000.0d))
+      .groupBy(col("event_type"))
+      .agg(sum(col("term").cast(DecimalType(28, 6))).cast(DoubleType)
+        .as("integral"),
+        count(lit(1)).as("n_segments"))
+      .orderBy(col("event_type")),
     Some("""
       WITH bins AS (
         SELECT event_type,

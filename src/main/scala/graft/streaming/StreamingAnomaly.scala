@@ -12,9 +12,9 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * suppress itself by inflating the baseline it is judged against —
   * deliberately different from batch ts_anomaly's full-window moments,
   * which need the whole period in hand). State per key is three
-  * numbers (n, Σx, Σx²): O(keys) total, constant per event — this runs
-  * for months without state growth; pair with an event-time timeout to
-  * age out dead keys.
+  * numbers (Welford n/mean/M2): O(keys) total, constant per event —
+  * this runs for months without state growth; `idleTimeout` ages out
+  * keys idle beyond the horizon (a real processing-time timeout).
   *
   * Topology: the input is an already-binned stream — in the CloudFront
   * pipeline, the (measure_name, day)-partitioned store's hourly rollup,
@@ -29,7 +29,13 @@ object StreamingAnomaly {
   final case class Bin(key: String, bin_start: Long, x: Double)
   final case class Anomaly(key: String, bin_start: Long, x: Double,
       z_ppm: Long, n_prior: Long)
-  final case class Moments(n: Long, sum: Double, sumsq: Double)
+  /** Welford running moments: mean + centered M2, NOT sum/sumsq — at
+    * bytes-scale magnitudes (x ~ 1e9) sumsq/n − mean² cancels
+    * catastrophically (both terms ~1e18, difference below one ulp) and
+    * would silently disable detection; the centered recurrence keeps
+    * full precision at any magnitude.
+    */
+  final case class Moments(n: Long, mean: Double, m2: Double)
 
   /** Flag bins whose |z| vs the prior-bin baseline clears `zThreshold`,
     * once at least `minPrior` bins have been seen for the key. Bins are
@@ -38,30 +44,36 @@ object StreamingAnomaly {
     */
   def detect(bins: Dataset[Bin], zThreshold: Double = 2.0,
       minPrior: Long = 5,
-      timeout: GroupStateTimeout = GroupStateTimeout.NoTimeout): Dataset[Anomaly] = {
+      idleTimeout: Option[String] = None): Dataset[Anomaly] = {
     val spark = bins.sparkSession
     import spark.implicits._
     bins.groupByKey(_.key)(Encoders.STRING)
       .flatMapGroupsWithState[Moments, Anomaly](
-        OutputMode.Append(), timeout) {
+        OutputMode.Append(), StreamingDedup.timeoutConf(idleTimeout)) {
         (key: String, it: Iterator[Bin], state: GroupState[Moments]) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
           var st = state.getOption.getOrElse(Moments(0L, 0.0, 0.0))
           val out = List.newBuilder[Anomaly]
           it.toSeq.sortBy(_.bin_start).foreach { b =>
             if (st.n >= minPrior) {
-              val mean = st.sum / st.n
-              val variance = st.sumsq / st.n - mean * mean
+              val variance = st.m2 / st.n
               if (variance > 0) {
-                val z = (b.x - mean) / math.sqrt(variance)
+                val z = (b.x - st.mean) / math.sqrt(variance)
                 if (math.abs(z) >= zThreshold)
                   out += Anomaly(key, b.bin_start, b.x,
                     math.floor(z * 1e6).toLong, st.n)
               }
             }
-            st = Moments(st.n + 1, st.sum + b.x, st.sumsq + b.x * b.x)
+            val n1 = st.n + 1
+            val delta = b.x - st.mean
+            val mean1 = st.mean + delta / n1
+            st = Moments(n1, mean1, st.m2 + delta * (b.x - mean1))
           }
           state.update(st)
+          idleTimeout.foreach(state.setTimeoutDuration)
           out.result().iterator
+          }
       }(implicitly, implicitly)
   }
 }

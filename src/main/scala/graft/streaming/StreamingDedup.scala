@@ -10,29 +10,41 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * batch exact dedup).
   *
   * State per fingerprint is a single boolean, so the state store grows
-  * O(distinct keys) — at production scale the key would carry an
-  * event-time timeout (`GroupStateTimeout.EventTimeTimeout` + watermark)
-  * to age out fingerprints beyond the dedup horizon; the operator takes
-  * the timeout as a parameter so both modes are the same code path.
-  * Works identically on batch Datasets (Spark executes the same
-  * function with empty state), which is what the spec exploits for
-  * batch/stream equivalence checks.
+  * O(distinct keys). Passing `idleTimeout` (e.g. "30 minutes") ages a
+  * key out of the store after that long without arrivals — a REAL
+  * processing-time timeout (setTimeoutDuration + hasTimedOut →
+  * remove), so a months-long stream holds state only for keys active
+  * within the horizon. Works identically on batch Datasets (Spark
+  * executes the same function with empty state and no timeouts), which
+  * is what the spec exploits for batch/stream equivalence checks.
   */
 object StreamingDedup {
 
   final case class Fingerprinted(doc_id: Long, fingerprint: String)
 
+  private[streaming] def timeoutConf(idleTimeout: Option[String]): GroupStateTimeout =
+    if (idleTimeout.isDefined) GroupStateTimeout.ProcessingTimeTimeout
+    else GroupStateTimeout.NoTimeout
+
   /** Generic first-occurrence-by-key: keeps the first element seen per
-    * key across the stream's lifetime (and within each micro-batch).
+    * key across the stream's lifetime (and within each micro-batch),
+    * or within `idleTimeout` of the key's last arrival.
     */
   def firstOccurrence[T](ds: Dataset[T], key: T => String,
-      timeout: GroupStateTimeout = GroupStateTimeout.NoTimeout)(
+      idleTimeout: Option[String] = None)(
       implicit enc: Encoder[T]): Dataset[T] =
     ds.groupByKey(key)(Encoders.STRING)
-      .flatMapGroupsWithState[Boolean, T](OutputMode.Append(), timeout) {
+      .flatMapGroupsWithState[Boolean, T](OutputMode.Append(),
+        timeoutConf(idleTimeout)) {
         (_: String, it: Iterator[T], state: GroupState[Boolean]) =>
-          if (state.exists) Iterator.empty
-          else { state.update(true); it.take(1) }
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            val out =
+              if (state.exists) Iterator.empty
+              else { state.update(true); it.take(1) }
+            idleTimeout.foreach(state.setTimeoutDuration)
+            out
+          }
       }(Encoders.scalaBoolean, enc)
 
   /** documents-shaped stream (doc_id, text, ...) → first occurrence per
@@ -50,24 +62,29 @@ object StreamingDedup {
   /** Streaming latest-per-key (the stream counterpart of q_latest's SCD
     * snapshot): state per key is ONE element — the max-by-`order` row
     * seen so far — emitted whenever it changes (Update mode). State
-    * size is O(distinct keys × row size); with an event-time timeout
-    * the key set itself ages out, same parameterization as
+    * size is O(distinct keys × row size); `idleTimeout` ages out keys
+    * idle beyond the horizon, same parameterization as
     * [[firstOccurrence]].
     */
   def latestPerKey[T](ds: Dataset[T], key: T => String,
       order: T => (Long, Long),
-      timeout: GroupStateTimeout = GroupStateTimeout.NoTimeout)(
+      idleTimeout: Option[String] = None)(
       implicit enc: Encoder[T]): Dataset[T] =
     ds.groupByKey(key)(Encoders.STRING)
-      .mapGroupsWithState[T, T](timeout) {
+      .flatMapGroupsWithState[T, T](OutputMode.Update(),
+        timeoutConf(idleTimeout)) {
         (_: String, it: Iterator[T], state: GroupState[T]) =>
-          val incoming = it.maxBy(order)
-          val best = state.getOption match {
-            case Some(prev) if Ordering[(Long, Long)]
-              .gteq(order(prev), order(incoming)) => prev
-            case _ => incoming
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            val incoming = it.maxBy(order)
+            val best = state.getOption match {
+              case Some(prev) if Ordering[(Long, Long)]
+                .gteq(order(prev), order(incoming)) => prev
+              case _ => incoming
+            }
+            state.update(best)
+            idleTimeout.foreach(state.setTimeoutDuration)
+            Iterator.single(best)
           }
-          state.update(best)
-          best
-      }
+      }(enc, enc)
 }

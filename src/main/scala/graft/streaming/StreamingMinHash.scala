@@ -28,15 +28,20 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   *
   * State per bucket is the member list (doc_id, signature, shingles),
   * HARD-CAPPED at `maxPerBucket`: a bucket at the cap stops ADMITTING
-  * members but still compares arrivals against the stored ones — a
-  * bucket that hot is a near-identical cluster, and newcomers still
-  * match its resident members, so duplicate FLAGGING survives the cap
-  * (what's lost is only pairs among post-cap arrivals, which exact
-  * dedup upstream collapses anyway). This bounds every bucket's state
-  * and per-arrival work by a constant — the same O(cap) discipline as
-  * the batch side's BoundedCollectList. At production scale pair it
-  * with an event-time timeout (same parameterization as
-  * StreamingDedup) so idle buckets age out of the store entirely.
+  * members but still compares arrivals against the stored ones. This
+  * bounds every bucket's state and per-arrival work by a constant —
+  * the same O(cap) discipline as the batch side's BoundedCollectList.
+  * Precise cap-loss semantics: an arrival is still FLAGGED against any
+  * capped bucket's residents, but a specific pair (m, f) is lost when
+  * the pair's minimum shared band's bucket was already full when the
+  * earlier member arrived — the emitting bucket cannot know m's
+  * residency elsewhere (admission happens independently per bucket),
+  * so a higher shared band cannot safely claim the pair without
+  * duplicating the uncapped common case. Buckets that hot are
+  * near-identical clusters whose members interlink through the
+  * residents anyway (the clustering step closes over those links).
+  * `idleTimeout` ages idle buckets out of the store entirely (a real
+  * processing-time timeout, same parameterization as StreamingDedup).
   */
 object StreamingMinHash {
 
@@ -115,15 +120,17 @@ object StreamingMinHash {
     * group iterator) — the spec's batch/stream equivalence lever.
     */
   def dupPairs(docs: DataFrame,
-      timeout: GroupStateTimeout = GroupStateTimeout.NoTimeout,
+      idleTimeout: Option[String] = None,
       maxPerBucket: Int = 64): Dataset[DupPair] = {
     val spark = docs.sparkSession
     import spark.implicits._
     features(docs)
       .groupByKey(f => s"${f.band}:${f.key}")(Encoders.STRING)
       .flatMapGroupsWithState[List[DocFeat], DupPair](
-        OutputMode.Append(), timeout) {
+        OutputMode.Append(), StreamingDedup.timeoutConf(idleTimeout)) {
         (_: String, it: Iterator[DocFeat], state: GroupState[List[DocFeat]]) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
           var members = state.getOption.getOrElse(Nil)
           val out = List.newBuilder[DupPair]
           // doc_id order within the batch: arrival order inside a
@@ -154,7 +161,9 @@ object StreamingMinHash {
             if (members.length < maxPerBucket) members = f :: members
           }
           state.update(members)
+          idleTimeout.foreach(state.setTimeoutDuration)
           out.result().iterator
+          }
       }(implicitly, implicitly)
   }
 }

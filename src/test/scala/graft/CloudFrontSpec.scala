@@ -41,8 +41,11 @@ class CloudFrontSpec extends GraftSpec {
   }
 
   test("loadFieldMappings round-trips the reference's own config file") {
-    val loaded = CloudFrontLogs.loadFieldMappings(
+    val refConfig = sys.env.getOrElse("GRAFT_REFERENCE_CONFIG",
       "/root/reference/log-processor/config/cf_realtime_log_field_mappings.json")
+    // skip (not fail) on checkouts without the reference repo
+    assume(java.nio.file.Files.exists(java.nio.file.Paths.get(refConfig)))
+    val loaded = CloudFrontLogs.loadFieldMappings(refConfig)
     // the reference config reproduces the built-in table exactly —
     // names, order, and types
     assert(loaded == CloudFrontLogs.fieldMappings)
