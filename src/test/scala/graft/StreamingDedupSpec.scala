@@ -17,6 +17,24 @@ class StreamingDedupSpec extends GraftSpec {
     assert(got.size == 2)
   }
 
+  test("idleTimeout wiring leaves batch semantics unchanged") {
+    // batch execution runs the same code path with the timeout conf set
+    // (setTimeoutDuration is invoked per group; timeouts never fire in
+    // batch). A live streaming assertion is impractical here: a
+    // timeout-configured query schedules no-data batches indefinitely
+    // to evaluate timeouts, so neither processAllAvailable nor
+    // Trigger.AvailableNow ever terminates the query.
+    val ds = Seq((1L, "a"), (2L, "a"), (3L, "b"), (4L, "a"))
+      .toDF("doc_id", "k").as[(Long, String)]
+    val got = StreamingDedup.firstOccurrence[(Long, String)](
+      ds, _._2, idleTimeout = Some("1 hour")).collect().toMap
+    assert(got.values.toSet == Set("a", "b") && got.size == 2)
+    val latest = StreamingDedup.latestPerKey[(Long, String)](
+      ds, _._2, r => (r._1, r._1), idleTimeout = Some("1 hour"))
+      .collect()
+    assert(latest.map(_._1).toSet == Set(4L, 3L))
+  }
+
   test("streaming dedup drops repeats across micro-batches") {
     val dir = Files.createTempDirectory("graft-dedup-stream")
     // micro-batch 1: docs 1,2 (distinct texts); batch 2: doc 3 repeats 1
