@@ -255,7 +255,13 @@ object AnnPack extends QueryPack {
           e => e.getField("c")).as("cv"))
         .withColumn("cnrm", Vectors.norm(col("cv")))
     val cent = recenter(assignTo(seeds))
+    // lists fans into 3+ branches (LB, radii, probes, candidate join)
+    // per query and Spark has no cross-branch CSE; the frame is a few
+    // MB per 10k vectors, so materializing beats recomputing the
+    // two-pass assignment per branch (and CacheManager shares the
+    // identical subplan across the D3/C5/D6 queries in one session)
     val lists = assignTo(cent)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // per-cell angular radius w.r.t. the final centroids
     val radii = lists.join(broadcast(cent), Seq("label", "cell"))
       .withColumn("ang", clampedAngle(
