@@ -3,7 +3,7 @@ package graft.streaming
 import graft.functions.Portable
 import org.apache.spark.sql.{DataFrame, Dataset, Encoders}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.streaming.{GroupState, OutputMode}
 
 /** Streaming MinHash/LSH near-duplicate detection — the streaming
   * counterpart of C2's batch dedup (operators/DedupPack.scala
