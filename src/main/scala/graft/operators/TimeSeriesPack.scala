@@ -629,6 +629,48 @@ object TimeSeriesPack extends QueryPack {
       ORDER BY user_id
       """))
 
+  // A22 — event-path transition counts (Markov/path analysis, the
+  // "where do users go next" dashboard view): per user, each event's
+  // predecessor via one lag window on the user key, then a global
+  // (from, to) count with the transition's share of its source state
+  // in exact ppm. One shuffle for the lag, one map-side-combinable
+  // count agg — the transition matrix is |event_types|² rows, tiny at
+  // any corpus scale.
+  private val qTransitions = GraftQuery(
+    "q_transitions",
+    (s, d) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      val wFrom = Window.partitionBy(col("from_type"))
+      Tables.events(s, d)
+        .select(col("user_id"), col("ts"), col("event_id"),
+          col("event_type"))
+        .withColumn("from_type", lag(col("event_type"), 1).over(w))
+        .filter(col("from_type").isNotNull)
+        .groupBy(col("from_type"), col("event_type").as("to_type"))
+        .agg(count(lit(1)).as("n"))
+        .withColumn("from_total", sum(col("n")).over(wFrom))
+        .withColumn("share_ppm", expr("(1000000 * n) div from_total"))
+        .drop("from_total")
+        .orderBy(col("from_type"), col("to_type"))
+    },
+    Some("""
+      WITH t AS (
+        SELECT user_id, event_type,
+          lag(event_type) OVER (PARTITION BY user_id
+            ORDER BY ts, event_id) AS from_type
+        FROM events),
+      c AS (
+        SELECT from_type, event_type AS to_type, COUNT(*) AS n
+        FROM t WHERE from_type IS NOT NULL
+        GROUP BY 1, 2)
+      SELECT from_type, to_type, n,
+        (1000000 * n) // CAST(SUM(n) OVER (PARTITION BY from_type)
+          AS BIGINT) AS share_ppm
+      FROM c
+      ORDER BY from_type, to_type
+      """))
+
   // §5 — the salted two-phase aggregation, oracle-verified: the oracle
   // is the PLAIN single-phase aggregation, so the hash-match proves the
   // hot-key-safe rewrite is lossless (decimal partials re-aggregate
@@ -727,5 +769,5 @@ object TimeSeriesPack extends QueryPack {
     tsBin, tsAgo, tsSeries, sessionize, metricsDaily, percentiles,
     topUsers, approxMetrics, tsInterpolate, tsLocfFill, tsAsof, tsAnomaly,
     tsDerivative, tsIntegral,
-    qAsofJoin, qLatest, qSkewAgg, sketchRollup, histRollup)
+    qAsofJoin, qLatest, qSkewAgg, qTransitions, sketchRollup, histRollup)
 }
