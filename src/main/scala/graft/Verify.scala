@@ -24,6 +24,13 @@ object Verify {
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
     }
+    // cache lifecycle: the packs' shared working sets are registry-scoped
+    // — release them once the batch is done and insist nothing leaked
+    Caches.releaseAll(blocking = true)
+    val leaked = spark.sparkContext.getPersistentRDDs
+    if (leaked.nonEmpty) System.err.println(
+      s"[verify] WARNING: ${leaked.size} persisted RDD(s) leaked: " +
+        leaked.values.map(_.name).mkString("; "))
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.

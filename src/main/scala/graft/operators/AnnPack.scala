@@ -1,6 +1,7 @@
 package graft.operators
 
 import graft.{GraftQuery, QueryPack}
+import graft.Caches.CachesSyntax
 import graft.functions.Vectors
 import graft.sources.Tables
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
@@ -181,7 +182,7 @@ object AnnPack extends QueryPack {
     * isotropic noise is the provable worst case for any exact method).
     *
     * Shape per label block:
-    *  1. `numCells` IVF cells: hash-ordered deterministic seeds, one
+    *  1. ceil(|block| / targetCellSize) IVF cells: hash-ordered seeds, one
     *     assignment+recenter round, final lists keyed (label, cell) —
     *     the cell count is the scale knob (∝ block size / target cell
     *     size), so no partition ever holds a whole label.
@@ -201,7 +202,25 @@ object AnnPack extends QueryPack {
     * The pair plan is persisted so D3 and C5 (identical subplan, by
     * Spark's CacheManager) compute it once per session.
     */
-  private val numCells = 4
+  /** The scale knob, actually derived from data: each label block gets
+    * ceil(|block| / targetCellSize) cells (clamped to [2, maxCells]), so
+    * per-cell cardinality — and with it the per-task work of every
+    * (label, cell) equi-join below — stays ≈targetCellSize as the corpus
+    * grows instead of growing with the block. maxCells bounds the
+    * per-label seed heaps and the centroid broadcast; at a true 100 TB
+    * block size it is the one constant to raise (everything downstream
+    * is (label, cell)-keyed, so nothing else changes shape).
+    */
+  private val targetCellSize = 24
+  private val maxCells = 64
+
+  /** Scalar mirror of the `n_cells` Column in [[labelCells]] — the spec
+    * asserts the executed cell structure matches this, proving the knob
+    * actually turns with block size.
+    */
+  private[graft] def cellsForBlock(n: Long): Int =
+    math.min(maxCells.toLong,
+      math.max(2L, math.ceil(n / targetCellSize.toDouble).toLong)).toInt
   /** Slack covering the rounding of [[Vectors.cosine]] (6 decimals,
     * |Δcos| ≤ 5e-7) through acos near |cos|=1, where the amplification
     * is unbounded: acos(1−δ) ≈ √(2δ), so a 5e-7 cosine perturbation
@@ -223,16 +242,35 @@ object AnnPack extends QueryPack {
     * Returns (centR: [label, c_cell, cv, cnrm, r], lists: [vec_id,
     * label, cell, v, nrm]).
     */
-  private def labelCells(s: SparkSession, d: String): (DataFrame, DataFrame) = {
+  private[graft] def labelCells(s: SparkSession, d: String): (DataFrame, DataFrame) = {
     val n = vecs(s, d)
-    // deterministic hash-ordered seeds, numCells per label
-    val wSeed = Window.partitionBy(col("label"))
-      .orderBy(pmod(col("vec_id") * lit(2654435761L), lit(4096L)),
-        col("vec_id"))
-    val seeds = n.withColumn("cell", row_number().over(wSeed))
-      .filter(col("cell") <= numCells)
-      .select(col("label"), col("cell"), col("v").as("cv"),
-        col("nrm").as("cnrm"))
+    // per-label cell count, derived from the block cardinality (the knob
+    // documented above — one partial-agg pass, a tiny broadcast result)
+    val nCells = n.groupBy(col("label"))
+      .agg(least(lit(maxCells.toLong),
+        greatest(lit(2L),
+          ceil(count(lit(1)) / lit(targetCellSize.toDouble))))
+        .cast(IntegerType).as("n_cells"))
+    // deterministic hash-ordered seeds via TopKPerKey (bounded heaps of
+    // maxCells rows per label, one exchange) — never a window sorting a
+    // whole label block in one task — then cell ids 1..n_cells assigned
+    // by a per-label sort of the ≤maxCells survivors.
+    val topSeeds = graft.plans.TopKPerKey(
+      n.withColumn("hk",
+        pmod(col("vec_id") * lit(2654435761L), lit(4096L))),
+      keys = Seq(col("label")),
+      order = Seq(col("hk"), col("vec_id")),
+      k = maxCells)
+    val seeds = topSeeds
+      .groupBy(col("label"))
+      .agg(array_sort(collect_list(
+        struct(col("hk"), col("vec_id"), col("v"), col("nrm")))).as("sv"))
+      .join(broadcast(nCells), Seq("label"))
+      .select(col("label"), col("n_cells"),
+        posexplode(col("sv")).as(Seq("pos", "e")))
+      .filter(col("pos") < col("n_cells"))
+      .select(col("label"), (col("pos") + 1).cast(IntegerType).as("cell"),
+        col("e.v").as("cv"), col("e.nrm").as("cnrm"))
     // argmax centroid cosine, low cell on ties — a map-side-combinable
     // max_by aggregation, not a window over the block
     def assignTo(cent: DataFrame): DataFrame =
@@ -261,7 +299,7 @@ object AnnPack extends QueryPack {
     // two-pass assignment per branch (and CacheManager shares the
     // identical subplan across the D3/C5/D6 queries in one session)
     val lists = assignTo(cent)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .persistTracked
     // per-cell angular radius w.r.t. the final centroids
     val radii = lists.join(broadcast(cent), Seq("label", "cell"))
       .withColumn("ang", clampedAngle(
@@ -311,7 +349,7 @@ object AnnPack extends QueryPack {
       .withColumn("cos_sim",
         Vectors.cosine(col("qv"), col("vb"), col("qn"), col("nrmb")))
       .select(col("vec_id"), col("label"), col("nn_id"), col("cos_sim"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .persistTracked
   }
 
   private val labelPairsSql: String =

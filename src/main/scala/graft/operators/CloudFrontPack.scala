@@ -1,6 +1,7 @@
 package graft.operators
 
 import graft.{GraftQuery, QueryPack}
+import graft.Caches.CachesSyntax
 import graft.cloudfront.CloudFrontLogs
 import graft.sources.Tables
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
@@ -139,7 +140,7 @@ object CloudFrontPack extends QueryPack {
         col("time_taken"), col("c_ip"), col("cs_referer"),
         col("x_edge_location"), col("x_edge_result_type"),
         col("c_country"), col("cs_uri_stem"), col("x_edge_request_id"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .persistTracked
 
   // A1 — full parser round-trip. The aggregation groups on two PARSED
   // typed columns and checks counts, exact sums, distincts, and that '-'

@@ -1,6 +1,7 @@
 package graft.operators
 
 import graft.{GraftQuery, QueryPack}
+import graft.Caches.CachesSyntax
 import graft.functions.Portable
 import graft.sources.Tables
 import org.apache.spark.sql.expressions.Window
@@ -98,7 +99,7 @@ object CurationPack extends QueryPack {
     */
   private def packShards(docs: org.apache.spark.sql.DataFrame) = {
     val t = docs.withColumn("bkt", expr(s"doc_id div ${packBucketSpan}L"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .persistTracked
     val wLocal = Window.partitionBy(col("lang"), col("bkt"))
       .orderBy(col("doc_id"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)

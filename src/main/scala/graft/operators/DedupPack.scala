@@ -1,6 +1,7 @@
 package graft.operators
 
 import graft.{GraftQuery, QueryPack}
+import graft.Caches.CachesSyntax
 import graft.functions.Portable
 import graft.sources.Tables
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
@@ -51,7 +52,7 @@ object DedupPack extends QueryPack {
       .select(col("doc_id"), words(col("text")).as("w"))
       .filter(size(col("w")) >= 3)
     w.select(col("doc_id"), shingles3Hashed(col("w")).as("shingles"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .persistTracked
   }
 
   private val shingledSql: String =
@@ -139,7 +140,7 @@ object DedupPack extends QueryPack {
         .filter(col("jaccard") >= tau)
         .select(col("doc_a"), col("doc_b"), col("n_shared_bands"),
           col("jaccard"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        .persistTracked
   }
 
   /** The C2 pipeline through verified pairs, as DuckDB CTEs ending in
@@ -199,7 +200,7 @@ object DedupPack extends QueryPack {
       val edges = pairs
         .union(pairs.select(col("doc_b"), col("doc_a")))
         .toDF("src", "dst")
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        .persistTracked
       // Initialize each node's label to min(self, direct neighbors) in a
       // single aggregation (edges are symmetric, so every node appears as
       // src — this also yields the node set for free). Duplicate
@@ -209,7 +210,7 @@ object DedupPack extends QueryPack {
       var cached = edges.groupBy(col("src").as("node"))
         .agg(min(col("dst")).as("mn"))
         .select(col("node"), least(col("node"), col("mn")).as("lab"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        .persistTracked
       var labels = cached
       var changed = 1L
       var iter = 0
@@ -225,7 +226,7 @@ object DedupPack extends QueryPack {
           .select(col("node"),
             least(col("lab"), coalesce(col("nlab"), col("lab"))).as("lab"),
             col("lab").as("old"))
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          .persistTracked
         changed = next.filter(col("lab") =!= col("old")).count()
         cached.unpersist()
         cached = next

@@ -69,6 +69,44 @@ class AnnPackSpec extends GraftSpec {
     assert(df.select("vec_id").distinct().count() == n)
   }
 
+  test("IVF cell count derives from label block size (the knob turns)") {
+    val (_, lists) = operators.AnnPack.labelCells(spark, sfDir)
+    val got = lists.groupBy(col("label"))
+      .agg(countDistinct(col("cell")).as("cells"), count(lit(1)).as("n"))
+      .collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+    assert(got.nonEmpty)
+    got.foreach { case (lbl, cells, n) =>
+      val want = operators.AnnPack.cellsForBlock(n)
+      assert(cells == want,
+        s"label $lbl: block of $n rows should get $want cells, got $cells")
+    }
+    // blocks of different sizes in the test data get different cell
+    // counts — the knob is not a constant
+    assert(got.map(_._2).distinct.length > 1,
+      s"expected ≥2 distinct per-label cell counts, got ${got.toSeq}")
+  }
+
+  test("D3/C5/D6 plans: no window partitioned by a whole label block") {
+    // the r3 verdict's last one-partition-per-key-group sort: a
+    // row_number window partitioned by `label` alone would sort each
+    // label's ENTIRE block in one task — seed selection must go through
+    // the bounded-heap TopKPerKey operator instead
+    // (don't let treeString truncation hide a window spec)
+    spark.conf.set("spark.sql.debug.maxToStringFields", "10000")
+    for (q <- Seq("knn_join", "dedup_embedding", "ann_range_search")) {
+      val df = SparkEntry.queries(q)(spark, sfDir)
+      df.collect()
+      val plan = df.queryExecution.executedPlan.toString
+      assert(!plan.contains("windowspecdefinition(label#"),
+        s"$q: window partitioned by label alone in executed plan:\n$plan")
+    }
+    val range = SparkEntry.queries("ann_range_search")(spark, sfDir)
+    range.collect()
+    assert(range.queryExecution.executedPlan.toString.contains("TopKPerKey"),
+      "ann_range_search seed selection should run through TopKPerKeyExec")
+  }
+
   test("ann_ivf never beats brute top-1 and probes limit the search") {
     val brute = SparkEntry.queries("ann_brute")(spark, sfDir)
       .filter(col("rank") === 1).collect()
