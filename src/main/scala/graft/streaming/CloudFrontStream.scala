@@ -160,14 +160,79 @@ object CloudFrontStream {
       .partitionBy("measure_name", "day")
       .parquet(tmp.toString)
     require(fs.rename(p, old), s"compact: could not stage $path")
-    // a writer recreating p here would make the next rename land INSIDE
-    // it (Hadoop rename-into-existing-dir) and the delete below destroy
-    // its rows — fail the swap instead, leaving the original at `old`
-    require(!fs.exists(p),
-      s"compact: $path reappeared mid-swap (live writer?); " +
-        s"aborting with original data intact at $old")
-    require(fs.rename(tmp, p), s"compact: could not swap in $tmp")
+    finishSwap(fs, p, tmp, old, "compact")
+  }
+
+  /** Final step of the two-rename store swap: the live path has been
+    * staged at `old` and the replacement tree is ready at `tmp`. A writer
+    * recreating the live path here would make the rename land INSIDE it
+    * (Hadoop rename-into-existing-dir) and the cleanup delete destroy its
+    * rows — so the swap verifies the live path stayed absent and aborts
+    * (all data intact at `old` and `tmp`) instead of deleting anything it
+    * cannot account for.
+    */
+  private[graft] def finishSwap(fs: org.apache.hadoop.fs.FileSystem,
+      live: org.apache.hadoop.fs.Path, tmp: org.apache.hadoop.fs.Path,
+      old: org.apache.hadoop.fs.Path, what: String): Unit = {
+    require(!fs.exists(live),
+      s"$what: $live reappeared mid-swap (live writer?); " +
+        s"aborting with all data intact at $old and $tmp")
+    require(fs.rename(tmp, live), s"$what: could not swap in $tmp")
     fs.delete(old, true)
+  }
+
+  /** Retention sweep for the partitioned store: drop every
+    * (measure_name, day) partition whose day is older than `maxAgeDays`
+    * before `asOf`. Mirrors the reference's Timestream retention
+    * (template.yaml:203-205 — MemoryStoreRetentionPeriodInHours 24,
+    * MagneticStoreRetentionPeriodInDays 7): without it, a months-running
+    * ingest accumulates day partitions forever.
+    *
+    * Same quiesce/swap discipline as [[compactStore]], but survivors are
+    * carried by RENAME, never rewritten — expired data is all that gets
+    * deleted, and surviving partition files stay byte-identical. The
+    * stream must be quiesced while this runs; a writer recreating the
+    * live path mid-swap aborts the sweep with every row (expired and
+    * surviving) intact in the staged directories.
+    */
+  def expireStore(spark: org.apache.spark.sql.SparkSession, path: String,
+                  maxAgeDays: Int, asOf: java.time.LocalDate): Unit = {
+    import org.apache.hadoop.fs.Path
+    val hadoop = spark.sparkContext.hadoopConfiguration
+    val p = new Path(path)
+    val fs = p.getFileSystem(hadoop)
+    val tmp = new Path(path + "__expiring")
+    val old = new Path(path + "__preexpire")
+    require(!fs.exists(tmp) && !fs.exists(old),
+      s"expire: stale $tmp / $old from an aborted sweep — inspect and " +
+        "remove before retrying")
+    val cutoff = asOf.minusDays(maxAgeDays.toLong)
+    require(fs.rename(p, old), s"expire: could not stage $path")
+    fs.mkdirs(tmp)
+    // carry survivors over by rename (byte-identical): non-partition
+    // entries (the _graft_commits idempotence markers, _SUCCESS) whole,
+    // partition trees day-by-day against the cutoff
+    for (entry <- fs.listStatus(old)) {
+      val name = entry.getPath.getName
+      if (!name.startsWith("measure_name=")) {
+        require(fs.rename(entry.getPath, new Path(tmp, name)),
+          s"expire: could not carry $name")
+      } else {
+        for (dayDir <- fs.listStatus(entry.getPath)) {
+          val dn = dayDir.getPath.getName
+          val keep = !dn.startsWith("day=") ||
+            !java.time.LocalDate.parse(dn.stripPrefix("day="))
+              .isBefore(cutoff)
+          if (keep) {
+            val measureDir = new Path(tmp, name)
+            fs.mkdirs(measureDir)
+            require(fs.rename(dayDir.getPath, new Path(measureDir, dn)),
+              s"expire: could not carry $name/$dn")
+          }
+        }
+      }
+    }
+    finishSwap(fs, p, tmp, old, "expire")
   }
 
   /** Stream-static enrichment: join the parsed stream against a slowly-

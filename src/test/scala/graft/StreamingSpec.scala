@@ -225,6 +225,68 @@ class StreamingSpec extends GraftSpec {
       .agg(sum(col("measure_value"))).head().getDouble(0) == beforeSum)
   }
 
+  test("cf_stream store retention drops expired days; survivors byte-identical") {
+    val out = Files.createTempDirectory("graft-tsdb-x").toString + "/store"
+    import spark.implicits._
+    Seq(
+      ("sc_bytes", "2026-08-01", 1.0), ("sc_bytes", "2026-08-05", 2.0),
+      ("sc_bytes", "2026-08-10", 3.0), ("time_taken", "2026-08-01", 4.0),
+      ("time_taken", "2026-08-10", 5.0))
+      .toDF("measure_name", "day_s", "measure_value")
+      .withColumn("day", to_date(col("day_s"))).drop("day_s")
+      .write.partitionBy("measure_name", "day").parquet(out)
+    // idempotence markers must ride through the sweep untouched
+    val commits = new java.io.File(out, "_graft_commits")
+    commits.mkdirs()
+    java.nio.file.Files.write(
+      new java.io.File(commits, "tag-0").toPath, "x".getBytes)
+    def snapshot(): Map[String, String] = {
+      val root = java.nio.file.Paths.get(out)
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(root).iterator().asScala
+        .filter(java.nio.file.Files.isRegularFile(_))
+        .map { f =>
+          val md = java.security.MessageDigest.getInstance("MD5")
+            .digest(java.nio.file.Files.readAllBytes(f))
+          root.relativize(f).toString -> md.map("%02x".format(_)).mkString
+        }.toMap
+    }
+    val before = snapshot()
+    // cutoff = asOf - 7d = 2026-08-05: the 08-01 partitions expire, the
+    // 08-05 partition survives exactly on the boundary
+    CloudFrontStream.expireStore(spark, out, maxAgeDays = 7,
+      asOf = java.time.LocalDate.parse("2026-08-12"))
+    val after = snapshot()
+    val expired = before.keySet.filter(_.contains("day=2026-08-01"))
+    assert(expired.nonEmpty && after.keySet.intersect(expired).isEmpty)
+    val survivors = before.view.filterKeys(!expired.contains(_)).toMap
+    assert(after == survivors) // byte-identical, markers included
+    assert(after.contains("_graft_commits/tag-0"))
+    val left = spark.read.parquet(out)
+    assert(left.count() == 3 &&
+      left.agg(sum("measure_value")).head().getDouble(0) == 10.0)
+    assert(!new java.io.File(out + "__expiring").exists() &&
+      !new java.io.File(out + "__preexpire").exists())
+  }
+
+  test("store swap aborts when the live path reappears; staged data intact") {
+    import org.apache.hadoop.fs.Path
+    val base = Files.createTempDirectory("graft-swap").toString
+    val p = new Path(base + "/store")
+    val tmp = new Path(base + "/store__expiring")
+    val old = new Path(base + "/store__preexpire")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(p) // the "live writer recreated it" hazard
+    fs.mkdirs(tmp); fs.create(new Path(tmp, "keep"), false).close()
+    fs.mkdirs(old); fs.create(new Path(old, "expired"), false).close()
+    val e = intercept[IllegalArgumentException] {
+      CloudFrontStream.finishSwap(fs, p, tmp, old, "expire")
+    }
+    assert(e.getMessage.contains("reappeared"))
+    assert(fs.exists(new Path(tmp, "keep")) &&
+      fs.exists(new Path(old, "expired")))
+  }
+
   test("cf_stream store resumes from checkpoint without re-ingesting") {
     import java.nio.file.Paths
     val dir = Files.createTempDirectory("graft-stream-r").toString
