@@ -235,6 +235,75 @@ object CloudFrontStream {
     finishSwap(fs, p, tmp, old, "expire")
   }
 
+  /** The store's on-disk schema, for streaming readers (a file stream
+    * needs an explicit schema up front; measure_name and day are
+    * partition columns, resolved from the directory layout).
+    */
+  private val storeSchema = StructType(Seq(
+    StructField("time", TimestampNTZType),
+    StructField("measure_name", StringType),
+    StructField("measure_value", DoubleType),
+    StructField("dimensions", MapType(StringType, StringType)),
+    StructField("day", DateType)))
+
+  /** Middle job of the monitor-and-alert topology: stream the
+    * (measure_name, day)-partitioned store, roll ONE measure up into
+    * fixed time bins per key, and continuously append the closed bins to
+    * a rollup store — the Spark shape of Timestream's scheduled-query
+    * rollup tables the reference's dashboard reads. Append mode +
+    * watermark means a (key, bin) row is written exactly once, when the
+    * watermark passes the bin's end — which is what lets the alert job
+    * downstream treat each arriving row as a finished observation.
+    *
+    * Kept as its own query (store → rollup store) rather than fused into
+    * the alert job because a windowed aggregation cannot legally chain
+    * into flatMapGroupsWithState inside one streaming query — and
+    * operationally the rollup is worth persisting anyway (it IS the
+    * dashboard feed; the alert job is one more reader).
+    */
+  def rollupStore(spark: org.apache.spark.sql.SparkSession,
+      storePath: String, rollupDir: String, checkpointDir: String,
+      measure: String = "sc_bytes", keyDim: String = "x_edge_location",
+      binSeconds: Long = 3600L, watermark: String = "1 hour")
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    spark.readStream.schema(storeSchema).parquet(storePath)
+      .filter(col("measure_name") === measure)
+      // watermarks are only legal on TIMESTAMP; the NTZ store column is
+      // UTC by construction, so the cast is a pure type change
+      .withColumn("time", col("time").cast(TimestampType))
+      .withWatermark("time", watermark)
+      .groupBy(window(col("time"), s"$binSeconds seconds"),
+        col("dimensions")(keyDim).as("key"))
+      .agg(sum(col("measure_value")).as("x"))
+      .filter(col("key").isNotNull)
+      .select(col("key"),
+        unix_seconds(col("window.start")).as("bin_start"),
+        col("x"))
+      .writeStream
+      .option("checkpointLocation", checkpointDir)
+      .outputMode("append")
+      .format("parquet")
+      .option("path", rollupDir)
+      .start()
+
+  /** Final job of the topology: stream the rollup store and z-score each
+    * closed bin against its key's prior baseline
+    * ([[StreamingAnomaly.detect]]) — the continuously-running version of
+    * the deviation-spotting the reference's dashboard queries exist for.
+    * Sink the returned Dataset wherever alerts go (memory table,
+    * parquet, a notification foreachBatch).
+    */
+  def storeAlerts(spark: org.apache.spark.sql.SparkSession,
+      rollupDir: String, zThreshold: Double = 2.0, minPrior: Long = 5,
+      idleTimeout: Option[String] = None)
+      : org.apache.spark.sql.Dataset[StreamingAnomaly.Anomaly] = {
+    import spark.implicits._
+    StreamingAnomaly.detect(
+      spark.readStream.schema("key STRING, bin_start BIGINT, x DOUBLE")
+        .parquet(rollupDir).as[StreamingAnomaly.Bin],
+      zThreshold, minPrior, idleTimeout)
+  }
+
   /** Stream-static enrichment: join the parsed stream against a slowly-
     * changing dimension table (edge location → geography here). The
     * static side is broadcast — no shuffle of the stream, no streaming

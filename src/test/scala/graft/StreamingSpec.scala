@@ -287,6 +287,52 @@ class StreamingSpec extends GraftSpec {
       fs.exists(new Path(old, "expired")))
   }
 
+  test("alert topology end-to-end: injected spike in the raw lines surfaces as an anomaly") {
+    import graft.streaming.StreamingAnomaly
+    val linesDir = Files.createTempDirectory("graft-alert-lines").toString
+    val store = Files.createTempDirectory("graft-alert-store").toString + "/store"
+    val rollup = Files.createTempDirectory("graft-alert-roll").toString + "/rollup"
+    val ckpt1 = Files.createTempDirectory("graft-alert-c1").toString
+    val ckpt2 = Files.createTempDirectory("graft-alert-c2").toString
+    import spark.implicits._
+    // 30 hours of traffic from one edge (user_id=1 → EDGE-1): a gently
+    // varying baseline (variance > 0, well under threshold) with a 40×
+    // bytes spike injected in hour 20
+    val base = java.time.Instant.parse("2026-08-01T00:00:00Z").getEpochSecond
+    val events = (0 until 30).flatMap { h =>
+      (0 until 20).map { i =>
+        val v = if (h == 20) 500.0 else 10.0 + (h % 7) * 0.3
+        (base + h * 3600L + i * 60L, 1, h * 100 + i, v, "view")
+      }
+    }.toDF("epoch", "user_id", "event_id", "value", "event_type")
+      .withColumn("ts", timestamp_seconds(col("epoch"))).drop("epoch")
+    CloudFrontPack.synthLines(events)
+      .coalesce(1).write.mode("overwrite").text(linesDir)
+    // job 1: raw lines → partitioned store
+    val stream = spark.readStream.schema("value STRING").text(linesDir)
+      .withColumnRenamed("value", "line")
+    val q1 = CloudFrontStream.toTimestreamStore(stream, store, ckpt1)
+    try q1.processAllAvailable() finally q1.stop()
+    // job 2: store → hourly rollup (watermark closes hours 0..27)
+    val q2 = CloudFrontStream.rollupStore(spark, store, rollup, ckpt2)
+    try q2.processAllAvailable() finally q2.stop()
+    // job 3: rollup → alerts
+    val q3 = CloudFrontStream.storeAlerts(spark, rollup, zThreshold = 3.0)
+      .toDF().writeStream.format("memory").queryName("cf_alerts")
+      .outputMode("append").start()
+    try {
+      q3.processAllAvailable()
+      val got = spark.table("cf_alerts").as[StreamingAnomaly.Anomaly].collect()
+      val spike = base + 20 * 3600L
+      assert(got.exists(a =>
+        a.key == "EDGE-1" && a.bin_start == spike && a.z_ppm > 0 &&
+          a.n_prior == 20L),
+        got.mkString("; "))
+      assert(got.forall(_.bin_start == spike),
+        "baseline hours must not alert: " + got.mkString("; "))
+    } finally q3.stop()
+  }
+
   test("cf_stream store resumes from checkpoint without re-ingesting") {
     import java.nio.file.Paths
     val dir = Files.createTempDirectory("graft-stream-r").toString
