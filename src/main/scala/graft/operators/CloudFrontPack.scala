@@ -142,24 +142,24 @@ object CloudFrontPack extends QueryPack {
         col("c_country"), col("cs_uri_stem"), col("x_edge_request_id"))
       .persistTracked
 
-  // A1 — full parser round-trip. The aggregation groups on two PARSED
-  // typed columns and checks counts, exact sums, distincts, and that '-'
-  // parsed to NULL (n_referer must be 0).
-  private val cfParse = GraftQuery(
-    "cf_parse",
-    (s, d) => {
-      val parsed = parsedCached(s, d)
-      parsed.groupBy(col("x_edge_result_type"), col("sc_status"))
-        .agg(
-          count(lit(1)).as("n"),
-          sum(col("sc_bytes")).as("total_bytes"),
-          sum(col("time_taken").cast(DecimalType(28, 10))).cast(DoubleType)
-            .as("total_time"),
-          countDistinct(col("c_ip")).as("uniq_ips"),
-          count(col("cs_referer")).as("n_referer"))
-        .orderBy(col("x_edge_result_type"), col("sc_status"))
-    },
-    Some(s"""
+  /** The A1 rollup: groups on two PARSED typed columns and checks
+    * counts, exact sums, distincts, and that '-' parsed to NULL
+    * (n_referer must be 0). Shared by cf_parse (built-in mapping table)
+    * and cf_parse_config (mapping loaded from the reference-format JSON)
+    * so both prove the identical contract against one oracle.
+    */
+  private def parseRollup(parsed: DataFrame): DataFrame =
+    parsed.groupBy(col("x_edge_result_type"), col("sc_status"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("sc_bytes")).as("total_bytes"),
+        sum(col("time_taken").cast(DecimalType(28, 10))).cast(DoubleType)
+          .as("total_time"),
+        countDistinct(col("c_ip")).as("uniq_ips"),
+        count(col("cs_referer")).as("n_referer"))
+      .orderBy(col("x_edge_result_type"), col("sc_status"))
+
+  private val parseRollupSql: String = s"""
       WITH derived AS ($oracleDerived)
       SELECT x_edge_result_type, sc_status,
         COUNT(*) AS n,
@@ -170,7 +170,41 @@ object CloudFrontPack extends QueryPack {
       FROM derived
       GROUP BY x_edge_result_type, sc_status
       ORDER BY x_edge_result_type, sc_status
-    """))
+    """
+
+  // A1 — full parser round-trip over the built-in mapping table.
+  private val cfParse = GraftQuery(
+    "cf_parse",
+    (s, d) => parseRollup(parsedCached(s, d)),
+    Some(parseRollupSql))
+
+  // A1b — the ops-editable config path end-to-end. The reference loads
+  // its field schema from a JSON config at cold start
+  // (log-processor/lambda_function.py:23-28) so ops can track CloudFront
+  // field additions without a code change; this query drives the same
+  // artifact through the driver gate: a reference-format mapping JSON
+  // (bundled copy of log-processor/config/
+  // cf_realtime_log_field_mappings.json) is materialized to disk, loaded
+  // by [[CloudFrontLogs.loadFieldMappings]], and the loaded schema runs
+  // the full parse + rollup. Hash-matching cf_parse's oracle proves the
+  // config-driven parse is behaviourally identical to the built-in
+  // table — names, order, types, and the '-'→NULL path.
+  private val cfParseConfig = GraftQuery(
+    "cf_parse_config",
+    (s, d) => {
+      val cfg = java.nio.file.Files.createTempFile("graft-fieldmap", ".json")
+      val in = getClass.getResourceAsStream(
+        "/graft/cf_realtime_log_field_mappings.json")
+      require(in != null, "bundled field-mapping config not on classpath")
+      try java.nio.file.Files.copy(in, cfg,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      finally in.close()
+      val mappings = CloudFrontLogs.loadFieldMappings(cfg.toString)
+      parseRollup(CloudFrontLogs.parse(
+        synthLines(Tables.parallelized(Tables.events(s, d))),
+        mappings = mappings))
+    },
+    Some(parseRollupSql))
 
   // A2 — header parsing. Synthesizes URL-encoded cs-headers values (the
   // escape set %3A %0A %20 — DuckDB 1.0 lacks url_decode, the oracle
@@ -479,6 +513,7 @@ object CloudFrontPack extends QueryPack {
       """))
 
   override val queries: Seq[GraftQuery] =
-    Seq(cfParse, cfHeaders, cfMelt, qBytesByEdge, qTimestreamHeadline,
+    Seq(cfParse, cfParseConfig, cfHeaders, cfMelt, qBytesByEdge,
+      qTimestreamHeadline,
       cfCacheHitRatio, cfStatusClasses, cfTopUris, cfLatencyPercentiles)
 }

@@ -64,16 +64,16 @@ object CloudFrontStream {
     *
     * Idempotence: a blind append inside foreachBatch is only
     * at-least-once (a crash between the batch's file commit and the
-    * checkpoint advancing re-executes the same batchId). The write is
-    * therefore guarded by a per-batchId commit marker under
-    * `outDir/_graft_commits/` (underscore-prefixed, so readers ignore
-    * it): a re-executed batch whose marker exists is skipped. The one
-    * residual window is a crash BETWEEN the data commit and the marker
-    * create — that re-execution duplicates one batch, so the guarantee
-    * is exactly-once under graceful restart and batch re-execution,
-    * at-least-once under a crash landing precisely in that gap (closing
-    * it entirely needs a transactional table format's atomic
-    * log commit).
+    * checkpoint advancing re-executes the same batchId). Each batch is
+    * therefore committed via [[commitBatch]]: staged under
+    * `outDir/_staging/<tag>-<batchId>`, renamed into the live partition
+    * tree under a batch-unique file prefix that a re-execution REPLACES
+    * (delete-prefix-then-rename), and sealed with a marker under
+    * `outDir/_graft_commits/` that lets a completed batch skip entirely.
+    * A crash at ANY point — mid-stage, mid-rename, or between the data
+    * commit and the marker — re-executes the batchId and converges to
+    * exactly one copy of the batch, so the store is exactly-once without
+    * a transactional table format.
     */
   def toTimestreamStore(lines: DataFrame, outDir: String,
       checkpointDir: String,
@@ -93,21 +93,74 @@ object CloudFrontStream {
     records.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        val hadoop = batch.sparkSession.sparkContext.hadoopConfiguration
-        val commits =
-          new org.apache.hadoop.fs.Path(outDir, "_graft_commits")
-        val fs = commits.getFileSystem(hadoop)
-        val marker =
-          new org.apache.hadoop.fs.Path(commits, s"$streamTag-$batchId")
-        if (!fs.exists(marker)) {
-          batch.write.mode("append")
-            .partitionBy("measure_name", "day")
-            .parquet(outDir)
-          fs.mkdirs(commits)
-          fs.create(marker, false).close()
-        }
+        commitBatch(batch, outDir, streamTag, batchId)
       }
       .start()
+  }
+
+  /** Exactly-once commit of one micro-batch into the (measure_name, day)-
+    * partitioned store — idempotent under re-execution after a crash at
+    * any point:
+    *
+    *  1. marker exists → the batch fully committed before; skip (only
+    *     sweeping any leftover staging dir).
+    *  2. Write the batch to a private staging tree
+    *     `outDir/_staging/<tag>-<batchId>` (mode overwrite, so a crashed
+    *     attempt's partial staging is discarded wholesale).
+    *  3. For each staged (measure_name, day) partition: delete live files
+    *     carrying this batch's `<tag>-<batchId>-` prefix (a crashed
+    *     attempt's partial publish), then rename the staged files in
+    *     under that prefix — a re-execution REPLACES, never duplicates.
+    *  4. Create the commit marker, then drop the staging dir.
+    *
+    * A crash before step 4 leaves no marker, so the re-executed batchId
+    * redoes 2-3 and converges to exactly one copy; a crash after the
+    * marker create makes the re-execution a no-op. Underscore-prefixed
+    * `_staging` / `_graft_commits` are invisible to parquet readers, so
+    * in-flight batches never surface to queries mid-commit.
+    */
+  private[graft] def commitBatch(batch: DataFrame, outDir: String,
+      streamTag: String, batchId: Long,
+      crashBeforeMarker: Boolean = false): Unit = {
+    import org.apache.hadoop.fs.Path
+    val hadoop = batch.sparkSession.sparkContext.hadoopConfiguration
+    val out = new Path(outDir)
+    val fs = out.getFileSystem(hadoop)
+    val commits = new Path(out, "_graft_commits")
+    val marker = new Path(commits, s"$streamTag-$batchId")
+    val staging = new Path(out, s"_staging/$streamTag-$batchId")
+    if (fs.exists(marker)) {
+      fs.delete(staging, true) // crash landed between marker and cleanup
+      return
+    }
+    batch.write.mode("overwrite")
+      .partitionBy("measure_name", "day")
+      .parquet(staging.toString)
+    val prefix = s"$streamTag-$batchId-"
+    for (measureDir <- fs.listStatus(staging)
+           if measureDir.getPath.getName.startsWith("measure_name=");
+         dayDir <- fs.listStatus(measureDir.getPath)
+           if dayDir.isDirectory) {
+      val liveDir = new Path(new Path(out, measureDir.getPath.getName),
+        dayDir.getPath.getName)
+      if (fs.exists(liveDir)) {
+        for (f <- fs.listStatus(liveDir)
+             if f.getPath.getName.startsWith(prefix))
+          fs.delete(f.getPath, false)
+      } else fs.mkdirs(liveDir)
+      for (f <- fs.listStatus(dayDir.getPath);
+           name = f.getPath.getName
+           if !name.startsWith("_") && !name.startsWith(".")) {
+        require(fs.rename(f.getPath, new Path(liveDir, prefix + name)),
+          s"store commit: could not publish $name into $liveDir")
+      }
+    }
+    if (crashBeforeMarker)
+      throw new IllegalStateException(
+        "injected crash between data commit and marker")
+    fs.mkdirs(commits)
+    fs.create(marker, true).close()
+    fs.delete(staging, true)
   }
 
   /** Continuous "top URIs" dashboard feed: watermarked per-(window, uri)

@@ -98,6 +98,42 @@ class StreamingSpec extends GraftSpec {
       .count() == 8)
   }
 
+  test("store commit is exactly-once across a crash between data and marker") {
+    val out = Files.createTempDirectory("graft-tsdb-crash").toString + "/store"
+    val records = graft.cloudfront.CloudFrontLogs.toRecords(
+        CloudFrontStream.parsed(
+          CloudFrontPack.synthLines(Tables.events(spark, sfDir)))
+          .drop("event_time"),
+        Seq("sc_bytes", "time_taken"),
+        Seq("x_edge_location", "c_country", "sc_status"))
+      .withColumn("day", to_date(col("time")))
+    val total = records.count()
+    val b0 = records.filter(col("measure_name") === "sc_bytes")
+    val b1 = records.filter(col("measure_name") === "time_taken")
+    CloudFrontStream.commitBatch(b0, out, "t", 0)
+    // crash in the historical at-least-once window: batch 1's data is
+    // fully published to the live tree but its marker never lands
+    intercept[IllegalStateException] {
+      CloudFrontStream.commitBatch(b1, out, "t", 1, crashBeforeMarker = true)
+    }
+    assert(spark.read.parquet(out).count() == total,
+      "crashed attempt should have published its data")
+    // foreachBatch re-executes the same batchId after the crash: the
+    // re-run must REPLACE the partial publish, not append a second copy
+    CloudFrontStream.commitBatch(b1, out, "t", 1)
+    val stored = spark.read.parquet(out)
+    assert(stored.count() == total, "re-executed batch duplicated rows")
+    assert(stored.groupBy("measure_name").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap ==
+      Map("sc_bytes" -> total / 2, "time_taken" -> total / 2))
+    // post-marker re-execution (restart after a completed batch) no-ops
+    CloudFrontStream.commitBatch(b1, out, "t", 1)
+    assert(spark.read.parquet(out).count() == total)
+    // staging fully swept once committed
+    val staging = new java.io.File(out, "_staging")
+    assert(!staging.exists() || staging.listFiles().isEmpty)
+  }
+
   test("cf_stream top-k: windowed uri counts rank to the batch answer") {
     val dir = Files.createTempDirectory("graft-stream-t").toString
     writeLines(dir)
