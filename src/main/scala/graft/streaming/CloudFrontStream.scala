@@ -213,6 +213,17 @@ object CloudFrontStream {
       .partitionBy("measure_name", "day")
       .parquet(tmp.toString)
     require(fs.rename(p, old), s"compact: could not stage $path")
+    // carry store metadata — the _graft_commits idempotence markers and
+    // the _graft_store.json retention manifest — into the compacted tree
+    // by rename. The markers are load-bearing for exactly-once: the
+    // rewrite strips batch prefixes from file names, so a post-compaction
+    // restart re-executing its last batchId can only be stopped by the
+    // marker. (_SUCCESS stays the rewrite's own; _staging is spent.)
+    for (entry <- fs.listStatus(old);
+         name = entry.getPath.getName
+         if name.startsWith("_") && name != "_SUCCESS" && name != "_staging")
+      require(fs.rename(entry.getPath, new org.apache.hadoop.fs.Path(tmp, name)),
+        s"compact: could not carry $name")
     finishSwap(fs, p, tmp, old, "compact")
   }
 
@@ -233,6 +244,61 @@ object CloudFrontStream {
     require(fs.rename(tmp, live), s"$what: could not swap in $tmp")
     fs.delete(old, true)
   }
+
+  /** Store bootstrap — the analog of the reference's Timestream
+    * database/table creation with retention properties (template.yaml:
+    * 196-205: a Timestream table created with
+    * MagneticStoreRetentionPeriodInDays 7, which the service then
+    * enforces): creates the store directory and records the retention
+    * policy in a `_graft_store.json` manifest (underscore-prefixed, so
+    * parquet readers ignore it and [[expireStore]]'s sweep carries it).
+    * The manifest-driven [[expireStore]] overload consumes it,
+    * completing the store lifecycle the reference provisions
+    * declaratively: init → ingest ([[toTimestreamStore]]) → compact
+    * ([[compactStore]]) → expire ([[expireStore]]).
+    */
+  def initStore(spark: org.apache.spark.sql.SparkSession, path: String,
+                retentionDays: Int): Unit = {
+    import org.apache.hadoop.fs.Path
+    require(retentionDays > 0, s"retentionDays must be > 0: $retentionDays")
+    val p = new Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val manifest = new Path(p, "_graft_store.json")
+    require(!fs.exists(manifest),
+      s"store already initialized at $path (manifest exists)")
+    fs.mkdirs(p)
+    val out = fs.create(manifest, false)
+    try out.write(
+      s"""{"magnetic_store_retention_days": $retentionDays}"""
+        .getBytes("UTF-8"))
+    finally out.close()
+  }
+
+  /** Read the retention policy [[initStore]] recorded. */
+  def storeRetentionDays(spark: org.apache.spark.sql.SparkSession,
+                         path: String): Int = {
+    import org.apache.hadoop.fs.Path
+    val manifest = new Path(path, "_graft_store.json")
+    val fs = manifest.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(fs.exists(manifest),
+      s"$path has no _graft_store.json manifest — initStore it first")
+    val in = fs.open(manifest)
+    val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      finally in.close()
+    val node = new com.fasterxml.jackson.databind.ObjectMapper()
+      .readTree(text).get("magnetic_store_retention_days")
+    require(node != null && node.canConvertToInt,
+      s"$path: manifest lacks an integer magnetic_store_retention_days")
+    node.asInt()
+  }
+
+  /** Manifest-driven retention sweep: max age comes from the policy
+    * [[initStore]] recorded, like Timestream enforcing the table's own
+    * RetentionProperties rather than a per-sweep parameter.
+    */
+  def expireStore(spark: org.apache.spark.sql.SparkSession, path: String,
+                  asOf: java.time.LocalDate): Unit =
+    expireStore(spark, path, storeRetentionDays(spark, path), asOf)
 
   /** Retention sweep for the partitioned store: drop every
     * (measure_name, day) partition whose day is older than `maxAgeDays`

@@ -234,19 +234,66 @@ object TimeSeries {
 
   /** Gap-based sessionization (batch): assigns a per-user session sequence
     * number, a new session starting when the gap from the previous event
-    * exceeds `gapSeconds`. One shuffle on the user key; everything else is
-    * window functions over the sorted partition.
+    * exceeds `gapSeconds`.
+    *
+    * TIME-SLICED like [[asofJoin]], so a hot key (a NAT/bot `c_ip` owning
+    * a large share of the corpus) never sorts its whole history in one
+    * task — the decomposition that keeps per-task work bounded at 100 TB:
+    *
+    *  1. every row gets `__slice` = floor(ts / sliceSeconds); row-level
+    *     windows partition by (user, slice), so task size is bounded by
+    *     one key's density within one slice, not its share of the corpus;
+    *  2. a row's gap test is local (lag within the slice) except the
+    *     slice's FIRST row, whose previous event lives in an earlier
+    *     slice;
+    *  3. a per-(user, slice) summary — one row per occupied slice,
+    *     metadata-scale — carries each slice's last event time and
+    *     interior session-start count across slices (the only window
+    *     partitioned by user alone runs over these summary rows, never
+    *     row data);
+    *  4. row session_seq = starts carried from earlier slices + running
+    *     sum of local starts, the first row's start resolved from the
+    *     carried boundary — exactly equal to the single-window
+    *     formulation (a running sum splits at any cut).
     */
   def sessionize(df: DataFrame, userCol: String, tsCol: String,
-                 tiebreakCol: String, gapSeconds: Long): DataFrame = {
-    val w = Window.partitionBy(col(userCol))
+                 tiebreakCol: String, gapSeconds: Long,
+                 sliceSeconds: Long = 86400L): DataFrame = {
+    val gapUs = gapSeconds * 1000000L
+    val d = df
+      .withColumn("__us", unix_micros(col(tsCol).cast(TimestampType)))
+      .withColumn("__slice", expr(s"`__us` div ${sliceSeconds * 1000000L}L"))
+    val wLoc = Window.partitionBy(col(userCol), col("__slice"))
       .orderBy(col(tsCol), col(tiebreakCol))
-    val us = unix_micros(col(tsCol).cast(TimestampType))
-    val prev = lag(us, 1).over(w)
-    val isNew = when(prev.isNull ||
-      (us - prev) > gapSeconds * 1000000L, 1).otherwise(0)
-    df.withColumn("session_seq",
-      sum(isNew).over(w.rowsBetween(Window.unboundedPreceding,
-        Window.currentRow)))
+    val loc = d
+      .withColumn("__prev", lag(col("__us"), 1).over(wLoc))
+      .withColumn("__new_loc",
+        when(col("__prev").isNotNull &&
+          col("__us") - col("__prev") > gapUs, 1L).otherwise(0L))
+    // per-(user, slice) summary: same grouping keys as wLoc's partition
+    // spec, so this aggregation reuses the window's shuffle
+    val fins = loc.groupBy(col(userCol), col("__slice"))
+      .agg(min(col("__us")).as("__first_us"),
+        max(col("__us")).as("__last_us"),
+        sum(col("__new_loc")).as("__interior"))
+    val wSl = Window.partitionBy(col(userCol)).orderBy(col("__slice"))
+    val carry = fins
+      .withColumn("__prev_last", lag(col("__last_us"), 1).over(wSl))
+      .withColumn("__bnew",
+        when(col("__prev_last").isNull ||
+          col("__first_us") - col("__prev_last") > gapUs, 1L).otherwise(0L))
+      .withColumn("__before",
+        coalesce(sum(col("__interior") + col("__bnew"))
+          .over(wSl.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col(userCol), col("__slice"), col("__bnew"), col("__before"))
+    loc.join(carry, Seq(userCol, "__slice"))
+      .withColumn("__new_row",
+        when(col("__prev").isNull, col("__bnew")).otherwise(col("__new_loc")))
+      .withColumn("session_seq",
+        col("__before") + sum(col("__new_row"))
+          .over(wLoc.rowsBetween(Window.unboundedPreceding,
+            Window.currentRow)))
+      .drop("__us", "__slice", "__prev", "__new_loc", "__bnew", "__before",
+        "__new_row")
   }
 }

@@ -305,6 +305,41 @@ class StreamingSpec extends GraftSpec {
       !new java.io.File(out + "__preexpire").exists())
   }
 
+  test("store lifecycle: init → ingest → compact → manifest-driven expire") {
+    val out = Files.createTempDirectory("graft-tsdb-life").toString + "/store"
+    CloudFrontStream.initStore(spark, out, retentionDays = 7)
+    // re-provisioning an existing store must fail, not clobber it
+    intercept[IllegalArgumentException] {
+      CloudFrontStream.initStore(spark, out, retentionDays = 3)
+    }
+    assert(CloudFrontStream.storeRetentionDays(spark, out) == 7)
+    import spark.implicits._
+    val records = Seq(
+      ("sc_bytes", "2026-08-01", 1.0), ("sc_bytes", "2026-08-10", 3.0),
+      ("time_taken", "2026-08-01", 4.0), ("time_taken", "2026-08-10", 5.0))
+      .toDF("measure_name", "day_s", "measure_value")
+      .withColumn("day", to_date(col("day_s"))).drop("day_s")
+    CloudFrontStream.commitBatch(records, out, "t", 0)
+    CloudFrontStream.compactStore(spark, out)
+    // compaction must carry the store metadata: the manifest (retention
+    // policy) and the commit markers (exactly-once across a restart —
+    // the rewrite strips batch prefixes, so only the marker stops a
+    // re-executed batchId from duplicating)
+    assert(CloudFrontStream.storeRetentionDays(spark, out) == 7)
+    assert(new java.io.File(out, "_graft_commits/t-0").exists(),
+      "compaction dropped the idempotence markers")
+    CloudFrontStream.commitBatch(records, out, "t", 0) // re-execution
+    assert(spark.read.parquet(out).count() == 4, "post-compact duplicate")
+    // manifest-driven sweep: cutoff = asOf - 7d drops the 08-01 day
+    CloudFrontStream.expireStore(spark, out,
+      java.time.LocalDate.parse("2026-08-12"))
+    val left = spark.read.parquet(out)
+    assert(left.count() == 2 &&
+      left.agg(sum("measure_value")).head().getDouble(0) == 8.0)
+    // the manifest survives its own sweep — the next sweep still works
+    assert(CloudFrontStream.storeRetentionDays(spark, out) == 7)
+  }
+
   test("store swap aborts when the live path reappears; staged data intact") {
     import org.apache.hadoop.fs.Path
     val base = Files.createTempDirectory("graft-swap").toString

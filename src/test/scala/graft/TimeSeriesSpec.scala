@@ -52,6 +52,43 @@ class TimeSeriesSpec extends GraftSpec {
     assert(u.sameElements(u.sorted))
   }
 
+  test("sessionize: sliced decomposition equals the single-window answer") {
+    import org.apache.spark.sql.expressions.Window
+    val ev = Tables.events(spark, sfDir)
+    // naive single-window reference (the pre-slicing formulation)
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val us = unix_micros(col("ts").cast("timestamp"))
+    val prev = lag(us, 1).over(w)
+    val isNew = when(prev.isNull || (us - prev) > 1800L * 1000000L, 1L)
+      .otherwise(0L)
+    val naive = ev.withColumn("session_seq",
+      sum(isNew).over(w.rowsBetween(Window.unboundedPreceding,
+        Window.currentRow)))
+    // 1h slices on ~30 days of data force hundreds of cross-slice
+    // boundaries per user — sessions cut mid-slice, empty slices bridged
+    val sliced = TimeSeries.sessionize(ev, "user_id", "ts", "event_id",
+      1800, sliceSeconds = 3600)
+    def norm(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("user_id"), col("event_id"), col("session_seq"))
+        .orderBy(col("user_id"), col("event_id")).collect().toSeq
+    assert(norm(sliced) == norm(naive))
+  }
+
+  test("sessionize plan: no window sorts a user's whole history in one task") {
+    // the hot-key hazard: a NAT/bot c_ip owning a large share of events
+    // would serialize in a window partitioned by user alone and ordered
+    // by row time — every row-level window must be (user, slice)-keyed
+    spark.conf.set("spark.sql.debug.maxToStringFields", "10000")
+    val df = SparkEntry.queries("sessionize")(spark, sfDir)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert("windowspecdefinition\\(user_id#\\d+, ts#".r
+        .findFirstIn(plan).isEmpty,
+      s"sessionize: row-data window partitioned by user alone:\n$plan")
+    assert(plan.contains("__slice"),
+      "sessionize plan should carry the (user, slice) decomposition")
+  }
+
   test("approx metrics are close to exact counterparts") {
     val exact = Tables.events(spark, sfDir)
       .groupBy(col("event_type"))
