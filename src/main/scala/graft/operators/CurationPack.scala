@@ -97,7 +97,7 @@ object CurationPack extends QueryPack {
     * aggregation and the row-level window (Spark has no cross-branch
     * CSE), so it is persisted — small row-level columns, no arrays.
     */
-  private def packShards(docs: org.apache.spark.sql.DataFrame) = {
+  private[graft] def packShards(docs: org.apache.spark.sql.DataFrame) = {
     val t = docs.withColumn("bkt", expr(s"doc_id div ${packBucketSpan}L"))
       .persistTracked
     val wLocal = Window.partitionBy(col("lang"), col("bkt"))
