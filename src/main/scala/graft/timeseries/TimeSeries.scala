@@ -1,5 +1,6 @@
 package graft.timeseries
 
+import graft.Caches.CachesSyntax
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -265,11 +266,16 @@ object TimeSeries {
       .withColumn("__slice", expr(s"`__us` div ${sliceSeconds * 1000000L}L"))
     val wLoc = Window.partitionBy(col(userCol), col("__slice"))
       .orderBy(col(tsCol), col(tiebreakCol))
+    // loc feeds two branches (the summary aggregation and the final
+    // join) and Spark does not CSE across branches — persist it so the
+    // scan + (user, slice) shuffle + window run once (same policy as
+    // CurationPack.packShards for the identical shape)
     val loc = d
       .withColumn("__prev", lag(col("__us"), 1).over(wLoc))
       .withColumn("__new_loc",
         when(col("__prev").isNotNull &&
           col("__us") - col("__prev") > gapUs, 1L).otherwise(0L))
+      .persistTracked
     // per-(user, slice) summary: same grouping keys as wLoc's partition
     // spec, so this aggregation reuses the window's shuffle
     val fins = loc.groupBy(col(userCol), col("__slice"))
