@@ -267,6 +267,85 @@ object TextPack extends QueryPack {
       ORDER BY g.doc_id
       """))
 
+  // E6 — PII scrubbing: the masking pass every public-web training
+  // pipeline runs before packing (emails, IPv4 addresses, international
+  // phone numbers → placeholder tokens). The corpus is synthetic word
+  // salad, so the query first INJECTS deterministic PII derived from
+  // doc_id — identically in both engines, the CloudFrontPack synthesis
+  // pattern — then counts and scrubs it; the md5 of the scrubbed text
+  // proves byte-identical masking, and every doc_id % 5 == 0 document
+  // stays untouched (the zero-match path). All three passes are
+  // codegen'd regexp expressions in one per-row projection — no shuffle,
+  // I/O-bound at 100 TB. Patterns stay inside the Java∩RE2 common
+  // dialect (character classes, bounded repeats, \b) so Spark and DuckDB
+  // scrub byte-identically.
+  private val emailPat = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  private val ipPat = "\\b([0-9]{1,3}\\.){3}[0-9]{1,3}\\b"
+  private val phonePat = "\\+[0-9]{7,15}"
+
+  private val piiScrub = GraftQuery(
+    "pii_scrub",
+    (s, d) => {
+      val injected = Tables.documents(s, d).select(col("doc_id"),
+        when(pmod(col("doc_id"), lit(5)) === 0, col("text")).otherwise(
+          concat(col("text"),
+            lit(" contact user"), col("doc_id").cast(StringType),
+            lit("@example.com or admin"),
+            pmod(col("doc_id"), lit(7)).cast(StringType),
+            lit("@test.org; host 10."),
+            pmod(col("doc_id"), lit(200)).cast(StringType), lit("."),
+            pmod(col("doc_id"), lit(250)).cast(StringType),
+            lit(".9; call +1415555"),
+            (pmod(col("doc_id"), lit(9000)) + 1000).cast(StringType)))
+          .as("text"))
+      injected
+        .withColumn("n_emails",
+          regexp_count(col("text"), lit(emailPat)).cast(LongType))
+        .withColumn("__t1", regexp_replace(col("text"), emailPat, "<EMAIL>"))
+        .withColumn("n_ips",
+          regexp_count(col("__t1"), lit(ipPat)).cast(LongType))
+        .withColumn("__t2", regexp_replace(col("__t1"), ipPat, "<IP>"))
+        .withColumn("n_phones",
+          regexp_count(col("__t2"), lit(phonePat)).cast(LongType))
+        .withColumn("__t3", regexp_replace(col("__t2"), phonePat, "<PHONE>"))
+        .select(col("doc_id"), col("n_emails"), col("n_ips"),
+          col("n_phones"), md5(col("__t3")).as("clean_fp"))
+        .orderBy(col("doc_id"))
+    },
+    Some(s"""
+      WITH inj AS (
+        SELECT doc_id,
+          CASE WHEN doc_id % 5 = 0 THEN text
+               ELSE text || ' contact user' || CAST(doc_id AS VARCHAR) ||
+                 '@example.com or admin' || CAST(doc_id % 7 AS VARCHAR) ||
+                 '@test.org; host 10.' || CAST(doc_id % 200 AS VARCHAR) ||
+                 '.' || CAST(doc_id % 250 AS VARCHAR) ||
+                 '.9; call +1415555' ||
+                 CAST(doc_id % 9000 + 1000 AS VARCHAR)
+          END AS text
+        FROM documents),
+      s1 AS (
+        SELECT doc_id,
+          CAST(len(regexp_extract_all(text, '$emailPat')) AS BIGINT)
+            AS n_emails,
+          regexp_replace(text, '$emailPat', '<EMAIL>', 'g') AS t1
+        FROM inj),
+      s2 AS (
+        SELECT doc_id, n_emails,
+          CAST(len(regexp_extract_all(t1, '$ipPat')) AS BIGINT) AS n_ips,
+          regexp_replace(t1, '$ipPat', '<IP>', 'g') AS t2
+        FROM s1),
+      s3 AS (
+        SELECT doc_id, n_emails, n_ips,
+          CAST(len(regexp_extract_all(t2, '$phonePat')) AS BIGINT)
+            AS n_phones,
+          regexp_replace(t2, '$phonePat', '<PHONE>', 'g') AS t3
+        FROM s2)
+      SELECT doc_id, n_emails, n_ips, n_phones, md5(t3) AS clean_fp
+      FROM s3 ORDER BY doc_id
+      """))
+
   override val queries: Seq[GraftQuery] =
-    Seq(langId, textQuality, tokenCount, fingerprint, textRepetition)
+    Seq(langId, textQuality, tokenCount, fingerprint, textRepetition,
+      piiScrub)
 }

@@ -58,6 +58,31 @@ class TextPackSpec extends GraftSpec {
     assert(bad == 0)
   }
 
+  test("pii_scrub masks every injected pattern; clean docs pass untouched") {
+    val out = SparkEntry.queries("pii_scrub")(spark, sfDir).collect()
+    val (clean, dirty) = out.partition(_.getLong(0) % 5 == 0)
+    assert(clean.nonEmpty && dirty.nonEmpty)
+    // injection plants exactly 2 emails, 1 IP, 1 phone per dirty doc
+    dirty.foreach { r =>
+      assert(r.getLong(r.fieldIndex("n_emails")) == 2L)
+      assert(r.getLong(r.fieldIndex("n_ips")) == 1L)
+      assert(r.getLong(r.fieldIndex("n_phones")) == 1L)
+    }
+    // the zero-match path: untouched text, fingerprint = md5(original)
+    val originals = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    clean.foreach { r =>
+      assert(r.getLong(r.fieldIndex("n_emails")) == 0L &&
+        r.getLong(r.fieldIndex("n_ips")) == 0L &&
+        r.getLong(r.fieldIndex("n_phones")) == 0L)
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(originals(r.getLong(0)).getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      assert(r.getString(r.fieldIndex("clean_fp")) == md)
+    }
+  }
+
   test("fingerprint: md5 and poly hash agree with a JVM-side recompute") {
     val df = SparkEntry.queries("fingerprint")(spark, sfDir).limit(5)
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
