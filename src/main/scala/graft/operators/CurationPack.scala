@@ -241,6 +241,123 @@ object CurationPack extends QueryPack {
       FROM c ORDER BY doc_id
       """))
 
+  // ---- H5: deterministic train/val/test split assignment ----
+  // Every training pipeline needs a leakage-proof split: the assignment
+  // must be a pure function of the document identity (NOT of ordering,
+  // partitioning, or a driver-side RNG), so re-runs, backfills, and
+  // incremental arrivals land each doc in the same split forever.
+  // bucket = hash(salt|doc_id) % 100; 80/10/10. Pure per-row
+  // projection — no shuffle, codegen'd, trivially 100 TB-safe.
+  private val splitSalt = "split|"
+  private val splitAssign = GraftQuery(
+    "split_assign",
+    (s, d) => {
+      val bucket = pmod(
+        hashP(concat(lit(splitSalt), col("doc_id").cast(StringType))),
+        lit(100L))
+      Tables.documents(s, d)
+        .withColumn("bucket", bucket)
+        .withColumn("split",
+          when(col("bucket") < 80, lit("train"))
+            .when(col("bucket") < 90, lit("val"))
+            .otherwise(lit("test")))
+        .select(col("doc_id"), col("lang"), col("source"),
+          col("bucket"), col("split"))
+        .orderBy(col("doc_id"))
+    },
+    Some(s"""
+      WITH b AS (
+        SELECT doc_id, lang, source,
+          ${Portable.sql.hashP(s"'$splitSalt' || CAST(doc_id AS VARCHAR)")}
+            % 100 AS bucket
+        FROM documents)
+      SELECT doc_id, lang, source, bucket,
+        CASE WHEN bucket < 80 THEN 'train'
+             WHEN bucket < 90 THEN 'val'
+             ELSE 'test' END AS split
+      FROM b ORDER BY doc_id
+      """))
+
+  // ---- H6: quota-exact source mixing ----
+  // Data mixing hits per-source target counts EXACTLY (Pile/Dolma-style
+  // mixture weights), not in expectation like H1's Bernoulli draw: rank
+  // each source's documents by a deterministic hash and keep the first
+  // quota(source). quota = count(source) · frac_ppm(source) / 1e6, all
+  // integer arithmetic.
+  //
+  // Scale shape: the rank is NEVER a single per-source window (a source
+  // is corpus-scale — that window is the hot-key sort this repo
+  // eliminated everywhere else). Same two-level decomposition as H2:
+  // local row_numbers inside (source, hash-range bucket) — task size
+  // ≈ |source|/$mixBuckets, the knob — plus an exclusive prefix sum
+  // over per-bucket COUNTS (one row per bucket, metadata-scale,
+  // broadcast back). Global rank = bucket offset + local rank, exact
+  // because the hash ranges partition the order.
+  private val mixSalt = "mix|"
+  private val mixBuckets = 64L
+  private val mixBucketSpan = (P + mixBuckets - 1) / mixBuckets
+  private val mixSources = GraftQuery(
+    "mix_sources",
+    (s, d) => {
+      // target fraction (ppm) per source, derived from the source's
+      // numeric suffix so both engines compute it identically:
+      // 200k/400k/600k/800k for src{0,4,8,..}/{1,5,..}/{2,6,..}/{3,7,..}
+      val fracPpm = lit(200000L) *
+        (lit(1L) + pmod(expr("CAST(substring(source, 4, 18) AS LONG)"),
+          lit(4L)))
+      val base = Tables.documents(s, d)
+        .select(col("doc_id"), col("source"),
+          hashP(concat(lit(mixSalt), col("doc_id").cast(StringType)))
+            .as("h"))
+        .withColumn("bkt", expr(s"h div ${mixBucketSpan}L"))
+        .persistTracked
+      val quotas = base.groupBy(col("source"))
+        .agg(count(lit(1)).as("cnt"))
+        .withColumn("frac_ppm", fracPpm)
+        .withColumn("quota", expr("(cnt * frac_ppm) div 1000000"))
+      val wLocal = Window.partitionBy(col("source"), col("bkt"))
+        .orderBy(col("h"), col("doc_id"))
+      val wOff = Window.partitionBy(col("source")).orderBy(col("bkt"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val offsets = base.groupBy(col("source"), col("bkt"))
+        .agg(count(lit(1)).as("bkt_cnt"))
+        .withColumn("off",
+          coalesce(sum(col("bkt_cnt")).over(wOff), lit(0L)))
+        .select(col("source"), col("bkt"), col("off"))
+      base
+        .withColumn("loc_rnk", row_number().over(wLocal).cast(LongType))
+        .join(broadcast(offsets), Seq("source", "bkt"))
+        .withColumn("rnk", col("off") + col("loc_rnk"))
+        .join(broadcast(quotas.select(col("source"), col("quota"))),
+          Seq("source"))
+        .filter(col("rnk") <= col("quota"))
+        .select(col("doc_id"), col("source"), col("rnk"))
+        .orderBy(col("doc_id"))
+    },
+    Some(s"""
+      WITH q AS (
+        SELECT source,
+          (COUNT(*) *
+            (200000 * (1 + CAST(substr(source, 4) AS BIGINT) % 4)))
+            // 1000000 AS quota
+        FROM documents GROUP BY source),
+      h AS (
+        SELECT doc_id, source,
+          ${Portable.sql.hashP(s"'$mixSalt' || CAST(doc_id AS VARCHAR)")}
+            AS h
+        FROM documents),
+      r AS (
+        SELECT doc_id, source,
+          ROW_NUMBER() OVER (PARTITION BY source ORDER BY h, doc_id)
+            AS rnk
+        FROM h)
+      SELECT r.doc_id, r.source, CAST(r.rnk AS BIGINT) AS rnk
+      FROM r JOIN q ON r.source = q.source
+      WHERE r.rnk <= q.quota
+      ORDER BY r.doc_id
+      """))
+
   override val queries: Seq[GraftQuery] =
-    Seq(sampleStratified, shardPack, curationFilter, curationPipeline)
+    Seq(sampleStratified, shardPack, curationFilter, curationPipeline,
+      splitAssign, mixSources)
 }

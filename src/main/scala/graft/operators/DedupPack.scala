@@ -402,6 +402,89 @@ object DedupPack extends QueryPack {
       ORDER BY doc_id, eval_id
       """))
 
+  // C8 — passage-level dedup (the CCNet/Dolma paragraph-dedup shape):
+  // chunk every document into fixed-width word passages, keep the first
+  // occurrence of each distinct passage corpus-wide (first = smallest
+  // (doc_id, idx)), drop the rest, and reassemble each document from its
+  // surviving passages. This removes boilerplate shared ACROSS documents
+  // (headers, navigation, license blocks) that document-level dedup
+  // can't touch.
+  //
+  // Scale shape: chunking is a per-row explode with fan-out bounded by
+  // document length. Winner election is a hash-keyed AGGREGATION (min),
+  // not a window — a boilerplate passage duplicated in a billion
+  // documents combines map-side to one row per partition, whereas a
+  // window over the passage hash would sort the whole hot group in one
+  // task. The join-back fans each passage to exactly one winner row,
+  // and per-document reassembly buffers only that document's passages.
+  private val chunkWords = 32
+  private val passageDedup = GraftQuery(
+    "passage_dedup",
+    (s, d) => {
+      val chunks = Tables.parallelized(Tables.documents(s, d))
+        .select(col("doc_id"), words(col("text")).as("w"))
+        .filter(size(col("w")) > 0)
+        .select(col("doc_id"), col("w"),
+          explode(expr(
+            s"sequence(0, (size(w) + ${chunkWords - 1}) div $chunkWords - 1)"))
+            .as("idx"))
+        .select(col("doc_id"), col("idx"),
+          array_join(
+            expr(s"slice(w, idx * $chunkWords + 1, $chunkWords)"), " ")
+            .as("chunk"))
+        .withColumn("h", md5(col("chunk")))
+        // global first-occurrence key: exact int64, no overflow at any
+        // plausible doc_id (idx < 1e5 ⇒ key < doc_id·1e5 + 1e5).
+        .withColumn("okey",
+          col("doc_id").cast(LongType) * lit(100000L) + col("idx"))
+      val winners = chunks.groupBy(col("h"))
+        .agg(min(col("okey")).as("winner"))
+      chunks.join(winners, "h")
+        .withColumn("kept", col("okey") === col("winner"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_chunks"),
+          sum(when(col("kept"), lit(0L)).otherwise(lit(1L))).as("n_dup"),
+          // reassemble kept passages in position order; collect_list
+          // drops the null (non-kept) entries, array_sort orders the
+          // structs by idx (unique per doc), so the md5 is over the
+          // byte-exact cleaned document.
+          md5(array_join(
+            transform(
+              array_sort(collect_list(
+                when(col("kept"), struct(col("idx"), col("chunk"))))),
+              x => x.getField("chunk")),
+            " ")).as("clean_md5"))
+        .orderBy(col("doc_id"))
+    },
+    Some(s"""
+      WITH t AS (
+        SELECT doc_id, ${Portable.sql.words} AS w FROM documents),
+      c AS (
+        SELECT doc_id, i AS idx,
+          list_aggregate(
+            w[i*$chunkWords+1 : i*$chunkWords+$chunkWords],
+            'string_agg', ' ') AS chunk
+        FROM t, UNNEST(range((len(w)+${chunkWords - 1})//$chunkWords))
+          AS u(i)
+        WHERE len(w) > 0),
+      ch AS (
+        SELECT doc_id, idx, chunk, md5(chunk) AS h,
+          CAST(doc_id AS BIGINT) * 100000 + idx AS okey
+        FROM c),
+      win AS (SELECT h, MIN(okey) AS winner FROM ch GROUP BY h),
+      k AS (
+        SELECT ch.doc_id, ch.idx, ch.chunk, ch.okey = win.winner AS kept
+        FROM ch JOIN win ON ch.h = win.h)
+      SELECT doc_id,
+        COUNT(*) AS n_chunks,
+        CAST(SUM(CASE WHEN kept THEN 0 ELSE 1 END) AS BIGINT) AS n_dup,
+        md5(coalesce(
+          string_agg(CASE WHEN kept THEN chunk END, ' ' ORDER BY idx),
+          '')) AS clean_md5
+      FROM k GROUP BY doc_id ORDER BY doc_id
+      """))
+
   override val queries: Seq[GraftQuery] =
-    Seq(dedupExact, dedupMinhash, dedupCluster, ngramJaccard, decontaminate)
+    Seq(dedupExact, dedupMinhash, dedupCluster, ngramJaccard, decontaminate,
+      passageDedup)
 }

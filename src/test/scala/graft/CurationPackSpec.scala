@@ -1,0 +1,82 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** H5 split assignment and H6 quota-exact source mixing. (H1-H4 are
+  * covered by their DuckDB oracles plus AllQueriesSpec; these two add
+  * the semantic and plan-shape checks the oracles can't express.)
+  */
+class CurationPackSpec extends GraftSpec {
+
+  test("split_assign: pure function of doc_id, exact bucket bands") {
+    val rows = SparkEntry.queries("split_assign")(spark, sfDir).collect()
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet").count()
+    assert(rows.length.toLong == docs, "every document gets a split")
+    rows.foreach { r =>
+      val b = r.getLong(r.fieldIndex("bucket"))
+      val s = r.getString(r.fieldIndex("split"))
+      assert(b >= 0 && b < 100)
+      assert(s == (if (b < 80) "train" else if (b < 90) "val" else "test"))
+    }
+    // deterministic under re-evaluation (no RNG, no partition dependence)
+    val again = SparkEntry.queries("split_assign")(spark, sfDir).collect()
+    assert(rows.map(_.toString).toSeq == again.map(_.toString).toSeq)
+  }
+
+  test("mix_sources hits each source's quota exactly") {
+    val out = SparkEntry.queries("mix_sources")(spark, sfDir)
+    val perSource = out.groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val quotas = spark.read.parquet(s"$sfDir/documents.parquet")
+      .groupBy("source").count().collect()
+      .map { r =>
+        val src = r.getString(0)
+        val frac = 200000L * (1 + src.drop(3).toLong % 4)
+        src -> (r.getLong(1) * frac) / 1000000L
+      }.toMap
+    assert(quotas.values.sum > 0, "all quotas zero — test data too small")
+    quotas.foreach { case (src, q) =>
+      assert(perSource.getOrElse(src, 0L) == q,
+        s"$src: got ${perSource.getOrElse(src, 0L)} docs, quota $q")
+    }
+  }
+
+  test("mix_sources two-level rank equals the single-window rank") {
+    // the scale decomposition must be exactly lossless: global rank via
+    // (source, bkt) local row_numbers + bucket-count prefix offsets ==
+    // a direct per-source row_number over the full hash order
+    import org.apache.spark.sql.expressions.Window
+    val h = graft.functions.Portable.hashP(
+      concat(lit("mix|"), col("doc_id").cast("string")))
+    val direct = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id"), col("source"), h.as("h"))
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy("source").orderBy(col("h"), col("doc_id")))
+        .cast("long"))
+      .select("doc_id", "source", "rnk")
+    val got = SparkEntry.queries("mix_sources")(spark, sfDir)
+    val joined = got.join(direct, Seq("doc_id", "source"))
+    assert(joined.count() == got.count(), "rank rows must align")
+    assert(joined.filter(got("rnk") =!= direct("rnk")).count() == 0,
+      "two-level rank diverged from single-window rank")
+  }
+
+  test("mix_sources plan: row-level window is bucketed, not per-source") {
+    spark.conf.set("spark.sql.debug.maxToStringFields", "10000")
+    val df = SparkEntry.queries("mix_sources")(spark, sfDir)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    // the row_number window must include the hash bucket in its
+    // partition spec — a row_number partitioned by source alone would
+    // sort a whole source in one task
+    assert(plan.contains("row_number()"))
+    val rowNumSpecs = plan.split("\n")
+      .filter(l => l.contains("row_number()") &&
+        l.contains("windowspecdefinition"))
+    assert(rowNumSpecs.nonEmpty)
+    rowNumSpecs.foreach { l =>
+      assert(l.contains("bkt#"),
+        s"row_number window not bucketed by hash range:\n$l")
+    }
+  }
+}

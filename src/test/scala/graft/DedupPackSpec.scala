@@ -52,6 +52,38 @@ class DedupPackSpec extends GraftSpec {
     assert(got == want)
   }
 
+  test("passage_dedup matches a JVM-side recompute of the whole operator") {
+    // independent oracle in plain Scala: chunk each doc into 32-word
+    // passages, first (doc_id, idx) per md5 wins, reassemble survivors
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) ->
+        r.getString(1).toLowerCase.trim.split("\\s+").filter(_.nonEmpty))
+      .filter(_._2.nonEmpty)
+    val chunks = docs.flatMap { case (id, w) =>
+      w.grouped(32).zipWithIndex.map { case (c, i) =>
+        (id, i.toLong, c.mkString(" "))
+      }
+    }
+    val winner = chunks.groupBy(t => md5hex(t._3))
+      .map { case (h, cs) => h -> cs.map(t => t._1 * 100000L + t._2).min }
+    val expected = chunks.groupBy(_._1).map { case (id, cs) =>
+      val kept = cs.filter(t => winner(md5hex(t._3)) == t._1 * 100000L + t._2)
+      id -> (cs.length.toLong, (cs.length - kept.length).toLong,
+        md5hex(kept.sortBy(_._2).map(_._3).mkString(" ")))
+    }
+    val got = SparkEntry.queries("passage_dedup")(spark, sfDir).collect()
+      .map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getString(3))).toMap
+    assert(got == expected)
+    // the data actually exercises the dup path
+    assert(expected.values.map(_._2).sum > 0,
+      "no duplicate passages in test data — dup path untested")
+  }
+
   test("ngram_jaccard pairs are symmetric-free and above threshold") {
     val rows = SparkEntry.queries("ngram_jaccard")(spark, sfDir).collect()
     rows.foreach { r =>
