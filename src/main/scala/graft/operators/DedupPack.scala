@@ -437,6 +437,11 @@ object DedupPack extends QueryPack {
         // plausible doc_id (idx < 1e5 ⇒ key < doc_id·1e5 + 1e5).
         .withColumn("okey",
           col("doc_id").cast(LongType) * lit(100000L) + col("idx"))
+        // PERSISTED: feeds both the winner election and the join-back —
+        // without it the scan + interpreted `words` tokenization +
+        // chunk explode runs twice (no cross-branch CSE), the same
+        // materialize-the-featurized-working-set pattern as `shingled`.
+        .persistTracked
       val winners = chunks.groupBy(col("h"))
         .agg(min(col("okey")).as("winner"))
       chunks.join(winners, "h")
