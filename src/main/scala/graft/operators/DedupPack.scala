@@ -418,49 +418,64 @@ object DedupPack extends QueryPack {
   // task. The join-back fans each passage to exactly one winner row,
   // and per-document reassembly buffers only that document's passages.
   private val chunkWords = 32
+
+  /** (doc_id, idx, chunk, h, okey) passage table over a (doc_id, text)
+    * frame. PERSISTED: feeds both the winner election and the join-back
+    * — without it the scan + interpreted `words` tokenization + chunk
+    * explode runs twice (no cross-branch CSE), the same materialize-
+    * the-featurized-working-set pattern as `shingled`.
+    */
+  private[graft] def passageChunks(docs: org.apache.spark.sql.DataFrame) =
+    docs
+      .select(col("doc_id"), words(col("text")).as("w"))
+      .filter(size(col("w")) > 0)
+      .select(col("doc_id"), col("w"),
+        explode(expr(
+          s"sequence(0, (size(w) + ${chunkWords - 1}) div $chunkWords - 1)"))
+          .as("idx"))
+      .select(col("doc_id"), col("idx"),
+        array_join(
+          expr(s"slice(w, idx * $chunkWords + 1, $chunkWords)"), " ")
+          .as("chunk"))
+      .withColumn("h", md5(col("chunk")))
+      // global first-occurrence key: exact int64, no overflow at any
+      // plausible doc_id (idx < 1e5 ⇒ key < doc_id·1e5 + 1e5).
+      .withColumn("okey",
+        col("doc_id").cast(LongType) * lit(100000L) + col("idx"))
+      .persistTracked
+
+  /** Corpus-wide first-occurrence winner per passage hash — an
+    * AGGREGATION, so a boilerplate passage duplicated in a billion
+    * documents combines map-side to one row per partition (the property
+    * a window over `h` would not have; SkewSpec measures it).
+    */
+  private[graft] def passageWinners(chunks: org.apache.spark.sql.DataFrame) =
+    chunks.groupBy(col("h")).agg(min(col("okey")).as("winner"))
+
+  private[graft] def passageDedupOver(docs: org.apache.spark.sql.DataFrame) = {
+    val chunks = passageChunks(docs)
+    chunks.join(passageWinners(chunks), "h")
+      .withColumn("kept", col("okey") === col("winner"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(when(col("kept"), lit(0L)).otherwise(lit(1L))).as("n_dup"),
+        // reassemble kept passages in position order; collect_list
+        // drops the null (non-kept) entries, array_sort orders the
+        // structs by idx (unique per doc), so the md5 is over the
+        // byte-exact cleaned document.
+        md5(array_join(
+          transform(
+            array_sort(collect_list(
+              when(col("kept"), struct(col("idx"), col("chunk"))))),
+            x => x.getField("chunk")),
+          " ")).as("clean_md5"))
+      .orderBy(col("doc_id"))
+  }
+
   private val passageDedup = GraftQuery(
     "passage_dedup",
-    (s, d) => {
-      val chunks = Tables.parallelized(Tables.documents(s, d))
-        .select(col("doc_id"), words(col("text")).as("w"))
-        .filter(size(col("w")) > 0)
-        .select(col("doc_id"), col("w"),
-          explode(expr(
-            s"sequence(0, (size(w) + ${chunkWords - 1}) div $chunkWords - 1)"))
-            .as("idx"))
-        .select(col("doc_id"), col("idx"),
-          array_join(
-            expr(s"slice(w, idx * $chunkWords + 1, $chunkWords)"), " ")
-            .as("chunk"))
-        .withColumn("h", md5(col("chunk")))
-        // global first-occurrence key: exact int64, no overflow at any
-        // plausible doc_id (idx < 1e5 ⇒ key < doc_id·1e5 + 1e5).
-        .withColumn("okey",
-          col("doc_id").cast(LongType) * lit(100000L) + col("idx"))
-        // PERSISTED: feeds both the winner election and the join-back —
-        // without it the scan + interpreted `words` tokenization +
-        // chunk explode runs twice (no cross-branch CSE), the same
-        // materialize-the-featurized-working-set pattern as `shingled`.
-        .persistTracked
-      val winners = chunks.groupBy(col("h"))
-        .agg(min(col("okey")).as("winner"))
-      chunks.join(winners, "h")
-        .withColumn("kept", col("okey") === col("winner"))
-        .groupBy(col("doc_id"))
-        .agg(count(lit(1)).as("n_chunks"),
-          sum(when(col("kept"), lit(0L)).otherwise(lit(1L))).as("n_dup"),
-          // reassemble kept passages in position order; collect_list
-          // drops the null (non-kept) entries, array_sort orders the
-          // structs by idx (unique per doc), so the md5 is over the
-          // byte-exact cleaned document.
-          md5(array_join(
-            transform(
-              array_sort(collect_list(
-                when(col("kept"), struct(col("idx"), col("chunk"))))),
-              x => x.getField("chunk")),
-            " ")).as("clean_md5"))
-        .orderBy(col("doc_id"))
-    },
+    (s, d) =>
+      passageDedupOver(Tables.parallelized(Tables.documents(s, d))),
     Some(s"""
       WITH t AS (
         SELECT doc_id, ${Portable.sql.words} AS w FROM documents),

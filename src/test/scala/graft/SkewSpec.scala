@@ -158,6 +158,48 @@ class SkewSpec extends GraftSpec {
     packed.unpersist()
   }
 
+  test("passage_dedup: a boilerplate passage in 80% of docs combines map-side") {
+    // 4000 docs of 64 words = 2 passages each; 80% share passage 0
+    // verbatim (the boilerplate shape passage dedup exists for), passage
+    // 1 is unique per doc
+    val hotText = (1 to 32).map(i => s"boiler$i").mkString(" ")
+    val docs = spark.range(4000).select(
+      col("id").as("doc_id"),
+      concat(
+        when(pmod(col("id"), lit(10)) < lit((hotShare * 10).toLong),
+          lit(hotText))
+          .otherwise(concat_ws(" ",
+            (1 to 32).map(i => concat(lit(s"u${i}x"), col("id"))): _*)),
+        lit(" "),
+        concat_ws(" ",
+          (1 to 32).map(i => concat(lit(s"t${i}x"), col("id"))): _*))
+        .as("text")).persist()
+    val hot = docs.filter(col("text").startsWith(hotText)).count()
+    assert(hot >= (4000 * hotShare).toLong)
+    // the winner election must be a partial-combining aggregation: the
+    // hot hash's rows collapse to one partial per map partition, so no
+    // reducer task shuffle-reads anywhere near the hot group's size
+    val chunks = operators.DedupPack.passageChunks(docs)
+    val maxTask = maxTaskShuffleRows {
+      operators.DedupPack.passageWinners(chunks).collect()
+    }
+    assert(maxTask < hot / 2,
+      s"one task shuffle-read $maxTask rows (hot passage has $hot) — " +
+        "winner election is not map-side combining")
+    // and the semantics hold on the skewed corpus: exactly one doc keeps
+    // the boilerplate, every other hot doc drops exactly that passage,
+    // unique docs drop nothing
+    val nDup = operators.DedupPack.passageDedupOver(docs).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val isHot = (id: Long) => id % 10 < (hotShare * 10).toLong
+    assert(nDup.size == 4000)
+    assert(nDup.collect { case (id, d) if isHot(id) => d }.sum == hot - 1,
+      "expected every hot doc but the first-occurrence winner to drop 1")
+    assert(nDup.forall { case (id, d) => isHot(id) || d == 0L },
+      "a unique doc lost a passage")
+    docs.unpersist()
+  }
+
   test("streaming LSH: a hot bucket of identical docs stays cap-bounded") {
     import spark.implicits._
     val m = 200
