@@ -665,6 +665,67 @@ object AnnPack extends QueryPack {
       FROM r WHERE rank <= $K ORDER BY query_id, rank
       """))
 
+  // D7 — int8 symmetric quantization of the embedding column: the
+  // standard 4x memory/bandwidth cut for the vector working set before
+  // it feeds ANN (a 100 TB float corpus becomes 25 TB of int8 + one
+  // scale per vector; IVF probe scans and dot products run on int8 and
+  // only survivors are re-ranked in float). A pure per-row projection —
+  // no shuffle, I/O-bound at any scale. Cross-engine determinism: the
+  // parquet floats cast to double exactly in both engines, the scale
+  // 127/amax is one IEEE division, and rounding is floor(x*scale + 0.5)
+  // (explicit half-up — Spark round() and DuckDB round() disagree on
+  // tie direction for negatives, floor+0.5 cannot). The md5 over the
+  // quantized codes proves byte-identical quantization end-to-end;
+  // q_l1/q_max/q_min are exact integer summaries.
+  private[graft] def quantizeOver(embs: DataFrame): DataFrame = {
+    val x = transform(col("embedding"), v => v.cast(DoubleType))
+    val base = embs
+      .select(col("vec_id"), x.as("x"))
+      .withColumn("amax", array_max(transform(col("x"), v => abs(v))))
+      .filter(col("amax") > 0)
+    val scale = lit(127.0) / col("amax")
+    val q = transform(col("x"), v =>
+      greatest(lit(-127L), least(lit(127L), floor(v * scale + 0.5))))
+    base.select(col("vec_id"), col("amax"), q.as("q"))
+      .select(
+        col("vec_id"),
+        col("amax"),
+        md5(array_join(transform(col("q"), v => v.cast(StringType)), ","))
+          .as("q_md5"),
+        aggregate(col("q"), lit(0L), (acc, v) => acc + abs(v)).as("q_l1"),
+        array_max(col("q")).as("q_max"),
+        array_min(col("q")).as("q_min"))
+      .orderBy(col("vec_id"))
+  }
+
+  private val embeddingQuantize = GraftQuery(
+    "embedding_quantize",
+    (s, d) => quantizeOver(Tables.embeddings(s, d)),
+    Some("""
+      WITH e AS (
+        SELECT vec_id,
+          list_transform(embedding, v -> CAST(v AS DOUBLE)) AS x
+        FROM embeddings),
+      a AS (
+        SELECT vec_id, x,
+          list_max(list_transform(x, v -> abs(v))) AS amax
+        FROM e),
+      q AS (
+        SELECT vec_id, amax,
+          list_transform(x, v -> greatest(CAST(-127 AS BIGINT),
+            least(CAST(127 AS BIGINT),
+              CAST(floor(v * (127.0/amax) + 0.5) AS BIGINT)))) AS q
+        FROM a WHERE amax > 0)
+      SELECT vec_id, amax,
+        md5(list_aggregate(list_transform(q, v -> CAST(v AS VARCHAR)),
+          'string_agg', ',')) AS q_md5,
+        CAST(list_sum(list_transform(q, v -> abs(v))) AS BIGINT) AS q_l1,
+        CAST(list_max(q) AS BIGINT) AS q_max,
+        CAST(list_min(q) AS BIGINT) AS q_min
+      FROM q ORDER BY vec_id
+      """))
+
   override val queries: Seq[GraftQuery] =
-    Seq(annBrute, annLsh, knnJoin, dedupEmbedding, annIvf, annIvfKmeans, annRange)
+    Seq(annBrute, annLsh, knnJoin, dedupEmbedding, annIvf, annIvfKmeans,
+      annRange, embeddingQuantize)
 }

@@ -504,7 +504,72 @@ object DedupPack extends QueryPack {
       FROM k GROUP BY doc_id ORDER BY doc_id
       """))
 
+  // C9 — boilerplate stripping (the C4/CCNet "remove any line that
+  // appears in more than one document" rule, over the same fixed-width
+  // word passages as C8): a chunk whose document frequency reaches
+  // `boilerMinDf` is navigation/header/license boilerplate and is
+  // removed from EVERY document — including the first occurrence, which
+  // is what distinguishes this from passage_dedup's keep-the-winner
+  // semantics (C8 dedups genuine content; C9 deletes template noise).
+  //
+  // Scale shape: document frequency is count(DISTINCT doc_id) per chunk
+  // hash, which Spark executes as two well-keyed aggregations — partial
+  // distinct on (h, doc_id), then a map-side-combinable count per h — so
+  // a chunk present in a billion documents never concentrates in one
+  // task. The join-back fans each occurrence to one df row, and
+  // reassembly buffers only a single document's passages.
+  private val boilerMinDf = 2
+
+  private[graft] def boilerplateStripOver(
+      docs: org.apache.spark.sql.DataFrame) = {
+    val chunks = passageChunks(docs)
+    val dfs = chunks.groupBy(col("h"))
+      .agg(countDistinct(col("doc_id")).as("df"))
+    chunks.join(dfs, "h")
+      .withColumn("kept", col("df") < boilerMinDf)
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(when(col("kept"), lit(0L)).otherwise(lit(1L)))
+          .as("n_boiler"),
+        md5(array_join(
+          transform(
+            array_sort(collect_list(
+              when(col("kept"), struct(col("idx"), col("chunk"))))),
+            x => x.getField("chunk")),
+          " ")).as("clean_md5"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val boilerplateStrip = GraftQuery(
+    "boilerplate_strip",
+    (s, d) =>
+      boilerplateStripOver(Tables.parallelized(Tables.documents(s, d))),
+    Some(s"""
+      WITH t AS (
+        SELECT doc_id, ${Portable.sql.words} AS w FROM documents),
+      c AS (
+        SELECT doc_id, i AS idx,
+          list_aggregate(
+            w[i*$chunkWords+1 : i*$chunkWords+$chunkWords],
+            'string_agg', ' ') AS chunk
+        FROM t, UNNEST(range((len(w)+${chunkWords - 1})//$chunkWords))
+          AS u(i)
+        WHERE len(w) > 0),
+      ch AS (SELECT doc_id, idx, chunk, md5(chunk) AS h FROM c),
+      dfs AS (SELECT h, COUNT(DISTINCT doc_id) AS df FROM ch GROUP BY h),
+      k AS (
+        SELECT ch.doc_id, ch.idx, ch.chunk, dfs.df < $boilerMinDf AS kept
+        FROM ch JOIN dfs ON ch.h = dfs.h)
+      SELECT doc_id,
+        COUNT(*) AS n_chunks,
+        CAST(SUM(CASE WHEN kept THEN 0 ELSE 1 END) AS BIGINT) AS n_boiler,
+        md5(coalesce(
+          string_agg(CASE WHEN kept THEN chunk END, ' ' ORDER BY idx),
+          '')) AS clean_md5
+      FROM k GROUP BY doc_id ORDER BY doc_id
+      """))
+
   override val queries: Seq[GraftQuery] =
     Seq(dedupExact, dedupMinhash, dedupCluster, ngramJaccard, decontaminate,
-      passageDedup)
+      passageDedup, boilerplateStrip)
 }

@@ -345,7 +345,45 @@ object TextPack extends QueryPack {
       FROM s3 ORDER BY doc_id
       """))
 
+  // E7 — corpus-wide adjacent-pair counting: the first step of BPE
+  // vocabulary induction (and the classic word-bigram heavy-hitter
+  // job). Per document the pair stream is a pure per-row transform
+  // (O(words), no shuffle); corpus counting is ONE groupBy(pair)
+  // aggregation — HashAggregate(partial) map-side combines the hot
+  // pairs (a billion-occurrence bigram arrives at the reducer as one
+  // row per map partition, the same no-hot-window argument as
+  // passage_dedup's winner election) — and the global top-k is
+  // TakeOrderedAndProject (bounded heaps per partition + one merge at
+  // the driver), never a single-task global sort. (count DESC, pair)
+  // is a total order, so the cutoff is deterministic cross-engine.
+  private[graft] def bpePairsOver(docs: org.apache.spark.sql.DataFrame,
+      topK: Int = 100) =
+    docs
+      .select(words(col("text")).as("w"))
+      .filter(size(col("w")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(1, size(w) - 1)," +
+          " i -> concat(element_at(w, i), ' ', element_at(w, i + 1)))"))
+        .as("pair"))
+      .groupBy(col("pair"))
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("pair"))
+      .limit(topK)
+
+  private val bpePairs = GraftQuery(
+    "bpe_pairs",
+    (s, d) => bpePairsOver(Tables.documents(s, d)),
+    Some(s"""
+      WITH w AS (SELECT ${Portable.sql.words} AS w FROM documents),
+      p AS (
+        SELECT unnest(list_transform(range(len(w)-1),
+          i -> w[i+1] || ' ' || w[i+2])) AS pair
+        FROM w WHERE len(w) >= 2)
+      SELECT pair, COUNT(*) AS cnt FROM p
+      GROUP BY pair ORDER BY cnt DESC, pair LIMIT 100
+      """))
+
   override val queries: Seq[GraftQuery] =
     Seq(langId, textQuality, tokenCount, fingerprint, textRepetition,
-      piiScrub)
+      piiScrub, bpePairs)
 }

@@ -123,4 +123,51 @@ class AnnPackSpec extends GraftSpec {
         assert(rs.map(_.getAs[Int]("label")).distinct.length <= 3)
       }
   }
+
+  test("embedding_quantize: known vectors quantize to the expected codes") {
+    import spark.implicits._
+    val embs = Seq(
+      (1L, Array(1.0f, -0.5f, 0.25f, 0.0f)),
+      (2L, Array(0.0f, 0.0f, 0.0f, 0.0f)), // zero vector -> filtered
+      (3L, Array(-2.0f, 1.0f, 0.5f, -1.0f))
+    ).toDF("vec_id", "embedding")
+    val got = graft.operators.AnnPack.quantizeOver(embs).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(!got.contains(2L), "zero vector must be filtered")
+    // vec 1: amax=1, scale=127 -> [127, floor(-63.5+0.5)=-63, 32, 0]
+    def expect(codes: Seq[Long]) = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(codes.mkString(",").getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      (md, codes.map(math.abs).sum, codes.max, codes.min)
+    }
+    val r1 = got(1L)
+    assert((r1.getString(2), r1.getLong(3), r1.getLong(4), r1.getLong(5))
+      == expect(Seq(127L, -63L, 32L, 0L)))
+    assert(r1.getDouble(1) == 1.0)
+    // vec 3: amax=2, scale=63.5 -> [-127, floor(63.5+0.5)=64, 32,
+    // floor(-63.5+0.5)=-63]
+    val r3 = got(3L)
+    assert((r3.getString(2), r3.getLong(3), r3.getLong(4), r3.getLong(5))
+      == expect(Seq(-127L, 64L, 32L, -63L)))
+  }
+
+  test("embedding_quantize reconstruction stays within half a step") {
+    // |x - q*amax/127| <= amax/254 + eps for every coordinate: the
+    // round-trip bound that makes int8 usable for candidate generation
+    val embs = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val rows = graft.operators.AnnPack.quantizeOver(embs)
+      .join(embs, "vec_id").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val amax = r.getDouble(r.fieldIndex("amax"))
+      val xs = r.getSeq[Float](r.fieldIndex("embedding"))
+      xs.foreach { x =>
+        val q = math.max(-127L, math.min(127L,
+          math.floor(x.toDouble * (127.0 / amax) + 0.5).toLong))
+        assert(math.abs(x.toDouble - q * amax / 127.0)
+          <= amax / 254.0 + 1e-12)
+      }
+    }
+  }
 }

@@ -84,6 +84,66 @@ class DedupPackSpec extends GraftSpec {
       "no duplicate passages in test data — dup path untested")
   }
 
+  test("boilerplate_strip removes df>=2 chunks everywhere, unlike passage_dedup") {
+    import spark.implicits._
+    // 32-word boilerplate block shared by docs 1..3 (df=3 -> stripped
+    // from ALL, including the first occurrence); each doc also carries
+    // a unique 32-word body chunk (df=1 -> kept)
+    val boiler = (1 to 32).map(i => s"nav$i").mkString(" ")
+    def body(id: Int) = (1 to 32).map(i => s"body${id}w$i").mkString(" ")
+    val docs = Seq(
+      (1L, s"$boiler ${body(1)}"),
+      (2L, s"$boiler ${body(2)}"),
+      (3L, s"${body(3)} $boiler"),
+      (4L, body(4))).toDF("doc_id", "text")
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val got = graft.operators.DedupPack.boilerplateStripOver(docs)
+      .collect()
+      .map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getString(3))).toMap
+    assert(got(1L) == ((2L, 1L, md5hex(body(1)))))
+    assert(got(2L) == ((2L, 1L, md5hex(body(2)))))
+    assert(got(3L) == ((2L, 1L, md5hex(body(3)))))
+    assert(got(4L) == ((1L, 0L, md5hex(body(4)))))
+    // contrast: passage_dedup KEEPS the first occurrence of the block
+    val pd = graft.operators.DedupPack.passageDedupOver(docs)
+      .collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(pd(1L) == 0L, "passage_dedup keeps doc 1's first occurrence")
+    assert(pd(2L) == 1L && pd(3L) == 1L)
+  }
+
+  test("boilerplate_strip at sf0.001 strips exactly the df>=2 chunks") {
+    // independent JVM recompute of the df rule over the real table
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) ->
+        r.getString(1).toLowerCase.trim.split("\\s+").filter(_.nonEmpty))
+      .filter(_._2.nonEmpty)
+    val chunks = docs.flatMap { case (id, w) =>
+      w.grouped(32).zipWithIndex.map { case (c, i) =>
+        (id, i.toLong, c.mkString(" "))
+      }
+    }
+    val df = chunks.groupBy(t => md5hex(t._3))
+      .map { case (h, cs) => h -> cs.map(_._1).distinct.size }
+    val expected = chunks.groupBy(_._1).map { case (id, cs) =>
+      val kept = cs.filter(t => df(md5hex(t._3)) < 2)
+      id -> (cs.length.toLong, (cs.length - kept.length).toLong,
+        md5hex(kept.sortBy(_._2).map(_._3).mkString(" ")))
+    }
+    val got = SparkEntry.queries("boilerplate_strip")(spark, sfDir)
+      .collect()
+      .map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getString(3))).toMap
+    assert(got == expected)
+  }
+
   test("ngram_jaccard pairs are symmetric-free and above threshold") {
     val rows = SparkEntry.queries("ngram_jaccard")(spark, sfDir).collect()
     rows.foreach { r =>

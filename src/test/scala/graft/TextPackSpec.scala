@@ -98,4 +98,34 @@ class TextPackSpec extends GraftSpec {
       assert(r.getLong(r.fieldIndex("fp_poly")) == poly)
     }
   }
+
+  test("bpe_pairs counts adjacent pairs exactly on a planted corpus") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a b a b c"),   // pairs: (a b)x2, (b a), (b c)
+      (2L, "a b"),          // (a b)
+      (3L, "solo")          // < 2 words -> contributes nothing
+    ).toDF("doc_id", "text")
+    val got = graft.operators.TextPack.bpePairsOver(docs, topK = 10)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toSeq
+    // ordered by (cnt DESC, pair ASC): the total order is deterministic
+    assert(got == Seq("a b" -> 3L, "b a" -> 1L, "b c" -> 1L))
+  }
+
+  test("bpe_pairs at sf0.001 matches a JVM-side pair count") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("text").collect()
+      .map(_.getString(0).toLowerCase.trim.split("\\s+").filter(_.nonEmpty))
+    val counts = scala.collection.mutable.Map.empty[String, Long]
+    docs.filter(_.length >= 2).foreach { w =>
+      w.sliding(2).foreach { p =>
+        val k = p.mkString(" "); counts(k) = counts.getOrElse(k, 0L) + 1
+      }
+    }
+    val expected = counts.toSeq
+      .sortBy { case (p, c) => (-c, p) }.take(100)
+    val got = SparkEntry.queries("bpe_pairs")(spark, sfDir)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toSeq
+    assert(got == expected)
+  }
 }
