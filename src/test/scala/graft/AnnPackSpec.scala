@@ -152,6 +152,26 @@ class AnnPackSpec extends GraftSpec {
       == expect(Seq(-127L, 64L, 32L, -63L)))
   }
 
+  test("ann_quantized: int8 candidates recover the exact top-k") {
+    val brute = SparkEntry.queries("ann_brute")(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val quant = SparkEntry.queries("ann_quantized")(spark, sfDir).collect()
+    assert(quant.nonEmpty)
+    quant.foreach { r =>
+      // the approximate score is within int8 quantization error of the
+      // exact one (|cos_q - cos| <= ~2*sqrt(dims)/127 worst case; the
+      // observed gap is far smaller)
+      assert(math.abs(r.getDouble(r.fieldIndex("cos_q")) -
+        r.getDouble(r.fieldIndex("cos_sim"))) < 0.05)
+    }
+    // recall@k of the re-ranked result vs brute force
+    val hits = quant.count { r =>
+      brute.get((r.getLong(0), r.getLong(1))).contains(r.getLong(2))
+    }
+    assert(hits >= (brute.size * 0.9).toInt,
+      s"int8 recall@5 degraded: $hits/${brute.size}")
+  }
+
   test("embedding_quantize reconstruction stays within half a step") {
     // |x - q*amax/127| <= amax/254 + eps for every coordinate: the
     // round-trip bound that makes int8 usable for candidate generation
