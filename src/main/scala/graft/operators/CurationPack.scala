@@ -357,7 +357,65 @@ object CurationPack extends QueryPack {
       ORDER BY r.doc_id
       """))
 
+  // ---- H7: corpus composition report ----
+  // The monitoring view a curation pipeline steers by (and the input
+  // that picks H6's mixture quotas): per (source, lang) document /
+  // token / char volumes, exact-duplicate counts, and each cell's
+  // token share of the whole corpus. One groupBy aggregation over
+  // per-row features (map-side combining); the corpus-total divisor is
+  // a one-row broadcast, and shares are exact integer ppm (`div`), so
+  // the report hash-matches cross-engine.
+  private val sourceReport = GraftQuery(
+    "source_report",
+    (s, d) => {
+      val wf = Window.partitionBy(col("fingerprint"))
+      val base = Tables.documents(s, d)
+        .select(col("doc_id"), col("source"), col("lang"), col("n_chars"),
+          size(words(col("text"))).cast(LongType).as("n_tokens"),
+          md5(normText(col("text"))).as("fingerprint"))
+        .withColumn("is_dup",
+          col("doc_id") =!= min(col("doc_id")).over(wf))
+      val grouped = base.groupBy(col("source"), col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tokens")).as("n_tokens"),
+          sum(col("n_chars")).as("n_chars"),
+          sum(when(col("is_dup"), lit(1L)).otherwise(lit(0L)))
+            .as("dup_docs"))
+      val total = grouped.agg(sum(col("n_tokens")).as("total_tokens"))
+      grouped.crossJoin(broadcast(total))
+        .select(col("source"), col("lang"), col("n_docs"),
+          col("n_tokens"), col("n_chars"), col("dup_docs"),
+          expr("(1000000 * n_tokens) div total_tokens")
+            .as("token_share_ppm"),
+          expr("(1000000 * n_tokens) div n_docs").as("mean_tokens_ppm"))
+        .orderBy(col("source"), col("lang"))
+    },
+    Some(s"""
+      WITH f AS (
+        SELECT doc_id, source, lang, n_chars,
+          CAST(len(${Portable.sql.words}) AS BIGINT) AS n_tokens,
+          md5(array_to_string(${Portable.sql.words}, ' ')) AS fingerprint
+        FROM documents),
+      dd AS (
+        SELECT *, doc_id <> MIN(doc_id) OVER (PARTITION BY fingerprint)
+          AS is_dup
+        FROM f),
+      g AS (
+        SELECT source, lang, COUNT(*) AS n_docs,
+          CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+          CAST(SUM(n_chars) AS BIGINT) AS n_chars,
+          CAST(SUM(CASE WHEN is_dup THEN 1 ELSE 0 END) AS BIGINT)
+            AS dup_docs
+        FROM dd GROUP BY 1, 2)
+      SELECT source, lang, n_docs, n_tokens, n_chars, dup_docs,
+        (1000000 * n_tokens)
+          // CAST((SELECT SUM(n_tokens) FROM g) AS BIGINT)
+          AS token_share_ppm,
+        (1000000 * n_tokens) // n_docs AS mean_tokens_ppm
+      FROM g ORDER BY source, lang
+      """))
+
   override val queries: Seq[GraftQuery] =
     Seq(sampleStratified, shardPack, curationFilter, curationPipeline,
-      splitAssign, mixSources)
+      splitAssign, mixSources, sourceReport)
 }

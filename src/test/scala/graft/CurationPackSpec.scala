@@ -79,4 +79,19 @@ class CurationPackSpec extends GraftSpec {
         s"row_number window not bucketed by hash range:\n$l")
     }
   }
+
+  test("source_report volumes reconcile with the corpus") {
+    val rows = SparkEntry.queries("source_report")(spark, sfDir).collect()
+    val nDocs = spark.read.parquet(s"$sfDir/documents.parquet").count()
+    assert(rows.map(_.getLong(rows.head.fieldIndex("n_docs"))).sum == nDocs)
+    // floored ppm shares sum to 1e6 minus at most one ulp per group
+    val share = rows
+      .map(_.getLong(rows.head.fieldIndex("token_share_ppm"))).sum
+    assert(share <= 1000000L && share > 1000000L - rows.length)
+    rows.foreach { r =>
+      assert(r.getLong(r.fieldIndex("dup_docs"))
+        <= r.getLong(r.fieldIndex("n_docs")))
+      assert(r.getLong(r.fieldIndex("mean_tokens_ppm")) > 0L)
+    }
+  }
 }

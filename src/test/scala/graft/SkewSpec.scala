@@ -200,6 +200,33 @@ class SkewSpec extends GraftSpec {
     docs.unpersist()
   }
 
+  test("bpe_pairs: a bigram in 80% of docs combines map-side") {
+    // hot docs repeat "hot pair" (the billion-occurrence bigram shape);
+    // cold docs contribute only doc-unique pairs
+    val docs = spark.range(4000).select(
+      col("id").as("doc_id"),
+      when(pmod(col("id"), lit(10)) < lit((hotShare * 10).toLong),
+        lit("hot pair hot pair hot pair"))
+        .otherwise(concat_ws(" ",
+          (1 to 4).map(i => concat(lit(s"c${i}x"), col("id"))): _*))
+        .as("text")).persist()
+    val nHot = docs.filter(col("text").startsWith("hot")).count()
+    val hotOcc = nHot * 3 // "hot pair" appears 3x per hot doc
+    val got = scala.collection.mutable.ArrayBuffer.empty[(String, Long)]
+    val maxTask = maxTaskShuffleRows {
+      got ++= operators.TextPack.bpePairsOver(docs, 2).collect()
+        .map(r => r.getString(0) -> r.getLong(1))
+    }
+    // partial aggregation collapses the hot pair to one row per map
+    // partition before the exchange — a reducer never reads anywhere
+    // near the occurrence count
+    assert(maxTask < hotOcc / 2,
+      s"one task shuffle-read $maxTask rows (hot pair occurs $hotOcc" +
+        " times) — pair counting is not map-side combining")
+    assert(got.toSeq == Seq("hot pair" -> hotOcc, "pair hot" -> (nHot * 2)))
+    docs.unpersist()
+  }
+
   test("streaming LSH: a hot bucket of identical docs stays cap-bounded") {
     import spark.implicits._
     val m = 200
