@@ -30,5 +30,10 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // local[32] holds every pack's shared MEMORY_AND_DISK working set in
+  // one JVM; 8g forced old-gen churn as the registry grew past ~70
+  // queries (broad ~10% steady-time inflation, worst on window-heavy
+  // plans). The bench box has 128 GiB — size the heap like an executor,
+  // not a REPL.
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
 )

@@ -80,6 +80,44 @@ class CurationPackSpec extends GraftSpec {
     }
   }
 
+  test("TrainingShards.write: one file per shard, faithful manifest, lossless round-trip") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id"), col("lang"),
+        size(graft.functions.Portable.words(col("text"))).cast("long")
+          .as("n_tokens"),
+        col("text"))
+    val packed = graft.operators.CurationPack
+      .packShards(docs.select("doc_id", "lang", "n_tokens"))
+      .join(docs.select("doc_id", "text"), "doc_id")
+    val out = java.nio.file.Files.createTempDirectory("shards").toString
+    val manifest = graft.sources.TrainingShards.write(packed, out)
+    // round trip: every doc lands exactly once with its text intact
+    val back = spark.read.parquet(s"$out/data")
+    assert(back.count() == packed.count())
+    val ids = back.select("doc_id").collect().map(_.getLong(0)).sorted
+    assert(ids.toSeq == packed.select("doc_id").collect()
+      .map(_.getLong(0)).sorted.toSeq)
+    // physical layout: each (lang, shard_id) directory holds ONE file
+    val dataDir = new java.io.File(s"$out/data")
+    val shardDirs = dataDir.listFiles().filter(_.isDirectory)
+      .flatMap(_.listFiles().filter(_.isDirectory))
+    assert(shardDirs.nonEmpty)
+    shardDirs.foreach { d =>
+      val files = d.listFiles().filter(_.getName.endsWith(".parquet"))
+      assert(files.length == 1,
+        s"${d.getName}: ${files.length} files — shard not single-task")
+    }
+    // manifest reconciles with an independent recompute
+    val want = packed.groupBy(col("lang"), col("shard_id"))
+      .agg(count(lit(1)), sum(col("n_tokens")), min(col("doc_id")),
+        max(col("doc_id")))
+      .collect().map(r => (r.getString(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+    val got = manifest.collect().map(r => (r.getString(0), r.getLong(1)) ->
+      (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+    assert(got == want)
+  }
+
   test("source_report volumes reconcile with the corpus") {
     val rows = SparkEntry.queries("source_report")(spark, sfDir).collect()
     val nDocs = spark.read.parquet(s"$sfDir/documents.parquet").count()
