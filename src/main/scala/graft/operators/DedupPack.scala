@@ -425,7 +425,11 @@ object DedupPack extends QueryPack {
     * explode runs twice (no cross-branch CSE), the same materialize-
     * the-featurized-working-set pattern as `shingled`.
     */
-  private[graft] def passageChunks(docs: org.apache.spark.sql.DataFrame) =
+  /** The chunking itself, un-persisted: pure per-row explode, legal on
+    * streaming frames too (the streaming counterpart keys state by `h`
+    * — see [[graft.streaming.StreamingPassageDedup]]).
+    */
+  private[graft] def passageChunksRaw(docs: org.apache.spark.sql.DataFrame) =
     docs
       .select(col("doc_id"), words(col("text")).as("w"))
       .filter(size(col("w")) > 0)
@@ -442,7 +446,9 @@ object DedupPack extends QueryPack {
       // plausible doc_id (idx < 1e5 ⇒ key < doc_id·1e5 + 1e5).
       .withColumn("okey",
         col("doc_id").cast(LongType) * lit(100000L) + col("idx"))
-      .persistTracked
+
+  private[graft] def passageChunks(docs: org.apache.spark.sql.DataFrame) =
+    passageChunksRaw(docs).persistTracked
 
   /** Corpus-wide first-occurrence winner per passage hash — an
     * AGGREGATION, so a boilerplate passage duplicated in a billion

@@ -89,4 +89,57 @@ class StreamingDedupSpec extends GraftSpec {
       assert(latest("u2") == (50L, 103L))
     } finally q.stop()
   }
+
+  test("streaming passage dedup: first arrival wins across micro-batches") {
+    import java.nio.file.{Files, Paths}
+    val boiler = (1 to 32).map(i => s"nav$i").mkString(" ")
+    def body(tag: String) = (1 to 32).map(i => s"$tag$i").mkString(" ")
+    val dir = Files.createTempDirectory("graft-passage-stream")
+    Files.writeString(Paths.get(dir.toString, "b1.csv"),
+      s"1\t$boiler ${body("a")}\n")
+    val stream = spark.readStream
+      .schema("doc_id LONG, text STRING")
+      .option("sep", "\t")
+      .csv(dir.toString)
+    val q = graft.streaming.StreamingPassageDedup
+      .keepFirstChunks(stream.toDF())
+      .writeStream.format("memory").queryName("passage_stream")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val r1 = spark.table("passage_stream").collect()
+      assert(r1.length == 2 && r1.forall(_.getBoolean(4)),
+        "doc 1's chunks are all first occurrences")
+      // batch 2: doc 2 repeats the boilerplate, brings a fresh body
+      Files.writeString(Paths.get(dir.toString, "b2.csv"),
+        s"2\t$boiler ${body("b")}\n")
+      q.processAllAvailable()
+      val byDoc = spark.table("passage_stream").collect()
+        .groupBy(_.getLong(0))
+      val doc2 = byDoc(2L).map(r => r.getString(2) -> r.getBoolean(4)).toMap
+      assert(!doc2(boiler), "doc 2's boilerplate chunk must be dropped")
+      assert(doc2(body("b")), "doc 2's unique chunk must be kept")
+      // global invariant: exactly one kept decision per distinct hash
+      val all = spark.table("passage_stream").collect()
+      all.groupBy(_.getString(3)).foreach { case (h, rs) =>
+        assert(rs.count(_.getBoolean(4)) == 1, s"hash $h kept != 1")
+      }
+    } finally q.stop()
+  }
+
+  test("passage dedup batch mode: every occurrence decided, one winner per hash") {
+    import spark.implicits._
+    val boiler = (1 to 32).map(i => s"nav$i").mkString(" ")
+    val docs = Seq(
+      (1L, s"$boiler ${(1 to 32).map(i => s"x$i").mkString(" ")}"),
+      (2L, boiler),
+      (3L, boiler)).toDF("doc_id", "text")
+    val got = graft.streaming.StreamingPassageDedup
+      .keepFirstChunks(docs).collect()
+    assert(got.length == 4, "4 chunk occurrences expected")
+    val boilerDecisions = got.filter(_.chunk == boiler)
+    assert(boilerDecisions.length == 3)
+    assert(boilerDecisions.count(_.kept) == 1)
+    assert(got.filter(_.chunk != boiler).forall(_.kept))
+  }
 }
