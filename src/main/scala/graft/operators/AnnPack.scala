@@ -55,8 +55,8 @@ object AnnPack extends QueryPack {
     * surviving rows only. Input needs query_id, vec_id, cos_sim +
     * `extra` columns.
     */
-  private def topKPerQuery(pairs: DataFrame, k: Int,
-                           extra: Seq[String]): DataFrame = {
+  private[graft] def topKPerQuery(pairs: DataFrame, k: Int,
+                                  extra: Seq[String]): DataFrame = {
     val top = graft.plans.TopKPerKey(pairs,
       keys = Seq(col("query_id")),
       order = Seq(col("cos_sim").desc, col("vec_id")),
@@ -542,59 +542,80 @@ object AnnPack extends QueryPack {
   // standard distributed k-means; cells and centroids stay tiny.
   private val kmK = 8
   private val kmIters = 2
+
+  /** Corpus frame for the k-means paths: (vec_id, v, nrm, vv). */
+  private[graft] def kmCorpus(n: DataFrame): DataFrame =
+    n.withColumn("vv", Vectors.dot(col("v"), col("v")))
+
+  /** Argmin-centroid assignment via a min_by-struct aggregation —
+    * map-side combinable (partial argmin per partition, merge of
+    * K-sized states), unlike a row_number window over n×K rows. The
+    * struct ordering (dist2, cell) reproduces the oracle's ROW_NUMBER
+    * tiebreak exactly: dist2 is the identical IEEE sequence in both
+    * engines, so the selected cell hash-matches.
+    */
+  private[graft] def kmAssign(corpus: DataFrame, cent: DataFrame): DataFrame =
+    corpus.crossJoin(broadcast(cent))
+      .withColumn("dist2",
+        col("vv") + col("cc") - lit(2.0d) * Vectors.dot(col("v"), col("cv")))
+      .groupBy(col("vec_id"))
+      .agg(
+        min_by(col("cell"),
+          struct(col("dist2").as("d"), col("cell").as("c"))).as("cell"),
+        first(col("v")).as("v"))
+
+  private def kmRecenter(assigned: DataFrame): DataFrame =
+    assigned
+      .select(col("cell"), posexplode(col("v")).as(Seq("j", "x")))
+      .groupBy(col("cell"), col("j"))
+      .agg((sum(col("x").cast(DecimalType(28, 12))).cast(DoubleType) /
+        count(lit(1))).as("c"))
+      .groupBy(col("cell"))
+      .agg(transform(array_sort(collect_list(struct(col("j"), col("c")))),
+        e => e.getField("c")).as("cv"))
+      .withColumn("cc", Vectors.dot(col("cv"), col("cv")))
+
+  /** Deterministic k-means coarse quantizer: hash-ordered seed pick,
+    * `iters` unrolled Lloyd rounds. Returns (cell, cv, cc).
+    */
+  private[graft] def kmCentroids(corpus: DataFrame, k: Int = kmK,
+      iters: Int = kmIters): DataFrame = {
+    val seeds = corpus
+      .withColumn("hk", pmod(col("vec_id") * lit(2654435761L), lit(4096L)))
+      .orderBy(col("hk"), col("vec_id"))
+      .limit(k)
+      .select(col("vec_id").as("cell"), col("v").as("cv"))
+      .withColumn("cc", Vectors.dot(col("cv"), col("cv")))
+    (1 to iters).foldLeft(seeds: DataFrame) {
+      (c, _) => kmRecenter(kmAssign(corpus, c))
+    }
+  }
+
+  /** nprobe nearest cells per query: (query_id, qv, qn, cell). */
+  private[graft] def kmProbe(q: DataFrame, cent: DataFrame,
+      probes: Int = nprobe): DataFrame = {
+    val wProbe = Window.partitionBy(col("query_id"))
+      .orderBy(col("dist2"), col("cell"))
+    q.crossJoin(broadcast(cent))
+      .withColumn("dist2",
+        col("qq") + col("cc") - lit(2.0d) * Vectors.dot(col("qv"), col("cv")))
+      .withColumn("pr", row_number().over(wProbe))
+      .filter(col("pr") <= probes)
+      .select(col("query_id"), col("qv"), col("qn"), col("cell"))
+  }
+
   private val annIvfKmeans = GraftQuery(
     "ann_ivf_kmeans",
     (s, d) => {
       val n = vecs(s, d)
-      val corpus = n.filter(pmod(col("vec_id"), lit(50)) =!= 0)
-        .withColumn("vv", Vectors.dot(col("v"), col("v")))
-      val seeds = corpus
-        .withColumn("hk", pmod(col("vec_id") * lit(2654435761L), lit(4096L)))
-        .orderBy(col("hk"), col("vec_id"))
-        .limit(kmK)
-        .select(col("vec_id").as("cell"), col("v").as("cv"))
-        .withColumn("cc", Vectors.dot(col("cv"), col("cv")))
-      // argmin centroid via a min_by-struct aggregation — map-side
-      // combinable (partial argmin per partition, merge of K-sized
-      // states), unlike a row_number window over n×K rows. The struct
-      // ordering (dist2, cell) reproduces the oracle's ROW_NUMBER
-      // tiebreak exactly: dist2 is the identical IEEE sequence in both
-      // engines, so the selected cell hash-matches.
-      def assign(cent: DataFrame): DataFrame =
-        corpus.crossJoin(broadcast(cent))
-          .withColumn("dist2",
-            col("vv") + col("cc") - lit(2.0d) * Vectors.dot(col("v"), col("cv")))
-          .groupBy(col("vec_id"))
-          .agg(
-            min_by(col("cell"),
-              struct(col("dist2").as("d"), col("cell").as("c"))).as("cell"),
-            first(col("v")).as("v"))
-      def recenter(assigned: DataFrame): DataFrame =
-        assigned
-          .select(col("cell"), posexplode(col("v")).as(Seq("j", "x")))
-          .groupBy(col("cell"), col("j"))
-          .agg((sum(col("x").cast(DecimalType(28, 12))).cast(DoubleType) /
-            count(lit(1))).as("c"))
-          .groupBy(col("cell"))
-          .agg(transform(array_sort(collect_list(struct(col("j"), col("c")))),
-            e => e.getField("c")).as("cv"))
-          .withColumn("cc", Vectors.dot(col("cv"), col("cv")))
-      val cent = (1 to kmIters).foldLeft(seeds: DataFrame) {
-        (c, _) => recenter(assign(c))
-      }
-      val lists = assign(cent)
+      val corpus = kmCorpus(n.filter(pmod(col("vec_id"), lit(50)) =!= 0))
+      val cent = kmCentroids(corpus)
+      val lists = kmAssign(corpus, cent)
       val q = n.filter(pmod(col("vec_id"), lit(50)) === 0)
         .select(col("vec_id").as("query_id"), col("v").as("qv"),
           col("nrm").as("qn"))
         .withColumn("qq", Vectors.dot(col("qv"), col("qv")))
-      val wProbe = Window.partitionBy(col("query_id"))
-        .orderBy(col("dist2"), col("cell"))
-      val probed = q.crossJoin(broadcast(cent))
-        .withColumn("dist2",
-          col("qq") + col("cc") - lit(2.0d) * Vectors.dot(col("qv"), col("cv")))
-        .withColumn("pr", row_number().over(wProbe))
-        .filter(col("pr") <= nprobe)
-        .select(col("query_id"), col("qv"), col("qn"), col("cell"))
+      val probed = kmProbe(q, cent)
       val pairs = lists.join(n.select(col("vec_id"), col("nrm")), "vec_id")
         .join(broadcast(probed), Seq("cell"))
         .withColumn("cos_sim",

@@ -124,6 +124,30 @@ class AnnPackSpec extends GraftSpec {
       }
   }
 
+  test("AnnIndex: persisted IVF search equals the in-query k-means result") {
+    val embs = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val corpus = embs.filter(pmod(col("vec_id"), lit(50)) =!= 0)
+    val queries = embs.filter(pmod(col("vec_id"), lit(50)) === 0)
+    val dir = java.nio.file.Files.createTempDirectory("annindex").toString
+    graft.sources.AnnIndex.write(corpus, dir)
+    // the index is cell-partitioned on disk
+    val cellDirs = new java.io.File(s"$dir/lists").listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("cell="))
+    assert(cellDirs.nonEmpty && cellDirs.length <= 8)
+    val search = graft.sources.AnnIndex.search(spark, dir, queries)
+    // identical training arithmetic -> byte-identical results to the
+    // oracle-verified in-query path
+    val want = SparkEntry.queries("ann_ivf_kmeans")(spark, sfDir)
+      .collect().map(_.toString).toSeq
+    assert(search.collect().map(_.toString).toSeq == want)
+    // and the postings scan is statically partition-pruned to the
+    // probed cells — the property that bounds the 100 TB read
+    val plan = search.queryExecution.executedPlan.toString
+    val pruned = "PartitionFilters: \\[[^\\]]*cell".r.findFirstIn(plan)
+    assert(pruned.isDefined,
+      s"postings scan is not partition-pruned by cell:\n$plan")
+  }
+
   test("embedding_quantize: known vectors quantize to the expected codes") {
     import spark.implicits._
     val embs = Seq(
