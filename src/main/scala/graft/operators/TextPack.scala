@@ -383,7 +383,118 @@ object TextPack extends QueryPack {
       GROUP BY pair ORDER BY cnt DESC, pair LIMIT 100
       """))
 
+  // E8 — distributed BPE training, two unrolled merge rounds (the same
+  // unroll discipline as D5's k-means: each round is ordinary
+  // oracle-checkable SQL, and the production shape is the identical
+  // round body iterated). One round = ONE pair-count aggregation
+  // (map-side combining, the E7 shape) → the argmax pair under the
+  // deterministic (count DESC, a, b) total order → a broadcast of that
+  // ONE row → a per-row greedy left-to-right merge fold (exactly the
+  // BPE merge rule; merged tokens join with '+' so later rounds see
+  // them as units). Nothing driver-side but the round count; corpus
+  // rows never leave their partitions except as pair counts.
+  private[graft] def bpeTokens(docs: org.apache.spark.sql.DataFrame) =
+    docs.select(col("doc_id"), words(col("text")).as("w"))
+      .filter(size(col("w")) > 0)
+
+  private[graft] def bpeTopPair(d: org.apache.spark.sql.DataFrame) =
+    d.filter(size(col("w")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(1, size(w) - 1)," +
+          " i -> struct(element_at(w, i) AS a, element_at(w, i + 1) AS b))"))
+        .as("pr"))
+      .select(col("pr.a").as("a"), col("pr.b").as("b"))
+      .groupBy(col("a"), col("b"))
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("a"), col("b"))
+      .limit(1)
+
+  /** Greedy left-to-right merge of the broadcast (a, b) pair inside
+    * each document's token list: a string fold whose accumulator either
+    * replaces its own `a` tail with `a+b` or appends — the adjacency
+    * check is against the fold's CURRENT tail, so a freshly merged
+    * token (spelled `a+b`, never equal to `a`) can't re-merge, which is
+    * exactly the non-overlapping BPE rule.
+    */
+  private[graft] def bpeMerge(d: org.apache.spark.sql.DataFrame,
+      top: org.apache.spark.sql.DataFrame) = {
+    val a = col("a"); val b = col("b")
+    val folded = aggregate(col("w"), lit(""), (acc, t) =>
+      when(acc === "", t)
+        .when(t === b && acc === a, concat(a, lit("+"), b))
+        .when(t === b &&
+            acc.substr(length(acc) - length(a), length(a) + lit(1))
+              === concat(lit(" "), a),
+          concat(acc.substr(lit(1), length(acc) - length(a)),
+            a, lit("+"), b))
+        .otherwise(concat(acc, lit(" "), t)))
+    d.crossJoin(broadcast(top))
+      .select(col("doc_id"),
+        filter(split(folded, " "), x => length(x) > 0).as("w"))
+  }
+
+  private val bpeTrain = GraftQuery(
+    "bpe_train",
+    (s, d) => {
+      import graft.Caches.CachesSyntax
+      val d0 = bpeTokens(Tables.documents(s, d)).persistTracked
+      val t1 = bpeTopPair(d0)
+      val d1 = bpeMerge(d0, t1).persistTracked
+      val t2 = bpeTopPair(d1)
+      val d2 = bpeMerge(d1, t2)
+      def row(round: Int, top: org.apache.spark.sql.DataFrame,
+          after: org.apache.spark.sql.DataFrame) =
+        top.crossJoin(
+            broadcast(after.agg(sum(size(col("w"))).as("tokens_after"))))
+          .select(lit(round.toLong).as("round"),
+            concat(col("a"), lit(" "), col("b")).as("pair"),
+            col("cnt"), col("tokens_after"))
+      row(1, t1, d1).union(row(2, t2, d2)).orderBy(col("round"))
+    },
+    Some(s"""
+      WITH d0 AS (
+        SELECT doc_id, ${Portable.sql.words} AS w FROM documents
+        WHERE len(${Portable.sql.words}) > 0),
+      p1 AS (SELECT unnest(list_transform(range(len(w)-1),
+               i -> [w[i+1], w[i+2]])) AS pr
+             FROM d0 WHERE len(w) >= 2),
+      t1 AS (SELECT pr[1] AS a, pr[2] AS b, COUNT(*) AS cnt FROM p1
+             GROUP BY 1, 2 ORDER BY cnt DESC, a, b LIMIT 1),
+      d1 AS (SELECT doc_id,
+               list_filter(regexp_split_to_array($bpeMergeSql, ' '),
+                 x -> x <> '') AS w
+             FROM (SELECT doc_id, w, a, b FROM d0 CROSS JOIN t1)),
+      p2 AS (SELECT unnest(list_transform(range(len(w)-1),
+               i -> [w[i+1], w[i+2]])) AS pr
+             FROM d1 WHERE len(w) >= 2),
+      t2 AS (SELECT pr[1] AS a, pr[2] AS b, COUNT(*) AS cnt FROM p2
+             GROUP BY 1, 2 ORDER BY cnt DESC, a, b LIMIT 1),
+      d2 AS (SELECT doc_id,
+               list_filter(regexp_split_to_array($bpeMergeSql, ' '),
+                 x -> x <> '') AS w
+             FROM (SELECT doc_id, w, a, b FROM d1 CROSS JOIN t2))
+      SELECT CAST(1 AS BIGINT) AS round,
+        (SELECT a || ' ' || b FROM t1) AS pair,
+        (SELECT cnt FROM t1) AS cnt,
+        (SELECT CAST(SUM(len(w)) AS BIGINT) FROM d1) AS tokens_after
+      UNION ALL
+      SELECT CAST(2 AS BIGINT),
+        (SELECT a || ' ' || b FROM t2), (SELECT cnt FROM t2),
+        (SELECT CAST(SUM(len(w)) AS BIGINT) FROM d2)
+      ORDER BY round
+      """))
+
+  /** DuckDB spelling of the [[bpeMerge]] fold (over columns w, a, b). */
+  private def bpeMergeSql: String = """
+    list_reduce(list_prepend('', w), (acc, t) ->
+      CASE WHEN acc = '' THEN t
+           WHEN t = b AND acc = a THEN a || '+' || b
+           WHEN t = b AND substr(acc, len(acc) - len(a), len(a) + 1)
+               = ' ' || a
+             THEN substr(acc, 1, len(acc) - len(a)) || a || '+' || b
+           ELSE acc || ' ' || t END)"""
+
   override val queries: Seq[GraftQuery] =
     Seq(langId, textQuality, tokenCount, fingerprint, textRepetition,
-      piiScrub, bpePairs)
+      piiScrub, bpePairs, bpeTrain)
 }

@@ -112,6 +112,53 @@ class TextPackSpec extends GraftSpec {
     assert(got == Seq("a b" -> 3L, "b a" -> 1L, "b c" -> 1L))
   }
 
+  test("bpe merge fold: greedy left-to-right, overlap-safe on a==b") {
+    import spark.implicits._
+    val docs = Seq((1L, "x x x"), (2L, "x x x x"), (3L, "y x x z"))
+      .toDF("doc_id", "text")
+    val d0 = graft.operators.TextPack.bpeTokens(docs)
+    val top = graft.operators.TextPack.bpeTopPair(d0)
+    assert(top.collect().map(r =>
+      (r.getString(0), r.getString(1), r.getLong(2))).toSeq
+      == Seq(("x", "x", 6L)), "pair (x,x) occurs 2+3+1 times")
+    val merged = graft.operators.TextPack.bpeMerge(d0, top).collect()
+      .map(r => r.getLong(0) -> r.getSeq[String](1).toList).toMap
+    // greedy: "x x x" -> [x+x, x]; "x x x x" -> [x+x, x+x]
+    assert(merged(1L) == List("x+x", "x"))
+    assert(merged(2L) == List("x+x", "x+x"))
+    assert(merged(3L) == List("y", "x+x", "z"))
+  }
+
+  test("bpe_train: two rounds match a JVM-side BPE recompute at sf0.001") {
+    def toks(t: String) =
+      t.toLowerCase.trim.split("\\s+").filter(_.nonEmpty).toList
+    def pairCount(ds: Seq[List[String]]) = {
+      val m = scala.collection.mutable.Map.empty[(String, String), Long]
+      ds.foreach(w => w.sliding(2).filter(_.size == 2).foreach { p =>
+        val k = (p(0), p(1)); m(k) = m.getOrElse(k, 0L) + 1
+      })
+      m.toSeq.sortBy { case ((a, b), c) => (-c, a, b) }.head
+    }
+    def merge(w: List[String], a: String, b: String): List[String] =
+      w.foldLeft(List.empty[String]) { (acc, t) =>
+        if (acc.nonEmpty && acc.last == a && t == b)
+          acc.init :+ (a + "+" + b)
+        else acc :+ t
+      }
+    var ds = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("text").collect().map(r => toks(r.getString(0)))
+      .filter(_.nonEmpty).toSeq
+    val expected = (1 to 2).map { r =>
+      val ((a, b), cnt) = pairCount(ds)
+      ds = ds.map(w => merge(w, a, b))
+      (r.toLong, s"$a $b", cnt, ds.map(_.size.toLong).sum)
+    }
+    val got = SparkEntry.queries("bpe_train")(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+      .toSeq
+    assert(got == expected)
+  }
+
   test("bpe_pairs at sf0.001 matches a JVM-side pair count") {
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
       .select("text").collect()
