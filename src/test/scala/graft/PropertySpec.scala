@@ -221,6 +221,37 @@ class PropertySpec extends GraftSpec {
     }
   }
 
+  test("bpe merge fold equals JVM greedy merge on random corpora") {
+    import spark.implicits._
+    // adversarial vocab: single-char tokens force a==b overlap runs and
+    // tokens that are suffixes of each other stress the tail check
+    val tok = Gen.oneOf("x", "y", "xx", "yx", "a", "ax")
+    val docGen = Gen.listOfN(12, tok)
+    val rnd = new scala.util.Random(11)
+    val docs = (1 to 150).map { i =>
+      (i.toLong, docGen.sample.getOrElse(List("x")).mkString(" "))
+    }.toDF("doc_id", "text")
+    val pairs = Seq(("x", "x"), ("x", "y"), ("yx", "x"), ("a", "ax"),
+      (rnd.shuffle(Seq("x", "y", "xx")).head, "x"))
+    def jvmMerge(w: List[String], a: String, b: String): List[String] =
+      w.foldLeft(List.empty[String]) { (acc, t) =>
+        if (acc.nonEmpty && acc.last == a && t == b)
+          acc.init :+ (a + "+" + b)
+        else acc :+ t
+      }
+    val base = graft.operators.TextPack.bpeTokens(docs)
+    val texts = docs.collect().map(r => r.getLong(0) ->
+      r.getString(1).split(" ").filter(_.nonEmpty).toList).toMap
+    pairs.foreach { case (a, b) =>
+      val top = Seq((a, b, 0L)).toDF("a", "b", "cnt")
+      val got = graft.operators.TextPack.bpeMerge(base, top).collect()
+        .map(r => r.getLong(0) -> r.getSeq[String](1).toList).toMap
+      texts.foreach { case (id, w) =>
+        assert(got(id) == jvmMerge(w, a, b), s"pair ($a,$b) doc $id: $w")
+      }
+    }
+  }
+
   test("sample_stratified rates land near targets and are deterministic") {
     val df = SparkEntry.queries("sample_stratified")(spark,
       "/root/testdata/sf0.01")
