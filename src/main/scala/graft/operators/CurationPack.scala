@@ -151,15 +151,13 @@ object CurationPack extends QueryPack {
   /** Per-doc curation features (token count, exact-dup flag) — shared
     * by H3 and H4.
     */
-  private def docFeatures(s: org.apache.spark.sql.SparkSession, d: String) = {
-    val wf = Window.partitionBy(col("fingerprint"))
-    Tables.documents(s, d)
-      .select(col("doc_id"), col("lang"),
-        size(words(col("text"))).cast(LongType).as("n_tokens"),
-        md5(normText(col("text"))).as("fingerprint"))
-      .withColumn("is_dup",
-        col("doc_id") =!= min(col("doc_id")).over(wf))
-  }
+  private def docFeatures(s: org.apache.spark.sql.SparkSession, d: String) =
+    DedupPack.withDupFlag(Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"),
+          size(words(col("text"))).cast(LongType).as("n_tokens"),
+          md5(normText(col("text"))).as("fingerprint")))
+      .select(col("doc_id"), col("lang"), col("n_tokens"),
+        col("fingerprint"), col("is_dup"))
 
   /** The H3 keep predicate — shared by H3 and H4. */
   private def keepCol =
@@ -368,13 +366,10 @@ object CurationPack extends QueryPack {
   private val sourceReport = GraftQuery(
     "source_report",
     (s, d) => {
-      val wf = Window.partitionBy(col("fingerprint"))
-      val base = Tables.documents(s, d)
+      val base = DedupPack.withDupFlag(Tables.documents(s, d)
         .select(col("doc_id"), col("source"), col("lang"), col("n_chars"),
           size(words(col("text"))).cast(LongType).as("n_tokens"),
-          md5(normText(col("text"))).as("fingerprint"))
-        .withColumn("is_dup",
-          col("doc_id") =!= min(col("doc_id")).over(wf))
+          md5(normText(col("text"))).as("fingerprint")))
       val grouped = base.groupBy(col("source"), col("lang"))
         .agg(count(lit(1)).as("n_docs"),
           sum(col("n_tokens")).as("n_tokens"),

@@ -71,17 +71,34 @@ object DedupPack extends QueryPack {
     round(inter.cast(DoubleType) / (size(sa) + size(sb) - inter), 6)
   }
 
+  /** Append `is_dup` / `__canonical` / `__gsize` to a frame carrying
+    * (doc_id, fingerprint) via an AGGREGATION + join-back, not a window
+    * over the fingerprint: the min/count agg combines map-side and
+    * AQE's skew join can split a viral duplicate group across tasks,
+    * whereas a window partition cannot split — the same no-hot-window
+    * rule as passage_dedup's winner election. PERSISTED: feeds both the
+    * group election and the join-back.
+    */
+  private[graft] def withDupFlag(docs: DataFrame): DataFrame = {
+    val base = docs.persistTracked
+    val groups = base.groupBy(col("fingerprint"))
+      .agg(min(col("doc_id")).as("__canonical"),
+        count(lit(1)).as("__gsize"))
+    base.join(groups, "fingerprint")
+      .withColumn("is_dup", col("doc_id") =!= col("__canonical"))
+  }
+
   // C1 — exact dedup: md5 of the canonical normal form, duplicate groups
   // by fingerprint (one shuffle on the fingerprint), min-doc_id canonical.
   private val dedupExact = GraftQuery(
     "dedup_exact",
     (s, d) => {
-      val w = Window.partitionBy(col("fingerprint"))
-      Tables.documents(s, d)
-        .select(col("doc_id"), md5(normText(col("text"))).as("fingerprint"))
-        .withColumn("group_size", count(lit(1)).over(w))
-        .withColumn("canonical_id", min(col("doc_id")).over(w))
-        .withColumn("is_dup", col("doc_id") =!= col("canonical_id"))
+      withDupFlag(Tables.documents(s, d)
+          .select(col("doc_id"),
+            md5(normText(col("text"))).as("fingerprint")))
+        .select(col("doc_id"), col("fingerprint"),
+          col("__gsize").as("group_size"),
+          col("__canonical").as("canonical_id"), col("is_dup"))
         .orderBy(col("doc_id"))
     },
     Some(s"""
