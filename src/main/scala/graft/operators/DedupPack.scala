@@ -257,10 +257,16 @@ object DedupPack extends QueryPack {
       require(changed == 0,
         s"dedup_cluster did not converge after $iter rounds " +
           s"($changed labels still changing)")
-      val wc = Window.partitionBy(col("cluster_id"))
-      labels
+      // cluster_size via agg + join-back, not a window over cluster_id:
+      // a viral duplicate cluster (the very thing dedup exists to find)
+      // would otherwise sort in one unsplittable window task, while the
+      // count combines map-side and the join partition can skew-split.
+      val out = labels
         .select(col("node").as("doc_id"), col("lab").as("cluster_id"))
-        .withColumn("cluster_size", count(lit(1)).over(wc))
+      val sizes = out.groupBy(col("cluster_id"))
+        .agg(count(lit(1)).as("cluster_size"))
+      out.join(sizes, "cluster_id")
+        .select(col("doc_id"), col("cluster_id"), col("cluster_size"))
         .orderBy(col("doc_id"))
     },
     Some(s"""
