@@ -42,7 +42,7 @@ object AnnPack extends QueryPack {
         Vectors.toDouble(col("embedding")).as("v"))
       .withColumn("nrm", Vectors.norm(col("v")))
 
-  private val vecsSql: String =
+  private[graft] val vecsSql: String =
     s"""e AS (SELECT vec_id, label,
           ${Vectors.sql.toDouble("embedding")} AS v FROM embeddings),
       n AS (SELECT vec_id, label, v, ${Vectors.sql.norm("v")} AS nrm
@@ -419,7 +419,7 @@ object AnnPack extends QueryPack {
   // whose upper bound clears τ (UB ≥ cos always, so recall is 1 by
   // construction), then exact cosine on the (label, cell) equi-join.
   // The oracle brute-forces every within-label pair independently.
-  private val rangeTau = 0.3
+  private[graft] val rangeTau = 0.3
   private val annRange = GraftQuery(
     "ann_range_search",
     (s, d) => {

@@ -210,10 +210,13 @@ object DedupPack extends QueryPack {
   // a handful of iterations; a cap bounds the pathological chain case.
   // The oracle computes the same fixpoint as a DuckDB recursive-CTE
   // transitive closure with MIN over the reachable set.
-  private val dedupCluster = GraftQuery(
-    "dedup_cluster",
-    (s, d) => {
-      val pairs = minhashPairs(s, d).select(col("doc_a"), col("doc_b"))
+  /** Connected components over an undirected (doc_a, doc_b) pair graph
+    * by iterative min-label propagation; returns (node, lab) where lab
+    * is the component's minimum doc id. Each iteration is one
+    * edge⋈label join + a min-aggregate; the driver reads only a scalar
+    * convergence count per round. Shared by C6 and C10.
+    */
+  private[graft] def clusterPairs(pairs: DataFrame): DataFrame = {
       val edges = pairs
         .union(pairs.select(col("doc_b"), col("doc_a")))
         .toDF("src", "dst")
@@ -257,6 +260,14 @@ object DedupPack extends QueryPack {
       require(changed == 0,
         s"dedup_cluster did not converge after $iter rounds " +
           s"($changed labels still changing)")
+      labels
+  }
+
+  private val dedupCluster = GraftQuery(
+    "dedup_cluster",
+    (s, d) => {
+      val labels =
+        clusterPairs(minhashPairs(s, d).select(col("doc_a"), col("doc_b")))
       // cluster_size via agg + join-back, not a window over cluster_id:
       // a viral duplicate cluster (the very thing dedup exists to find)
       // would otherwise sort in one unsplittable window task, while the
@@ -598,7 +609,59 @@ object DedupPack extends QueryPack {
       FROM k GROUP BY doc_id ORDER BY doc_id
       """))
 
+  // C10 — multi-signal semantic dedup: the composed decision a real
+  // curation pipeline ships — lexical near-dups (C2's verified MinHash
+  // pairs) UNION semantic near-dups (D6's within-label embedding pairs
+  // at cosine ≥ τ) → one connected-components pass (C6's propagation)
+  // → a keep/drop verdict per document (canonical = component minimum).
+  // Catches both paraphrases that shingles miss and boilerplate
+  // rewrites that embeddings miss. Both pair generators are the
+  // already-bounded ones (LSH buckets / IVF cells — never all-pairs),
+  // the union is pair-scale, and the per-doc verdict is a left join of
+  // the corpus against the component labels.
+  private val semanticDedup = GraftQuery(
+    "semantic_dedup",
+    (s, d) => {
+      val mh = minhashPairs(s, d).select(col("doc_a"), col("doc_b"))
+      val em = AnnPack.queries.find(_.name == "ann_range_search").get
+        .fn(s, d)
+        .select(col("vec_id").as("doc_a"), col("nn_id").as("doc_b"))
+      val labels = clusterPairs(mh.union(em).distinct())
+      Tables.documents(s, d).select(col("doc_id"))
+        .join(labels.select(col("node").as("doc_id"), col("lab")),
+          Seq("doc_id"), "left")
+        .withColumn("cluster_id", coalesce(col("lab"), col("doc_id")))
+        .withColumn("is_dup", col("doc_id") =!= col("cluster_id"))
+        .select(col("doc_id"), col("cluster_id"), col("is_dup"))
+        .orderBy(col("doc_id"))
+    },
+    Some(s"""
+      WITH RECURSIVE $minhashPairsSql,
+      ${AnnPack.vecsSql},
+      epairs AS (SELECT a.vec_id AS doc_a, b.vec_id AS doc_b
+        FROM n a JOIN n b ON a.label = b.label AND a.vec_id < b.vec_id
+        WHERE round(${graft.functions.Vectors.sql.dot("a.v", "b.v")}
+            / (a.nrm * b.nrm), 6) >= ${AnnPack.rangeTau}),
+      allp AS (SELECT doc_a, doc_b FROM pairs
+               UNION SELECT doc_a, doc_b FROM epairs),
+      nodes AS (SELECT doc_a AS node FROM allp
+                UNION SELECT doc_b FROM allp),
+      edges AS (SELECT doc_a AS a, doc_b AS b FROM allp
+                UNION ALL SELECT doc_b, doc_a FROM allp),
+      reach(a, b) AS (
+        SELECT node, node FROM nodes
+        UNION
+        SELECT r.a, g.b FROM reach r JOIN edges g ON r.b = g.a),
+      res AS (SELECT a AS doc_id, MIN(b) AS cluster_id
+              FROM reach GROUP BY a)
+      SELECT dd.doc_id,
+        coalesce(res.cluster_id, dd.doc_id) AS cluster_id,
+        dd.doc_id <> coalesce(res.cluster_id, dd.doc_id) AS is_dup
+      FROM documents dd LEFT JOIN res ON dd.doc_id = res.doc_id
+      ORDER BY dd.doc_id
+      """))
+
   override val queries: Seq[GraftQuery] =
     Seq(dedupExact, dedupMinhash, dedupCluster, ngramJaccard, decontaminate,
-      passageDedup, boilerplateStrip)
+      passageDedup, boilerplateStrip, semanticDedup)
 }

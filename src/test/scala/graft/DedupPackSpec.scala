@@ -144,6 +144,30 @@ class DedupPackSpec extends GraftSpec {
     assert(got == expected)
   }
 
+  test("semantic_dedup: one verdict per doc, both signals merged") {
+    val sem = SparkEntry.queries("semantic_dedup")(spark, sfDir).collect()
+    val nDocs = spark.read.parquet(s"$sfDir/documents.parquet").count()
+    assert(sem.length == nDocs, "one verdict per document")
+    val cluster = sem.map(r => r.getLong(0) -> r.getLong(1)).toMap
+    sem.foreach { r =>
+      assert(r.getBoolean(2) == (r.getLong(0) != r.getLong(1)))
+      assert(r.getLong(1) <= r.getLong(0), "canonical is the minimum")
+    }
+    // every lexical (minhash) cluster is contained in one semantic one
+    SparkEntry.queries("dedup_cluster")(spark, sfDir).collect()
+      .groupBy(_.getLong(1)).values.foreach { grp =>
+        assert(grp.map(r => cluster(r.getLong(0))).distinct.length == 1,
+          "a minhash cluster split across semantic clusters")
+      }
+    // every embedding near-dup pair lands in the same semantic cluster
+    val rp = SparkEntry.queries("ann_range_search")(spark, sfDir).collect()
+    assert(rp.nonEmpty)
+    rp.foreach { r =>
+      assert(cluster(r.getLong(0)) == cluster(r.getLong(1)),
+        s"pair ${r.getLong(0)},${r.getLong(1)} not merged")
+    }
+  }
+
   test("ngram_jaccard pairs are symmetric-free and above threshold") {
     val rows = SparkEntry.queries("ngram_jaccard")(spark, sfDir).collect()
     rows.foreach { r =>
