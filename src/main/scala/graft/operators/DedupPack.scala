@@ -216,51 +216,88 @@ object DedupPack extends QueryPack {
     * edge⋈label join + a min-aggregate; the driver reads only a scalar
     * convergence count per round. Shared by C6 and C10.
     */
+  /** Distributed connected components by alternating large-star /
+    * small-star contraction (the CC-MR algorithm of Kiveris et al.,
+    * "Connected Components in MapReduce and Beyond"): each round
+    * rewires every edge toward its neighborhood minimum, contracting
+    * the graph toward per-component stars in O(log) rounds — unlike
+    * plain min-label propagation, whose frontier crawls one hop per
+    * round and needs diameter rounds (measured: 30 rounds on the sf0.1
+    * lexical∪semantic pair graph, whose thin embedding chains have
+    * large diameters; large-star/small-star converges in a handful).
+    *
+    * Per round: two groupBy-min aggregations + join-backs on the edge
+    * list (edge count never grows — star emissions are one edge per
+    * incident node). Each round's plan is truncated to a fresh
+    * LogicalRDD: the rewiring references the previous round's frame,
+    * and left untruncated the nested plan DOUBLES per round (measured:
+    * a 2^31-char plan string before truncation). The driver reads only
+    * scalar convergence counts.
+    */
   private[graft] def clusterPairs(pairs: DataFrame): DataFrame = {
-      val edges = pairs
-        .union(pairs.select(col("doc_b"), col("doc_a")))
-        .toDF("src", "dst")
+      val spark = pairs.sparkSession
+      def truncated(df: DataFrame): DataFrame =
+        spark.createDataFrame(df.rdd, df.schema)
+      var e = truncated(
+          pairs.toDF("u", "v")
+            .filter(col("u") =!= col("v")).distinct())
         .persistTracked
-      // Initialize each node's label to min(self, direct neighbors) in a
-      // single aggregation (edges are symmetric, so every node appears as
-      // src — this also yields the node set for free). Duplicate
-      // components are near-cliques in practice, so most of the graph
-      // converges at initialization and the loop only runs one confirming
-      // round; longer chains still converge by propagation below.
-      var cached = edges.groupBy(col("src").as("node"))
-        .agg(min(col("dst")).as("mn"))
-        .select(col("node"), least(col("node"), col("mn")).as("lab"))
-        .persistTracked
-      var labels = cached
-      var changed = 1L
+      var eCount = e.count()
+      var stable = false
       var iter = 0
-      while (changed > 0 && iter < 20) {
-        val prop = edges
-          .join(labels.select(col("node").as("dst"), col("lab").as("dlab")),
-            "dst")
-          .groupBy(col("src").as("node")).agg(min(col("dlab")).as("nlab"))
-        // Carry the previous label through so the convergence count is a
-        // filter over this round's cached result — one join and one
-        // action per round, not two of each.
-        val next = labels.join(prop, Seq("node"), "left")
-          .select(col("node"),
-            least(col("lab"), coalesce(col("nlab"), col("lab"))).as("lab"),
-            col("lab").as("old"))
-          .persistTracked
-        changed = next.filter(col("lab") =!= col("old")).count()
-        cached.unpersist()
-        cached = next
-        labels = next.select(col("node"), col("lab"))
+      // one large-star + small-star contraction round, composed lazily
+      def round(in: DataFrame): DataFrame = {
+        // large-star: every node's larger neighbors connect to its
+        // neighborhood minimum
+        val und = in.union(in.select(col("v").as("u"), col("u").as("v")))
+        val minsL = und.groupBy(col("u"))
+          .agg(min(col("v")).as("mv"))
+          .select(col("u"), least(col("u"), col("mv")).as("m"))
+        // no distinct here: small-star's orient+distinct dedups anyway,
+        // and dropping it saves one exchange per round
+        val ls = und.filter(col("v") > col("u"))
+          .join(minsL, "u")
+          .select(col("v").as("u"), col("m").as("v"))
+          .filter(col("u") =!= col("v"))
+        // small-star: every node's smaller-or-equal side connects to
+        // the minimum of that side
+        val oriented = ls.select(greatest(col("u"), col("v")).as("u"),
+          least(col("u"), col("v")).as("v")).distinct()
+        val minsS = oriented.groupBy(col("u")).agg(min(col("v")).as("m"))
+        oriented.join(minsS, "u")
+          .select(col("v").as("u"), col("m").as("v"))
+          .union(minsS.select(col("u"), col("m").as("v")))
+          .filter(col("u") =!= col("v")).distinct()
+      }
+      while (!stable && iter < 32) {
+        // exactly ONE contraction round per materialization: round()
+        // fans its input into five plan branches, and Spark has no
+        // cross-branch CSE — composing two rounds lazily re-executes
+        // the inner one per branch (measured 3-4x slower), while the
+        // persisted input keeps a single round's fan-out cheap
+        val next = truncated(round(e)).persistTracked
+        // one action per round while counts still move; the (cheap, both
+        // sides cached) set-equality check only runs once they match
+        val nextCount = next.count()
+        stable = nextCount == eCount &&
+          next.exceptAll(e).limit(1).count() == 0
+        e.unpersist()
+        e = next
+        eCount = nextCount
         iter += 1
       }
       // A silent exit at the iteration cap would emit non-converged
-      // (wrong) cluster ids for components whose diameter exceeds it —
-      // fail loudly instead; near-clique dup graphs converge in 1-2
-      // rounds, so hitting this means the input is not what C6 assumes.
-      require(changed == 0,
-        s"dedup_cluster did not converge after $iter rounds " +
-          s"($changed labels still changing)")
-      labels
+      // (wrong) cluster ids — fail loudly instead; star contraction
+      // converges logarithmically, so hitting 32 rounds means the input
+      // is not a pair graph at all.
+      require(stable,
+        s"clusterPairs did not converge after $iter rounds")
+      // the converged edge set is a star per component: every non-min
+      // node points at the component minimum
+      e.select(col("u").as("node"), col("v").as("lab"))
+        .union(e.select(col("v"), col("v")).distinct()
+          .toDF("node", "lab"))
+        .groupBy(col("node")).agg(min(col("lab")).as("lab"))
   }
 
   private val dedupCluster = GraftQuery(
