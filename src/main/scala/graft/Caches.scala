@@ -32,6 +32,16 @@ object Caches {
     df.persist(StorageLevel.MEMORY_AND_DISK)
   }
 
+  private val releaseHooks =
+    new java.util.concurrent.ConcurrentLinkedQueue[() => Unit]()
+
+  /** Register a callback run on every [[releaseAll]] — for packs that
+    * memoize MATERIALIZED results (not just plans) registry-scoped,
+    * e.g. the converged connected-components labels, whose iterative
+    * construction the CacheManager cannot dedupe across invocations.
+    */
+  def onRelease(hook: () => Unit): Unit = releaseHooks.add(hook)
+
   /** Unpersist every frame persisted through the registry since the last
     * release. Frames a caller already unpersisted (iterative loops drop
     * their per-round intermediates eagerly) unpersist again as a no-op.
@@ -42,6 +52,7 @@ object Caches {
       df.unpersist(blocking)
       df = frames.poll()
     }
+    releaseHooks.forEach(h => h())
   }
 
   implicit class CachesSyntax(private val df: DataFrame) extends AnyVal {

@@ -234,7 +234,28 @@ object DedupPack extends QueryPack {
     * a 2^31-char plan string before truncation). The driver reads only
     * scalar convergence counts.
     */
+  /** Registry-scoped memo of converged component labels: each round's
+    * plan truncation (LogicalRDD over a fresh RDD) makes the loop's
+    * frames non-canonical, so Spark's CacheManager cannot dedupe a
+    * REPEATED clusterPairs call the way it dedupes every declarative
+    * subplan — without this, every invocation re-runs the whole
+    * contraction. Keyed by session + canonicalized input plan; cleared
+    * with the cache registry.
+    */
+  private val ccMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+  graft.Caches.onRelease(() => ccMemo.clear())
+
   private[graft] def clusterPairs(pairs: DataFrame): DataFrame = {
+      val canon = pairs.queryExecution.analyzed.canonicalized
+      val memoKey =
+        System.identityHashCode(pairs.sparkSession).toString + "|" +
+        canon.semanticHash() + "|" +
+        java.security.MessageDigest.getInstance("MD5")
+          .digest(canon.toString.getBytes("UTF-8"))
+          .map("%02x".format(_)).mkString
+      val memoed = ccMemo.get(memoKey)
+      if (memoed != null) return memoed
       val spark = pairs.sparkSession
       def truncated(df: DataFrame): DataFrame =
         spark.createDataFrame(df.rdd, df.schema)
@@ -294,10 +315,13 @@ object DedupPack extends QueryPack {
         s"clusterPairs did not converge after $iter rounds")
       // the converged edge set is a star per component: every non-min
       // node points at the component minimum
-      e.select(col("u").as("node"), col("v").as("lab"))
+      val labels = e.select(col("u").as("node"), col("v").as("lab"))
         .union(e.select(col("v"), col("v")).distinct()
           .toDF("node", "lab"))
         .groupBy(col("node")).agg(min(col("lab")).as("lab"))
+        .persistTracked
+      ccMemo.put(memoKey, labels)
+      labels
   }
 
   private val dedupCluster = GraftQuery(
