@@ -1,6 +1,7 @@
 package graft.operators
 
 import graft.{GraftQuery, QueryPack}
+import graft.Caches.CachesSyntax
 import graft.media.{Media, MediaFeaturizer}
 import graft.sources.Tables
 import org.apache.spark.sql.functions._
@@ -87,20 +88,29 @@ object MediaPack extends QueryPack {
   // content fingerprint) — the multimodal counterpart of C1, computed
   // from the featurizer's deterministic byte fold so the whole payload
   // never leaves the executor (dedup of 100 TB of media moves 16 bytes
-  // per object, not the object). One shuffle on the fingerprint pair;
-  // dup-group windows are bounded by duplicate multiplicity.
+  // per object, not the object).
   private val mediaDedup = GraftQuery(
     "media_dedup",
     (s, d) => {
-      val wf = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("n_bytes"), col("feat_hash"))
-      MediaFeaturizer.features(Media.synthesize(Tables.documents(s, d)))
+      // group stats via agg + join-back, not a window over the
+      // fingerprint pair: a viral media object (one asset duplicated
+      // across the corpus) combines map-side and its join partition can
+      // skew-split, whereas a window partition cannot (same rule as
+      // DedupPack.withDupFlag).
+      val base = MediaFeaturizer
+        .features(Media.synthesize(Tables.documents(s, d)))
         .toDF()
         .select(col("doc_id"), col("media_type"), col("n_bytes"),
           col("feat_hash"))
-        .withColumn("group_size", count(lit(1)).over(wf))
-        .withColumn("canonical_id", min(col("doc_id")).over(wf))
+        .persistTracked
+      val groups = base.groupBy(col("n_bytes"), col("feat_hash"))
+        .agg(count(lit(1)).as("group_size"),
+          min(col("doc_id")).as("canonical_id"))
+      base.join(groups, Seq("n_bytes", "feat_hash"))
         .withColumn("is_dup", col("doc_id") =!= col("canonical_id"))
+        .select(col("doc_id"), col("media_type"), col("n_bytes"),
+          col("feat_hash"), col("group_size"), col("canonical_id"),
+          col("is_dup"))
         .orderBy(col("doc_id"))
     },
     Some(s"""
