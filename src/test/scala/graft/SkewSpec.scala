@@ -227,6 +227,33 @@ class SkewSpec extends GraftSpec {
     docs.unpersist()
   }
 
+  test("withDupFlag election: a fingerprint shared by 80% of docs combines map-side") {
+    // the viral-duplicate shape the r5 window→agg sweep exists for
+    val docs = spark.range(4000).select(
+      col("id").as("doc_id"),
+      when(pmod(col("id"), lit(10)) < lit((hotShare * 10).toLong),
+        lit("viral"))
+        .otherwise(concat(lit("u"), col("id"))).as("fingerprint"))
+      .persist()
+    val hot = docs.filter(col("fingerprint") === "viral").count()
+    // the election is the aggregation that must combine map-side: the
+    // viral fingerprint reaches its reducer as one partial per map
+    // partition, never as the raw group (the join-back side is
+    // AQE-skew-splittable in production and not measured here, since
+    // the harness disables AQE)
+    val election = docs.groupBy(col("fingerprint"))
+      .agg(min(col("doc_id")).as("c"), count(lit(1)).as("n"))
+    val maxTask = maxTaskShuffleRows { election.collect() }
+    assert(maxTask < hot / 2,
+      s"one task shuffle-read $maxTask rows (viral group has $hot) — " +
+        "dup-flag election is not map-side combining")
+    // and the composed flag is still exact on the skewed input
+    val dups = operators.DedupPack.withDupFlag(docs)
+      .filter(col("is_dup")).count()
+    assert(dups == hot - 1)
+    docs.unpersist()
+  }
+
   test("streaming LSH: a hot bucket of identical docs stays cap-bounded") {
     import spark.implicits._
     val m = 200

@@ -127,6 +127,15 @@ class StreamingDedupSpec extends GraftSpec {
     } finally q.stop()
   }
 
+  test("passage dedup idleTimeout wiring leaves batch semantics unchanged") {
+    import spark.implicits._
+    val boiler = (1 to 32).map(i => s"nav$i").mkString(" ")
+    val docs = Seq((1L, boiler), (2L, boiler)).toDF("doc_id", "text")
+    val got = graft.streaming.StreamingPassageDedup
+      .keepFirstChunks(docs, idleTimeout = Some("1 hour")).collect()
+    assert(got.length == 2 && got.count(_.kept) == 1)
+  }
+
   test("passage dedup batch mode: every occurrence decided, one winner per hash") {
     import spark.implicits._
     val boiler = (1 to 32).map(i => s"nav$i").mkString(" ")
