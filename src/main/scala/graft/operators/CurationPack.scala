@@ -377,12 +377,18 @@ object CurationPack extends QueryPack {
           sum(when(col("is_dup"), lit(1L)).otherwise(lit(0L)))
             .as("dup_docs"))
       val total = grouped.agg(sum(col("n_tokens")).as("total_tokens"))
+      // ppm numerators in DECIMAL: 1e6 · n_tokens overflows int64 once a
+      // cell passes ~9.2e12 tokens — under the 100 TB design point
+      // (~1e13+ tokens). Spark's decimal `div` truncates toward zero and
+      // the oracle's HUGEINT `//` floors — identical on these
+      // non-negative values, still exact integer ppm.
       grouped.crossJoin(broadcast(total))
         .select(col("source"), col("lang"), col("n_docs"),
           col("n_tokens"), col("n_chars"), col("dup_docs"),
-          expr("(1000000 * n_tokens) div total_tokens")
-            .as("token_share_ppm"),
-          expr("(1000000 * n_tokens) div n_docs").as("mean_tokens_ppm"))
+          expr("(CAST(1000000 AS DECIMAL(38,0)) * n_tokens)" +
+            " div total_tokens").as("token_share_ppm"),
+          expr("(CAST(1000000 AS DECIMAL(38,0)) * n_tokens) div n_docs")
+            .as("mean_tokens_ppm"))
         .orderBy(col("source"), col("lang"))
     },
     Some(s"""
@@ -403,10 +409,11 @@ object CurationPack extends QueryPack {
             AS dup_docs
         FROM dd GROUP BY 1, 2)
       SELECT source, lang, n_docs, n_tokens, n_chars, dup_docs,
-        (1000000 * n_tokens)
+        CAST((CAST(1000000 AS HUGEINT) * n_tokens)
           // CAST((SELECT SUM(n_tokens) FROM g) AS BIGINT)
-          AS token_share_ppm,
-        (1000000 * n_tokens) // n_docs AS mean_tokens_ppm
+          AS BIGINT) AS token_share_ppm,
+        CAST((CAST(1000000 AS HUGEINT) * n_tokens) // n_docs AS BIGINT)
+          AS mean_tokens_ppm
       FROM g ORDER BY source, lang
       """))
 

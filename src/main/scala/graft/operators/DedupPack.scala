@@ -242,19 +242,36 @@ object DedupPack extends QueryPack {
     * contraction. Keyed by session + canonicalized input plan; cleared
     * with the cache registry.
     */
-  private val ccMemo =
-    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+  /** Outer key: the SparkSession OBJECT (weak — a stopped session's
+    * entries become collectable, and a new session can never collide
+    * with a dead one the way an identityHashCode key could). Inner key:
+    * the canonicalized input plan. Invalidation contract: the memo is a
+    * REGISTRY-scoped cache like every persistTracked frame — if the
+    * data underneath an identical plan changes (e.g. a parquet path is
+    * rewritten in place), call [[graft.Caches.releaseAll]] before
+    * re-running, exactly as the persisted frames require.
+    */
+  private val ccMemo = java.util.Collections.synchronizedMap(
+    new java.util.WeakHashMap[SparkSession,
+      java.util.concurrent.ConcurrentHashMap[String, DataFrame]]())
   graft.Caches.onRelease(() => ccMemo.clear())
 
   private[graft] def clusterPairs(pairs: DataFrame): DataFrame = {
       val canon = pairs.queryExecution.analyzed.canonicalized
       val memoKey =
-        System.identityHashCode(pairs.sparkSession).toString + "|" +
         canon.semanticHash() + "|" +
         java.security.MessageDigest.getInstance("MD5")
           .digest(canon.toString.getBytes("UTF-8"))
           .map("%02x".format(_)).mkString
-      val memoed = ccMemo.get(memoKey)
+      val sessionMemo = ccMemo.synchronized {
+        var m = ccMemo.get(pairs.sparkSession)
+        if (m == null) {
+          m = new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+          ccMemo.put(pairs.sparkSession, m)
+        }
+        m
+      }
+      val memoed = sessionMemo.get(memoKey)
       if (memoed != null) return memoed
       val spark = pairs.sparkSession
       def truncated(df: DataFrame): DataFrame =
@@ -320,7 +337,7 @@ object DedupPack extends QueryPack {
           .toDF("node", "lab"))
         .groupBy(col("node")).agg(min(col("lab")).as("lab"))
         .persistTracked
-      ccMemo.put(memoKey, labels)
+      sessionMemo.put(memoKey, labels)
       labels
   }
 

@@ -410,27 +410,24 @@ object TextPack extends QueryPack {
       .limit(1)
 
   /** Greedy left-to-right merge of the broadcast (a, b) pair inside
-    * each document's token list: a string fold whose accumulator either
-    * replaces its own `a` tail with `a+b` or appends — the adjacency
-    * check is against the fold's CURRENT tail, so a freshly merged
-    * token (spelled `a+b`, never equal to `a`) can't re-merge, which is
-    * exactly the non-overlapping BPE rule.
+    * each document's token list, via the native codegen'd
+    * [[graft.expressions.MergePair]] kernel: one O(L) JVM loop per
+    * document, replacing the interpreted `aggregate` string fold whose
+    * growing accumulator copied the whole document per token (O(L²)
+    * characters per round — at 9.5 s steady it was the slowest query on
+    * the board, and on a 100k-word document ~10^10 char copies). The
+    * adjacency check is against the CURRENT output tail, so a freshly
+    * merged token (spelled `a+b`, never equal to `a`) can't re-merge —
+    * exactly the non-overlapping BPE rule, property-specced against a
+    * JVM reference and hash-matched against the DuckDB fold oracle.
     */
   private[graft] def bpeMerge(d: org.apache.spark.sql.DataFrame,
       top: org.apache.spark.sql.DataFrame) = {
-    val a = col("a"); val b = col("b")
-    val folded = aggregate(col("w"), lit(""), (acc, t) =>
-      when(acc === "", t)
-        .when(t === b && acc === a, concat(a, lit("+"), b))
-        .when(t === b &&
-            acc.substr(length(acc) - length(a), length(a) + lit(1))
-              === concat(lit(" "), a),
-          concat(acc.substr(lit(1), length(acc) - length(a)),
-            a, lit("+"), b))
-        .otherwise(concat(acc, lit(" "), t)))
+    import org.apache.spark.sql.GraftColumnBridge.{column, expression}
     d.crossJoin(broadcast(top))
       .select(col("doc_id"),
-        filter(split(folded, " "), x => length(x) > 0).as("w"))
+        column(graft.expressions.MergePair(expression(col("w")),
+          expression(col("a")), expression(col("b")))).as("w"))
   }
 
   private val bpeTrain = GraftQuery(
@@ -477,10 +474,12 @@ object TextPack extends QueryPack {
         (SELECT a || ' ' || b FROM t1) AS pair,
         (SELECT cnt FROM t1) AS cnt,
         (SELECT CAST(SUM(len(w)) AS BIGINT) FROM d1) AS tokens_after
+      WHERE EXISTS (SELECT 1 FROM t1)
       UNION ALL
       SELECT CAST(2 AS BIGINT),
         (SELECT a || ' ' || b FROM t2), (SELECT cnt FROM t2),
         (SELECT CAST(SUM(len(w)) AS BIGINT) FROM d2)
+      WHERE EXISTS (SELECT 1 FROM t2)
       ORDER BY round
       """))
 

@@ -27,9 +27,16 @@ object TrainingShards {
     * payload columns) under `outDir`; returns the manifest.
     */
   def write(packed: DataFrame, outDir: String): DataFrame = {
+    // Sort by the partition columns FIRST: FileFormatWriter's required
+    // ordering is (lang, shard_id), and a sort that doesn't satisfy it
+    // gets an extra writer-injected local sort on just those columns —
+    // after which doc_id order among equal keys would hinge on sort
+    // stability Spark does not guarantee. Leading with them satisfies
+    // the writer (no injected sort), making the per-file doc_id order
+    // contractual (spec-asserted intra-file).
     packed
       .repartition(col("lang"), col("shard_id"))
-      .sortWithinPartitions(col("doc_id"))
+      .sortWithinPartitions(col("lang"), col("shard_id"), col("doc_id"))
       .write.mode("overwrite")
       .partitionBy("lang", "shard_id")
       .parquet(s"$outDir/data")

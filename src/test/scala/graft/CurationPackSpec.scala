@@ -106,6 +106,13 @@ class CurationPackSpec extends GraftSpec {
       val files = d.listFiles().filter(_.getName.endsWith(".parquet"))
       assert(files.length == 1,
         s"${d.getName}: ${files.length} files — shard not single-task")
+      // intra-file doc_id order: the layout a loader streams sequentially.
+      // read the single file directly (not the partitioned root) so row
+      // order is the file's physical order
+      val inFile = spark.read.parquet(files.head.getAbsolutePath)
+        .select("doc_id").collect().map(_.getLong(0))
+      assert(inFile.sameElements(inFile.sorted),
+        s"${d.getName}: rows not in doc_id order within the shard file")
     }
     // manifest reconciles with an independent recompute
     val want = packed.groupBy(col("lang"), col("shard_id"))
