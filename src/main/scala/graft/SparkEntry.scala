@@ -39,6 +39,13 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     registry.map { case (n, q) => n -> q.fn }
 
+  /** Named builders for the packs' cross-query shared caches, in pack
+    * declaration order — the benchmark's explicit warmup phase (see
+    * [[QueryPack.warm]]).
+    */
+  def warmups: Seq[(String, (SparkSession, String) => DataFrame)] =
+    packs.flatMap(_.warm)
+
   /** DuckDB-runnable oracle SQL for each oracle-verifiable query. */
   def oracleSql: Map[String, String] =
     registry.collect { case (n, q) if q.oracle.isDefined =>

@@ -420,31 +420,42 @@ object AnnPack extends QueryPack {
   // construction), then exact cosine on the (label, cell) equi-join.
   // The oracle brute-forces every within-label pair independently.
   private[graft] val rangeTau = 0.3
+
+  /** The D6 radius-search body at an arbitrary threshold, shared with
+    * C10's semantic_dedup (which runs it at the 0.45 NEAR-DUP τ, not
+    * D6's 0.3 range-demo τ — cos 0.3 is not a dup verdict, and at 0.3
+    * the pair graph is ~100× denser, which round 5 paid for in a 167 s
+    * connected-components build). Higher τ also prunes harder BEFORE
+    * the join: the UB ≥ τ probe filter drops whole cells.
+    */
+  private[graft] def rangePairs(s: SparkSession, d: String,
+      tau: Double): DataFrame = {
+    val (centR, lists) = labelCells(s, d)
+    val probes = lists.drop("cell")
+      .join(broadcast(centR), Seq("label"))
+      .withColumn("qang", clampedAngle(
+        Vectors.cosine(col("v"), col("cv"), col("nrm"), col("cnrm"))))
+      .withColumn("ub",
+        cos(greatest(lit(0.0), col("qang") - col("r"))) + lit(boundEps))
+      .filter(col("ub") >= tau)
+      .select(col("vec_id"), col("label"), col("c_cell"),
+        col("v").as("qv"), col("nrm").as("qn"))
+    probes
+      .join(lists.select(col("label"), col("cell").as("c_cell"),
+          col("vec_id").as("nn_id"), col("v").as("vb"),
+          col("nrm").as("nrmb")),
+        Seq("label", "c_cell"))
+      .filter(col("vec_id") < col("nn_id"))
+      .withColumn("cos_sim",
+        Vectors.cosine(col("qv"), col("vb"), col("qn"), col("nrmb")))
+      .filter(col("cos_sim") >= tau)
+      .select(col("vec_id"), col("nn_id"), col("label"), col("cos_sim"))
+  }
+
   private val annRange = GraftQuery(
     "ann_range_search",
-    (s, d) => {
-      val (centR, lists) = labelCells(s, d)
-      val probes = lists.drop("cell")
-        .join(broadcast(centR), Seq("label"))
-        .withColumn("qang", clampedAngle(
-          Vectors.cosine(col("v"), col("cv"), col("nrm"), col("cnrm"))))
-        .withColumn("ub",
-          cos(greatest(lit(0.0), col("qang") - col("r"))) + lit(boundEps))
-        .filter(col("ub") >= rangeTau)
-        .select(col("vec_id"), col("label"), col("c_cell"),
-          col("v").as("qv"), col("nrm").as("qn"))
-      probes
-        .join(lists.select(col("label"), col("cell").as("c_cell"),
-            col("vec_id").as("nn_id"), col("v").as("vb"),
-            col("nrm").as("nrmb")),
-          Seq("label", "c_cell"))
-        .filter(col("vec_id") < col("nn_id"))
-        .withColumn("cos_sim",
-          Vectors.cosine(col("qv"), col("vb"), col("qn"), col("nrmb")))
-        .filter(col("cos_sim") >= rangeTau)
-        .select(col("vec_id"), col("nn_id"), col("label"), col("cos_sim"))
-        .orderBy(col("vec_id"), col("nn_id"))
-    },
+    (s, d) => rangePairs(s, d, rangeTau)
+      .orderBy(col("vec_id"), col("nn_id")),
     Some(s"""
       WITH $vecsSql,
       pr AS (SELECT a.vec_id, b.vec_id AS nn_id, a.label,
@@ -839,4 +850,13 @@ object AnnPack extends QueryPack {
   override val queries: Seq[GraftQuery] =
     Seq(annBrute, annLsh, knnJoin, dedupEmbedding, annIvf, annIvfKmeans,
       annRange, embeddingQuantize, annQuantized)
+
+  /** Cross-query shared working sets (see [[graft.QueryPack.warm]]):
+    * the (label, cell) inverted lists feed D3/C5/D6 + C10's rangePairs,
+    * and the exact-bound candidate pairs feed D3/C5.
+    */
+  override def warm: Seq[(String, (SparkSession, String) => DataFrame)] =
+    Seq(
+      "ann_label_cells" -> ((s, d) => labelCells(s, d)._2),
+      "ann_cand_pairs" -> ((s, d) => labelCandPairs(s, d)))
 }

@@ -516,4 +516,11 @@ object CloudFrontPack extends QueryPack {
     Seq(cfParse, cfParseConfig, cfHeaders, cfMelt, qBytesByEdge,
       qTimestreamHeadline,
       cfCacheHitRatio, cfStatusClasses, cfTopUris, cfLatencyPercentiles)
+
+  /** Cross-query shared working set (see [[graft.QueryPack.warm]]): the
+    * parse-once columnar view every CF metric query reads.
+    */
+  override def warm: Seq[(String,
+      (SparkSession, String) => DataFrame)] =
+    Seq("cf_parsed" -> ((s, d) => parsedCached(s, d)))
 }

@@ -256,6 +256,13 @@ object DedupPack extends QueryPack {
       java.util.concurrent.ConcurrentHashMap[String, DataFrame]]())
   graft.Caches.onRelease(() => ccMemo.clear())
 
+  /** Rounds the most recent NON-memoized [[clusterPairs]] run took —
+    * spec observability for the CC-MR O(log) convergence claim (a
+    * label-propagation regression needs diameter rounds and would blow
+    * straight through the cap on a long chain).
+    */
+  @volatile private[graft] var lastCcRounds: Int = -1
+
   private[graft] def clusterPairs(pairs: DataFrame): DataFrame = {
       val canon = pairs.queryExecution.analyzed.canonicalized
       val memoKey =
@@ -330,6 +337,7 @@ object DedupPack extends QueryPack {
       // is not a pair graph at all.
       require(stable,
         s"clusterPairs did not converge after $iter rounds")
+      lastCcRounds = iter
       // the converged edge set is a star per component: every non-min
       // node points at the component minimum
       val labels = e.select(col("u").as("node"), col("v").as("lab"))
@@ -697,18 +705,63 @@ object DedupPack extends QueryPack {
   // already-bounded ones (LSH buckets / IVF cells — never all-pairs),
   // the union is pair-scale, and the per-doc verdict is a left join of
   // the corpus against the component labels.
+  /** C10's embedding-pair threshold: the 0.45 NEAR-DUP τ (C5's), not
+    * D6's 0.3 range-search demo τ — a dedup verdict at cos ≥ 0.3 would
+    * flag half of any real corpus as "semantic dups", and the 0.3 pair
+    * graph is ~100× denser (measured at sf0.1: 1449 edges vs 15), which
+    * the round-5 CC build paid 167 s cold for.
+    */
+  private[graft] val semanticTau = 0.45
+
   private val semanticDedup = GraftQuery(
     "semantic_dedup",
     (s, d) => {
       val mh = minhashPairs(s, d).select(col("doc_a"), col("doc_b"))
-      val em = AnnPack.queries.find(_.name == "ann_range_search").get
-        .fn(s, d)
+      val em = AnnPack.rangePairs(s, d, semanticTau)
         .select(col("vec_id").as("doc_a"), col("nn_id").as("doc_b"))
-      val labels = clusterPairs(mh.union(em).distinct())
+      // Pre-contract exact-duplicate stars out of the union graph before
+      // the CC loop: docs with ≥ 3 words sharing a text fingerprint are
+      // pairwise connected in the minhash graph already (identical
+      // shingle sets ⇒ identical signatures ⇒ jaccard 1 ≥ τ), so mapping
+      // every edge endpoint to its group minimum preserves components
+      // EXACTLY while deleting the C(k,2) clique edges a viral k-way
+      // duplicate group would otherwise drag through every contraction
+      // round. Restricted to ≥ 3 words because only those docs shingle —
+      // a 2-word exact pair is NOT in the minhash graph, and contracting
+      // it would diverge from the oracle's closure over the real edges.
+      val repOf = {
+        val fps = Tables.documents(s, d)
+          .select(col("doc_id"),
+            md5(normText(col("text"))).as("fingerprint"),
+            size(words(col("text"))).as("__nw"))
+          .filter(col("__nw") >= 3)
+          .select(col("doc_id"), col("fingerprint"))
+        fps.join(
+            fps.groupBy(col("fingerprint"))
+              .agg(min(col("doc_id")).as("rep"), count(lit(1)).as("__n"))
+              .filter(col("__n") >= 2)
+              .select(col("fingerprint"), col("rep")),
+            "fingerprint")
+          .filter(col("doc_id") =!= col("rep"))
+          .select(col("doc_id"), col("rep"))
+      }
+      val edges = mh.union(em)
+        .join(repOf.select(col("doc_id").as("doc_a"), col("rep").as("ra")),
+          Seq("doc_a"), "left")
+        .join(repOf.select(col("doc_id").as("doc_b"), col("rep").as("rb")),
+          Seq("doc_b"), "left")
+        .select(coalesce(col("ra"), col("doc_a")).as("doc_a"),
+          coalesce(col("rb"), col("doc_b")).as("doc_b"))
+      // clusterPairs dedups and drops self-loops itself; labels are per
+      // contracted node, expanded back through the rep map (a non-rep
+      // group member's component min is its rep's — the rep is the
+      // group's min and every member exceeds it).
+      val labels = clusterPairs(edges)
       Tables.documents(s, d).select(col("doc_id"))
-        .join(labels.select(col("node").as("doc_id"), col("lab")),
-          Seq("doc_id"), "left")
-        .withColumn("cluster_id", coalesce(col("lab"), col("doc_id")))
+        .join(repOf, Seq("doc_id"), "left")
+        .withColumn("node", coalesce(col("rep"), col("doc_id")))
+        .join(labels.select(col("node"), col("lab")), Seq("node"), "left")
+        .withColumn("cluster_id", coalesce(col("lab"), col("node")))
         .withColumn("is_dup", col("doc_id") =!= col("cluster_id"))
         .select(col("doc_id"), col("cluster_id"), col("is_dup"))
         .orderBy(col("doc_id"))
@@ -719,7 +772,7 @@ object DedupPack extends QueryPack {
       epairs AS (SELECT a.vec_id AS doc_a, b.vec_id AS doc_b
         FROM n a JOIN n b ON a.label = b.label AND a.vec_id < b.vec_id
         WHERE round(${graft.functions.Vectors.sql.dot("a.v", "b.v")}
-            / (a.nrm * b.nrm), 6) >= ${AnnPack.rangeTau}),
+            / (a.nrm * b.nrm), 6) >= $semanticTau),
       allp AS (SELECT doc_a, doc_b FROM pairs
                UNION SELECT doc_a, doc_b FROM epairs),
       nodes AS (SELECT doc_a AS node FROM allp
@@ -742,4 +795,16 @@ object DedupPack extends QueryPack {
   override val queries: Seq[GraftQuery] =
     Seq(dedupExact, dedupMinhash, dedupCluster, ngramJaccard, decontaminate,
       passageDedup, boilerplateStrip, semanticDedup)
+
+  /** Cross-query shared working sets (see [[graft.QueryPack.warm]]):
+    * the hashed-shingle table feeds C2/C4/C7 (+C6/C10 through the pair
+    * frame), the verified MinHash pairs feed C2/C6/C10, and the passage
+    * chunk table feeds C8/C9.
+    */
+  override def warm: Seq[(String, (SparkSession, String) => DataFrame)] =
+    Seq(
+      "dedup_shingled" -> ((s, d) => shingled(s, d)),
+      "dedup_minhash_pairs" -> ((s, d) => minhashPairs(s, d)),
+      "dedup_passage_chunks" -> ((s, d) =>
+        passageChunks(Tables.parallelized(Tables.documents(s, d)))))
 }

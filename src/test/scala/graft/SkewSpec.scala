@@ -254,6 +254,48 @@ class SkewSpec extends GraftSpec {
     docs.unpersist()
   }
 
+  test("clusterPairs: star-burst + long chain — degree-bounded tasks, log rounds") {
+    // one super-node owning 80% of all edges (the viral-duplicate hub)
+    // UNION a 2000-edge chain (the worst diameter shape): the two
+    // pathologies CC-MR must survive at once. A transitive-closure
+    // squaring would shuffle ~degree² rows for the hub; min-label
+    // propagation (the r2 implementation) needs diameter rounds and
+    // would blow through the 32-round cap on the chain.
+    val starEdges = 8000L
+    val chainEdges = 2000L
+    val star = spark.range(1, starEdges + 1)
+      .select(lit(0L).as("u"), col("id").as("v"))
+    val chainBase = 1000000L // chain node ids disjoint from the star's
+    val chain = spark.range(chainEdges)
+      .select((col("id") + chainBase).as("u"),
+        (col("id") + chainBase + 1).as("v"))
+    val edges = star.union(chain).persist()
+    edges.count()
+    operators.DedupPack.lastCcRounds = -1
+    var labels: Array[(Long, Long)] = Array.empty
+    val maxTask = maxTaskShuffleRows {
+      labels = operators.DedupPack.clusterPairs(edges).collect()
+        .map(r => r.getLong(0) -> r.getLong(1))
+    }
+    // per-task shuffle reads stay proportional to the hub's DEGREE —
+    // never degree² (closure squaring) and never accumulated across
+    // rounds (CC-MR's star emission keeps the edge set linear)
+    assert(maxTask <= 2L * starEdges,
+      s"one task shuffle-read $maxTask rows (hub degree $starEdges) — " +
+        "contraction shuffled more than the degree bound")
+    // O(log) rounds despite the 2000-hop diameter
+    val rounds = operators.DedupPack.lastCcRounds
+    assert(rounds > 0 && rounds <= 20,
+      s"converged in $rounds rounds — not the O(log) contraction")
+    // and the labels are exactly the two components' minima
+    val m = labels.toMap
+    assert(m.size == (starEdges + chainEdges + 2).toInt)
+    (1L to starEdges).foreach(i => assert(m(i) == 0L))
+    (chainBase to chainBase + chainEdges).foreach(i =>
+      assert(m(i) == chainBase))
+    edges.unpersist()
+  }
+
   test("streaming LSH: a hot bucket of identical docs stays cap-bounded") {
     import spark.implicits._
     val m = 200
