@@ -615,27 +615,11 @@ object AnnPack extends QueryPack {
       .select(col("query_id"), col("qv"), col("qn"), col("cell"))
   }
 
-  private val annIvfKmeans = GraftQuery(
-    "ann_ivf_kmeans",
-    (s, d) => {
-      val n = vecs(s, d)
-      val corpus = kmCorpus(n.filter(pmod(col("vec_id"), lit(50)) =!= 0))
-      val cent = kmCentroids(corpus)
-      val lists = kmAssign(corpus, cent)
-      val q = n.filter(pmod(col("vec_id"), lit(50)) === 0)
-        .select(col("vec_id").as("query_id"), col("v").as("qv"),
-          col("nrm").as("qn"))
-        .withColumn("qq", Vectors.dot(col("qv"), col("qv")))
-      val probed = kmProbe(q, cent)
-      val pairs = lists.join(n.select(col("vec_id"), col("nrm")), "vec_id")
-        .join(broadcast(probed), Seq("cell"))
-        .withColumn("cos_sim",
-          Vectors.cosine(col("qv"), col("v"), col("qn"), col("nrm")))
-        .select(col("query_id"), col("vec_id"), col("cell"), col("cos_sim"))
-      topKPerQuery(pairs, K, Seq("cell"))
-        .orderBy(col("query_id"), col("rank"))
-    },
-    Some(s"""
+  /** D5's oracle — shared verbatim by `ann_index_search` (D9): the
+    * persisted index is trained with the IDENTICAL deterministic
+    * k-means, so searching it must hash-match the in-query result.
+    */
+  private lazy val ivfKmeansOracle: String = s"""
       WITH $vecsSql,
       corpus AS (SELECT vec_id, label, v, nrm,
           ${Vectors.sql.dot("v", "v")} AS vv
@@ -695,7 +679,67 @@ object AnnPack extends QueryPack {
           ORDER BY cos_sim DESC, vec_id) AS rank FROM pr2)
       SELECT query_id, rank, vec_id, cos_sim, cell
       FROM r WHERE rank <= $K ORDER BY query_id, rank
-      """))
+      """
+
+  private val annIvfKmeans = GraftQuery(
+    "ann_ivf_kmeans",
+    (s, d) => {
+      val n = vecs(s, d)
+      val corpus = kmCorpus(n.filter(pmod(col("vec_id"), lit(50)) =!= 0))
+      val cent = kmCentroids(corpus)
+      val lists = kmAssign(corpus, cent)
+      val q = n.filter(pmod(col("vec_id"), lit(50)) === 0)
+        .select(col("vec_id").as("query_id"), col("v").as("qv"),
+          col("nrm").as("qn"))
+        .withColumn("qq", Vectors.dot(col("qv"), col("qv")))
+      val probed = kmProbe(q, cent)
+      val pairs = lists.join(n.select(col("vec_id"), col("nrm")), "vec_id")
+        .join(broadcast(probed), Seq("cell"))
+        .withColumn("cos_sim",
+          Vectors.cosine(col("qv"), col("v"), col("qn"), col("nrm")))
+        .select(col("query_id"), col("vec_id"), col("cell"), col("cos_sim"))
+      topKPerQuery(pairs, K, Seq("cell"))
+        .orderBy(col("query_id"), col("rank"))
+    },
+    Some(ivfKmeansOracle))
+
+  /** Memoized on-disk artifacts keyed by input dir: the index content
+    * is a deterministic function of the (immutable) testdata, so a
+    * second query invocation in the same JVM searches the already-built
+    * index — the build-once/query-many usage D9 exists for. Cleared
+    * with the cache registry ([[graft.Caches.releaseAll]]), the same
+    * invalidation contract as every registry-scoped memo.
+    */
+  private val indexDirs =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  graft.Caches.onRelease(() => indexDirs.clear())
+
+  // D9 through the driver gate — the cf_parse_config pattern: the
+  // artifact-driven path (train + persist the IVF index, then SEARCH the
+  // parquet postings with static partition pruning) must hash-match the
+  // in-query D5 oracle, proving the persisted index IS the
+  // oracle-verified quantizer. The index builds once per (JVM, dataset);
+  // repeat invocations only search.
+  private val annIndexSearch = GraftQuery(
+    "ann_index_search",
+    (s, d) => {
+      val path = indexDirs.computeIfAbsent(d, _ => {
+        val dir = java.nio.file.Files
+          .createTempDirectory("graft_ann_index").toString
+        graft.sources.AnnIndex.write(
+          Tables.embeddings(s, d)
+            .filter(pmod(col("vec_id"), lit(50)) =!= 0)
+            .select(col("vec_id"), col("embedding")),
+          dir, k = kmK, iters = kmIters)
+        dir
+      })
+      graft.sources.AnnIndex.search(s, path,
+        Tables.embeddings(s, d)
+          .filter(pmod(col("vec_id"), lit(50)) === 0)
+          .select(col("vec_id"), col("embedding")),
+        k = K, nprobe = nprobe)
+    },
+    Some(ivfKmeansOracle))
 
   // D7 — int8 symmetric quantization of the embedding column: the
   // standard 4x memory/bandwidth cut for the vector working set before
@@ -849,7 +893,7 @@ object AnnPack extends QueryPack {
 
   override val queries: Seq[GraftQuery] =
     Seq(annBrute, annLsh, knnJoin, dedupEmbedding, annIvf, annIvfKmeans,
-      annRange, embeddingQuantize, annQuantized)
+      annRange, embeddingQuantize, annQuantized, annIndexSearch)
 
   /** Cross-query shared working sets (see [[graft.QueryPack.warm]]):
     * the (label, cell) inverted lists feed D3/C5/D6 + C10's rangePairs,

@@ -118,14 +118,11 @@ object CurationPack extends QueryPack {
         col("cum_tokens"), col("shard_id"))
   }
 
-  private val shardPack = GraftQuery(
-    "shard_pack",
-    (s, d) => packShards(
-        Tables.documents(s, d)
-          .select(col("doc_id"), col("lang"),
-            size(words(col("text"))).as("n_tokens")))
-      .orderBy(col("doc_id")),
-    Some(s"""
+  /** H2's oracle — shared verbatim by `shards_roundtrip` (H8): the
+    * persisted shard layout must read back as EXACTLY the packing it
+    * was written from.
+    */
+  private val shardPackOracle: String = s"""
       WITH t AS (
         SELECT doc_id, lang, len(${Portable.sql.words}) AS n_tokens
         FROM documents),
@@ -138,7 +135,50 @@ object CurationPack extends QueryPack {
       SELECT doc_id, lang, n_tokens, cum_tokens,
         (cum_tokens - n_tokens) // $shardBudget AS shard_id
       FROM c ORDER BY doc_id
-      """))
+      """
+
+  /** The H2 packing input over a dataset dir — shared by H2 and H8. */
+  private def packedDocs(s: org.apache.spark.sql.SparkSession, d: String) =
+    packShards(
+      Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"),
+          size(words(col("text"))).as("n_tokens")))
+
+  private val shardPack = GraftQuery(
+    "shard_pack",
+    (s, d) => packedDocs(s, d).orderBy(col("doc_id")),
+    Some(shardPackOracle))
+
+  /** Memoized on-disk shard stores keyed by input dir (the testdata is
+    * immutable and the layout deterministic); cleared with the cache
+    * registry — the same invalidation contract as every registry memo.
+    */
+  private val shardDirs =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  graft.Caches.onRelease(() => shardDirs.clear())
+
+  // H8 through the driver gate — the cf_parse_config pattern: land the
+  // packing as physical training shards (TrainingShards.write: one
+  // doc_id-ordered file per (lang, shard_id) + manifest), read the data
+  // tree back, and hash-match H2's oracle — the persisted layout is
+  // provably lossless. shard_id comes back as a parquet partition
+  // column (int-inferred), cast back to the written long.
+  private val shardsRoundtrip = GraftQuery(
+    "shards_roundtrip",
+    (s, d) => {
+      val path = shardDirs.computeIfAbsent(d, _ => {
+        val dir = java.nio.file.Files
+          .createTempDirectory("graft_shards").toString
+        graft.sources.TrainingShards.write(packedDocs(s, d), dir)
+        dir
+      })
+      s.read.parquet(s"$path/data")
+        .select(col("doc_id"), col("lang"), col("n_tokens"),
+          col("cum_tokens"),
+          col("shard_id").cast(LongType).as("shard_id"))
+        .orderBy(col("doc_id"))
+    },
+    Some(shardPackOracle))
 
   // ---- H3: the composed curation decision ----
   // One pass deciding keep/drop per document: token-length band, exact-
@@ -419,5 +459,5 @@ object CurationPack extends QueryPack {
 
   override val queries: Seq[GraftQuery] =
     Seq(sampleStratified, shardPack, curationFilter, curationPipeline,
-      splitAssign, mixSources, sourceReport)
+      splitAssign, mixSources, sourceReport, shardsRoundtrip)
 }
