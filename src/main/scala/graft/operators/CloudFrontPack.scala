@@ -192,14 +192,28 @@ object CloudFrontPack extends QueryPack {
   private val cfParseConfig = GraftQuery(
     "cf_parse_config",
     (s, d) => {
-      val cfg = java.nio.file.Files.createTempFile("graft-fieldmap", ".json")
-      val in = getClass.getResourceAsStream(
-        "/graft/cf_realtime_log_field_mappings.json")
-      require(in != null, "bundled field-mapping config not on classpath")
-      try java.nio.file.Files.copy(in, cfg,
-        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-      finally in.close()
-      val mappings = CloudFrontLogs.loadFieldMappings(cfg.toString)
+      // SPARK_GRAFT_FIELDMAP points the parser at an ops-edited mapping
+      // file end-to-end (the reference's deploy-time config knob,
+      // log-processor/lambda_function.py:23-28); unset, the bundled
+      // copy of the reference's config exercises the identical loader.
+      val path = sys.env.get("SPARK_GRAFT_FIELDMAP") match {
+        case Some(p) =>
+          require(java.nio.file.Files.isReadable(java.nio.file.Paths.get(p)),
+            s"SPARK_GRAFT_FIELDMAP=$p is not a readable file")
+          p
+        case None =>
+          val cfg =
+            java.nio.file.Files.createTempFile("graft-fieldmap", ".json")
+          val in = getClass.getResourceAsStream(
+            "/graft/cf_realtime_log_field_mappings.json")
+          require(in != null,
+            "bundled field-mapping config not on classpath")
+          try java.nio.file.Files.copy(in, cfg,
+            java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+          finally in.close()
+          cfg.toString
+      }
+      val mappings = CloudFrontLogs.loadFieldMappings(path)
       parseRollup(CloudFrontLogs.parse(
         synthLines(Tables.parallelized(Tables.events(s, d))),
         mappings = mappings))
