@@ -292,7 +292,12 @@ object AnnPack extends QueryPack {
         .agg(transform(array_sort(collect_list(struct(col("j"), col("c")))),
           e => e.getField("c")).as("cv"))
         .withColumn("cnrm", Vectors.norm(col("cv")))
-    val cent = recenter(assignTo(seeds))
+    // cent is ≤ maxCells·|labels| rows but its plan is a full two-pass
+    // (assign + recenter) over the corpus, and it fans into THREE
+    // branches per consumer (lists, radii, the probe-side broadcast in
+    // centR) — without the persist each branch re-runs the passes
+    // (no cross-branch CSE).
+    val cent = recenter(assignTo(seeds)).persistTracked
     // lists fans into 3+ branches (LB, radii, probes, candidate join)
     // per query and Spark has no cross-branch CSE; the frame is a few
     // MB per 10k vectors, so materializing beats recomputing the
@@ -686,7 +691,12 @@ object AnnPack extends QueryPack {
     (s, d) => {
       val n = vecs(s, d)
       val corpus = kmCorpus(n.filter(pmod(col("vec_id"), lit(50)) =!= 0))
-      val cent = kmCentroids(corpus)
+      // kmK rows, but the plan behind them is two full Lloyd rounds
+      // over the corpus, and cent feeds BOTH the list assignment and
+      // the probe ranking — persist so the quantizer trains once per
+      // session (the D9 index write is this same materialize-the-
+      // quantizer pattern, persisted to parquet instead)
+      val cent = kmCentroids(corpus).persistTracked
       val lists = kmAssign(corpus, cent)
       val q = n.filter(pmod(col("vec_id"), lit(50)) === 0)
         .select(col("vec_id").as("query_id"), col("v").as("qv"),
