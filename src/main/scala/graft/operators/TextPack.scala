@@ -173,16 +173,18 @@ object TextPack extends QueryPack {
       """))
 
   // E4 — document fingerprinting: md5 of the canonical normal form plus a
-  // base-31 polynomial rolling hash mod P over its characters (the
-  // portable stand-in for a Rabin fingerprint; char-level fold, exact
-  // int64 arithmetic in both engines).
+  // base-31 polynomial rolling hash mod P over its code points (the
+  // portable stand-in for a Rabin fingerprint) via the native codegen'd
+  // PolyHash31 kernel — one JVM loop over the raw UTF-8 bytes, replacing
+  // an interpreted per-CHARACTER aggregate fold (the E8-merge
+  // anti-pattern class: CodegenFallback lambda + a single-char string
+  // materialized per character). Exact int64 arithmetic in both engines.
   private val fingerprint = GraftQuery(
     "fingerprint",
     (s, d) => {
+      import org.apache.spark.sql.GraftColumnBridge.{column, expression}
       val norm = normText(col("text"))
-      val chars = filter(split(norm, ""), c => length(c) > 0)
-      val poly = aggregate(chars, lit(0L),
-        (h, c) => pmod(h * 31 + ascii(c), lit(P)))
+      val poly = column(graft.expressions.PolyHash31(expression(norm)))
       Tables.documents(s, d).select(
           col("doc_id"),
           md5(norm).as("fp_md5"),

@@ -32,6 +32,32 @@ class PropertySpec extends GraftSpec {
     }
   }
 
+  test("polyhash31 equals the interpreted char fold and a JVM reference") {
+    import spark.implicits._
+    import org.apache.spark.sql.GraftColumnBridge.{column, expression}
+    // unicode-heavy strings: multi-byte code points exercise the raw
+    // UTF-8 decode against split("")+ascii() code-point semantics
+    val gen = Gen.listOfN(40, Gen.listOf(Gen.frequency(
+      8 -> Gen.asciiPrintableChar.map(_.toString),
+      1 -> Gen.oneOf("é", "ß", "中", "文", "𝄞"),
+      1 -> Gen.const(" "))).map(_.mkString).suchThat(_.length < 60))
+    val strs = (gen.sample.getOrElse(Seq("fallback")) ++
+      Seq("", " ", "abc", "中 文 𝄞")).distinct
+    val P = graft.functions.Portable.P
+    val df = strs.toDF("s").select(col("s"),
+      column(graft.expressions.PolyHash31(expression(col("s"))))
+        .as("native"),
+      aggregate(filter(split(col("s"), ""), c => length(c) > 0), lit(0L),
+        (h, c) => pmod(h * 31 + ascii(c), lit(P))).as("fold"))
+    df.collect().foreach { r =>
+      val s = r.getString(0)
+      val jvm = s.codePoints().toArray
+        .foldLeft(0L)((h, cp) => (31L * h + cp) % P)
+      assert(r.getLong(1) == jvm, s"native vs JVM for '$s'")
+      assert(r.getLong(2) == jvm, s"fold vs JVM for '$s'")
+    }
+  }
+
   test("simhash is word-order invariant and respects hamming triangle") {
     val words = Gen.listOf(Gen.oneOf("a", "bb", "ccc", "dd dd", "e!",
       "word", "table", "spark"))
