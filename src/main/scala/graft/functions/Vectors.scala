@@ -21,8 +21,15 @@ import org.apache.spark.sql.types._
   */
 object Vectors {
 
-  /** Float array column → double array (element-exact widening). */
-  def toDouble(v: Column): Column = transform(v, x => x.cast(DoubleType))
+  /** Float array column → double array (element-exact widening) via the
+    * native array Cast — codegen'd, unlike `transform(v, _.cast(...))`,
+    * which is a CodegenFallback higher-order function evaluated per
+    * element on the interpreted expression tree (this feeds EVERY
+    * similarity query's scan, so the widening must not be the slow
+    * part). Same element-wise float→double widening, bit-exact.
+    */
+  def toDouble(v: Column): Column =
+    v.cast(ArrayType(DoubleType))
 
   /** Sequential left-fold dot product of two double-array columns.
     * Delegates to the native codegen'd [[graft.expressions.DotProduct]]

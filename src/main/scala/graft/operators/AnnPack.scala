@@ -764,7 +764,7 @@ object AnnPack extends QueryPack {
   // quantized codes proves byte-identical quantization end-to-end;
   // q_l1/q_max/q_min are exact integer summaries.
   private[graft] def quantizeOver(embs: DataFrame): DataFrame = {
-    val x = transform(col("embedding"), v => v.cast(DoubleType))
+    val x = Vectors.toDouble(col("embedding"))
     val base = embs
       .select(col("vec_id"), x.as("x"))
       .withColumn("amax", array_max(transform(col("x"), v => abs(v))))
