@@ -102,8 +102,12 @@ object TextPack extends QueryPack {
       val nChars = length(col("text"))
       def ppm(numer: Column, denom: Column): Column =
         floor(numer.cast(DoubleType) * 1000000.0 / denom)
+      // sum(len(w)) via the codegen'd identity over the single-space
+      // join — tokens carry no whitespace, so len(concat_ws(' ', w)) =
+      // Σlen + (n-1); the aggregate-fold spelling is an interpreted
+      // per-element lambda (the E4/E8 anti-pattern class)
       val meanWlPpm = ppm(
-        aggregate(col("w"), lit(0L), (acc, x) => acc + length(x)), nWords)
+        length(concat_ws(" ", col("w"))) - (nWords - 1), nWords)
       val alphaPpm = ppm(
         nChars - length(regexp_replace(col("text"), "[a-zA-Z]", "")), nChars)
       val stopSet = array(profiles.head._2.map(lit): _*)
