@@ -1,0 +1,164 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scale-behavior smoke: replicate the sf0.1 tables K× with
+  * DISTRIBUTION-PRESERVING mutations, run the shuffle-heavy operators
+  * at 1× and K×, and report wall-time ratios. The question this
+  * answers is the 100 TB one: does any operator scale SUPER-linearly
+  * (quadratic pair generation, diameter-bound iteration, hot-key
+  * serialization) when the data grows but its shape doesn't?
+  *
+  * Replication is shape-faithful, not a naive copy:
+  *  - documents: every word gets a replica suffix, so replicas share
+  *    ZERO shingles — corpus grows K× with the same near-dup density
+  *    (a naive copy would create K-way exact-dup cliques, i.e. K²
+  *    pair blowup BY CONSTRUCTION of the data, not the algorithm).
+  *  - embeddings: labels get a replica suffix — K× more blocks of the
+  *    SAME size, the way a real corpus grows (vectors unchanged).
+  *  - events: user ids offset per replica — K× more users with the
+  *    same per-user event density.
+  *
+  * Usage: runMain graft.ScaleSmoke [K] [baseDir] — writes the scaled
+  * tables under target/scale/x<K>/ (rebuilt only if absent), prints
+  * one JSON line per operator and a final summary line, and lands the
+  * whole report in SPARK_GRAFT_SCALE_OUT (default scale_out.json).
+  */
+object ScaleSmoke {
+
+  /** The shuffle/pair/iteration-heavy registry queries worth scaling —
+    * each stresses a distinct scale mechanism.
+    */
+  private val targets = Seq(
+    "dedup_exact",       // fingerprint agg + join-back
+    "dedup_minhash",     // LSH banding + bucket self-join + verify
+    "dedup_cluster",     // CC-MR contraction loop (O(log) rounds)
+    "semantic_dedup",    // union graph + pre-contraction + CC
+    "ngram_jaccard",     // bounded-collect inverted index
+    "dedup_simhash",     // multi-probe banding
+    "passage_dedup",     // chunk explode + winner election
+    "boilerplate_strip", // chunk df via two aggs
+    "decontaminate",     // broadcast eval-side containment
+    "knn_join",          // IVF cells + bounded top-k
+    "ann_range_search",  // UB-pruned radius pairs
+    "sessionize",        // time-sliced windows
+    "q_latest",          // struct-max agg
+    "bpe_pairs",         // hot-pair map-side combine
+    "source_report",     // corpus-wide agg + broadcast total
+    "mix_sources",       // two-level rank
+    "shard_pack")        // two-level cumsum
+
+  private def scaleDocuments(df: DataFrame, k: Int): DataFrame =
+    replicate(df, k) { (d, r) =>
+      d.withColumn("doc_id", col("doc_id") + lit(r * 10000000L))
+        // suffix every WORD so replicas share no shingles/passages:
+        // same lengths, same structure, disjoint content
+        .withColumn("text",
+          when(lit(r) === 0, col("text")).otherwise(
+            concat_ws(" ", transform(
+              graft.functions.Portable.words(col("text")),
+              w => concat(w, lit(s"r$r"))))))
+        // append the replica digit INSIDE the numeral: "src3" → "src31"
+        // stays parseable by mix_sources/source_report's
+        // substring-based suffix parse (an "_r" suffix would CAST to
+        // NULL and silently empty those queries)
+        .withColumn("source", concat(col("source"), lit(r.toString)))
+    }
+
+  private def scaleEmbeddings(df: DataFrame, k: Int): DataFrame =
+    replicate(df, k) { (d, r) =>
+      d.withColumn("vec_id", col("vec_id") + lit(r * 10000000L))
+        .withColumn("label", concat(col("label"), lit(s"_$r")))
+    }
+
+  private def scaleEvents(df: DataFrame, k: Int): DataFrame =
+    replicate(df, k) { (d, r) =>
+      d.withColumn("event_id", col("event_id") + lit(r * 1000000000L))
+        .withColumn("user_id", col("user_id") + lit(r * 10000000L))
+    }
+
+  private def replicate(df: DataFrame, k: Int)(
+      mut: (DataFrame, Int) => DataFrame): DataFrame =
+    (0 until k).map(r => mut(df, r)).reduce(_ unionByName _)
+
+  private def ensureScaled(spark: SparkSession, base: String, k: Int,
+      dir: String): Unit = {
+    val fs = new java.io.File(dir)
+    if (new java.io.File(fs, "_built").exists()) return
+    fs.mkdirs()
+    scaleDocuments(spark.read.parquet(s"$base/documents.parquet"), k)
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    scaleEmbeddings(spark.read.parquet(s"$base/embeddings.parquet"), k)
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    // events.parquet stores ts as TIMESTAMP(NANOS); read it as a long
+    // (the same legacy flag Tables.events sets) and write a plain
+    // int64, which Tables.events' `ts div 1000` path reads identically
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    scaleEvents(spark.read.parquet(s"$base/events.parquet"), k)
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    new java.io.FileOutputStream(new java.io.File(fs, "_built")).close()
+  }
+
+  def main(args: Array[String]): Unit = {
+    val k = args.headOption.map(_.toInt).getOrElse(8)
+    val base = if (args.length > 1) args(1)
+      else sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.minPartitionSize",
+        "64KB")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark.range(1000).selectExpr("sum(id)").collect()
+
+    val dir = s"target/scale/x$k"
+    ensureScaled(spark, base, k, dir)
+
+    def run(name: String, d: String): Double = {
+      val t0 = System.nanoTime()
+      SparkEntry.queries(name)(spark, d).count()
+      (System.nanoTime() - t0) / 1e9
+    }
+    // steady-state per dir: first run pays plan+codegen+cache builds,
+    // the second measures execution — the number that must scale.
+    // Caches are released BETWEEN ops: without it, 17 ops × 2 dirs of
+    // accumulated MEMORY_AND_DISK frames (the K× dir's are K× bigger)
+    // degrade the whole session — later ops' steady runs exceeded
+    // their own cold runs, the same broad inflation signature as the
+    // round-5 driver bench. Bounding the working set per op keeps
+    // every measurement attributable to the op itself.
+    val report = targets.map { name =>
+      val c1 = run(name, base); val w1 = run(name, base)
+      val cK = run(name, dir); val wK = run(name, dir)
+      Caches.releaseAll(blocking = true)
+      val ratio = wK / math.max(w1, 1e-9)
+      val line = f"""{"op":"$name","x1_cold":$c1%.3f,"x1":$w1%.3f,""" +
+        f""""x$k%d_cold":$cK%.3f,"x$k":$wK%.3f,"ratio":$ratio%.2f}"""
+      println(line)
+      (name, c1, w1, cK, wK, ratio)
+    }
+    graft.Caches.releaseAll()
+    val worst = report.maxBy(_._6)
+    val summary =
+      f"""{"metric":"scale_smoke","k":$k,"ops":${report.size},""" +
+      f""""worst_op":"${worst._1}","worst_ratio":${worst._6}%.2f,""" +
+      f""""x1_total":${report.map(_._3).sum}%.1f,""" +
+      f""""x${k}_total":${report.map(_._5).sum}%.1f}"""
+    println(summary)
+    val out = java.nio.file.Paths.get(
+      sys.env.getOrElse("SPARK_GRAFT_SCALE_OUT", "scale_out.json"))
+    java.nio.file.Files.write(out,
+      (report.map(r =>
+        f"""{"op":"${r._1}","x1":${r._3}%.3f,"x$k":${r._5}%.3f,"ratio":${r._6}%.2f}""")
+        .mkString("", "\n", "\n") + summary + "\n")
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    spark.stop()
+  }
+}

@@ -176,6 +176,30 @@ class DedupPackSpec extends GraftSpec {
     }
   }
 
+  test("clusterPairs memo: a reconstructed identical plan returns the memoized frame") {
+    // the memo exists because plan truncation makes the CC loop
+    // invisible to the CacheManager — if the canonicalized-plan key is
+    // unstable across reconstructions (e.g. a custom node leaking
+    // object identity into canonicalization), every repeat invocation
+    // silently re-runs the whole contraction
+    def edges = spark.range(200).select(
+      (col("id") % 50).as("u"), (col("id") % 50 + (col("id") % 3)).as("v"))
+    val first = graft.operators.DedupPack.clusterPairs(edges)
+    val second = graft.operators.DedupPack.clusterPairs(edges)
+    assert(first eq second,
+      "identical reconstructed input missed the clusterPairs memo")
+    // and the real registry path: the semantic_dedup union-graph plan
+    // must also key stably (it runs through rangePairs + TopKPerKey
+    // custom nodes whose canonicalization this pins)
+    val q = SparkEntry.queries("semantic_dedup")
+    q(spark, sfDir).count()
+    val before = graft.operators.DedupPack.lastCcRounds
+    graft.operators.DedupPack.lastCcRounds = -1
+    q(spark, sfDir).count()
+    assert(graft.operators.DedupPack.lastCcRounds == -1,
+      s"semantic_dedup repeat re-ran the CC loop ($before rounds) — memo key unstable")
+  }
+
   test("ngram_jaccard pairs are symmetric-free and above threshold") {
     val rows = SparkEntry.queries("ngram_jaccard")(spark, sfDir).collect()
     rows.foreach { r =>
