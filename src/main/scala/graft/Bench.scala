@@ -81,10 +81,13 @@ object Bench {
     def loadAvg: Double =
       math.max(0.0, osBean.getSystemLoadAverage)
 
+    val errors = scala.collection.mutable.ArrayBuffer.empty[String]
     def timed(label: String, body: () => Unit): Double = {
       listener.current = label
       val t0 = System.nanoTime()
-      try body() catch { case _: Throwable => () }
+      // a failed query must not abort the artifact, but it must not
+      // masquerade as a fast time either — it lands in "errors"
+      try body() catch { case _: Throwable => errors += label }
       GraftSparkBridge.drainListenerBus(spark.sparkContext)
       (System.nanoTime() - t0) / 1e9
     }
@@ -140,7 +143,8 @@ object Bench {
       s""","driver_gc_ms":{"warmup":$gcWarm,"cold":$gcCold,"steady":$gcSteady}""" +
       s""","env":{"heap_max_mb":$heapMaxMb,"cpus":$cpus,""" +
       s""""load_avg_start":$load0,"load_avg_mid":$loadMid,""" +
-      s""""load_avg_end":$load1}}"""
+      s""""load_avg_end":$load1}""" +
+      s""","errors":${errors.map("\"" + _ + "\"").mkString("[", ",", "]")}}"""
     println(line)
     // Also land the line in a file: sbt's logger can interleave or
     // prefix stdout, and a round artifact should carry structured

@@ -242,14 +242,19 @@ object DedupPack extends QueryPack {
     * contraction. Keyed by session + canonicalized input plan; cleared
     * with the cache registry.
     */
-  /** Outer key: the SparkSession OBJECT (weak — a stopped session's
-    * entries become collectable, and a new session can never collide
-    * with a dead one the way an identityHashCode key could). Inner key:
-    * the canonicalized input plan. Invalidation contract: the memo is a
-    * REGISTRY-scoped cache like every persistTracked frame — if the
-    * data underneath an identical plan changes (e.g. a parquet path is
-    * rewritten in place), call [[graft.Caches.releaseAll]] before
-    * re-running, exactly as the persisted frames require.
+  /** Outer key: the SparkSession OBJECT under identity semantics — a
+    * new session can never collide with a dead one the way an
+    * identityHashCode string key could. (The weak entry itself lingers
+    * until [[graft.Caches.releaseAll]]: the memoized DataFrames
+    * reference their session, the classic value→key strong reference
+    * that keeps a WeakHashMap entry live — harmless here because the
+    * registry lifecycle clears it, and correctness only needs the
+    * no-collision property.) Inner key: the canonicalized input plan.
+    * Invalidation contract: the memo is a REGISTRY-scoped cache like
+    * every persistTracked frame — if the data underneath an identical
+    * plan changes (e.g. a parquet path is rewritten in place), call
+    * [[graft.Caches.releaseAll]] before re-running, exactly as the
+    * persisted frames require.
     */
   private val ccMemo = java.util.Collections.synchronizedMap(
     new java.util.WeakHashMap[SparkSession,
