@@ -797,9 +797,59 @@ object DedupPack extends QueryPack {
       ORDER BY dd.doc_id
       """))
 
+  // C11 — incremental dedup against a PERSISTED history store (the
+  // production ingest shape: a new batch dedups against all history
+  // without rescanning or reshuffling it). Even doc_ids play the
+  // 100 TB history — their fingerprint table lands bucketed+sorted by
+  // fingerprint once per (session, dataset) — and odd doc_ids are the
+  // arriving batch: the probe is a sort-merge join whose history side
+  // reads its buckets IN PLACE (no exchange above the store scan,
+  // spec-asserted), while only the small batch shuffles. Verdicts
+  // distinguish re-ingested content (dup_of_history) from novel
+  // within-batch duplicates (batch-minimum election, agg + join-back).
+  private def fpStore(s: SparkSession, d: String): String = {
+    val tag = java.security.MessageDigest.getInstance("MD5")
+      .digest(d.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(10)
+    val table = s"graft_fp_store_$tag"
+    val root = sys.env.getOrElse("SPARK_GRAFT_STORE_DIR",
+      sys.props("java.io.tmpdir"))
+    if (!s.catalog.tableExists(table))
+      graft.sources.FingerprintStore.write(
+        Tables.documents(s, d).filter(pmod(col("doc_id"), lit(2)) === 0),
+        table, s"$root/graft_fp_store_$tag")
+    table
+  }
+
+  private val dedupIncremental = GraftQuery(
+    "dedup_incremental",
+    (s, d) => graft.sources.FingerprintStore.dedupAgainst(
+        s, fpStore(s, d),
+        Tables.documents(s, d).filter(pmod(col("doc_id"), lit(2)) =!= 0))
+      .orderBy(col("doc_id")),
+    Some(s"""
+      WITH f AS (
+        SELECT doc_id,
+          md5(array_to_string(${Portable.sql.words}, ' ')) AS fingerprint,
+          doc_id % 2 = 0 AS hist
+        FROM documents),
+      h AS (SELECT fingerprint, MIN(doc_id) AS h_canon
+            FROM f WHERE hist GROUP BY fingerprint),
+      b AS (SELECT doc_id, fingerprint FROM f WHERE NOT hist),
+      bg AS (SELECT fingerprint, MIN(doc_id) AS batch_min
+             FROM b GROUP BY fingerprint)
+      SELECT b.doc_id, b.fingerprint,
+        COALESCE(h.h_canon, bg.batch_min) AS canonical_id,
+        h.h_canon IS NOT NULL AS dup_of_history,
+        b.doc_id <> COALESCE(h.h_canon, bg.batch_min) AS is_dup
+      FROM b
+      JOIN bg ON b.fingerprint = bg.fingerprint
+      LEFT JOIN h ON b.fingerprint = h.fingerprint
+      ORDER BY b.doc_id
+      """))
+
   override val queries: Seq[GraftQuery] =
     Seq(dedupExact, dedupMinhash, dedupCluster, ngramJaccard, decontaminate,
-      passageDedup, boilerplateStrip, semanticDedup)
+      passageDedup, boilerplateStrip, semanticDedup, dedupIncremental)
 
   /** Cross-query shared working sets (see [[graft.QueryPack.warm]]):
     * the hashed-shingle table feeds C2/C4/C7 (+C6/C10 through the pair

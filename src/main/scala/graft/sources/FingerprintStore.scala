@@ -1,0 +1,66 @@
+package graft.sources
+
+import graft.functions.Portable
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Persisted exact-dup fingerprint store — the incremental-ingest form
+  * of C1's corpus dedup (SURVEY.md §2 C11): a nightly/hourly batch must
+  * dedup against ALL history without rescanning or reshuffling it.
+  *
+  * The store is one row per distinct fingerprint —
+  * `(fingerprint, canonical_id, n_history)` — written BUCKETED AND
+  * SORTED by fingerprint ([[Bucketed]]). That buys the only property
+  * that matters at 100 TB: the probe join is a sort-merge join in which
+  * the history side reads its matching buckets IN PLACE — zero exchange
+  * above the store scan, spec-asserted structurally — while only the
+  * (small) new batch shuffles into the store's bucketing. History cost
+  * is paid once at write; every subsequent batch joins against it for
+  * the price of moving the batch.
+  *
+  * Verdict semantics per batch doc: canonical = the history canonical
+  * if the fingerprint was ever seen, else the batch-internal minimum
+  * (the C1 election, agg + join-back — never a window over a viral
+  * fingerprint); `dup_of_history` distinguishes re-ingested content
+  * from novel within-batch duplicates.
+  */
+object FingerprintStore {
+
+  /** (fingerprint, canonical_id, n_history) for a history corpus. */
+  private[graft] def fingerprints(docs: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"),
+        md5(Portable.normText(col("text"))).as("fingerprint"))
+      .groupBy(col("fingerprint"))
+      .agg(min(col("doc_id")).as("h_canonical"),
+        count(lit(1)).as("n_history"))
+
+  /** Aggregate `history` to its fingerprint table and land it bucketed
+    * + sorted by fingerprint as catalog table `table` at `path`.
+    */
+  def write(history: DataFrame, table: String, path: String,
+      buckets: Int = 8): Unit =
+    Bucketed.writeBucketed(fingerprints(history), table, "fingerprint",
+      buckets, path)
+
+  /** Dedup verdict for `batch` (doc_id, text) against the store:
+    * (doc_id, fingerprint, canonical_id, dup_of_history, is_dup).
+    */
+  def dedupAgainst(spark: SparkSession, table: String,
+      batch: DataFrame): DataFrame = {
+    val store = spark.table(table)
+    val fps = batch.select(col("doc_id"),
+      md5(Portable.normText(col("text"))).as("fingerprint"))
+    // within-batch election: agg + join-back (C1's no-hot-window shape)
+    val batchGroups = fps.groupBy(col("fingerprint"))
+      .agg(min(col("doc_id")).as("__batch_min"))
+    fps
+      .join(batchGroups, "fingerprint")
+      .join(store, Seq("fingerprint"), "left")
+      .select(col("doc_id"), col("fingerprint"),
+        coalesce(col("h_canonical"), col("__batch_min"))
+          .as("canonical_id"),
+        col("h_canonical").isNotNull.as("dup_of_history"))
+      .withColumn("is_dup", col("doc_id") =!= col("canonical_id"))
+  }
+}

@@ -200,6 +200,64 @@ class DedupPackSpec extends GraftSpec {
       s"semantic_dedup repeat re-ran the CC loop ($before rounds) — memo key unstable")
   }
 
+  test("dedup_incremental: history store verdicts + zero-exchange history scan") {
+    import spark.implicits._
+    import graft.sources.FingerprintStore
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.execution.joins.SortMergeJoinExec
+    val history = Seq(
+      (2L, "aaa bbb ccc"), (4L, "dup dup dup"), (6L, "xyz zyx")
+    ).toDF("doc_id", "text")
+    val batch = Seq(
+      (1L, "dup dup dup"),      // re-ingested history content
+      (3L, "aaa bbb ccc"),      // ditto
+      (5L, "novel text here"),  // within-batch dup group, the winner
+      (7L, "novel text here"),  // within-batch dup
+      (9L, "singleton doc")     // clean
+    ).toDF("doc_id", "text")
+    val tmp = java.nio.file.Files.createTempDirectory("graft-fp").toString
+    FingerprintStore.write(history, "fp_spec", s"$tmp/store")
+    val prevB = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val prevA = spark.conf.get("spark.sql.adaptive.enabled")
+    try {
+      // force the sort-merge path so the in-place bucket read is what's
+      // tested (at spec scale Spark would broadcast the tiny store)
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      val out = FingerprintStore.dedupAgainst(spark, "fp_spec", batch)
+      val rows = out.collect()
+        .map(r => r.getLong(0) ->
+          (r.getLong(2), r.getBoolean(3), r.getBoolean(4))).toMap
+      assert(rows == Map(
+        1L -> (4L, true, true),   // canonical is the HISTORY doc
+        3L -> (2L, true, true),
+        5L -> (5L, false, false), // batch-internal winner
+        7L -> (5L, false, true),  // batch-internal dup, not in history
+        9L -> (9L, false, false)))
+      // structural: the history side of the probe join reads its
+      // buckets in place — no shuffle exchange anywhere above the
+      // store scan (only the batch side moves)
+      def storeScan(p: SparkPlan) = p.collect {
+        case f: FileSourceScanExec if f.relation.bucketSpec.isDefined => f
+      }.nonEmpty
+      def shuffles(p: SparkPlan) = p.collect {
+        case e: ShuffleExchangeExec => e
+      }
+      val plan = out.queryExecution.executedPlan
+      val smjStoreSides = plan.collect { case j: SortMergeJoinExec => j }
+        .flatMap(j => Seq(j.left, j.right).filter(storeScan))
+      assert(smjStoreSides.nonEmpty,
+        s"store probe is not a sort-merge join:\n$plan")
+      smjStoreSides.foreach(side => assert(shuffles(side).isEmpty,
+        s"history side re-shuffled:\n$side"))
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevB)
+      spark.conf.set("spark.sql.adaptive.enabled", prevA)
+      spark.sql("DROP TABLE IF EXISTS fp_spec")
+    }
+  }
+
   test("ngram_jaccard pairs are symmetric-free and above threshold") {
     val rows = SparkEntry.queries("ngram_jaccard")(spark, sfDir).collect()
     rows.foreach { r =>
