@@ -34,9 +34,9 @@ object DedupPack extends QueryPack {
     * verification threshold, at half the signature cost of the
     * conventional 128-hash setup.
     */
-  private val numHashes = 64
-  private val numBands = 32
-  private val tau = 0.8
+  private[graft] val numHashes = 64
+  private[graft] val numBands = 32
+  private[graft] val tau = 0.8
 
   /** doc_id + distinct word-3-shingles (docs with >= 3 words).
     *
@@ -64,7 +64,7 @@ object DedupPack extends QueryPack {
     * (native IntersectCount long kernel: no intermediate intersection
     * array, 8-byte elements).
     */
-  private def jaccard(sa: Column, sb: Column): Column = {
+  private[graft] def jaccard(sa: Column, sb: Column): Column = {
     import org.apache.spark.sql.GraftColumnBridge.{column, expression}
     val inter = column(graft.expressions.IntersectCount(
       expression(sa), expression(sb)))
@@ -118,20 +118,23 @@ object DedupPack extends QueryPack {
   // keys → bucket self-join for candidates → Jaccard verification at τ.
   // The verified pairs are PERSISTED and shared with dedup_cluster
   // (CacheManager dedupes the identical subplan across queries).
-  private def minhashPairs(s: SparkSession, d: String): DataFrame = {
-      val sh = shingled(s, d)
-      // Signature via explode + ONE MinHashAgg (G11): one shuffle on
-      // doc_id with map-side partial element-wise mins over a primitive
-      // long[64] buffer. (History: the nested transform(sequence(...))
-      // HOF formulation ran interpreted, ~50x slower; 64 separate
-      // declarative min() aggs were bit-identical but their generated
-      // update code dominated the pipeline's cold compile time.)
+  /** (doc_id, band, key) LSH band keys for a (doc_id, shingles) frame:
+    * signature via explode + ONE MinHashAgg (G11) — one shuffle on
+    * doc_id with map-side partial element-wise mins over a primitive
+    * long[64] buffer. (History: the nested transform(sequence(...))
+    * HOF formulation ran interpreted, ~50x slower; 64 separate
+    * declarative min() aggs were bit-identical but their generated
+    * update code dominated the pipeline's cold compile time.)
+    * Shared by C2's in-corpus pair generation and the C12 persisted
+    * band store (write AND probe sides must band identically).
+    */
+  private[graft] def bandKeys(sh: DataFrame): DataFrame = {
       val based = sh
         .select(col("doc_id"), explode(col("shingles")).as("h"))
       val mins = based.groupBy(col("doc_id")).agg(
         graft.expressions.MinHashAgg.minhashAgg(col("h"), numHashes)
           .as("sig"))
-      val keyed = mins
+      mins
         .select(col("doc_id"),
           explode(array((0 until numBands).map(b =>
             struct(lit(b).as("band"),
@@ -142,6 +145,11 @@ object DedupPack extends QueryPack {
             .as("bk"))
         .select(col("doc_id"), col("bk.band").as("band"),
           col("bk.key").as("key"))
+  }
+
+  private def minhashPairs(s: SparkSession, d: String): DataFrame = {
+      val sh = shingled(s, d)
+      val keyed = bandKeys(sh)
       val a = keyed.select(col("doc_id").as("doc_a"), col("band"), col("key"))
       val b = keyed.select(col("doc_id").as("doc_b"),
         col("band").as("band_b"), col("key").as("key_b"))
@@ -847,9 +855,56 @@ object DedupPack extends QueryPack {
       ORDER BY b.doc_id
       """))
 
+  // C12 — the NEAR-dup incremental counterpart of C11: the arriving
+  // batch (odd doc_ids) probes the history's (even doc_ids) PERSISTED
+  // LSH band store (sources/MinHashStore: band keys bucketed by key,
+  // shingle sets bucketed by doc id — both read in place at probe
+  // time), then verifies exact Jaccard ≥ τ only on candidate pairs.
+  // The oracle recomputes C2's full pair graph over the whole corpus
+  // and keeps the cross-parity pairs — the store path must find
+  // exactly the pairs the in-corpus path finds.
+  private def mhStore(s: SparkSession, d: String): String = {
+    val tag = java.security.MessageDigest.getInstance("MD5")
+      .digest(d.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(10)
+    val base = s"graft_mh_store_$tag"
+    val root = sys.env.getOrElse("SPARK_GRAFT_STORE_DIR",
+      sys.props("java.io.tmpdir"))
+    if (!s.catalog.tableExists(s"${base}_bands"))
+      graft.sources.MinHashStore.write(
+        Tables.documents(s, d).filter(pmod(col("doc_id"), lit(2)) === 0),
+        base, s"$root/$base")
+    base
+  }
+
+  private val dedupIncrementalMinhash = GraftQuery(
+    "dedup_incremental_minhash",
+    (s, d) => graft.sources.MinHashStore.dedupAgainst(
+        s, mhStore(s, d),
+        Tables.documents(s, d).filter(pmod(col("doc_id"), lit(2)) =!= 0))
+      .orderBy(col("doc_id")),
+    Some(s"""
+      WITH $minhashPairsSql,
+      x AS (
+        SELECT CASE WHEN doc_a % 2 = 1 THEN doc_a ELSE doc_b END AS b_id,
+               CASE WHEN doc_a % 2 = 1 THEN doc_b ELSE doc_a END AS h_id,
+               jaccard
+        FROM pairs WHERE (doc_a % 2) <> (doc_b % 2)),
+      g AS (
+        SELECT b_id, COUNT(*) AS n, MIN(h_id) AS hist, MAX(jaccard) AS best
+        FROM x GROUP BY b_id)
+      SELECT d.doc_id,
+        CAST(COALESCE(g.n, 0) AS BIGINT) AS n_hist_matches,
+        CAST(COALESCE(g.hist, -1) AS BIGINT) AS hist_canonical,
+        COALESCE(g.best, 0.0) AS best_jaccard
+      FROM documents d LEFT JOIN g ON d.doc_id = g.b_id
+      WHERE d.doc_id % 2 = 1
+      ORDER BY d.doc_id
+      """))
+
   override val queries: Seq[GraftQuery] =
     Seq(dedupExact, dedupMinhash, dedupCluster, ngramJaccard, decontaminate,
-      passageDedup, boilerplateStrip, semanticDedup, dedupIncremental)
+      passageDedup, boilerplateStrip, semanticDedup, dedupIncremental,
+      dedupIncrementalMinhash)
 
   /** Cross-query shared working sets (see [[graft.QueryPack.warm]]):
     * the hashed-shingle table feeds C2/C4/C7 (+C6/C10 through the pair

@@ -1,0 +1,94 @@
+package graft.sources
+
+import graft.functions.Portable
+import graft.operators.DedupPack
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Persisted MinHash/LSH band store — the NEAR-dup counterpart of
+  * [[FingerprintStore]] (SURVEY.md §2 C12): an arriving batch finds its
+  * near-duplicates inside a 100 TB history without recomputing or
+  * reshuffling the history's signatures.
+  *
+  * Two tables under one base name:
+  *  - `<base>_bands`    — (key, band, doc_id): the history's LSH band
+  *    keys (C2's exact banding — the probe MUST band identically, so
+  *    both sides run [[DedupPack.bandKeys]]), bucketed+sorted by `key`.
+  *  - `<base>_shingles` — (doc_id, shingles): the history's hashed
+  *    shingle sets for exact Jaccard verification, bucketed by doc_id.
+  *
+  * Probe shape at scale: batch band keys sort-merge-join the bands
+  * table on `key` with the history side reading its buckets IN PLACE
+  * (no exchange above either store scan — spec-asserted), candidate
+  * (batch, history) pairs collapse to distinct, and only those pairs'
+  * shingle sets are fetched from the shingles table for the exact
+  * jaccard ≥ τ verdict. History cost is paid once at write; each batch
+  * pays its own size, never the corpus's.
+  */
+object MinHashStore {
+
+  /** (doc_id, shingles) for a (doc_id, text) frame — C2's featurizer. */
+  private[graft] def shingleDocs(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), Portable.words(col("text")).as("w"))
+      .filter(size(col("w")) >= 3)
+      .select(col("doc_id"),
+        Portable.shingles3Hashed(col("w")).as("shingles"))
+
+  /** band+key as ONE join column: the bands table is bucketed by this
+    * single composite, so the probe join's keys are exactly the bucket
+    * columns and the store scan's partitioning is usable as-is (a
+    * (key, band) two-column join over a key-bucketed table does not
+    * co-partition — Spark requires all cluster keys — and re-shuffles
+    * the history).
+    */
+  private def bkey(band: Column, key: Column): Column =
+    concat_ws(":", band.cast("string"), key)
+
+  /** Land the history's band-key and shingle tables bucketed at `path`. */
+  def write(history: DataFrame, tableBase: String, path: String,
+      buckets: Int = 8): Unit = {
+    val sh = shingleDocs(history)
+    Bucketed.writeBucketed(
+      DedupPack.bandKeys(sh)
+        .select(bkey(col("band"), col("key")).as("bkey"),
+          col("doc_id").as("h_id")),
+      s"${tableBase}_bands", "bkey", buckets, s"$path/bands")
+    Bucketed.writeBucketed(
+      sh.select(col("doc_id").as("h_id"), col("shingles").as("sa")),
+      s"${tableBase}_shingles", "h_id", buckets, s"$path/shingles")
+  }
+
+  /** Near-dup verdict for `batch` (doc_id, text) against the store:
+    * (doc_id, n_hist_matches, hist_canonical, best_jaccard) — one row
+    * per batch doc; -1 / 0 / 0.0 sentinels when no history near-dup
+    * clears τ (deterministic aggregations only, no tie-break order).
+    */
+  def dedupAgainst(spark: SparkSession, tableBase: String,
+      batch: DataFrame): DataFrame = {
+    import graft.Caches.CachesSyntax
+    val bands = spark.table(s"${tableBase}_bands")
+    val shStore = spark.table(s"${tableBase}_shingles")
+    // the batch featurization feeds the band probe AND the verify join
+    // (no cross-branch CSE) — persist it, registry-scoped
+    val bsh = shingleDocs(batch).persistTracked
+    val cand = DedupPack.bandKeys(bsh)
+      .select(bkey(col("band"), col("key")).as("bkey"), col("doc_id"))
+      .join(bands, Seq("bkey"))
+      .select(col("doc_id"), col("h_id"))
+      .distinct()
+    val verified = cand
+      .join(shStore, "h_id")
+      .join(bsh.select(col("doc_id"), col("shingles").as("sb")), "doc_id")
+      .withColumn("jaccard", DedupPack.jaccard(col("sa"), col("sb")))
+      .filter(col("jaccard") >= DedupPack.tau)
+    val verdicts = verified.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("__n"), min(col("h_id")).as("__hist"),
+        max(col("jaccard")).as("__best"))
+    batch.select(col("doc_id"))
+      .join(verdicts, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("__n"), lit(0L)).as("n_hist_matches"),
+        coalesce(col("__hist"), lit(-1L)).as("hist_canonical"),
+        coalesce(col("__best"), lit(0.0)).as("best_jaccard"))
+  }
+}

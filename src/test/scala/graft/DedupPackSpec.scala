@@ -258,6 +258,67 @@ class DedupPackSpec extends GraftSpec {
     }
   }
 
+  test("dedup_incremental_minhash: near-dup verdicts from the persisted band store") {
+    import spark.implicits._
+    import graft.sources.MinHashStore
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.execution.joins.SortMergeJoinExec
+    val base = (1 to 40).map(i => s"w$i").mkString(" ")
+    val history = Seq(
+      (2L, base),                                   // near-dup source
+      (4L, (1 to 40).map(i => s"x$i").mkString(" ")) // exact-dup source
+    ).toDF("doc_id", "text")
+    val batch = Seq(
+      (1L, base.replace("w20", "zz")),               // 1 word off => J≈0.85
+      (3L, (1 to 40).map(i => s"q$i").mkString(" ")), // novel
+      (5L, (1 to 40).map(i => s"x$i").mkString(" "))  // exact re-ingest
+    ).toDF("doc_id", "text")
+    val tmp = java.nio.file.Files.createTempDirectory("graft-mh").toString
+    MinHashStore.write(history, "mh_spec", s"$tmp/store")
+    val prevB = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val prevA = spark.conf.get("spark.sql.adaptive.enabled")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      val out = MinHashStore.dedupAgainst(spark, "mh_spec", batch)
+      val rows = out.collect()
+        .map(r => r.getLong(0) ->
+          (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+      assert(rows(1L)._1 == 1L && rows(1L)._2 == 2L,
+        s"one-word-off batch doc should near-dup history doc 2: $rows")
+      assert(rows(1L)._3 >= 0.8 && rows(1L)._3 < 1.0)
+      assert(rows(3L) == ((0L, -1L, 0.0)), "novel doc matched history")
+      assert(rows(5L) == ((1L, 4L, 1.0)), "exact re-ingest must score 1.0")
+      // both persisted store sides read their buckets in place: no
+      // shuffle exchange above either bucketed scan
+      def storeScan(p: SparkPlan) = p.collect {
+        case f: FileSourceScanExec if f.relation.bucketSpec.isDefined => f
+      }.nonEmpty
+      def shuffles(p: SparkPlan) = p.collect {
+        case e: ShuffleExchangeExec => e
+      }
+      val plan = out.queryExecution.executedPlan
+      // a STORE side is the join input that is the bucketed scan itself
+      // (scan + local sort/filter/project only — no nested join; the
+      // other input is the batch lineage, which may legitimately
+      // contain the bands-store join deeper inside it)
+      val storeSides = plan.collect { case j: SortMergeJoinExec => j }
+        .flatMap(j => Seq(j.left, j.right))
+        .filter(side => storeScan(side) &&
+          side.collect { case n: SortMergeJoinExec => n }.isEmpty)
+      assert(storeSides.size >= 2,
+        s"expected band AND shingle store probes as sort-merge joins:\n$plan")
+      storeSides.foreach(side => assert(shuffles(side).isEmpty,
+        s"store side re-shuffled:\n$side"))
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevB)
+      spark.conf.set("spark.sql.adaptive.enabled", prevA)
+      spark.sql("DROP TABLE IF EXISTS mh_spec_bands")
+      spark.sql("DROP TABLE IF EXISTS mh_spec_shingles")
+    }
+  }
+
   test("ngram_jaccard pairs are symmetric-free and above threshold") {
     val rows = SparkEntry.queries("ngram_jaccard")(spark, sfDir).collect()
     rows.foreach { r =>
