@@ -1,6 +1,6 @@
 package graft.sources
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Bucketed-table utilities (SURVEY.md §4/§5: co-located fact-fact
   * joins).
@@ -26,4 +26,27 @@ object Bucketed {
       .bucketBy(buckets, key)
       .sortBy(key)
       .saveAsTable(table)
+
+  /** Append `df` into an existing bucketed table, bucket-ALIGNED: the
+    * bucket/sort spec is read from the catalog so an appender can never
+    * diverge from the layout every probe query relies on. Appends add a
+    * second file per bucket, after which Spark treats each bucket as
+    * unsorted and inserts a LOCAL sort below a sort-merge probe — but
+    * never an exchange: the in-place bucket read survives appends.
+    */
+  def appendBucketed(spark: SparkSession, df: DataFrame,
+                     table: String): Unit = {
+    val spec = spark.sessionState.catalog.getTableMetadata(
+        spark.sessionState.sqlParser.parseTableIdentifier(table))
+      .bucketSpec.getOrElse(throw new IllegalArgumentException(
+        s"$table is not bucketed — appendBucketed would corrupt the " +
+          "layout contract"))
+    val w = df.write.mode("append").format("parquet")
+      .bucketBy(spec.numBuckets, spec.bucketColumnNames.head,
+        spec.bucketColumnNames.tail: _*)
+    (if (spec.sortColumnNames.nonEmpty)
+       w.sortBy(spec.sortColumnNames.head, spec.sortColumnNames.tail: _*)
+     else w)
+      .saveAsTable(table)
+  }
 }

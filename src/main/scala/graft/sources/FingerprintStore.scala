@@ -43,6 +43,23 @@ object FingerprintStore {
     Bucketed.writeBucketed(fingerprints(history), table, "fingerprint",
       buckets, path)
 
+  /** Fold a deduped batch into the history — the back half of the
+    * ingest loop (dedup batch → append → next batch sees it): only
+    * fingerprints the store has NEVER seen land, as new bucket-aligned
+    * rows with the batch-minimum canonical; known fingerprints stay
+    * untouched so a history canonical can never be reassigned. The
+    * novelty probe is itself a left-anti join against the bucketed
+    * store (in-place bucket read, like [[dedupAgainst]]). Single-writer
+    * ingest contract: two concurrent appends could both claim a novel
+    * fingerprint.
+    */
+  def append(spark: SparkSession, table: String, batch: DataFrame): Unit = {
+    val novel = fingerprints(batch)
+      .join(spark.table(table).select(col("fingerprint")),
+        Seq("fingerprint"), "left_anti")
+    Bucketed.appendBucketed(spark, novel, table)
+  }
+
   /** Dedup verdict for `batch` (doc_id, text) against the store:
     * (doc_id, fingerprint, canonical_id, dup_of_history, is_dup).
     */

@@ -58,6 +58,27 @@ object MinHashStore {
       s"${tableBase}_shingles", "h_id", buckets, s"$path/shingles")
   }
 
+  /** Fold `docs` (doc_id, text — typically the batch docs whose
+    * [[dedupAgainst]] verdict found no history near-dup; the survivor
+    * policy is the caller's) into the history: their band keys and
+    * shingle sets land as new bucket-aligned files in both tables, so
+    * the next batch's probe sees them without any rewrite of the
+    * existing store. Single-writer ingest contract; re-appending a
+    * doc_id is the caller's bug.
+    */
+  def append(spark: SparkSession, tableBase: String,
+      docs: DataFrame): Unit = {
+    val sh = shingleDocs(docs)
+    Bucketed.appendBucketed(spark,
+      DedupPack.bandKeys(sh)
+        .select(bkey(col("band"), col("key")).as("bkey"),
+          col("doc_id").as("h_id")),
+      s"${tableBase}_bands")
+    Bucketed.appendBucketed(spark,
+      sh.select(col("doc_id").as("h_id"), col("shingles").as("sa")),
+      s"${tableBase}_shingles")
+  }
+
   /** Near-dup verdict for `batch` (doc_id, text) against the store:
     * (doc_id, n_hist_matches, hist_canonical, best_jaccard) — one row
     * per batch doc; -1 / 0 / 0.0 sentinels when no history near-dup

@@ -319,6 +319,122 @@ class DedupPackSpec extends GraftSpec {
     }
   }
 
+  test("ingest loop: append folds novel fingerprints in; canonicals stay stable") {
+    import spark.implicits._
+    import graft.sources.FingerprintStore
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.execution.joins.SortMergeJoinExec
+    val history = Seq((2L, "seed content")).toDF("doc_id", "text")
+    val tmp = java.nio.file.Files.createTempDirectory("graft-fp-app").toString
+    FingerprintStore.write(history, "fp_app", s"$tmp/store")
+    val prevB = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val prevA = spark.conf.get("spark.sql.adaptive.enabled")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      val b1 = Seq(
+        (11L, "fresh one"), (13L, "fresh one"), (15L, "seed content")
+      ).toDF("doc_id", "text")
+      FingerprintStore.dedupAgainst(spark, "fp_app", b1).count()
+      FingerprintStore.append(spark, "fp_app", b1)
+      // novel-only: "seed content" was known — the store must not grow
+      // a second row for it (a duplicate fingerprint row would fan the
+      // probe join out and reassign canonicals)
+      assert(spark.table("fp_app").count() == 2)
+      val b2 = Seq(
+        (21L, "fresh one"),    // b1 content, appended: now history
+        (23L, "seed content"), // original history: canonical UNCHANGED
+        (25L, "unseen")        // novel in b2
+      ).toDF("doc_id", "text")
+      val out2 = FingerprintStore.dedupAgainst(spark, "fp_app", b2)
+      val rows = out2.collect()
+        .map(r => r.getLong(0) ->
+          (r.getLong(2), r.getBoolean(3), r.getBoolean(4))).toMap
+      assert(rows == Map(
+        21L -> (11L, true, true),  // canonical = b1's batch minimum
+        23L -> (2L, true, true),   // append did not reassign
+        25L -> (25L, false, false)), s"got $rows")
+      // the appended store (2 files in some buckets) must STILL probe
+      // with in-place bucket reads: a local sort may appear below the
+      // sort-merge join, an exchange must not
+      def storeScan(p: SparkPlan) = p.collect {
+        case f: FileSourceScanExec if f.relation.bucketSpec.isDefined => f
+      }.nonEmpty
+      val plan = out2.queryExecution.executedPlan
+      val smjStoreSides = plan.collect { case j: SortMergeJoinExec => j }
+        .flatMap(j => Seq(j.left, j.right).filter(storeScan))
+      assert(smjStoreSides.nonEmpty,
+        s"store probe is not a sort-merge join:\n$plan")
+      smjStoreSides.foreach(side => assert(
+        side.collect { case e: ShuffleExchangeExec => e }.isEmpty,
+        s"appended store side re-shuffled:\n$side"))
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevB)
+      spark.conf.set("spark.sql.adaptive.enabled", prevA)
+      spark.sql("DROP TABLE IF EXISTS fp_app")
+    }
+  }
+
+  test("ingest loop: minhash store append makes batch1 visible to batch2") {
+    import spark.implicits._
+    import graft.sources.MinHashStore
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.execution.joins.SortMergeJoinExec
+    val base = (1 to 40).map(i => s"w$i").mkString(" ")
+    val history = Seq(
+      (2L, (1 to 40).map(i => s"x$i").mkString(" "))
+    ).toDF("doc_id", "text")
+    val tmp = java.nio.file.Files.createTempDirectory("graft-mh-app").toString
+    MinHashStore.write(history, "mh_app", s"$tmp/store")
+    val prevB = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val prevA = spark.conf.get("spark.sql.adaptive.enabled")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      val b1 = Seq((11L, base)).toDF("doc_id", "text")
+      val v1 = MinHashStore.dedupAgainst(spark, "mh_app", b1)
+      assert(v1.collect().map(r => (r.getLong(0), r.getLong(1)))
+        .toSeq == Seq((11L, 0L)), "b1 should be novel vs seed history")
+      // survivor policy: append only the docs with no history near-dup
+      MinHashStore.append(spark, "mh_app",
+        b1.join(v1.filter(col("n_hist_matches") === 0).select("doc_id"),
+          "doc_id"))
+      val b2 = Seq(
+        (21L, base.replace("w20", "zz")), // near-dups APPENDED doc 11
+        (23L, (1 to 40).map(i => s"q$i").mkString(" ")) // novel
+      ).toDF("doc_id", "text")
+      val out2 = MinHashStore.dedupAgainst(spark, "mh_app", b2)
+      val rows = out2.collect()
+        .map(r => r.getLong(0) ->
+          (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+      assert(rows(21L)._1 == 1L && rows(21L)._2 == 11L,
+        s"b2 near-dup must resolve to the appended b1 doc: $rows")
+      assert(rows(21L)._3 >= 0.8 && rows(21L)._3 < 1.0)
+      assert(rows(23L) == ((0L, -1L, 0.0)), s"novel doc matched: $rows")
+      // in-place bucket reads survive the append on BOTH store tables
+      def storeScan(p: SparkPlan) = p.collect {
+        case f: FileSourceScanExec if f.relation.bucketSpec.isDefined => f
+      }.nonEmpty
+      val plan = out2.queryExecution.executedPlan
+      val storeSides = plan.collect { case j: SortMergeJoinExec => j }
+        .flatMap(j => Seq(j.left, j.right))
+        .filter(side => storeScan(side) &&
+          side.collect { case n: SortMergeJoinExec => n }.isEmpty)
+      assert(storeSides.size >= 2,
+        s"expected band AND shingle store probes as sort-merge joins:\n$plan")
+      storeSides.foreach(side => assert(
+        side.collect { case e: ShuffleExchangeExec => e }.isEmpty,
+        s"appended store side re-shuffled:\n$side"))
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevB)
+      spark.conf.set("spark.sql.adaptive.enabled", prevA)
+      spark.sql("DROP TABLE IF EXISTS mh_app_bands")
+      spark.sql("DROP TABLE IF EXISTS mh_app_shingles")
+    }
+  }
+
   test("ngram_jaccard pairs are symmetric-free and above threshold") {
     val rows = SparkEntry.queries("ngram_jaccard")(spark, sfDir).collect()
     rows.foreach { r =>
