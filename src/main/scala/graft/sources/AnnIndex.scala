@@ -44,6 +44,28 @@ object AnnIndex {
       .parquet(s"$path/lists")
   }
 
+  /** Fold new vectors into the index WITHOUT retraining — the ANN leg
+    * of the incremental-ingest loop ([[FingerprintStore.append]] /
+    * [[MinHashStore.append]] are the exact/minhash legs): each vector
+    * is routed to its nearest EXISTING centroid (the same argmin
+    * assignment `write` uses) and appended to that cell's postings
+    * partition, so the next `search` sees it through the same
+    * partition-pruned scan. The quantizer stays fixed — centroids are
+    * the search contract; under heavy distribution drift the answer is
+    * a rebuild (`write`), not an append. Single-writer ingest contract.
+    */
+  def append(spark: SparkSession, path: String, embs: DataFrame): Unit = {
+    val cent = spark.read.parquet(s"$path/centroids")
+    val n = embs
+      .select(col("vec_id"), Vectors.toDouble(col("embedding")).as("v"))
+      .withColumn("nrm", Vectors.norm(col("v")))
+    AnnPack.kmAssign(AnnPack.kmCorpus(n), cent)
+      .join(n.select(col("vec_id"), col("nrm")), "vec_id")
+      .select(col("vec_id"), col("v"), col("nrm"), col("cell"))
+      .write.mode("append").partitionBy("cell")
+      .parquet(s"$path/lists")
+  }
+
   /** Top-k cosine neighbors of `queries` (vec_id, embedding) from the
     * index at `path`. Returns (query_id, rank, vec_id, cos_sim, cell).
     */

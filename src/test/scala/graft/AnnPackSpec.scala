@@ -148,6 +148,37 @@ class AnnPackSpec extends GraftSpec {
       s"postings scan is not partition-pruned by cell:\n$plan")
   }
 
+  test("AnnIndex: append routes new vectors into existing cells, search finds them") {
+    import spark.implicits._
+    val embs = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val corpus = embs.filter(pmod(col("vec_id"), lit(50)) =!= 0)
+    // deterministic query pick (a bare limit() can select different
+    // rows on each of the several actions below)
+    val queries = embs.filter(pmod(col("vec_id"), lit(50)) === 0
+      && col("vec_id") < 150)
+    val dir = java.nio.file.Files.createTempDirectory("annindex-app").toString
+    graft.sources.AnnIndex.write(corpus, dir)
+    // append exact copies of the query vectors under fresh ids: each
+    // lands in its query's nearest cell, so the probe MUST surface it
+    val maxId = embs.agg(max(col("vec_id"))).head().getLong(0)
+    val appended = queries
+      .select((col("vec_id") + lit(maxId + 1)).as("vec_id"),
+        col("embedding"))
+    graft.sources.AnnIndex.append(spark, dir, appended)
+    val search = graft.sources.AnnIndex.search(spark, dir, queries)
+    val byQuery = search.collect().groupBy(_.getLong(0))
+    queries.select(col("vec_id")).collect().map(_.getLong(0)).foreach { q =>
+      val top = byQuery(q).minBy(_.getLong(1)) // rank 1
+      assert(top.getLong(2) == q + maxId + 1,
+        s"appended exact copy of query $q not at rank 1: ${byQuery(q).toSeq}")
+      assert(math.abs(top.getDouble(3) - 1.0) < 1e-9)
+    }
+    // the partition-pruned scan property survives the append
+    val plan = search.queryExecution.executedPlan.toString
+    assert("PartitionFilters: \\[[^\\]]*cell".r.findFirstIn(plan).isDefined,
+      s"postings scan is not partition-pruned by cell after append:\n$plan")
+  }
+
   test("embedding_quantize: known vectors quantize to the expected codes") {
     import spark.implicits._
     val embs = Seq(
