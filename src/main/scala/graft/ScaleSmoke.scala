@@ -126,6 +126,46 @@ object ScaleSmoke {
       SparkEntry.queries(name)(spark, d).count()
       (System.nanoTime() - t0) / 1e9
     }
+
+    // ---- incremental-store history independence ----
+    // The stores' central claim is "each batch pays its own size,
+    // never the corpus's": build the fingerprint + minhash stores over
+    // a 1× and a K× history, probe both with the SAME fixed batch, and
+    // report the probe-steady ratio. Build time may grow ~K (the
+    // once-per-history cost); probe time must stay ~flat.
+    def storeProbe(histDir: String, tag: String): (Double, Double, Double) = {
+      val hist = sources.Tables.documents(spark, histDir)
+      val batch = sources.Tables.documents(spark, base)
+        .filter(pmod(col("doc_id"), lit(101)) === 0)
+      val tb0 = System.nanoTime()
+      if (!spark.catalog.tableExists(s"scale_fp_$tag"))
+        sources.FingerprintStore.write(hist, s"scale_fp_$tag",
+          s"target/scale/stores/fp_$tag")
+      if (!spark.catalog.tableExists(s"scale_mh_${tag}_bands"))
+        sources.MinHashStore.write(hist, s"scale_mh_$tag",
+          s"target/scale/stores/mh_$tag")
+      val build = (System.nanoTime() - tb0) / 1e9
+      def probe(fn: () => DataFrame): Double = {
+        fn().count() // steady: 2nd run measures execution, not codegen
+        val t0 = System.nanoTime()
+        fn().count()
+        val t = (System.nanoTime() - t0) / 1e9
+        Caches.releaseAll(blocking = true)
+        t
+      }
+      val fp = probe(() =>
+        sources.FingerprintStore.dedupAgainst(spark, s"scale_fp_$tag", batch))
+      val mh = probe(() =>
+        sources.MinHashStore.dedupAgainst(spark, s"scale_mh_$tag", batch))
+      (build, fp, mh)
+    }
+    val (bld1, fp1, mh1) = storeProbe(base, "x1")
+    val (bldK, fpK, mhK) = storeProbe(dir, s"x$k")
+    val storeLines = Seq(
+      f"""{"op":"store_build","x1":$bld1%.3f,"x$k":$bldK%.3f,"ratio":${bldK / math.max(bld1, 1e-9)}%.2f}""",
+      f"""{"op":"fp_store_probe","x1":$fp1%.3f,"x$k":$fpK%.3f,"ratio":${fpK / math.max(fp1, 1e-9)}%.2f}""",
+      f"""{"op":"mh_store_probe","x1":$mh1%.3f,"x$k":$mhK%.3f,"ratio":${mhK / math.max(mh1, 1e-9)}%.2f}""")
+    storeLines.foreach(println)
     // steady-state per dir: first run pays plan+codegen+cache builds,
     // the second measures execution — the number that must scale.
     // Caches are released BETWEEN ops: without it, 17 ops × 2 dirs of
@@ -134,7 +174,12 @@ object ScaleSmoke {
     // their own cold runs, the same broad inflation signature as the
     // round-5 driver bench. Bounding the working set per op keeps
     // every measurement attributable to the op itself.
-    val report = targets.map { name =>
+    // SPARK_GRAFT_SCALE_OPS=a,b,c restricts the per-query sweep (the
+    // store probes above always run — they're seconds, not minutes)
+    val selected = sys.env.get("SPARK_GRAFT_SCALE_OPS")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+      .fold(targets)(f => targets.filter(f))
+    val report = selected.map { name =>
       val c1 = run(name, base); val w1 = run(name, base)
       val cK = run(name, dir); val wK = run(name, dir)
       Caches.releaseAll(blocking = true)
@@ -145,19 +190,20 @@ object ScaleSmoke {
       (name, c1, w1, cK, wK, ratio)
     }
     graft.Caches.releaseAll()
-    val worst = report.maxBy(_._6)
-    val summary =
+    val summary = if (report.nonEmpty) {
+      val worst = report.maxBy(_._6)
       f"""{"metric":"scale_smoke","k":$k,"ops":${report.size},""" +
       f""""worst_op":"${worst._1}","worst_ratio":${worst._6}%.2f,""" +
       f""""x1_total":${report.map(_._3).sum}%.1f,""" +
       f""""x${k}_total":${report.map(_._5).sum}%.1f}"""
+    } else f"""{"metric":"scale_smoke","k":$k,"ops":0}"""
     println(summary)
     val out = java.nio.file.Paths.get(
       sys.env.getOrElse("SPARK_GRAFT_SCALE_OUT", "scale_out.json"))
     java.nio.file.Files.write(out,
       (report.map(r =>
         f"""{"op":"${r._1}","x1":${r._3}%.3f,"x$k":${r._5}%.3f,"ratio":${r._6}%.2f}""")
-        .mkString("", "\n", "\n") + summary + "\n")
+        ++ storeLines).mkString("", "\n", "\n" + summary + "\n")
         .getBytes(java.nio.charset.StandardCharsets.UTF_8))
     spark.stop()
   }
