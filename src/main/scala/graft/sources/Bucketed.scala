@@ -48,5 +48,10 @@ object Bucketed {
        w.sortBy(spec.sortColumnNames.head, spec.sortColumnNames.tail: _*)
      else w)
       .saveAsTable(table)
+    // the write invalidates the relation cache of DF'S session — which
+    // inside foreachBatch is the streaming CLONE, not the session the
+    // next probe reads through; refresh the caller's session explicitly
+    // or it keeps serving the pre-append file-index snapshot
+    spark.catalog.refreshTable(table)
   }
 }

@@ -1,0 +1,144 @@
+package graft.streaming
+
+import graft.sources.{FingerprintStore, MinHashStore, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
+
+/** The persisted-store ingest loop (SURVEY.md §2 C11/C12/D9's append
+  * legs) as a streaming composition: each arriving micro-batch is
+  * deduped against the history stores — exact fingerprints first, then
+  * MinHash near-dup on the exact survivors — and its novel content is
+  * folded back in, so micro-batch N+1 sees micro-batch N as history.
+  * This is the production shape of continuous corpus ingest: the
+  * history never rescans, each batch pays its own size.
+  *
+  * `foreachBatch` is the right seam for the loop body: it MUTATES
+  * external bucketed tables, which no exactly-once streaming sink can
+  * express. Replay semantics under crash are therefore the stores'
+  * append semantics: a replayed fingerprint append is a no-op (the
+  * novel-only anti-join sees the first attempt's rows); a replayed
+  * minhash append duplicates band/shingle rows for the batch's docs,
+  * which widens candidate sets but cannot change a verdict (the exact
+  * Jaccard verify is per (batch, history) PAIR, deduped by
+  * `distinct()` before the verify join).
+  *
+  * Within-batch NEAR-dups are intentionally out of scope here (both
+  * land as history): that decision belongs to the in-corpus pass
+  * ([[StreamingMinHash]] / C2) upstream of ingest, not to the
+  * history probe.
+  */
+object StreamingIngest {
+
+  /** Dedup one arriving batch against the persisted stores and fold
+    * its novel content back in. Returns the verdict frame, one row per
+    * batch doc: (doc_id, canonical_id, dup_of_history, is_dup,
+    * n_hist_matches, hist_canonical, best_jaccard); the minhash
+    * columns are NULL for exact dups — an exact dup is not probed
+    * against the band store.
+    *
+    * Ordering inside is load-bearing: every derived frame is
+    * localCheckpoint-ed (eager, batch-sized) BEFORE the appends mutate
+    * the stores — a lazy verdict recomputed after the append would see
+    * the batch's own content as history. The call releases the cache
+    * registry on exit (the probe's featurized working set is tracked
+    * there); run the ingest loop in its own session scope, not
+    * interleaved with a query batch whose shared caches must stay hot.
+    */
+  def processBatch(spark: SparkSession, fpTable: String, mhBase: String,
+      batch: DataFrame): DataFrame = {
+    // one materialization of the micro-batch: it feeds the exact probe,
+    // the survivor join and both appends, and a foreachBatch source
+    // frame re-executes per action otherwise
+    val b = batch.localCheckpoint(true)
+    val exact = FingerprintStore.dedupAgainst(spark, fpTable, b)
+      .localCheckpoint(true)
+    val survivors = b
+      .join(exact.filter(!col("is_dup")).select("doc_id"), "doc_id")
+      .localCheckpoint(true)
+    val near = MinHashStore.dedupAgainst(spark, mhBase, survivors)
+      .localCheckpoint(true)
+    // novel content becomes history for the NEXT batch
+    FingerprintStore.append(spark, fpTable, b)
+    MinHashStore.append(spark, mhBase,
+      survivors.join(
+        near.filter(col("n_hist_matches") === 0).select("doc_id"),
+        "doc_id"))
+    graft.Caches.releaseAll()
+    exact
+      .select(col("doc_id"), col("canonical_id"), col("dup_of_history"),
+        col("is_dup"))
+      .join(near.select(col("doc_id"), col("n_hist_matches"),
+        col("hist_canonical"), col("best_jaccard")), Seq("doc_id"), "left")
+  }
+
+  /** Wire a (doc_id, text) stream through [[processBatch]]; per-batch
+    * verdicts go to `sink` (e.g. a parquet append, an alerting bus).
+    */
+  def run(spark: SparkSession, stream: DataFrame, fpTable: String,
+      mhBase: String, sink: (DataFrame, Long) => Unit): StreamingQuery =
+    stream.writeStream
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        sink(processBatch(spark, fpTable, mhBase, batch), id)
+      }
+      .start()
+
+  /** Runnable demo: seed the stores from a third of `documents`, then
+    * stream the rest through the ingest loop in two micro-batches.
+    *
+    * {{{
+    *   sbt "runMain graft.streaming.StreamingIngest <dataDir> [workDir]"
+    * }}}
+    */
+  def main(args: Array[String]): Unit = {
+    require(args.nonEmpty,
+      "usage: StreamingIngest <dataDir> [workDir] — dataDir holds " +
+        "documents.parquet (graft testdata layout)")
+    val dataDir = args(0)
+    val workDir = if (args.length > 1) args(1)
+      else java.nio.file.Files.createTempDirectory("graft-ingest").toString
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .appName("graft-ingest-demo")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val docs = Tables.documents(spark, dataDir)
+      .select(col("doc_id"), col("text"))
+    FingerprintStore.write(docs.filter(col("doc_id") % 3 === 0),
+      "ingest_fp", s"$workDir/fp")
+    MinHashStore.write(docs.filter(col("doc_id") % 3 === 0),
+      "ingest_mh", s"$workDir/mh")
+    println(s"[ingest] seeded history stores at $workDir")
+
+    // two arrival files + maxFilesPerTrigger=1 → two real micro-batches
+    val incoming = s"$workDir/incoming"
+    docs.filter(col("doc_id") % 3 === 1).coalesce(1)
+      .write.parquet(s"$incoming/b1")
+    docs.filter(col("doc_id") % 3 === 2).coalesce(1)
+      .write.parquet(s"$incoming/b2")
+    val stream = spark.readStream.schema("doc_id LONG, text STRING")
+      .option("maxFilesPerTrigger", "1")
+      .option("recursiveFileLookup", "true")
+      .parquet(incoming)
+    val q = run(spark, stream, "ingest_fp", "ingest_mh", (v, id) => {
+      val s = v.agg(
+        count(lit(1)).as("docs"),
+        sum(col("dup_of_history").cast("long")).as("exact_hist_dups"),
+        sum((col("n_hist_matches") > 0).cast("long")).as("near_hist_dups"))
+        .collect()(0)
+      println(s"[ingest] batch $id: ${s.getLong(0)} docs, " +
+        s"${s.getLong(1)} exact history dups, " +
+        s"${s.getLong(2)} near history dups")
+    })
+    q.processAllAvailable(); q.stop()
+    println(s"[ingest] final store sizes: " +
+      s"fp=${spark.table("ingest_fp").count()} fingerprints, " +
+      s"mh=${spark.table("ingest_mh_shingles").count()} shingle sets")
+    spark.stop()
+  }
+}

@@ -1,0 +1,79 @@
+package graft
+
+import graft.sources.{FingerprintStore, MinHashStore}
+import graft.streaming.StreamingIngest
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+class StreamingIngestSpec extends GraftSpec {
+
+  test("ingest stream: batch2 sees batch1 as history; batch1 not itself") {
+    import java.nio.file.{Files, Paths}
+    import spark.implicits._
+    val base = (1 to 40).map(i => s"w$i").mkString(" ")
+    val tmp = Files.createTempDirectory("graft-ingest-spec").toString
+    // seed history: one doc, unrelated content
+    FingerprintStore.write(
+      Seq((2L, "seed history content")).toDF("doc_id", "text"),
+      "ingest_spec_fp", s"$tmp/fp")
+    MinHashStore.write(
+      Seq((2L, "seed history content")).toDF("doc_id", "text"),
+      "ingest_spec_mh", s"$tmp/mh")
+    // two arrival files → two micro-batches (maxFilesPerTrigger=1)
+    val incoming = Paths.get(tmp, "incoming")
+    Files.createDirectories(incoming)
+    def esc(s: String) = s.replace("\t", " ")
+    Files.writeString(incoming.resolve("b1.csv"),
+      s"11\t${esc(base)}\n13\tbatch one fresh content\n")
+    Files.writeString(incoming.resolve("b2.csv"),
+      s"21\t${esc(base.replace("w20", "zz"))}\n" + // near-dups b1's 11
+        "23\tbatch one fresh content\n" +          // exact re-ingest of 13
+        "25\tgenuinely new in batch two\n")
+    // pin arrival order (the file source orders by modification time)
+    Files.setLastModifiedTime(incoming.resolve("b1.csv"),
+      java.nio.file.attribute.FileTime.fromMillis(
+        System.currentTimeMillis() - 60000))
+    val stream = spark.readStream
+      .schema("doc_id LONG, text STRING")
+      .option("sep", "\t").option("maxFilesPerTrigger", "1")
+      .csv(incoming.toString)
+    val out = scala.collection.mutable.Map.empty[Long, Array[
+      org.apache.spark.sql.Row]]
+    val q = StreamingIngest.run(spark, stream.toDF(),
+      "ingest_spec_fp", "ingest_spec_mh",
+      (v: DataFrame, id: Long) => out(id) = v.collect())
+    try {
+      q.processAllAvailable()
+      assert(out.keySet == Set(0L, 1L), s"expected 2 micro-batches: $out")
+      val b1 = out(0L).map(r => r.getLong(0) -> r).toMap
+      val b2 = out(1L).map(r => r.getLong(0) -> r).toMap
+      // batch1 must NOT have seen its own content as history (the
+      // verdict-before-append ordering inside processBatch)
+      assert(Set(11L, 13L) == b1.keySet)
+      b1.values.foreach { r =>
+        assert(!r.getBoolean(2) && !r.getBoolean(3),
+          s"batch1 saw itself as history: $r")
+        assert(r.getLong(4) == 0L, s"batch1 near-matched itself: $r")
+      }
+      // batch2: exact re-ingest resolves to b1's doc 13
+      assert(b2(23L).getLong(1) == 13L && b2(23L).getBoolean(2))
+      // near-dup resolves to b1's doc 11 through the band store
+      assert(b2(21L).getLong(4) == 1L && b2(21L).getLong(5) == 11L,
+        s"b2 near-dup must see the appended b1 doc: ${b2(21L)}")
+      assert(b2(21L).getDouble(6) >= 0.8 && b2(21L).getDouble(6) < 1.0)
+      // novel doc stays clean
+      assert(!b2(25L).getBoolean(2) && b2(25L).getLong(4) == 0L)
+      // and an exact dup is not probed against the band store: its
+      // minhash columns are NULL
+      assert(b2(23L).isNullAt(4) && b2(23L).isNullAt(5))
+      // the stores now hold seed + all novel content: seed, base,
+      // "fresh", 21's near-dup text (exact-novel!), 25's new text
+      assert(spark.table("ingest_spec_fp").count() == 5)
+    } finally {
+      q.stop()
+      spark.sql("DROP TABLE IF EXISTS ingest_spec_fp")
+      spark.sql("DROP TABLE IF EXISTS ingest_spec_mh_bands")
+      spark.sql("DROP TABLE IF EXISTS ingest_spec_mh_shingles")
+    }
+  }
+}
