@@ -88,8 +88,12 @@ object Bench {
       // a failed query must not abort the artifact, but it must not
       // masquerade as a fast time either — it lands in "errors"
       try body() catch { case _: Throwable => errors += label }
+      val t = (System.nanoTime() - t0) / 1e9
+      // drain OUTSIDE the measured window: the bus backlog is
+      // instrumentation latency, not query cost — charging it would
+      // skew the round-over-round "value" contract upward
       GraftSparkBridge.drainListenerBus(spark.sparkContext)
-      (System.nanoTime() - t0) / 1e9
+      t
     }
 
     // ---- warmup: build each pack's cross-query shared caches ----
@@ -140,6 +144,11 @@ object Bench {
       s""","task_run_ms_steady":${fmtL(task("s", 0))}""" +
       s""","task_gc_ms_steady":${fmtL(task("s", 1))}""" +
       s""","shuffle_read_b_steady":${fmtL(task("s", 2))}""" +
+      s""","shuffle_write_b_steady":${fmtL(task("s", 3))}""" +
+      s""","task_run_ms_warmup":${fmtL(warmup.map { case (n, _) =>
+            val a = listener.acc.get(s"w:$n")
+            n -> (if (a == null) 0L else a(0))
+          })}""" +
       s""","driver_gc_ms":{"warmup":$gcWarm,"cold":$gcCold,"steady":$gcSteady}""" +
       s""","env":{"heap_max_mb":$heapMaxMb,"cpus":$cpus,""" +
       s""""load_avg_start":$load0,"load_avg_mid":$loadMid,""" +

@@ -55,6 +55,21 @@ object Caches {
     releaseHooks.forEach(h => h())
   }
 
+  /** Best-effort recursive delete, for release hooks whose memos point
+    * at on-disk artifacts (persisted index/shard dirs): clearing the
+    * memo without removing the directory leaks one full artifact copy
+    * per release cycle in a long-lived session.
+    */
+  def deleteDir(path: String): Unit = {
+    val root = java.nio.file.Paths.get(path)
+    if (java.nio.file.Files.exists(root)) {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(root).iterator().asScala.toSeq.reverse
+        .foreach(p => try java.nio.file.Files.deleteIfExists(p)
+          catch { case _: java.io.IOException => })
+    }
+  }
+
   implicit class CachesSyntax(private val df: DataFrame) extends AnyVal {
     /** `.persistTracked` — fluent [[Caches.persist]]. */
     def persistTracked: DataFrame = Caches.persist(df)

@@ -118,7 +118,11 @@ object ScaleSmoke {
     spark.sparkContext.setLogLevel("WARN")
     spark.range(1000).selectExpr("sum(id)").collect()
 
-    val dir = s"target/scale/x$k"
+    // the reuse marker must key on BASE as well as K — a dir named by K
+    // alone would silently serve stale replicas of a different dataset
+    val baseTag = java.security.MessageDigest.getInstance("MD5")
+      .digest(base.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(8)
+    val dir = s"target/scale/x$k-$baseTag"
     ensureScaled(spark, base, k, dir)
 
     def run(name: String, d: String): Double = {

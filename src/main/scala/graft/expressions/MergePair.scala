@@ -70,7 +70,9 @@ object MergePairImpl {
     var i = 0
     while (i < n) {
       val t = tokens.getUTF8String(i)
-      if (t.numBytes() > 0) {
+      // null elements (the type check admits containsNull arrays) are
+      // dropped like empty tokens — they can never participate in a merge
+      if (t != null && t.numBytes() > 0) {
         if (m > 0 && t.equals(b) &&
             out(m - 1).asInstanceOf[UTF8String].equals(a)) {
           out(m - 1) = merged

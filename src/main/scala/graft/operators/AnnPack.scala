@@ -722,7 +722,10 @@ object AnnPack extends QueryPack {
     */
   private val indexDirs =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
-  graft.Caches.onRelease(() => indexDirs.clear())
+  graft.Caches.onRelease(() => {
+    indexDirs.values.forEach(graft.Caches.deleteDir(_))
+    indexDirs.clear()
+  })
 
   // D9 through the driver gate — the cf_parse_config pattern: the
   // artifact-driven path (train + persist the IVF index, then SEARCH the

@@ -155,7 +155,10 @@ object CurationPack extends QueryPack {
     */
   private val shardDirs =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
-  graft.Caches.onRelease(() => shardDirs.clear())
+  graft.Caches.onRelease(() => {
+    shardDirs.values.forEach(graft.Caches.deleteDir(_))
+    shardDirs.clear()
+  })
 
   // H8 through the driver gate — the cf_parse_config pattern: land the
   // packing as physical training shards (TrainingShards.write: one

@@ -742,22 +742,16 @@ object DedupPack extends QueryPack {
       // round. Restricted to ≥ 3 words because only those docs shingle —
       // a 2-word exact pair is NOT in the minhash graph, and contracting
       // it would diverge from the oracle's closure over the real edges.
-      val repOf = {
-        val fps = Tables.documents(s, d)
-          .select(col("doc_id"),
-            md5(normText(col("text"))).as("fingerprint"),
-            size(words(col("text"))).as("__nw"))
-          .filter(col("__nw") >= 3)
-          .select(col("doc_id"), col("fingerprint"))
-        fps.join(
-            fps.groupBy(col("fingerprint"))
-              .agg(min(col("doc_id")).as("rep"), count(lit(1)).as("__n"))
-              .filter(col("__n") >= 2)
-              .select(col("fingerprint"), col("rep")),
-            "fingerprint")
-          .filter(col("doc_id") =!= col("rep"))
-          .select(col("doc_id"), col("rep"))
-      }
+      // the C1 election (agg + join-back), reused: is_dup ⇒ group ≥ 2
+      val repOf = withDupFlag(
+          Tables.documents(s, d)
+            .select(col("doc_id"),
+              md5(normText(col("text"))).as("fingerprint"),
+              size(words(col("text"))).as("__nw"))
+            .filter(col("__nw") >= 3)
+            .select(col("doc_id"), col("fingerprint")))
+        .filter(col("is_dup"))
+        .select(col("doc_id"), col("__canonical").as("rep"))
       val edges = mh.union(em)
         .join(repOf.select(col("doc_id").as("doc_a"), col("rep").as("ra")),
           Seq("doc_a"), "left")

@@ -87,11 +87,28 @@ object MinHashStore {
   def dedupAgainst(spark: SparkSession, tableBase: String,
       batch: DataFrame): DataFrame = {
     import graft.Caches.CachesSyntax
-    val bands = spark.table(s"${tableBase}_bands")
-    val shStore = spark.table(s"${tableBase}_shingles")
     // the batch featurization feeds the band probe AND the verify join
     // (no cross-branch CSE) — persist it, registry-scoped
-    val bsh = shingleDocs(batch).persistTracked
+    probe(spark, tableBase, batch, shingleDocs(batch).persistTracked)
+  }
+
+  /** As [[dedupAgainst]], but the persisted batch featurization is NOT
+    * registry-tracked: it is returned for the caller to unpersist once
+    * the verdicts are materialized. For per-micro-batch loops
+    * ([[graft.streaming.StreamingIngest]]) whose cache lifecycle must
+    * not reach into the process-wide registry.
+    */
+  private[graft] def dedupAgainstScoped(spark: SparkSession,
+      tableBase: String, batch: DataFrame): (DataFrame, DataFrame) = {
+    val bsh = shingleDocs(batch)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    (probe(spark, tableBase, batch, bsh), bsh)
+  }
+
+  private def probe(spark: SparkSession, tableBase: String,
+      batch: DataFrame, bsh: DataFrame): DataFrame = {
+    val bands = spark.table(s"${tableBase}_bands")
+    val shStore = spark.table(s"${tableBase}_shingles")
     val cand = DedupPack.bandKeys(bsh)
       .select(bkey(col("band"), col("key")).as("bkey"), col("doc_id"))
       .join(bands, Seq("bkey"))
@@ -102,6 +119,11 @@ object MinHashStore {
       .join(bsh.select(col("doc_id"), col("shingles").as("sb")), "doc_id")
       .withColumn("jaccard", DedupPack.jaccard(col("sa"), col("sb")))
       .filter(col("jaccard") >= DedupPack.tau)
+      // a crash-replayed append leaves DUPLICATE shingle-store rows for
+      // the replayed docs; the pair-level dedupe (candidate-pair-sized,
+      // duplicate rows carry identical jaccard) keeps n_hist_matches a
+      // count of distinct history DOCS, so replay cannot change verdicts
+      .dropDuplicates("doc_id", "h_id")
     val verdicts = verified.groupBy(col("doc_id"))
       .agg(count(lit(1)).as("__n"), min(col("h_id")).as("__hist"),
         max(col("jaccard")).as("__best"))

@@ -40,10 +40,11 @@ object StreamingIngest {
     * Ordering inside is load-bearing: every derived frame is
     * localCheckpoint-ed (eager, batch-sized) BEFORE the appends mutate
     * the stores — a lazy verdict recomputed after the append would see
-    * the batch's own content as history. The call releases the cache
-    * registry on exit (the probe's featurized working set is tracked
-    * there); run the ingest loop in its own session scope, not
-    * interleaved with a query batch whose shared caches must stay hot.
+    * the batch's own content as history. The probe's featurized
+    * working set is scoped to this call (persisted untracked,
+    * unpersisted once the verdicts are severed) — the loop never
+    * touches the process-wide cache registry, so it can run alongside
+    * query workloads whose shared caches must stay hot.
     */
   def processBatch(spark: SparkSession, fpTable: String, mhBase: String,
       batch: DataFrame): DataFrame = {
@@ -56,15 +57,16 @@ object StreamingIngest {
     val survivors = b
       .join(exact.filter(!col("is_dup")).select("doc_id"), "doc_id")
       .localCheckpoint(true)
-    val near = MinHashStore.dedupAgainst(spark, mhBase, survivors)
-      .localCheckpoint(true)
+    val (nearRaw, bsh) =
+      MinHashStore.dedupAgainstScoped(spark, mhBase, survivors)
+    val near = nearRaw.localCheckpoint(true)
+    bsh.unpersist()
     // novel content becomes history for the NEXT batch
     FingerprintStore.append(spark, fpTable, b)
     MinHashStore.append(spark, mhBase,
       survivors.join(
         near.filter(col("n_hist_matches") === 0).select("doc_id"),
         "doc_id"))
-    graft.Caches.releaseAll()
     exact
       .select(col("doc_id"), col("canonical_id"), col("dup_of_history"),
         col("is_dup"))
