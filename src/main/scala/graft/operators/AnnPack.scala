@@ -620,13 +620,20 @@ object AnnPack extends QueryPack {
       .select(col("query_id"), col("qv"), col("qn"), col("cell"))
   }
 
-  /** D5's oracle — shared verbatim by `ann_index_search` (D9): the
-    * persisted index is trained with the IDENTICAL deterministic
-    * k-means, so searching it must hash-match the in-query result.
+  /** D5's oracle — shared verbatim by `ann_index_search` (D9), and,
+    * with a restricted `trainPred`, by `ann_index_append_search` (the
+    * D9 append path): the quantizer TRAINS on `corpus` (vec_id % 50 <>
+    * 0 AND trainPred) but the postings ASSIGN the full corpus — which
+    * is exactly write(train set) followed by append(the rest): appended
+    * vectors route to the FIXED trained centroids. With trainPred TRUE
+    * the two sets coincide and this is the plain D5 oracle.
     */
-  private lazy val ivfKmeansOracle: String = s"""
+  private def kmeansOracle(trainPred: String): String = s"""
       WITH $vecsSql,
       corpus AS (SELECT vec_id, label, v, nrm,
+          ${Vectors.sql.dot("v", "v")} AS vv
+        FROM n WHERE vec_id % 50 <> 0 AND ($trainPred)),
+      assign AS (SELECT vec_id, v, nrm,
           ${Vectors.sql.dot("v", "v")} AS vv
         FROM n WHERE vec_id % 50 <> 0),
       seeds AS (SELECT vec_id AS cell, v AS cv,
@@ -665,7 +672,7 @@ object AnnPack extends QueryPack {
           ROW_NUMBER() OVER (PARTITION BY co.vec_id ORDER BY
             co.vv + s.cc - 2.0 * ${Vectors.sql.dot("co.v", "s.cv")}, s.cell)
             AS rn
-        FROM corpus co CROSS JOIN cn2 s),
+        FROM assign co CROSS JOIN cn2 s),
       li AS (SELECT vec_id, v, nrm, cell FROM lists WHERE rn = 1),
       q AS (SELECT vec_id AS query_id, v AS qv, nrm AS qn,
           ${Vectors.sql.dot("v", "v")} AS qq
@@ -711,7 +718,7 @@ object AnnPack extends QueryPack {
       topKPerQuery(pairs, K, Seq("cell"))
         .orderBy(col("query_id"), col("rank"))
     },
-    Some(ivfKmeansOracle))
+    Some(kmeansOracle("TRUE")))
 
   /** Memoized on-disk artifacts keyed by input dir: the index content
     * is a deterministic function of the (immutable) testdata, so a
@@ -752,7 +759,37 @@ object AnnPack extends QueryPack {
           .select(col("vec_id"), col("embedding")),
         k = K, nprobe = nprobe)
     },
-    Some(ivfKmeansOracle))
+    Some(kmeansOracle("TRUE")))
+
+  // D9's APPEND path through the driver gate: train + persist the index
+  // on ~91% of the corpus, APPEND the held-out slice (routed to the
+  // FIXED trained centroids — no retrain), then search. The oracle
+  // trains on the same reduced set but assigns the full corpus, which
+  // is precisely the write+append contract — a hash match proves
+  // appended vectors are searchable exactly as if routed at build time.
+  private val annIndexAppendSearch = GraftQuery(
+    "ann_index_append_search",
+    (s, d) => {
+      val path = indexDirs.computeIfAbsent(s"$d#append", _ => {
+        val dir = java.nio.file.Files
+          .createTempDirectory("graft_ann_index_app").toString
+        val corpus = Tables.embeddings(s, d)
+          .filter(pmod(col("vec_id"), lit(50)) =!= 0)
+          .select(col("vec_id"), col("embedding"))
+        graft.sources.AnnIndex.write(
+          corpus.filter(pmod(col("vec_id"), lit(11)) =!= 5),
+          dir, k = kmK, iters = kmIters)
+        graft.sources.AnnIndex.append(s, dir,
+          corpus.filter(pmod(col("vec_id"), lit(11)) === 5))
+        dir
+      })
+      graft.sources.AnnIndex.search(s, path,
+        Tables.embeddings(s, d)
+          .filter(pmod(col("vec_id"), lit(50)) === 0)
+          .select(col("vec_id"), col("embedding")),
+        k = K, nprobe = nprobe)
+    },
+    Some(kmeansOracle("vec_id % 11 <> 5")))
 
   // D7 — int8 symmetric quantization of the embedding column: the
   // standard 4x memory/bandwidth cut for the vector working set before
@@ -906,7 +943,8 @@ object AnnPack extends QueryPack {
 
   override val queries: Seq[GraftQuery] =
     Seq(annBrute, annLsh, knnJoin, dedupEmbedding, annIvf, annIvfKmeans,
-      annRange, embeddingQuantize, annQuantized, annIndexSearch)
+      annRange, embeddingQuantize, annQuantized, annIndexSearch,
+      annIndexAppendSearch)
 
   /** Cross-query shared working sets (see [[graft.QueryPack.warm]]):
     * the (label, cell) inverted lists feed D3/C5/D6 + C10's rangePairs,
