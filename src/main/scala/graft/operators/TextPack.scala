@@ -455,7 +455,26 @@ object TextPack extends QueryPack {
       row(1, t1, d1).union(row(2, t2, d2)).orderBy(col("round"))
     },
     Some(s"""
-      WITH d0 AS (
+      WITH $bpeRoundsSql
+      SELECT CAST(1 AS BIGINT) AS round,
+        (SELECT a || ' ' || b FROM t1) AS pair,
+        (SELECT cnt FROM t1) AS cnt,
+        (SELECT CAST(SUM(len(w)) AS BIGINT) FROM d1) AS tokens_after
+      WHERE EXISTS (SELECT 1 FROM t1)
+      UNION ALL
+      SELECT CAST(2 AS BIGINT),
+        (SELECT a || ' ' || b FROM t2), (SELECT cnt FROM t2),
+        (SELECT CAST(SUM(len(w)) AS BIGINT) FROM d2)
+      WHERE EXISTS (SELECT 1 FROM t2)
+      ORDER BY round
+      """))
+
+  /** The two trained merge rounds as shared oracle CTEs (d0 → t1 → d1
+    * → t2 → d2) — bpe_train reads the per-round stats, bpe_encode the
+    * per-document d0/d2 token lists.
+    */
+  private lazy val bpeRoundsSql: String = s"""
+      d0 AS (
         SELECT doc_id, ${Portable.sql.words} AS w FROM documents
         WHERE len(${Portable.sql.words}) > 0),
       p1 AS (SELECT unnest(list_transform(range(len(w)-1),
@@ -475,18 +494,37 @@ object TextPack extends QueryPack {
       d2 AS (SELECT doc_id,
                list_filter(regexp_split_to_array($bpeMergeSql, ' '),
                  x -> x <> '') AS w
-             FROM (SELECT doc_id, w, a, b FROM d1 CROSS JOIN t2))
-      SELECT CAST(1 AS BIGINT) AS round,
-        (SELECT a || ' ' || b FROM t1) AS pair,
-        (SELECT cnt FROM t1) AS cnt,
-        (SELECT CAST(SUM(len(w)) AS BIGINT) FROM d1) AS tokens_after
-      WHERE EXISTS (SELECT 1 FROM t1)
-      UNION ALL
-      SELECT CAST(2 AS BIGINT),
-        (SELECT a || ' ' || b FROM t2), (SELECT cnt FROM t2),
-        (SELECT CAST(SUM(len(w)) AS BIGINT) FROM d2)
-      WHERE EXISTS (SELECT 1 FROM t2)
-      ORDER BY round
+             FROM (SELECT doc_id, w, a, b FROM d1 CROSS JOIN t2))"""
+
+  // E9 — apply the trained merge table: every document re-encoded
+  // through the two learned rounds (the train→encode pair a tokenizer
+  // pipeline ships). Same native MergePair kernel per round; the d0/d1
+  // frames are plan-identical to bpe_train's, so the CacheManager
+  // serves both queries from one build. The encoded stream is pinned by
+  // md5 — a full content hash-match, not just token counts.
+  private val bpeEncode = GraftQuery(
+    "bpe_encode",
+    (s, d) => {
+      import graft.Caches.CachesSyntax
+      val d0 = bpeTokens(Tables.documents(s, d)).persistTracked
+      val t1 = bpeTopPair(d0)
+      val d1 = bpeMerge(d0, t1).persistTracked
+      val t2 = bpeTopPair(d1)
+      val d2 = bpeMerge(d1, t2)
+      d0.select(col("doc_id"), size(col("w")).cast("long").as("n_tokens_in"))
+        .join(d2.select(col("doc_id"),
+          size(col("w")).cast("long").as("n_tokens_out"),
+          md5(concat_ws(" ", col("w"))).as("encoded_md5")), "doc_id")
+        .orderBy(col("doc_id"))
+    },
+    Some(s"""
+      WITH $bpeRoundsSql
+      SELECT d0.doc_id,
+        CAST(len(d0.w) AS BIGINT) AS n_tokens_in,
+        CAST(len(d2.w) AS BIGINT) AS n_tokens_out,
+        md5(array_to_string(d2.w, ' ')) AS encoded_md5
+      FROM d0 JOIN d2 USING (doc_id)
+      ORDER BY d0.doc_id
       """))
 
   /** DuckDB spelling of the [[bpeMerge]] fold (over columns w, a, b). */
@@ -501,5 +539,5 @@ object TextPack extends QueryPack {
 
   override val queries: Seq[GraftQuery] =
     Seq(langId, textQuality, tokenCount, fingerprint, textRepetition,
-      piiScrub, bpePairs, bpeTrain)
+      piiScrub, bpePairs, bpeTrain, bpeEncode)
 }
