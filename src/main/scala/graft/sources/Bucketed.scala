@@ -54,4 +54,69 @@ object Bucketed {
     // or it keeps serving the pre-append file-index snapshot
     spark.catalog.refreshTable(table)
   }
+
+  /** Rewrite an appended-to bucketed table back to one sorted file per
+    * bucket. Appends amortize ingest but amplify reads: every appended
+    * batch adds a file per touched bucket, and past one file per bucket
+    * Spark stops trusting the sort order (a local sort re-appears below
+    * every sort-merge probe). Compaction writes the full table fresh to
+    * a SIBLING directory (reading and overwriting the same path is
+    * illegal), atomically points the catalog table at it, and removes
+    * the old directory — probes before the ALTER read the old files,
+    * probes after read the new, none see a mix. Single-writer, like the
+    * appends it cleans up after.
+    */
+  def compactBucketed(spark: SparkSession, table: String): Unit = {
+    val cat = spark.sessionState.catalog
+    val ident = spark.sessionState.sqlParser.parseTableIdentifier(table)
+    val meta = cat.getTableMetadata(ident)
+    val spec = meta.bucketSpec.getOrElse(throw new IllegalArgumentException(
+      s"$table is not bucketed"))
+    val oldPath = new java.net.URI(meta.location.toString).getPath
+    // generation-suffixed sibling: strip any prior suffix so repeated
+    // compactions alternate rather than accumulate path segments
+    val base = oldPath.replaceAll("__g\\d+$", "")
+    val gen = "__g(\\d+)$".r.findFirstMatchIn(oldPath)
+      .map(_.group(1).toLong + 1).getOrElse(1L)
+    val newPath = s"${base}__g$gen"
+    val tmpTable = s"${table}__compacting"
+    // One-file-per-bucket needs each write task to own exactly one
+    // bucket. A repartition on the bucket columns LOOKS right but is
+    // unreliable here: the planner elides the exchange against the
+    // scan's claimed bucket partitioning, then auto-DISABLES the
+    // bucketed scan (nothing left requires the distribution) and reads
+    // by file splits — measured: mixed-bucket tasks re-fragmenting the
+    // output. Forcing the bucketed scan ON instead makes the scan
+    // itself bucket-pure (one partition per bucket, however many files
+    // each holds), so the writer emits exactly one file per bucket with
+    // NO exchange at all — compaction is a parallel local rewrite. The
+    // repartition stays as a correctness net for sessions where the
+    // scan partitioning is not usable; it elides when redundant.
+    val autoScanKey =
+      "spark.sql.sources.bucketing.autoBucketedScan.enabled"
+    val prevAuto = spark.conf.get(autoScanKey)
+    spark.conf.set(autoScanKey, "false")
+    try {
+      val cols = spec.bucketColumnNames
+        .map(org.apache.spark.sql.functions.col)
+      val w = spark.table(table)
+        .repartition(spec.numBuckets, cols: _*)
+        .write.mode("overwrite").format("parquet")
+        .option("path", newPath)
+        .bucketBy(spec.numBuckets, spec.bucketColumnNames.head,
+          spec.bucketColumnNames.tail: _*)
+      (if (spec.sortColumnNames.nonEmpty)
+         w.sortBy(spec.sortColumnNames.head, spec.sortColumnNames.tail: _*)
+       else w)
+        .saveAsTable(tmpTable)
+    } finally spark.conf.set(autoScanKey, prevAuto)
+    spark.sql(s"ALTER TABLE $table SET LOCATION '$newPath'")
+    // drop only the CATALOG entry of the staging name; its files are now
+    // the live table's
+    cat.dropTable(spark.sessionState.sqlParser
+      .parseTableIdentifier(tmpTable), ignoreIfNotExists = false,
+      purge = false)
+    spark.catalog.refreshTable(table)
+    graft.Caches.deleteDir(oldPath)
+  }
 }

@@ -60,6 +60,13 @@ object FingerprintStore {
     Bucketed.appendBucketed(spark, novel, table)
   }
 
+  /** Rewrite the appended-to store back to one sorted file per bucket
+    * ([[Bucketed.compactBucketed]]) — run periodically between ingest
+    * batches to undo append amplification.
+    */
+  def compact(spark: SparkSession, table: String): Unit =
+    Bucketed.compactBucketed(spark, table)
+
   /** Dedup verdict for `batch` (doc_id, text) against the store:
     * (doc_id, fingerprint, canonical_id, dup_of_history, is_dup).
     */

@@ -79,6 +79,15 @@ object MinHashStore {
       s"${tableBase}_shingles")
   }
 
+  /** Rewrite both appended-to store tables back to one sorted file per
+    * bucket ([[Bucketed.compactBucketed]]) — run periodically between
+    * ingest batches to undo append amplification.
+    */
+  def compact(spark: SparkSession, tableBase: String): Unit = {
+    Bucketed.compactBucketed(spark, s"${tableBase}_bands")
+    Bucketed.compactBucketed(spark, s"${tableBase}_shingles")
+  }
+
   /** Near-dup verdict for `batch` (doc_id, text) against the store:
     * (doc_id, n_hist_matches, hist_canonical, best_jaccard) — one row
     * per batch doc; -1 / 0 / 0.0 sentinels when no history near-dup

@@ -376,6 +376,50 @@ class DedupPackSpec extends GraftSpec {
     }
   }
 
+  test("compact: appended store collapses to one file per bucket, verdicts identical") {
+    import spark.implicits._
+    import graft.sources.FingerprintStore
+    val tmp = java.nio.file.Files.createTempDirectory("graft-fp-cmp").toString
+    FingerprintStore.write(
+      (1L to 20L).map(i => (i, s"seed text number $i")).toDF("doc_id", "text"),
+      "fp_cmp", s"$tmp/store")
+    try {
+      FingerprintStore.append(spark, "fp_cmp",
+        (21L to 30L).map(i => (i, s"appended text $i")).toDF("doc_id", "text"))
+      FingerprintStore.append(spark, "fp_cmp",
+        (31L to 40L).map(i => (i, s"late text $i")).toDF("doc_id", "text"))
+      def dataFiles() = {
+        val loc = new java.net.URI(spark.sessionState.catalog
+          .getTableMetadata(spark.sessionState.sqlParser
+            .parseTableIdentifier("fp_cmp")).location.toString).getPath
+        new java.io.File(loc).listFiles()
+          .filter(f => f.isFile && f.getName.endsWith(".parquet")).toSeq
+      }
+      val before = dataFiles()
+      val probe = Seq((51L, "appended text 25"), (53L, "seed text number 3"),
+        (55L, "novel")).toDF("doc_id", "text")
+      val want = FingerprintStore.dedupAgainst(spark, "fp_cmp", probe)
+        .collect().map(_.toString).sorted.toSeq
+      FingerprintStore.compact(spark, "fp_cmp")
+      val after = dataFiles()
+      // three writes of 40 fingerprints fragment the 8 buckets into many
+      // files; the compacted layout is AT MOST one file per bucket
+      assert(before.size > after.size && after.size <= 8,
+        s"compact did not shrink the file set: ${before.size} -> ${after.size}")
+      val got = FingerprintStore.dedupAgainst(spark, "fp_cmp", probe)
+        .collect().map(_.toString).sorted.toSeq
+      assert(got == want, "verdicts changed across compact")
+      // repeated compaction alternates generation dirs, not accumulates
+      FingerprintStore.compact(spark, "fp_cmp")
+      assert(new java.net.URI(spark.sessionState.catalog
+        .getTableMetadata(spark.sessionState.sqlParser
+          .parseTableIdentifier("fp_cmp")).location.toString).getPath
+        .endsWith("__g2"))
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS fp_cmp")
+    }
+  }
+
   test("ingest loop: minhash store append makes batch1 visible to batch2") {
     import spark.implicits._
     import graft.sources.MinHashStore
@@ -427,6 +471,12 @@ class DedupPackSpec extends GraftSpec {
       storeSides.foreach(side => assert(
         side.collect { case e: ShuffleExchangeExec => e }.isEmpty,
         s"appended store side re-shuffled:\n$side"))
+      // compacting BOTH store tables must leave every verdict unchanged
+      MinHashStore.compact(spark, "mh_app")
+      val rows2 = MinHashStore.dedupAgainst(spark, "mh_app", b2).collect()
+        .map(r => r.getLong(0) ->
+          (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+      assert(rows2 == rows, "verdicts changed across minhash-store compact")
     } finally {
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevB)
       spark.conf.set("spark.sql.adaptive.enabled", prevA)
