@@ -44,14 +44,39 @@ object MinHashStore {
   private def bkey(band: Column, key: Column): Column =
     concat_ws(":", band.cast("string"), key)
 
-  /** Land the history's band-key and shingle tables bucketed at `path`. */
+  /** Viral-band-bucket admission cap, the persisted-store analog of
+    * [[graft.streaming.StreamingMinHash]]'s `maxPerBucket`: boilerplate
+    * -heavy histories put thousands of docs behind one band key, and
+    * every probe of that key would fan out into thousands of candidate
+    * pairs. Capping at WRITE bounds the store itself — any probe key
+    * meets at most `maxPerBucket` history rows per band bucket per
+    * ingest unit. Unlike the streaming cap (first-arrival admission,
+    * deterministic only per stream), the retained set here must be
+    * reproducible across writers, so the cap keeps the `maxPerBucket`
+    * SMALLEST doc ids per bucket — a [[graft.plans.TopKPerKey]] bounded
+    * heap (map-side partial prune, one hash exchange), never a
+    * per-bucket sort. Recall: a history near-dup is missed only if ALL
+    * of the band keys it shares with the probe are capped out, and a
+    * capped bucket by construction retains `maxPerBucket` docs that
+    * collide on that same band — the docs a near-dup verdict against
+    * the bucket's content would name anyway. `Int.MaxValue` disables.
+    */
+  private def capBands(bands: DataFrame, maxPerBucket: Int): DataFrame =
+    if (maxPerBucket == Int.MaxValue) bands
+    else graft.plans.TopKPerKey(bands, Seq(col("bkey")),
+      Seq(col("h_id").asc), maxPerBucket)
+
+  /** Land the history's band-key and shingle tables bucketed at `path`.
+    * `maxPerBucket` bounds each band bucket's admitted docs — see
+    * [[capBands]].
+    */
   def write(history: DataFrame, tableBase: String, path: String,
-      buckets: Int = 8): Unit = {
+      buckets: Int = 8, maxPerBucket: Int = 1024): Unit = {
     val sh = shingleDocs(history)
     Bucketed.writeBucketed(
-      DedupPack.bandKeys(sh)
+      capBands(DedupPack.bandKeys(sh)
         .select(bkey(col("band"), col("key")).as("bkey"),
-          col("doc_id").as("h_id")),
+          col("doc_id").as("h_id")), maxPerBucket),
       s"${tableBase}_bands", "bkey", buckets, s"$path/bands")
     Bucketed.writeBucketed(
       sh.select(col("doc_id").as("h_id"), col("shingles").as("sa")),
@@ -65,14 +90,23 @@ object MinHashStore {
     * the next batch's probe sees them without any rewrite of the
     * existing store. Single-writer ingest contract; re-appending a
     * doc_id is the caller's bug.
+    *
+    * `maxPerBucket` caps the BATCH's contribution per band bucket
+    * ([[capBands]]); the cap is per ingest unit — a bucket's total
+    * across history + N appends is bounded by (N+1)·cap, and
+    * [[compact]] deliberately does NOT re-cap (pruning at compaction
+    * would change verdicts, breaking its byte-stability contract).
+    * In the intended loop the appended docs are near-dup SURVIVORS,
+    * whose band keys rarely collide — the cap is a guard against a
+    * caller appending a raw boilerplate-heavy batch.
     */
   def append(spark: SparkSession, tableBase: String,
-      docs: DataFrame): Unit = {
+      docs: DataFrame, maxPerBucket: Int = 1024): Unit = {
     val sh = shingleDocs(docs)
     Bucketed.appendBucketed(spark,
-      DedupPack.bandKeys(sh)
+      capBands(DedupPack.bandKeys(sh)
         .select(bkey(col("band"), col("key")).as("bkey"),
-          col("doc_id").as("h_id")),
+          col("doc_id").as("h_id")), maxPerBucket),
       s"${tableBase}_bands")
     Bucketed.appendBucketed(spark,
       sh.select(col("doc_id").as("h_id"), col("shingles").as("sa")),

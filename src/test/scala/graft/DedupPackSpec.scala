@@ -485,6 +485,61 @@ class DedupPackSpec extends GraftSpec {
     }
   }
 
+  test("minhash store: viral band buckets capped deterministically") {
+    import spark.implicits._
+    import graft.sources.MinHashStore
+    val viral = (1 to 40).map(i => s"v$i").mkString(" ")
+    // 120 identical docs: without a cap every band bucket of the viral
+    // text holds all 120 — the boilerplate-heavy-history shape whose
+    // probe fanout the cap exists to bound
+    val history = ((1000L to 1119L).map(i => (i, viral)) :+
+      ((5L, (1 to 40).map(i => s"y$i").mkString(" "))))
+      .toDF("doc_id", "text")
+    val tmp = java.nio.file.Files.createTempDirectory("graft-mh-cap")
+      .toString
+    MinHashStore.write(history, "mh_cap", s"$tmp/store", maxPerBucket = 8)
+    try {
+      val byBucket = spark.table("mh_cap_bands").groupBy("bkey")
+        .agg(count(lit(1)).as("n"), collect_set("h_id").as("ids"))
+        .collect()
+      assert(byBucket.forall(_.getLong(1) <= 8),
+        "a band bucket exceeded the write cap")
+      val viralBuckets = byBucket.filter(_.getLong(1) == 8)
+      assert(viralBuckets.nonEmpty, "expected capped viral buckets")
+      // retained set = the 8 SMALLEST doc ids, not an arrival-order
+      // sample: reproducible across writers and partitionings
+      viralBuckets.foreach { r =>
+        val ids = r.getSeq[Long](2).sorted
+        assert(ids == (1000L to 1007L),
+          s"retained set is not the 8 smallest doc ids: $ids")
+      }
+      // a near-dup probe of the viral text still resolves — against
+      // exactly the retained docs, so candidate fanout is cap-bounded
+      val batch = Seq(
+        (1L, viral.replace("v20", "zz")),
+        (3L, (1 to 40).map(i => s"n$i").mkString(" "))
+      ).toDF("doc_id", "text")
+      val rows = MinHashStore.dedupAgainst(spark, "mh_cap", batch)
+        .collect()
+        .map(r => r.getLong(0) ->
+          (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+      assert(rows(1L)._1 == 8L && rows(1L)._2 == 1000L,
+        s"viral near-dup must verify against the 8 retained docs: $rows")
+      assert(rows(1L)._3 >= 0.8 && rows(1L)._3 < 1.0)
+      assert(rows(3L) == ((0L, -1L, 0.0)), s"novel doc matched: $rows")
+      // append applies the same cap to ITS batch (per-ingest-unit bound)
+      MinHashStore.append(spark, "mh_cap",
+        (2000L to 2099L).map(i => (i, viral)).toDF("doc_id", "text"),
+        maxPerBucket = 4)
+      val after = spark.table("mh_cap_bands").groupBy("bkey")
+        .agg(count(lit(1)).as("n")).agg(max("n")).collect()(0).getLong(0)
+      assert(after <= 12, s"append exceeded its per-batch cap: $after")
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS mh_cap_bands")
+      spark.sql("DROP TABLE IF EXISTS mh_cap_shingles")
+    }
+  }
+
   test("ngram_jaccard pairs are symmetric-free and above threshold") {
     val rows = SparkEntry.queries("ngram_jaccard")(spark, sfDir).collect()
     rows.foreach { r =>
