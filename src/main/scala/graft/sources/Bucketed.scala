@@ -1,6 +1,7 @@
 package graft.sources
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, DataFrameWriter, Row, SparkSession}
+import org.apache.spark.sql.catalyst.catalog.BucketSpec
 
 /** Bucketed-table utilities (SURVEY.md §4/§5: co-located fact-fact
   * joins).
@@ -15,16 +16,27 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object Bucketed {
 
+  /** Apply a catalog bucket spec to a writer — the ONE place the
+    * bucketBy/sortBy layout is spelled, so write, append and compact can
+    * never diverge from each other on the layout every probe relies on.
+    */
+  private def withSpec(w: DataFrameWriter[Row],
+      spec: BucketSpec): DataFrameWriter[Row] = {
+    val b = w.bucketBy(spec.numBuckets, spec.bucketColumnNames.head,
+      spec.bucketColumnNames.tail: _*)
+    if (spec.sortColumnNames.nonEmpty)
+      b.sortBy(spec.sortColumnNames.head, spec.sortColumnNames.tail: _*)
+    else b
+  }
+
   /** Write `df` as a bucketed+sorted external parquet table registered
     * in the session catalog at `path`.
     */
   def writeBucketed(df: DataFrame, table: String, key: String,
                     buckets: Int, path: String): Unit =
-    df.write.mode("overwrite")
+    withSpec(df.write.mode("overwrite")
       .format("parquet")
-      .option("path", path)
-      .bucketBy(buckets, key)
-      .sortBy(key)
+      .option("path", path), BucketSpec(buckets, Seq(key), Seq(key)))
       .saveAsTable(table)
 
   /** Append `df` into an existing bucketed table, bucket-ALIGNED: the
@@ -41,12 +53,7 @@ object Bucketed {
       .bucketSpec.getOrElse(throw new IllegalArgumentException(
         s"$table is not bucketed — appendBucketed would corrupt the " +
           "layout contract"))
-    val w = df.write.mode("append").format("parquet")
-      .bucketBy(spec.numBuckets, spec.bucketColumnNames.head,
-        spec.bucketColumnNames.tail: _*)
-    (if (spec.sortColumnNames.nonEmpty)
-       w.sortBy(spec.sortColumnNames.head, spec.sortColumnNames.tail: _*)
-     else w)
+    withSpec(df.write.mode("append").format("parquet"), spec)
       .saveAsTable(table)
     // the write invalidates the relation cache of DF'S session — which
     // inside foreachBatch is the streaming CLONE, not the session the
@@ -61,10 +68,17 @@ object Bucketed {
     * Spark stops trusting the sort order (a local sort re-appears below
     * every sort-merge probe). Compaction writes the full table fresh to
     * a SIBLING directory (reading and overwriting the same path is
-    * illegal), atomically points the catalog table at it, and removes
-    * the old directory — probes before the ALTER read the old files,
-    * probes after read the new, none see a mix. Single-writer, like the
-    * appends it cleans up after.
+    * illegal), atomically points the catalog table at it, and retires
+    * the old directory with ONE-generation grace: the dir retired NOW
+    * stays on disk until the NEXT compaction (only generations older
+    * than it are deleted), so a plan resolved before this compaction —
+    * a lazy verdict frame, or a probe through another session whose
+    * relation cache was not refreshed — still reads the files its scan
+    * captured. The reader contract is therefore: re-resolve (or
+    * materialize) any frame older than the PREVIOUS compaction.
+    * Single-writer, like the appends it cleans up after. All paths go
+    * through the table location's own Hadoop filesystem — an hdfs:// or
+    * s3a:// store compacts the same way a local one does.
     */
   def compactBucketed(spark: SparkSession, table: String): Unit = {
     val cat = spark.sessionState.catalog
@@ -72,7 +86,7 @@ object Bucketed {
     val meta = cat.getTableMetadata(ident)
     val spec = meta.bucketSpec.getOrElse(throw new IllegalArgumentException(
       s"$table is not bucketed"))
-    val oldPath = new java.net.URI(meta.location.toString).getPath
+    val oldPath = meta.location.toString.stripSuffix("/")
     // generation-suffixed sibling: strip any prior suffix so repeated
     // compactions alternate rather than accumulate path segments
     val base = oldPath.replaceAll("__g\\d+$", "")
@@ -99,15 +113,10 @@ object Bucketed {
     try {
       val cols = spec.bucketColumnNames
         .map(org.apache.spark.sql.functions.col)
-      val w = spark.table(table)
+      withSpec(spark.table(table)
         .repartition(spec.numBuckets, cols: _*)
         .write.mode("overwrite").format("parquet")
-        .option("path", newPath)
-        .bucketBy(spec.numBuckets, spec.bucketColumnNames.head,
-          spec.bucketColumnNames.tail: _*)
-      (if (spec.sortColumnNames.nonEmpty)
-         w.sortBy(spec.sortColumnNames.head, spec.sortColumnNames.tail: _*)
-       else w)
+        .option("path", newPath), spec)
         .saveAsTable(tmpTable)
     } finally spark.conf.set(autoScanKey, prevAuto)
     spark.sql(s"ALTER TABLE $table SET LOCATION '$newPath'")
@@ -117,6 +126,22 @@ object Bucketed {
       .parseTableIdentifier(tmpTable), ignoreIfNotExists = false,
       purge = false)
     spark.catalog.refreshTable(table)
-    graft.Caches.deleteDir(oldPath)
+    // retire elder generations (grace: the dir retired by THIS compact
+    // survives until the next one) on the location's own filesystem
+    val live = new org.apache.hadoop.fs.Path(newPath)
+    val fs = live.getFileSystem(spark.sessionState.newHadoopConf())
+    val baseName = new org.apache.hadoop.fs.Path(base).getName
+    val keep = Set(new org.apache.hadoop.fs.Path(oldPath).getName,
+      live.getName)
+    Option(fs.listStatus(live.getParent)).getOrElse(Array.empty)
+      .map(_.getPath)
+      .filter { p =>
+        val n = p.getName
+        val isGen = n == baseName || (n.startsWith(baseName + "__g") &&
+          n.length > baseName.length + 3 &&
+          n.drop(baseName.length + 3).forall(_.isDigit))
+        isGen && !keep.contains(n)
+      }
+      .foreach(fs.delete(_, true))
   }
 }

@@ -66,6 +66,22 @@ object MinHashStore {
     else graft.plans.TopKPerKey(bands, Seq(col("bkey")),
       Seq(col("h_id").asc), maxPerBucket)
 
+  /** The shingle rows worth storing given the capped band table: a doc
+    * capped out of EVERY band bucket can never be named as a candidate
+    * (candidates only come from band matches), so its shingle set — the
+    * store's heavyweight column — would be permanently unreachable dead
+    * storage, recompacted forever. Semi-join keeps exactly the docs the
+    * probe can reach; with the cap disabled every banded doc survives,
+    * so the join is skipped.
+    */
+  private def reachableShingles(sh: DataFrame, cappedBands: DataFrame,
+      maxPerBucket: Int): DataFrame = {
+    val rows = sh.select(col("doc_id").as("h_id"), col("shingles").as("sa"))
+    if (maxPerBucket == Int.MaxValue) rows
+    else rows.join(cappedBands.select("h_id").distinct(),
+      Seq("h_id"), "left_semi")
+  }
+
   /** Land the history's band-key and shingle tables bucketed at `path`.
     * `maxPerBucket` bounds each band bucket's admitted docs — see
     * [[capBands]].
@@ -73,13 +89,12 @@ object MinHashStore {
   def write(history: DataFrame, tableBase: String, path: String,
       buckets: Int = 8, maxPerBucket: Int = 1024): Unit = {
     val sh = shingleDocs(history)
-    Bucketed.writeBucketed(
-      capBands(DedupPack.bandKeys(sh)
-        .select(bkey(col("band"), col("key")).as("bkey"),
-          col("doc_id").as("h_id")), maxPerBucket),
+    val bands = capBands(DedupPack.bandKeys(sh)
+      .select(bkey(col("band"), col("key")).as("bkey"),
+        col("doc_id").as("h_id")), maxPerBucket)
+    Bucketed.writeBucketed(bands,
       s"${tableBase}_bands", "bkey", buckets, s"$path/bands")
-    Bucketed.writeBucketed(
-      sh.select(col("doc_id").as("h_id"), col("shingles").as("sa")),
+    Bucketed.writeBucketed(reachableShingles(sh, bands, maxPerBucket),
       s"${tableBase}_shingles", "h_id", buckets, s"$path/shingles")
   }
 
@@ -103,13 +118,12 @@ object MinHashStore {
   def append(spark: SparkSession, tableBase: String,
       docs: DataFrame, maxPerBucket: Int = 1024): Unit = {
     val sh = shingleDocs(docs)
+    val bands = capBands(DedupPack.bandKeys(sh)
+      .select(bkey(col("band"), col("key")).as("bkey"),
+        col("doc_id").as("h_id")), maxPerBucket)
+    Bucketed.appendBucketed(spark, bands, s"${tableBase}_bands")
     Bucketed.appendBucketed(spark,
-      capBands(DedupPack.bandKeys(sh)
-        .select(bkey(col("band"), col("key")).as("bkey"),
-          col("doc_id").as("h_id")), maxPerBucket),
-      s"${tableBase}_bands")
-    Bucketed.appendBucketed(spark,
-      sh.select(col("doc_id").as("h_id"), col("shingles").as("sa")),
+      reachableShingles(sh, bands, maxPerBucket),
       s"${tableBase}_shingles")
   }
 

@@ -400,6 +400,10 @@ class DedupPackSpec extends GraftSpec {
         (55L, "novel")).toDF("doc_id", "text")
       val want = FingerprintStore.dedupAgainst(spark, "fp_cmp", probe)
         .collect().map(_.toString).sorted.toSeq
+      // resolved BEFORE compact, collected AFTER: the one-generation
+      // grace keeps the retired dir's files on disk until the NEXT
+      // compaction, so this frame's captured scan still reads
+      val lazyBefore = FingerprintStore.dedupAgainst(spark, "fp_cmp", probe)
       FingerprintStore.compact(spark, "fp_cmp")
       val after = dataFiles()
       // three writes of 40 fingerprints fragment the 8 buckets into many
@@ -409,12 +413,20 @@ class DedupPackSpec extends GraftSpec {
       val got = FingerprintStore.dedupAgainst(spark, "fp_cmp", probe)
         .collect().map(_.toString).sorted.toSeq
       assert(got == want, "verdicts changed across compact")
+      assert(lazyBefore.collect().map(_.toString).sorted.toSeq == want,
+        "pre-compact lazy frame broke across compact (grace violated)")
       // repeated compaction alternates generation dirs, not accumulates
       FingerprintStore.compact(spark, "fp_cmp")
       assert(new java.net.URI(spark.sessionState.catalog
         .getTableMetadata(spark.sessionState.sqlParser
           .parseTableIdentifier("fp_cmp")).location.toString).getPath
         .endsWith("__g2"))
+      // compact #2 retires __g1 (kept) and deletes the elder original
+      // dir that compact #1 retired
+      assert(!new java.io.File(s"$tmp/store").exists,
+        "elder generation dir not deleted by the next compaction")
+      assert(new java.io.File(s"$tmp/store__g1").exists,
+        "the just-retired generation must survive until the next compact")
     } finally {
       spark.sql("DROP TABLE IF EXISTS fp_cmp")
     }
@@ -513,6 +525,12 @@ class DedupPackSpec extends GraftSpec {
         assert(ids == (1000L to 1007L),
           s"retained set is not the 8 smallest doc ids: $ids")
       }
+      // capped-out docs leave NO dead shingle rows: the shingle store
+      // (the heavyweight table) holds exactly the band-reachable docs
+      val shIds = spark.table("mh_cap_shingles").select("h_id")
+        .collect().map(_.getLong(0)).sorted.toSeq
+      assert(shIds == (5L +: (1000L to 1007L)).sorted,
+        s"shingle store must hold only band-reachable docs: $shIds")
       // a near-dup probe of the viral text still resolves — against
       // exactly the retained docs, so candidate fanout is cap-bounded
       val batch = Seq(
@@ -534,6 +552,12 @@ class DedupPackSpec extends GraftSpec {
       val after = spark.table("mh_cap_bands").groupBy("bkey")
         .agg(count(lit(1)).as("n")).agg(max("n")).collect()(0).getLong(0)
       assert(after <= 12, s"append exceeded its per-batch cap: $after")
+      // the appended batch's capped-out docs are pruned the same way
+      val shAfter = spark.table("mh_cap_shingles").select("h_id")
+        .collect().map(_.getLong(0)).sorted.toSeq
+      assert(shAfter ==
+        ((5L +: (1000L to 1007L)) ++ (2000L to 2003L)).sorted,
+        s"append wrote unreachable shingle rows: $shAfter")
     } finally {
       spark.sql("DROP TABLE IF EXISTS mh_cap_bands")
       spark.sql("DROP TABLE IF EXISTS mh_cap_shingles")
