@@ -64,7 +64,11 @@ object Caches {
     val root = java.nio.file.Paths.get(path)
     if (java.nio.file.Files.exists(root)) {
       import scala.jdk.CollectionConverters._
-      java.nio.file.Files.walk(root).iterator().asScala.toSeq.reverse
+      // Files.walk holds a directory handle until closed — materialize
+      // the listing under Using so the handle never outlives the call
+      val paths = scala.util.Using.resource(java.nio.file.Files.walk(root))(
+        _.iterator().asScala.toSeq)
+      paths.reverse
         .foreach(p => try java.nio.file.Files.deleteIfExists(p)
           catch { case _: java.io.IOException => })
     }

@@ -22,8 +22,13 @@ import org.apache.spark.unsafe.types.UTF8String
   * element), and its accumulator is a growing STRING, so each append
   * re-copies the whole document: O(L²) characters per document per
   * round. This kernel is one codegen'd JVM loop, O(L) with zero
-  * intermediate strings. Empty tokens are dropped, matching the fold's
-  * trailing `filter(split(...), length > 0)`.
+  * intermediate strings. Empty/null tokens are dropped, matching the
+  * fold's trailing `filter(split(...), length > 0)` — and, like the
+  * fold (whose accumulator tail check failed across the empty's
+  * separator), a dropped token BREAKS adjacency: `[a, "", b]` yields
+  * `[a, b]`, never `[a+b]`. [[graft.functions.Portable.words]] never
+  * emits empties, so on the E8/E9 path the rule is latent; it exists so
+  * the kernel is a drop-in for ANY token array, not just that path.
   */
 case class MergePair(tokens: Expression, a: Expression, b: Expression)
     extends TernaryExpression {
@@ -68,18 +73,26 @@ object MergePairImpl {
     val out = new Array[Any](n)
     var m = 0
     var i = 0
+    // a dropped (null/empty) element breaks adjacency, matching the
+    // replaced fold: its separator landed in the accumulator, so the
+    // tail check failed across it and [a, "", b] stayed [a, b]
+    var adjacent = false
     while (i < n) {
       val t = tokens.getUTF8String(i)
-      // null elements (the type check admits containsNull arrays) are
-      // dropped like empty tokens — they can never participate in a merge
       if (t != null && t.numBytes() > 0) {
-        if (m > 0 && t.equals(b) &&
+        if (adjacent && m > 0 && t.equals(b) &&
             out(m - 1).asInstanceOf[UTF8String].equals(a)) {
           out(m - 1) = merged
+          // "a+b" never equals `a`, so a fresh merge cannot cascade;
+          // the NEXT token may still merge with a preceding literal `a`
+          adjacent = true
         } else {
           out(m) = t
           m += 1
+          adjacent = true
         }
+      } else {
+        adjacent = false
       }
       i += 1
     }

@@ -864,9 +864,13 @@ object DedupPack extends QueryPack {
     val root = sys.env.getOrElse("SPARK_GRAFT_STORE_DIR",
       sys.props("java.io.tmpdir"))
     if (!s.catalog.tableExists(s"${base}_bands"))
+      // uncapped: the oracle recomputes the FULL pair graph, so the
+      // gated path must be exact by construction — the bounded-recall
+      // cap (MinHashStore.capBands) is a production-ingest trade, not
+      // part of the verified query semantics
       graft.sources.MinHashStore.write(
         Tables.documents(s, d).filter(pmod(col("doc_id"), lit(2)) === 0),
-        base, s"$root/$base")
+        base, s"$root/$base", maxPerBucket = Int.MaxValue)
     base
   }
 

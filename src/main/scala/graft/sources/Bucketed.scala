@@ -119,7 +119,12 @@ object Bucketed {
         .option("path", newPath), spec)
         .saveAsTable(tmpTable)
     } finally spark.conf.set(autoScanKey, prevAuto)
-    spark.sql(s"ALTER TABLE $table SET LOCATION '$newPath'")
+    // repoint through the catalog API, not string-built SQL: a location
+    // containing a quote would break an interpolated ALTER TABLE mid-
+    // compaction, after the new generation was already written
+    val fresh = cat.getTableMetadata(ident)
+    cat.alterTable(fresh.copy(storage = fresh.storage.copy(
+      locationUri = Some(new org.apache.hadoop.fs.Path(newPath).toUri))))
     // drop only the CATALOG entry of the staging name; its files are now
     // the live table's
     cat.dropTable(spark.sessionState.sqlParser

@@ -10,7 +10,13 @@ import org.apache.spark.sql.functions._
   *
   * The store is one row per distinct fingerprint —
   * `(fingerprint, canonical_id, n_history)` — written BUCKETED AND
-  * SORTED by fingerprint ([[Bucketed]]). That buys the only property
+  * SORTED by fingerprint ([[Bucketed]]). `n_history` is the
+  * fingerprint's occurrence count AT FIRST SIGHT (the ingest unit —
+  * initial write or appending batch — that introduced it); [[append]]
+  * never rewrites existing rows (that is what keeps the append a pure
+  * bucket-aligned file add), so it is NOT a running total across
+  * batches. [[dedupAgainst]] does not read it; it exists for
+  * store-inspection queries, with exactly that contract. That buys the only property
   * that matters at 100 TB: the probe join is a sort-merge join in which
   * the history side reads its matching buckets IN PLACE — zero exchange
   * above the store scan, spec-asserted structurally — while only the

@@ -55,11 +55,21 @@ object MinHashStore {
     * reproducible across writers, so the cap keeps the `maxPerBucket`
     * SMALLEST doc ids per bucket — a [[graft.plans.TopKPerKey]] bounded
     * heap (map-side partial prune, one hash exchange), never a
-    * per-bucket sort. Recall: a history near-dup is missed only if ALL
-    * of the band keys it shares with the probe are capped out, and a
-    * capped bucket by construction retains `maxPerBucket` docs that
-    * collide on that same band — the docs a near-dup verdict against
-    * the bucket's content would name anyway. `Int.MaxValue` disables.
+    * per-bucket sort.
+    *
+    * Recall — the honest bound: a history near-dup is missed iff its
+    * doc id is capped out of EVERY band bucket it shares with the
+    * probe. When that happens the miss is SILENT: band-key collision is
+    * a MinHash coincidence, not jaccard ≥ τ, so the `maxPerBucket`
+    * retained colliders may ALL fail the exact verify — they are not a
+    * substitute verdict for the evicted doc. The cap is therefore a
+    * deliberate bounded-recall trade (bounded probe fan-out on
+    * boilerplate-heavy histories, in exchange for possible misses of
+    * near-dups whose ids sort above the cap in every shared bucket),
+    * spec-pinned by exactly that planted miss in DedupPackSpec. The
+    * oracle-gated `dedup_incremental_minhash` path runs uncapped
+    * (`Int.MaxValue` disables; sf0.1's max bucket is 14, so the default
+    * cap cannot bind there either).
     */
   private def capBands(bands: DataFrame, maxPerBucket: Int): DataFrame =
     if (maxPerBucket == Int.MaxValue) bands

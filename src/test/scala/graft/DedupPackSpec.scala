@@ -564,6 +564,77 @@ class DedupPackSpec extends GraftSpec {
     }
   }
 
+  test("minhash store cap: a true near-dup capped out of every shared bucket is silently missed — the documented recall trade") {
+    import spark.implicits._
+    import graft.sources.MinHashStore
+    import graft.operators.DedupPack
+    // The cap's honest bound (MinHashStore.capBands): band-key collision
+    // is a MinHash coincidence, not jaccard >= τ, so when a true
+    // near-dup's doc id is evicted from EVERY bucket it shares with a
+    // probe, the retained colliders can ALL fail the exact verify and
+    // the verdict goes silently missing. This test PLANTS exactly that:
+    //  - probe P: 40 distinct words
+    //  - true near-dup T = P with one interior word changed
+    //    (J = 35/41 ≈ 0.854 >= τ=0.8), doc id 9999 — ABOVE every filler
+    //  - fillers: T with a SECOND word changed — J vs T ≈ 0.854, so
+    //    each variant collides on ~73% of T's band keys; J vs P = 32/44
+    //    ≈ 0.727 < τ, so every retained candidate fails verification.
+    //    20 variants × 8 copies at ids 100-259: any bucket T shares
+    //    with P is shared by >= 8 smaller ids with near-certainty
+    //    (uncovered-band probability 0.27^20 per band), and the
+    //    smallest-id retention evicts T from all of them.
+    val words = (1 to 40).map(i => s"m$i").toArray
+    def text(changes: (Int, String)*): String = {
+      val w = words.clone()
+      changes.foreach { case (p, v) => w(p) = v }
+      w.mkString(" ")
+    }
+    val probeText = text()
+    val nearDup = text(34 -> "zz")
+    val variants = (5 to 24).map(p => text(34 -> "zz", p -> s"f$p"))
+    val fillers = variants.zipWithIndex.flatMap { case (t, vi) =>
+      (0 until 8).map(c => (100L + vi * 8 + c, t))
+    }
+    val history = (fillers :+ ((9999L, nearDup))).toDF("doc_id", "text")
+    val batch = Seq((1L, probeText)).toDF("doc_id", "text")
+    val tmp = java.nio.file.Files.createTempDirectory("graft-mh-miss")
+      .toString
+    MinHashStore.write(history, "mh_miss", s"$tmp/c", maxPerBucket = 8)
+    MinHashStore.write(history, "mh_miss_full", s"$tmp/f",
+      maxPerBucket = Int.MaxValue)
+    try {
+      // plant sanity: the near-dup survived in NO bucket whose key the
+      // probe carries (if this fires, widen the variant pool — the
+      // texts are constants, so this is a construction check, not flake)
+      val probeKeys = DedupPack.bandKeys(MinHashStore.shingleDocs(batch))
+        .select(concat_ws(":", col("band").cast("string"), col("key"))
+          .as("bkey"))
+      assert(spark.table("mh_miss_bands")
+        .filter(col("h_id") === 9999L)
+        .join(probeKeys, Seq("bkey"), "left_semi").count() == 0,
+        "plant failed: near-dup retained in a probe-shared bucket")
+      def verdict(base: String) =
+        MinHashStore.dedupAgainst(spark, base, batch).collect()
+          .map(r => r.getLong(0) ->
+            ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+      // under the cap the true near-dup is MISSED — and the miss is
+      // silent: candidates existed (the fillers), they just all failed
+      // the jaccard >= τ verify
+      assert(verdict("mh_miss")(1L) == ((0L, -1L, 0.0)),
+        s"expected a silent miss under the cap: ${verdict("mh_miss")}")
+      // the identical probe against the uncapped store finds it
+      val full = verdict("mh_miss_full")(1L)
+      assert(full._1 == 1L && full._2 == 9999L &&
+        full._3 >= 0.8 && full._3 < 1.0,
+        s"uncapped store must find the planted near-dup: $full")
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS mh_miss_bands")
+      spark.sql("DROP TABLE IF EXISTS mh_miss_shingles")
+      spark.sql("DROP TABLE IF EXISTS mh_miss_full_bands")
+      spark.sql("DROP TABLE IF EXISTS mh_miss_full_shingles")
+    }
+  }
+
   test("ngram_jaccard pairs are symmetric-free and above threshold") {
     val rows = SparkEntry.queries("ngram_jaccard")(spark, sfDir).collect()
     rows.foreach { r =>
