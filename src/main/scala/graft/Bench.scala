@@ -37,12 +37,16 @@ object Bench {
     override def onTaskEnd(e: SparkListenerTaskEnd): Unit = {
       val m = e.taskMetrics
       if (m != null) {
-        val a = acc.computeIfAbsent(current, _ => new Array[Long](4))
+        val a = acc.computeIfAbsent(current, _ => new Array[Long](6))
         a.synchronized {
           a(0) += m.executorRunTime
           a(1) += m.jvmGCTime
           a(2) += m.shuffleReadMetrics.totalBytesRead
           a(3) += m.shuffleWriteMetrics.bytesWritten
+          // bytes read from sources AND from cached blocks — a steady
+          // pass that re-reads parquet (cache eviction) shows up here
+          a(4) += m.inputMetrics.bytesRead
+          a(5) += m.memoryBytesSpilled + m.diskBytesSpilled
         }
       }
     }
@@ -82,8 +86,24 @@ object Bench {
       math.max(0.0, osBean.getSystemLoadAverage)
 
     val errors = scala.collection.mutable.ArrayBuffer.empty[String]
+    // Cached-storage deltas per query: a snapshot of every cached RDD's
+    // (partitions, bytes) before and after each timed body. A cached
+    // partition present before and gone after was EVICTED during the
+    // query — the signature the round-6 steady-pass anomalies lacked an
+    // instrument for (steady wall ≫ cold with real task time and no GC
+    // reads as "a shared cache was evicted and a frame recomputed", but
+    // the artifact could not say WHICH query evicted or recomputed).
+    def storageSnap(): Map[Int, (Int, Long)] =
+      spark.sparkContext.getRDDStorageInfo
+        .map(i => i.id -> ((i.numCachedPartitions, i.memSize + i.diskSize)))
+        .toMap
+    val evictedParts =
+      scala.collection.mutable.LinkedHashMap.empty[String, Long]
+    val evictedBytes =
+      scala.collection.mutable.LinkedHashMap.empty[String, Long]
     def timed(label: String, body: () => Unit): Double = {
       listener.current = label
+      val before = storageSnap()
       val t0 = System.nanoTime()
       // a failed query must not abort the artifact, but it must not
       // masquerade as a fast time either — it lands in "errors"
@@ -93,6 +113,13 @@ object Bench {
       // instrumentation latency, not query cost — charging it would
       // skew the round-over-round "value" contract upward
       GraftSparkBridge.drainListenerBus(spark.sparkContext)
+      val after = storageSnap()
+      val ev = before.toSeq.map { case (id, (p, b)) =>
+        val (p2, b2) = after.getOrElse(id, (0, 0L))
+        (math.max(0, p - p2).toLong, math.max(0L, b - b2))
+      }
+      evictedParts(label) = ev.map(_._1).sum
+      evictedBytes(label) = ev.map(_._2).sum
       t
     }
 
@@ -145,6 +172,17 @@ object Bench {
       s""","task_gc_ms_steady":${fmtL(task("s", 1))}""" +
       s""","shuffle_read_b_steady":${fmtL(task("s", 2))}""" +
       s""","shuffle_write_b_steady":${fmtL(task("s", 3))}""" +
+      s""","input_read_b_cold":${fmtL(task("c", 4))}""" +
+      s""","input_read_b_steady":${fmtL(task("s", 4))}""" +
+      s""","spill_b_steady":${fmtL(task("s", 5))}""" +
+      s""","evicted_parts_cold":${fmtL(names.map(n =>
+            n -> evictedParts.getOrElse(s"c:$n", 0L)))}""" +
+      s""","evicted_b_cold":${fmtL(names.map(n =>
+            n -> evictedBytes.getOrElse(s"c:$n", 0L)))}""" +
+      s""","evicted_parts_steady":${fmtL(names.map(n =>
+            n -> evictedParts.getOrElse(s"s:$n", 0L)))}""" +
+      s""","evicted_b_steady":${fmtL(names.map(n =>
+            n -> evictedBytes.getOrElse(s"s:$n", 0L)))}""" +
       s""","task_run_ms_warmup":${fmtL(warmup.map { case (n, _) =>
             val a = listener.acc.get(s"w:$n")
             n -> (if (a == null) 0L else a(0))

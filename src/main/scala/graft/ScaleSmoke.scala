@@ -134,42 +134,118 @@ object ScaleSmoke {
     // ---- incremental-store history independence ----
     // The stores' central claim is "each batch pays its own size,
     // never the corpus's": build the fingerprint + minhash stores over
-    // a 1× and a K× history, probe both with the SAME fixed batch, and
-    // report the probe-steady ratio. Build time may grow ~K (the
-    // once-per-history cost); probe time must stay ~flat.
-    def storeProbe(histDir: String, tag: String): (Double, Double, Double) = {
+    // a 1× and a K× history, then drive the WHOLE ingest loop against
+    // both — probe, append, post-append probe, compact, post-compact
+    // probe — with the SAME fixed batches. Build and compact may grow
+    // ~K (they rewrite the store); every batch-sized leg (probe,
+    // append, post-* probes) must stay ~flat as history grows.
+    def timeOf(body: => Unit): Double = {
+      val t0 = System.nanoTime(); body; (System.nanoTime() - t0) / 1e9
+    }
+    def storeProbe(histDir: String, tag: String): Seq[(String, Double)] = {
       val hist = sources.Tables.documents(spark, histDir)
       val batch = sources.Tables.documents(spark, base)
         .filter(pmod(col("doc_id"), lit(101)) === 0)
-      val tb0 = System.nanoTime()
-      if (!spark.catalog.tableExists(s"scale_fp_$tag"))
-        sources.FingerprintStore.write(hist, s"scale_fp_$tag",
-          s"target/scale/stores/fp_$tag")
-      if (!spark.catalog.tableExists(s"scale_mh_${tag}_bands"))
-        sources.MinHashStore.write(hist, s"scale_mh_$tag",
-          s"target/scale/stores/mh_$tag")
-      val build = (System.nanoTime() - tb0) / 1e9
+      val build = timeOf {
+        if (!spark.catalog.tableExists(s"scale_fp_$tag"))
+          sources.FingerprintStore.write(hist, s"scale_fp_$tag",
+            s"target/scale/stores/fp_$tag")
+        if (!spark.catalog.tableExists(s"scale_mh_${tag}_bands"))
+          sources.MinHashStore.write(hist, s"scale_mh_$tag",
+            s"target/scale/stores/mh_$tag")
+      }
       def probe(fn: () => DataFrame): Double = {
         fn().count() // steady: 2nd run measures execution, not codegen
-        val t0 = System.nanoTime()
-        fn().count()
-        val t = (System.nanoTime() - t0) / 1e9
+        val t = timeOf { fn().count() }
         Caches.releaseAll(blocking = true)
         t
       }
-      val fp = probe(() =>
+      def fpProbe() = probe(() =>
         sources.FingerprintStore.dedupAgainst(spark, s"scale_fp_$tag", batch))
-      val mh = probe(() =>
+      def mhProbe() = probe(() =>
         sources.MinHashStore.dedupAgainst(spark, s"scale_mh_$tag", batch))
-      (build, fp, mh)
+      val fp = fpProbe()
+      val mh = mhProbe()
+      // ingest-loop legs: fold in a DISJOINT batch (fresh ids — the
+      // ingest contract), re-probe the appended store, compact, re-probe
+      val appendBatch = sources.Tables.documents(spark, base)
+        .filter(pmod(col("doc_id"), lit(103)) === 1)
+        .withColumn("doc_id", col("doc_id") + lit(900000000L))
+      val app = timeOf {
+        sources.FingerprintStore.append(spark, s"scale_fp_$tag", appendBatch)
+        sources.MinHashStore.append(spark, s"scale_mh_$tag", appendBatch)
+      }
+      val fpA = fpProbe()
+      val mhA = mhProbe()
+      val cmp = timeOf {
+        sources.FingerprintStore.compact(spark, s"scale_fp_$tag")
+        sources.MinHashStore.compact(spark, s"scale_mh_$tag")
+      }
+      val fpC = fpProbe()
+      val mhC = mhProbe()
+      Seq("store_build" -> build,
+        "fp_store_probe" -> fp, "mh_store_probe" -> mh,
+        "store_append" -> app,
+        "fp_probe_post_append" -> fpA, "mh_probe_post_append" -> mhA,
+        "store_compact" -> cmp,
+        "fp_probe_post_compact" -> fpC, "mh_probe_post_compact" -> mhC)
     }
-    val (bld1, fp1, mh1) = storeProbe(base, "x1")
-    val (bldK, fpK, mhK) = storeProbe(dir, s"x$k")
-    val storeLines = Seq(
-      f"""{"op":"store_build","x1":$bld1%.3f,"x$k":$bldK%.3f,"ratio":${bldK / math.max(bld1, 1e-9)}%.2f}""",
-      f"""{"op":"fp_store_probe","x1":$fp1%.3f,"x$k":$fpK%.3f,"ratio":${fpK / math.max(fp1, 1e-9)}%.2f}""",
-      f"""{"op":"mh_store_probe","x1":$mh1%.3f,"x$k":$mhK%.3f,"ratio":${mhK / math.max(mh1, 1e-9)}%.2f}""")
-    storeLines.foreach(println)
+    val s1 = storeProbe(base, "x1").toMap
+    val sK = storeProbe(dir, s"x$k").toMap
+    val storeOrder = Seq("store_build", "fp_store_probe", "mh_store_probe",
+      "store_append", "fp_probe_post_append", "mh_probe_post_append",
+      "store_compact", "fp_probe_post_compact", "mh_probe_post_compact")
+    val storeReport = storeOrder.map { op =>
+      f"""{"op":"$op","x1":${s1(op)}%.3f,"x$k":${sK(op)}%.3f,"ratio":${sK(op) / math.max(s1(op), 1e-9)}%.2f}"""
+    }
+    storeReport.foreach(println)
+    // ---- growing store: N appends, then compact ----
+    // The other axis of store growth: a FIXED history accumulating
+    // append generations. The probe must not degrade materially as
+    // files-per-bucket grows (a local sort appears below the probe
+    // join, never an exchange), and one compaction restores the
+    // one-file-per-bucket layout at ~store-size cost.
+    val growLines = {
+      val hist = sources.Tables.documents(spark, base)
+      sources.FingerprintStore.write(hist, "scale_fp_grow",
+        "target/scale/stores/fp_grow")
+      sources.MinHashStore.write(hist, "scale_mh_grow",
+        "target/scale/stores/mh_grow")
+      val batch = sources.Tables.documents(spark, base)
+        .filter(pmod(col("doc_id"), lit(101)) === 0)
+      def probe(fn: () => DataFrame): Double = {
+        fn().count()
+        val t = timeOf { fn().count() }
+        Caches.releaseAll(blocking = true)
+        t
+      }
+      def probes() = (
+        probe(() => sources.FingerprintStore.dedupAgainst(
+          spark, "scale_fp_grow", batch)),
+        probe(() => sources.MinHashStore.dedupAgainst(
+          spark, "scale_mh_grow", batch)))
+      val (fp0, mh0) = probes()
+      val perAppend = (1 to 4).map { i =>
+        val b = sources.Tables.documents(spark, base)
+          .filter(pmod(col("doc_id"), lit(97)) === i)
+          .withColumn("doc_id", col("doc_id") + lit(i * 100000000L))
+        val app = timeOf {
+          sources.FingerprintStore.append(spark, "scale_fp_grow", b)
+          sources.MinHashStore.append(spark, "scale_mh_grow", b)
+        }
+        val (fp, mh) = probes()
+        f"""{"op":"grow_append","n":$i,"append":$app%.3f,"fp_probe":$fp%.3f,"mh_probe":$mh%.3f}"""
+      }
+      val cmp = timeOf {
+        sources.FingerprintStore.compact(spark, "scale_fp_grow")
+        sources.MinHashStore.compact(spark, "scale_mh_grow")
+      }
+      val (fpZ, mhZ) = probes()
+      (f"""{"op":"grow_probe_fresh","fp_probe":$fp0%.3f,"mh_probe":$mh0%.3f}""" +:
+        perAppend) :+
+        f"""{"op":"grow_compact","compact":$cmp%.3f,"fp_probe":$fpZ%.3f,"mh_probe":$mhZ%.3f}"""
+    }
+    growLines.foreach(println)
     // steady-state per dir: first run pays plan+codegen+cache builds,
     // the second measures execution — the number that must scale.
     // Caches are released BETWEEN ops: without it, 17 ops × 2 dirs of
@@ -207,7 +283,7 @@ object ScaleSmoke {
     java.nio.file.Files.write(out,
       (report.map(r =>
         f"""{"op":"${r._1}","x1":${r._3}%.3f,"x$k":${r._5}%.3f,"ratio":${r._6}%.2f}""")
-        ++ storeLines).mkString("", "\n", "\n" + summary + "\n")
+        ++ storeReport ++ growLines).mkString("", "\n", "\n" + summary + "\n")
         .getBytes(java.nio.charset.StandardCharsets.UTF_8))
     spark.stop()
   }

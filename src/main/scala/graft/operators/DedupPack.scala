@@ -841,7 +841,8 @@ object DedupPack extends QueryPack {
              FROM b GROUP BY fingerprint)
       SELECT b.doc_id, b.fingerprint,
         COALESCE(h.h_canon, bg.batch_min) AS canonical_id,
-        h.h_canon IS NOT NULL AS dup_of_history,
+        (h.h_canon IS NOT NULL AND h.h_canon <> bg.batch_min)
+          AS dup_of_history,
         b.doc_id <> COALESCE(h.h_canon, bg.batch_min) AS is_dup
       FROM b
       JOIN bg ON b.fingerprint = bg.fingerprint

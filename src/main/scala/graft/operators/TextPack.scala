@@ -49,7 +49,7 @@ object TextPack extends QueryPack {
   private val langId = GraftQuery(
     "lang_id",
     (s, d) => {
-      val base = Tables.documents(s, d)
+      val base = Tables.parallelized(Tables.documents(s, d))
         .select(col("doc_id"), words(col("text")).as("w"))
         .filter(size(col("w")) > 0)
       val scored = base.select(
@@ -95,7 +95,7 @@ object TextPack extends QueryPack {
   private val textQuality = GraftQuery(
     "text_quality",
     (s, d) => {
-      val base = Tables.documents(s, d)
+      val base = Tables.parallelized(Tables.documents(s, d))
         .select(col("doc_id"), col("text"), words(col("text")).as("w"))
         .filter(size(col("w")) > 0)
       val nWords = size(col("w"))
@@ -155,7 +155,7 @@ object TextPack extends QueryPack {
     "token_count",
     (s, d) => {
       val pat = "[a-z]+|[0-9]+|[^a-z0-9\\s]"
-      val base = Tables.documents(s, d).select(
+      val base = Tables.parallelized(Tables.documents(s, d)).select(
         col("doc_id"),
         size(words(col("text"))).as("ws_tokens"),
         size(regexp_extract_all(lower(col("text")), lit(pat), lit(0)))
@@ -189,7 +189,7 @@ object TextPack extends QueryPack {
       import org.apache.spark.sql.GraftColumnBridge.{column, expression}
       val norm = normText(col("text"))
       val poly = column(graft.expressions.PolyHash31(expression(norm)))
-      Tables.documents(s, d).select(
+      Tables.parallelized(Tables.documents(s, d)).select(
           col("doc_id"),
           md5(norm).as("fp_md5"),
           poly.as("fp_poly"),
@@ -221,7 +221,7 @@ object TextPack extends QueryPack {
   private val textRepetition = GraftQuery(
     "text_repetition",
     (s, d) => {
-      val base = Tables.documents(s, d)
+      val base = Tables.parallelized(Tables.documents(s, d))
         .select(col("doc_id"), words(col("text")).as("w"))
         .filter(size(col("w")) > 0)
       val wc = base
@@ -292,7 +292,7 @@ object TextPack extends QueryPack {
   private val piiScrub = GraftQuery(
     "pii_scrub",
     (s, d) => {
-      val injected = Tables.documents(s, d).select(col("doc_id"),
+      val injected = Tables.parallelized(Tables.documents(s, d)).select(col("doc_id"),
         when(pmod(col("doc_id"), lit(5)) === 0, col("text")).otherwise(
           concat(col("text"),
             lit(" contact user"), col("doc_id").cast(StringType),
@@ -378,7 +378,7 @@ object TextPack extends QueryPack {
 
   private val bpePairs = GraftQuery(
     "bpe_pairs",
-    (s, d) => bpePairsOver(Tables.documents(s, d)),
+    (s, d) => bpePairsOver(Tables.parallelized(Tables.documents(s, d))),
     Some(s"""
       WITH w AS (SELECT ${Portable.sql.words} AS w FROM documents),
       p AS (
@@ -440,7 +440,7 @@ object TextPack extends QueryPack {
     "bpe_train",
     (s, d) => {
       import graft.Caches.CachesSyntax
-      val d0 = bpeTokens(Tables.documents(s, d)).persistTracked
+      val d0 = bpeTokens(Tables.parallelized(Tables.documents(s, d))).persistTracked
       val t1 = bpeTopPair(d0)
       val d1 = bpeMerge(d0, t1).persistTracked
       val t2 = bpeTopPair(d1)
@@ -506,7 +506,7 @@ object TextPack extends QueryPack {
     "bpe_encode",
     (s, d) => {
       import graft.Caches.CachesSyntax
-      val d0 = bpeTokens(Tables.documents(s, d)).persistTracked
+      val d0 = bpeTokens(Tables.parallelized(Tables.documents(s, d))).persistTracked
       val t1 = bpeTopPair(d0)
       val d1 = bpeMerge(d0, t1).persistTracked
       val t2 = bpeTopPair(d1)

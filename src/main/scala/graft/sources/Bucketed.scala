@@ -39,6 +39,62 @@ object Bucketed {
       .option("path", path), BucketSpec(buckets, Seq(key), Seq(key)))
       .saveAsTable(table)
 
+  /** Single-writer lease over a bucketed store's mutations.
+    *
+    * The stores' ingest contract is single-writer — two concurrent
+    * appends can both claim a novel fingerprint, and an append racing a
+    * compaction can land files in a generation directory the swap is
+    * about to retire. Those are SILENT corruption modes; this lease
+    * turns them into a loud, immediate error. The lease marker is a
+    * sibling of the table's generation directories (`<base>__lock`), so
+    * it survives compaction's location swaps and excludes appenders and
+    * compactors of the same table from each other. Creation uses the
+    * filesystem's no-overwrite create (atomic on HDFS and local FS;
+    * best-effort on eventually-consistent object stores — there, run
+    * ingest from one scheduler, which is the contract anyway).
+    *
+    * A writer that DIED holding the lease leaves the marker behind; the
+    * error message names the marker path and its holder so an operator
+    * can verify the holder is gone and delete it. That is deliberate:
+    * auto-expiring a lease under a live-but-slow writer re-opens the
+    * corruption this exists to prevent.
+    */
+  private[graft] def withWriterLease[T](spark: SparkSession,
+      table: String)(body: => T): T = {
+    val meta = spark.sessionState.catalog.getTableMetadata(
+      spark.sessionState.sqlParser.parseTableIdentifier(table))
+    val loc = meta.location.toString.stripSuffix("/")
+    val lock = new org.apache.hadoop.fs.Path(
+      loc.replaceAll("__g\\d+$", "") + "__lock")
+    val fs = lock.getFileSystem(spark.sessionState.newHadoopConf())
+    val holder = s"pid=${ProcessHandle.current().pid()} host=${
+      java.net.InetAddress.getLocalHost.getHostName} at=${
+      java.time.Instant.now()}"
+    try {
+      val out = fs.create(lock, /* overwrite = */ false)
+      try out.write(holder.getBytes(
+        java.nio.charset.StandardCharsets.UTF_8))
+      finally out.close()
+    } catch {
+      case e: java.io.IOException =>
+        val who =
+          if (!fs.exists(lock)) throw e // a real IO failure, not contention
+          else try {
+            val in = fs.open(lock)
+            try new String(in.readAllBytes(),
+              java.nio.charset.StandardCharsets.UTF_8)
+            finally in.close()
+          } catch { case _: java.io.IOException => "unknown" }
+        throw new java.util.ConcurrentModificationException(
+          s"$table already has an active writer ($who). Its store is " +
+            s"single-writer: concurrent appends/compactions corrupt " +
+            s"silently (double-claimed novel rows, interleaved " +
+            s"generation swaps). If that writer is dead, delete the " +
+            s"lease marker $lock and retry.")
+    }
+    try body finally fs.delete(lock, false)
+  }
+
   /** Append `df` into an existing bucketed table, bucket-ALIGNED: the
     * bucket/sort spec is read from the catalog so an appender can never
     * diverge from the layout every probe query relies on. Appends add a
@@ -47,7 +103,7 @@ object Bucketed {
     * never an exchange: the in-place bucket read survives appends.
     */
   def appendBucketed(spark: SparkSession, df: DataFrame,
-                     table: String): Unit = {
+                     table: String): Unit = withWriterLease(spark, table) {
     val spec = spark.sessionState.catalog.getTableMetadata(
         spark.sessionState.sqlParser.parseTableIdentifier(table))
       .bucketSpec.getOrElse(throw new IllegalArgumentException(
@@ -76,11 +132,14 @@ object Bucketed {
     * relation cache was not refreshed — still reads the files its scan
     * captured. The reader contract is therefore: re-resolve (or
     * materialize) any frame older than the PREVIOUS compaction.
-    * Single-writer, like the appends it cleans up after. All paths go
+    * Single-writer, like the appends it cleans up after — both enforced
+    * by [[withWriterLease]], so an append racing a compaction (or
+    * another append) refuses loudly instead of corrupting. All paths go
     * through the table location's own Hadoop filesystem — an hdfs:// or
     * s3a:// store compacts the same way a local one does.
     */
-  def compactBucketed(spark: SparkSession, table: String): Unit = {
+  def compactBucketed(spark: SparkSession,
+      table: String): Unit = withWriterLease(spark, table) {
     val cat = spark.sessionState.catalog
     val ident = spark.sessionState.sqlParser.parseTableIdentifier(table)
     val meta = cat.getTableMetadata(ident)

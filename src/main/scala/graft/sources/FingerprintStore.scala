@@ -56,8 +56,9 @@ object FingerprintStore {
     * untouched so a history canonical can never be reassigned. The
     * novelty probe is itself a left-anti join against the bucketed
     * store (in-place bucket read, like [[dedupAgainst]]). Single-writer
-    * ingest contract: two concurrent appends could both claim a novel
-    * fingerprint.
+    * ingest contract — two concurrent appends could both claim a novel
+    * fingerprint — enforced by [[Bucketed.withWriterLease]]: a second
+    * concurrent writer refuses loudly instead of corrupting.
     */
   def append(spark: SparkSession, table: String, batch: DataFrame): Unit = {
     val novel = fingerprints(batch)
@@ -75,6 +76,17 @@ object FingerprintStore {
 
   /** Dedup verdict for `batch` (doc_id, text) against the store:
     * (doc_id, fingerprint, canonical_id, dup_of_history, is_dup).
+    *
+    * `dup_of_history` means "this content was in history under a
+    * canonical OUTSIDE this batch's own election". The second clause is
+    * what makes a crash-REPLAYED batch's verdicts identical to its
+    * first attempt's: a crashed prior attempt's append wrote the batch's
+    * novel fingerprints with the batch minimum as canonical, so on
+    * replay those rows resolve with `h_canonical == __batch_min` — the
+    * batch's own rows, not genuine history. Under the ingest contract
+    * (globally unique doc ids), a history canonical can equal the
+    * batch's minimum ONLY via such a replay, so the clause never
+    * changes a non-replay verdict.
     */
   def dedupAgainst(spark: SparkSession, table: String,
       batch: DataFrame): DataFrame = {
@@ -90,7 +102,9 @@ object FingerprintStore {
       .select(col("doc_id"), col("fingerprint"),
         coalesce(col("h_canonical"), col("__batch_min"))
           .as("canonical_id"),
-        col("h_canonical").isNotNull.as("dup_of_history"))
+        (col("h_canonical").isNotNull &&
+          col("h_canonical") =!= col("__batch_min"))
+          .as("dup_of_history"))
       .withColumn("is_dup", col("doc_id") =!= col("canonical_id"))
   }
 }

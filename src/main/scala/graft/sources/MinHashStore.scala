@@ -113,7 +113,8 @@ object MinHashStore {
     * policy is the caller's) into the history: their band keys and
     * shingle sets land as new bucket-aligned files in both tables, so
     * the next batch's probe sees them without any rewrite of the
-    * existing store. Single-writer ingest contract; re-appending a
+    * existing store. Single-writer ingest contract — enforced per
+    * table by [[Bucketed.withWriterLease]] — and re-appending a
     * doc_id is the caller's bug.
     *
     * `maxPerBucket` caps the BATCH's contribution per band bucket
@@ -180,6 +181,12 @@ object MinHashStore {
       .select(bkey(col("band"), col("key")).as("bkey"), col("doc_id"))
       .join(bands, Seq("bkey"))
       .select(col("doc_id"), col("h_id"))
+      // under the ingest contract doc ids are globally unique, so a
+      // self-pair can only mean the store already holds THIS batch's
+      // rows — a crash-replayed append; dropping them keeps replayed
+      // verdicts identical to the first attempt's instead of every
+      // replayed doc "near-dupping" itself at jaccard 1.0
+      .filter(col("doc_id") =!= col("h_id"))
       .distinct()
     val verified = cand
       .join(shStore, "h_id")

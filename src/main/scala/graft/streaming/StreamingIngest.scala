@@ -16,12 +16,24 @@ import org.apache.spark.sql.streaming.StreamingQuery
   * `foreachBatch` is the right seam for the loop body: it MUTATES
   * external bucketed tables, which no exactly-once streaming sink can
   * express. Replay semantics under crash are therefore the stores'
-  * append semantics: a replayed fingerprint append is a no-op (the
-  * novel-only anti-join sees the first attempt's rows); a replayed
-  * minhash append duplicates band/shingle rows for the batch's docs,
-  * which widens candidate sets but cannot change a verdict (the exact
-  * Jaccard verify is per (batch, history) PAIR, deduped by
-  * `distinct()` before the verify join).
+  * append semantics, spec-pinned by StreamingIngestSpec's injected
+  * crashes at both points:
+  *  - crash BETWEEN the appends (fp landed, mh did not): the replay's
+  *    fingerprint verdicts are identical to the first attempt's —
+  *    `dup_of_history` excludes rows whose history canonical is the
+  *    batch's own election (exactly what the crashed append wrote) —
+  *    its fp re-append is a no-op (the novel-only anti-join sees the
+  *    first attempt's rows), and its mh append lands exactly what the
+  *    clean run would have: stores AND verdicts end bit-identical.
+  *  - crash AFTER both appends (before the sink consumed the verdicts):
+  *    the replay's near-dup verdicts stay identical because the band
+  *    probe drops self-pairs (a batch doc can meet its own crashed
+  *    append in the store); the mh re-append duplicates band/shingle
+  *    rows, which widens candidate sets but cannot change any later
+  *    verdict (the exact Jaccard verify is per (batch, history) PAIR,
+  *    deduped before the verify join). One caveat: batch-internal
+  *    NEAR-dup pairs (below) are visible to each other on such a
+  *    replay — they were both appended as history.
   *
   * Within-batch NEAR-dups are intentionally out of scope here (both
   * land as history): that decision belongs to the in-corpus pass

@@ -46,6 +46,53 @@ class BucketedSpec extends GraftSpec {
     }
   }
 
+  test("single-writer lease: a second writer refuses loudly; the lease releases on exit") {
+    import spark.implicits._
+    val tmp = Files.createTempDirectory("graft-lease").toString
+    Bucketed.writeBucketed(
+      (1L to 20L).map(i => (i, s"v$i")).toDF("k", "v"),
+      "lease_t", "k", 4, s"$tmp/store")
+    try {
+      val add = Seq((21L, "new")).toDF("k", "v")
+      def lock = new java.io.File(s"$tmp/store__lock")
+      // a concurrent writer holds the lease (the marker an in-flight
+      // append or compaction creates): both mutation paths must refuse
+      // with the recovery instructions, not corrupt silently
+      assert(lock.createNewFile())
+      val e1 = intercept[java.util.ConcurrentModificationException] {
+        Bucketed.appendBucketed(spark, add, "lease_t")
+      }
+      assert(e1.getMessage.contains("single-writer") &&
+        e1.getMessage.contains("store__lock"), e1.getMessage)
+      intercept[java.util.ConcurrentModificationException] {
+        Bucketed.compactBucketed(spark, "lease_t")
+      }
+      // the refused append must not have landed rows
+      assert(spark.table("lease_t").count() == 20)
+      // dead-writer recovery: delete the marker, writes proceed — and
+      // each releases the lease on exit so the next writer can run
+      assert(lock.delete())
+      Bucketed.appendBucketed(spark, add, "lease_t")
+      assert(!lock.exists, "lease not released after a successful append")
+      Bucketed.compactBucketed(spark, "lease_t")
+      assert(!lock.exists, "lease not released after a compaction")
+      assert(spark.table("lease_t").count() == 21)
+      // the marker is generation-STABLE: after the compaction moved the
+      // table location to a __g1 sibling, the same marker still excludes
+      assert(lock.createNewFile())
+      intercept[java.util.ConcurrentModificationException] {
+        Bucketed.appendBucketed(spark, add, "lease_t")
+      }
+      assert(lock.delete())
+      // a FAILING body (schema mismatch) must still release the lease
+      intercept[Exception] {
+        Bucketed.appendBucketed(spark,
+          Seq((1, 2, 3)).toDF("x", "y", "z"), "lease_t")
+      }
+      assert(!lock.exists, "lease leaked after a failed append")
+    } finally spark.sql("DROP TABLE IF EXISTS lease_t")
+  }
+
   test("q3_bucketed registry query joins the store with zero exchanges") {
     val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     try {

@@ -76,4 +76,70 @@ class StreamingIngestSpec extends GraftSpec {
       spark.sql("DROP TABLE IF EXISTS ingest_spec_mh_shingles")
     }
   }
+
+  test("crash replay: a batch replayed after either crash point yields the clean run's verdicts and store state") {
+    import java.nio.file.Files
+    import spark.implicits._
+    val base = (1 to 40).map(i => s"w$i").mkString(" ")
+    val novel = (1 to 40).map(i => s"n$i").mkString(" ")
+    val seed = Seq((2L, "seed history content"), (4L, base))
+      .toDF("doc_id", "text")
+    val batch = Seq(
+      (11L, base.replace("w20", "zz")), // near-dup of seed doc 4
+      (13L, novel),                     // novel
+      (15L, novel),                     // within-batch exact dup of 13
+      (17L, "seed history content")     // exact re-ingest of seed
+    ).toDF("doc_id", "text")
+    val tmp = Files.createTempDirectory("graft-crash").toString
+    def mkStores(tag: String): (String, String) = {
+      FingerprintStore.write(seed, s"crash_fp_$tag", s"$tmp/fp_$tag")
+      MinHashStore.write(seed, s"crash_mh_$tag", s"$tmp/mh_$tag")
+      (s"crash_fp_$tag", s"crash_mh_$tag")
+    }
+    def rows(df: DataFrame) = df.collect().map(_.toString).sorted.toSeq
+    def storeState(fp: String, mh: String) =
+      (rows(spark.table(fp)), rows(spark.table(s"${mh}_bands")),
+        rows(spark.table(s"${mh}_shingles")))
+    try {
+      // control: the clean, uncrashed loop body
+      val (fpC, mhC) = mkStores("c")
+      val want = rows(StreamingIngest.processBatch(spark, fpC, mhC, batch))
+
+      // CRASH POINT 1 — between the two appends: the fingerprint append
+      // committed (exactly what processBatch runs), the minhash append
+      // and the sink never happened. foreachBatch re-delivers the batch.
+      val (fpX, mhX) = mkStores("x")
+      FingerprintStore.append(spark, fpX, batch)
+      val got = rows(StreamingIngest.processBatch(spark, fpX, mhX, batch))
+      assert(got == want,
+        s"replay verdicts diverged from the clean run:\n$got\nvs\n$want")
+      assert(storeState(fpX, mhX) == storeState(fpC, mhC),
+        "stores diverged after crash+replay")
+
+      // CRASH POINT 2 — after BOTH appends, before the sink consumed
+      // the verdicts: the whole loop body ran, its output was lost.
+      val (fpY, mhY) = mkStores("y")
+      StreamingIngest.processBatch(spark, fpY, mhY, batch)
+      val got2 = rows(StreamingIngest.processBatch(spark, fpY, mhY, batch))
+      assert(got2 == want,
+        s"post-append replay verdicts diverged:\n$got2\nvs\n$want")
+      // the duplicated minhash rows this replay leaves behind must not
+      // change the NEXT batch's verdicts either: a near-dup of the
+      // twice-appended doc 13 still counts ONE distinct history match
+      val next = Seq((21L, novel.replace("n20", "qq")))
+        .toDF("doc_id", "text")
+      val nextWant = rows(MinHashStore.dedupAgainst(spark, mhC, next))
+      val nextGot = rows(MinHashStore.dedupAgainst(spark, mhY, next))
+      assert(nextGot == nextWant,
+        s"duplicated replay rows changed a later verdict: $nextGot")
+      assert(nextGot.mkString.contains("21,1,13,"),
+        s"expected exactly one distinct match on doc 13: $nextGot")
+    } finally {
+      Seq("c", "x", "y").foreach { t =>
+        spark.sql(s"DROP TABLE IF EXISTS crash_fp_$t")
+        spark.sql(s"DROP TABLE IF EXISTS crash_mh_${t}_bands")
+        spark.sql(s"DROP TABLE IF EXISTS crash_mh_${t}_shingles")
+      }
+    }
+  }
 }
