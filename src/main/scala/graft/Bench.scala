@@ -1,7 +1,8 @@
 package graft
 import org.apache.spark.GraftSparkBridge
-import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
+import org.apache.spark.scheduler.{SparkListener, SparkListenerBlockUpdated, SparkListenerTaskEnd}
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.storage.RDDBlockId
 
 /** Benchmark main — one JSON line the round driver parses.
   *
@@ -50,6 +51,21 @@ object Bench {
         }
       }
     }
+    // Cached-RDD blocks DROPPED while this label was active. The
+    // before/after storage snapshot below nets to ZERO when a cache is
+    // evicted and rebuilt within the same timed body — exactly the
+    // evict-and-recompute episode worth catching; the block-update
+    // stream sees each drop as it happens, rebuild or not.
+    val droppedBlocks =
+      new java.util.concurrent.ConcurrentHashMap[String,
+        java.util.concurrent.atomic.LongAdder]()
+    override def onBlockUpdated(e: SparkListenerBlockUpdated): Unit = {
+      val info = e.blockUpdatedInfo
+      if (info.blockId.isInstanceOf[RDDBlockId] &&
+          !info.storageLevel.isValid)
+        droppedBlocks.computeIfAbsent(current,
+          _ => new java.util.concurrent.atomic.LongAdder).increment()
+    }
   }
 
   private def driverGcMs: Long = {
@@ -93,6 +109,9 @@ object Bench {
     // instrument for (steady wall ≫ cold with real task time and no GC
     // reads as "a shared cache was evicted and a frame recomputed", but
     // the artifact could not say WHICH query evicted or recomputed).
+    // The delta is NET, so it misses a cache evicted and rebuilt inside
+    // the same body; the listener's droppedBlocks counter covers that
+    // case (dropped_rdd_blocks_* fields) — read the two together.
     def storageSnap(): Map[Int, (Int, Long)] =
       spark.sparkContext.getRDDStorageInfo
         .map(i => i.id -> ((i.numCachedPartitions, i.memSize + i.diskSize)))
@@ -183,6 +202,14 @@ object Bench {
             n -> evictedParts.getOrElse(s"s:$n", 0L)))}""" +
       s""","evicted_b_steady":${fmtL(names.map(n =>
             n -> evictedBytes.getOrElse(s"s:$n", 0L)))}""" +
+      s""","dropped_rdd_blocks_cold":${fmtL(names.map { n =>
+            val c = listener.droppedBlocks.get(s"c:$n")
+            n -> (if (c == null) 0L else c.sum())
+          })}""" +
+      s""","dropped_rdd_blocks_steady":${fmtL(names.map { n =>
+            val c = listener.droppedBlocks.get(s"s:$n")
+            n -> (if (c == null) 0L else c.sum())
+          })}""" +
       s""","task_run_ms_warmup":${fmtL(warmup.map { case (n, _) =>
             val a = listener.acc.get(s"w:$n")
             n -> (if (a == null) 0L else a(0))

@@ -142,35 +142,51 @@ object ScaleSmoke {
     def timeOf(body: => Unit): Double = {
       val t0 = System.nanoTime(); body; (System.nanoTime() - t0) / 1e9
     }
+    // Append batches must be NOVEL CONTENT, not just novel ids: the
+    // fingerprint append is novel-only (anti-join on the content hash),
+    // so a doc_id-shifted copy of history text appends ZERO rows and
+    // every post-append fp leg would measure an UNCHANGED store.
+    // Word-suffixing — the same mutation replicate() uses — yields
+    // fresh fingerprints AND history-disjoint shingles at unchanged
+    // length/shape.
+    def freshen(df: DataFrame, tag: String): DataFrame =
+      df.withColumn("text", concat_ws(" ", transform(
+        graft.functions.Portable.words(col("text")),
+        w => concat(w, lit(tag)))))
+    // Absolute store root, wiped up front: the in-memory catalog
+    // forgets the tables between runs while compaction generations
+    // (<base>__gN) and any crashed run's lease markers would otherwise
+    // accumulate on disk run over run.
+    val storesRoot = new java.io.File("target/scale/stores").getAbsolutePath
+    Caches.deleteDir(storesRoot)
+    def probeSteady(fn: () => DataFrame): Double = {
+      fn().count() // steady: 2nd run measures execution, not codegen
+      val t = timeOf { fn().count() }
+      Caches.releaseAll(blocking = true)
+      t
+    }
     def storeProbe(histDir: String, tag: String): Seq[(String, Double)] = {
       val hist = sources.Tables.documents(spark, histDir)
       val batch = sources.Tables.documents(spark, base)
         .filter(pmod(col("doc_id"), lit(101)) === 0)
       val build = timeOf {
-        if (!spark.catalog.tableExists(s"scale_fp_$tag"))
-          sources.FingerprintStore.write(hist, s"scale_fp_$tag",
-            s"target/scale/stores/fp_$tag")
-        if (!spark.catalog.tableExists(s"scale_mh_${tag}_bands"))
-          sources.MinHashStore.write(hist, s"scale_mh_$tag",
-            s"target/scale/stores/mh_$tag")
+        sources.FingerprintStore.write(hist, s"scale_fp_$tag",
+          s"$storesRoot/fp_$tag")
+        sources.MinHashStore.write(hist, s"scale_mh_$tag",
+          s"$storesRoot/mh_$tag")
       }
-      def probe(fn: () => DataFrame): Double = {
-        fn().count() // steady: 2nd run measures execution, not codegen
-        val t = timeOf { fn().count() }
-        Caches.releaseAll(blocking = true)
-        t
-      }
-      def fpProbe() = probe(() =>
+      def fpProbe() = probeSteady(() =>
         sources.FingerprintStore.dedupAgainst(spark, s"scale_fp_$tag", batch))
-      def mhProbe() = probe(() =>
+      def mhProbe() = probeSteady(() =>
         sources.MinHashStore.dedupAgainst(spark, s"scale_mh_$tag", batch))
       val fp = fpProbe()
       val mh = mhProbe()
-      // ingest-loop legs: fold in a DISJOINT batch (fresh ids — the
-      // ingest contract), re-probe the appended store, compact, re-probe
-      val appendBatch = sources.Tables.documents(spark, base)
+      // ingest-loop legs: fold in a batch of NOVEL docs (fresh ids AND
+      // fresh content — the ingest contract), re-probe the appended
+      // store, compact, re-probe
+      val appendBatch = freshen(sources.Tables.documents(spark, base)
         .filter(pmod(col("doc_id"), lit(103)) === 1)
-        .withColumn("doc_id", col("doc_id") + lit(900000000L))
+        .withColumn("doc_id", col("doc_id") + lit(900000000L)), "ap")
       val app = timeOf {
         sources.FingerprintStore.append(spark, s"scale_fp_$tag", appendBatch)
         sources.MinHashStore.append(spark, s"scale_mh_$tag", appendBatch)
@@ -208,27 +224,24 @@ object ScaleSmoke {
     val growLines = {
       val hist = sources.Tables.documents(spark, base)
       sources.FingerprintStore.write(hist, "scale_fp_grow",
-        "target/scale/stores/fp_grow")
+        s"$storesRoot/fp_grow")
       sources.MinHashStore.write(hist, "scale_mh_grow",
-        "target/scale/stores/mh_grow")
+        s"$storesRoot/mh_grow")
       val batch = sources.Tables.documents(spark, base)
         .filter(pmod(col("doc_id"), lit(101)) === 0)
-      def probe(fn: () => DataFrame): Double = {
-        fn().count()
-        val t = timeOf { fn().count() }
-        Caches.releaseAll(blocking = true)
-        t
-      }
       def probes() = (
-        probe(() => sources.FingerprintStore.dedupAgainst(
+        probeSteady(() => sources.FingerprintStore.dedupAgainst(
           spark, "scale_fp_grow", batch)),
-        probe(() => sources.MinHashStore.dedupAgainst(
+        probeSteady(() => sources.MinHashStore.dedupAgainst(
           spark, "scale_mh_grow", batch)))
       val (fp0, mh0) = probes()
       val perAppend = (1 to 4).map { i =>
-        val b = sources.Tables.documents(spark, base)
+        // per-generation suffix: each append generation is novel vs the
+        // history AND vs every earlier generation
+        val b = freshen(sources.Tables.documents(spark, base)
           .filter(pmod(col("doc_id"), lit(97)) === i)
-          .withColumn("doc_id", col("doc_id") + lit(i * 100000000L))
+          .withColumn("doc_id", col("doc_id") + lit(i * 100000000L)),
+          s"g$i")
         val app = timeOf {
           sources.FingerprintStore.append(spark, "scale_fp_grow", b)
           sources.MinHashStore.append(spark, "scale_mh_grow", b)

@@ -30,14 +30,28 @@ object Bucketed {
   }
 
   /** Write `df` as a bucketed+sorted external parquet table registered
-    * in the session catalog at `path`.
+    * in the session catalog at `path`. Lease-guarded like the other two
+    * mutation paths: a store REBUILD racing an in-flight append or
+    * compaction of the same location would delete files under the
+    * holder's scan — the overwrite is as much a single-writer mutation
+    * as they are. A relative `path` is resolved against the session
+    * warehouse, mirroring where `saveAsTable` lands it, so the lease
+    * marker sits beside the actual table files.
     */
   def writeBucketed(df: DataFrame, table: String, key: String,
-                    buckets: Int, path: String): Unit =
-    withSpec(df.write.mode("overwrite")
-      .format("parquet")
-      .option("path", path), BucketSpec(buckets, Seq(key), Seq(key)))
-      .saveAsTable(table)
+                    buckets: Int, path: String): Unit = {
+    val spark = df.sparkSession
+    val raw = new org.apache.hadoop.fs.Path(path)
+    val resolved = if (raw.isAbsolute || raw.toUri.getScheme != null) raw
+      else new org.apache.hadoop.fs.Path(
+        spark.sessionState.conf.warehousePath, path)
+    withWriterLeaseAt(spark, resolved.toString, table) {
+      withSpec(df.write.mode("overwrite")
+        .format("parquet")
+        .option("path", path), BucketSpec(buckets, Seq(key), Seq(key)))
+        .saveAsTable(table)
+    }
+  }
 
   /** Single-writer lease over a bucketed store's mutations.
     *
@@ -47,50 +61,109 @@ object Bucketed {
     * about to retire. Those are SILENT corruption modes; this lease
     * turns them into a loud, immediate error. The lease marker is a
     * sibling of the table's generation directories (`<base>__lock`), so
-    * it survives compaction's location swaps and excludes appenders and
-    * compactors of the same table from each other. Creation uses the
-    * filesystem's no-overwrite create (atomic on HDFS and local FS;
-    * best-effort on eventually-consistent object stores — there, run
-    * ingest from one scheduler, which is the contract anyway).
+    * it survives compaction's location swaps and excludes appenders,
+    * compactors and rebuilders of the same table from each other.
+    * Acquisition is atomic where the filesystem can promise it: HDFS's
+    * no-overwrite create is atomic; on the LOCAL filesystem Hadoop's
+    * `create(overwrite = false)` is check-then-act (no O_EXCL), so the
+    * lock goes through `File.createNewFile`, which is; object stores
+    * are best-effort — there, run ingest from one scheduler, which is
+    * the contract anyway.
     *
-    * A writer that DIED holding the lease leaves the marker behind; the
-    * error message names the marker path and its holder so an operator
-    * can verify the holder is gone and delete it. That is deliberate:
-    * auto-expiring a lease under a live-but-slow writer re-opens the
-    * corruption this exists to prevent.
+    * A writer that DIED holding the lease leaves the marker behind. If
+    * the marker names a SAME-HOST holder whose pid is verifiably gone
+    * (`ProcessHandle` liveness — the one case where deadness is
+    * checkable, not guessed), acquisition breaks it and proceeds: a
+    * killed build must not wedge every later writer of the store. Any
+    * other marker — live holder, other host, unreadable — refuses with
+    * the marker path and holder so an operator can verify and delete.
+    * TIME-based auto-expiry stays deliberately absent: expiring under a
+    * live-but-slow writer re-opens the corruption this exists to
+    * prevent. A failure of the holder's OWN acquisition (created the
+    * marker, then could not write it) releases the marker and rethrows —
+    * only a FOREIGN marker reads as contention.
     */
   private[graft] def withWriterLease[T](spark: SparkSession,
       table: String)(body: => T): T = {
     val meta = spark.sessionState.catalog.getTableMetadata(
       spark.sessionState.sqlParser.parseTableIdentifier(table))
-    val loc = meta.location.toString.stripSuffix("/")
+    withWriterLeaseAt(spark, meta.location.toString, table)(body)
+  }
+
+  private def withWriterLeaseAt[T](spark: SparkSession, location: String,
+      table: String)(body: => T): T = {
+    val loc = location.stripSuffix("/")
     val lock = new org.apache.hadoop.fs.Path(
       loc.replaceAll("__g\\d+$", "") + "__lock")
     val fs = lock.getFileSystem(spark.sessionState.newHadoopConf())
     val holder = s"pid=${ProcessHandle.current().pid()} host=${
       java.net.InetAddress.getLocalHost.getHostName} at=${
       java.time.Instant.now()}"
-    try {
-      val out = fs.create(lock, /* overwrite = */ false)
-      try out.write(holder.getBytes(
-        java.nio.charset.StandardCharsets.UTF_8))
-      finally out.close()
-    } catch {
-      case e: java.io.IOException =>
-        val who =
-          if (!fs.exists(lock)) throw e // a real IO failure, not contention
-          else try {
-            val in = fs.open(lock)
-            try new String(in.readAllBytes(),
-              java.nio.charset.StandardCharsets.UTF_8)
-            finally in.close()
-          } catch { case _: java.io.IOException => "unknown" }
-        throw new java.util.ConcurrentModificationException(
-          s"$table already has an active writer ($who). Its store is " +
-            s"single-writer: concurrent appends/compactions corrupt " +
-            s"silently (double-claimed novel rows, interleaved " +
-            s"generation swaps). If that writer is dead, delete the " +
-            s"lease marker $lock and retry.")
+    val bytes = holder.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    def readHolder(): String = try {
+      val in = fs.open(lock)
+      try new String(in.readAllBytes(),
+        java.nio.charset.StandardCharsets.UTF_8)
+      finally in.close()
+    } catch { case _: java.io.IOException => "unknown" }
+    // deadness is only VERIFIABLE for a same-host holder: the pid is
+    // checkable via ProcessHandle; anything else is a guess, and a
+    // wrong guess re-opens the corruption the lease prevents
+    def holderDead(who: String): Boolean =
+      "pid=(\\d+) host=(\\S+)".r.findFirstMatchIn(who).exists { m =>
+        m.group(2) == java.net.InetAddress.getLocalHost.getHostName && {
+          val p = ProcessHandle.of(m.group(1).toLong)
+          !p.isPresent || !p.get.isAlive
+        }
+      }
+    def contention(who: String): Nothing =
+      throw new java.util.ConcurrentModificationException(
+        s"$table already has an active writer ($who). Its store is " +
+          s"single-writer: concurrent appends/compactions corrupt " +
+          s"silently (double-claimed novel rows, interleaved " +
+          s"generation swaps). If that writer is dead, delete the " +
+          s"lease marker $lock and retry.")
+    // returns false on a FOREIGN existing marker; a failure of our OWN
+    // acquisition (created the marker, then could not write it) releases
+    // the marker and rethrows, or the store would wedge on a lock naming
+    // a writer that never ran
+    def tryAcquire(): Boolean =
+      if (fs.getScheme == "file") {
+        // Hadoop's local create(overwrite = false) is exists-then-open —
+        // two racers can both pass the check; File.createNewFile is the
+        // local FS's actual atomic exclusive create
+        val f = new java.io.File(lock.toUri.getPath)
+        Option(f.getParentFile).foreach(_.mkdirs())
+        f.createNewFile() && {
+          try {
+            val out = new java.io.FileOutputStream(f)
+            try out.write(bytes) finally out.close()
+          } catch { case e: Throwable => f.delete(); throw e }
+          true
+        }
+      } else {
+        val created =
+          try Some(fs.create(lock, /* overwrite = */ false))
+          catch {
+            case e: java.io.IOException =>
+              if (!fs.exists(lock)) throw e // real IO failure, not contention
+              None
+          }
+        created.exists { out =>
+          try { try out.write(bytes) finally out.close() }
+          catch { case e: Throwable => fs.delete(lock, false); throw e }
+          true
+        }
+      }
+    if (!tryAcquire()) {
+      val who = readHolder()
+      // break a verifiably-dead same-host holder's marker — re-read
+      // right before the delete so a marker freshly taken over by a
+      // THIRD writer is not the one broken — then retry ONCE
+      if (holderDead(who) && readHolder() == who) {
+        fs.delete(lock, false)
+        if (!tryAcquire()) contention(readHolder())
+      } else contention(who)
     }
     try body finally fs.delete(lock, false)
   }
@@ -180,10 +253,14 @@ object Bucketed {
     } finally spark.conf.set(autoScanKey, prevAuto)
     // repoint through the catalog API, not string-built SQL: a location
     // containing a quote would break an interpolated ALTER TABLE mid-
-    // compaction, after the new generation was already written
+    // compaction, after the new generation was already written. Stats
+    // are dropped with the move (as the SQL command's updateTableStats
+    // would): the new generation's size differs from the stale numbers,
+    // which would otherwise steer broadcast decisions on the store
     val fresh = cat.getTableMetadata(ident)
-    cat.alterTable(fresh.copy(storage = fresh.storage.copy(
-      locationUri = Some(new org.apache.hadoop.fs.Path(newPath).toUri))))
+    cat.alterTable(fresh.copy(stats = None,
+      storage = fresh.storage.copy(
+        locationUri = Some(new org.apache.hadoop.fs.Path(newPath).toUri))))
     // drop only the CATALOG entry of the staging name; its files are now
     // the live table's
     cat.dropTable(spark.sessionState.sqlParser

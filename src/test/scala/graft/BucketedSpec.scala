@@ -93,6 +93,63 @@ class BucketedSpec extends GraftSpec {
     } finally spark.sql("DROP TABLE IF EXISTS lease_t")
   }
 
+  test("single-writer lease: a verifiably-dead same-host holder is broken automatically; a live one refuses") {
+    import spark.implicits._
+    val tmp = Files.createTempDirectory("graft-lease-dead").toString
+    Bucketed.writeBucketed(
+      (1L to 10L).map(i => (i, s"v$i")).toDF("k", "v"),
+      "lease_dead", "k", 4, s"$tmp/store")
+    try {
+      val add = Seq((11L, "new")).toDF("k", "v")
+      val lock = new java.io.File(s"$tmp/store__lock")
+      val host = java.net.InetAddress.getLocalHost.getHostName
+      def plant(pid: Long): Unit = {
+        val w = new java.io.FileWriter(lock)
+        try w.write(s"pid=$pid host=$host at=spec") finally w.close()
+      }
+      // a marker naming a same-host pid that verifiably does not exist
+      // (a crashed writer): acquisition must break it and proceed — a
+      // killed build must not wedge every later writer of the store
+      var dead = 99999L
+      while (ProcessHandle.of(dead).isPresent) dead += 1
+      plant(dead)
+      Bucketed.appendBucketed(spark, add, "lease_dead")
+      assert(!lock.exists, "broken lease not released after the append")
+      assert(spark.table("lease_dead").count() == 11)
+      // a marker naming a LIVE same-host pid (this JVM): still refuses —
+      // liveness, not age, is the break criterion
+      plant(ProcessHandle.current().pid())
+      intercept[java.util.ConcurrentModificationException] {
+        Bucketed.appendBucketed(spark, add, "lease_dead")
+      }
+      assert(lock.delete())
+    } finally spark.sql("DROP TABLE IF EXISTS lease_dead")
+  }
+
+  test("single-writer lease: a store REBUILD under a foreign lease refuses too, and releases its own on exit") {
+    import spark.implicits._
+    val tmp = Files.createTempDirectory("graft-lease-rw").toString
+    val df = (1L to 10L).map(i => (i, s"v$i")).toDF("k", "v")
+    try {
+      // the overwrite path is a mutation like append/compact: a rebuild
+      // racing an in-flight writer of the same location must refuse,
+      // not delete files under the holder's scan
+      val lock = new java.io.File(s"$tmp/store__lock")
+      assert(new java.io.File(tmp).isDirectory || new java.io.File(tmp).mkdirs())
+      assert(lock.createNewFile())
+      val e = intercept[java.util.ConcurrentModificationException] {
+        Bucketed.writeBucketed(df, "lease_rw", "k", 4, s"$tmp/store")
+      }
+      assert(e.getMessage.contains("single-writer"), e.getMessage)
+      assert(!spark.catalog.tableExists("lease_rw"),
+        "refused rebuild must not have registered the table")
+      assert(lock.delete())
+      Bucketed.writeBucketed(df, "lease_rw", "k", 4, s"$tmp/store")
+      assert(!lock.exists, "lease not released after a rebuild")
+      assert(spark.table("lease_rw").count() == 10)
+    } finally spark.sql("DROP TABLE IF EXISTS lease_rw")
+  }
+
   test("q3_bucketed registry query joins the store with zero exchanges") {
     val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     try {
