@@ -49,16 +49,24 @@ object ScaleSmoke {
     "mix_sources",       // two-level rank
     "shard_pack")        // two-level cumsum
 
+  /** Suffix every WORD of `text` with `tag`: same lengths, same
+    * structure, disjoint content — fresh fingerprints AND zero shared
+    * shingles vs the unsuffixed (or differently-suffixed) corpus. The
+    * ONE spelling of the mutation both the K× replicas and the
+    * ingest-loop append batches rely on for their novelty guarantees.
+    */
+  private def suffixWords(text: org.apache.spark.sql.Column,
+      tag: String): org.apache.spark.sql.Column =
+    concat_ws(" ", transform(
+      graft.functions.Portable.words(text), w => concat(w, lit(tag))))
+
   private def scaleDocuments(df: DataFrame, k: Int): DataFrame =
     replicate(df, k) { (d, r) =>
       d.withColumn("doc_id", col("doc_id") + lit(r * 10000000L))
-        // suffix every WORD so replicas share no shingles/passages:
-        // same lengths, same structure, disjoint content
+        // replicas share no shingles/passages with replica 0 or each other
         .withColumn("text",
-          when(lit(r) === 0, col("text")).otherwise(
-            concat_ws(" ", transform(
-              graft.functions.Portable.words(col("text")),
-              w => concat(w, lit(s"r$r"))))))
+          when(lit(r) === 0, col("text"))
+            .otherwise(suffixWords(col("text"), s"r$r")))
         // append the replica digit INSIDE the numeral: "src3" → "src31"
         // stays parseable by mix_sources/source_report's
         // substring-based suffix parse (an "_r" suffix would CAST to
@@ -146,13 +154,11 @@ object ScaleSmoke {
     // fingerprint append is novel-only (anti-join on the content hash),
     // so a doc_id-shifted copy of history text appends ZERO rows and
     // every post-append fp leg would measure an UNCHANGED store.
-    // Word-suffixing — the same mutation replicate() uses — yields
+    // suffixWords — the same mutation the K× replicas use — yields
     // fresh fingerprints AND history-disjoint shingles at unchanged
     // length/shape.
     def freshen(df: DataFrame, tag: String): DataFrame =
-      df.withColumn("text", concat_ws(" ", transform(
-        graft.functions.Portable.words(col("text")),
-        w => concat(w, lit(tag)))))
+      df.withColumn("text", suffixWords(col("text"), tag))
     // Absolute store root, wiped up front: the in-memory catalog
     // forgets the tables between runs while compaction generations
     // (<base>__gN) and any crashed run's lease markers would otherwise

@@ -34,17 +34,24 @@ object Bucketed {
     * mutation paths: a store REBUILD racing an in-flight append or
     * compaction of the same location would delete files under the
     * holder's scan — the overwrite is as much a single-writer mutation
-    * as they are. A relative `path` is resolved against the session
-    * warehouse, mirroring where `saveAsTable` lands it, so the lease
-    * marker sits beside the actual table files.
+    * as they are. A relative `path` is resolved against the CURRENT
+    * DATABASE's location — the resolution `saveAsTable` itself applies
+    * to a relative path option (warehouse root only for the default
+    * database) — so the lease marker sits beside the actual table
+    * files and locks the same path append/compact derive from the
+    * catalog.
     */
   def writeBucketed(df: DataFrame, table: String, key: String,
                     buckets: Int, path: String): Unit = {
     val spark = df.sparkSession
     val raw = new org.apache.hadoop.fs.Path(path)
     val resolved = if (raw.isAbsolute || raw.toUri.getScheme != null) raw
-      else new org.apache.hadoop.fs.Path(
-        spark.sessionState.conf.warehousePath, path)
+      else {
+        val db = spark.sessionState.catalog.getDatabaseMetadata(
+          spark.sessionState.catalog.getCurrentDatabase).locationUri
+        new org.apache.hadoop.fs.Path(
+          new org.apache.hadoop.fs.Path(db), path)
+      }
     withWriterLeaseAt(spark, resolved.toString, table) {
       withSpec(df.write.mode("overwrite")
         .format("parquet")
@@ -74,12 +81,17 @@ object Bucketed {
     * the marker names a SAME-HOST holder whose pid is verifiably gone
     * (`ProcessHandle` liveness — the one case where deadness is
     * checkable, not guessed), acquisition breaks it and proceeds: a
-    * killed build must not wedge every later writer of the store. Any
-    * other marker — live holder, other host, unreadable — refuses with
-    * the marker path and holder so an operator can verify and delete.
-    * TIME-based auto-expiry stays deliberately absent: expiring under a
-    * live-but-slow writer re-opens the corruption this exists to
-    * prevent. A failure of the holder's OWN acquisition (created the
+    * killed build must not wedge every later writer of the store. The
+    * break claims the marker by atomic RENAME (one winner among
+    * concurrent breakers) and verifies the claimed content before
+    * discarding it. Host identity is hostname equality — where writer
+    * hostnames are not unique (cloned containers), set
+    * `SPARK_GRAFT_LEASE_AUTOBREAK=0` and recover dead leases manually.
+    * Any other marker — live holder, other host, unreadable — refuses
+    * with the marker path and holder so an operator can verify and
+    * delete. TIME-based auto-expiry stays deliberately absent: expiring
+    * under a live-but-slow writer re-opens the corruption this exists
+    * to prevent. A failure of the holder's OWN acquisition (created the
     * marker, then could not write it) releases the marker and rethrows —
     * only a FOREIGN marker reads as contention.
     */
@@ -106,15 +118,24 @@ object Bucketed {
         java.nio.charset.StandardCharsets.UTF_8)
       finally in.close()
     } catch { case _: java.io.IOException => "unknown" }
-    // deadness is only VERIFIABLE for a same-host holder: the pid is
+    // Deadness is only VERIFIABLE for a same-host holder: the pid is
     // checkable via ProcessHandle; anything else is a guess, and a
-    // wrong guess re-opens the corruption the lease prevents
+    // wrong guess re-opens the corruption the lease prevents. The host
+    // test is HOSTNAME EQUALITY — in a fleet whose writers do not have
+    // unique hostnames (cloned containers all reporting the same name),
+    // a remote LIVE holder's pid can be absent locally and read as
+    // dead: disable the auto-break there via
+    // SPARK_GRAFT_LEASE_AUTOBREAK=0 and recover dead leases manually.
+    // A marker that does not parse (corrupt, foreign format, pid
+    // overflow) is never judged dead — it refuses with the recovery
+    // message like any live holder's.
     def holderDead(who: String): Boolean =
       "pid=(\\d+) host=(\\S+)".r.findFirstMatchIn(who).exists { m =>
-        m.group(2) == java.net.InetAddress.getLocalHost.getHostName && {
-          val p = ProcessHandle.of(m.group(1).toLong)
-          !p.isPresent || !p.get.isAlive
-        }
+        m.group(2) == java.net.InetAddress.getLocalHost.getHostName &&
+          scala.util.Try {
+            val p = ProcessHandle.of(m.group(1).toLong)
+            !p.isPresent || !p.get.isAlive
+          }.getOrElse(false)
       }
     def contention(who: String): Nothing =
       throw new java.util.ConcurrentModificationException(
@@ -157,11 +178,37 @@ object Bucketed {
       }
     if (!tryAcquire()) {
       val who = readHolder()
-      // break a verifiably-dead same-host holder's marker — re-read
-      // right before the delete so a marker freshly taken over by a
-      // THIRD writer is not the one broken — then retry ONCE
-      if (holderDead(who) && readHolder() == who) {
-        fs.delete(lock, false)
+      val autoBreak = !Seq("0", "false").contains(sys.env
+        .getOrElse("SPARK_GRAFT_LEASE_AUTOBREAK", "1").toLowerCase)
+      // Break a verifiably-dead holder's marker. The break must not
+      // race another breaker into a double acquisition, so it is a
+      // RENAME to a per-pid claim path — the filesystems' atomic
+      // one-winner op; a plain delete could remove the marker a winning
+      // breaker had already re-created, silently admitting two writers.
+      // Rename cannot be made conditional on CONTENT, so after winning
+      // the claim the content is verified to still be the marker that
+      // was diagnosed: a live writer's fresh marker claimed by mistake
+      // is renamed straight back. The residual window (diagnose →
+      // rename, with a restore needed and a third writer appearing
+      // inside it) requires three simultaneous writers on a store whose
+      // contract is one scheduler — the lease is a safety net for that
+      // contract, not a substitute coordination service.
+      if (autoBreak && holderDead(who)) {
+        val claimed = new org.apache.hadoop.fs.Path(
+          s"$lock.broken.${ProcessHandle.current().pid()}")
+        if (fs.rename(lock, claimed)) {
+          val got = try {
+            val in = fs.open(claimed)
+            try new String(in.readAllBytes(),
+              java.nio.charset.StandardCharsets.UTF_8)
+            finally in.close()
+          } catch { case _: java.io.IOException => "unknown" }
+          if (got == who || holderDead(got)) fs.delete(claimed, false)
+          else if (!fs.rename(claimed, lock)) fs.delete(claimed, false)
+        }
+        // whichever breaker won, the dead marker is gone exactly once;
+        // re-attempt the normal acquisition — a loser (or a restored
+        // live holder) shows up as fresh contention below
         if (!tryAcquire()) contention(readHolder())
       } else contention(who)
     }
