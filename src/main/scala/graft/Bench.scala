@@ -55,7 +55,10 @@ object Bench {
     // before/after storage snapshot below nets to ZERO when a cache is
     // evicted and rebuilt within the same timed body — exactly the
     // evict-and-recompute episode worth catching; the block-update
-    // stream sees each drop as it happens, rebuild or not.
+    // stream sees each drop as it happens, rebuild or not. (Validated
+    // under a shrunken storage pool: storage-pressure drops arrive as
+    // BlockUpdated events with an invalid level on the standard bus —
+    // no extra conf needed — so a 0 here means no drops, not no data.)
     val droppedBlocks =
       new java.util.concurrent.ConcurrentHashMap[String,
         java.util.concurrent.atomic.LongAdder]()
