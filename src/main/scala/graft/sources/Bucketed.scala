@@ -47,10 +47,14 @@ object Bucketed {
     val raw = new org.apache.hadoop.fs.Path(path)
     val resolved = if (raw.isAbsolute || raw.toUri.getScheme != null) raw
       else {
-        val db = spark.sessionState.catalog.getDatabaseMetadata(
-          spark.sessionState.catalog.getCurrentDatabase).locationUri
-        new org.apache.hadoop.fs.Path(
-          new org.apache.hadoop.fs.Path(db), path)
+        // the TABLE IDENTIFIER's database, not blindly the current one:
+        // saveAsTable("otherdb.t") resolves a relative path option
+        // against otherdb's location even when the current db differs
+        val db = spark.sessionState.sqlParser.parseTableIdentifier(table)
+          .database.getOrElse(spark.sessionState.catalog.getCurrentDatabase)
+        new org.apache.hadoop.fs.Path(new org.apache.hadoop.fs.Path(
+          spark.sessionState.catalog.getDatabaseMetadata(db).locationUri),
+          path)
       }
     withWriterLeaseAt(spark, resolved.toString, table) {
       withSpec(df.write.mode("overwrite")
@@ -112,12 +116,13 @@ object Bucketed {
       java.net.InetAddress.getLocalHost.getHostName} at=${
       java.time.Instant.now()}"
     val bytes = holder.getBytes(java.nio.charset.StandardCharsets.UTF_8)
-    def readHolder(): String = try {
-      val in = fs.open(lock)
+    def readMarker(p: org.apache.hadoop.fs.Path): String = try {
+      val in = fs.open(p)
       try new String(in.readAllBytes(),
         java.nio.charset.StandardCharsets.UTF_8)
       finally in.close()
     } catch { case _: java.io.IOException => "unknown" }
+    def readHolder(): String = readMarker(lock)
     // Deadness is only VERIFIABLE for a same-host holder: the pid is
     // checkable via ProcessHandle; anything else is a guess, and a
     // wrong guess re-opens the corruption the lease prevents. The host
@@ -144,11 +149,12 @@ object Bucketed {
           s"silently (double-claimed novel rows, interleaved " +
           s"generation swaps). If that writer is dead, delete the " +
           s"lease marker $lock and retry.")
-    // returns false on a FOREIGN existing marker; a failure of our OWN
-    // acquisition (created the marker, then could not write it) releases
-    // the marker and rethrows, or the store would wedge on a lock naming
-    // a writer that never ran
-    def tryAcquire(): Boolean =
+    // Exclusive create of the lock with `content`; false on a FOREIGN
+    // existing marker. A failure of our OWN creation (created the
+    // marker, then could not write it) releases the marker and
+    // rethrows, or the store would wedge on a lock naming a writer that
+    // never ran.
+    def tryCreate(content: Array[Byte]): Boolean =
       if (fs.getScheme == "file") {
         // Hadoop's local create(overwrite = false) is exists-then-open —
         // two racers can both pass the check; File.createNewFile is the
@@ -158,7 +164,7 @@ object Bucketed {
         f.createNewFile() && {
           try {
             val out = new java.io.FileOutputStream(f)
-            try out.write(bytes) finally out.close()
+            try out.write(content) finally out.close()
           } catch { case e: Throwable => f.delete(); throw e }
           true
         }
@@ -171,40 +177,56 @@ object Bucketed {
               None
           }
         created.exists { out =>
-          try { try out.write(bytes) finally out.close() }
+          try { try out.write(content) finally out.close() }
           catch { case e: Throwable => fs.delete(lock, false); throw e }
           true
         }
       }
+    def tryAcquire(): Boolean = tryCreate(bytes)
     if (!tryAcquire()) {
       val who = readHolder()
-      val autoBreak = !Seq("0", "false").contains(sys.env
-        .getOrElse("SPARK_GRAFT_LEASE_AUTOBREAK", "1").toLowerCase)
+      // system property first (per-JVM, spec-settable), env second
+      // (per-deployment): both spell SPARK_GRAFT_LEASE_AUTOBREAK
+      val autoBreak = !Seq("0", "false").contains(
+        sys.props.get("SPARK_GRAFT_LEASE_AUTOBREAK")
+          .orElse(sys.env.get("SPARK_GRAFT_LEASE_AUTOBREAK"))
+          .getOrElse("1").toLowerCase)
       // Break a verifiably-dead holder's marker. The break must not
       // race another breaker into a double acquisition, so it is a
-      // RENAME to a per-pid claim path — the filesystems' atomic
+      // RENAME to a unique claim path — the filesystems' atomic
       // one-winner op; a plain delete could remove the marker a winning
       // breaker had already re-created, silently admitting two writers.
       // Rename cannot be made conditional on CONTENT, so after winning
       // the claim the content is verified to still be the marker that
       // was diagnosed: a live writer's fresh marker claimed by mistake
-      // is renamed straight back. The residual window (diagnose →
-      // rename, with a restore needed and a third writer appearing
-      // inside it) requires three simultaneous writers on a store whose
-      // contract is one scheduler — the lease is a safety net for that
-      // contract, not a substitute coordination service.
+      // is restored by EXCLUSIVE create (a rename-back would OVERWRITE
+      // a third writer's marker under POSIX rename semantics). The
+      // residual window (diagnose → rename, with a restore needed and a
+      // third writer appearing inside it) requires three simultaneous
+      // writers on a store whose contract is one scheduler — the lease
+      // is a safety net for that contract, not a substitute
+      // coordination service.
       if (autoBreak && holderDead(who)) {
-        val claimed = new org.apache.hadoop.fs.Path(
-          s"$lock.broken.${ProcessHandle.current().pid()}")
-        if (fs.rename(lock, claimed)) {
-          val got = try {
-            val in = fs.open(claimed)
-            try new String(in.readAllBytes(),
-              java.nio.charset.StandardCharsets.UTF_8)
-            finally in.close()
-          } catch { case _: java.io.IOException => "unknown" }
-          if (got == who || holderDead(got)) fs.delete(claimed, false)
-          else if (!fs.rename(claimed, lock)) fs.delete(claimed, false)
+        // pid alone is not unique enough for the claim path: a crashed
+        // breaker's orphaned claim plus a recycled pid would make the
+        // HDFS rename return false forever (dest exists) and silently
+        // un-break the store; the nanoTime nonce makes every claim fresh
+        val claimed = new org.apache.hadoop.fs.Path(s"$lock.broken.${
+          ProcessHandle.current().pid()}.${System.nanoTime()}")
+        // a LOST race surfaces as `false` on HDFS but as an
+        // IOException on the local FS (RawLocalFileSystem falls back to
+        // a copy when renameTo fails, and the source is already gone) —
+        // both just mean another breaker won
+        val won = try fs.rename(lock, claimed)
+          catch { case _: java.io.IOException => false }
+        if (won) {
+          val got = readMarker(claimed)
+          if (!(got == who || holderDead(got)))
+            // claimed a live writer's marker: put it back if the slot
+            // is still free; if a third writer took it meanwhile, the
+            // conflict is already beyond local repair — refuse below
+            tryCreate(got.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+          fs.delete(claimed, false)
         }
         // whichever breaker won, the dead marker is gone exactly once;
         // re-attempt the normal acquisition — a loser (or a restored

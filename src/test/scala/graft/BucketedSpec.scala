@@ -122,6 +122,14 @@ class BucketedSpec extends GraftSpec {
       intercept[java.util.ConcurrentModificationException] {
         Bucketed.appendBucketed(spark, add, "lease_dead")
       }
+      // SPARK_GRAFT_LEASE_AUTOBREAK=0 (cloned-hostname fleets, where
+      // local pid absence is not evidence of death): even a verifiably
+      // -dead same-host marker refuses
+      plant(dead)
+      sys.props("SPARK_GRAFT_LEASE_AUTOBREAK") = "0"
+      try intercept[java.util.ConcurrentModificationException] {
+        Bucketed.appendBucketed(spark, add, "lease_dead")
+      } finally sys.props.remove("SPARK_GRAFT_LEASE_AUTOBREAK")
       assert(lock.delete())
     } finally spark.sql("DROP TABLE IF EXISTS lease_dead")
   }
