@@ -33,7 +33,30 @@ object AnnPack extends QueryPack {
   private val numPlanes = 16
   private val bandBits = 4
   private val numBands = numPlanes / bandBits
-  private val nearDupTau = 0.45
+  // shared with C10 semantic_dedup (DedupPack.semanticTau aliases this
+  // so the two packs' thresholds cannot drift apart silently)
+  private[graft] val nearDupTau = 0.45
+  // The LSH plane table's dimensionality. The oracle SQL is a STATIC
+  // string, so this cannot be derived from the data there — instead the
+  // Spark side asserts the corpus matches at runtime (a silent mismatch
+  // would truncate the signature on one engine and NULL-pad it on the
+  // other, surfacing only as an opaque hash diff).
+  private val lshDim = 64
+
+  /** Deterministic seed-ordering hash, OVERFLOW-SAFE in both engines.
+    * The naive `(vec_id * 2654435761) % 4096` wraps int64 in Spark past
+    * vec_id ≈ 3.5e9 while DuckDB raises on the same multiply — a latent
+    * cross-engine divergence at the 100 TB design point. Because the
+    * modulus is 2^12, the product's low 12 bits depend only on each
+    * factor's low 12 bits, so reducing both first ((vec_id % 4096) *
+    * 2481) % 4096, with 2481 = 2654435761 % 4096) yields BIT-IDENTICAL
+    * values to the old form for every vec_id — including the wrapped
+    * range, since two's-complement wrap preserves residues mod 2^12 —
+    * with a maximum intermediate of 4095 * 2481 ≪ 2^63.
+    */
+  private def seedHash(vecId: Column): Column =
+    pmod(pmod(vecId, lit(4096L)) * lit(2481L), lit(4096L))
+  private val seedHashSql = "((vec_id % 4096) * 2481) % 4096"
 
   /** embeddings with double vectors + precomputed norms. */
   private def vecs(s: SparkSession, d: String): DataFrame =
@@ -107,7 +130,13 @@ object AnnPack extends QueryPack {
   private val annLsh = GraftQuery(
     "ann_lsh",
     (s, d) => {
-      val planes = Vectors.planeWeights(numPlanes, 64)
+      val dim = Tables.embeddings(s, d)
+        .select(size(col("embedding"))).head.getInt(0)
+      require(dim == lshDim,
+        s"ann_lsh's plane table is built for $lshDim-dim embeddings; " +
+          s"this corpus has $dim — the mismatch would truncate " +
+          s"signatures silently")
+      val planes = Vectors.planeWeights(numPlanes, lshDim)
       val n = vecs(s, d)
       val sigBits = concat((0 until numPlanes).map { p =>
         val pw = array(planes(p).map(lit): _*)
@@ -128,8 +157,12 @@ object AnnPack extends QueryPack {
       val cand = cb.join(qb,
           col("band") === col("qband") && col("bkey") === col("qbkey"))
         .select(col("query_id"), col("vec_id")).distinct()
-      val q = n.select(col("vec_id").as("qid2"), col("v").as("qv"),
-        col("nrm").as("qn"))
+      // only the QUERY slice is broadcast — the equi-join below would
+      // filter non-queries anyway, but broadcasting the full corpus
+      // would build a 50× bigger hash relation on every executor
+      val q = n.filter(pmod(col("vec_id"), lit(50)) === 0)
+        .select(col("vec_id").as("qid2"), col("v").as("qv"),
+          col("nrm").as("qn"))
       val pairs = cand
         .join(n, "vec_id")
         .join(broadcast(q), col("query_id") === col("qid2"))
@@ -140,7 +173,7 @@ object AnnPack extends QueryPack {
     },
     Some(s"""
       WITH $vecsSql,
-      p AS (${Vectors.sql.planes(numPlanes, 64)}),
+      p AS (${Vectors.sql.planes(numPlanes, lshDim)}),
       s AS (SELECT n.vec_id, p.p,
           CASE WHEN ${Vectors.sql.dot("n.v", "p.pw")} > 0
                THEN '1' ELSE '0' END AS bit
@@ -256,8 +289,7 @@ object AnnPack extends QueryPack {
     // whole label block in one task — then cell ids 1..n_cells assigned
     // by a per-label sort of the ≤maxCells survivors.
     val topSeeds = graft.plans.TopKPerKey(
-      n.withColumn("hk",
-        pmod(col("vec_id") * lit(2654435761L), lit(4096L))),
+      n.withColumn("hk", seedHash(col("vec_id"))),
       keys = Seq(col("label")),
       order = Seq(col("hk"), col("vec_id")),
       k = maxCells)
@@ -597,7 +629,7 @@ object AnnPack extends QueryPack {
   private[graft] def kmCentroids(corpus: DataFrame, k: Int = kmK,
       iters: Int = kmIters): DataFrame = {
     val seeds = corpus
-      .withColumn("hk", pmod(col("vec_id") * lit(2654435761L), lit(4096L)))
+      .withColumn("hk", seedHash(col("vec_id")))
       .orderBy(col("hk"), col("vec_id"))
       .limit(k)
       .select(col("vec_id").as("cell"), col("v").as("cv"))
@@ -638,7 +670,7 @@ object AnnPack extends QueryPack {
         FROM n WHERE vec_id % 50 <> 0),
       seeds AS (SELECT vec_id AS cell, v AS cv,
           ${Vectors.sql.dot("v", "v")} AS cc
-        FROM corpus ORDER BY (vec_id * 2654435761) % 4096, vec_id
+        FROM corpus ORDER BY $seedHashSql, vec_id
         LIMIT $kmK),
       s1 AS (SELECT a1.vec_id, a1.v, s.cell,
           ROW_NUMBER() OVER (PARTITION BY a1.vec_id ORDER BY

@@ -718,13 +718,16 @@ object DedupPack extends QueryPack {
   // already-bounded ones (LSH buckets / IVF cells — never all-pairs),
   // the union is pair-scale, and the per-doc verdict is a left join of
   // the corpus against the component labels.
-  /** C10's embedding-pair threshold: the 0.45 NEAR-DUP τ (C5's), not
-    * D6's 0.3 range-search demo τ — a dedup verdict at cos ≥ 0.3 would
-    * flag half of any real corpus as "semantic dups", and the 0.3 pair
-    * graph is ~100× denser (measured at sf0.1: 1449 edges vs 15), which
-    * the round-5 CC build paid 167 s cold for.
+  /** C10's embedding-pair threshold: C5's NEAR-DUP τ BY REFERENCE (an
+    * independent 0.45 literal here could drift from AnnPack.nearDupTau
+    * without either query's own oracle noticing — each interpolates its
+    * own pack's constant), not D6's 0.3 range-search demo τ — a dedup
+    * verdict at cos ≥ 0.3 would flag half of any real corpus as
+    * "semantic dups", and the 0.3 pair graph is ~100× denser (measured
+    * at sf0.1: 1449 edges vs 15), which the round-5 CC build paid 167 s
+    * cold for.
     */
-  private[graft] val semanticTau = 0.45
+  private[graft] val semanticTau = AnnPack.nearDupTau
 
   private val semanticDedup = GraftQuery(
     "semantic_dedup",
@@ -809,16 +812,43 @@ object DedupPack extends QueryPack {
   // spec-asserted), while only the small batch shuffles. Verdicts
   // distinguish re-ingested content (dup_of_history) from novel
   // within-batch duplicates (batch-minimum election, agg + join-back).
+  /** The C11/C12 store artifacts built this JVM, so Caches.releaseAll
+    * resets THIS memo like every other dataset-keyed one (persisted
+    * frames, AnnPack.indexDirs, ccMemo): the memo key is
+    * catalog-table existence, which releaseAll does not touch on its
+    * own — without this hook, a dataset dir rewritten in-session would
+    * probe the NEW batch against the STALE history store.
+    */
+  private val storeArtifacts = java.util.concurrent.ConcurrentHashMap
+    .newKeySet[(String, String)]() // (catalog table, store dir)
+  graft.Caches.onRelease(() => {
+    org.apache.spark.sql.SparkSession.getActiveSession
+      .orElse(org.apache.spark.sql.SparkSession.getDefaultSession)
+      .foreach { s =>
+        storeArtifacts.forEach { case (t, _) =>
+          s.sql(s"DROP TABLE IF EXISTS $t") }
+      }
+    // entries registering a second catalog table of the same store
+    // carry an empty dir — never hand "" to deleteDir (Paths.get("")
+    // is the working directory)
+    storeArtifacts.forEach { case (_, dir) =>
+      if (dir.nonEmpty) graft.Caches.deleteDir(dir) }
+    storeArtifacts.clear()
+  })
+
   private def fpStore(s: SparkSession, d: String): String = {
     val tag = java.security.MessageDigest.getInstance("MD5")
       .digest(d.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(10)
     val table = s"graft_fp_store_$tag"
     val root = sys.env.getOrElse("SPARK_GRAFT_STORE_DIR",
       sys.props("java.io.tmpdir"))
-    if (!s.catalog.tableExists(table))
+    if (!s.catalog.tableExists(table)) {
+      val dir = s"$root/graft_fp_store_$tag"
       graft.sources.FingerprintStore.write(
         Tables.documents(s, d).filter(pmod(col("doc_id"), lit(2)) === 0),
-        table, s"$root/graft_fp_store_$tag")
+        table, dir)
+      storeArtifacts.add((table, dir))
+    }
     table
   }
 
@@ -864,7 +894,7 @@ object DedupPack extends QueryPack {
     val base = s"graft_mh_store_$tag"
     val root = sys.env.getOrElse("SPARK_GRAFT_STORE_DIR",
       sys.props("java.io.tmpdir"))
-    if (!s.catalog.tableExists(s"${base}_bands"))
+    if (!s.catalog.tableExists(s"${base}_bands")) {
       // uncapped: the oracle recomputes the FULL pair graph, so the
       // gated path must be exact by construction — the bounded-recall
       // cap (MinHashStore.capBands) is a production-ingest trade, not
@@ -872,6 +902,9 @@ object DedupPack extends QueryPack {
       graft.sources.MinHashStore.write(
         Tables.documents(s, d).filter(pmod(col("doc_id"), lit(2)) === 0),
         base, s"$root/$base", maxPerBucket = Int.MaxValue)
+      storeArtifacts.add((s"${base}_bands", s"$root/$base"))
+      storeArtifacts.add((s"${base}_shingles", ""))
+    }
     base
   }
 

@@ -564,6 +564,29 @@ class DedupPackSpec extends GraftSpec {
     }
   }
 
+  test("incremental store memo resets with Caches.releaseAll — no stale-history probe after a dataset rewrite") {
+    // The C11/C12 memo key is catalog-table existence; releaseAll must
+    // clear it like every other dataset-keyed artifact (persisted
+    // frames, ann index dirs, ccMemo), or a dataset dir rewritten
+    // in-session would be probed against the STALE history store.
+    SparkEntry.queries("dedup_incremental")(spark, sfDir).count()
+    SparkEntry.queries("dedup_incremental_minhash")(spark, sfDir).count()
+    val tag = java.security.MessageDigest.getInstance("MD5")
+      .digest(sfDir.getBytes("UTF-8")).map("%02x".format(_))
+      .mkString.take(10)
+    assert(spark.catalog.tableExists(s"graft_fp_store_$tag"))
+    assert(spark.catalog.tableExists(s"graft_mh_store_${tag}_bands"))
+    graft.Caches.releaseAll(blocking = true)
+    assert(!spark.catalog.tableExists(s"graft_fp_store_$tag"),
+      "fp store memo survived releaseAll — stale-history hazard")
+    assert(!spark.catalog.tableExists(s"graft_mh_store_${tag}_bands") &&
+      !spark.catalog.tableExists(s"graft_mh_store_${tag}_shingles"),
+      "mh store memo survived releaseAll — stale-history hazard")
+    // and the queries rebuild green after the reset
+    assert(SparkEntry.queries("dedup_incremental")(spark, sfDir)
+      .count() > 0)
+  }
+
   test("minhash store cap: a true near-dup capped out of every shared bucket is silently missed — the documented recall trade") {
     import spark.implicits._
     import graft.sources.MinHashStore
