@@ -189,11 +189,16 @@ object TextPack extends QueryPack {
       import org.apache.spark.sql.GraftColumnBridge.{column, expression}
       val norm = normText(col("text"))
       val poly = column(graft.expressions.PolyHash31(expression(norm)))
+      // zero-word docs are excluded like E1/E2/E5: they carry no
+      // fingerprintable content, and the engines would disagree on the
+      // empty case (concat_ws yields '' where DuckDB's empty-list
+      // string_agg yields NULL → md5(NULL) row vs md5('') row)
       Tables.parallelized(Tables.documents(s, d)).select(
           col("doc_id"),
           md5(norm).as("fp_md5"),
           poly.as("fp_poly"),
           length(norm).as("n_norm_chars"))
+        .filter(col("n_norm_chars") > 0)
         .orderBy(col("doc_id"))
     },
     Some(s"""
@@ -206,7 +211,7 @@ object TextPack extends QueryPack {
           list_transform(string_split(norm, ''), c -> CAST(ord(c) AS BIGINT))),
           (h, c) -> (h * 31 + c) % $P) AS fp_poly,
         len(norm) AS n_norm_chars
-      FROM n ORDER BY doc_id
+      FROM n WHERE norm IS NOT NULL AND len(norm) > 0 ORDER BY doc_id
       """))
 
   // E5 — intra-document repetition metrics (the Gopher-class repetition
@@ -232,9 +237,13 @@ object TextPack extends QueryPack {
         .agg(sum(col("c")).as("n_words"),
           count(lit(1)).as("n_distinct_words"),
           max(col("c")).as("top_c"))
+      // n/d3 as LONG: size() is int32 and `1000000 * (n - 2 - d3)`
+      // would wrap past ~2147 duplicate 3-grams (a 10k-word repetitive
+      // doc — exactly this filter's target) while the oracle computes
+      // in BIGINT
       val grams = base.select(col("doc_id"),
-        size(col("w")).as("n"),
-        size(shingles3Hashed(col("w"))).as("d3"))
+        size(col("w")).cast(LongType).as("n"),
+        size(shingles3Hashed(col("w"))).cast(LongType).as("d3"))
       grams.join(perDoc, "doc_id")
         .select(
           col("doc_id"),

@@ -228,21 +228,38 @@ object TimeSeriesPack extends QueryPack {
   // observed neighbors. prev/next lookups use running max/min windows
   // over CASE-tagged bins (no IGNORE NULLS dependency, identical in
   // both engines), then join the values back — never a per-gap scan.
+  /** Shared hourly-spine scaffold for A11 ts_interpolate and A11b
+    * ts_locf_fill: per-type hourly averages, the dense min..max hour
+    * spine left-joined onto them, the running last-observed-bin window
+    * frame, and the prev-value lookup. ONE spelling keeps the two
+    * interpolation modes' plans identical prefixes (the CacheManager
+    * can share the subplan in-session) and makes bin-width or spine
+    * changes atomic across both queries. Returns (bins, joined spine,
+    * wPrev, prev-value table).
+    */
+  private def hourlySpine(s: SparkSession, d: String): (DataFrame,
+      DataFrame, org.apache.spark.sql.expressions.WindowSpec, DataFrame) = {
+    val binCol = TimeSeries.bin(col("ts"), 3600).cast(TimestampNTZType)
+    val bins = Tables.events(s, d)
+      .groupBy(col("event_type"), binCol.as("bin"))
+      .agg((dsumValue / count(lit(1))).as("avg_val"))
+    val spine = bins.groupBy(col("event_type"))
+      .agg(min(col("bin")).as("mn"), max(col("bin")).as("mx"))
+      .select(col("event_type"),
+        explode(sequence(col("mn"), col("mx"),
+          expr("INTERVAL 1 HOUR"))).as("bin"))
+    val j = spine.join(bins, Seq("event_type", "bin"), "left")
+    val wPrev = Window.partitionBy(col("event_type")).orderBy(col("bin"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val pv = bins.select(col("event_type"), col("bin").as("prev_bin"),
+      col("avg_val").as("prev_val"))
+    (bins, j, wPrev, pv)
+  }
+
   private val tsInterpolate = GraftQuery(
     "ts_interpolate",
     (s, d) => {
-      val binCol = TimeSeries.bin(col("ts"), 3600).cast(TimestampNTZType)
-      val bins = Tables.events(s, d)
-        .groupBy(col("event_type"), binCol.as("bin"))
-        .agg((dsumValue / count(lit(1))).as("avg_val"))
-      val spine = bins.groupBy(col("event_type"))
-        .agg(min(col("bin")).as("mn"), max(col("bin")).as("mx"))
-        .select(col("event_type"),
-          explode(sequence(col("mn"), col("mx"),
-            expr("INTERVAL 1 HOUR"))).as("bin"))
-      val j = spine.join(bins, Seq("event_type", "bin"), "left")
-      val wPrev = Window.partitionBy(col("event_type")).orderBy(col("bin"))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val (bins, j, wPrev, pv) = hourlySpine(s, d)
       val wNext = Window.partitionBy(col("event_type")).orderBy(col("bin"))
         .rowsBetween(Window.currentRow, Window.unboundedFollowing)
       val tagged = j
@@ -250,8 +267,6 @@ object TimeSeriesPack extends QueryPack {
           max(when(col("avg_val").isNotNull, col("bin"))).over(wPrev))
         .withColumn("next_bin",
           min(when(col("avg_val").isNotNull, col("bin"))).over(wNext))
-      val pv = bins.select(col("event_type"), col("bin").as("prev_bin"),
-        col("avg_val").as("prev_val"))
       val nv = bins.select(col("event_type"), col("bin").as("next_bin"),
         col("avg_val").as("next_val"))
       val us = (c: Column) => unix_micros(c.cast(TimestampType))
@@ -406,20 +421,7 @@ object TimeSeriesPack extends QueryPack {
   private val tsLocfFill = GraftQuery(
     "ts_locf_fill",
     (s, d) => {
-      val binCol = TimeSeries.bin(col("ts"), 3600).cast(TimestampNTZType)
-      val bins = Tables.events(s, d)
-        .groupBy(col("event_type"), binCol.as("bin"))
-        .agg((dsumValue / count(lit(1))).as("avg_val"))
-      val spine = bins.groupBy(col("event_type"))
-        .agg(min(col("bin")).as("mn"), max(col("bin")).as("mx"))
-        .select(col("event_type"),
-          explode(sequence(col("mn"), col("mx"),
-            expr("INTERVAL 1 HOUR"))).as("bin"))
-      val j = spine.join(bins, Seq("event_type", "bin"), "left")
-      val wPrev = Window.partitionBy(col("event_type")).orderBy(col("bin"))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      val pv = bins.select(col("event_type"), col("bin").as("prev_bin"),
-        col("avg_val").as("prev_val"))
+      val (_, j, wPrev, pv) = hourlySpine(s, d)
       j.withColumn("prev_bin",
           max(when(col("avg_val").isNotNull, col("bin"))).over(wPrev))
         .join(pv, Seq("event_type", "prev_bin"), "left")
