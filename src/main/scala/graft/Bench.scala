@@ -236,8 +236,19 @@ object Bench {
     // "parsed": null). Repeat a COMPACT totals-only record as the very
     // LAST stdout line so a structured number survives any tail window.
     System.out.flush()
-    println(s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","steady_total":$steadyTotal,"warmup_total":$warmupTotal,"cold_total":$coldTotal,"heap_max_mb":$heapMaxMb,"driver_gc_ms":${gcWarm + gcCold + gcSteady},"load_avg_end":$load1}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","steady_total":$steadyTotal,"warmup_total":$warmupTotal,"cold_total":$coldTotal,"heap_max_mb":$heapMaxMb,"driver_gc_ms":${gcWarm + gcCold + gcSteady},"load_avg_end":$load1,"failed":${errors.size}}""")
     System.out.flush()
     spark.stop()
+    // A run where queries failed must not read as success downstream:
+    // round 7's artifact carried rc=0 with 71 entries in "errors" and
+    // was nearly committed as a passing round. The compact line above
+    // carries "failed" for parsers that only see the tail; the exit
+    // code covers wrappers that only see rc.
+    if (errors.nonEmpty) {
+      System.err.println(
+        s"[bench] ${errors.size} query run(s) failed: " +
+          errors.mkString(", "))
+      sys.exit(1)
+    }
   }
 }

@@ -99,9 +99,11 @@ object ScaleSmoke {
       .write.mode("overwrite").parquet(s"$dir/documents.parquet")
     scaleEmbeddings(spark.read.parquet(s"$base/embeddings.parquet"), k)
       .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
-    // events.parquet stores ts as TIMESTAMP(NANOS); read it as a long
-    // (the same legacy flag Tables.events sets) and write a plain
-    // int64, which Tables.events' `ts div 1000` path reads identically
+    // events.parquet's ts physical type varies by testdata generation
+    // (TIMESTAMP(NANOS) vs micros NTZ). Set the same legacy flag
+    // Tables.events sets so a nanos file reads as int64; whichever shape
+    // the replica write produces (int64 or micros NTZ), Tables.events'
+    // type dispatch reads it back to the identical NTZ view.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     scaleEvents(spark.read.parquet(s"$base/events.parquet"), k)
       .write.mode("overwrite").parquet(s"$dir/events.parquet")

@@ -17,11 +17,20 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    // Failures must be LOUD and enumerable: round 7's events-schema
+    // regression silently shrank the correctness gate from 87 tasks to
+    // 52 — every broken query was simply absent from the output dir, so
+    // a fully-broken pack read as an all-green round. Record every
+    // failure by name, dump them as an artifact next to the results,
+    // and exit non-zero so no wrapper can mistake this run for clean.
+    val failures = scala.collection.mutable.LinkedHashMap.empty[String, String]
     SparkEntry.queries.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
-        System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        val msg = s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(500)}"
+        System.err.println(s"[verify] $name failed: $msg")
+        failures(name) = msg
       }
     }
     // cache lifecycle: the packs' shared working sets are registry-scoped
@@ -46,6 +55,14 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    val errJson = failures
+      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+    Files.writeString(Paths.get(s"$outDir/verify_errors.json"), errJson)
+    System.err.println(
+      s"[verify] ${SparkEntry.queries.size - failures.size}/" +
+        s"${SparkEntry.queries.size} queries dumped, " +
+        s"${failures.size} failed")
     spark.stop()
+    if (failures.nonEmpty) sys.exit(1)
   }
 }

@@ -47,6 +47,10 @@ def main(sf_dir: str, out_dir: str) -> int:
         if os.path.exists(p):
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
     oracle = json.load(open(os.path.join(out_dir, "oracle_sql.json")))
+    errs_path = os.path.join(out_dir, "verify_errors.json")
+    if os.path.exists(errs_path):
+        for name, msg in sorted(json.load(open(errs_path)).items()):
+            print(f"ERR  {name}: {msg[:200]}")
     failures = 0
     for name, sql in sorted(oracle.items()):
         files = glob.glob(os.path.join(out_dir, name, "*.parquet"))
