@@ -223,6 +223,62 @@ object TimeSeriesPack extends QueryPack {
     },
     None)
 
+  // A10e — KMV distinct sketch, the ENGINE-PORTABLE answer to HLL's
+  // rows-only check: k smallest distinct values of an explicit
+  // prime-field affine hash (pure int64 arithmetic, identical in any
+  // engine), estimator (k-1)·P/h_(k). Gets a FULL hash-match oracle.
+  // The k-smallest step is the TopKPerKey bounded-heap plan — map-side
+  // pruned to k per group before its exchange, so the post-distinct
+  // shuffle is sketch-sized at any corpus scale.
+  private val kmvK = 64
+  private val kmvOracle = s"""
+      WITH h AS (
+        SELECT DISTINCT event_type,
+          (((user_id % 2147483647 + 2147483647) % 2147483647)
+            * 1103515245 + 12345) % 2147483647 AS hv
+        FROM events),
+      r AS (
+        SELECT event_type, hv,
+          row_number() OVER (PARTITION BY event_type ORDER BY hv) AS rk
+        FROM h)
+      SELECT event_type,
+        CASE WHEN COUNT(*) < $kmvK THEN CAST(COUNT(*) AS DOUBLE)
+          ELSE (${kmvK - 1}.0 * 2147483647.0) /
+            CAST(MAX(CASE WHEN rk = $kmvK THEN hv END) AS DOUBLE)
+        END AS kmv_distinct
+      FROM r WHERE rk <= $kmvK
+      GROUP BY event_type
+      ORDER BY event_type
+      """
+  private val kmvMetrics = GraftQuery(
+    "metrics_kmv",
+    (s, d) => {
+      val ev = Tables.events(s, d)
+      TimeSeries.kmvEstimate(
+        TimeSeries.kmvMerge(
+          ev.select(col("event_type").as("key"),
+            TimeSeries.kmvHash(col("user_id")).as("hv")), kmvK), kmvK)
+        .withColumnRenamed("key", "event_type")
+        .orderBy(col("event_type"))
+    },
+    Some(kmvOracle))
+
+  // A10f — per-(key, day) KMV sketches rolled up per key. The merge is
+  // provably lossless (every globally-k-smallest hash is among its own
+  // day's k smallest), so this SHARES the direct query's oracle — the
+  // driver gate itself proves daily-sketch → rollup equals one global
+  // pass, which is the pre-aggregate contract a dashboard relies on.
+  private val kmvRollup = GraftQuery(
+    "metrics_kmv_rollup",
+    (s, d) => {
+      val daily = TimeSeries.kmvDaily(Tables.events(s, d),
+        col("event_type"), col("ts"), col("user_id"), kmvK)
+      TimeSeries.kmvEstimate(TimeSeries.kmvMerge(daily, kmvK), kmvK)
+        .withColumnRenamed("key", "event_type")
+        .orderBy(col("event_type"))
+    },
+    Some(kmvOracle))
+
   // A11 — Timestream INTERPOLATE_LINEAR: hourly per-dimension series
   // with missing bins linearly interpolated between the nearest
   // observed neighbors. prev/next lookups use running max/min windows
@@ -769,7 +825,7 @@ object TimeSeriesPack extends QueryPack {
 
   override val queries: Seq[GraftQuery] = Seq(
     tsBin, tsAgo, tsSeries, sessionize, metricsDaily, percentiles,
-    topUsers, approxMetrics, tsInterpolate, tsLocfFill, tsAsof, tsAnomaly,
-    tsDerivative, tsIntegral,
+    topUsers, approxMetrics, kmvMetrics, kmvRollup, tsInterpolate,
+    tsLocfFill, tsAsof, tsAnomaly, tsDerivative, tsIntegral,
     qAsofJoin, qLatest, qSkewAgg, qTransitions, sketchRollup, histRollup)
 }

@@ -169,6 +169,72 @@ object TimeSeries {
         .as("approx_distinct"),
         sum(col("n_rows")).as("n_rows"))
 
+  /** KMV (k-minimum-values) distinct sketch — the ENGINE-PORTABLE
+    * counterpart to [[dailyDistinctSketches]]'s HLL. HLL estimates are
+    * implementation-defined (Spark's HLL++ and DuckDB's HLL disagree on
+    * the same input), so the HLL rows get a rows-only driver check; KMV
+    * over an explicit integer hash is bit-for-bit reproducible in ANY
+    * engine with 64-bit arithmetic, so these rows carry a FULL
+    * hash-match oracle. Estimator (Bar-Yossef et al. 2002): keep the k
+    * smallest distinct hash values; if fewer than k exist the count is
+    * exact, else distinct ≈ (k-1)·P / h_(k).
+    *
+    * The hash is an affine map over the prime field P = 2^31-1:
+    * h(x) = (pmod(x, P) · a + b) mod P, written with the double-mod
+    * idiom so negative inputs agree across engines' `%` conventions.
+    * Every intermediate stays below 2^62 — no overflow under ANSI
+    * semantics and no engine-specific wrap.
+    */
+  val KmvP = 2147483647L // 2^31 - 1, prime
+  private val KmvA = 1103515245L
+  private val KmvB = 12345L
+
+  def kmvHash(id: Column): Column =
+    (((id % KmvP + KmvP) % KmvP) * KmvA + KmvB) % KmvP
+
+  /** Per-(key, day) KMV sketch rows: the ≤ k smallest DISTINCT hashes.
+    * Scale shape: one shuffle for the (key, day, hv) distinct (map-side
+    * partial aggregation), then [[graft.plans.TopKPerKey]]'s bounded
+    * heap prunes to k per group map-side before its (key, day) exchange
+    * — the shuffle after the distinct carries at most k·partitions rows
+    * per group, never the raw hash stream. The persisted sketch is
+    * days × keys × k rows regardless of corpus size.
+    */
+  def kmvDaily(df: DataFrame, key: Column, ts: Column, id: Column,
+               k: Int): DataFrame =
+    graft.plans.TopKPerKey(
+      df.select(key.as("key"),
+        bin(ts, 86400).cast(TimestampNTZType).as("day"),
+        kmvHash(id).as("hv")).distinct(),
+      keys = Seq(col("key"), col("day")), order = Seq(col("hv")), k = k)
+
+  /** Merge per-day KMV sketches to one per key. Lossless by
+    * construction: every hash among the k globally smallest is among
+    * its own day's k smallest, so re-selecting the k smallest distinct
+    * hashes of the union reproduces EXACTLY the sketch a direct global
+    * pass builds — which is what lets the rollup share the direct
+    * query's oracle. Input is sketch-sized (days × keys × k), so both
+    * steps are trivially small at any corpus scale.
+    */
+  def kmvMerge(daily: DataFrame, k: Int): DataFrame =
+    graft.plans.TopKPerKey(
+      daily.select(col("key"), col("hv")).distinct(),
+      keys = Seq(col("key")), order = Seq(col("hv")), k = k)
+
+  /** Estimate from sketch rows (key, hv): exact when the key has fewer
+    * than k distinct hashes, else (k-1)·P / h_(k). The constant
+    * (k-1)·P is folded to one double literal so Spark and the oracle
+    * SQL perform the IDENTICAL single IEEE division.
+    */
+  def kmvEstimate(sketch: DataFrame, k: Int): DataFrame =
+    sketch.groupBy(col("key"))
+      .agg(count(lit(1)).as("__m"), max(col("hv")).as("__hk"))
+      .select(col("key"),
+        when(col("__m") < k, col("__m").cast(DoubleType))
+          .otherwise(lit((k - 1).toDouble * KmvP.toDouble) /
+            col("__hk").cast(DoubleType))
+          .as("kmv_distinct"))
+
   /** Mergeable quantile pre-aggregate: a decimal log-histogram over a
     * positive cents-precision measure. Bucket = (digit count,
     * leading-3-digits) of the cents value — i.e. a base-10 log scale at

@@ -201,4 +201,30 @@ class TimeSeriesSpec extends GraftSpec {
         r.getLong(r.fieldIndex("n")))
     }
   }
+
+  test("metrics_kmv estimates within KMV error bounds of exact distinct") {
+    import org.apache.spark.sql.functions._
+    val est = SparkEntry.queries("metrics_kmv")(spark, sfDir)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val exact = graft.sources.Tables.events(spark, sfDir)
+      .groupBy(col("event_type"))
+      .agg(countDistinct(col("user_id")).as("d"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(est.keySet == exact.keySet)
+    exact.foreach { case (k, d) =>
+      val e = est(k)
+      if (d < 64) assert(e == d.toDouble, s"$k: sub-k must be exact")
+      // KMV std error ≈ 1/sqrt(k-2) ≈ 12.7% at k=64; allow 4 sigma
+      else assert(math.abs(e - d) / d < 0.51,
+        s"$k: est $e vs exact $d out of bounds")
+    }
+  }
+
+  test("metrics_kmv_rollup (daily-sketch merge) equals the direct pass") {
+    val direct = SparkEntry.queries("metrics_kmv")(spark, sfDir)
+      .collect().map(_.toString).sorted.toSeq
+    val rollup = SparkEntry.queries("metrics_kmv_rollup")(spark, sfDir)
+      .collect().map(_.toString).sorted.toSeq
+    assert(direct == rollup, "KMV merge must be lossless")
+  }
 }
