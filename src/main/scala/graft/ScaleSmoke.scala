@@ -38,6 +38,7 @@ object ScaleSmoke {
     "ngram_jaccard",     // bounded-collect inverted index
     "dedup_simhash",     // multi-probe banding
     "passage_dedup",     // chunk explode + winner election
+    "substring_dedup",   // stride-1 window fingerprints + election (r8)
     "boilerplate_strip", // chunk df via two aggs
     "decontaminate",     // broadcast eval-side containment
     "knn_join",          // IVF cells + bounded top-k
@@ -45,6 +46,7 @@ object ScaleSmoke {
     "sessionize",        // time-sliced windows
     "q_latest",          // struct-max agg
     "bpe_pairs",         // hot-pair map-side combine
+    "metrics_kmv",       // hash distinct + bounded-heap k-smallest (r8)
     "source_report",     // corpus-wide agg + broadcast total
     "mix_sources",       // two-level rank
     "shard_pack")        // two-level cumsum

@@ -611,6 +611,123 @@ object DedupPack extends QueryPack {
       .orderBy(col("doc_id"))
   }
 
+  // C13 — exact substring dedup (the ExactSubstr shape of Lee et al.
+  // 2022, "Deduplicating Training Data Makes Language Models Better"):
+  // remove every duplicated token run of length ≥ L that occurs anywhere
+  // else in the corpus, keeping only its corpus-wide first occurrence.
+  // Unlike C8's disjoint fixed-width passages this slides a STRIDE-1
+  // window, so it catches duplication at arbitrary alignment (a license
+  // block starting mid-sentence, a quoted paragraph) that chunk-boundary
+  // dedup structurally misses.
+  //
+  // The reference implementation builds a suffix array over the
+  // concatenated corpus — a global sequential structure with no good
+  // distributed analog. The Spark-first shape is a window-fingerprint
+  // election: tokenize → fingerprint every L-token window (per-row map,
+  // no shuffle) → ONE hash-keyed aggregation electing each window's
+  // first occurrence (map-side combinable: a window duplicated in a
+  // billion documents combines to one row per partition) → join back to
+  // mark losing occurrences → interval-union their covered positions →
+  // reassemble the kept tokens. Windows shuffle as 16-hex-char md5
+  // prefixes (64-bit, engine-portable — DuckDB computes the identical
+  // md5), never as the window string itself, so the shuffle stays
+  // narrow at corpus scale. okey = doc_id·1e5 + pos (same exact-int64
+  // first-occurrence key and position bound as C8).
+  private val substrL = 8
+
+  private[graft] def substringDedupOver(docs: DataFrame, L: Int)
+      : DataFrame = {
+    val pat = "[a-z]+|[0-9]+|[^a-z0-9\\s]"
+    val toks = docs.select(col("doc_id"),
+      regexp_extract_all(lower(col("text")), lit(pat), lit(0)).as("toks"))
+      .persistTracked // feeds window fingerprinting AND reassembly
+    val win = toks
+      .filter(size(col("toks")) >= L)
+      .selectExpr("doc_id",
+        s"""posexplode(transform(sequence(0, size(toks) - $L),
+           i -> substring(md5(concat_ws(' ', slice(toks, i + 1, $L))),
+                          1, 16))) AS (pos, wk)""")
+      .withColumn("okey", col("doc_id") * lit(100000L) + col("pos"))
+    val winners = win.groupBy(col("wk"))
+      .agg(count(lit(1)).as("cnt"), min(col("okey")).as("winner"))
+      .where(col("cnt") >= 2)
+    val marked = win.join(winners, "wk")
+      .where(col("okey") =!= col("winner"))
+      .select(col("doc_id").as("mdoc"),
+        explode(sequence(col("pos"), col("pos") + lit(L - 1))).as("mpos"))
+      .distinct()
+    val tok = toks.selectExpr("doc_id", "posexplode(toks) AS (pos, token)")
+    val agg = tok
+      .join(marked, tok("doc_id") === marked("mdoc") &&
+        col("pos") === col("mpos"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        count(col("mpos")).as("n_dup_tokens"),
+        // reassemble kept tokens in position order: struct sort is by
+        // pos (unique per doc), filter keeps unmarked positions
+        concat_ws(" ", transform(
+          filter(
+            array_sort(collect_list(struct(col("pos"), col("token"),
+              col("mpos").isNull.as("keep")))),
+            s => s.getField("keep")),
+          s => s.getField("token"))).as("dedup_text"))
+    docs.select(col("doc_id")).join(agg, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        coalesce(col("n_dup_tokens"), lit(0L)).as("n_dup_tokens"),
+        coalesce(col("dedup_text"), lit("")).as("dedup_text"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val substringDedup = GraftQuery(
+    "substring_dedup",
+    (s, d) => substringDedupOver(
+      Tables.parallelized(Tables.documents(s, d))
+        .select(col("doc_id"), col("text")), substrL),
+    Some(s"""
+      WITH t AS (
+        SELECT doc_id,
+          regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\s]')
+            AS toks
+        FROM documents),
+      w0 AS (
+        SELECT doc_id, toks,
+          unnest(range(1, len(toks) - ${substrL - 2})) AS i
+        FROM t),
+      win AS (
+        SELECT doc_id, i - 1 AS pos,
+          substr(md5(array_to_string(toks[i : i + ${substrL - 1}], ' ')),
+            1, 16) AS wk,
+          doc_id * 100000 + i - 1 AS okey
+        FROM w0),
+      winners AS (
+        SELECT wk, MIN(okey) AS winner
+        FROM win GROUP BY wk HAVING COUNT(*) >= 2),
+      m0 AS (
+        SELECT doc_id, pos, unnest(range($substrL)) AS d
+        FROM win JOIN winners USING (wk) WHERE okey <> winner),
+      marked AS (SELECT DISTINCT doc_id, pos + d AS mpos FROM m0),
+      tok AS (
+        SELECT doc_id, unnest(toks) AS token,
+          unnest(range(len(toks))) AS pos
+        FROM t),
+      agg AS (
+        SELECT k.doc_id,
+          COUNT(*) AS n_tokens,
+          COUNT(m.mpos) AS n_dup_tokens,
+          coalesce(string_agg(CASE WHEN m.mpos IS NULL THEN k.token END,
+            ' ' ORDER BY k.pos), '') AS dedup_text
+        FROM tok k LEFT JOIN marked m
+          ON k.doc_id = m.doc_id AND k.pos = m.mpos
+        GROUP BY k.doc_id)
+      SELECT t.doc_id,
+        coalesce(a.n_tokens, 0) AS n_tokens,
+        coalesce(a.n_dup_tokens, 0) AS n_dup_tokens,
+        coalesce(a.dedup_text, '') AS dedup_text
+      FROM t LEFT JOIN agg a USING (doc_id)
+      ORDER BY doc_id
+      """))
+
   private val passageDedup = GraftQuery(
     "passage_dedup",
     (s, d) =>
@@ -935,8 +1052,8 @@ object DedupPack extends QueryPack {
 
   override val queries: Seq[GraftQuery] =
     Seq(dedupExact, dedupMinhash, dedupCluster, ngramJaccard, decontaminate,
-      passageDedup, boilerplateStrip, semanticDedup, dedupIncremental,
-      dedupIncrementalMinhash)
+      substringDedup, passageDedup, boilerplateStrip, semanticDedup,
+      dedupIncremental, dedupIncrementalMinhash)
 
   /** Cross-query shared working sets (see [[graft.QueryPack.warm]]):
     * the hashed-shingle table feeds C2/C4/C7 (+C6/C10 through the pair

@@ -658,6 +658,67 @@ class DedupPackSpec extends GraftSpec {
     }
   }
 
+  test("substring_dedup removes later occurrences of shared >=L runs only") {
+    import spark.implicits._
+    val run = "the quick brown fox jumps over the lazy dog today" // 10 toks
+    val docs = Seq(
+      (1L, s"intro words here $run and a unique tail one"),
+      (2L, s"completely different opening text $run closing words two"),
+      (3L, "no duplication in this document at all whatsoever"),
+      (4L, "short doc"), // < L tokens: no windows, untouched
+      (5L, "")).toDF("doc_id", "text")
+    val out = graft.operators.DedupPack.substringDedupOver(docs, 8)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    // doc 1 holds the first occurrence: nothing removed
+    assert(out(1L)._2 == 0L, "canonical occurrence must be kept")
+    assert(out(1L)._3.contains("quick brown fox"))
+    // doc 2's copy of the run is removed, its unique words survive
+    assert(out(2L)._2 == 10L, s"all 10 run tokens marked: ${out(2L)}")
+    assert(!out(2L)._3.contains("quick brown fox"))
+    assert(out(2L)._3.contains("completely different opening text"))
+    assert(out(2L)._3.contains("closing words two"))
+    // unaffected docs round-trip token-identically
+    assert(out(3L)._2 == 0L && out(3L)._3.startsWith("no duplication"))
+    assert(out(4L) == ((2L, 0L, "short doc")))
+    assert(out(5L) == ((0L, 0L, "")))
+  }
+
+  test("substring_dedup registry query matches a JVM recompute at sf0.001") {
+    val got = SparkEntry.queries("substring_dedup")(spark, sfDir)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    // JVM-side oracle: same tokenization, same window election
+    val docs = graft.sources.Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> Option(r.getString(1)).getOrElse(""))
+    val pat = "[a-z]+|[0-9]+|[^a-z0-9\\s]".r
+    val toks = docs.map { case (id, t) =>
+      id -> pat.findAllIn(t.toLowerCase).toVector }.toMap
+    val L = 8
+    val occ = scala.collection.mutable.Map
+      .empty[String, scala.collection.mutable.ArrayBuffer[(Long, Int)]]
+    toks.toSeq.sortBy(_._1).foreach { case (id, ts) =>
+      (0 to ts.length - L).foreach { p =>
+        val w = ts.slice(p, p + L).mkString(" ")
+        occ.getOrElseUpdate(w,
+          scala.collection.mutable.ArrayBuffer.empty) += ((id, p))
+      }
+    }
+    val dup = scala.collection.mutable.Set.empty[(Long, Int)]
+    occ.values.filter(_.size >= 2).foreach { sites =>
+      val winner = sites.minBy { case (id, p) => id * 100000L + p }
+      sites.filterNot(_ == winner).foreach { case (id, p) =>
+        (p until p + L).foreach(i => dup += ((id, i)))
+      }
+    }
+    val want = toks.map { case (id, ts) =>
+      id -> (0 until ts.length).count(i => dup.contains((id, i))).toLong }
+    docs.foreach { case (id, _) =>
+      assert(got(id) == want.getOrElse(id, 0L),
+        s"doc $id: engine ${got(id)} vs recompute ${want.getOrElse(id, 0L)}")
+    }
+  }
+
   test("ngram_jaccard pairs are symmetric-free and above threshold") {
     val rows = SparkEntry.queries("ngram_jaccard")(spark, sfDir).collect()
     rows.foreach { r =>
