@@ -14,6 +14,7 @@ object SparkEntry {
     operators.CloudFrontPack,
     operators.TimeSeriesPack,
     operators.TextPack,
+    operators.SearchPack,
     operators.DedupPack,
     operators.SimHashPack,
     operators.AnnPack,

@@ -66,6 +66,17 @@ object Portable {
     column(graft.expressions.Shingles3Hashed(expression(ws)))
   }
 
+  /** Fixed-point Q20 binary log of a positive bigint column — the
+    * engine-portable logarithm under BM25 idf and LM cross-entropy
+    * (libm log is not correctly rounded; this digit recurrence is pure
+    * int64, so the DuckDB recursive-CTE mirror reproduces it
+    * bit-for-bit). See [[graft.expressions.Log2FixQ20]].
+    */
+  def log2q20(c: Column): Column = {
+    import org.apache.spark.sql.GraftColumnBridge.{column, expression}
+    column(graft.expressions.Log2FixQ20(expression(c)))
+  }
+
   /** DuckDB spellings of the same primitives, for oracle SQL mirrors. */
   object sql {
     /** 60-bit md5 hash of SQL expression `e`. */
@@ -80,5 +91,32 @@ object Portable {
     /** hashed shingles over `w` (mirror of shingles3Hashed). */
     val shingles3Hashed: String =
       s"list_distinct(list_transform(list_transform(range(len(w)-2), i -> w[i+1] || ' ' || w[i+2] || ' ' || w[i+3]), s -> ${hashP("s")}))"
+
+    /** Recursive-CTE mirror of [[graft.expressions.Log2FixImpl]]: given
+      * an upstream CTE `inCte(val)` of DISTINCT positive bigints, emits
+      * two CTEs — the digit recurrence and `outCte(val, log2_q20)` to
+      * join results back by value. Same int64 recurrence, bit-for-bit.
+      * Must head the WITH clause (the recursive member), so callers
+      * spell `WITH RECURSIVE <inCte-def>, ${log2CteSql(...)}, ...`.
+      */
+    def log2CteSql(inCte: String, stepsCte: String, outCte: String): String =
+      s"""$stepsCte(val, i, y, acc) AS (
+        SELECT val, 0,
+          CASE WHEN length(bin(val)) - 1 <= 30
+               THEN val << (30 - (length(bin(val)) - 1))
+               ELSE val >> ((length(bin(val)) - 1) - 30) END,
+          0::BIGINT
+        FROM $inCte
+        UNION ALL
+        SELECT val, i + 1,
+          CASE WHEN y*y >= (1::BIGINT << 61) THEN (y*y) >> 31
+               ELSE (y*y) >> 30 END,
+          CASE WHEN y*y >= (1::BIGINT << 61) THEN 2*acc + 1
+               ELSE 2*acc END
+        FROM $stepsCte WHERE i < 20),
+      $outCte AS (
+        SELECT val,
+          ((length(bin(val)) - 1)::BIGINT << 20) + acc AS log2_q20
+        FROM $stepsCte WHERE i = 20)"""
   }
 }

@@ -1,0 +1,298 @@
+package graft.operators
+
+import graft.{GraftQuery, QueryPack}
+import graft.functions.Portable
+import graft.plans.TopKPerKey
+import graft.sources.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** SURVEY.md §2 block I — corpus search & statistical LM scoring over
+  * the `documents` table: the retrieval / quality-scoring passes a
+  * training-data pipeline runs that need a LOGARITHM (BM25 idf, bigram
+  * cross-entropy a la the CCNet perplexity filter).
+  *
+  * libm log is not correctly rounded, so a double `ln` can differ
+  * between Spark and DuckDB in the last ULP — which is why no earlier
+  * block could oracle-gate a log-weighted score exactly. Every
+  * logarithm here is [[graft.expressions.Log2FixQ20]] (G14): a pure
+  * int64 digit recurrence, mirrored bit-for-bit by a recursive CTE
+  * ([[Portable.sql.log2CteSql]]), so all three queries carry FULL
+  * hash-match oracles despite being log-weighted.
+  *
+  * Scale shape: the corpus-sized frames (postings, doc bigrams) are
+  * built by ONE explode + ONE map-side-combining aggregation each; the
+  * model-sized frames (unigram/bigram counts, df table — vocabulary-
+  * bounded, not corpus-bounded) join back onto them on their natural
+  * keys, where AQE broadcasts them at real scale. Scalars (N, T, V)
+  * travel as one-row broadcasts. No window ever runs over a raw
+  * corpus-sized partition.
+  */
+object SearchPack extends QueryPack {
+
+  import Portable._
+  import graft.Caches.CachesSyntax
+
+  private val Q20 = 1L << 20
+
+  /** (doc_id, w, dl) for docs with ≥ 1 token — the shared scan. */
+  private def docWords(s: SparkSession, d: String): DataFrame =
+    Tables.parallelized(Tables.documents(s, d))
+      .select(col("doc_id"), words(col("text")).as("w"))
+      .filter(size(col("w")) > 0)
+      .withColumn("dl", size(col("w")).cast(LongType))
+
+  /** Postings list (doc_id, word, tf, dl) — shared working set of
+    * bm25_search / keyword_extract / lm_score's unigram model (one
+    * explode + one combine-heavy aggregation over the corpus).
+    */
+  private def postings(s: SparkSession, d: String): DataFrame =
+    docWords(s, d)
+      .select(col("doc_id"), col("dl"), explode(col("w")).as("word"))
+      .groupBy(col("doc_id"), col("dl"), col("word"))
+      .agg(count(lit(1)).as("tf"))
+      .persistTracked
+
+  override def warm: Seq[(String, (SparkSession, String) => DataFrame)] =
+    Seq("search_postings" -> ((s, d) => postings(s, d)))
+
+  /** Fixed-point Q20 log over a positive long column. */
+  private def lg(c: org.apache.spark.sql.Column) = log2q20(c)
+
+  private val wordsSql = Portable.sql.words
+
+  // ---- I1: lm_score — bigram-LM cross-entropy per document ----
+  // The CCNet-class quality signal: score each document's token stream
+  // under a corpus-trained Laplace-smoothed bigram model,
+  //   P(w2|w1) = (c(w1 w2) + 1) / (c(w1) + V)
+  // with c(w1) the corpus-wide occurrence count and V the vocabulary
+  // size, and report cross-entropy in fixed-point bits:
+  //   xent_q20 = Σ_bigrams [ log2q20(c(w1)+V) − log2q20(c(w1 w2)+1) ]
+  // (positive, exact int64). A doc of corpus-typical bigrams scores low
+  // bits/token; rare/garbled sequences score high — the filter rank is
+  // exactly the perplexity rank. Per-doc bigram multiplicities are
+  // pre-aggregated so the model join fans over DISTINCT (doc, bigram)
+  // rows, and the model tables are vocab²-bounded.
+  private val lmScore = GraftQuery(
+    "lm_score",
+    (s, d) => {
+      val p = postings(s, d)
+      // unigram counts + vocabulary size (model scalars)
+      val uni = p.groupBy(col("word")).agg(sum(col("tf")).as("c1"))
+      val vocab = broadcast(uni.agg(count(lit(1)).as("v")))
+      // per-doc bigram multiplicities (docs need ≥ 2 tokens)
+      val docBg = docWords(s, d).filter(size(col("w")) >= 2)
+        .select(col("doc_id"), expr(
+          "explode(transform(sequence(1, size(w)-1)," +
+            " i -> struct(w[i-1] AS w1, w[i] AS w2)))").as("bg"))
+        .select(col("doc_id"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+        .groupBy(col("doc_id"), col("w1"), col("w2"))
+        .agg(count(lit(1)).as("k"))
+        .persistTracked
+      val big = docBg.groupBy(col("w1"), col("w2"))
+        .agg(sum(col("k")).as("c12"))
+      docBg
+        .join(big, Seq("w1", "w2"))
+        .join(uni.withColumnRenamed("word", "w1"), Seq("w1"))
+        .crossJoin(vocab)
+        .select(col("doc_id"), col("k"),
+          (lg(col("c1") + col("v")) - lg(col("c12") + lit(1L)))
+            .as("cost_q20"))
+        .groupBy(col("doc_id"))
+        .agg(sum(col("k")).as("n_bigrams"),
+          sum(col("k") * col("cost_q20")).as("xent_q20"))
+        .withColumn("mbits_per_token",
+          expr(s"(xent_q20 * 1000) div (n_bigrams * $Q20)"))
+        .orderBy(col("doc_id"))
+    },
+    Some(s"""
+      WITH RECURSIVE w AS (
+        SELECT doc_id, $wordsSql AS w FROM documents),
+      dw AS (
+        SELECT doc_id, w, CAST(len(w) AS BIGINT) AS dl FROM w
+        WHERE len(w) > 0),
+      post AS (
+        SELECT doc_id, word, CAST(COUNT(*) AS BIGINT) AS tf
+        FROM (SELECT doc_id, unnest(w) AS word FROM dw) GROUP BY 1, 2),
+      uni AS (
+        SELECT word, CAST(SUM(tf) AS BIGINT) AS c1 FROM post GROUP BY 1),
+      docbg AS (
+        SELECT doc_id, w1, w2, CAST(COUNT(*) AS BIGINT) AS k
+        FROM (
+          SELECT doc_id,
+            unnest(list_slice(w, 1, len(w)-1)) AS w1,
+            unnest(list_slice(w, 2, len(w))) AS w2
+          FROM dw WHERE len(w) >= 2)
+        GROUP BY 1, 2, 3),
+      big AS (
+        SELECT w1, w2, CAST(SUM(k) AS BIGINT) AS c12
+        FROM docbg GROUP BY 1, 2),
+      vocab AS (SELECT CAST(COUNT(*) AS BIGINT) AS v FROM uni),
+      loginputs AS (
+        SELECT DISTINCT c1 + (SELECT v FROM vocab) AS val FROM uni
+        UNION
+        SELECT DISTINCT c12 + 1 AS val FROM big),
+      ${Portable.sql.log2CteSql("loginputs", "logsteps", "logs")},
+      scored AS (
+        SELECT d.doc_id, d.k,
+          ln.log2_q20 - ld.log2_q20 AS cost_q20
+        FROM docbg d
+        JOIN big b ON d.w1 = b.w1 AND d.w2 = b.w2
+        JOIN uni u ON d.w1 = u.word
+        JOIN logs ln ON ln.val = u.c1 + (SELECT v FROM vocab)
+        JOIN logs ld ON ld.val = b.c12 + 1),
+      agg AS (
+        SELECT doc_id, CAST(SUM(k) AS BIGINT) AS n_bigrams,
+          CAST(SUM(k * cost_q20) AS BIGINT) AS xent_q20
+        FROM scored GROUP BY 1)
+      SELECT doc_id, n_bigrams, xent_q20,
+        CAST((xent_q20 * 1000) // (n_bigrams * $Q20) AS BIGINT)
+          AS mbits_per_token
+      FROM agg ORDER BY doc_id
+      """))
+
+  // ---- I2: bm25_search — BM25 top-k retrieval ----
+  // The standard lexical retrieval scorer (k1 = 1.2, b = 0.75) over the
+  // shared postings, for a fixed query-term set. With avgdl = T/N the
+  // tf normalization is an exact rational:
+  //   tf·(k1+1) / (tf + k1·(1−b+b·dl/avgdl))
+  //     = 22·tf·T / (10·tf·T + 3·T + 9·dl·N)
+  // so each term's score is one integral division of exact products
+  // (DECIMAL(38,0)/HUGEINT — 10·tf·T passes int64 around 1e13 corpus
+  // tokens, inside the 100 TB design point), weighted by the G14 idf
+  //   idf_q20 = log2q20(N+1) − log2q20(df).
+  // Only postings rows matching the (tiny, literal) query-term set
+  // survive past the first filter, so the scoring join is query-sized,
+  // not corpus-sized; the final top-k is TakeOrderedAndProject under a
+  // total order (score DESC, doc_id).
+  private val bm25Terms = Seq("spark", "hash", "merge", "vector", "stream")
+  private val bm25K = 20
+
+  private val bm25Search = GraftQuery(
+    "bm25_search",
+    (s, d) => {
+      val dw = docWords(s, d)
+      val totals = broadcast(dw.agg(
+        count(lit(1)).as("n"), sum(col("dl")).as("t")))
+      val hits = postings(s, d)
+        .filter(col("word").isin(bm25Terms: _*))
+      val dfTab = hits.groupBy(col("word"))
+        .agg(count(lit(1)).as("df"))
+      hits
+        .join(broadcast(dfTab), Seq("word"))
+        .crossJoin(totals)
+        .withColumn("idf_q20", lg(col("n") + lit(1L)) - lg(col("df")))
+        .select(col("doc_id"),
+          expr("(idf_q20 * (CAST(22 AS DECIMAL(38,0)) * tf * t))" +
+            " div (CAST(10 AS DECIMAL(38,0)) * tf * t + 3 * t + 9 * dl * n)")
+            .as("term_score_q20"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_terms_hit"),
+          sum(col("term_score_q20")).as("score_q20"))
+        .orderBy(col("score_q20").desc, col("doc_id"))
+        .limit(bm25K)
+    },
+    Some {
+      val termList = bm25Terms.map(t => s"'$t'").mkString("(", ", ", ")")
+      s"""
+      WITH RECURSIVE w AS (
+        SELECT doc_id, $wordsSql AS w FROM documents),
+      dw AS (
+        SELECT doc_id, CAST(len(w) AS BIGINT) AS dl, w FROM w
+        WHERE len(w) > 0),
+      totals AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+          CAST(SUM(dl) AS BIGINT) AS t FROM dw),
+      hits AS (
+        SELECT doc_id, dl, word, CAST(COUNT(*) AS BIGINT) AS tf
+        FROM (SELECT doc_id, dl, unnest(w) AS word FROM dw)
+        WHERE word IN $termList GROUP BY 1, 2, 3),
+      dftab AS (
+        SELECT word, CAST(COUNT(*) AS BIGINT) AS df FROM hits GROUP BY 1),
+      loginputs AS (
+        SELECT (SELECT n FROM totals) + 1 AS val
+        UNION
+        SELECT DISTINCT df AS val FROM dftab),
+      ${Portable.sql.log2CteSql("loginputs", "logsteps", "logs")},
+      scored AS (
+        SELECT h.doc_id,
+          CAST((ln.log2_q20 - ld.log2_q20) *
+            (CAST(22 AS HUGEINT) * h.tf * tt.t) //
+            (CAST(10 AS HUGEINT) * h.tf * tt.t + 3 * tt.t
+              + 9 * h.dl * tt.n) AS BIGINT) AS term_score_q20
+        FROM hits h
+        JOIN dftab f ON h.word = f.word
+        CROSS JOIN totals tt
+        JOIN logs ln ON ln.val = tt.n + 1
+        JOIN logs ld ON ld.val = f.df),
+      agg AS (
+        SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_terms_hit,
+          CAST(SUM(term_score_q20) AS BIGINT) AS score_q20
+        FROM scored GROUP BY 1)
+      SELECT doc_id, n_terms_hit, score_q20 FROM agg
+      ORDER BY score_q20 DESC, doc_id LIMIT $bm25K
+      """
+    })
+
+  // ---- I3: keyword_extract — per-doc top-3 tf-idf terms ----
+  // The per-document salient-term annotation (tagging / topic routing /
+  // dedup explainability): score_q20 = tf · idf_q20 over the FULL
+  // postings frame, idf from the same G14 log over the vocab-sized df
+  // table, then the G7 TopKPerKey operator takes the per-doc top 3
+  // under (score DESC, word) — bounded per-key heaps with map-side
+  // pruning, never a window over a corpus-sized partition.
+  private val keywordExtract = GraftQuery(
+    "keyword_extract",
+    (s, d) => {
+      val p = postings(s, d)
+      val totals = broadcast(docWords(s, d).agg(count(lit(1)).as("n")))
+      // postings is distinct on (doc_id, word) by construction, so df
+      // is a plain count — no distinct aggregation needed
+      val dfTab = p.groupBy(col("word"))
+        .agg(count(lit(1)).as("df"))
+      val scored = p
+        .join(dfTab, Seq("word"))
+        .crossJoin(totals)
+        .select(col("doc_id"), col("word"), col("tf"),
+          (col("tf") * (lg(col("n") + lit(1L)) - lg(col("df"))))
+            .as("score_q20"))
+      TopKPerKey(scored, Seq(col("doc_id")),
+          Seq(col("score_q20").desc, col("word")), 3)
+        .orderBy(col("doc_id"), col("score_q20").desc, col("word"))
+    },
+    Some(s"""
+      WITH RECURSIVE w AS (
+        SELECT doc_id, $wordsSql AS w FROM documents),
+      dw AS (SELECT doc_id, w FROM w WHERE len(w) > 0),
+      post AS (
+        SELECT doc_id, word, CAST(COUNT(*) AS BIGINT) AS tf
+        FROM (SELECT doc_id, unnest(w) AS word FROM dw) GROUP BY 1, 2),
+      dftab AS (
+        SELECT word, CAST(COUNT(*) AS BIGINT) AS df
+        FROM post GROUP BY 1),
+      totals AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM dw),
+      loginputs AS (
+        SELECT (SELECT n FROM totals) + 1 AS val
+        UNION
+        SELECT DISTINCT df AS val FROM dftab),
+      ${Portable.sql.log2CteSql("loginputs", "logsteps", "logs")},
+      scored AS (
+        SELECT p.doc_id, p.word, p.tf,
+          p.tf * (ln.log2_q20 - ld.log2_q20) AS score_q20
+        FROM post p
+        JOIN dftab f ON p.word = f.word
+        CROSS JOIN totals tt
+        JOIN logs ln ON ln.val = tt.n + 1
+        JOIN logs ld ON ld.val = f.df),
+      ranked AS (
+        SELECT *, ROW_NUMBER() OVER (
+          PARTITION BY doc_id ORDER BY score_q20 DESC, word) AS rk
+        FROM scored)
+      SELECT doc_id, word, tf, score_q20 FROM ranked WHERE rk <= 3
+      ORDER BY doc_id, score_q20 DESC, word
+      """))
+
+  override val queries: Seq[GraftQuery] =
+    Seq(lmScore, bm25Search, keywordExtract)
+}

@@ -1,0 +1,149 @@
+package graft
+
+import graft.expressions.Log2FixImpl
+import graft.operators.SearchPack
+import org.scalacheck.{Gen, Prop, Test => SCTest}
+
+/** Block I (search & LM scoring) + G14 Log2FixQ20.
+  *
+  * The three queries are verified by FULL independent JVM recomputes of
+  * the scores at sf0.001 (model training included), on top of the
+  * DuckDB hash-match oracles the driver runs — the JVM recompute proves
+  * the SPARK side against a third implementation, so a shared
+  * misreading of the scoring definition in both SQL dialects would
+  * still be caught.
+  */
+class SearchPackSpec extends GraftSpec {
+
+  private def q(name: String) =
+    SparkEntry.queries(name)(spark, sfDir)
+
+  // ---- G14: the fixed-point log kernel ----
+
+  test("log2q20 is exact on powers of two") {
+    for (k <- 0 to 62) {
+      assert(Log2FixImpl.log2q20(1L << k) == k.toLong << 20, s"2^$k")
+    }
+  }
+
+  test("log2q20 tracks true log2 within the truncation bias") {
+    val p = Prop.forAll(Gen.chooseNum(1L, Long.MaxValue)) { x =>
+      val got = Log2FixImpl.log2q20(x) / 1048576.0
+      val want = math.log(x.toDouble) / math.log(2.0)
+      // digit recurrence truncates, so the result sits just below the
+      // true log (up to ~20 half-ulp truncations + the e>30 normalize)
+      got <= want + 1e-9 && got >= want - 1e-4
+    }
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(300), p)
+    assert(res.passed, res.status.toString)
+  }
+
+  test("log2q20 rejects non-positive input loudly") {
+    intercept[IllegalArgumentException](Log2FixImpl.log2q20(0L))
+    intercept[IllegalArgumentException](Log2FixImpl.log2q20(-5L))
+  }
+
+  test("log2q20 native expression matches the JVM impl through codegen") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val xs = Seq(1L, 2L, 3L, 7L, 1000000L, (1L << 40) + 12345L,
+      Long.MaxValue)
+    val got = xs.toDF("x")
+      .select(col("x"), graft.functions.Portable.log2q20(col("x")))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    xs.foreach(x => assert(got(x) == Log2FixImpl.log2q20(x)))
+  }
+
+  // ---- shared JVM-side corpus model ----
+
+  private lazy val corpus: Seq[(Long, Array[String])] = {
+    import org.apache.spark.sql.functions.col
+    sources.Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) ->
+        r.getString(1).trim.toLowerCase.split("\\s+").filter(_.nonEmpty))
+      .toSeq.sortBy(_._1)
+  }
+  private lazy val scorable = corpus.filter(_._2.nonEmpty)
+  private lazy val nDocs = scorable.size.toLong
+  private lazy val totTokens = scorable.map(_._2.length.toLong).sum
+  private def lg(x: Long) = Log2FixImpl.log2q20(x)
+
+  // ---- I1: lm_score ----
+
+  test("lm_score equals a full JVM bigram-LM recompute") {
+    val uni = scorable.flatMap(_._2).groupBy(identity)
+      .map { case (w, o) => w -> o.size.toLong }
+    val v = uni.size.toLong
+    val bigDocs = scorable.filter(_._2.length >= 2)
+    val c12 = bigDocs.flatMap { case (_, w) => w.sliding(2) }
+      .map(p => (p(0), p(1))).groupBy(identity)
+      .map { case (p, o) => p -> o.size.toLong }
+    val want = bigDocs.map { case (id, w) =>
+      val costs = w.sliding(2).map { p =>
+        lg(uni(p(0)) + v) - lg(c12((p(0), p(1))) + 1L)
+      }.toSeq
+      val xent = costs.sum
+      val n = costs.size.toLong
+      (id, n, xent, xent * 1000L / (n * 1048576L))
+    }
+    val got = q("lm_score").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSeq
+    assert(got == want)
+    // typical corpus text must land in a sane band (mechanism check:
+    // ~31-word vocab → at most 5 bits/token, smoothing keeps it > 0)
+    assert(want.forall { case (_, _, _, mb) => mb > 0 && mb < 6000 })
+  }
+
+  // ---- I2: bm25_search ----
+
+  test("bm25_search equals a full JVM BM25 recompute") {
+    val terms = Set("spark", "hash", "merge", "vector", "stream")
+    val tf = scorable.flatMap { case (id, w) =>
+      w.filter(terms).groupBy(identity)
+        .map { case (t, o) => (id, t, o.size.toLong, w.length.toLong) }
+    }
+    val df = tf.groupBy(_._2).map { case (t, o) => t -> o.size.toLong }
+    val scored = tf.map { case (id, t, f, dl) =>
+      val idf = BigInt(lg(nDocs + 1L) - lg(df(t)))
+      val s = idf * (BigInt(22) * f * totTokens) /
+        (BigInt(10) * f * totTokens + BigInt(3) * totTokens +
+          BigInt(9) * dl * nDocs)
+      (id, s.toLong)
+    }
+    val want = scored.groupBy(_._1)
+      .map { case (id, o) => (id, o.size.toLong, o.map(_._2).sum) }
+      .toSeq.sortBy { case (id, _, s) => (-s, id) }.take(20)
+    val got = q("bm25_search").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == want)
+    assert(got.nonEmpty && got.forall(_._3 > 0))
+  }
+
+  // ---- I3: keyword_extract ----
+
+  test("keyword_extract equals a JVM tf-idf top-3 recompute") {
+    val post = scorable.flatMap { case (id, w) =>
+      w.groupBy(identity).map { case (t, o) => (id, t, o.size.toLong) }
+    }
+    val df = post.groupBy(_._2).map { case (t, o) => t -> o.size.toLong }
+    val want = post
+      .map { case (id, t, f) =>
+        (id, t, f, f * (lg(nDocs + 1L) - lg(df(t)))) }
+      .groupBy(_._1).toSeq
+      .flatMap { case (_, rows) =>
+        rows.sortBy { case (_, t, _, s) => (-s, t) }.take(3) }
+      .sortBy { case (id, t, _, s) => (id, -s, t) }
+    val got = q("keyword_extract").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+      .toSeq
+    assert(got == want)
+    assert(got.groupBy(_._1).values.forall(_.size <= 3))
+  }
+
+  test("search postings warm frame is registered") {
+    assert(SearchPack.warm.map(_._1).contains("search_postings"))
+  }
+}
