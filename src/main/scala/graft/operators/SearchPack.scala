@@ -166,36 +166,42 @@ object SearchPack extends QueryPack {
   // survive past the first filter, so the scoring join is query-sized,
   // not corpus-sized; the final top-k is TakeOrderedAndProject under a
   // total order (score DESC, doc_id).
-  private val bm25Terms = Seq("spark", "hash", "merge", "vector", "stream")
-  private val bm25K = 20
+  private[graft] val bm25Terms = Seq("spark", "hash", "merge", "vector",
+    "stream")
+  private[graft] val bm25K = 20
 
-  private val bm25Search = GraftQuery(
-    "bm25_search",
-    (s, d) => {
-      val dw = docWords(s, d)
-      val totals = broadcast(dw.agg(
-        count(lit(1)).as("n"), sum(col("dl")).as("t")))
-      val hits = postings(s, d)
-        .filter(col("word").isin(bm25Terms: _*))
-      val dfTab = hits.groupBy(col("word"))
-        .agg(count(lit(1)).as("df"))
-      hits
-        .join(broadcast(dfTab), Seq("word"))
-        .crossJoin(totals)
-        .withColumn("idf_q20", lg(col("n") + lit(1L)) - lg(col("df")))
-        .select(col("doc_id"),
-          expr("(idf_q20 * (CAST(22 AS DECIMAL(38,0)) * tf * t))" +
-            " div (CAST(10 AS DECIMAL(38,0)) * tf * t + 3 * t + 9 * dl * n)")
-            .as("term_score_q20"))
-        .groupBy(col("doc_id"))
-        .agg(count(lit(1)).as("n_terms_hit"),
-          sum(col("term_score_q20")).as("score_q20"))
-        .orderBy(col("score_q20").desc, col("doc_id"))
-        .limit(bm25K)
-    },
-    Some {
-      val termList = bm25Terms.map(t => s"'$t'").mkString("(", ", ", ")")
-      s"""
+  /** The BM25 scoring + top-k tail over a hits frame
+    * (doc_id, dl, word, tf), a df table (word, df) and a ONE-ROW totals
+    * frame (n, t). Shared BY REFERENCE between the in-query
+    * `bm25_search` and [[graft.sources.SearchIndex.search]] — the C10
+    * τ lesson: an index path re-spelling the scoring as its own literal
+    * could drift while both gates stay green, because each would
+    * interpolate its own copy.
+    */
+  private[graft] def bm25TopK(hits: DataFrame, dfTab: DataFrame,
+      totals: DataFrame, k: Int): DataFrame =
+    hits
+      .join(broadcast(dfTab), Seq("word"))
+      .crossJoin(broadcast(totals))
+      .withColumn("idf_q20", lg(col("n") + lit(1L)) - lg(col("df")))
+      .select(col("doc_id"),
+        expr("(idf_q20 * (CAST(22 AS DECIMAL(38,0)) * tf * t))" +
+          " div (CAST(10 AS DECIMAL(38,0)) * tf * t + 3 * t + 9 * dl * n)")
+          .as("term_score_q20"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_terms_hit"),
+        sum(col("term_score_q20")).as("score_q20"))
+      .orderBy(col("score_q20").desc, col("doc_id"))
+      .limit(k)
+
+  /** I2's oracle, shared verbatim with the [[graft.sources.SearchIndex]]
+    * registry rows (`bm25_index_search` / `bm25_index_append_search`):
+    * the persisted-index path must reproduce the in-query scores
+    * bit-for-bit, so it is gated against the SAME SQL.
+    */
+  private[graft] val bm25OracleSql: String = {
+    val termList = bm25Terms.map(t => s"'$t'").mkString("(", ", ", ")")
+    s"""
       WITH RECURSIVE w AS (
         SELECT doc_id, $wordsSql AS w FROM documents),
       dw AS (
@@ -233,7 +239,81 @@ object SearchPack extends QueryPack {
       SELECT doc_id, n_terms_hit, score_q20 FROM agg
       ORDER BY score_q20 DESC, doc_id LIMIT $bm25K
       """
-    })
+  }
+
+  private val bm25Search = GraftQuery(
+    "bm25_search",
+    (s, d) => {
+      val dw = docWords(s, d)
+      val totals = dw.agg(
+        count(lit(1)).as("n"), sum(col("dl")).as("t"))
+      val hits = postings(s, d)
+        .filter(col("word").isin(bm25Terms: _*))
+      val dfTab = hits.groupBy(col("word"))
+        .agg(count(lit(1)).as("df"))
+      bm25TopK(hits, dfTab, totals, bm25K)
+    },
+    Some(bm25OracleSql))
+
+  // ---- I4: the persisted-index path (sources/SearchIndex) ----
+  // Two oracle rows gate the store against I2's oracle VERBATIM:
+  // `bm25_index_search` builds the index over the full corpus and
+  // searches the parquet postings; `bm25_index_append_search` builds
+  // over even doc_ids, appends the odd docs, then searches — BM25 over
+  // merged counts is exact integer arithmetic and df/N/T are additive
+  // over disjoint doc sets, so BOTH must hash-match the in-query
+  // scores bit-for-bit (the D9 gating pattern, zero approximation
+  // caveats here).
+  /** (catalog table, store dir) artifacts to drop on cache release —
+    * the memoized stores must not outlive a released/rewritten dataset
+    * (the C11/C12 r6 lesson).
+    */
+  private val storeArtifacts = java.util.concurrent.ConcurrentHashMap
+    .newKeySet[(String, String)]()
+  graft.Caches.onRelease(() => {
+    org.apache.spark.sql.SparkSession.getActiveSession
+      .orElse(org.apache.spark.sql.SparkSession.getDefaultSession)
+      .foreach { s =>
+        storeArtifacts.forEach { case (t, _) =>
+          Seq("postings", "docs", "totals").foreach(suf =>
+            s.sql(s"DROP TABLE IF EXISTS ${t}_$suf"))
+      } }
+    storeArtifacts.forEach { case (_, dir) =>
+      if (dir.nonEmpty) graft.Caches.deleteDir(dir) }
+    storeArtifacts.clear()
+  })
+
+  private def searchStore(s: SparkSession, d: String, split: Boolean)
+      : String = {
+    val tag = java.security.MessageDigest.getInstance("MD5")
+      .digest(d.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(10)
+    val base = if (split) s"graft_bm25_half_$tag" else s"graft_bm25_$tag"
+    val root = sys.env.getOrElse("SPARK_GRAFT_STORE_DIR",
+      sys.props("java.io.tmpdir"))
+    if (!s.catalog.tableExists(s"${base}_postings")) {
+      val docs = Tables.documents(s, d)
+      val history =
+        if (split) docs.filter(pmod(col("doc_id"), lit(2)) === 0) else docs
+      graft.sources.SearchIndex.write(history, base, s"$root/$base")
+      if (split)
+        graft.sources.SearchIndex.append(s, base,
+          docs.filter(pmod(col("doc_id"), lit(2)) =!= 0))
+      storeArtifacts.add((base, s"$root/$base"))
+    }
+    base
+  }
+
+  private val bm25IndexSearch = GraftQuery(
+    "bm25_index_search",
+    (s, d) => graft.sources.SearchIndex.search(
+      s, searchStore(s, d, split = false), bm25Terms, bm25K),
+    Some(bm25OracleSql))
+
+  private val bm25IndexAppendSearch = GraftQuery(
+    "bm25_index_append_search",
+    (s, d) => graft.sources.SearchIndex.search(
+      s, searchStore(s, d, split = true), bm25Terms, bm25K),
+    Some(bm25OracleSql))
 
   // ---- I3: keyword_extract — per-doc top-3 tf-idf terms ----
   // The per-document salient-term annotation (tagging / topic routing /
@@ -294,5 +374,6 @@ object SearchPack extends QueryPack {
       """))
 
   override val queries: Seq[GraftQuery] =
-    Seq(lmScore, bm25Search, keywordExtract)
+    Seq(lmScore, bm25Search, keywordExtract,
+      bm25IndexSearch, bm25IndexAppendSearch)
 }

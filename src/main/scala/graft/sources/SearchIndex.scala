@@ -1,0 +1,185 @@
+package graft.sources
+
+import graft.functions.Portable
+import graft.operators.SearchPack
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Persisted BM25 inverted index — the build-once/query-many form of
+  * I2's `bm25_search` (SURVEY.md §2 I4), completing the incremental-
+  * store family (C11 exact fingerprints, C12 MinHash bands, D9 ANN
+  * postings → lexical search): at 100 TB a query must not re-tokenize
+  * and re-aggregate the corpus per search batch.
+  *
+  * Layout (three parquet tables under one base path):
+  *  - `<base>_postings` (word, doc_id, tf, dl), BUCKETED+SORTED by
+  *    word: a search's `word IN (terms)` filter statically prunes the
+  *    scan to the terms' buckets (plan shows SelectedBucketsCount ≤
+  *    |terms|, spec-asserted) — the read is bounded by the query's
+  *    vocabulary slice, never the corpus.
+  *  - `<base>_docs` (doc_id, dl), BUCKETED+SORTED by doc_id: the
+  *    append-time novelty filter (anti-join reading its buckets in
+  *    place — only the batch shuffles) and the append COMMIT RECORD.
+  *  - `<base>_totals` (batch_id, n, t): per-ingest-unit delta rows;
+  *    the read side sums deltas after collapsing duplicate batch_ids.
+  *
+  * Exactness: BM25 over merged counts is pure integer arithmetic
+  * (G14 fixed-point idf + exact-rational tf normalization), and df /
+  * N / T are additive over disjoint doc sets — so search-after-append
+  * equals a full rebuild BIT-FOR-BIT, and both index registry rows
+  * hash-match I2's oracle verbatim (the D9 gating pattern, but with
+  * zero approximation caveats).
+  *
+  * Crash-replay: every append leg is IDEMPOTENT AT READ —
+  *  - duplicated postings rows (a replayed batch whose commit record
+  *    never landed) collapse in [[search]]'s (word, doc_id) fold;
+  *  - duplicated totals deltas carry the same content-derived
+  *    batch_id and collapse in the totals read;
+  *  - duplicated `_docs` rows only feed an anti-join, where
+  *    multiplicity is irrelevant —
+  * so replaying a batch after a crash at ANY point converges to the
+  * uncrashed store (spec: full-duplicate and postings-only partial
+  * appends both leave search results byte-identical). The `_docs`
+  * append runs LAST deliberately: once the commit record lands, the
+  * novelty filter drops the batch and a replay is a structural no-op;
+  * landing it earlier would make a replay skip legs that never ran.
+  * Single-writer contract per table via [[Bucketed.withWriterLease]],
+  * like the sibling stores.
+  */
+object SearchIndex {
+
+  /** (doc_id, dl) for docs with ≥ 1 token — tokenization shared with
+    * SearchPack via [[Portable.words]] so the index and the in-query
+    * path cannot drift.
+    */
+  private def docLens(docs: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"), Portable.words(col("text")).as("w"))
+      .filter(size(col("w")) > 0)
+      .select(col("doc_id"), size(col("w")).cast(LongType).as("dl"))
+
+  /** Postings rows (word, doc_id, tf, dl) for a doc frame. */
+  private def postingsOf(docs: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"), Portable.words(col("text")).as("w"))
+      .filter(size(col("w")) > 0)
+      .select(col("doc_id"), size(col("w")).cast(LongType).as("dl"),
+        explode(col("w")).as("word"))
+      .groupBy(col("word"), col("doc_id"), col("dl"))
+      .agg(count(lit(1)).as("tf"))
+
+  /** One (batch_id, n, t) delta row for an ingest unit. batch_id is
+    * derived from the unit's CONTENT (count / sum / xor / min / max of
+    * doc_ids), so a crash-replayed append writes the identical id and
+    * the totals read collapses it — while two genuinely distinct
+    * batches colliding needs a simultaneous 5-aggregate collision.
+    */
+  private def totalsDelta(lens: DataFrame): DataFrame =
+    lens.agg(
+        count(lit(1)).as("n"), sum(col("dl")).as("t"),
+        sum(col("doc_id")).as("__s"),
+        expr("bit_xor(doc_id)").as("__x"),
+        min(col("doc_id")).as("__lo"), max(col("doc_id")).as("__hi"))
+      .select(
+        md5(concat_ws("|", col("n"), col("__s"), col("__x"),
+          col("__lo"), col("__hi"))).as("batch_id"),
+        col("n"), col("t"))
+
+  /** Build the index over `history` (doc_id, text) as catalog tables
+    * `<tableBase>_postings` / `_docs` / `_totals` rooted at `path`.
+    */
+  def write(history: DataFrame, tableBase: String, path: String,
+      buckets: Int = 8): Unit = {
+    val spark = history.sparkSession
+    Bucketed.writeBucketed(postingsOf(history),
+      s"${tableBase}_postings", "word", buckets, s"$path/postings")
+    val lens = docLens(history)
+    Bucketed.writeBucketed(lens,
+      s"${tableBase}_docs", "doc_id", buckets, s"$path/docs")
+    totalsDelta(lens).write.mode("overwrite").format("parquet")
+      .option("path", s"$path/totals")
+      .saveAsTable(s"${tableBase}_totals")
+    spark.catalog.refreshTable(s"${tableBase}_totals")
+  }
+
+  /** Fold `batch` (doc_id, text) into the index: docs the index has
+    * never seen (anti-join against `_docs`, in-place bucket read) land
+    * as bucket-aligned postings + a totals delta + their `_docs`
+    * commit rows; known doc_ids are skipped entirely, so re-ingesting
+    * history content is a structural no-op. The novel set is severed
+    * (localCheckpoint) BEFORE any table mutates — the legs must all
+    * see the election made against the pre-append store.
+    */
+  def append(spark: SparkSession, tableBase: String,
+      batch: DataFrame): Unit = {
+    val novel = novelSlice(spark, tableBase, batch)
+    appendPostings(spark, tableBase, novel)
+    appendTotals(spark, tableBase, novel)
+    commitDocs(spark, tableBase, novel)
+    novel.unpersist()
+  }
+
+  // the append legs are individually addressable so the spec can
+  // simulate a crash between any two of them
+  private[graft] def novelSlice(spark: SparkSession, tableBase: String,
+      batch: DataFrame): DataFrame =
+    batch.select(col("doc_id"), col("text"))
+      .join(spark.table(s"${tableBase}_docs").select(col("doc_id")),
+        Seq("doc_id"), "left_anti")
+      .localCheckpoint(true)
+
+  private[graft] def appendPostings(spark: SparkSession, tableBase: String,
+      novel: DataFrame): Unit =
+    Bucketed.appendBucketed(spark, postingsOf(novel),
+      s"${tableBase}_postings")
+
+  private[graft] def appendTotals(spark: SparkSession, tableBase: String,
+      novel: DataFrame): Unit = {
+    val lens = docLens(novel)
+    if (lens.limit(1).count() > 0) {
+      totalsDelta(lens).write.mode("append").format("parquet")
+        .saveAsTable(s"${tableBase}_totals")
+      spark.catalog.refreshTable(s"${tableBase}_totals")
+    }
+  }
+
+  private[graft] def commitDocs(spark: SparkSession, tableBase: String,
+      novel: DataFrame): Unit =
+    Bucketed.appendBucketed(spark, docLens(novel), s"${tableBase}_docs")
+
+  /** Rewrite the appended-to bucketed tables back to one sorted file
+    * per bucket — run periodically to undo append amplification. The
+    * totals deltas stay as-is (vocabulary-of-batches-sized; the read
+    * collapses them).
+    */
+  def compact(spark: SparkSession, tableBase: String): Unit = {
+    Bucketed.compactBucketed(spark, s"${tableBase}_postings")
+    Bucketed.compactBucketed(spark, s"${tableBase}_docs")
+  }
+
+  /** BM25 top-k over the index for `terms`: the postings scan is
+    * statically bucket-pruned to the terms' buckets, the per-term df
+    * is an aggregate of that same slice (a term's slice holds ALL its
+    * postings, so slice-df ≡ corpus-df), totals come from the delta
+    * table — nothing corpus-sized is read or shuffled. Scoring and
+    * top-k are [[SearchPack.bm25TopK]] BY REFERENCE.
+    */
+  def search(spark: SparkSession, tableBase: String,
+      terms: Seq[String], k: Int): DataFrame = {
+    val slice = spark.table(s"${tableBase}_postings")
+      .filter(col("word").isin(terms: _*))
+      // replay-dedup fold: duplicated rows of an uncommitted append
+      // are identical, so max() is "any" — and the store's bucketing
+      // feeds the aggregation without an exchange
+      .groupBy(col("word"), col("doc_id"))
+      .agg(max(col("tf")).as("tf"), max(col("dl")).as("dl"))
+    val dfTab = slice.groupBy(col("word"))
+      .agg(count(lit(1)).as("df"))
+    val totals = spark.table(s"${tableBase}_totals")
+      .groupBy(col("batch_id"))
+      .agg(max(col("n")).as("n"), max(col("t")).as("t"))
+      .agg(sum(col("n")).as("n"), sum(col("t")).as("t"))
+    SearchPack.bm25TopK(slice, dfTab, totals, k)
+  }
+}
