@@ -1,6 +1,6 @@
 package graft.streaming
 
-import graft.sources.{FingerprintStore, MinHashStore, Tables}
+import graft.sources.{FingerprintStore, MinHashStore, SearchIndex, Tables}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.StreamingQuery
@@ -59,7 +59,19 @@ object StreamingIngest {
     * query workloads whose shared caches must stay hot.
     */
   def processBatch(spark: SparkSession, fpTable: String, mhBase: String,
-      batch: DataFrame): DataFrame = {
+      batch: DataFrame): DataFrame =
+    processBatch(spark, fpTable, mhBase, None, batch)
+
+  /** As the 4-arg overload, plus an optional [[SearchIndex]] leg: the
+    * batch's KEPT docs (exact-unique, no history near-dup — exactly the
+    * set appended to the band store) also land in the BM25 index, so
+    * each micro-batch is lexically searchable as soon as its verdicts
+    * are out. The index append is itself novelty-filtered and
+    * replay-convergent (idempotent-at-read legs, commit record last),
+    * so it adds no new crash mode to the loop's pinned semantics.
+    */
+  def processBatch(spark: SparkSession, fpTable: String, mhBase: String,
+      searchBase: Option[String], batch: DataFrame): DataFrame = {
     // one materialization of the micro-batch: it feeds the exact probe,
     // the survivor join and both appends, and a foreachBatch source
     // frame re-executes per action otherwise
@@ -73,12 +85,14 @@ object StreamingIngest {
       MinHashStore.dedupAgainstScoped(spark, mhBase, survivors)
     val near = nearRaw.localCheckpoint(true)
     bsh.unpersist()
+    // the dedup verdict's keep set — severed frames only, so the joins
+    // below stay correct after the appends mutate the stores
+    val kept = survivors.join(
+      near.filter(col("n_hist_matches") === 0).select("doc_id"), "doc_id")
     // novel content becomes history for the NEXT batch
     FingerprintStore.append(spark, fpTable, b)
-    MinHashStore.append(spark, mhBase,
-      survivors.join(
-        near.filter(col("n_hist_matches") === 0).select("doc_id"),
-        "doc_id"))
+    MinHashStore.append(spark, mhBase, kept)
+    searchBase.foreach(sb => SearchIndex.append(spark, sb, kept))
     exact
       .select(col("doc_id"), col("canonical_id"), col("dup_of_history"),
         col("is_dup"))
@@ -91,9 +105,17 @@ object StreamingIngest {
     */
   def run(spark: SparkSession, stream: DataFrame, fpTable: String,
       mhBase: String, sink: (DataFrame, Long) => Unit): StreamingQuery =
+    run(spark, stream, fpTable, mhBase, None, sink)
+
+  /** As [[run]], with the optional BM25-index leg of the 5-arg
+    * [[processBatch]].
+    */
+  def run(spark: SparkSession, stream: DataFrame, fpTable: String,
+      mhBase: String, searchBase: Option[String],
+      sink: (DataFrame, Long) => Unit): StreamingQuery =
     stream.writeStream
       .foreachBatch { (batch: DataFrame, id: Long) =>
-        sink(processBatch(spark, fpTable, mhBase, batch), id)
+        sink(processBatch(spark, fpTable, mhBase, searchBase, batch), id)
       }
       .start()
 
@@ -127,6 +149,8 @@ object StreamingIngest {
       "ingest_fp", s"$workDir/fp")
     MinHashStore.write(docs.filter(col("doc_id") % 3 === 0),
       "ingest_mh", s"$workDir/mh")
+    SearchIndex.write(docs.filter(col("doc_id") % 3 === 0),
+      "ingest_search", s"$workDir/search")
     println(s"[ingest] seeded history stores at $workDir")
 
     // two arrival files + maxFilesPerTrigger=1 → two real micro-batches
@@ -139,7 +163,8 @@ object StreamingIngest {
       .option("maxFilesPerTrigger", "1")
       .option("recursiveFileLookup", "true")
       .parquet(incoming)
-    val q = run(spark, stream, "ingest_fp", "ingest_mh", (v, id) => {
+    val q = run(spark, stream, "ingest_fp", "ingest_mh",
+      Some("ingest_search"), (v, id) => {
       val s = v.agg(
         count(lit(1)).as("docs"),
         sum(col("dup_of_history").cast("long")).as("exact_hist_dups"),
@@ -152,7 +177,13 @@ object StreamingIngest {
     q.processAllAvailable(); q.stop()
     println(s"[ingest] final store sizes: " +
       s"fp=${spark.table("ingest_fp").count()} fingerprints, " +
-      s"mh=${spark.table("ingest_mh_shingles").count()} shingle sets")
+      s"mh=${spark.table("ingest_mh_shingles").count()} shingle sets, " +
+      s"search=${spark.table("ingest_search_postings").count()} postings")
+    val hits = SearchIndex.search(spark, "ingest_search",
+      Seq("table", "data", "query"), 5).collect()
+    println(s"[ingest] bm25 probe over the live index: " +
+      hits.map(r => s"doc ${r.getLong(0)} score ${r.getLong(2)}")
+        .mkString(", "))
     spark.stop()
   }
 }

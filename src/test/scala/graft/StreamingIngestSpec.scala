@@ -142,4 +142,54 @@ class StreamingIngestSpec extends GraftSpec {
       }
     }
   }
+
+  test("search-index leg: each micro-batch's KEPT docs become " +
+      "lexically searchable; dropped dups never enter the index") {
+    import java.nio.file.{Files, Paths}
+    import spark.implicits._
+    import graft.sources.SearchIndex
+    val base = (1 to 40).map(i => s"w$i").mkString(" ")
+    val tmp = Files.createTempDirectory("graft-ingest-search").toString
+    val seed = Seq((2L, "seed history content")).toDF("doc_id", "text")
+    FingerprintStore.write(seed, "ingsrch_fp", s"$tmp/fp")
+    MinHashStore.write(seed, "ingsrch_mh", s"$tmp/mh")
+    SearchIndex.write(seed, "ingsrch_ix", s"$tmp/ix")
+    val incoming = Paths.get(tmp, "incoming")
+    Files.createDirectories(incoming)
+    Files.writeString(incoming.resolve("b1.csv"),
+      s"11\t$base\n13\tbatch one fresh content\n")
+    Files.writeString(incoming.resolve("b2.csv"),
+      s"21\t${base.replace("w20", "zz")}\n" + // near-dup of 11: dropped
+        "23\tbatch one fresh content\n" +     // exact dup of 13: dropped
+        "25\tgenuinely new in batch two\n")   // kept
+    Files.setLastModifiedTime(incoming.resolve("b1.csv"),
+      java.nio.file.attribute.FileTime.fromMillis(
+        System.currentTimeMillis() - 60000))
+    val stream = spark.readStream
+      .schema("doc_id LONG, text STRING")
+      .option("sep", "\t").option("maxFilesPerTrigger", "1")
+      .csv(incoming.toString)
+    val q = StreamingIngest.run(spark, stream.toDF(),
+      "ingsrch_fp", "ingsrch_mh", Some("ingsrch_ix"),
+      (_: DataFrame, _: Long) => ())
+    try {
+      q.processAllAvailable()
+      // the index holds exactly the kept set: seed + 11 + 13 + 25 —
+      // the near-dup 21 and the exact dup 23 never entered
+      val indexed = spark.table("ingsrch_ix_docs")
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      assert(indexed == Set(2L, 11L, 13L, 25L), s"indexed: $indexed")
+      // and the batch-2 novel doc is retrievable from the live index
+      val hits = SearchIndex.search(spark, "ingsrch_ix",
+        Seq("genuinely"), 5).collect()
+      assert(hits.length == 1 && hits(0).getLong(0) == 25L,
+        s"hits: ${hits.toSeq}")
+    } finally {
+      q.stop()
+      Seq("ingsrch_fp", "ingsrch_mh_bands", "ingsrch_mh_shingles",
+        "ingsrch_ix_postings", "ingsrch_ix_docs", "ingsrch_ix_totals")
+        .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+      Caches.deleteDir(tmp)
+    }
+  }
 }
