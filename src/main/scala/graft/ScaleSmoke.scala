@@ -184,13 +184,24 @@ object ScaleSmoke {
           s"$storesRoot/fp_$tag")
         sources.MinHashStore.write(hist, s"scale_mh_$tag",
           s"$storesRoot/mh_$tag")
+        sources.SearchIndex.write(hist, s"scale_ix_$tag",
+          s"$storesRoot/ix_$tag")
       }
       def fpProbe() = probeSteady(() =>
         sources.FingerprintStore.dedupAgainst(spark, s"scale_fp_$tag", batch))
       def mhProbe() = probeSteady(() =>
         sources.MinHashStore.dedupAgainst(spark, s"scale_mh_$tag", batch))
+      // the search probe is NOT expected flat on its own: a term's
+      // posting list is what it reads. The K× replicas SUFFIX their
+      // words (disjoint vocab), so the base terms' postings stay
+      // x1-sized and the ratio isolates the store-layout overhead
+      // (bucket pruning + per-bucket file count), not posting mass.
+      def ixProbe() = probeSteady(() =>
+        sources.SearchIndex.search(spark, s"scale_ix_$tag",
+          operators.SearchPack.bm25Terms, 20))
       val fp = fpProbe()
       val mh = mhProbe()
+      val ix = ixProbe()
       // ingest-loop legs: fold in a batch of NOVEL docs (fresh ids AND
       // fresh content — the ingest contract), re-probe the appended
       // store, compact, re-probe
@@ -200,27 +211,37 @@ object ScaleSmoke {
       val app = timeOf {
         sources.FingerprintStore.append(spark, s"scale_fp_$tag", appendBatch)
         sources.MinHashStore.append(spark, s"scale_mh_$tag", appendBatch)
+        sources.SearchIndex.append(spark, s"scale_ix_$tag", appendBatch)
       }
       val fpA = fpProbe()
       val mhA = mhProbe()
+      val ixA = ixProbe()
       val cmp = timeOf {
         sources.FingerprintStore.compact(spark, s"scale_fp_$tag")
         sources.MinHashStore.compact(spark, s"scale_mh_$tag")
+        sources.SearchIndex.compact(spark, s"scale_ix_$tag")
       }
       val fpC = fpProbe()
       val mhC = mhProbe()
+      val ixC = ixProbe()
       Seq("store_build" -> build,
         "fp_store_probe" -> fp, "mh_store_probe" -> mh,
+        "ix_store_search" -> ix,
         "store_append" -> app,
         "fp_probe_post_append" -> fpA, "mh_probe_post_append" -> mhA,
+        "ix_search_post_append" -> ixA,
         "store_compact" -> cmp,
-        "fp_probe_post_compact" -> fpC, "mh_probe_post_compact" -> mhC)
+        "fp_probe_post_compact" -> fpC, "mh_probe_post_compact" -> mhC,
+        "ix_search_post_compact" -> ixC)
     }
     val s1 = storeProbe(base, "x1").toMap
     val sK = storeProbe(dir, s"x$k").toMap
     val storeOrder = Seq("store_build", "fp_store_probe", "mh_store_probe",
+      "ix_store_search",
       "store_append", "fp_probe_post_append", "mh_probe_post_append",
-      "store_compact", "fp_probe_post_compact", "mh_probe_post_compact")
+      "ix_search_post_append",
+      "store_compact", "fp_probe_post_compact", "mh_probe_post_compact",
+      "ix_search_post_compact")
     val storeReport = storeOrder.map { op =>
       f"""{"op":"$op","x1":${s1(op)}%.3f,"x$k":${sK(op)}%.3f,"ratio":${sK(op) / math.max(s1(op), 1e-9)}%.2f}"""
     }

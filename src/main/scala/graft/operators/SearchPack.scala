@@ -74,39 +74,59 @@ object SearchPack extends QueryPack {
   // exactly the perplexity rank. Per-doc bigram multiplicities are
   // pre-aggregated so the model join fans over DISTINCT (doc, bigram)
   // rows, and the model tables are vocab²-bounded.
-  private val lmScore = GraftQuery(
-    "lm_score",
-    (s, d) => {
-      val p = postings(s, d)
-      // unigram counts + vocabulary size (model scalars)
-      val uni = p.groupBy(col("word")).agg(sum(col("tf")).as("c1"))
-      val vocab = broadcast(uni.agg(count(lit(1)).as("v")))
-      // per-doc bigram multiplicities (docs need ≥ 2 tokens)
-      val docBg = docWords(s, d).filter(size(col("w")) >= 2)
-        .select(col("doc_id"), expr(
-          "explode(transform(sequence(1, size(w)-1)," +
-            " i -> struct(w[i-1] AS w1, w[i] AS w2)))").as("bg"))
-        .select(col("doc_id"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
-        .groupBy(col("doc_id"), col("w1"), col("w2"))
-        .agg(count(lit(1)).as("k"))
-        .persistTracked
-      val big = docBg.groupBy(col("w1"), col("w2"))
-        .agg(sum(col("k")).as("c12"))
-      docBg
-        .join(big, Seq("w1", "w2"))
-        .join(uni.withColumnRenamed("word", "w1"), Seq("w1"))
-        .crossJoin(vocab)
-        .select(col("doc_id"), col("k"),
-          (lg(col("c1") + col("v")) - lg(col("c12") + lit(1L)))
-            .as("cost_q20"))
-        .groupBy(col("doc_id"))
-        .agg(sum(col("k")).as("n_bigrams"),
-          sum(col("k") * col("cost_q20")).as("xent_q20"))
-        .withColumn("mbits_per_token",
-          expr(s"(xent_q20 * 1000) div (n_bigrams * $Q20)"))
-        .orderBy(col("doc_id"))
-    },
-    Some(s"""
+  /** Per-doc bigram multiplicities (doc_id, w1, w2, k) of a (doc_id,
+    * text) frame — the scoring unit of the bigram LM. Shared with
+    * [[graft.sources.LmStore]] so the bigram spelling cannot drift
+    * between the in-query and store paths.
+    */
+  private[graft] def docBigramsOf(docs: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"), words(col("text")).as("w"))
+      .filter(size(col("w")) >= 2)
+      .select(col("doc_id"), expr(
+        "explode(transform(sequence(1, size(w)-1)," +
+          " i -> struct(w[i-1] AS w1, w[i] AS w2)))").as("bg"))
+      .select(col("doc_id"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+      .groupBy(col("doc_id"), col("w1"), col("w2"))
+      .agg(count(lit(1)).as("k"))
+
+  /** Corpus unigram counts (word, c1) of a (doc_id, text) frame. */
+  private[graft] def uniCountsOf(docs: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"), explode(words(col("text"))).as("word"))
+      .groupBy(col("word")).agg(count(lit(1)).as("c1"))
+
+  /** The LM scoring tail over per-doc bigrams (doc_id, w1, w2, k), a
+    * bigram model (w1, w2, c12), a unigram model (word, c1) and a
+    * one-row vocab size (v) — shared BY REFERENCE between `lm_score`
+    * and [[graft.sources.LmStore.score]]. LEFT joins + coalesce-to-0
+    * so a batch bigram the model never saw scores at the smoothing
+    * floor P = 1/(c1+V) instead of silently dropping; when the model
+    * covers the scored docs (the oracle-gated shape) every join hits
+    * and left ≡ inner.
+    */
+  private[graft] def lmScoreOf(docBg: DataFrame, big: DataFrame,
+      uni: DataFrame, vocab: DataFrame): DataFrame =
+    docBg
+      .join(big, Seq("w1", "w2"), "left")
+      .join(uni.withColumnRenamed("word", "w1"), Seq("w1"), "left")
+      .crossJoin(broadcast(vocab))
+      .select(col("doc_id"), col("k"),
+        (lg(coalesce(col("c1"), lit(0L)) + col("v")) -
+          lg(coalesce(col("c12"), lit(0L)) + lit(1L)))
+          .as("cost_q20"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("k")).as("n_bigrams"),
+        sum(col("k") * col("cost_q20")).as("xent_q20"))
+      .withColumn("mbits_per_token",
+        expr(s"(xent_q20 * 1000) div (n_bigrams * $Q20)"))
+      .orderBy(col("doc_id"))
+
+  /** I1's oracle, shared verbatim with the [[graft.sources.LmStore]]
+    * registry rows — the persisted-model path must reproduce the
+    * in-query scores bit-for-bit.
+    */
+  private[graft] val lmOracleSql: String = s"""
       WITH RECURSIVE w AS (
         SELECT doc_id, $wordsSql AS w FROM documents),
       dw AS (
@@ -150,7 +170,24 @@ object SearchPack extends QueryPack {
         CAST((xent_q20 * 1000) // (n_bigrams * $Q20) AS BIGINT)
           AS mbits_per_token
       FROM agg ORDER BY doc_id
-      """))
+      """
+
+  private val lmScore = GraftQuery(
+    "lm_score",
+    (s, d) => {
+      val p = postings(s, d)
+      // unigram counts from the shared postings cache (≡ uniCountsOf:
+      // summing per-doc tf over docs is counting occurrences) + vocab
+      val uni = p.groupBy(col("word")).agg(sum(col("tf")).as("c1"))
+      val vocab = uni.agg(count(lit(1)).as("v"))
+      val docBg = docBigramsOf(
+          Tables.parallelized(Tables.documents(s, d)))
+        .persistTracked
+      val big = docBg.groupBy(col("w1"), col("w2"))
+        .agg(sum(col("k")).as("c12"))
+      lmScoreOf(docBg, big, uni, vocab)
+    },
+    Some(lmOracleSql))
 
   // ---- I2: bm25_search — BM25 top-k retrieval ----
   // The standard lexical retrieval scorer (k1 = 1.2, b = 0.75) over the
@@ -275,7 +312,7 @@ object SearchPack extends QueryPack {
       .orElse(org.apache.spark.sql.SparkSession.getDefaultSession)
       .foreach { s =>
         storeArtifacts.forEach { case (t, _) =>
-          Seq("postings", "docs", "totals").foreach(suf =>
+          Seq("postings", "docs", "totals", "uni", "big").foreach(suf =>
             s.sql(s"DROP TABLE IF EXISTS ${t}_$suf"))
       } }
     storeArtifacts.forEach { case (_, dir) =>
@@ -314,6 +351,43 @@ object SearchPack extends QueryPack {
     (s, d) => graft.sources.SearchIndex.search(
       s, searchStore(s, d, split = true), bm25Terms, bm25K),
     Some(bm25OracleSql))
+
+  // ---- I5: the persisted-LM path (sources/LmStore) ----
+  // Same gating as I4: counts are additive over disjoint doc sets and
+  // the scoring tail is shared by reference, so the full-build row AND
+  // the write-evens/append-odds row must both hash-match I1's oracle
+  // verbatim.
+  private def lmStore(s: SparkSession, d: String, split: Boolean)
+      : String = {
+    val tag = java.security.MessageDigest.getInstance("MD5")
+      .digest(d.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(10)
+    val base = if (split) s"graft_lm_half_$tag" else s"graft_lm_$tag"
+    val root = sys.env.getOrElse("SPARK_GRAFT_STORE_DIR",
+      sys.props("java.io.tmpdir"))
+    if (!s.catalog.tableExists(s"${base}_uni")) {
+      val docs = Tables.documents(s, d)
+      val history =
+        if (split) docs.filter(pmod(col("doc_id"), lit(2)) === 0) else docs
+      graft.sources.LmStore.write(history, base, s"$root/$base")
+      if (split)
+        graft.sources.LmStore.append(s, base,
+          docs.filter(pmod(col("doc_id"), lit(2)) =!= 0))
+      storeArtifacts.add((base, s"$root/$base"))
+    }
+    base
+  }
+
+  private val lmIndexScore = GraftQuery(
+    "lm_index_score",
+    (s, d) => graft.sources.LmStore.score(
+      s, lmStore(s, d, split = false), Tables.documents(s, d)),
+    Some(lmOracleSql))
+
+  private val lmIndexAppendScore = GraftQuery(
+    "lm_index_append_score",
+    (s, d) => graft.sources.LmStore.score(
+      s, lmStore(s, d, split = true), Tables.documents(s, d)),
+    Some(lmOracleSql))
 
   // ---- I3: keyword_extract — per-doc top-3 tf-idf terms ----
   // The per-document salient-term annotation (tagging / topic routing /
@@ -375,5 +449,6 @@ object SearchPack extends QueryPack {
 
   override val queries: Seq[GraftQuery] =
     Seq(lmScore, bm25Search, keywordExtract,
-      bm25IndexSearch, bm25IndexAppendSearch)
+      bm25IndexSearch, bm25IndexAppendSearch,
+      lmIndexScore, lmIndexAppendScore)
 }

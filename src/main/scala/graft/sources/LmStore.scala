@@ -1,0 +1,150 @@
+package graft.sources
+
+import graft.operators.SearchPack
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Persisted incremental bigram language model — the build-once /
+  * score-many form of I1's `lm_score` (SURVEY.md §2 I5), the quality-
+  * scoring leg of the incremental-store family: a curation pipeline
+  * scores every arriving batch against a corpus-trained LM without
+  * retraining, and folds the batch's counts in so the model tracks the
+  * corpus.
+  *
+  * Layout (delta tables — the LSM shape):
+  *  - `<base>_uni` (batch_id, word, c1) and `<base>_big`
+  *    (batch_id, w1, w2, c12): per-ingest-unit COUNT DELTAS. Counts
+  *    are additive over disjoint doc sets, so the merged model is one
+  *    two-level read aggregation: collapse duplicate batch_ids (any()
+  *    — duplicate rows are identical), then SUM. Model tables are
+  *    vocabulary-bounded, not corpus-bounded; the per-batch delta is
+  *    batch-vocabulary-sized.
+  *  - `<base>_docs` (doc_id), bucketed by doc_id: the append novelty
+  *    anti-join (in-place bucket read, only the batch shuffles) and
+  *    the COMMIT RECORD, landed last.
+  *
+  * Exactness: the merged counts after `write(evens); append(odds)`
+  * equal the full-corpus counts EXACTLY, and the scoring tail is all
+  * int64 (G14 logs) — so score-after-append ≡ full rebuild bit-for-bit
+  * and both registry rows (`lm_index_score`, `lm_index_append_score`)
+  * hash-match I1's oracle verbatim.
+  *
+  * Crash-replay: a replayed append re-derives the same content batch_id
+  * ([[IngestId]]) so duplicated delta rows collapse at read; `_docs`
+  * duplicates only feed the anti-join. Replay after ANY partial crash
+  * converges (spec-pinned, like [[SearchIndex]]).
+  *
+  * Scoring semantics beyond the gated shape: a batch bigram the model
+  * has NEVER seen scores at the smoothing floor P = 1/(c1+V) (LEFT
+  * join + coalesce in [[SearchPack.lmScoreOf]], shared by reference) —
+  * the right behavior for scoring novel docs against a fixed model.
+  */
+object LmStore {
+
+  private def uniDelta(docs: DataFrame): DataFrame =
+    SearchPack.uniCountsOf(docs)
+      .crossJoin(broadcast(IngestId.of(docs.select(col("doc_id")))))
+      .select(col("batch_id"), col("word"), col("c1"))
+
+  private def bigDelta(docs: DataFrame): DataFrame =
+    SearchPack.docBigramsOf(docs)
+      .groupBy(col("w1"), col("w2")).agg(sum(col("k")).as("c12"))
+      .crossJoin(broadcast(IngestId.of(docs.select(col("doc_id")))))
+      .select(col("batch_id"), col("w1"), col("w2"), col("c12"))
+
+  /** Build the model over `history` (doc_id, text) as catalog tables
+    * `<tableBase>_uni` / `_big` / `_docs` rooted at `path`.
+    */
+  def write(history: DataFrame, tableBase: String, path: String,
+      buckets: Int = 8): Unit = {
+    val spark = history.sparkSession
+    uniDelta(history).write.mode("overwrite").format("parquet")
+      .option("path", s"$path/uni").saveAsTable(s"${tableBase}_uni")
+    bigDelta(history).write.mode("overwrite").format("parquet")
+      .option("path", s"$path/big").saveAsTable(s"${tableBase}_big")
+    Bucketed.writeBucketed(history.select(col("doc_id")),
+      s"${tableBase}_docs", "doc_id", buckets, s"$path/docs")
+    Seq("uni", "big").foreach(t =>
+      spark.catalog.refreshTable(s"${tableBase}_$t"))
+  }
+
+  /** Fold `batch` (doc_id, text) into the model: never-seen doc_ids'
+    * unigram/bigram count deltas land (one batch-vocabulary-sized
+    * delta generation each), then their `_docs` commit rows — LAST, so
+    * a crash-replayed batch re-runs every leg and the content-derived
+    * batch_id collapses the duplicates at read.
+    */
+  def append(spark: SparkSession, tableBase: String,
+      batch: DataFrame): Unit = {
+    val novel = batch.select(col("doc_id"), col("text"))
+      .join(spark.table(s"${tableBase}_docs").select(col("doc_id")),
+        Seq("doc_id"), "left_anti")
+      .localCheckpoint(true)
+    if (novel.limit(1).count() > 0) {
+      uniDelta(novel).write.mode("append").format("parquet")
+        .saveAsTable(s"${tableBase}_uni")
+      bigDelta(novel).write.mode("append").format("parquet")
+        .saveAsTable(s"${tableBase}_big")
+      Seq("uni", "big").foreach(t =>
+        spark.catalog.refreshTable(s"${tableBase}_$t"))
+      Bucketed.appendBucketed(spark, novel.select(col("doc_id")),
+        s"${tableBase}_docs")
+    }
+    novel.unpersist()
+  }
+
+  /** Merged unigram model (word, c1): collapse replayed duplicate
+    * batch_ids, then sum the deltas.
+    */
+  private def mergedUni(spark: SparkSession, tableBase: String): DataFrame =
+    spark.table(s"${tableBase}_uni")
+      .groupBy(col("batch_id"), col("word")).agg(max(col("c1")).as("c1"))
+      .groupBy(col("word")).agg(sum(col("c1")).as("c1"))
+
+  private def mergedBig(spark: SparkSession, tableBase: String): DataFrame =
+    spark.table(s"${tableBase}_big")
+      .groupBy(col("batch_id"), col("w1"), col("w2"))
+      .agg(max(col("c12")).as("c12"))
+      .groupBy(col("w1"), col("w2")).agg(sum(col("c12")).as("c12"))
+
+  /** Score `batch` (doc_id, text) under the CURRENT merged model:
+    * (doc_id, n_bigrams, xent_q20, mbits_per_token), I1's exact
+    * semantics via the shared scoring tail. Docs with < 2 tokens have
+    * no bigrams and no row, like I1.
+    */
+  def score(spark: SparkSession, tableBase: String,
+      batch: DataFrame): DataFrame = {
+    val uni = mergedUni(spark, tableBase)
+    SearchPack.lmScoreOf(
+      SearchPack.docBigramsOf(batch),
+      mergedBig(spark, tableBase),
+      uni,
+      uni.agg(count(lit(1)).as("v")))
+  }
+
+  /** Rewrite each delta table as ONE merged generation (sum-preserving,
+    * so scores are unchanged — and the two rewrites are independently
+    * safe: a crash between them leaves one table compacted, the other
+    * not, both still summing to the same model). The merged rows get a
+    * fresh content id derived from the merged table itself.
+    */
+  def compact(spark: SparkSession, tableBase: String): Unit = {
+    def rewrite(suffix: String, merged: DataFrame, cols: Seq[String])
+        : Unit = {
+      val t = s"${tableBase}_$suffix"
+      val loc = spark.sessionState.catalog.getTableMetadata(
+        spark.sessionState.sqlParser.parseTableIdentifier(t))
+        .location.toString
+      val one = merged
+        .withColumn("batch_id",
+          md5(concat_ws("|", lit("compacted") +: cols.map(col): _*)))
+      val frozen = one.localCheckpoint(true)
+      frozen.write.mode("overwrite").format("parquet")
+        .option("path", loc).saveAsTable(t)
+      spark.catalog.refreshTable(t)
+      frozen.unpersist()
+    }
+    rewrite("uni", mergedUni(spark, tableBase), Seq("word", "c1"))
+    rewrite("big", mergedBig(spark, tableBase), Seq("w1", "w2", "c12"))
+  }
+}

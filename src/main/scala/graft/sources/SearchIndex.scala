@@ -70,21 +70,14 @@ object SearchIndex {
       .agg(count(lit(1)).as("tf"))
 
   /** One (batch_id, n, t) delta row for an ingest unit. batch_id is
-    * derived from the unit's CONTENT (count / sum / xor / min / max of
-    * doc_ids), so a crash-replayed append writes the identical id and
-    * the totals read collapses it — while two genuinely distinct
-    * batches colliding needs a simultaneous 5-aggregate collision.
+    * the unit's content identity ([[IngestId]]): a crash-replayed
+    * append writes the identical id and the totals read collapses it.
     */
-  private def totalsDelta(lens: DataFrame): DataFrame =
-    lens.agg(
-        count(lit(1)).as("n"), sum(col("dl")).as("t"),
-        sum(col("doc_id")).as("__s"),
-        expr("bit_xor(doc_id)").as("__x"),
-        min(col("doc_id")).as("__lo"), max(col("doc_id")).as("__hi"))
-      .select(
-        md5(concat_ws("|", col("n"), col("__s"), col("__x"),
-          col("__lo"), col("__hi"))).as("batch_id"),
-        col("n"), col("t"))
+  private def totalsDelta(lens: DataFrame): DataFrame = {
+    val own = Seq(sum(col("dl")).as("t"))
+    lens.agg((IngestId.aggs ++ own).head, (IngestId.aggs ++ own).tail: _*)
+      .select(IngestId.fold, col("__n").as("n"), col("t"))
+  }
 
   /** Build the index over `history` (doc_id, text) as catalog tables
     * `<tableBase>_postings` / `_docs` / `_totals` rooted at `path`.
