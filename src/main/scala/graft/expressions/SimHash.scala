@@ -133,6 +133,9 @@ object GraftFunctions {
     (FunctionIdentifier("graft_hash60"),
       new ExpressionInfo(classOf[Hash60].getName, "graft_hash60"),
       (e: Seq[Expression]) => Hash60(e.head)),
+    (FunctionIdentifier("graft_log2_q20"),
+      new ExpressionInfo(classOf[Log2FixQ20].getName, "graft_log2_q20"),
+      (e: Seq[Expression]) => Log2FixQ20(e.head)),
     // Timestream bin(time, seconds) as a SQL function: composed from the
     // same exact-long-arithmetic column expression TimeSeries.bin uses.
     (FunctionIdentifier("graft_bin"),

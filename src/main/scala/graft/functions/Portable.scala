@@ -96,8 +96,9 @@ object Portable {
       * an upstream CTE `inCte(val)` of DISTINCT positive bigints, emits
       * two CTEs — the digit recurrence and `outCte(val, log2_q20)` to
       * join results back by value. Same int64 recurrence, bit-for-bit.
-      * Must head the WITH clause (the recursive member), so callers
-      * spell `WITH RECURSIVE <inCte-def>, ${log2CteSql(...)}, ...`.
+      * The WITH clause must carry the RECURSIVE keyword and define
+      * `inCte` before this fragment:
+      * `WITH RECURSIVE <inCte-def>, ${log2CteSql(...)}, ...`.
       */
     def log2CteSql(inCte: String, stepsCte: String, outCte: String): String =
       s"""$stepsCte(val, i, y, acc) AS (

@@ -34,6 +34,14 @@ import org.apache.spark.sql.functions._
   * duplicates only feed the anti-join. Replay after ANY partial crash
   * converges (spec-pinned, like [[SearchIndex]]).
   *
+  * Single-writer ingest contract, like the sibling stores — but note
+  * the delta tables are PLAIN parquet, so only the `_docs` leg carries
+  * the bucketed-store writer lease: a REPLAYED append races safely
+  * (identical batch_ids collapse) and concurrent DISJOINT batches
+  * would even merge correctly (counts are additive), but two
+  * concurrent appends with overlapping doc_ids both pass the novelty
+  * probe and double-count the overlap — serialize appends per store.
+  *
   * Scoring semantics beyond the gated shape: a batch bigram the model
   * has NEVER seen scores at the smoothing floor P = 1/(c1+V) (LEFT
   * join + coalesce in [[SearchPack.lmScoreOf]], shared by reference) —

@@ -52,4 +52,15 @@ class SqlSurfaceSpec extends GraftSpec {
       assert(t.getEpochSecond % 86400 == 0)
     }
   }
+
+  test("graft_log2_q20 is SQL-callable and matches the JVM kernel") {
+    graft.expressions.GraftFunctions.register(spark)
+    val r = spark.sql(
+      "SELECT id + 1 AS x, graft_log2_q20(id + 1) AS lg FROM range(100)")
+      .collect()
+    r.foreach { row =>
+      assert(row.getLong(1) ==
+        graft.expressions.Log2FixImpl.log2q20(row.getLong(0)))
+    }
+  }
 }
