@@ -36,6 +36,29 @@ object SearchPack extends QueryPack {
 
   private val Q20 = 1L << 20
 
+  /** (doc_id, dl) for docs with ≥ 1 token, from a (doc_id, text)
+    * frame. Shared with [[graft.sources.SearchIndex]] so the length
+    * spelling cannot drift between the in-query and store paths.
+    */
+  private[graft] def docLensOf(docs: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"), words(col("text")).as("w"))
+      .filter(size(col("w")) > 0)
+      .select(col("doc_id"), size(col("w")).cast(LongType).as("dl"))
+
+  /** Postings list (doc_id, dl, word, tf) of a (doc_id, text) frame —
+    * one explode + one combine-heavy aggregation. Shared with
+    * [[graft.sources.SearchIndex]], same drift argument.
+    */
+  private[graft] def postingsOf(docs: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"), words(col("text")).as("w"))
+      .filter(size(col("w")) > 0)
+      .select(col("doc_id"), size(col("w")).cast(LongType).as("dl"),
+        explode(col("w")).as("word"))
+      .groupBy(col("doc_id"), col("dl"), col("word"))
+      .agg(count(lit(1)).as("tf"))
+
   /** (doc_id, w, dl) for docs with ≥ 1 token — the shared scan. */
   private def docWords(s: SparkSession, d: String): DataFrame =
     Tables.parallelized(Tables.documents(s, d))
@@ -43,15 +66,11 @@ object SearchPack extends QueryPack {
       .filter(size(col("w")) > 0)
       .withColumn("dl", size(col("w")).cast(LongType))
 
-  /** Postings list (doc_id, word, tf, dl) — shared working set of
-    * bm25_search / keyword_extract / lm_score's unigram model (one
-    * explode + one combine-heavy aggregation over the corpus).
+  /** The registry queries' shared working set: [[postingsOf]] over the
+    * dataset's documents, registry-persisted.
     */
   private def postings(s: SparkSession, d: String): DataFrame =
-    docWords(s, d)
-      .select(col("doc_id"), col("dl"), explode(col("w")).as("word"))
-      .groupBy(col("doc_id"), col("dl"), col("word"))
-      .agg(count(lit(1)).as("tf"))
+    postingsOf(Tables.parallelized(Tables.documents(s, d)))
       .persistTracked
 
   override def warm: Seq[(String, (SparkSession, String) => DataFrame)] =
@@ -320,25 +339,37 @@ object SearchPack extends QueryPack {
     storeArtifacts.clear()
   })
 
-  private def searchStore(s: SparkSession, d: String, split: Boolean)
-      : String = {
+  /** Memoized store build shared by the I4/I5 registry rows: write
+    * over the full corpus (split = false) or write-evens + append-odds
+    * (split = true — the append-path gate), keyed on the dataset dir,
+    * registered for release-time cleanup.
+    */
+  private def memoStore(s: SparkSession, d: String, prefix: String,
+      existsSuffix: String, split: Boolean)(
+      write: (DataFrame, String, String) => Unit,
+      append: (SparkSession, String, DataFrame) => Unit): String = {
     val tag = java.security.MessageDigest.getInstance("MD5")
       .digest(d.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(10)
-    val base = if (split) s"graft_bm25_half_$tag" else s"graft_bm25_$tag"
+    val base = if (split) s"${prefix}_half_$tag" else s"${prefix}_$tag"
     val root = sys.env.getOrElse("SPARK_GRAFT_STORE_DIR",
       sys.props("java.io.tmpdir"))
-    if (!s.catalog.tableExists(s"${base}_postings")) {
+    if (!s.catalog.tableExists(s"${base}_$existsSuffix")) {
       val docs = Tables.documents(s, d)
       val history =
         if (split) docs.filter(pmod(col("doc_id"), lit(2)) === 0) else docs
-      graft.sources.SearchIndex.write(history, base, s"$root/$base")
+      write(history, base, s"$root/$base")
       if (split)
-        graft.sources.SearchIndex.append(s, base,
-          docs.filter(pmod(col("doc_id"), lit(2)) =!= 0))
+        append(s, base, docs.filter(pmod(col("doc_id"), lit(2)) =!= 0))
       storeArtifacts.add((base, s"$root/$base"))
     }
     base
   }
+
+  private def searchStore(s: SparkSession, d: String, split: Boolean)
+      : String =
+    memoStore(s, d, "graft_bm25", "postings", split)(
+      graft.sources.SearchIndex.write(_, _, _),
+      graft.sources.SearchIndex.append)
 
   private val bm25IndexSearch = GraftQuery(
     "bm25_index_search",
@@ -358,24 +389,10 @@ object SearchPack extends QueryPack {
   // the write-evens/append-odds row must both hash-match I1's oracle
   // verbatim.
   private def lmStore(s: SparkSession, d: String, split: Boolean)
-      : String = {
-    val tag = java.security.MessageDigest.getInstance("MD5")
-      .digest(d.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(10)
-    val base = if (split) s"graft_lm_half_$tag" else s"graft_lm_$tag"
-    val root = sys.env.getOrElse("SPARK_GRAFT_STORE_DIR",
-      sys.props("java.io.tmpdir"))
-    if (!s.catalog.tableExists(s"${base}_uni")) {
-      val docs = Tables.documents(s, d)
-      val history =
-        if (split) docs.filter(pmod(col("doc_id"), lit(2)) === 0) else docs
-      graft.sources.LmStore.write(history, base, s"$root/$base")
-      if (split)
-        graft.sources.LmStore.append(s, base,
-          docs.filter(pmod(col("doc_id"), lit(2)) =!= 0))
-      storeArtifacts.add((base, s"$root/$base"))
-    }
-    base
-  }
+      : String =
+    memoStore(s, d, "graft_lm", "uni", split)(
+      graft.sources.LmStore.write(_, _, _),
+      graft.sources.LmStore.append)
 
   private val lmIndexScore = GraftQuery(
     "lm_index_score",

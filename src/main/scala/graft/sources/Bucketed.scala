@@ -280,14 +280,20 @@ object Bucketed {
     * through the table location's own Hadoop filesystem — an hdfs:// or
     * s3a:// store compacts the same way a local one does.
     */
-  def compactBucketed(spark: SparkSession,
-      table: String): Unit = withWriterLease(spark, table) {
+  /** Generation-swap scaffolding shared by the compaction paths:
+    * compute the next `__gN` sibling of the live location, let `write`
+    * land the new generation there under a staging catalog name,
+    * repoint the live table through the catalog API, drop the staging
+    * entry, and retire elder generations with one-generation grace.
+    * The table's data is never overwritten in place — a crash at any
+    * point leaves the pre-compaction generation fully live.
+    */
+  private def swapGeneration(spark: SparkSession, table: String)(
+      write: (String, String) => Unit): Unit = {
     val cat = spark.sessionState.catalog
     val ident = spark.sessionState.sqlParser.parseTableIdentifier(table)
-    val meta = cat.getTableMetadata(ident)
-    val spec = meta.bucketSpec.getOrElse(throw new IllegalArgumentException(
-      s"$table is not bucketed"))
-    val oldPath = meta.location.toString.stripSuffix("/")
+    val oldPath = cat.getTableMetadata(ident).location.toString
+      .stripSuffix("/")
     // generation-suffixed sibling: strip any prior suffix so repeated
     // compactions alternate rather than accumulate path segments
     val base = oldPath.replaceAll("__g\\d+$", "")
@@ -295,31 +301,7 @@ object Bucketed {
       .map(_.group(1).toLong + 1).getOrElse(1L)
     val newPath = s"${base}__g$gen"
     val tmpTable = s"${table}__compacting"
-    // One-file-per-bucket needs each write task to own exactly one
-    // bucket. A repartition on the bucket columns LOOKS right but is
-    // unreliable here: the planner elides the exchange against the
-    // scan's claimed bucket partitioning, then auto-DISABLES the
-    // bucketed scan (nothing left requires the distribution) and reads
-    // by file splits — measured: mixed-bucket tasks re-fragmenting the
-    // output. Forcing the bucketed scan ON instead makes the scan
-    // itself bucket-pure (one partition per bucket, however many files
-    // each holds), so the writer emits exactly one file per bucket with
-    // NO exchange at all — compaction is a parallel local rewrite. The
-    // repartition stays as a correctness net for sessions where the
-    // scan partitioning is not usable; it elides when redundant.
-    val autoScanKey =
-      "spark.sql.sources.bucketing.autoBucketedScan.enabled"
-    val prevAuto = spark.conf.get(autoScanKey)
-    spark.conf.set(autoScanKey, "false")
-    try {
-      val cols = spec.bucketColumnNames
-        .map(org.apache.spark.sql.functions.col)
-      withSpec(spark.table(table)
-        .repartition(spec.numBuckets, cols: _*)
-        .write.mode("overwrite").format("parquet")
-        .option("path", newPath), spec)
-        .saveAsTable(tmpTable)
-    } finally spark.conf.set(autoScanKey, prevAuto)
+    write(newPath, tmpTable)
     // repoint through the catalog API, not string-built SQL: a location
     // containing a quote would break an interpolated ALTER TABLE mid-
     // compaction, after the new generation was already written. Stats
@@ -353,5 +335,61 @@ object Bucketed {
         isGen && !keep.contains(n)
       }
       .foreach(fs.delete(_, true))
+  }
+
+  /** Layout-only compaction of a PLAIN parquet table: rewrite the SAME
+    * rows into one sorted file under a generation-swapped sibling.
+    * Rows — and any logical keys they carry — are preserved exactly;
+    * this exists for delta-log tables ([[LmStore]]) whose read-side
+    * replay-dedup keys (content batch_ids) must SURVIVE compaction:
+    * folding rows across batch_ids would erase the key that lets a
+    * crash-replayed append collapse at read.
+    */
+  def compactPlain(spark: SparkSession, table: String,
+      sortCols: Seq[String]): Unit = withWriterLease(spark, table) {
+    swapGeneration(spark, table) { (newPath, tmpTable) =>
+      spark.table(table)
+        .repartition(1)
+        .sortWithinPartitions(
+          sortCols.map(org.apache.spark.sql.functions.col): _*)
+        .write.mode("overwrite").format("parquet")
+        .option("path", newPath).saveAsTable(tmpTable)
+    }
+  }
+
+  def compactBucketed(spark: SparkSession,
+      table: String): Unit = withWriterLease(spark, table) {
+    val cat = spark.sessionState.catalog
+    val ident = spark.sessionState.sqlParser.parseTableIdentifier(table)
+    val meta = cat.getTableMetadata(ident)
+    val spec = meta.bucketSpec.getOrElse(throw new IllegalArgumentException(
+      s"$table is not bucketed"))
+    // One-file-per-bucket needs each write task to own exactly one
+    // bucket. A repartition on the bucket columns LOOKS right but is
+    // unreliable here: the planner elides the exchange against the
+    // scan's claimed bucket partitioning, then auto-DISABLES the
+    // bucketed scan (nothing left requires the distribution) and reads
+    // by file splits — measured: mixed-bucket tasks re-fragmenting the
+    // output. Forcing the bucketed scan ON instead makes the scan
+    // itself bucket-pure (one partition per bucket, however many files
+    // each holds), so the writer emits exactly one file per bucket with
+    // NO exchange at all — compaction is a parallel local rewrite. The
+    // repartition stays as a correctness net for sessions where the
+    // scan partitioning is not usable; it elides when redundant.
+    val autoScanKey =
+      "spark.sql.sources.bucketing.autoBucketedScan.enabled"
+    swapGeneration(spark, table) { (newPath, tmpTable) =>
+      val prevAuto = spark.conf.get(autoScanKey)
+      spark.conf.set(autoScanKey, "false")
+      try {
+        val cols = spec.bucketColumnNames
+          .map(org.apache.spark.sql.functions.col)
+        withSpec(spark.table(table)
+          .repartition(spec.numBuckets, cols: _*)
+          .write.mode("overwrite").format("parquet")
+          .option("path", newPath), spec)
+          .saveAsTable(tmpTable)
+      } finally spark.conf.set(autoScanKey, prevAuto)
+    }
   }
 }

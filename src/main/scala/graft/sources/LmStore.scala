@@ -84,22 +84,37 @@ object LmStore {
     */
   def append(spark: SparkSession, tableBase: String,
       batch: DataFrame): Unit = {
-    val novel = batch.select(col("doc_id"), col("text"))
-      .join(spark.table(s"${tableBase}_docs").select(col("doc_id")),
-        Seq("doc_id"), "left_anti")
-      .localCheckpoint(true)
+    val novel = novelSlice(spark, tableBase, batch)
     if (novel.limit(1).count() > 0) {
-      uniDelta(novel).write.mode("append").format("parquet")
-        .saveAsTable(s"${tableBase}_uni")
-      bigDelta(novel).write.mode("append").format("parquet")
-        .saveAsTable(s"${tableBase}_big")
-      Seq("uni", "big").foreach(t =>
-        spark.catalog.refreshTable(s"${tableBase}_$t"))
-      Bucketed.appendBucketed(spark, novel.select(col("doc_id")),
-        s"${tableBase}_docs")
+      appendDeltas(spark, tableBase, novel)
+      commitDocs(spark, tableBase, novel)
     }
     novel.unpersist()
   }
+
+  // individually addressable so the spec can inject a crash between
+  // the delta legs and the commit record
+  private[graft] def novelSlice(spark: SparkSession, tableBase: String,
+      batch: DataFrame): DataFrame =
+    batch.select(col("doc_id"), col("text"))
+      .join(spark.table(s"${tableBase}_docs").select(col("doc_id")),
+        Seq("doc_id"), "left_anti")
+      .localCheckpoint(true)
+
+  private[graft] def appendDeltas(spark: SparkSession, tableBase: String,
+      novel: DataFrame): Unit = {
+    uniDelta(novel).write.mode("append").format("parquet")
+      .saveAsTable(s"${tableBase}_uni")
+    bigDelta(novel).write.mode("append").format("parquet")
+      .saveAsTable(s"${tableBase}_big")
+    Seq("uni", "big").foreach(t =>
+      spark.catalog.refreshTable(s"${tableBase}_$t"))
+  }
+
+  private[graft] def commitDocs(spark: SparkSession, tableBase: String,
+      novel: DataFrame): Unit =
+    Bucketed.appendBucketed(spark, novel.select(col("doc_id")),
+      s"${tableBase}_docs")
 
   /** Merged unigram model (word, c1): collapse replayed duplicate
     * batch_ids, then sum the deltas.
@@ -130,29 +145,25 @@ object LmStore {
       uni.agg(count(lit(1)).as("v")))
   }
 
-  /** Rewrite each delta table as ONE merged generation (sum-preserving,
-    * so scores are unchanged — and the two rewrites are independently
-    * safe: a crash between them leaves one table compacted, the other
-    * not, both still summing to the same model). The merged rows get a
-    * fresh content id derived from the merged table itself.
+  /** LAYOUT-only compaction: rewrite each delta table's rows — batch_id
+    * keys included, exactly as they are — into one sorted file under a
+    * generation-swapped sibling ([[Bucketed.compactPlain]]: lease-
+    * guarded, never overwritten in place, crash leaves the old
+    * generation live), and restore the `_docs` bucket layout. Counts
+    * are deliberately NOT folded across batch_ids: the batch_id is the
+    * replay-dedup key, and folding it away would let this sequence
+    * double-count — append crashes after its deltas land but before
+    * the `_docs` commit; compact folds those orphan deltas into an
+    * anonymous row; the replayed append (still novel — no commit
+    * record) lands the same deltas again under the original id, which
+    * no longer collapses with anything. Fold-to-vocab-size is a
+    * REBUILD ([[write]] over the corpus), which re-keys everything.
     */
   def compact(spark: SparkSession, tableBase: String): Unit = {
-    def rewrite(suffix: String, merged: DataFrame, cols: Seq[String])
-        : Unit = {
-      val t = s"${tableBase}_$suffix"
-      val loc = spark.sessionState.catalog.getTableMetadata(
-        spark.sessionState.sqlParser.parseTableIdentifier(t))
-        .location.toString
-      val one = merged
-        .withColumn("batch_id",
-          md5(concat_ws("|", lit("compacted") +: cols.map(col): _*)))
-      val frozen = one.localCheckpoint(true)
-      frozen.write.mode("overwrite").format("parquet")
-        .option("path", loc).saveAsTable(t)
-      spark.catalog.refreshTable(t)
-      frozen.unpersist()
-    }
-    rewrite("uni", mergedUni(spark, tableBase), Seq("word", "c1"))
-    rewrite("big", mergedBig(spark, tableBase), Seq("w1", "w2", "c12"))
+    Bucketed.compactPlain(spark, s"${tableBase}_uni",
+      Seq("batch_id", "word"))
+    Bucketed.compactPlain(spark, s"${tableBase}_big",
+      Seq("batch_id", "w1", "w2"))
+    Bucketed.compactBucketed(spark, s"${tableBase}_docs")
   }
 }

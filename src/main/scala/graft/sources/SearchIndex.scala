@@ -49,25 +49,17 @@ import org.apache.spark.sql.types._
   */
 object SearchIndex {
 
-  /** (doc_id, dl) for docs with ≥ 1 token — tokenization shared with
-    * SearchPack via [[Portable.words]] so the index and the in-query
-    * path cannot drift.
+  /** Postings/length derivations are [[SearchPack.postingsOf]] /
+    * [[SearchPack.docLensOf]] BY REFERENCE — the store and the
+    * oracle-verified in-query path must tokenize identically, so
+    * neither re-spells the derivation (the same sharing discipline as
+    * the scoring tail).
     */
   private def docLens(docs: DataFrame): DataFrame =
-    docs
-      .select(col("doc_id"), Portable.words(col("text")).as("w"))
-      .filter(size(col("w")) > 0)
-      .select(col("doc_id"), size(col("w")).cast(LongType).as("dl"))
+    SearchPack.docLensOf(docs)
 
-  /** Postings rows (word, doc_id, tf, dl) for a doc frame. */
   private def postingsOf(docs: DataFrame): DataFrame =
-    docs
-      .select(col("doc_id"), Portable.words(col("text")).as("w"))
-      .filter(size(col("w")) > 0)
-      .select(col("doc_id"), size(col("w")).cast(LongType).as("dl"),
-        explode(col("w")).as("word"))
-      .groupBy(col("word"), col("doc_id"), col("dl"))
-      .agg(count(lit(1)).as("tf"))
+    SearchPack.postingsOf(docs)
 
   /** One (batch_id, n, t) delta row for an ingest unit. batch_id is
     * the unit's content identity ([[IngestId]]): a crash-replayed
@@ -107,9 +99,16 @@ object SearchIndex {
   def append(spark: SparkSession, tableBase: String,
       batch: DataFrame): Unit = {
     val novel = novelSlice(spark, tableBase, batch)
-    appendPostings(spark, tableBase, novel)
-    appendTotals(spark, tableBase, novel)
-    commitDocs(spark, tableBase, novel)
+    // tokenize the severed batch ONCE; an all-known batch (every
+    // trigger of a steady stream re-offering history) short-circuits
+    // before any lease acquisition or empty file lands
+    val lens = docLens(novel).localCheckpoint(true)
+    if (lens.limit(1).count() > 0) {
+      appendPostings(spark, tableBase, novel)
+      appendTotalsOf(spark, tableBase, lens)
+      commitDocsOf(spark, tableBase, lens)
+    }
+    lens.unpersist()
     novel.unpersist()
   }
 
@@ -128,18 +127,20 @@ object SearchIndex {
       s"${tableBase}_postings")
 
   private[graft] def appendTotals(spark: SparkSession, tableBase: String,
-      novel: DataFrame): Unit = {
-    val lens = docLens(novel)
+      novel: DataFrame): Unit =
+    appendTotalsOf(spark, tableBase, docLens(novel))
+
+  private def appendTotalsOf(spark: SparkSession, tableBase: String,
+      lens: DataFrame): Unit =
     if (lens.limit(1).count() > 0) {
       totalsDelta(lens).write.mode("append").format("parquet")
         .saveAsTable(s"${tableBase}_totals")
       spark.catalog.refreshTable(s"${tableBase}_totals")
     }
-  }
 
-  private[graft] def commitDocs(spark: SparkSession, tableBase: String,
-      novel: DataFrame): Unit =
-    Bucketed.appendBucketed(spark, docLens(novel), s"${tableBase}_docs")
+  private def commitDocsOf(spark: SparkSession, tableBase: String,
+      lens: DataFrame): Unit =
+    Bucketed.appendBucketed(spark, lens, s"${tableBase}_docs")
 
   /** Rewrite the appended-to bucketed tables back to one sorted file
     * per bucket — run periodically to undo append amplification. The

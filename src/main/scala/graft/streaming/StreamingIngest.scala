@@ -66,9 +66,22 @@ object StreamingIngest {
     * batch's KEPT docs (exact-unique, no history near-dup — exactly the
     * set appended to the band store) also land in the BM25 index, so
     * each micro-batch is lexically searchable as soon as its verdicts
-    * are out. The index append is itself novelty-filtered and
-    * replay-convergent (idempotent-at-read legs, commit record last),
-    * so it adds no new crash mode to the loop's pinned semantics.
+    * are out.
+    *
+    * The index append runs BEFORE the band-store append, and the
+    * ordering is load-bearing: the band store is the one mutation that
+    * changes a REPLAY's own verdicts (a replayed batch's within-batch
+    * near-dup pair meets itself as history — distinct ids, so the
+    * self-pair drop does not apply — shrinking the replay's `kept`).
+    * Were the index leg after the band append, a crash between them
+    * would leave those docs in the band store but permanently
+    * unindexed: the replay's smaller `kept` never offers them to the
+    * index again. Index-first, every crash point replays converged:
+    * before/inside the index append the band store is untouched, so
+    * the replay re-derives the SAME `kept` and the index append
+    * converges on its own contract (novelty filter + idempotent-at-
+    * read legs); after the band append, both stores already hold the
+    * full attempt-1 `kept`.
     */
   def processBatch(spark: SparkSession, fpTable: String, mhBase: String,
       searchBase: Option[String], batch: DataFrame): DataFrame = {
@@ -89,10 +102,11 @@ object StreamingIngest {
     // below stay correct after the appends mutate the stores
     val kept = survivors.join(
       near.filter(col("n_hist_matches") === 0).select("doc_id"), "doc_id")
-    // novel content becomes history for the NEXT batch
+    // novel content becomes history for the NEXT batch — index leg
+    // strictly before the band append (see the ordering note above)
     FingerprintStore.append(spark, fpTable, b)
-    MinHashStore.append(spark, mhBase, kept)
     searchBase.foreach(sb => SearchIndex.append(spark, sb, kept))
+    MinHashStore.append(spark, mhBase, kept)
     exact
       .select(col("doc_id"), col("canonical_id"), col("dup_of_history"),
         col("is_dup"))

@@ -110,19 +110,52 @@ class LmStoreSpec extends GraftSpec {
     } finally cleanup(base, path)
   }
 
-  test("compact folds the delta generations; scores unchanged") {
+  test("compact is layout-only: one file, rows and batch_ids " +
+      "preserved, scores unchanged") {
     val (base, path) = freshBase()
     try {
       LmStore.write(docs.filter(pmod(col("doc_id"), lit(2)) === 0),
         base, path)
       LmStore.append(spark, base,
         docs.filter(pmod(col("doc_id"), lit(2)) =!= 0))
+      val idsBefore = spark.table(s"${base}_uni")
+        .select("batch_id").distinct().collect().map(_.getString(0)).toSet
+      val rowsBefore = spark.table(s"${base}_uni").count()
       LmStore.compact(spark, base)
       assert(rows(LmStore.score(spark, base, docs)) == inQuery)
-      // the fold really collapsed the two generations per word
-      val uni = spark.table(s"${base}_uni")
-      assert(uni.groupBy("word").count().agg(max("count")).first()
-        .getLong(0) == 1L)
+      // rows and their replay-dedup keys survive the rewrite exactly
+      assert(spark.table(s"${base}_uni").count() == rowsBefore)
+      assert(spark.table(s"${base}_uni").select("batch_id").distinct()
+        .collect().map(_.getString(0)).toSet == idsBefore)
+      // and the layout goal is met: one data file per delta table
+      Seq("uni", "big").foreach { t =>
+        val loc = spark.sessionState.catalog.getTableMetadata(
+          spark.sessionState.sqlParser
+            .parseTableIdentifier(s"${base}_$t")).location
+        val files = new java.io.File(loc).listFiles()
+          .filter(_.getName.endsWith(".parquet"))
+        assert(files.length == 1, s"${base}_$t: ${files.length} files")
+      }
+    } finally cleanup(base, path)
+  }
+
+  test("compact between a crashed append and its replay still " +
+      "converges (the fold-across-ids hazard, pinned)") {
+    val (base, path) = freshBase()
+    try {
+      LmStore.write(docs.filter(pmod(col("doc_id"), lit(2)) === 0),
+        base, path)
+      val odds = docs.filter(pmod(col("doc_id"), lit(2)) =!= 0)
+      // crash: delta legs landed, no _docs commit record
+      val novel = LmStore.novelSlice(spark, base, odds)
+      LmStore.appendDeltas(spark, base, novel)
+      novel.unpersist()
+      // an operator compacts the store while the append is un-replayed
+      LmStore.compact(spark, base)
+      // the replay lands the same deltas under the same content ids —
+      // compaction preserved the ids, so they still collapse at read
+      LmStore.append(spark, base, odds)
+      assert(rows(LmStore.score(spark, base, docs)) == inQuery)
     } finally cleanup(base, path)
   }
 

@@ -192,4 +192,57 @@ class StreamingIngestSpec extends GraftSpec {
       Caches.deleteDir(tmp)
     }
   }
+
+  test("index-before-band-append ordering: a crash between the index " +
+      "and band appends replays to a converged pair of stores") {
+    // The hazard this ordering closes: batch-internal near-dups A/B
+    // (both KEPT by the within-batch policy) land in the band store;
+    // a crash before the index append plus a replay — where A and B
+    // now see each other as history and leave `kept` — would strand
+    // them banded-but-unindexed forever if the index leg ran last.
+    // With the index leg FIRST, the same crash point (after fp+index,
+    // before band) replays with the band store untouched: kept is
+    // re-derived identically and both stores converge.
+    import java.nio.file.Files
+    import spark.implicits._
+    import graft.sources.SearchIndex
+    val base = (1 to 40).map(i => s"w$i").mkString(" ")
+    val near = base.replace("w20", "zz")
+    val tmp = Files.createTempDirectory("graft-ingest-order").toString
+    val seed = Seq((2L, "seed history content")).toDF("doc_id", "text")
+    FingerprintStore.write(seed, "ingord_fp", s"$tmp/fp")
+    MinHashStore.write(seed, "ingord_mh", s"$tmp/mh")
+    SearchIndex.write(seed, "ingord_ix", s"$tmp/ix")
+    val batch = Seq((11L, base), (13L, near)).toDF("doc_id", "text")
+    try {
+      // attempt 1, crashing AFTER the fp and index appends (the legs
+      // processBatch runs before the band append), BEFORE the band leg
+      FingerprintStore.append(spark, "ingord_fp", batch)
+      SearchIndex.append(spark, "ingord_ix", batch) // kept = {11, 13}
+      // replay: the full loop
+      val verdicts = StreamingIngest.processBatch(spark, "ingord_fp",
+        "ingord_mh", Some("ingord_ix"), batch).collect()
+        .map(r => r.getLong(0) -> r).toMap
+      // the replay's fp verdicts are replay-stable (not history dups)
+      assert(!verdicts(11L).getBoolean(2) && !verdicts(13L).getBoolean(2))
+      // both docs are in BOTH stores — no banded-but-unindexed gap
+      val indexed = spark.table("ingord_ix_docs")
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      assert(Set(2L, 11L, 13L).subsetOf(indexed), s"indexed: $indexed")
+      val banded = spark.table("ingord_mh_shingles")
+        .select("h_id").collect().map(_.getLong(0)).toSet
+      assert(Set(11L, 13L).subsetOf(banded), s"banded: $banded")
+      // and the index is not double-counted: one postings row per
+      // (word, doc) pair for the replayed docs
+      val maxDup = spark.table("ingord_ix_postings")
+        .groupBy("word", "doc_id").count().agg(max("count"))
+        .first().getLong(0)
+      assert(maxDup == 1L, s"duplicated postings rows: $maxDup")
+    } finally {
+      Seq("ingord_fp", "ingord_mh_bands", "ingord_mh_shingles",
+        "ingord_ix_postings", "ingord_ix_docs", "ingord_ix_totals")
+        .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+      Caches.deleteDir(tmp)
+    }
+  }
 }
