@@ -264,9 +264,9 @@ object AnnPack extends QueryPack {
     * the brute-force oracles depend on. (1e-6 only covered the cosine
     * rounding itself, not the acos amplification.)
     */
-  private val boundEps = 2.5e-3
+  private[graft] val boundEps = 2.5e-3
 
-  private def clampedAngle(cosCol: Column): Column =
+  private[graft] def clampedAngle(cosCol: Column): Column =
     acos(least(lit(1.0), greatest(lit(-1.0), cosCol)))
 
   /** The (label, cell) coarse structure shared by D3/C5/D6: one
@@ -275,8 +275,32 @@ object AnnPack extends QueryPack {
     * Returns (centR: [label, c_cell, cv, cnrm, r], lists: [vec_id,
     * label, cell, v, nrm]).
     */
-  private[graft] def labelCells(s: SparkSession, d: String): (DataFrame, DataFrame) = {
-    val n = vecs(s, d)
+  private[graft] def labelCells(s: SparkSession, d: String): (DataFrame, DataFrame) =
+    labelCellsOf(vecs(s, d))
+
+  /** Argmax-centroid-cosine assignment (low cell on ties) of a normed
+    * frame (vec_id, label, v, nrm) to a (label, cell, cv, cnrm) centroid
+    * table — a map-side-combinable max_by aggregation, not a window over
+    * the block. Shared by [[labelCellsOf]] and
+    * [[graft.sources.EmbedStore]]'s append routing (appended vectors
+    * must route by the SAME deterministic rule build-time members did).
+    */
+  private[graft] def assignToCells(n: DataFrame, cent: DataFrame): DataFrame =
+    n.join(broadcast(cent), "label")
+      .withColumn("ccos",
+        Vectors.cosine(col("v"), col("cv"), col("nrm"), col("cnrm")))
+      .groupBy(col("vec_id"), col("label"))
+      .agg(
+        max_by(col("cell"),
+          struct(col("ccos").as("c"), (-col("cell")).as("nc"))).as("cell"),
+        first(col("v")).as("v"), first(col("nrm")).as("nrm"))
+
+  /** [[labelCells]] over an arbitrary normed frame (vec_id, label, v,
+    * nrm) — shared with [[graft.sources.EmbedStore]], whose persisted
+    * cell structure must be built by the SAME arithmetic the in-query
+    * exact-bound path is oracle-verified with.
+    */
+  private[graft] def labelCellsOf(n: DataFrame): (DataFrame, DataFrame) = {
     // per-label cell count, derived from the block cardinality (the knob
     // documented above — one partial-agg pass, a tiny broadcast result)
     val nCells = n.groupBy(col("label"))
@@ -303,17 +327,7 @@ object AnnPack extends QueryPack {
       .filter(col("pos") < col("n_cells"))
       .select(col("label"), (col("pos") + 1).cast(IntegerType).as("cell"),
         col("e.v").as("cv"), col("e.nrm").as("cnrm"))
-    // argmax centroid cosine, low cell on ties — a map-side-combinable
-    // max_by aggregation, not a window over the block
-    def assignTo(cent: DataFrame): DataFrame =
-      n.join(broadcast(cent), "label")
-        .withColumn("ccos",
-          Vectors.cosine(col("v"), col("cv"), col("nrm"), col("cnrm")))
-        .groupBy(col("vec_id"), col("label"))
-        .agg(
-          max_by(col("cell"),
-            struct(col("ccos").as("c"), (-col("cell")).as("nc"))).as("cell"),
-          first(col("v")).as("v"), first(col("nrm")).as("nrm"))
+    def assignTo(cent: DataFrame): DataFrame = assignToCells(n, cent)
     def recenter(assigned: DataFrame): DataFrame =
       assigned
         .select(col("label"), col("cell"),
@@ -973,10 +987,116 @@ object AnnPack extends QueryPack {
       FROM q ORDER BY vec_id
       """))
 
+  /** Memoized [[graft.sources.EmbedStore]] artifacts — catalog tables +
+    * store dirs keyed by dataset dir, the DedupPack storeArtifacts
+    * discipline: dropped with the cache registry so a dataset rewritten
+    * in-session rebuilds the store instead of probing a stale one.
+    */
+  private val embedStores = java.util.concurrent.ConcurrentHashMap
+    .newKeySet[(String, String)]() // (catalog table, store dir)
+  graft.Caches.onRelease(() => {
+    org.apache.spark.sql.SparkSession.getActiveSession
+      .orElse(org.apache.spark.sql.SparkSession.getDefaultSession)
+      .foreach { s =>
+        embedStores.forEach { case (t, _) =>
+          s.sql(s"DROP TABLE IF EXISTS $t") }
+      }
+    embedStores.forEach { case (_, dir) =>
+      if (dir.nonEmpty) graft.Caches.deleteDir(dir) }
+    embedStores.clear()
+  })
+
+  /** Build (once per JVM × dataset × path-shape) the C14 gate's history
+    * store: even vec_ids. `split = false` writes the whole history in
+    * one build; `split = true` writes the vec_id % 4 == 0 slice and
+    * APPENDS the % 4 == 2 slice — the probe result must be identical
+    * either way, which is exactly the append contract the second gate
+    * row proves.
+    */
+  private def embStore(s: SparkSession, d: String,
+      split: Boolean): String = {
+    val tag = java.security.MessageDigest.getInstance("MD5")
+      .digest(d.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(10)
+    val base = s"graft_emb_store_$tag" + (if (split) "a" else "")
+    val root = sys.env.getOrElse("SPARK_GRAFT_STORE_DIR",
+      sys.props("java.io.tmpdir"))
+    if (!s.catalog.tableExists(s"${base}_lists")) {
+      val hist = Tables.embeddings(s, d)
+        .filter(pmod(col("vec_id"), lit(2)) === 0)
+        .select(col("vec_id"), col("label"), col("embedding"))
+      if (!split)
+        graft.sources.EmbedStore.write(hist, base, s"$root/$base")
+      else {
+        graft.sources.EmbedStore.write(
+          hist.filter(pmod(col("vec_id"), lit(4)) === 0),
+          base, s"$root/$base")
+        graft.sources.EmbedStore.append(s, base,
+          hist.filter(pmod(col("vec_id"), lit(4)) === 2))
+      }
+      embedStores.add((s"${base}_cells", s"$root/$base"))
+      embedStores.add((s"${base}_lists", ""))
+    }
+    base
+  }
+
+  private def oddBatch(s: SparkSession, d: String): DataFrame =
+    Tables.embeddings(s, d)
+      .filter(pmod(col("vec_id"), lit(2)) =!= 0)
+      .select(col("vec_id"), col("label"), col("embedding"))
+
+  /** The brute-force cross-parity oracle BOTH C14 gate rows must
+    * hash-match: every (odd batch, even history) within-label pair at
+    * cos ≥ τ, aggregated to the store's verdict row. The append gate
+    * matching THIS SAME oracle is the proof that write+append ≡ one
+    * build — candidate cells come from exact radius bounds (recall 1
+    * regardless of which cell a vector routed to), and verdicts only
+    * ever come from exact cosines.
+    */
+  private val embedIncOracle = s"""
+      WITH $vecsSql,
+      x AS (SELECT b.vec_id AS b_id, h.vec_id AS h_id,
+          round(${Vectors.sql.dot("b.v", "h.v")} / (b.nrm * h.nrm), 6)
+            AS cos_sim
+        FROM n b JOIN n h ON b.label = h.label
+        WHERE b.vec_id % 2 = 1 AND h.vec_id % 2 = 0),
+      g AS (SELECT b_id, COUNT(*) AS cnt, MIN(h_id) AS hist,
+          MAX(cos_sim) AS best
+        FROM x WHERE cos_sim >= $nearDupTau GROUP BY b_id)
+      SELECT v.vec_id,
+        CAST(COALESCE(g.cnt, 0) AS BIGINT) AS n_hist_matches,
+        CAST(COALESCE(g.hist, -1) AS BIGINT) AS hist_canonical,
+        COALESCE(g.best, 0.0) AS best_cos
+      FROM (SELECT vec_id FROM n WHERE vec_id % 2 = 1) v
+      LEFT JOIN g ON v.vec_id = g.b_id
+      ORDER BY v.vec_id
+      """
+
+  // C14 — incremental embedding near-dup against the persisted
+  // EmbedStore (the semantic leg of the incremental-store family): odd
+  // vec_ids probe a store built from the even history.
+  private val dedupIncEmbed = GraftQuery(
+    "dedup_incremental_embedding",
+    (s, d) => graft.sources.EmbedStore.dedupAgainst(
+        s, embStore(s, d, split = false), oddBatch(s, d))
+      .orderBy(col("vec_id")),
+    Some(embedIncOracle))
+
+  // C14's APPEND path through the driver gate: build on a quarter of
+  // the corpus, append the other even quarter (radius-first cells
+  // rewrite + bucket-aligned lists append), then probe — hash-matching
+  // the SAME one-build oracle proves appended vectors are found exactly
+  // as if they had been present at build time.
+  private val dedupIncEmbedAppend = GraftQuery(
+    "dedup_incremental_embedding_append",
+    (s, d) => graft.sources.EmbedStore.dedupAgainst(
+        s, embStore(s, d, split = true), oddBatch(s, d))
+      .orderBy(col("vec_id")),
+    Some(embedIncOracle))
+
   override val queries: Seq[GraftQuery] =
     Seq(annBrute, annLsh, knnJoin, dedupEmbedding, annIvf, annIvfKmeans,
       annRange, embeddingQuantize, annQuantized, annIndexSearch,
-      annIndexAppendSearch)
+      annIndexAppendSearch, dedupIncEmbed, dedupIncEmbedAppend)
 
   /** Cross-query shared working sets (see [[graft.QueryPack.warm]]):
     * the (label, cell) inverted lists feed D3/C5/D6 + C10's rangePairs,

@@ -44,24 +44,51 @@ object Bucketed {
   def writeBucketed(df: DataFrame, table: String, key: String,
                     buckets: Int, path: String): Unit = {
     val spark = df.sparkSession
+    withWriterLeaseAt(spark, resolveLocation(spark, table, path), table) {
+      withSpec(df.write.mode("overwrite")
+        .format("parquet")
+        .option("path", path), BucketSpec(buckets, Seq(key), Seq(key)))
+        .saveAsTable(table)
+    }
+  }
+
+  /** Write `df` as a PLAIN (unbucketed) external parquet table at
+    * `path`, one sorted file — for the stores' metadata-scale sidecar
+    * tables ([[EmbedStore]]'s cells). Lease-guarded like
+    * [[writeBucketed]]: a rebuild racing an append or compaction of the
+    * same location is the same silent-corruption mode.
+    */
+  def writePlain(df: DataFrame, table: String, path: String,
+      sortCols: Seq[String]): Unit = {
+    val spark = df.sparkSession
+    withWriterLeaseAt(spark, resolveLocation(spark, table, path), table) {
+      df.repartition(1)
+        .sortWithinPartitions(
+          sortCols.map(org.apache.spark.sql.functions.col): _*)
+        .write.mode("overwrite").format("parquet")
+        .option("path", path).saveAsTable(table)
+    }
+  }
+
+  /** The location `saveAsTable` will actually use for a `path` option —
+    * a relative path resolves against the TABLE IDENTIFIER's database
+    * location (not blindly the current database: saveAsTable("db.t")
+    * resolves against db's location even when the current one differs) —
+    * so the lease marker sits beside the actual table files and locks
+    * the same path append/compact derive from the catalog.
+    */
+  private def resolveLocation(spark: SparkSession, table: String,
+      path: String): String = {
     val raw = new org.apache.hadoop.fs.Path(path)
     val resolved = if (raw.isAbsolute || raw.toUri.getScheme != null) raw
       else {
-        // the TABLE IDENTIFIER's database, not blindly the current one:
-        // saveAsTable("otherdb.t") resolves a relative path option
-        // against otherdb's location even when the current db differs
         val db = spark.sessionState.sqlParser.parseTableIdentifier(table)
           .database.getOrElse(spark.sessionState.catalog.getCurrentDatabase)
         new org.apache.hadoop.fs.Path(new org.apache.hadoop.fs.Path(
           spark.sessionState.catalog.getDatabaseMetadata(db).locationUri),
           path)
       }
-    withWriterLeaseAt(spark, resolved.toString, table) {
-      withSpec(df.write.mode("overwrite")
-        .format("parquet")
-        .option("path", path), BucketSpec(buckets, Seq(key), Seq(key)))
-        .saveAsTable(table)
-    }
+    resolved.toString
   }
 
   /** Single-writer lease over a bucketed store's mutations.
@@ -346,10 +373,24 @@ object Bucketed {
     * crash-replayed append collapse at read.
     */
   def compactPlain(spark: SparkSession, table: String,
+      sortCols: Seq[String]): Unit =
+    rewritePlain(spark, table, spark.table(table), sortCols)
+
+  /** Lease-guarded, generation-swapped REWRITE of a plain table with
+    * new content. `df` MAY read from the table itself: the write lands
+    * in a sibling generation directory while the old generation's files
+    * stay live, the catalog repoint happens only after the write
+    * succeeds, and the retired directory survives with one-generation
+    * grace — a crash at any point leaves the pre-rewrite table fully
+    * intact. This is the mutation primitive for metadata-scale tables
+    * whose content must CHANGE atomically on append
+    * ([[EmbedStore]]'s cell radii); [[compactPlain]] is the identity
+    * instance of it.
+    */
+  def rewritePlain(spark: SparkSession, table: String, df: DataFrame,
       sortCols: Seq[String]): Unit = withWriterLease(spark, table) {
     swapGeneration(spark, table) { (newPath, tmpTable) =>
-      spark.table(table)
-        .repartition(1)
+      df.repartition(1)
         .sortWithinPartitions(
           sortCols.map(org.apache.spark.sql.functions.col): _*)
         .write.mode("overwrite").format("parquet")

@@ -1,0 +1,200 @@
+package graft
+
+import graft.functions.Vectors
+import graft.sources.EmbedStore
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** sources/EmbedStore (SURVEY.md §2 C14): the persisted embedding
+  * near-dup store — probe verdicts are exact (recall 1 via the angular
+  * radius bound), the history lists read their buckets in place, append
+  * grows the radius BEFORE the lists land (the recall-safe order), new
+  * labels form fresh cells, and crash replays converge.
+  */
+class EmbedStoreSpec extends GraftSpec {
+
+  private val tau = 0.45
+
+  private var n = 0
+  private def freshBase(): (String, String) = {
+    n += 1
+    val base = s"graft_emb_spec_${System.nanoTime()}_$n"
+    (base, s"${sys.props("java.io.tmpdir")}/$base")
+  }
+
+  private def cleanup(base: String, path: String): Unit = {
+    Seq("cells", "lists").foreach(s =>
+      spark.sql(s"DROP TABLE IF EXISTS ${base}_$s"))
+    Caches.deleteDir(path)
+  }
+
+  private def embDf(rows: Seq[(Long, Int, Seq[Double])]): DataFrame = {
+    import spark.implicits._
+    rows.map { case (id, lab, v) => (id, lab, v.map(_.toFloat).toArray) }
+      .toDF("vec_id", "label", "embedding")
+  }
+
+  /** Brute-force expected verdicts, same arithmetic as the store path:
+    * every within-label (batch, history) pair at round(cos, 6) ≥ τ.
+    */
+  private def bruteVerdicts(batch: DataFrame,
+      history: DataFrame): Map[Long, (Long, Long, Double)] = {
+    def normed(df: DataFrame, p: String) = df.select(
+      col("vec_id").as(s"${p}id"), col("label"),
+      Vectors.toDouble(col("embedding")).as(s"${p}v"))
+      .withColumn(s"${p}n", Vectors.norm(col(s"${p}v")))
+    val x = normed(batch, "b").join(normed(history, "h"), "label")
+      .withColumn("cos_sim",
+        Vectors.cosine(col("bv"), col("hv"), col("bn"), col("hn")))
+      .filter(col("cos_sim") >= tau)
+      .groupBy(col("bid"))
+      .agg(count(lit(1)).as("n"), min(col("hid")).as("hist"),
+        max(col("cos_sim")).as("best"))
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    batch.select("vec_id").collect().map(_.getLong(0))
+      .map(id => id -> x.getOrElse(id, (0L, -1L, 0.0))).toMap
+  }
+
+  private def verdictMap(df: DataFrame): Map[Long, (Long, Long, Double)] =
+    df.collect().map(r => r.getLong(0) ->
+      (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+
+  test("probe verdicts are exact and the lists store scan has no " +
+      "exchange above it") {
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.execution.joins.SortMergeJoinExec
+    val history = embDf(Seq(
+      (2L, 1, Seq(1.0, 0.0, 0.0, 0.0)),
+      (4L, 1, Seq(0.95, 0.05, 0.0, 0.0)),
+      (6L, 1, Seq(0.0, 1.0, 0.0, 0.0)),
+      (8L, 1, Seq(0.0, 0.9, 0.1, 0.0)),
+      (10L, 2, Seq(0.5, 0.5, 0.0, 0.0)),
+      (12L, 2, Seq(0.0, 0.0, 1.0, 0.0))))
+    val batch = embDf(Seq(
+      (1L, 1, Seq(0.98, 0.02, 0.0, 0.0)),  // near h2/h4 only
+      (3L, 1, Seq(0.0, 0.0, 0.0, 1.0)),    // orthogonal to everything
+      (5L, 1, Seq(0.0, 0.95, 0.05, 0.0)),  // near h6/h8
+      (7L, 2, Seq(0.45, 0.55, 0.0, 0.0)),  // near h10
+      (9L, 3, Seq(1.0, 0.0, 0.0, 0.0))))   // label absent from history
+    val (base, path) = freshBase()
+    val prevB = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val prevA = spark.conf.get("spark.sql.adaptive.enabled")
+    try {
+      EmbedStore.write(history, base, path)
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      val out = EmbedStore.dedupAgainst(spark, base, batch, tau)
+      assert(verdictMap(out) == bruteVerdicts(batch, history))
+      // the persisted lists side reads its buckets in place: a
+      // sort-merge join whose store input is the bucketed scan plus
+      // local ops only, with no shuffle exchange inside it
+      def storeScan(p: SparkPlan) = p.collect {
+        case f: FileSourceScanExec if f.relation.bucketSpec.isDefined => f
+      }.nonEmpty
+      val plan = out.queryExecution.executedPlan
+      val storeSides = plan.collect { case j: SortMergeJoinExec => j }
+        .flatMap(j => Seq(j.left, j.right))
+        .filter(side => storeScan(side) &&
+          side.collect { case nj: SortMergeJoinExec => nj }.isEmpty)
+      assert(storeSides.nonEmpty,
+        s"expected the lists probe as a sort-merge join:\n$plan")
+      storeSides.foreach(side => assert(
+        side.collect { case e: ShuffleExchangeExec => e }.isEmpty,
+        s"lists store side re-shuffled:\n$side"))
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevB)
+      spark.conf.set("spark.sql.adaptive.enabled", prevA)
+      cleanup(base, path)
+    }
+  }
+
+  test("append grows the cell radius: an appended outlier far outside " +
+      "its routed cell's build-time radius is still found") {
+    val history = embDf(Seq(
+      (2L, 7, Seq(1.0, 0.0, 0.0, 0.0)),
+      (4L, 7, Seq(0.99, 0.01, 0.0, 0.0)),
+      (6L, 7, Seq(0.98, 0.02, 0.0, 0.0))))
+    // ~90° from every build-time member: under the OLD radius its
+    // routed cell's upper bound for a probe near it is ≈ cos(90°) — far
+    // below τ, so without the radius rewrite the probe would prune the
+    // cell and miss the verdict silently
+    val outlier = embDf(Seq((10L, 7, Seq(0.0, 1.0, 0.0, 0.0))))
+    val probe = embDf(Seq((11L, 7, Seq(0.0, 0.99, 0.1, 0.0))))
+    val (base, path) = freshBase()
+    try {
+      EmbedStore.write(history, base, path)
+      val before = verdictMap(EmbedStore.dedupAgainst(spark, base, probe, tau))
+      assert(before(11L) == ((0L, -1L, 0.0)),
+        s"probe matched pre-append history: $before")
+      EmbedStore.append(spark, base, outlier)
+      val after = verdictMap(EmbedStore.dedupAgainst(spark, base, probe, tau))
+      assert(after(11L)._1 == 1L && after(11L)._2 == 10L &&
+        after(11L)._3 >= 0.98, s"outlier not found after append: $after")
+    } finally cleanup(base, path)
+  }
+
+  test("appending a label the store has never seen forms a new cell " +
+      "that later probes find") {
+    val history = embDf(Seq(
+      (2L, 1, Seq(1.0, 0.0, 0.0, 0.0)),
+      (4L, 1, Seq(0.9, 0.1, 0.0, 0.0))))
+    val newLabel = embDf(Seq(
+      (20L, 9, Seq(0.0, 1.0, 0.0, 0.0)),
+      (22L, 9, Seq(0.0, 0.0, 1.0, 0.0))))
+    val probe = embDf(Seq((21L, 9, Seq(0.0, 0.99, 0.1, 0.0))))
+    val (base, path) = freshBase()
+    try {
+      EmbedStore.write(history, base, path)
+      assert(verdictMap(EmbedStore.dedupAgainst(spark, base, probe, tau))
+        .apply(21L) == ((0L, -1L, 0.0)))
+      EmbedStore.append(spark, base, newLabel)
+      val after = verdictMap(EmbedStore.dedupAgainst(spark, base, probe, tau))
+      assert(after(21L)._1 == 1L && after(21L)._2 == 20L,
+        s"new-label vectors not probed: $after")
+    } finally cleanup(base, path)
+  }
+
+  test("crash replay converges: cells rewritten but lists not landed — " +
+      "verdicts stay sound, the replay ends identical to an uncrashed " +
+      "append, and re-appending after success changes nothing") {
+    val history = embDf(Seq(
+      (2L, 1, Seq(1.0, 0.0, 0.0, 0.0)),
+      (4L, 1, Seq(0.9, 0.1, 0.0, 0.0))))
+    val batchA = embDf(Seq((10L, 1, Seq(0.0, 1.0, 0.0, 0.0))))
+    val probe = embDf(Seq(
+      (11L, 1, Seq(0.0, 0.99, 0.1, 0.0)),
+      (13L, 1, Seq(0.97, 0.03, 0.0, 0.0))))
+    // control: an uncrashed write+append
+    val (cb, cp) = freshBase()
+    val (base, path) = freshBase()
+    try {
+      EmbedStore.write(history, cb, cp)
+      EmbedStore.append(spark, cb, batchA)
+      val control = verdictMap(EmbedStore.dedupAgainst(spark, cb, probe, tau))
+      EmbedStore.write(history, base, path)
+      // crash between the legs: radius grown, lists rows never landed
+      val (routed, grownCells) = EmbedStore.planAppend(spark, base, batchA)
+      EmbedStore.appendCellsLeg(spark, base, grownCells)
+      val crashed = verdictMap(EmbedStore.dedupAgainst(spark, base, probe, tau))
+      // conservative state: wider radius adds candidate cells but no
+      // vectors — verdicts are the pre-append ones, nothing false
+      assert(crashed(10L + 1) == ((0L, -1L, 0.0)) &&
+        crashed(13L)._2 == 2L, s"crashed state unsound: $crashed")
+      // the replay re-runs BOTH legs from scratch
+      EmbedStore.append(spark, base, batchA)
+      val replayed = verdictMap(EmbedStore.dedupAgainst(spark, base, probe, tau))
+      assert(replayed == control, s"$replayed != $control")
+      // replay after SUCCESS (duplicate lists rows): pair-level dedupe
+      // keeps verdicts identical
+      EmbedStore.append(spark, base, batchA)
+      assert(verdictMap(EmbedStore.dedupAgainst(spark, base, probe, tau))
+        == control)
+      // compaction is verdict-stable
+      EmbedStore.compact(spark, base)
+      assert(verdictMap(EmbedStore.dedupAgainst(spark, base, probe, tau))
+        == control)
+    } finally { cleanup(base, path); cleanup(cb, cp) }
+  }
+}
