@@ -79,7 +79,13 @@ object ScaleSmoke {
   private def scaleEmbeddings(df: DataFrame, k: Int): DataFrame =
     replicate(df, k) { (d, r) =>
       d.withColumn("vec_id", col("vec_id") + lit(r * 10000000L))
-        .withColumn("label", concat(col("label"), lit(s"_$r")))
+        // label must stay NUMERIC: Tables.load pins label to its
+        // canonical IntegerType (r8), so the old "_r" string suffix
+        // would cast every replica label to NULL — one giant null block
+        // for groupBys and ZERO join pairs for label equi-joins, i.e. a
+        // silently vacuous ann scale measurement. An integer offset
+        // keeps replica blocks disjoint at unchanged per-label density.
+        .withColumn("label", col("label") + lit(r * 1000))
     }
 
   private def scaleEvents(df: DataFrame, k: Int): DataFrame =
@@ -131,10 +137,12 @@ object ScaleSmoke {
     spark.range(1000).selectExpr("sum(id)").collect()
 
     // the reuse marker must key on BASE as well as K — a dir named by K
-    // alone would silently serve stale replicas of a different dataset
+    // alone would silently serve stale replicas of a different dataset —
+    // and on the MUTATION VERSION (v2: numeric embedding labels), or a
+    // pre-fix replica dir would quietly feed the vacuous null-label shape
     val baseTag = java.security.MessageDigest.getInstance("MD5")
       .digest(base.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(8)
-    val dir = s"target/scale/x$k-$baseTag"
+    val dir = s"target/scale/x$k-$baseTag-v2"
     ensureScaled(spark, base, k, dir)
 
     def run(name: String, d: String): Double = {
@@ -179,6 +187,16 @@ object ScaleSmoke {
       val hist = sources.Tables.documents(spark, histDir)
       val batch = sources.Tables.documents(spark, base)
         .filter(pmod(col("doc_id"), lit(101)) === 0)
+      // the embedding store's history/batch: replica labels are
+      // disjoint, so a base batch vector's candidate lists stay
+      // x1-sized as history grows — the probe ratio isolates the
+      // store-layout overhead (cells broadcast + bucket read), the same
+      // framing as the ix legs' suffixed vocabulary
+      val histEmb = sources.Tables.embeddings(spark, histDir)
+        .select(col("vec_id"), col("label"), col("embedding"))
+      val batchEmb = sources.Tables.embeddings(spark, base)
+        .filter(pmod(col("vec_id"), lit(101)) === 0)
+        .select(col("vec_id"), col("label"), col("embedding"))
       val build = timeOf {
         sources.FingerprintStore.write(hist, s"scale_fp_$tag",
           s"$storesRoot/fp_$tag")
@@ -186,6 +204,8 @@ object ScaleSmoke {
           s"$storesRoot/mh_$tag")
         sources.SearchIndex.write(hist, s"scale_ix_$tag",
           s"$storesRoot/ix_$tag")
+        sources.EmbedStore.write(histEmb, s"scale_em_$tag",
+          s"$storesRoot/em_$tag")
       }
       def fpProbe() = probeSteady(() =>
         sources.FingerprintStore.dedupAgainst(spark, s"scale_fp_$tag", batch))
@@ -199,49 +219,65 @@ object ScaleSmoke {
       def ixProbe() = probeSteady(() =>
         sources.SearchIndex.search(spark, s"scale_ix_$tag",
           operators.SearchPack.bm25Terms, 20))
+      def emProbe() = probeSteady(() =>
+        sources.EmbedStore.dedupAgainst(spark, s"scale_em_$tag", batchEmb))
       val fp = fpProbe()
       val mh = mhProbe()
       val ix = ixProbe()
+      val em = emProbe()
       // ingest-loop legs: fold in a batch of NOVEL docs (fresh ids AND
       // fresh content — the ingest contract), re-probe the appended
       // store, compact, re-probe
       val appendBatch = freshen(sources.Tables.documents(spark, base)
         .filter(pmod(col("doc_id"), lit(103)) === 1)
         .withColumn("doc_id", col("doc_id") + lit(900000000L)), "ap")
+      // the embedding append batch: novel vec_ids; the vectors
+      // themselves may duplicate history content (that is a legal
+      // ingest — near-dups the caller chose to keep), and the leg's
+      // cost is routing + radius rewrite + bucket-aligned lists append
+      // either way
+      val appendEmb = sources.Tables.embeddings(spark, base)
+        .filter(pmod(col("vec_id"), lit(103)) === 1)
+        .withColumn("vec_id", col("vec_id") + lit(900000000L))
+        .select(col("vec_id"), col("label"), col("embedding"))
       val app = timeOf {
         sources.FingerprintStore.append(spark, s"scale_fp_$tag", appendBatch)
         sources.MinHashStore.append(spark, s"scale_mh_$tag", appendBatch)
         sources.SearchIndex.append(spark, s"scale_ix_$tag", appendBatch)
+        sources.EmbedStore.append(spark, s"scale_em_$tag", appendEmb)
       }
       val fpA = fpProbe()
       val mhA = mhProbe()
       val ixA = ixProbe()
+      val emA = emProbe()
       val cmp = timeOf {
         sources.FingerprintStore.compact(spark, s"scale_fp_$tag")
         sources.MinHashStore.compact(spark, s"scale_mh_$tag")
         sources.SearchIndex.compact(spark, s"scale_ix_$tag")
+        sources.EmbedStore.compact(spark, s"scale_em_$tag")
       }
       val fpC = fpProbe()
       val mhC = mhProbe()
       val ixC = ixProbe()
+      val emC = emProbe()
       Seq("store_build" -> build,
         "fp_store_probe" -> fp, "mh_store_probe" -> mh,
-        "ix_store_search" -> ix,
+        "ix_store_search" -> ix, "em_store_probe" -> em,
         "store_append" -> app,
         "fp_probe_post_append" -> fpA, "mh_probe_post_append" -> mhA,
-        "ix_search_post_append" -> ixA,
+        "ix_search_post_append" -> ixA, "em_probe_post_append" -> emA,
         "store_compact" -> cmp,
         "fp_probe_post_compact" -> fpC, "mh_probe_post_compact" -> mhC,
-        "ix_search_post_compact" -> ixC)
+        "ix_search_post_compact" -> ixC, "em_probe_post_compact" -> emC)
     }
     val s1 = storeProbe(base, "x1").toMap
     val sK = storeProbe(dir, s"x$k").toMap
     val storeOrder = Seq("store_build", "fp_store_probe", "mh_store_probe",
-      "ix_store_search",
+      "ix_store_search", "em_store_probe",
       "store_append", "fp_probe_post_append", "mh_probe_post_append",
-      "ix_search_post_append",
+      "ix_search_post_append", "em_probe_post_append",
       "store_compact", "fp_probe_post_compact", "mh_probe_post_compact",
-      "ix_search_post_compact")
+      "ix_search_post_compact", "em_probe_post_compact")
     val storeReport = storeOrder.map { op =>
       f"""{"op":"$op","x1":${s1(op)}%.3f,"x$k":${sK(op)}%.3f,"ratio":${sK(op) / math.max(s1(op), 1e-9)}%.2f}"""
     }
