@@ -464,8 +464,71 @@ object SearchPack extends QueryPack {
       ORDER BY doc_id, score_q20 DESC, word
       """))
 
+  // ---- I6: phrase_search — exact phrase retrieval ----
+  // The positional complement of I2's bag-of-words ranking: find every
+  // document containing the EXACT token sequence, with its occurrence
+  // count (stride-1, so overlapping occurrences all count — "a a a"
+  // holds "a a" twice). Retrieval engines ship this as positional
+  // postings; the Spark shape is the same idea as a chain join: one
+  // posexplode pass keeps ONLY the phrase terms' (doc_id, pos) rows
+  // (query-vocabulary-sized from there on — the corpus's other words
+  // never shuffle), each term's slice is offset-normalized to the
+  // phrase start (term i at position p anchors a candidate start
+  // p − i), and an occurrence is an (doc_id, start) key surviving the
+  // equi-join across ALL term slices. Every join is a codegen'd
+  // hash/sort-merge equi-join on (doc_id, start); no window, no HOF on
+  // the hot path. At 100 TB the positional slice per term is tf-sized —
+  // the same "the read is the query's posting mass" contract as I4.
+  private[graft] val phraseTerms = Seq("table", "value")
+
+  /** Occurrence counts (doc_id, n_occurrences) of the exact `phrase`
+    * over a (doc_id, text) frame; docs without a hit have no row.
+    */
+  private[graft] def phraseHitsOf(docs: DataFrame,
+      phrase: Seq[String]): DataFrame = {
+    require(phrase.nonEmpty, "empty phrase")
+    // one pass keeps only the phrase terms' positions; persisted
+    // because every term slice below branches off it (no cross-branch
+    // CSE) — the frame is query-term-positions-sized, not corpus-sized
+    val toks = docs
+      .select(col("doc_id"),
+        posexplode(words(col("text"))).as(Seq("pos", "w")))
+      .filter(col("w").isin(phrase.distinct: _*))
+      .persistTracked
+    val slices = phrase.zipWithIndex.map { case (t, i) =>
+      toks.filter(col("w") === t)
+        .select(col("doc_id"), (col("pos") - i).as("p"))
+    }
+    slices.reduce((a, b) => a.join(b, Seq("doc_id", "p")))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_occurrences"))
+  }
+
+  private val phraseSearch = GraftQuery(
+    "phrase_search",
+    (s, d) => phraseHitsOf(
+        Tables.parallelized(Tables.documents(s, d)), phraseTerms)
+      .orderBy(col("doc_id")),
+    Some {
+      val sliceCtes = phraseTerms.zipWithIndex.map { case (t, i) =>
+        s"s$i AS (SELECT doc_id, pos - $i AS p FROM tok WHERE word = '$t')"
+      }.mkString(",\n      ")
+      val joins = phraseTerms.indices.tail
+        .map(i => s"JOIN s$i USING (doc_id, p)").mkString(" ")
+      s"""
+      WITH t AS (SELECT doc_id, $wordsSql AS w FROM documents),
+      px AS (SELECT doc_id, unnest(range(len(w))) AS i, w FROM t),
+      tok AS (SELECT doc_id, i AS pos, w[CAST(i AS INTEGER)+1] AS word
+              FROM px),
+      $sliceCtes,
+      hits AS (SELECT s0.doc_id, s0.p FROM s0 $joins)
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_occurrences
+      FROM hits GROUP BY doc_id ORDER BY doc_id
+      """
+    })
+
   override val queries: Seq[GraftQuery] =
     Seq(lmScore, bm25Search, keywordExtract,
       bm25IndexSearch, bm25IndexAppendSearch,
-      lmIndexScore, lmIndexAppendScore)
+      lmIndexScore, lmIndexAppendScore, phraseSearch)
 }

@@ -146,4 +146,38 @@ class SearchPackSpec extends GraftSpec {
   test("search postings warm frame is registered") {
     assert(SearchPack.warm.map(_._1).contains("search_postings"))
   }
+
+  // ---- I6: phrase_search ----
+
+  /** JVM stride-1 phrase occurrence count over a token array. */
+  private def phraseCount(w: Seq[String], phrase: Seq[String]): Long =
+    if (w.length < phrase.length) 0L
+    else w.sliding(phrase.length).count(_ == phrase).toLong
+
+  test("phrase_search equals a JVM sliding-window recompute") {
+    val want = scorable
+      .map { case (id, w) => id -> phraseCount(w, SearchPack.phraseTerms) }
+      .filter(_._2 > 0).sortBy(_._1)
+    val got = q("phrase_search").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got == want)
+    assert(got.nonEmpty, "the registry phrase must actually occur")
+  }
+
+  test("phrase_search counts overlapping occurrences and longer chains") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a a a a"),               // "a a" overlaps: 3 occurrences
+      (2L, "x table value y table value"),
+      (3L, "value table"),           // reversed order: no hit
+      (4L, "a b a b a"),             // "a b a" at starts 0 and 2
+      (5L, "")).toDF("doc_id", "text")
+    def m(phrase: Seq[String]) =
+      SearchPack.phraseHitsOf(docs, phrase)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(m(Seq("a", "a")) == Map(1L -> 3L))
+    assert(m(Seq("table", "value")) == Map(2L -> 2L))
+    assert(m(Seq("a", "b", "a")) == Map(4L -> 2L))
+    assert(m(Seq("nope")) == Map.empty)
+  }
 }
