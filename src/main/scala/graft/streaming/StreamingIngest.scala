@@ -1,6 +1,6 @@
 package graft.streaming
 
-import graft.sources.{FingerprintStore, MinHashStore, SearchIndex, Tables}
+import graft.sources.{EmbedStore, FingerprintStore, MinHashStore, SearchIndex, Tables}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.StreamingQuery
@@ -60,7 +60,7 @@ object StreamingIngest {
     */
   def processBatch(spark: SparkSession, fpTable: String, mhBase: String,
       batch: DataFrame): DataFrame =
-    processBatch(spark, fpTable, mhBase, None, batch)
+    processBatch(spark, fpTable, mhBase, None, None, batch)
 
   /** As the 4-arg overload, plus an optional [[SearchIndex]] leg: the
     * batch's KEPT docs (exact-unique, no history near-dup — exactly the
@@ -84,7 +84,43 @@ object StreamingIngest {
     * full attempt-1 `kept`.
     */
   def processBatch(spark: SparkSession, fpTable: String, mhBase: String,
-      searchBase: Option[String], batch: DataFrame): DataFrame = {
+      searchBase: Option[String], batch: DataFrame): DataFrame =
+    processBatch(spark, fpTable, mhBase, searchBase, None, batch)
+
+  /** The (vec_id, label, embedding) frame the [[EmbedStore]] leg probes
+    * and appends for a doc batch: doc_id is the vector id; the blocking
+    * label is the batch's own `label` column when it carries one (e.g.
+    * a language id from the caller's embedder stage) and one shared
+    * block otherwise.
+    */
+  private def embBatchOf(df: DataFrame): DataFrame = {
+    val l = if (df.columns.contains("label")) col("label")
+      else lit(0)
+    df.select(col("doc_id").as("vec_id"), l.as("label"), col("embedding"))
+  }
+
+  /** As above, plus an optional [[EmbedStore]] leg (the batch must then
+    * carry an `embedding` column, produced by the caller's embedder
+    * stage upstream — and optionally a `label` blocking column): the
+    * exact survivors are probed for SEMANTIC near-dups against the
+    * persisted vector history (verdict columns n_emb_matches /
+    * emb_canonical / best_cos, NULL for exact dups or when the leg is
+    * off), and the KEPT docs' embeddings are folded in. The semantic
+    * verdict deliberately does NOT feed the `kept` policy here — kept
+    * stays "exact-unique with no lexical near-dup", so the replay
+    * analysis above is unchanged: the band store remains the ONLY
+    * mutation that changes a replay's own kept set, and the embed
+    * append (like the index leg) is a kept-CONSUMER that must run
+    * strictly before it — were it after, a crash between them would
+    * strand within-batch lexical near-dups banded-but-unembedded
+    * forever, invisible to every later semantic probe. A caller whose
+    * keep policy includes the semantic verdict filters on the returned
+    * columns at the sink. Embed re-appends converge at read (pair-level
+    * dedupe; radius growth is idempotent).
+    */
+  def processBatch(spark: SparkSession, fpTable: String, mhBase: String,
+      searchBase: Option[String], embedBase: Option[String],
+      batch: DataFrame): DataFrame = {
     // one materialization of the micro-batch: it feeds the exact probe,
     // the survivor join and both appends, and a foreachBatch source
     // frame re-executes per action otherwise
@@ -98,20 +134,32 @@ object StreamingIngest {
       MinHashStore.dedupAgainstScoped(spark, mhBase, survivors)
     val near = nearRaw.localCheckpoint(true)
     bsh.unpersist()
+    // semantic probe on the same slice the lexical probe reads — severed
+    // BEFORE any append below mutates the vector history
+    val emb = embedBase.map { eb =>
+      EmbedStore.dedupAgainst(spark, eb, embBatchOf(survivors))
+        .select(col("vec_id").as("doc_id"),
+          col("n_hist_matches").as("n_emb_matches"),
+          col("hist_canonical").as("emb_canonical"),
+          col("best_cos"))
+        .localCheckpoint(true)
+    }
     // the dedup verdict's keep set — severed frames only, so the joins
     // below stay correct after the appends mutate the stores
     val kept = survivors.join(
       near.filter(col("n_hist_matches") === 0).select("doc_id"), "doc_id")
-    // novel content becomes history for the NEXT batch — index leg
-    // strictly before the band append (see the ordering note above)
+    // novel content becomes history for the NEXT batch — index and
+    // embed legs strictly before the band append (ordering notes above)
     FingerprintStore.append(spark, fpTable, b)
     searchBase.foreach(sb => SearchIndex.append(spark, sb, kept))
+    embedBase.foreach(eb => EmbedStore.append(spark, eb, embBatchOf(kept)))
     MinHashStore.append(spark, mhBase, kept)
-    exact
+    val base = exact
       .select(col("doc_id"), col("canonical_id"), col("dup_of_history"),
         col("is_dup"))
       .join(near.select(col("doc_id"), col("n_hist_matches"),
         col("hist_canonical"), col("best_jaccard")), Seq("doc_id"), "left")
+    emb.fold(base)(e => base.join(e, Seq("doc_id"), "left"))
   }
 
   /** Wire a (doc_id, text) stream through [[processBatch]]; per-batch
@@ -127,11 +175,52 @@ object StreamingIngest {
   def run(spark: SparkSession, stream: DataFrame, fpTable: String,
       mhBase: String, searchBase: Option[String],
       sink: (DataFrame, Long) => Unit): StreamingQuery =
+    run(spark, stream, fpTable, mhBase, searchBase, None, sink)
+
+  /** As [[run]], with the optional BM25-index AND embed-store legs of
+    * the 6-arg [[processBatch]].
+    */
+  def run(spark: SparkSession, stream: DataFrame, fpTable: String,
+      mhBase: String, searchBase: Option[String],
+      embedBase: Option[String],
+      sink: (DataFrame, Long) => Unit): StreamingQuery =
     stream.writeStream
       .foreachBatch { (batch: DataFrame, id: Long) =>
-        sink(processBatch(spark, fpTable, mhBase, searchBase, batch), id)
+        sink(processBatch(spark, fpTable, mhBase, searchBase, embedBase,
+          batch), id)
       }
       .start()
+
+  /** The demo's stand-in for a real embedder stage (this sandbox ships
+    * no model): a 64-dim content-derived vector, dim j = Σ over token
+    * positions of hash(word, position, j) ∈ [-1, 1], scaled by 1/√len.
+    * Two properties make the geometry usable on a small-vocabulary
+    * corpus, and both were learned from failed demo runs: the POSITION
+    * in the hash (a bag-of-words mean converges to the shared
+    * vocabulary mean — every doc ends cosine-close to every other;
+    * positional terms are independent across unrelated docs, cos ≈ 0,
+    * while a one-word edit moves only one term, cos ≈ 1 − 2/len), and
+    * the DIMENSIONALITY (random cosines concentrate at 0 with std
+    * ≈ 1/√dims — at 8 dims that is 0.35, so against a few hundred
+    * candidates τ = 0.45 matches by chance almost surely; at 64 dims
+    * τ is 3.6σ out and chance matches are ~1e-4 per pair). HOF-based
+    * and interpreted — demo-only by design; a production embedder is a
+    * model-serving mapInPandas stage (the MediaPack stub pattern).
+    */
+  private[streaming] def stubEmbed(df: DataFrame): DataFrame = {
+    val dims = 64
+    val w = graft.functions.Portable.words(col("text"))
+    val emb = transform(sequence(lit(0), lit(dims - 1)), j =>
+      (aggregate(
+        zip_with(w, sequence(lit(1), greatest(size(w), lit(1))),
+          (word, i) => concat_ws("|", word, i.cast("string"),
+            j.cast("string"))),
+        lit(0.0), (acc, t) => acc +
+          (pmod(graft.functions.Portable.hash60(t), lit(2001L))
+            - lit(1000L)) / lit(1000.0))
+        / sqrt(greatest(size(w), lit(1)).cast("double"))).cast("float"))
+    df.withColumn("embedding", emb)
+  }
 
   /** Runnable demo: seed the stores from a third of `documents`, then
     * stream the rest through the ingest loop in two micro-batches.
@@ -165,6 +254,9 @@ object StreamingIngest {
       "ingest_mh", s"$workDir/mh")
     SearchIndex.write(docs.filter(col("doc_id") % 3 === 0),
       "ingest_search", s"$workDir/search")
+    EmbedStore.write(
+      embBatchOf(stubEmbed(docs.filter(col("doc_id") % 3 === 0))),
+      "ingest_em", s"$workDir/em")
     println(s"[ingest] seeded history stores at $workDir")
 
     // two arrival files + maxFilesPerTrigger=1 → two real micro-batches
@@ -173,26 +265,30 @@ object StreamingIngest {
       .write.parquet(s"$incoming/b1")
     docs.filter(col("doc_id") % 3 === 2).coalesce(1)
       .write.parquet(s"$incoming/b2")
-    val stream = spark.readStream.schema("doc_id LONG, text STRING")
-      .option("maxFilesPerTrigger", "1")
-      .option("recursiveFileLookup", "true")
-      .parquet(incoming)
+    val stream = stubEmbed(
+      spark.readStream.schema("doc_id LONG, text STRING")
+        .option("maxFilesPerTrigger", "1")
+        .option("recursiveFileLookup", "true")
+        .parquet(incoming))
     val q = run(spark, stream, "ingest_fp", "ingest_mh",
-      Some("ingest_search"), (v, id) => {
+      Some("ingest_search"), Some("ingest_em"), (v, id) => {
       val s = v.agg(
         count(lit(1)).as("docs"),
         sum(col("dup_of_history").cast("long")).as("exact_hist_dups"),
-        sum((col("n_hist_matches") > 0).cast("long")).as("near_hist_dups"))
+        sum((col("n_hist_matches") > 0).cast("long")).as("near_hist_dups"),
+        sum((col("n_emb_matches") > 0).cast("long")).as("sem_hist_dups"))
         .collect()(0)
       println(s"[ingest] batch $id: ${s.getLong(0)} docs, " +
         s"${s.getLong(1)} exact history dups, " +
-        s"${s.getLong(2)} near history dups")
+        s"${s.getLong(2)} near history dups, " +
+        s"${s.getLong(3)} semantic history dups")
     })
     q.processAllAvailable(); q.stop()
     println(s"[ingest] final store sizes: " +
       s"fp=${spark.table("ingest_fp").count()} fingerprints, " +
       s"mh=${spark.table("ingest_mh_shingles").count()} shingle sets, " +
-      s"search=${spark.table("ingest_search_postings").count()} postings")
+      s"search=${spark.table("ingest_search_postings").count()} postings, " +
+      s"em=${spark.table("ingest_em_lists").count()} vectors")
     val hits = SearchIndex.search(spark, "ingest_search",
       Seq("table", "data", "query"), 5).collect()
     println(s"[ingest] bm25 probe over the live index: " +

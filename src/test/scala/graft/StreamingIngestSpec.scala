@@ -193,6 +193,144 @@ class StreamingIngestSpec extends GraftSpec {
     }
   }
 
+  test("embed-store leg: semantic near-dups are annotated against the " +
+      "vector history; kept docs' embeddings enter the store; exact " +
+      "dups carry NULL semantic columns") {
+    import java.nio.file.{Files, Paths}
+    import spark.implicits._
+    import graft.sources.EmbedStore
+    val base = (1 to 40).map(i => s"w$i").mkString(" ")
+    val tmp = Files.createTempDirectory("graft-ingest-embed").toString
+    def emb(v: Double*) = v.map(_.toFloat).toArray
+    val seed = Seq((2L, "seed history content")).toDF("doc_id", "text")
+    FingerprintStore.write(seed, "ingemb_fp", s"$tmp/fp")
+    MinHashStore.write(seed, "ingemb_mh", s"$tmp/mh")
+    EmbedStore.write(
+      Seq((2L, 0, emb(0.0, 1.0, 0.0, 0.0)))
+        .toDF("vec_id", "label", "embedding"),
+      "ingemb_em", s"$tmp/em")
+    val incoming = Paths.get(tmp, "incoming")
+    // parquet arrival files so the batches carry the embedding column
+    Seq((11L, base, emb(1.0, 0.0, 0.0, 0.0)),
+      (13L, "batch one fresh content", emb(0.0, 0.0, 1.0, 0.0)))
+      .toDF("doc_id", "text", "embedding")
+      .coalesce(1).write.parquet(s"$incoming/b1")
+    Seq(
+      // near-text-dup of 11 AND near its vector: both legs must find it
+      (21L, base.replace("w20", "zz"), emb(0.995, 0.0999, 0.0, 0.0)),
+      // exact text dup of 13: semantic columns must be NULL
+      (23L, "batch one fresh content", emb(0.0, 0.0, 1.0, 0.0)),
+      // novel text, orthogonal vector: clean on both legs
+      (25L, "genuinely new in batch two", emb(0.0, 0.0, 0.0, 1.0)))
+      .toDF("doc_id", "text", "embedding")
+      .coalesce(1).write.parquet(s"$incoming/b2")
+    // pin arrival order (the file source orders by modification time)
+    val b1file = new java.io.File(s"$incoming/b1").listFiles()
+      .filter(_.getName.endsWith(".parquet"))
+    b1file.foreach(f => f.setLastModified(System.currentTimeMillis() - 60000))
+    val stream = spark.readStream
+      .schema("doc_id LONG, text STRING, embedding ARRAY<FLOAT>")
+      .option("maxFilesPerTrigger", "1")
+      .option("recursiveFileLookup", "true")
+      .parquet(s"$incoming")
+    val out = scala.collection.mutable.Map.empty[Long, Array[
+      org.apache.spark.sql.Row]]
+    val q = StreamingIngest.run(spark, stream.toDF(),
+      "ingemb_fp", "ingemb_mh", None, Some("ingemb_em"),
+      (v: DataFrame, id: Long) => out(id) = v.collect())
+    try {
+      q.processAllAvailable()
+      assert(out.keySet == Set(0L, 1L), s"expected 2 micro-batches: $out")
+      // verdict columns: doc_id, canonical_id, dup_of_history, is_dup,
+      // n_hist_matches, hist_canonical, best_jaccard, n_emb_matches,
+      // emb_canonical, best_cos
+      val b1 = out(0L).map(r => r.getLong(0) -> r).toMap
+      val b2 = out(1L).map(r => r.getLong(0) -> r).toMap
+      // batch1 never sees itself semantically (probe severed pre-append)
+      b1.values.foreach(r =>
+        assert(r.getLong(7) == 0L, s"batch1 semantically matched itself: $r"))
+      // 21 semantically near-dups b1's KEPT doc 11 (cos ≈ 0.995)
+      assert(b2(21L).getLong(7) == 1L && b2(21L).getLong(8) == 11L,
+        s"semantic match missing: ${b2(21L)}")
+      assert(b2(21L).getDouble(9) > 0.99, s"cos: ${b2(21L)}")
+      // exact dup: semantic columns NULL (never probed)
+      assert(b2(23L).isNullAt(7) && b2(23L).isNullAt(9), s"${b2(23L)}")
+      // orthogonal novel doc: no semantic match
+      assert(b2(25L).getLong(7) == 0L, s"${b2(25L)}")
+      // the vector store holds exactly the kept set: 2, 11, 13, 25
+      val stored = spark.table("ingemb_em_lists")
+        .select("h_id").collect().map(_.getLong(0)).toSet
+      assert(stored == Set(2L, 11L, 13L, 25L), s"stored: $stored")
+    } finally {
+      q.stop()
+      Seq("ingemb_fp", "ingemb_mh_bands", "ingemb_mh_shingles",
+        "ingemb_em_cells", "ingemb_em_lists")
+        .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+      Caches.deleteDir(tmp)
+    }
+  }
+
+  test("embed-before-band-append ordering: a crash between the embed " +
+      "and band appends replays with every kept vector stored") {
+    // Same hazard class the index-leg ordering test pins: were the
+    // embed append AFTER the band append, a crash between them plus a
+    // replay (whose within-batch lexical near-dups now see each other
+    // as history and leave kept) would strand those docs
+    // banded-but-unembedded forever. Embed-first, the crash point
+    // "after fp+embed, before band" replays with the band store
+    // untouched: kept re-derives identically and both stores converge.
+    import java.nio.file.Files
+    import spark.implicits._
+    import graft.sources.EmbedStore
+    val base = (1 to 40).map(i => s"w$i").mkString(" ")
+    val near = base.replace("w20", "zz")
+    val tmp = Files.createTempDirectory("graft-ingest-emord").toString
+    def emb(v: Double*) = v.map(_.toFloat).toArray
+    val seed = Seq((2L, "seed history content")).toDF("doc_id", "text")
+    FingerprintStore.write(seed, "emord_fp", s"$tmp/fp")
+    MinHashStore.write(seed, "emord_mh", s"$tmp/mh")
+    EmbedStore.write(
+      Seq((2L, 0, emb(0.0, 1.0, 0.0, 0.0)))
+        .toDF("vec_id", "label", "embedding"),
+      "emord_em", s"$tmp/em")
+    // a within-batch lexical near-dup pair, far apart in vector space
+    val batch = Seq(
+      (11L, base, emb(1.0, 0.0, 0.0, 0.0)),
+      (13L, near, emb(0.0, 0.0, 1.0, 0.0)))
+      .toDF("doc_id", "text", "embedding")
+    def embOf(df: DataFrame) = df.select(col("doc_id").as("vec_id"),
+      lit(0).as("label"), col("embedding"))
+    try {
+      // attempt 1 crashes AFTER the fp and embed appends (the order
+      // processBatch runs), BEFORE the band append
+      FingerprintStore.append(spark, "emord_fp", batch)
+      EmbedStore.append(spark, "emord_em", embOf(batch)) // kept = {11,13}
+      // replay: the full loop
+      StreamingIngest.processBatch(spark, "emord_fp", "emord_mh",
+        None, Some("emord_em"), batch).collect()
+      // both docs are in BOTH stores — no banded-but-unembedded gap
+      val banded = spark.table("emord_mh_shingles")
+        .select("h_id").collect().map(_.getLong(0)).toSet
+      assert(Set(11L, 13L).subsetOf(banded), s"banded: $banded")
+      val stored = spark.table("emord_em_lists")
+        .select("h_id").collect().map(_.getLong(0)).toSet
+      assert(Set(2L, 11L, 13L).subsetOf(stored), s"stored: $stored")
+      // and the replay's duplicate vector rows cannot change a later
+      // verdict: a probe near 11 still counts ONE distinct match
+      val probe = Seq((31L, 0, emb(0.999, 0.01, 0.0, 0.0)))
+        .toDF("vec_id", "label", "embedding")
+      val v = EmbedStore.dedupAgainst(spark, "emord_em", probe)
+        .collect()(0)
+      assert(v.getLong(1) == 1L && v.getLong(2) == 11L,
+        s"replay duplicates changed a verdict: $v")
+    } finally {
+      Seq("emord_fp", "emord_mh_bands", "emord_mh_shingles",
+        "emord_em_cells", "emord_em_lists")
+        .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+      Caches.deleteDir(tmp)
+    }
+  }
+
   test("index-before-band-append ordering: a crash between the index " +
       "and band appends replays to a converged pair of stores") {
     // The hazard this ordering closes: batch-internal near-dups A/B
