@@ -987,6 +987,253 @@ object AnnPack extends QueryPack {
       FROM q ORDER BY vec_id
       """))
 
+  // ---- D11: product quantization (pq_encode / ann_pq) ----
+  // The missing third quantization/pruning technique next to IVF
+  // (D4/D5/D9: prune WHICH vectors to read) and scalar int8 (D7/D8:
+  // shrink every element): PQ shrinks every VECTOR to m sub-codes —
+  // 64 floats (256 B) → 8 half-byte codes — by clustering each of m
+  // subspaces independently, and scores candidates with a per-query
+  // lookup table (ADC): approx_dot(q, x) = Σ_sub LUT[sub][code], one
+  // add per subspace, no float vector touched until the re-rank.
+  // Training is m INDEPENDENT k-means runs expressed as ONE grouped
+  // plan (sub is just a grouping key — the D5 discipline per group:
+  // hash-ordered seeds, two unrolled Lloyd rounds, exact-double argmin
+  // with low-cid tiebreak, exact-decimal means), so the trained
+  // codebooks, the codes AND the ADC scores all hash-match the
+  // SQL-unrolled oracle. The ADC sums (8 doubles per pair) go through
+  // DECIMAL so partition order cannot perturb them.
+  // Scale: codebooks are m·ks tiny rows (broadcast); the code table is
+  // the 32×-compressed corpus; the ADC pass is codes ⋈ broadcast(LUT)
+  // + one map-side-combining sum per (query, vec); the float corpus is
+  // touched only for the pqPool re-rank rows per query.
+  private val pqM = 8
+  private val pqSubDim = lshDim / pqM
+  private val pqKs = 16
+  private val pqIters = 2
+  private val pqPool = 256
+
+  /** (vec_id, sub, sv, ss): the m subvector slices of each vector. */
+  private def pqSlices(n: DataFrame): DataFrame =
+    n.select(col("vec_id"),
+        explode(sequence(lit(0), lit(pqM - 1))).as("sub"), col("v"))
+      .select(col("vec_id"), col("sub"),
+        slice(col("v"), col("sub") * lit(pqSubDim) + lit(1),
+          lit(pqSubDim)).as("sv"))
+      .withColumn("ss", Vectors.dot(col("sv"), col("sv")))
+
+  /** Per-subspace argmin-centroid assignment — kmAssign grouped by
+    * `sub` (map-side-combinable min_by, low cid on ties).
+    */
+  private def pqAssign(subs: DataFrame, cent: DataFrame): DataFrame =
+    subs.join(broadcast(cent), Seq("sub"))
+      .withColumn("dist2",
+        col("ss") + col("cc") - lit(2.0d) * Vectors.dot(col("sv"), col("cv")))
+      .groupBy(col("vec_id"), col("sub"))
+      .agg(
+        min_by(col("cid"),
+          struct(col("dist2").as("d"), col("cid").as("c"))).as("cid"),
+        first(col("sv")).as("sv"), first(col("ss")).as("ss"))
+
+  private def pqRecenter(assigned: DataFrame): DataFrame =
+    assigned
+      .select(col("sub"), col("cid"), posexplode(col("sv")).as(Seq("j", "x")))
+      .groupBy(col("sub"), col("cid"), col("j"))
+      .agg((sum(col("x").cast(DecimalType(28, 12))).cast(DoubleType) /
+        count(lit(1))).as("c"))
+      .groupBy(col("sub"), col("cid"))
+      .agg(transform(array_sort(collect_list(struct(col("j"), col("c")))),
+        e => e.getField("c")).as("cv"))
+      .withColumn("cc", Vectors.dot(col("cv"), col("cv")))
+
+  /** m deterministic per-subspace codebooks (sub, cid, cv, cc): the
+    * pqKs hash-first vectors of each subspace seed it (TopKPerKey
+    * bounded heaps — one exchange, never a per-subspace sort), then
+    * `pqIters` unrolled grouped Lloyd rounds.
+    */
+  private def pqCentroids(subs: DataFrame): DataFrame = {
+    val top = graft.plans.TopKPerKey(
+      subs.withColumn("hk", seedHash(col("vec_id"))),
+      Seq(col("sub")), Seq(col("hk"), col("vec_id")), pqKs)
+    val seeds = top.groupBy(col("sub"))
+      .agg(array_sort(collect_list(
+        struct(col("hk"), col("vec_id"), col("sv")))).as("a"))
+      .select(col("sub"), posexplode(col("a")).as(Seq("cid", "e")))
+      .select(col("sub"), col("cid").cast(IntegerType).as("cid"),
+        col("e.sv").as("cv"))
+      .withColumn("cc", Vectors.dot(col("cv"), col("cv")))
+    (1 to pqIters).foldLeft(seeds: DataFrame) {
+      (c, _) => pqRecenter(pqAssign(subs, c))
+    }
+  }
+
+  /** Trained codebooks + corpus codes, shared by both PQ queries
+    * (persisted — the train plan is two full passes and fans into the
+    * encode and the ADC branches).
+    */
+  private def pqModel(s: SparkSession, d: String): (DataFrame, DataFrame) = {
+    val dim = Tables.embeddings(s, d)
+      .select(size(col("embedding"))).head.getInt(0)
+    require(dim == lshDim,
+      s"PQ slicing is built for $lshDim-dim embeddings ($pqM × " +
+        s"$pqSubDim); this corpus has $dim")
+    val corpus = vecs(s, d).filter(pmod(col("vec_id"), lit(50)) =!= 0)
+    val subs = pqSlices(corpus).persistTracked
+    val cent = pqCentroids(subs).persistTracked
+    val codes = pqAssign(subs, cent)
+      .select(col("vec_id"), col("sub"), col("cid"))
+      .persistTracked
+    (cent, codes)
+  }
+
+  /** The shared SQL train: slices → grouped seeds → two grouped Lloyd
+    * rounds (`cn2`) → final `codes`. Appended per-query tails turn it
+    * into the encode or the search oracle.
+    */
+  private val pqTrainSql: String = {
+    def assign(cents: String, out: String): String =
+      s"""a$out AS (SELECT s.vec_id, s.sub, s.sv, s.ss, c.cid,
+          ROW_NUMBER() OVER (PARTITION BY s.vec_id, s.sub ORDER BY
+            s.ss + c.cc - 2.0 * ${Vectors.sql.dot("s.sv", "c.cv")}, c.cid)
+            AS rn
+        FROM ss s JOIN $cents c ON s.sub = c.sub),
+      g$out AS (SELECT vec_id, sub, sv, ss, cid FROM a$out WHERE rn = 1),
+      d$out AS (SELECT sub, cid, unnest(range(len(sv))) AS j, sv
+                FROM g$out),
+      m$out AS (SELECT sub, cid, j,
+          CAST(SUM(CAST(sv[CAST(j AS INTEGER)+1] AS DECIMAL(28,12)))
+            AS DOUBLE) / COUNT(*) AS c
+        FROM d$out GROUP BY sub, cid, j),
+      c$out AS (SELECT sub, cid, list(c ORDER BY j) AS cv
+                FROM m$out GROUP BY sub, cid),
+      cn$out AS (SELECT sub, cid, cv, ${Vectors.sql.dot("cv", "cv")} AS cc
+                 FROM c$out)"""
+    s"""$vecsSql,
+      corpus AS (SELECT vec_id, v, nrm FROM n WHERE vec_id % 50 <> 0),
+      slices AS (SELECT vec_id, CAST(sub AS INTEGER) AS sub,
+          v[CAST(sub*$pqSubDim+1 AS INTEGER):
+            CAST(sub*$pqSubDim+$pqSubDim AS INTEGER)] AS sv
+        FROM (SELECT vec_id, v, unnest(range($pqM)) AS sub FROM corpus)),
+      ss AS (SELECT vec_id, sub, sv, ${Vectors.sql.dot("sv", "sv")} AS ss
+             FROM slices),
+      sd AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY sub
+          ORDER BY $seedHashSql, vec_id) AS rn FROM ss),
+      cn0 AS (SELECT sub, CAST(rn - 1 AS INTEGER) AS cid, sv AS cv,
+          ${Vectors.sql.dot("sv", "sv")} AS cc
+        FROM sd WHERE rn <= $pqKs),
+      ${assign("cn0", "1")},
+      ${assign("cn1", "2")},
+      ${assign("cn2", "f")},
+      codes AS (SELECT vec_id, sub, cid FROM gf)"""
+  }
+
+  // D11a — the quantization itself: every corpus vector's m sub-codes,
+  // pinned cross-engine as one ordered code string (the D7 md5-pin
+  // idea, readable form).
+  private val pqEncode = GraftQuery(
+    "pq_encode",
+    (s, d) => {
+      val (_, codes) = pqModel(s, d)
+      codes.groupBy(col("vec_id"))
+        .agg(concat_ws(",", transform(
+          array_sort(collect_list(struct(col("sub"), col("cid")))),
+          e => e.getField("cid").cast(StringType))).as("codes"))
+        .orderBy(col("vec_id"))
+    },
+    Some(s"""
+      WITH $pqTrainSql
+      SELECT vec_id,
+        string_agg(CAST(cid AS VARCHAR), ',' ORDER BY sub) AS codes
+      FROM codes GROUP BY vec_id ORDER BY vec_id
+      """))
+
+  // D11b — ADC search: per-query LUT over the codebooks, approx cosine
+  // from code lookups only (decimal-summed — partition-order-proof),
+  // bounded pqPool candidate pool per query, exact float re-rank on
+  // pool rows. The oracle replays the identical pipeline.
+  private val annPq = GraftQuery(
+    "ann_pq",
+    (s, d) => {
+      val (cent, codes) = pqModel(s, d)
+      val n = vecs(s, d)
+      val q = n.filter(pmod(col("vec_id"), lit(50)) === 0)
+        .select(col("vec_id").as("query_id"), col("v").as("qv"),
+          col("nrm").as("qn"))
+      val qsubs = pqSlices(q.select(col("query_id").as("vec_id"),
+          col("qv").as("v")))
+        .select(col("vec_id").as("query_id"), col("sub"),
+          col("sv").as("qsv"))
+      val lut = qsubs.join(broadcast(cent), Seq("sub"))
+        .select(col("query_id"), col("sub"), col("cid"),
+          Vectors.dot(col("qsv"), col("cv")).as("pd"))
+      // reconstructed norm² per corpus vector — query-independent
+      val rnorm = codes
+        .join(broadcast(cent.select(col("sub"), col("cid"), col("cc"))),
+          Seq("sub", "cid"))
+        .groupBy(col("vec_id"))
+        .agg(sum(col("cc").cast(DecimalType(28, 12)))
+          .cast(DoubleType).as("rn2"))
+      val scored = codes.join(broadcast(lut), Seq("sub", "cid"))
+        .groupBy(col("query_id"), col("vec_id"))
+        .agg(sum(col("pd").cast(DecimalType(28, 12)))
+          .cast(DoubleType).as("ad"))
+        .join(rnorm, Seq("vec_id"))
+        .join(broadcast(q.select(col("query_id"), col("qn"))),
+          Seq("query_id"))
+        .withColumn("approx_cos",
+          round(col("ad") / (sqrt(col("rn2")) * col("qn")), 6))
+      val pool = graft.plans.TopKPerKey(scored,
+        Seq(col("query_id")),
+        Seq(col("approx_cos").desc, col("vec_id")), pqPool)
+      val pairs = pool
+        .select(col("query_id"), col("vec_id"), col("approx_cos"))
+        .join(n.select(col("vec_id"), col("v"), col("nrm")), "vec_id")
+        .join(broadcast(q.select(col("query_id"), col("qv"), col("qn"))),
+          Seq("query_id"))
+        .withColumn("cos_sim",
+          Vectors.cosine(col("qv"), col("v"), col("qn"), col("nrm")))
+        .select(col("query_id"), col("vec_id"), col("cos_sim"),
+          col("approx_cos"))
+      topKPerQuery(pairs, K, Seq("approx_cos"))
+        .orderBy(col("query_id"), col("rank"))
+    },
+    Some(s"""
+      WITH $pqTrainSql,
+      q AS (SELECT vec_id AS query_id, v AS qv, nrm AS qn FROM n
+            WHERE vec_id % 50 = 0),
+      qs AS (SELECT query_id, CAST(sub AS INTEGER) AS sub,
+          qv[CAST(sub*$pqSubDim+1 AS INTEGER):
+             CAST(sub*$pqSubDim+$pqSubDim AS INTEGER)] AS qsv
+        FROM (SELECT query_id, qv, unnest(range($pqM)) AS sub FROM q)),
+      lut AS (SELECT qs.query_id, qs.sub, c.cid,
+          ${Vectors.sql.dot("qs.qsv", "c.cv")} AS pd
+        FROM qs JOIN cn2 c ON qs.sub = c.sub),
+      rnorm AS (SELECT k.vec_id,
+          CAST(SUM(CAST(c.cc AS DECIMAL(28,12))) AS DOUBLE) AS rn2
+        FROM codes k JOIN cn2 c ON k.sub = c.sub AND k.cid = c.cid
+        GROUP BY k.vec_id),
+      adc AS (SELECT l.query_id, k.vec_id,
+          CAST(SUM(CAST(l.pd AS DECIMAL(28,12))) AS DOUBLE) AS ad
+        FROM codes k JOIN lut l ON k.sub = l.sub AND k.cid = l.cid
+        GROUP BY l.query_id, k.vec_id),
+      sc AS (SELECT a.query_id, a.vec_id,
+          round(a.ad / (sqrt(r.rn2) * q.qn), 6) AS approx_cos
+        FROM adc a JOIN rnorm r ON a.vec_id = r.vec_id
+        JOIN q ON a.query_id = q.query_id),
+      pool AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+          ORDER BY approx_cos DESC, vec_id) AS pr FROM sc),
+      rr AS (SELECT p.query_id, p.vec_id, p.approx_cos,
+          round(${Vectors.sql.dot("q.qv", "c.v")} / (q.qn * c.nrm), 6)
+            AS cos_sim
+        FROM pool p
+        JOIN corpus c ON p.vec_id = c.vec_id
+        JOIN q ON p.query_id = q.query_id
+        WHERE p.pr <= $pqPool),
+      r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+          ORDER BY cos_sim DESC, vec_id) AS rank FROM rr)
+      SELECT query_id, rank, vec_id, cos_sim, approx_cos
+      FROM r WHERE rank <= $K ORDER BY query_id, rank
+      """))
+
   /** Memoized [[graft.sources.EmbedStore]] artifacts — catalog tables +
     * store dirs keyed by dataset dir, the DedupPack storeArtifacts
     * discipline: dropped with the cache registry so a dataset rewritten
@@ -1096,7 +1343,8 @@ object AnnPack extends QueryPack {
   override val queries: Seq[GraftQuery] =
     Seq(annBrute, annLsh, knnJoin, dedupEmbedding, annIvf, annIvfKmeans,
       annRange, embeddingQuantize, annQuantized, annIndexSearch,
-      annIndexAppendSearch, dedupIncEmbed, dedupIncEmbedAppend)
+      annIndexAppendSearch, dedupIncEmbed, dedupIncEmbedAppend,
+      pqEncode, annPq)
 
   /** Cross-query shared working sets (see [[graft.QueryPack.warm]]):
     * the (label, cell) inverted lists feed D3/C5/D6 + C10's rangePairs,
