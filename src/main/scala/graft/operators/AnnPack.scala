@@ -1013,7 +1013,7 @@ object AnnPack extends QueryPack {
   private val pqPool = 256
 
   /** (vec_id, sub, sv, ss): the m subvector slices of each vector. */
-  private def pqSlices(n: DataFrame): DataFrame =
+  private[graft] def pqSlices(n: DataFrame): DataFrame =
     n.select(col("vec_id"),
         explode(sequence(lit(0), lit(pqM - 1))).as("sub"), col("v"))
       .select(col("vec_id"), col("sub"),
@@ -1024,7 +1024,7 @@ object AnnPack extends QueryPack {
   /** Per-subspace argmin-centroid assignment — kmAssign grouped by
     * `sub` (map-side-combinable min_by, low cid on ties).
     */
-  private def pqAssign(subs: DataFrame, cent: DataFrame): DataFrame =
+  private[graft] def pqAssign(subs: DataFrame, cent: DataFrame): DataFrame =
     subs.join(broadcast(cent), Seq("sub"))
       .withColumn("dist2",
         col("ss") + col("cc") - lit(2.0d) * Vectors.dot(col("sv"), col("cv")))
@@ -1050,7 +1050,7 @@ object AnnPack extends QueryPack {
     * bounded heaps — one exchange, never a per-subspace sort), then
     * `pqIters` unrolled grouped Lloyd rounds.
     */
-  private def pqCentroids(subs: DataFrame): DataFrame = {
+  private[graft] def pqCentroids(subs: DataFrame): DataFrame = {
     val top = graft.plans.TopKPerKey(
       subs.withColumn("hk", seedHash(col("vec_id"))),
       Seq(col("sub")), Seq(col("hk"), col("vec_id")), pqKs)
@@ -1087,15 +1087,19 @@ object AnnPack extends QueryPack {
 
   /** The shared SQL train: slices → grouped seeds → two grouped Lloyd
     * rounds (`cn2`) → final `codes`. Appended per-query tails turn it
-    * into the encode or the search oracle.
+    * into the encode or the search oracle. `trainPred` restricts the
+    * TRAINING slice only — the final codes assign the FULL corpus
+    * against the trained codebooks, which is exactly "write on the
+    * restricted set, append the rest": appended vectors encode against
+    * the FIXED books (the D9 append-gate construction).
     */
-  private val pqTrainSql: String = {
-    def assign(cents: String, out: String): String =
+  private def pqTrainSql(trainPred: String): String = {
+    def assign(cents: String, out: String, src: String): String =
       s"""a$out AS (SELECT s.vec_id, s.sub, s.sv, s.ss, c.cid,
           ROW_NUMBER() OVER (PARTITION BY s.vec_id, s.sub ORDER BY
             s.ss + c.cc - 2.0 * ${Vectors.sql.dot("s.sv", "c.cv")}, c.cid)
             AS rn
-        FROM ss s JOIN $cents c ON s.sub = c.sub),
+        FROM $src s JOIN $cents c ON s.sub = c.sub),
       g$out AS (SELECT vec_id, sub, sv, ss, cid FROM a$out WHERE rn = 1),
       d$out AS (SELECT sub, cid, unnest(range(len(sv))) AS j, sv
                 FROM g$out),
@@ -1115,14 +1119,15 @@ object AnnPack extends QueryPack {
         FROM (SELECT vec_id, v, unnest(range($pqM)) AS sub FROM corpus)),
       ss AS (SELECT vec_id, sub, sv, ${Vectors.sql.dot("sv", "sv")} AS ss
              FROM slices),
+      sst AS (SELECT * FROM ss WHERE ($trainPred)),
       sd AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY sub
-          ORDER BY $seedHashSql, vec_id) AS rn FROM ss),
+          ORDER BY $seedHashSql, vec_id) AS rn FROM sst),
       cn0 AS (SELECT sub, CAST(rn - 1 AS INTEGER) AS cid, sv AS cv,
           ${Vectors.sql.dot("sv", "sv")} AS cc
         FROM sd WHERE rn <= $pqKs),
-      ${assign("cn0", "1")},
-      ${assign("cn1", "2")},
-      ${assign("cn2", "f")},
+      ${assign("cn0", "1", "sst")},
+      ${assign("cn1", "2", "sst")},
+      ${assign("cn2", "f", "ss")},
       codes AS (SELECT vec_id, sub, cid FROM gf)"""
   }
 
@@ -1140,11 +1145,72 @@ object AnnPack extends QueryPack {
         .orderBy(col("vec_id"))
     },
     Some(s"""
-      WITH $pqTrainSql
+      WITH ${pqTrainSql("TRUE")}
       SELECT vec_id,
         string_agg(CAST(cid AS VARCHAR), ',' ORDER BY sub) AS codes
       FROM codes GROUP BY vec_id ORDER BY vec_id
       """))
+
+  /** The ADC-search tail shared by `ann_pq` and
+    * [[graft.sources.PqStore.search]] (the persisted path must
+    * reproduce the in-query scores bit-for-bit, so it runs the SAME
+    * code): per-query LUT over the broadcast codebooks, decimal-routed
+    * approx cosine from code lookups, bounded pool, exact re-rank.
+    * `codes` and `rerankVecs` may carry replay-duplicated rows — both
+    * deduped here so a crash-replayed store append can neither
+    * double-count a subspace term nor surface the same vector at two
+    * ranks of the re-ranked result (the duplicate rows are
+    * byte-identical, so which one survives is immaterial).
+    */
+  private[graft] def pqAdcSearch(cent: DataFrame, codesRaw: DataFrame,
+      rerankVecsRaw: DataFrame, q: DataFrame): DataFrame = {
+    val codes = codesRaw.dropDuplicates("vec_id", "sub")
+    val rerankVecs = rerankVecsRaw.dropDuplicates("vec_id")
+    val qsubs = pqSlices(q.select(col("query_id").as("vec_id"),
+        col("qv").as("v")))
+      .select(col("vec_id").as("query_id"), col("sub"),
+        col("sv").as("qsv"))
+    val lut = qsubs.join(broadcast(cent), Seq("sub"))
+      .select(col("query_id"), col("sub"), col("cid"),
+        Vectors.dot(col("qsv"), col("cv")).as("pd"))
+    // reconstructed norm² per corpus vector — query-independent
+    val rnorm = codes
+      .join(broadcast(cent.select(col("sub"), col("cid"), col("cc"))),
+        Seq("sub", "cid"))
+      .groupBy(col("vec_id"))
+      .agg(sum(col("cc").cast(DecimalType(28, 12)))
+        .cast(DoubleType).as("rn2"))
+    val scored = codes.join(broadcast(lut), Seq("sub", "cid"))
+      .groupBy(col("query_id"), col("vec_id"))
+      .agg(sum(col("pd").cast(DecimalType(28, 12)))
+        .cast(DoubleType).as("ad"))
+      .join(rnorm, Seq("vec_id"))
+      .join(broadcast(q.select(col("query_id"), col("qn"))),
+        Seq("query_id"))
+      .withColumn("approx_cos",
+        round(col("ad") / (sqrt(col("rn2")) * col("qn")), 6))
+    val pool = graft.plans.TopKPerKey(scored,
+      Seq(col("query_id")),
+      Seq(col("approx_cos").desc, col("vec_id")), pqPool)
+    val pairs = pool
+      .select(col("query_id"), col("vec_id"), col("approx_cos"))
+      .join(rerankVecs.select(col("vec_id"), col("v"), col("nrm")),
+        "vec_id")
+      .join(broadcast(q.select(col("query_id"), col("qv"), col("qn"))),
+        Seq("query_id"))
+      .withColumn("cos_sim",
+        Vectors.cosine(col("qv"), col("v"), col("qn"), col("nrm")))
+      .select(col("query_id"), col("vec_id"), col("cos_sim"),
+        col("approx_cos"))
+    topKPerQuery(pairs, K, Seq("approx_cos"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** The PQ query set: every 50th vector, normed. */
+  private[graft] def pqQueries(s: SparkSession, d: String): DataFrame =
+    vecs(s, d).filter(pmod(col("vec_id"), lit(50)) === 0)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"),
+        col("nrm").as("qn"))
 
   // D11b — ADC search: per-query LUT over the codebooks, approx cosine
   // from code lookups only (decimal-summed — partition-order-proof),
@@ -1154,50 +1220,18 @@ object AnnPack extends QueryPack {
     "ann_pq",
     (s, d) => {
       val (cent, codes) = pqModel(s, d)
-      val n = vecs(s, d)
-      val q = n.filter(pmod(col("vec_id"), lit(50)) === 0)
-        .select(col("vec_id").as("query_id"), col("v").as("qv"),
-          col("nrm").as("qn"))
-      val qsubs = pqSlices(q.select(col("query_id").as("vec_id"),
-          col("qv").as("v")))
-        .select(col("vec_id").as("query_id"), col("sub"),
-          col("sv").as("qsv"))
-      val lut = qsubs.join(broadcast(cent), Seq("sub"))
-        .select(col("query_id"), col("sub"), col("cid"),
-          Vectors.dot(col("qsv"), col("cv")).as("pd"))
-      // reconstructed norm² per corpus vector — query-independent
-      val rnorm = codes
-        .join(broadcast(cent.select(col("sub"), col("cid"), col("cc"))),
-          Seq("sub", "cid"))
-        .groupBy(col("vec_id"))
-        .agg(sum(col("cc").cast(DecimalType(28, 12)))
-          .cast(DoubleType).as("rn2"))
-      val scored = codes.join(broadcast(lut), Seq("sub", "cid"))
-        .groupBy(col("query_id"), col("vec_id"))
-        .agg(sum(col("pd").cast(DecimalType(28, 12)))
-          .cast(DoubleType).as("ad"))
-        .join(rnorm, Seq("vec_id"))
-        .join(broadcast(q.select(col("query_id"), col("qn"))),
-          Seq("query_id"))
-        .withColumn("approx_cos",
-          round(col("ad") / (sqrt(col("rn2")) * col("qn")), 6))
-      val pool = graft.plans.TopKPerKey(scored,
-        Seq(col("query_id")),
-        Seq(col("approx_cos").desc, col("vec_id")), pqPool)
-      val pairs = pool
-        .select(col("query_id"), col("vec_id"), col("approx_cos"))
-        .join(n.select(col("vec_id"), col("v"), col("nrm")), "vec_id")
-        .join(broadcast(q.select(col("query_id"), col("qv"), col("qn"))),
-          Seq("query_id"))
-        .withColumn("cos_sim",
-          Vectors.cosine(col("qv"), col("v"), col("qn"), col("nrm")))
-        .select(col("query_id"), col("vec_id"), col("cos_sim"),
-          col("approx_cos"))
-      topKPerQuery(pairs, K, Seq("approx_cos"))
-        .orderBy(col("query_id"), col("rank"))
+      pqAdcSearch(cent, codes, vecs(s, d), pqQueries(s, d))
     },
-    Some(s"""
-      WITH $pqTrainSql,
+    Some(pqSearchOracle("TRUE")))
+
+  /** `ann_pq`'s full oracle, shared verbatim by the
+    * [[graft.sources.PqStore]] registry rows (`pq_index_search` /
+    * `pq_index_append_search`) — with a restricted `trainPred` the
+    * codebooks train on a subset but still encode/score the full
+    * corpus, which is exactly the store's write+append contract.
+    */
+  private def pqSearchOracle(trainPred: String): String = s"""
+      WITH ${pqTrainSql(trainPred)},
       q AS (SELECT vec_id AS query_id, v AS qv, nrm AS qn FROM n
             WHERE vec_id % 50 = 0),
       qs AS (SELECT query_id, CAST(sub AS INTEGER) AS sub,
@@ -1232,25 +1266,25 @@ object AnnPack extends QueryPack {
           ORDER BY cos_sim DESC, vec_id) AS rank FROM rr)
       SELECT query_id, rank, vec_id, cos_sim, approx_cos
       FROM r WHERE rank <= $K ORDER BY query_id, rank
-      """))
+      """
 
-  /** Memoized [[graft.sources.EmbedStore]] artifacts — catalog tables +
+  /** Memoized vector-store artifacts (EmbedStore + PqStore) — catalog tables +
     * store dirs keyed by dataset dir, the DedupPack storeArtifacts
     * discipline: dropped with the cache registry so a dataset rewritten
     * in-session rebuilds the store instead of probing a stale one.
     */
-  private val embedStores = java.util.concurrent.ConcurrentHashMap
+  private val vectorStores = java.util.concurrent.ConcurrentHashMap
     .newKeySet[(String, String)]() // (catalog table, store dir)
   graft.Caches.onRelease(() => {
     org.apache.spark.sql.SparkSession.getActiveSession
       .orElse(org.apache.spark.sql.SparkSession.getDefaultSession)
       .foreach { s =>
-        embedStores.forEach { case (t, _) =>
+        vectorStores.forEach { case (t, _) =>
           s.sql(s"DROP TABLE IF EXISTS $t") }
       }
-    embedStores.forEach { case (_, dir) =>
+    vectorStores.forEach { case (_, dir) =>
       if (dir.nonEmpty) graft.Caches.deleteDir(dir) }
-    embedStores.clear()
+    vectorStores.clear()
   })
 
   /** Build (once per JVM × dataset × path-shape) the C14 gate's history
@@ -1280,8 +1314,8 @@ object AnnPack extends QueryPack {
         graft.sources.EmbedStore.append(s, base,
           hist.filter(pmod(col("vec_id"), lit(4)) === 2))
       }
-      embedStores.add((s"${base}_cells", s"$root/$base"))
-      embedStores.add((s"${base}_lists", ""))
+      vectorStores.add((s"${base}_cells", s"$root/$base"))
+      vectorStores.add((s"${base}_lists", ""))
     }
     base
   }
@@ -1340,11 +1374,68 @@ object AnnPack extends QueryPack {
       .orderBy(col("vec_id")),
     Some(embedIncOracle))
 
+  /** Build (once per JVM × dataset × path-shape) the D12 gate's PQ
+    * store over the corpus slice; `split = true` trains/writes on the
+    * vec_id % 11 <> 5 subset and APPENDS the rest (encoded against the
+    * FIXED books) — the D9 append-gate construction.
+    */
+  private def pqStore(s: SparkSession, d: String,
+      split: Boolean): String = {
+    val tag = java.security.MessageDigest.getInstance("MD5")
+      .digest(d.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(10)
+    val base = s"graft_pq_store_$tag" + (if (split) "a" else "")
+    val root = sys.env.getOrElse("SPARK_GRAFT_STORE_DIR",
+      sys.props("java.io.tmpdir"))
+    if (!s.catalog.tableExists(s"${base}_codes")) {
+      val corpus = Tables.embeddings(s, d)
+        .filter(pmod(col("vec_id"), lit(50)) =!= 0)
+        .select(col("vec_id"), col("embedding"))
+      if (!split)
+        graft.sources.PqStore.write(corpus, base, s"$root/$base")
+      else {
+        graft.sources.PqStore.write(
+          corpus.filter(pmod(col("vec_id"), lit(11)) =!= 5),
+          base, s"$root/$base")
+        graft.sources.PqStore.append(s, base,
+          corpus.filter(pmod(col("vec_id"), lit(11)) === 5))
+      }
+      vectorStores.add((s"${base}_books", s"$root/$base"))
+      vectorStores.add((s"${base}_codes", ""))
+      vectorStores.add((s"${base}_vecs", ""))
+    }
+    base
+  }
+
+  private def pqQuerySet(s: SparkSession, d: String): DataFrame =
+    Tables.embeddings(s, d)
+      .filter(pmod(col("vec_id"), lit(50)) === 0)
+      .select(col("vec_id"), col("embedding"))
+
+  // D12 — the persisted PQ index through the driver gate: build the
+  // store, search the parquet codes — must hash-match ann_pq's oracle
+  // VERBATIM (same codebooks, same codes, same ADC arithmetic).
+  private val pqIndexSearch = GraftQuery(
+    "pq_index_search",
+    (s, d) => graft.sources.PqStore.search(
+      s, pqStore(s, d, split = false), pqQuerySet(s, d)),
+    Some(pqSearchOracle("TRUE")))
+
+  // D12's APPEND path: train+write on ~91% of the corpus, append the
+  // held-out slice encoded against the fixed books, search — the
+  // oracle trains on the same reduced set but encodes/scores the FULL
+  // corpus, so the hash match proves appended vectors are searchable
+  // exactly as if encoded at build time.
+  private val pqIndexAppendSearch = GraftQuery(
+    "pq_index_append_search",
+    (s, d) => graft.sources.PqStore.search(
+      s, pqStore(s, d, split = true), pqQuerySet(s, d)),
+    Some(pqSearchOracle("vec_id % 11 <> 5")))
+
   override val queries: Seq[GraftQuery] =
     Seq(annBrute, annLsh, knnJoin, dedupEmbedding, annIvf, annIvfKmeans,
       annRange, embeddingQuantize, annQuantized, annIndexSearch,
       annIndexAppendSearch, dedupIncEmbed, dedupIncEmbedAppend,
-      pqEncode, annPq)
+      pqEncode, annPq, pqIndexSearch, pqIndexAppendSearch)
 
   /** Cross-query shared working sets (see [[graft.QueryPack.warm]]):
     * the (label, cell) inverted lists feed D3/C5/D6 + C10's rangePairs,

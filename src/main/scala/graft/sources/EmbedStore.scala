@@ -135,9 +135,19 @@ object EmbedStore {
     * radius — a new label block starts small, and its cell splits at
     * the next rebuild). Cell radii grow to cover every routed member
     * BEFORE the lists rows land (see the class doc on why that order is
-    * the recall-safe one). Single-writer, lease-guarded like the
-    * sibling stores; re-appending a vec_id is tolerated at read
+    * the recall-safe one). Re-appending a vec_id is tolerated at read
     * (pair-level dedupe), so crash replays converge.
+    *
+    * Single-writer — and here the contract is SHARPER than the
+    * siblings': their appends are purely additive, so even two
+    * interleaved appends that slip between each other's per-table
+    * leases merely interleave files; this append REWRITES the cells
+    * table (read-modify-write on the radii), so a second appender
+    * interleaving between the two legs loses the first's radius growth
+    * — a SILENT recall break the per-leg leases cannot catch (they only
+    * refuse overlapping writes, and a same-process nested hold would
+    * read as live contention). Serialize appends per store — one
+    * ingest scheduler, which is the family contract anyway.
     */
   def append(spark: SparkSession, tableBase: String,
       embs: DataFrame): Unit = {
