@@ -527,8 +527,85 @@ object SearchPack extends QueryPack {
       """
     })
 
+  // ---- I7: collocations — corpus bigram association by exact PMI ----
+  // The classic collocation-mining score (pointwise mutual information)
+  // over the corpus bigram table, entirely in G14 fixed-point logs so
+  // the log-weighted ranking carries a full hash-match oracle:
+  //   pmi_q20 = lg(c12) − lg(B) + 2·lg(T) − lg(c_a) − lg(c_b)
+  // with B the corpus bigram total and T the token total — every input
+  // a positive int64, every term exact, the subtraction exact. The
+  // count floor keeps the estimator out of its small-count noise
+  // regime; top-k under the (pmi DESC, w1, w2) total order is
+  // TakeOrderedAndProject — never a global sort. Model-sized frames
+  // (unigram/bigram counts) are vocabulary-bounded and AQE-broadcast
+  // at scale; the corpus contributes one explode + one combine-heavy
+  // aggregation (shared with E7/I1's frames).
+  private val pmiMinCount = 5L
+  private val pmiK = 50
+
+  private val collocations = GraftQuery(
+    "collocations",
+    (s, d) => {
+      val docs = Tables.parallelized(Tables.documents(s, d))
+      val bi = docBigramsOf(docs)
+        .groupBy(col("w1"), col("w2")).agg(sum(col("k")).as("c12"))
+      val uni = uniCountsOf(docs)
+      val totals = broadcast(
+        bi.agg(sum(col("c12")).as("b"))
+          .crossJoin(uni.agg(sum(col("c1")).as("t"))))
+      bi.filter(col("c12") >= pmiMinCount)
+        .join(uni.select(col("word").as("w1"), col("c1").as("ca")), "w1")
+        .join(uni.select(col("word").as("w2"), col("c1").as("cb")), "w2")
+        .crossJoin(totals)
+        .select(col("w1"), col("w2"), col("c12"),
+          (lg(col("c12")) - lg(col("b")) + lit(2L) * lg(col("t"))
+            - lg(col("ca")) - lg(col("cb"))).as("pmi_q20"))
+        .orderBy(col("pmi_q20").desc, col("w1"), col("w2"))
+        .limit(pmiK)
+    },
+    Some(s"""
+      WITH RECURSIVE w AS (
+        SELECT doc_id, $wordsSql AS w FROM documents),
+      dw AS (SELECT doc_id, w FROM w WHERE len(w) > 0),
+      uni AS (
+        SELECT word, CAST(COUNT(*) AS BIGINT) AS c1
+        FROM (SELECT unnest(w) AS word FROM dw) GROUP BY 1),
+      big AS (
+        SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c12
+        FROM (
+          SELECT unnest(list_slice(w, 1, len(w)-1)) AS w1,
+            unnest(list_slice(w, 2, len(w))) AS w2
+          FROM dw WHERE len(w) >= 2)
+        GROUP BY 1, 2),
+      totals AS (
+        SELECT (SELECT CAST(SUM(c12) AS BIGINT) FROM big) AS b,
+          (SELECT CAST(SUM(c1) AS BIGINT) FROM uni) AS t),
+      kept AS (SELECT * FROM big WHERE c12 >= $pmiMinCount),
+      loginputs AS (
+        SELECT DISTINCT c12 AS val FROM kept
+        UNION SELECT b AS val FROM totals
+        UNION SELECT t AS val FROM totals
+        UNION SELECT DISTINCT c1 AS val FROM uni),
+      ${Portable.sql.log2CteSql("loginputs", "logsteps", "logs")},
+      scored AS (
+        SELECT k.w1, k.w2, k.c12,
+          lc.log2_q20 - lb.log2_q20 + 2 * lt.log2_q20
+            - la.log2_q20 - l2.log2_q20 AS pmi_q20
+        FROM kept k
+        JOIN uni ua ON k.w1 = ua.word
+        JOIN uni ub ON k.w2 = ub.word
+        CROSS JOIN totals tt
+        JOIN logs lc ON lc.val = k.c12
+        JOIN logs lb ON lb.val = tt.b
+        JOIN logs lt ON lt.val = tt.t
+        JOIN logs la ON la.val = ua.c1
+        JOIN logs l2 ON l2.val = ub.c1)
+      SELECT w1, w2, c12, pmi_q20 FROM scored
+      ORDER BY pmi_q20 DESC, w1, w2 LIMIT $pmiK
+      """))
+
   override val queries: Seq[GraftQuery] =
     Seq(lmScore, bm25Search, keywordExtract,
       bm25IndexSearch, bm25IndexAppendSearch,
-      lmIndexScore, lmIndexAppendScore, phraseSearch)
+      lmIndexScore, lmIndexAppendScore, phraseSearch, collocations)
 }

@@ -164,6 +164,31 @@ class SearchPackSpec extends GraftSpec {
     assert(got.nonEmpty, "the registry phrase must actually occur")
   }
 
+  // ---- I7: collocations ----
+
+  test("collocations equals a JVM exact-PMI recompute") {
+    val uni = scorable.flatMap(_._2).groupBy(identity)
+      .map { case (w, o) => w -> o.size.toLong }
+    val t = uni.values.sum
+    val big = scorable.filter(_._2.length >= 2)
+      .flatMap { case (_, w) => w.sliding(2) }
+      .map(p => (p(0), p(1))).groupBy(identity)
+      .map { case (p, o) => p -> o.size.toLong }
+    val b = big.values.sum
+    val want = big.toSeq.filter(_._2 >= 5L)
+      .map { case ((w1, w2), c12) =>
+        (w1, w2, c12,
+          lg(c12) - lg(b) + 2L * lg(t) - lg(uni(w1)) - lg(uni(w2)))
+      }
+      .sortBy { case (w1, w2, _, pmi) => (-pmi, w1, w2) }
+      .take(50)
+    val got = q("collocations").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(3))).toSeq
+    assert(got == want)
+    assert(got.nonEmpty)
+  }
+
   test("phrase_search counts overlapping occurrences and longer chains") {
     import spark.implicits._
     val docs = Seq(
