@@ -47,6 +47,8 @@ object ScaleSmoke {
     "q_latest",          // struct-max agg
     "bpe_pairs",         // hot-pair map-side combine
     "metrics_kmv",       // hash distinct + bounded-heap k-smallest (r8)
+    "ann_pq",            // grouped-kmeans train + ADC scan + re-rank (r8)
+    "phrase_search",     // positional chain join (r8)
     "source_report",     // corpus-wide agg + broadcast total
     "mix_sources",       // two-level rank
     "shard_pack")        // two-level cumsum
@@ -206,6 +208,9 @@ object ScaleSmoke {
           s"$storesRoot/ix_$tag")
         sources.EmbedStore.write(histEmb, s"scale_em_$tag",
           s"$storesRoot/em_$tag")
+        sources.PqStore.write(
+          histEmb.select(col("vec_id"), col("embedding")),
+          s"scale_pq_$tag", s"$storesRoot/pq_$tag")
       }
       def fpProbe() = probeSteady(() =>
         sources.FingerprintStore.dedupAgainst(spark, s"scale_fp_$tag", batch))
@@ -221,10 +226,17 @@ object ScaleSmoke {
           operators.SearchPack.bm25Terms, 20))
       def emProbe() = probeSteady(() =>
         sources.EmbedStore.dedupAgainst(spark, s"scale_em_$tag", batchEmb))
+      // the PQ search's cost IS corpus-proportional by design (the ADC
+      // pass scans the 32×-compressed code table) — its ratio is
+      // expected ~K on the scan stage, unlike the probe legs
+      def pqProbe() = probeSteady(() =>
+        sources.PqStore.search(spark, s"scale_pq_$tag",
+          batchEmb.select(col("vec_id"), col("embedding"))))
       val fp = fpProbe()
       val mh = mhProbe()
       val ix = ixProbe()
       val em = emProbe()
+      val pq = pqProbe()
       // ingest-loop legs: fold in a batch of NOVEL docs (fresh ids AND
       // fresh content — the ingest contract), re-probe the appended
       // store, compact, re-probe
@@ -245,39 +257,49 @@ object ScaleSmoke {
         sources.MinHashStore.append(spark, s"scale_mh_$tag", appendBatch)
         sources.SearchIndex.append(spark, s"scale_ix_$tag", appendBatch)
         sources.EmbedStore.append(spark, s"scale_em_$tag", appendEmb)
+        sources.PqStore.append(spark, s"scale_pq_$tag",
+          appendEmb.select(col("vec_id"), col("embedding")))
       }
       val fpA = fpProbe()
       val mhA = mhProbe()
       val ixA = ixProbe()
       val emA = emProbe()
+      val pqA = pqProbe()
       val cmp = timeOf {
         sources.FingerprintStore.compact(spark, s"scale_fp_$tag")
         sources.MinHashStore.compact(spark, s"scale_mh_$tag")
         sources.SearchIndex.compact(spark, s"scale_ix_$tag")
         sources.EmbedStore.compact(spark, s"scale_em_$tag")
+        sources.PqStore.compact(spark, s"scale_pq_$tag")
       }
       val fpC = fpProbe()
       val mhC = mhProbe()
       val ixC = ixProbe()
       val emC = emProbe()
+      val pqC = pqProbe()
       Seq("store_build" -> build,
         "fp_store_probe" -> fp, "mh_store_probe" -> mh,
         "ix_store_search" -> ix, "em_store_probe" -> em,
+        "pq_store_search" -> pq,
         "store_append" -> app,
         "fp_probe_post_append" -> fpA, "mh_probe_post_append" -> mhA,
         "ix_search_post_append" -> ixA, "em_probe_post_append" -> emA,
+        "pq_search_post_append" -> pqA,
         "store_compact" -> cmp,
         "fp_probe_post_compact" -> fpC, "mh_probe_post_compact" -> mhC,
-        "ix_search_post_compact" -> ixC, "em_probe_post_compact" -> emC)
+        "ix_search_post_compact" -> ixC, "em_probe_post_compact" -> emC,
+        "pq_search_post_compact" -> pqC)
     }
     val s1 = storeProbe(base, "x1").toMap
     val sK = storeProbe(dir, s"x$k").toMap
     val storeOrder = Seq("store_build", "fp_store_probe", "mh_store_probe",
-      "ix_store_search", "em_store_probe",
+      "ix_store_search", "em_store_probe", "pq_store_search",
       "store_append", "fp_probe_post_append", "mh_probe_post_append",
       "ix_search_post_append", "em_probe_post_append",
+      "pq_search_post_append",
       "store_compact", "fp_probe_post_compact", "mh_probe_post_compact",
-      "ix_search_post_compact", "em_probe_post_compact")
+      "ix_search_post_compact", "em_probe_post_compact",
+      "pq_search_post_compact")
     val storeReport = storeOrder.map { op =>
       f"""{"op":"$op","x1":${s1(op)}%.3f,"x$k":${sK(op)}%.3f,"ratio":${sK(op) / math.max(s1(op), 1e-9)}%.2f}"""
     }

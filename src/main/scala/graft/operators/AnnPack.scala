@@ -1444,5 +1444,8 @@ object AnnPack extends QueryPack {
   override def warm: Seq[(String, (SparkSession, String) => DataFrame)] =
     Seq(
       "ann_label_cells" -> ((s, d) => labelCells(s, d)._2),
-      "ann_cand_pairs" -> ((s, d) => labelCandPairs(s, d)))
+      "ann_cand_pairs" -> ((s, d) => labelCandPairs(s, d)),
+      // the PQ train (grouped k-means) + corpus codes feed pq_encode,
+      // ann_pq AND the PqStore gate builds — one cross-query build
+      "ann_pq_codes" -> ((s, d) => pqModel(s, d)._2))
 }
