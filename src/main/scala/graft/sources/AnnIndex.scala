@@ -89,6 +89,13 @@ object AnnIndex {
     val lists = spark.read.parquet(s"$path/lists")
       .filter(col("cell").cast("long").isin(cells: _*))
       .withColumn("cell", col("cell").cast("long"))
+      // a crash-replayed append duplicates postings rows (same vec_id,
+      // same cell — routing is deterministic); without this dedupe a
+      // duplicated vector occupies TWO ranks of the result (the defect
+      // the PqStore spec planted and caught in its own search; the
+      // duplicate rows are byte-identical, so which survives is
+      // immaterial)
+      .dropDuplicates("vec_id")
     val pairs = lists.join(broadcast(probed), Seq("cell"))
       .withColumn("cos_sim",
         Vectors.cosine(col("qv"), col("v"), col("qn"), col("nrm")))

@@ -177,6 +177,23 @@ class AnnPackSpec extends GraftSpec {
     val plan = search.queryExecution.executedPlan.toString
     assert("PartitionFilters: \\[[^\\]]*cell".r.findFirstIn(plan).isDefined,
       s"postings scan is not partition-pruned by cell after append:\n$plan")
+    // a crash-REPLAYED append duplicates postings rows; the search must
+    // not surface one vector at two ranks (the PqStore replay lesson)
+    graft.sources.AnnIndex.append(spark, dir, appended)
+    val replayed = graft.sources.AnnIndex.search(spark, dir, queries)
+      .collect()
+    replayed.groupBy(_.getLong(0)).foreach { case (q, rows) =>
+      val ids = rows.map(_.getLong(2))
+      assert(ids.distinct.length == ids.length,
+        s"replayed append put one vector at two ranks for query $q: " +
+          rows.toSeq)
+    }
+    // compare against the PRE-replay collected rows (re-collecting
+    // `search` here would lazily re-execute on the replayed store and
+    // compare the replay with itself)
+    assert(replayed.map(_.toString).sorted.toSeq
+      == byQuery.values.flatten.map(_.toString).toSeq.sorted,
+      "replayed append changed the search result")
   }
 
   test("embedding_quantize: known vectors quantize to the expected codes") {
