@@ -1268,6 +1268,156 @@ object AnnPack extends QueryPack {
       FROM r WHERE rank <= $K ORDER BY query_id, rank
       """
 
+  // ---- D13: ann_ivfpq — the composed production index shape ----
+  // IVF pruning × PQ compression, the FAISS-IVFPQ read pattern: the
+  // coarse quantizer (D5's oracle-verified k-means, shared frames)
+  // prunes WHICH vectors are candidates (nprobe/k of the corpus), the
+  // PQ codes (D11's oracle-verified codebooks, shared frames) shrink
+  // WHAT is read per candidate (32×), and only the bounded pool
+  // touches float vectors. At 100 TB the scan is nprobe/k × 1/32 of
+  // the corpus bytes per query batch — the two savings multiply.
+  // (Codes are over raw vectors, not per-cell residuals: residual
+  // coding would couple the two quantizers' training and buy accuracy
+  // this corpus cannot measure; the composition of the two
+  // INDEPENDENTLY-verified quantizers is the point here.)
+  private val ivfpqPool = 64
+
+  private val annIvfPq = GraftQuery(
+    "ann_ivfpq",
+    (s, d) => {
+      val (books, codes) = pqModel(s, d)
+      val n = vecs(s, d)
+      val corpus = kmCorpus(n.filter(pmod(col("vec_id"), lit(50)) =!= 0))
+      val cent = kmCentroids(corpus).persistTracked
+      val cellmap = kmAssign(corpus, cent)
+        .select(col("vec_id"), col("cell"))
+      val q = pqQueries(s, d)
+        .withColumn("qq", Vectors.dot(col("qv"), col("qv")))
+      val probed = kmProbe(q, cent)
+      val cand = cellmap
+        .join(broadcast(probed.select(col("query_id"), col("cell"))),
+          Seq("cell"))
+        .select(col("query_id"), col("vec_id"))
+      val qsubs = pqSlices(q.select(col("query_id").as("vec_id"),
+          col("qv").as("v")))
+        .select(col("vec_id").as("query_id"), col("sub"),
+          col("sv").as("qsv"))
+      val lut = qsubs.join(broadcast(books), Seq("sub"))
+        .select(col("query_id"), col("sub"), col("cid"),
+          Vectors.dot(col("qsv"), col("cv")).as("pd"))
+      val rnorm = codes
+        .join(broadcast(books.select(col("sub"), col("cid"), col("cc"))),
+          Seq("sub", "cid"))
+        .groupBy(col("vec_id"))
+        .agg(sum(col("cc").cast(DecimalType(28, 12)))
+          .cast(DoubleType).as("rn2"))
+      val scored = cand.join(codes, Seq("vec_id"))
+        .join(broadcast(lut), Seq("query_id", "sub", "cid"))
+        .groupBy(col("query_id"), col("vec_id"))
+        .agg(sum(col("pd").cast(DecimalType(28, 12)))
+          .cast(DoubleType).as("ad"))
+        .join(rnorm, Seq("vec_id"))
+        .join(broadcast(q.select(col("query_id"), col("qn"))),
+          Seq("query_id"))
+        .withColumn("approx_cos",
+          round(col("ad") / (sqrt(col("rn2")) * col("qn")), 6))
+      val pool = graft.plans.TopKPerKey(scored,
+        Seq(col("query_id")),
+        Seq(col("approx_cos").desc, col("vec_id")), ivfpqPool)
+      val pairs = pool
+        .select(col("query_id"), col("vec_id"), col("approx_cos"))
+        .join(n.select(col("vec_id"), col("v"), col("nrm")), "vec_id")
+        .join(broadcast(q.select(col("query_id"), col("qv"), col("qn"))),
+          Seq("query_id"))
+        .withColumn("cos_sim",
+          Vectors.cosine(col("qv"), col("v"), col("qn"), col("nrm")))
+        .select(col("query_id"), col("vec_id"), col("cos_sim"),
+          col("approx_cos"))
+      topKPerQuery(pairs, K, Seq("approx_cos"))
+        .orderBy(col("query_id"), col("rank"))
+    },
+    Some {
+      def kmRound(cents: String, out: String): String =
+        s"""ks$out AS (SELECT c.vec_id, c.v, s.cell,
+            ROW_NUMBER() OVER (PARTITION BY c.vec_id ORDER BY
+              c.vv + s.cc - 2.0 * ${Vectors.sql.dot("c.v", "s.cv")},
+              s.cell) AS rn
+          FROM corpusk c CROSS JOIN $cents s),
+        kg$out AS (SELECT vec_id, v, cell FROM ks$out WHERE rn = 1),
+        kd$out AS (SELECT cell, unnest(range(len(v))) AS j, v
+                   FROM kg$out),
+        km$out AS (SELECT cell, j,
+            CAST(SUM(CAST(v[CAST(j AS INTEGER)+1] AS DECIMAL(28,12)))
+              AS DOUBLE) / COUNT(*) AS c
+          FROM kd$out GROUP BY cell, j),
+        kc$out AS (SELECT cell, list(c ORDER BY j) AS cv
+                   FROM km$out GROUP BY cell),
+        kcn$out AS (SELECT cell, cv, ${Vectors.sql.dot("cv", "cv")} AS cc
+                    FROM kc$out)"""
+      s"""
+      WITH ${pqTrainSql("TRUE")},
+      corpusk AS (SELECT vec_id, v, nrm,
+          ${Vectors.sql.dot("v", "v")} AS vv FROM corpus),
+      kseeds AS (SELECT vec_id AS cell, v AS cv,
+          ${Vectors.sql.dot("v", "v")} AS cc
+        FROM corpusk ORDER BY $seedHashSql, vec_id LIMIT $kmK),
+      ${kmRound("kseeds", "1")},
+      ${kmRound("kcn1", "2")},
+      kassign AS (SELECT c.vec_id, s.cell,
+          ROW_NUMBER() OVER (PARTITION BY c.vec_id ORDER BY
+            c.vv + s.cc - 2.0 * ${Vectors.sql.dot("c.v", "s.cv")}, s.cell)
+            AS rn
+        FROM corpusk c CROSS JOIN kcn2 s),
+      klists AS (SELECT vec_id, cell FROM kassign WHERE rn = 1),
+      q AS (SELECT vec_id AS query_id, v AS qv, nrm AS qn,
+          ${Vectors.sql.dot("v", "v")} AS qq
+        FROM n WHERE vec_id % 50 = 0),
+      kpr AS (SELECT z.query_id, s.cell,
+          ROW_NUMBER() OVER (PARTITION BY z.query_id ORDER BY
+            z.qq + s.cc - 2.0 * ${Vectors.sql.dot("z.qv", "s.cv")}, s.cell)
+            AS pr
+        FROM q z CROSS JOIN kcn2 s),
+      kprobe AS (SELECT query_id, cell FROM kpr WHERE pr <= $nprobe),
+      cand AS (SELECT p.query_id, l.vec_id
+        FROM klists l JOIN kprobe p ON l.cell = p.cell),
+      qs AS (SELECT query_id, CAST(sub AS INTEGER) AS sub,
+          qv[CAST(sub*$pqSubDim+1 AS INTEGER):
+             CAST(sub*$pqSubDim+$pqSubDim AS INTEGER)] AS qsv
+        FROM (SELECT query_id, qv, unnest(range($pqM)) AS sub FROM q)),
+      lut AS (SELECT qs.query_id, qs.sub, c.cid,
+          ${Vectors.sql.dot("qs.qsv", "c.cv")} AS pd
+        FROM qs JOIN cn2 c ON qs.sub = c.sub),
+      rnorm AS (SELECT k.vec_id,
+          CAST(SUM(CAST(c.cc AS DECIMAL(28,12))) AS DOUBLE) AS rn2
+        FROM codes k JOIN cn2 c ON k.sub = c.sub AND k.cid = c.cid
+        GROUP BY k.vec_id),
+      adc AS (SELECT cd.query_id, cd.vec_id,
+          CAST(SUM(CAST(l.pd AS DECIMAL(28,12))) AS DOUBLE) AS ad
+        FROM cand cd
+        JOIN codes k ON cd.vec_id = k.vec_id
+        JOIN lut l ON l.query_id = cd.query_id
+          AND l.sub = k.sub AND l.cid = k.cid
+        GROUP BY cd.query_id, cd.vec_id),
+      sc AS (SELECT a.query_id, a.vec_id,
+          round(a.ad / (sqrt(r.rn2) * z.qn), 6) AS approx_cos
+        FROM adc a JOIN rnorm r ON a.vec_id = r.vec_id
+        JOIN q z ON a.query_id = z.query_id),
+      pool AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+          ORDER BY approx_cos DESC, vec_id) AS pr FROM sc),
+      rr AS (SELECT p.query_id, p.vec_id, p.approx_cos,
+          round(${Vectors.sql.dot("z.qv", "c.v")} / (z.qn * c.nrm), 6)
+            AS cos_sim
+        FROM pool p
+        JOIN corpus c ON p.vec_id = c.vec_id
+        JOIN q z ON p.query_id = z.query_id
+        WHERE p.pr <= $ivfpqPool),
+      r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+          ORDER BY cos_sim DESC, vec_id) AS rank FROM rr)
+      SELECT query_id, rank, vec_id, cos_sim, approx_cos
+      FROM r WHERE rank <= $K ORDER BY query_id, rank
+      """
+    })
+
   /** Memoized vector-store artifacts (EmbedStore + PqStore) — catalog tables +
     * store dirs keyed by dataset dir, the DedupPack storeArtifacts
     * discipline: dropped with the cache registry so a dataset rewritten
@@ -1435,7 +1585,7 @@ object AnnPack extends QueryPack {
     Seq(annBrute, annLsh, knnJoin, dedupEmbedding, annIvf, annIvfKmeans,
       annRange, embeddingQuantize, annQuantized, annIndexSearch,
       annIndexAppendSearch, dedupIncEmbed, dedupIncEmbedAppend,
-      pqEncode, annPq, pqIndexSearch, pqIndexAppendSearch)
+      pqEncode, annPq, pqIndexSearch, pqIndexAppendSearch, annIvfPq)
 
   /** Cross-query shared working sets (see [[graft.QueryPack.warm]]):
     * the (label, cell) inverted lists feed D3/C5/D6 + C10's rangePairs,
