@@ -279,6 +279,55 @@ object TimeSeriesPack extends QueryPack {
     },
     Some(kmvOracle))
 
+  // A10g — the persisted KMV sketch store through the driver gate: the
+  // observability leg of the incremental-store family. Build on even
+  // event_ids, APPEND the odds (a day-splitting slice — the merge's
+  // losslessness is partition-shape-independent), estimate — and the
+  // result must hash-match the SAME oracle as the in-query
+  // metrics_kmv, which is the "estimate-after-append ≡ one global
+  // pass" contract a monitoring dashboard relies on.
+  private val metricsStores = java.util.concurrent.ConcurrentHashMap
+    .newKeySet[(String, String)]() // (catalog table, store dir)
+  graft.Caches.onRelease(() => {
+    org.apache.spark.sql.SparkSession.getActiveSession
+      .orElse(org.apache.spark.sql.SparkSession.getDefaultSession)
+      .foreach { s =>
+        metricsStores.forEach { case (t, _) =>
+          s.sql(s"DROP TABLE IF EXISTS $t") }
+      }
+    metricsStores.forEach { case (_, dir) =>
+      if (dir.nonEmpty) graft.Caches.deleteDir(dir) }
+    metricsStores.clear()
+  })
+
+  private def kmvStore(s: SparkSession, d: String): String = {
+    val tag = java.security.MessageDigest.getInstance("MD5")
+      .digest(d.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(10)
+    val base = s"graft_kmv_store_$tag"
+    val root = sys.env.getOrElse("SPARK_GRAFT_STORE_DIR",
+      sys.props("java.io.tmpdir"))
+    if (!s.catalog.tableExists(s"${base}_kmv")) {
+      val ev = Tables.events(s, d)
+      graft.sources.MetricsStore.write(
+        ev.filter(pmod(col("event_id"), lit(2)) === 0),
+        col("event_type"), col("ts"), col("user_id"),
+        base, s"$root/$base", k = kmvK)
+      graft.sources.MetricsStore.append(s, base,
+        ev.filter(pmod(col("event_id"), lit(2)) =!= 0),
+        col("event_type"), col("ts"), col("user_id"))
+      metricsStores.add((s"${base}_kmv", s"$root/$base"))
+      metricsStores.add((s"${base}_meta", ""))
+    }
+    base
+  }
+
+  private val kmvStoreEstimate = GraftQuery(
+    "kmv_store_estimate",
+    (s, d) => graft.sources.MetricsStore.estimate(s, kmvStore(s, d))
+      .withColumnRenamed("key", "event_type")
+      .orderBy(col("event_type")),
+    Some(kmvOracle))
+
   // A11 — Timestream INTERPOLATE_LINEAR: hourly per-dimension series
   // with missing bins linearly interpolated between the nearest
   // observed neighbors. prev/next lookups use running max/min windows
@@ -825,7 +874,8 @@ object TimeSeriesPack extends QueryPack {
 
   override val queries: Seq[GraftQuery] = Seq(
     tsBin, tsAgo, tsSeries, sessionize, metricsDaily, percentiles,
-    topUsers, approxMetrics, kmvMetrics, kmvRollup, tsInterpolate,
+    topUsers, approxMetrics, kmvMetrics, kmvRollup, kmvStoreEstimate,
+    tsInterpolate,
     tsLocfFill, tsAsof, tsAnomaly, tsDerivative, tsIntegral,
     qAsofJoin, qLatest, qSkewAgg, qTransitions, sketchRollup, histRollup)
 }

@@ -1,0 +1,91 @@
+package graft.sources
+
+import graft.timeseries.TimeSeries
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Persisted per-(key, day) KMV distinct-count sketches — the
+  * OBSERVABILITY leg of the incremental-store family (SURVEY.md §2
+  * A10g): a monitoring pipeline keeps distinct-user counts per
+  * dimension continuously without ever rescanning raw events, and the
+  * estimate after any sequence of appends equals a single global pass
+  * BIT-FOR-BIT — so the store row shares the direct query's oracle.
+  *
+  * Tables under one base name:
+  *  - `<base>_kmv` — (key, day, hv): each ingest unit's per-(key, day)
+  *    k-smallest distinct hashes, bucketed by `key` so the merge/
+  *    estimate aggregations read their buckets in place. Day-sketch
+  *    rows are sketch-sized (≤ days × keys × k per ingest unit)
+  *    regardless of event volume.
+  *  - `<base>_meta` — (k): the sketch width, read back by append and
+  *    estimate so a caller cannot silently mix widths (a smaller-k
+  *    append would break the exactness argument below without any
+  *    loud failure).
+  *
+  * Exactness: a KMV sketch of a SUBSET's k smallest hashes contains
+  * every hash that is among the k smallest of the union (each
+  * globally-smallest hash is in its own subset's k smallest), so
+  * re-selecting the k smallest distinct hashes over all stored rows
+  * reproduces EXACTLY the sketch a direct pass over the full event
+  * stream builds. That holds for ANY partition of the events into
+  * ingest units — appends need not align to day boundaries, two
+  * appends may split one day, and a crash-REPLAYED append only lands
+  * duplicate (key, day, hv) rows, which the merge's distinct
+  * collapses. `kmv_store_estimate` gates the whole loop (write half
+  * the events, append the rest, estimate) against the SAME oracle as
+  * the in-query `metrics_kmv`.
+  *
+  * Compact is LAYOUT-only ([[Bucketed.compactBucketed]]); re-PRUNING
+  * accumulated rows back to k per (key, day) would also be lossless
+  * for day-or-coarser reads, but like [[LmStore]]'s fold-to-vocab it
+  * is a REBUILD's job — compaction never changes row content here.
+  * Single-writer per store, lease-guarded like the siblings.
+  */
+object MetricsStore {
+
+  /** Build the store over `events` at `path`: sketches of
+    * `id`'s distinct values per (`key`, day of `ts`).
+    */
+  def write(events: DataFrame, key: Column, ts: Column, id: Column,
+      tableBase: String, path: String, k: Int = 64,
+      buckets: Int = 8): Unit = {
+    val spark = events.sparkSession
+    Bucketed.writeBucketed(TimeSeries.kmvDaily(events, key, ts, id, k),
+      s"${tableBase}_kmv", "key", buckets, s"$path/kmv")
+    Bucketed.writePlain(
+      spark.range(1).select(lit(k).as("k")),
+      s"${tableBase}_meta", s"$path/meta", Seq("k"))
+    spark.catalog.refreshTable(s"${tableBase}_meta")
+  }
+
+  private def storedK(spark: SparkSession, tableBase: String): Int =
+    spark.table(s"${tableBase}_meta").head.getInt(0)
+
+  /** Fold a new slice of events in — any slice shape (partial days
+    * included; see the exactness note). Purely additive and
+    * replay-tolerated at read.
+    */
+  def append(spark: SparkSession, tableBase: String, events: DataFrame,
+      key: Column, ts: Column, id: Column): Unit =
+    Bucketed.appendBucketed(spark,
+      TimeSeries.kmvDaily(events, key, ts, id,
+        storedK(spark, tableBase)),
+      s"${tableBase}_kmv")
+
+  /** Per-key distinct estimate over everything ingested:
+    * (key, kmv_distinct) — bit-identical to a direct global pass.
+    */
+  def estimate(spark: SparkSession, tableBase: String): DataFrame = {
+    val k = storedK(spark, tableBase)
+    TimeSeries.kmvEstimate(
+      TimeSeries.kmvMerge(spark.table(s"${tableBase}_kmv"), k), k)
+  }
+
+  /** Restore one sorted file per bucket after appends (layout only —
+    * see the class doc on why re-pruning is a rebuild's job).
+    */
+  def compact(spark: SparkSession, tableBase: String): Unit = {
+    Bucketed.compactBucketed(spark, s"${tableBase}_kmv")
+    Bucketed.compactPlain(spark, s"${tableBase}_meta", Seq("k"))
+  }
+}

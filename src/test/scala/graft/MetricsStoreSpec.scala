@@ -1,0 +1,79 @@
+package graft
+
+import graft.sources.{MetricsStore, Tables}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** sources/MetricsStore (SURVEY.md §2 A10g): the persisted KMV sketch
+  * store — estimate-after-append ≡ one global pass, replays and
+  * compaction are estimate-stable, the stored k governs appends.
+  */
+class MetricsStoreSpec extends GraftSpec {
+
+  private def rows(df: DataFrame): Seq[String] =
+    df.collect().map(_.toString).toSeq
+
+  private def cleanup(base: String, path: String): Unit = {
+    Seq("kmv", "meta").foreach(t =>
+      spark.sql(s"DROP TABLE IF EXISTS ${base}_$t"))
+    Caches.deleteDir(path)
+  }
+
+  test("estimate over write + day-splitting append equals the " +
+      "in-query metrics_kmv") {
+    val base = s"graft_kmv_spec_${System.nanoTime()}"
+    val path = s"${sys.props("java.io.tmpdir")}/$base"
+    val ev = Tables.events(spark, sfDir)
+    try {
+      // the split is by event_id — it slices DAYS apart, which is
+      // exactly the case the merge's losslessness must cover
+      MetricsStore.write(ev.filter(pmod(col("event_id"), lit(2)) === 0),
+        col("event_type"), col("ts"), col("user_id"), base, path)
+      MetricsStore.append(spark, base,
+        ev.filter(pmod(col("event_id"), lit(2)) =!= 0),
+        col("event_type"), col("ts"), col("user_id"))
+      val got = rows(MetricsStore.estimate(spark, base)
+        .withColumnRenamed("key", "event_type").orderBy("event_type"))
+      val want = rows(SparkEntry.queries("metrics_kmv")(spark, sfDir))
+      assert(got == want)
+    } finally cleanup(base, path)
+  }
+
+  test("replayed appends and compaction cannot change the estimate; " +
+      "the stored k governs, including the exact small-count mode") {
+    import spark.implicits._
+    val base = s"graft_kmv_spec2_${System.nanoTime()}"
+    val path = s"${sys.props("java.io.tmpdir")}/$base"
+    def ev(rows: (Long, String, Long)*): DataFrame =
+      rows.toSeq.toDF("event_id", "event_type", "uid")
+        .withColumn("ts", expr(
+          "to_timestamp('2024-03-01 10:00:00') + " +
+            "make_interval(0, 0, 0, 0, cast(event_id AS INT), 0, 0)"))
+    // key "a": 3 distinct uids (< k=4 → EXACT count mode);
+    // key "b": 6 distinct uids (> k → estimator mode)
+    val batch1 = ev((1L, "a", 10L), (2L, "a", 11L), (3L, "b", 20L),
+      (4L, "b", 21L), (5L, "b", 22L))
+    val batch2 = ev((30L, "a", 12L), (31L, "b", 23L), (32L, "b", 24L),
+      (33L, "b", 25L))
+    try {
+      MetricsStore.write(batch1, col("event_type"), col("ts"), col("uid"),
+        base, path, k = 4)
+      MetricsStore.append(spark, base, batch2,
+        col("event_type"), col("ts"), col("uid"))
+      val est = MetricsStore.estimate(spark, base).collect()
+        .map(r => r.getString(0) -> r.getDouble(1)).toMap
+      // exact mode: 3 distinct < k
+      assert(est("a") == 3.0, s"exact small-count mode broke: $est")
+      // estimator mode engaged (k=4 from the META table, not a caller
+      // arg): the estimate is (k-1)·P/h_(4), not the raw count 6
+      assert(est("b") != 6.0 && est("b") > 0.0, s"estimator mode: $est")
+      val s1 = rows(MetricsStore.estimate(spark, base))
+      // crash-replayed append: duplicate sketch rows collapse at read
+      MetricsStore.append(spark, base, batch2,
+        col("event_type"), col("ts"), col("uid"))
+      assert(rows(MetricsStore.estimate(spark, base)) == s1)
+      MetricsStore.compact(spark, base)
+      assert(rows(MetricsStore.estimate(spark, base)) == s1)
+    } finally cleanup(base, path)
+  }
+}
