@@ -4,11 +4,12 @@ import graft.{GraftQuery, QueryPack}
 import graft.expressions.GraftFunctions
 import graft.functions.Portable._
 import graft.sources.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
-/** SURVEY.md §2 C3 — SimHash near-dup detection, powered by the native
-  * Catalyst expressions (block G).
+/** SURVEY.md §2 C3/C15 — SimHash near-dup detection, powered by the
+  * native Catalyst expressions (block G).
   *
   * Scale shape: the signature is one codegen'd expression per row (no
   * shuffle). Candidate generation is MULTI-PROBE over 4 blocks of 16
@@ -25,53 +26,61 @@ import org.apache.spark.sql.types._
   */
 object SimHashPack extends QueryPack {
 
-  private val maxHamming = 7
-  private val numBlocks = 4
-  private val blockBits = 16
+  private[graft] val maxHamming = 7
+  private[graft] val numBlocks = 4
+  private[graft] val blockBits = 16
 
-  private val dedupSimhash = GraftQuery(
-    "dedup_simhash",
-    (s, d) => {
-      GraftFunctions.register(s)
-      val sigs = Tables.parallelized(Tables.documents(s, d))
-        .select(col("doc_id"), words(col("text")).as("w"))
-        .filter(size(col("w")) > 0)
-        .select(col("doc_id"), expr("graft_simhash64(w)").as("sig"))
-      def blockKey(b: Int) =
-        shiftrightunsigned(col("sig"), b * blockBits)
-          .bitwiseAND(lit((1L << blockBits) - 1))
-      // index side: each block's exact key (numBlocks rows per doc)
-      val exactKeys = array((0 until numBlocks).map(b =>
-        struct(lit(b).as("blk"), blockKey(b).as("key"))): _*)
-      // probe side: exact key + all single-bit flips (17 keys per block)
-      val probeKeys = array((0 until numBlocks).flatMap { b =>
-        struct(lit(b).as("blk"), blockKey(b).as("key")) +:
-          (0 until blockBits).map(i =>
-            struct(lit(b).as("blk"),
-              blockKey(b).bitwiseXOR(lit(1L << i)).as("key")))
-      }: _*)
-      val idx = sigs
-        .select(col("doc_id").as("doc_b"), col("sig").as("sig_b"),
-          explode(exactKeys).as("bc"))
-        .select(col("doc_b"), col("sig_b"),
-          col("bc.blk").as("blk_b"), col("bc.key").as("key_b"))
-      val probe = sigs
-        .select(col("doc_id").as("doc_a"), col("sig").as("sig_a"),
-          explode(probeKeys).as("bc"))
-        .select(col("doc_a"), col("sig_a"),
-          col("bc.blk").as("blk"), col("bc.key").as("key"))
-      probe.join(idx, col("blk") === col("blk_b") &&
-          col("key") === col("key_b") && col("doc_a") < col("doc_b"))
-        .select(col("doc_a"), col("doc_b"), col("sig_a"), col("sig_b"))
-        .distinct()
-        .withColumn("hamming",
-          expr("graft_hamming(sig_a, sig_b)").cast(LongType))
-        .filter(col("hamming") <= maxHamming)
-        .select(col("doc_a"), col("doc_b"), col("hamming"))
-        .orderBy(col("doc_a"), col("doc_b"))
-    },
-    Some(s"""
-      WITH w AS (SELECT doc_id, ${graft.functions.Portable.sql.words} AS w
+  /** (doc_id, sig): the codegen'd 64-bit SimHash per document with
+    * ≥ 1 word — one per-row projection, no shuffle. Shared by the C3
+    * all-pairs query and both sides of the C15 store.
+    */
+  private[graft] def sigsOf(docs: DataFrame): DataFrame = {
+    GraftFunctions.register(docs.sparkSession)
+    docs
+      .select(col("doc_id"), words(col("text")).as("w"))
+      .filter(size(col("w")) > 0)
+      .select(col("doc_id"), expr("graft_simhash64(w)").as("sig"))
+  }
+
+  private def blockKey(sig: Column, b: Int): Column =
+    shiftrightunsigned(sig, b * blockBits)
+      .bitwiseAND(lit((1L << blockBits) - 1))
+
+  /** A block's (blk, key) as ONE composite long — blk·2^16 + key — so
+    * the C15 store can bucket by a single join column (the C12 bkey
+    * lesson: a two-column join over a one-column-bucketed table does
+    * not co-partition and re-shuffles the history).
+    */
+  private def bkey(sig: Column, b: Int): Column =
+    lit(b.toLong << blockBits).plus(blockKey(sig, b))
+
+  /** The numBlocks exact composite block keys of a signature — the
+    * store/index side (4 rows per doc).
+    */
+  private[graft] def exactBkeys(sig: Column): Column =
+    array((0 until numBlocks).map(b => bkey(sig, b)): _*)
+
+  /** The multi-probe key set of a signature: each block's exact key
+    * plus all single-bit flips (17 keys per block, 68 per doc) — the
+    * probe side. Probe-side flips against exact-key storage is what
+    * buys recall 1 at hamming ≤ [[maxHamming]] without also inflating
+    * the persisted store 17×.
+    */
+  private[graft] def probeBkeys(sig: Column): Column =
+    array((0 until numBlocks).flatMap { b =>
+      bkey(sig, b) +: (0 until blockBits).map(i =>
+        lit(b.toLong << blockBits)
+          .plus(blockKey(sig, b).bitwiseXOR(lit(1L << i))))
+    }: _*)
+
+  /** The DuckDB spelling of the corpus signature table — CTE chain
+    * ending in `sig(doc_id, lo, hi)` (the 64-bit signature as two
+    * int64 halves; DuckDB's `<<` on BIGINT is well-defined to 63 bits
+    * so the halves never touch the sign bit). Shared by the C3 oracle
+    * and both C15 gate rows.
+    */
+  private[graft] val sigSql: String = s"""
+      w AS (SELECT doc_id, ${graft.functions.Portable.sql.words} AS w
                  FROM documents),
       tok AS (SELECT doc_id, unnest(w) AS word FROM w WHERE len(w) > 0),
       h AS (SELECT doc_id,
@@ -91,7 +100,32 @@ object SimHashPack extends QueryPack {
           CAST(SUM(CASE WHEN cnt > 0 AND j >= 32
             THEN (CAST(1 AS BIGINT) << CAST(j - 32 AS INTEGER))
             ELSE 0 END) AS BIGINT) AS hi
-        FROM c GROUP BY doc_id)
+        FROM c GROUP BY doc_id)"""
+
+  private val dedupSimhash = GraftQuery(
+    "dedup_simhash",
+    (s, d) => {
+      val sigs = sigsOf(Tables.parallelized(Tables.documents(s, d)))
+      // index side: each block's exact key (numBlocks rows per doc)
+      val idx = sigs
+        .select(col("doc_id").as("doc_b"), col("sig").as("sig_b"),
+          explode(exactBkeys(col("sig"))).as("bkey_b"))
+      // probe side: exact key + all single-bit flips (17 keys per block)
+      val probe = sigs
+        .select(col("doc_id").as("doc_a"), col("sig").as("sig_a"),
+          explode(probeBkeys(col("sig"))).as("bkey"))
+      probe.join(idx, col("bkey") === col("bkey_b") &&
+          col("doc_a") < col("doc_b"))
+        .select(col("doc_a"), col("doc_b"), col("sig_a"), col("sig_b"))
+        .distinct()
+        .withColumn("hamming",
+          expr("graft_hamming(sig_a, sig_b)").cast(LongType))
+        .filter(col("hamming") <= maxHamming)
+        .select(col("doc_a"), col("doc_b"), col("hamming"))
+        .orderBy(col("doc_a"), col("doc_b"))
+    },
+    Some(s"""
+      WITH $sigSql
       SELECT a.doc_id AS doc_a, bb.doc_id AS doc_b,
         CAST(bit_count(xor(a.lo, bb.lo)) + bit_count(xor(a.hi, bb.hi))
           AS BIGINT) AS hamming
@@ -101,5 +135,109 @@ object SimHashPack extends QueryPack {
       ORDER BY doc_a, doc_b
       """))
 
-  override val queries: Seq[GraftQuery] = Seq(dedupSimhash)
+  /** C15 store artifacts built this JVM — the DedupPack storeArtifacts
+    * discipline: dropped with the cache registry so a dataset dir
+    * rewritten in-session rebuilds the store instead of probing a
+    * stale one.
+    */
+  private val storeArtifacts = java.util.concurrent.ConcurrentHashMap
+    .newKeySet[(String, String)]() // (catalog table, store dir)
+  graft.Caches.onRelease(() => {
+    org.apache.spark.sql.SparkSession.getActiveSession
+      .orElse(org.apache.spark.sql.SparkSession.getDefaultSession)
+      .foreach { s =>
+        storeArtifacts.forEach { case (t, _) =>
+          s.sql(s"DROP TABLE IF EXISTS $t") }
+      }
+    storeArtifacts.forEach { case (_, dir) =>
+      if (dir.nonEmpty) graft.Caches.deleteDir(dir) }
+    storeArtifacts.clear()
+  })
+
+  /** Build (once per JVM × dataset × path-shape) the C15 gate's
+    * history store: even doc_ids. `split = true` writes the
+    * doc_id % 4 == 0 slice and APPENDS the % 4 == 2 slice — the probe
+    * must be identical either way, which is the append contract the
+    * second gate row proves.
+    */
+  private def simStore(s: SparkSession, d: String,
+      split: Boolean): String = {
+    val tag = java.security.MessageDigest.getInstance("MD5")
+      .digest(d.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(10)
+    val table = s"graft_sh_store_$tag" + (if (split) "a" else "")
+    val root = sys.env.getOrElse("SPARK_GRAFT_STORE_DIR",
+      sys.props("java.io.tmpdir"))
+    if (!s.catalog.tableExists(table)) {
+      val dir = s"$root/$table"
+      val hist = Tables.documents(s, d)
+        .filter(pmod(col("doc_id"), lit(2)) === 0)
+        .select(col("doc_id"), col("text"))
+      if (!split) graft.sources.SimHashStore.write(hist, table, dir)
+      else {
+        graft.sources.SimHashStore.write(
+          hist.filter(pmod(col("doc_id"), lit(4)) === 0), table, dir)
+        graft.sources.SimHashStore.append(s, table,
+          hist.filter(pmod(col("doc_id"), lit(4)) === 2))
+      }
+      storeArtifacts.add((table, dir))
+    }
+    table
+  }
+
+  private def oddBatch(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .filter(pmod(col("doc_id"), lit(2)) =!= 0)
+      .select(col("doc_id"), col("text"))
+
+  /** The brute-force cross-parity oracle BOTH C15 gate rows must
+    * hash-match: every (odd batch, even history) pair at
+    * hamming ≤ [[maxHamming]], aggregated to the store's verdict row.
+    * The multi-probe recall-1 guarantee is what makes a brute-force
+    * oracle hash-matchable at all — a probe that could miss a
+    * qualifying pair would diverge on the first boilerplate-heavy
+    * dataset.
+    */
+  private val simhashIncOracle = s"""
+      WITH $sigSql,
+      x AS (SELECT bb.doc_id AS b_id, hh.doc_id AS h_id,
+          bit_count(xor(bb.lo, hh.lo)) + bit_count(xor(bb.hi, hh.hi))
+            AS ham
+        FROM sig bb CROSS JOIN sig hh
+        WHERE bb.doc_id % 2 = 1 AND hh.doc_id % 2 = 0),
+      g AS (SELECT b_id, COUNT(*) AS cnt, MIN(h_id) AS hist,
+          MIN(ham) AS best
+        FROM x WHERE ham <= $maxHamming GROUP BY b_id)
+      SELECT d.doc_id,
+        CAST(COALESCE(g.cnt, 0) AS BIGINT) AS n_hist_matches,
+        CAST(COALESCE(g.hist, -1) AS BIGINT) AS hist_canonical,
+        CAST(COALESCE(g.best, 64) AS BIGINT) AS best_hamming
+      FROM (SELECT doc_id FROM documents WHERE doc_id % 2 = 1) d
+      LEFT JOIN g ON d.doc_id = g.b_id
+      ORDER BY doc_id
+      """
+
+  // C15 — incremental SimHash near-dup against the persisted store
+  // (the structural-similarity leg of the incremental-store family;
+  // C11 exact, C12 minhash, C14 embedding): odd doc_ids probe a store
+  // built from the even history.
+  private val dedupIncSimhash = GraftQuery(
+    "dedup_incremental_simhash",
+    (s, d) => graft.sources.SimHashStore.dedupAgainst(
+        s, simStore(s, d, split = false), oddBatch(s, d))
+      .orderBy(col("doc_id")),
+    Some(simhashIncOracle))
+
+  // C15's APPEND path through the driver gate: build on half the
+  // history, append the other half (bucket-aligned key-row files),
+  // probe — hash-matching the SAME one-build oracle proves appended
+  // docs are found exactly as if present at build time.
+  private val dedupIncSimhashAppend = GraftQuery(
+    "dedup_incremental_simhash_append",
+    (s, d) => graft.sources.SimHashStore.dedupAgainst(
+        s, simStore(s, d, split = true), oddBatch(s, d))
+      .orderBy(col("doc_id")),
+    Some(simhashIncOracle))
+
+  override val queries: Seq[GraftQuery] =
+    Seq(dedupSimhash, dedupIncSimhash, dedupIncSimhashAppend)
 }

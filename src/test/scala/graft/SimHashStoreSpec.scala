@@ -1,0 +1,164 @@
+package graft
+
+import graft.operators.SimHashPack
+import graft.sources.SimHashStore
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** sources/SimHashStore (SURVEY.md §2 C15): the persisted SimHash
+  * multi-probe store — probe verdicts are exact at hamming ≤ 7 (recall
+  * 1 by the 4×16-block pigeonhole), the store side reads its buckets
+  * in place, append ≡ rebuild, crash replays converge, compaction is
+  * verdict-stable.
+  */
+class SimHashStoreSpec extends GraftSpec {
+
+  private var n = 0
+  private def freshStore(): (String, String) = {
+    n += 1
+    val table = s"graft_sh_spec_${System.nanoTime()}_$n"
+    (table, s"${sys.props("java.io.tmpdir")}/$table")
+  }
+
+  private def cleanup(table: String, path: String): Unit = {
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    Caches.deleteDir(path)
+  }
+
+  private def docsDf(rows: Seq[(Long, String)]): DataFrame = {
+    import spark.implicits._
+    rows.toDF("doc_id", "text")
+  }
+
+  /** Brute-force expected verdicts via the same signature expression:
+    * every (batch, history) pair at hamming ≤ 7, aggregated like the
+    * store's verdict row; (0, -1, 64) for batch docs with no match or
+    * no words.
+    */
+  private def bruteVerdicts(batch: DataFrame,
+      history: DataFrame): Map[Long, (Long, Long, Long)] = {
+    val b = SimHashPack.sigsOf(batch)
+      .select(col("doc_id").as("b_id"), col("sig").as("sb"))
+    val h = SimHashPack.sigsOf(history)
+      .select(col("doc_id").as("h_id"), col("sig").as("sh"))
+    val agg = b.crossJoin(h)
+      .withColumn("ham", expr("graft_hamming(sb, sh)").cast("long"))
+      .filter(col("ham") <= SimHashPack.maxHamming)
+      .groupBy(col("b_id"))
+      .agg(count(lit(1)).as("n"), min(col("h_id")).as("hist"),
+        min(col("ham")).as("best"))
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    batch.select("doc_id").collect().map(_.getLong(0))
+      .map(id => id -> agg.getOrElse(id, (0L, -1L, 64L))).toMap
+  }
+
+  private def verdictMap(df: DataFrame): Map[Long, (Long, Long, Long)] =
+    df.collect().map(r => r.getLong(0) ->
+      (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+
+  test("probe verdicts match brute force on real docs and the store " +
+      "scan has no exchange above it") {
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.execution.joins.SortMergeJoinExec
+    val docs = sources.Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("text"))
+    val history = docs.filter(pmod(col("doc_id"), lit(2)) === 0)
+    val batch = docs.filter(pmod(col("doc_id"), lit(2)) =!= 0)
+    val (table, path) = freshStore()
+    val prevB = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val prevA = spark.conf.get("spark.sql.adaptive.enabled")
+    try {
+      SimHashStore.write(history, table, path)
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      val out = SimHashStore.dedupAgainst(spark, table, batch)
+      assert(verdictMap(out) == bruteVerdicts(batch, history))
+      // exact-dup planted by construction? assert the probe actually
+      // fires on this corpus so the equality above is not vacuous
+      assert(verdictMap(out).values.exists(_._1 > 0),
+        "sf0.001 corpus produced no hamming<=7 cross-parity pair; " +
+          "pick a different fixture")
+      def storeScan(p: SparkPlan) = p.collect {
+        case f: FileSourceScanExec if f.relation.bucketSpec.isDefined => f
+      }.nonEmpty
+      val plan = out.queryExecution.executedPlan
+      val storeSides = plan.collect { case j: SortMergeJoinExec => j }
+        .flatMap(j => Seq(j.left, j.right))
+        .filter(side => storeScan(side) &&
+          side.collect { case nj: SortMergeJoinExec => nj }.isEmpty)
+      assert(storeSides.nonEmpty,
+        s"expected the key probe as a sort-merge join:\n$plan")
+      storeSides.foreach(side => assert(
+        side.collect { case e: ShuffleExchangeExec => e }.isEmpty,
+        s"store side re-shuffled:\n$side"))
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevB)
+      spark.conf.set("spark.sql.adaptive.enabled", prevA)
+      cleanup(table, path)
+    }
+  }
+
+  test("append == rebuild, replayed append converges, compact is " +
+      "verdict-stable") {
+    val base = "the quick brown fox jumps over the lazy dog again and " +
+      "again because repetition makes near duplicates findable"
+    val history = docsDf(Seq(
+      (2L, base),
+      (4L, base + " with a tiny trailing change"),
+      (6L, "an entirely different document about spark bucketed " +
+        "storage layouts and sort merge joins at scale"),
+      (8L, "")))
+    val batch = docsDf(Seq(
+      (1L, base),                                   // exact dup of h2
+      (3L, base + " with a tiny trailing change!"), // near h4
+      (5L, "completely unrelated text mentioning neither foxes nor " +
+        "storage engines just weather patterns and tea"),
+      (7L, "")))                                    // no words
+    val expected = bruteVerdicts(batch, history)
+    assert(expected(1L)._1 >= 1 && expected(1L)._3 == 0L,
+      "planted exact dup must brute-force to hamming 0")
+    assert(expected(7L) == (0L, -1L, 64L))
+
+    val (full, fullPath) = freshStore()
+    val (split, splitPath) = freshStore()
+    try {
+      SimHashStore.write(history, full, fullPath)
+      SimHashStore.write(history.filter(col("doc_id") <= 4), split,
+        splitPath)
+      SimHashStore.append(spark, split,
+        history.filter(col("doc_id") > 4))
+      val vFull = verdictMap(SimHashStore.dedupAgainst(spark, full, batch))
+      val vSplit =
+        verdictMap(SimHashStore.dedupAgainst(spark, split, batch))
+      assert(vFull == expected)
+      assert(vSplit == expected, "append must equal one-shot rebuild")
+      // crash-replayed append: the same rows land twice; pair-level
+      // dedupe keeps verdicts identical
+      SimHashStore.append(spark, split,
+        history.filter(col("doc_id") > 4))
+      assert(verdictMap(
+        SimHashStore.dedupAgainst(spark, split, batch)) == expected)
+      SimHashStore.compact(spark, split)
+      assert(verdictMap(
+        SimHashStore.dedupAgainst(spark, split, batch)) == expected)
+    } finally {
+      cleanup(full, fullPath)
+      cleanup(split, splitPath)
+    }
+  }
+
+  test("a batch doc whose rows are already in the store (replayed " +
+      "ingest) does not near-dup itself") {
+    val text = "replayed ingest batches must not match their own rows " +
+      "in the persisted store or every replay flags everything"
+    val (table, path) = freshStore()
+    try {
+      SimHashStore.write(docsDf(Seq((11L, text))), table, path)
+      val v = verdictMap(SimHashStore.dedupAgainst(spark, table,
+        docsDf(Seq((11L, text)))))
+      assert(v(11L) == (0L, -1L, 64L))
+    } finally cleanup(table, path)
+  }
+}
