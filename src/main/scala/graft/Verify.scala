@@ -5,7 +5,14 @@ import java.nio.file.{Files, Paths}
   * plus oracle_sql.json, for the driver's DuckDB compare. */
 object Verify {
   def main(args: Array[String]): Unit = {
-    val Array(sfDir, outDir) = args
+    // driver contract: (sfDir, outDir). An optional third arg — a
+    // comma-separated query-name subset — is a dev-iteration aid
+    // (tools/check.py only compares the dumps that exist); the driver
+    // never passes it.
+    val (sfDir, outDir, only) = args match {
+      case Array(s, o) => (s, o, None)
+      case Array(s, o, q) => (s, o, Some(q.split(',').toSet))
+    }
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -24,7 +31,9 @@ object Verify {
     // failure by name, dump them as an artifact next to the results,
     // and exit non-zero so no wrapper can mistake this run for clean.
     val failures = scala.collection.mutable.LinkedHashMap.empty[String, String]
-    SparkEntry.queries.foreach { case (name, fn) =>
+    val selected = SparkEntry.queries
+      .filter { case (n, _) => only.forall(_.contains(n)) }
+    selected.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
@@ -53,14 +62,15 @@ object Verify {
       case c => c.toString
     } + "\""
     val json = SparkEntry.oracleSql
+      .filter { case (k, _) => only.forall(_.contains(k)) }
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     val errJson = failures
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/verify_errors.json"), errJson)
     System.err.println(
-      s"[verify] ${SparkEntry.queries.size - failures.size}/" +
-        s"${SparkEntry.queries.size} queries dumped, " +
+      s"[verify] ${selected.size - failures.size}/" +
+        s"${selected.size} queries dumped, " +
         s"${failures.size} failed")
     spark.stop()
     if (failures.nonEmpty) sys.exit(1)

@@ -5,6 +5,7 @@ import graft.functions.Portable
 import graft.plans.TopKPerKey
 import graft.sources.Tables
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -604,8 +605,152 @@ object SearchPack extends QueryPack {
       ORDER BY pmi_q20 DESC, w1, w2 LIMIT $pmiK
       """))
 
+  // ---- I8: doc_similarity — exact all-pairs tf-idf cosine τ-join ----
+  // The similarity-JOIN complement of the D block's top-k search: every
+  // document pair whose tf-idf cosine clears τ, with EXACT recall — the
+  // AllPairs/PPJoin prefix-filter family (Bayardo et al., WWW'07)
+  // re-expressed as three codegen'd equi-joins. A doc's terms are
+  // ordered rare-first (df ASC, word); the remaining-bound rb(i) =
+  // Σ_{j≥i} ŵ_j·maxŵ_j caps the cosine any partner can reach through
+  // terms from position i on, so only positions with rb ≥ τ (the
+  // PREFIX) need indexing: a qualifying pair shares a prefix term of
+  // BOTH sides (cos ≤ rb at the first shared position, by definition
+  // of the global order), so prefix ⋈ full-postings candidate
+  // generation misses nothing. The final verdict recomputes the exact
+  // int-weight cosine, so prefix-side float arithmetic can only cost
+  // candidates, never correctness — and the brute-force oracle's hash
+  // match re-proves recall 1 on every run.
+  //
+  // Scale shape: weights/norms are the I3 frames (one aggregation
+  // each); the prefix bound is a per-doc window (partition ≤ doc
+  // vocabulary, never corpus-sized); candidate cost is
+  // Σ_t |prefix(t)|·df(t) — on a Zipf vocabulary the common terms that
+  // dominate Σ df² sort LAST and fall out of every prefix, which is
+  // what makes the τ-join tractable at 100 TB. The testdata's 31-word
+  // flat vocabulary is the technique's provable WORST case (nothing is
+  // rare ⇒ ~30% pruning, measured), so the gate row runs the
+  // doc_id % 3 ≡ 0 slice to keep the oracle's Σ df² bounded; the
+  // operator itself takes any postings frame.
+  private[graft] val simTau = 0.85
+
+  /** Float-safety margin on the prefix admission bound — the ONE float
+    * computation allowed to influence candidate generation. It must
+    * never round a qualifying pair out: round(cos, 6) ≥ τ admits true
+    * cosines down to τ − 5e-7, and the ≤ doc-vocabulary running float
+    * sum carries ≲ 1e-13 relative error; 1e-6 + 5e-7 covers both with
+    * margin to spare, at the price of a few extra candidates.
+    */
+  private val simRbMargin = 1.5e-6
+
+  /** All pairs with tf-idf cosine ≥ `tau` over a (doc_id, word, tf)
+    * postings frame → (doc_a, doc_b, cos_sim), doc_a < doc_b. Exact:
+    * weights are int64 tf·idf_q20, dots/norms DECIMAL-routed, the one
+    * division+round per surviving pair.
+    */
+  private[graft] def docSimilarityOver(p: DataFrame,
+      tau: Double): DataFrame = {
+    val dec = DecimalType(38, 0)
+    val totals = broadcast(
+      p.select(col("doc_id")).distinct().agg(count(lit(1)).as("n")))
+    val dfTab = p.groupBy(col("word")).agg(count(lit(1)).as("df"))
+    // w fans into the norm agg, the prefix window and BOTH dot sides
+    // (no cross-branch CSE) — persist, registry-scoped
+    val w = p.join(dfTab, Seq("word")).crossJoin(totals)
+      .select(col("doc_id"), col("word"), col("df"),
+        (col("tf") * (lg(col("n") + lit(1L)) - lg(col("df")))).as("w"))
+      .persistTracked
+    val n2 = w.groupBy(col("doc_id"))
+      .agg(sum(col("w").cast(dec) * col("w")).as("n2"))
+    val wn = w.join(n2, "doc_id")
+      .withColumn("wn",
+        col("w").cast(DoubleType) / sqrt(col("n2").cast(DoubleType)))
+    val mx = wn.groupBy(col("word")).agg(max(col("wn")).as("mw"))
+    val rbW = Window.partitionBy(col("doc_id"))
+      .orderBy(col("df").asc, col("word"))
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val prefix = wn.join(broadcast(mx), Seq("word"))
+      .withColumn("rb", sum(col("wn") * col("mw")).over(rbW))
+      .filter(col("rb") >= tau - simRbMargin)
+      .select(col("doc_id").as("da"), col("word"))
+    val cand = prefix
+      .join(w.select(col("doc_id").as("db"), col("word")), Seq("word"))
+      .filter(col("da") =!= col("db"))
+      .select(least(col("da"), col("db")).as("doc_a"),
+        greatest(col("da"), col("db")).as("doc_b"))
+      .distinct()
+    val dot = cand
+      .join(w.select(col("doc_id").as("doc_a"), col("word"),
+        col("w").as("w_a")), Seq("doc_a"))
+      .join(w.select(col("doc_id").as("doc_b"), col("word"),
+        col("w").as("w_b")), Seq("doc_b", "word"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(sum(col("w_a").cast(dec) * col("w_b")).as("dot"))
+    dot
+      .join(n2.select(col("doc_id").as("doc_a"), col("n2").as("na")),
+        Seq("doc_a"))
+      .join(n2.select(col("doc_id").as("doc_b"), col("n2").as("nb")),
+        Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        round(col("dot").cast(DoubleType) /
+            (sqrt(col("na").cast(DoubleType)) *
+              sqrt(col("nb").cast(DoubleType))), 6)
+          .as("cos_sim"))
+      .filter(col("cos_sim") >= tau)
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  private val docSimilarity = GraftQuery(
+    "doc_similarity",
+    (s, d) => docSimilarityOver(
+      postings(s, d).filter(pmod(col("doc_id"), lit(3)) === 0)
+        .select(col("doc_id"), col("word"), col("tf")), simTau),
+    Some(s"""
+      WITH RECURSIVE w AS (
+        SELECT doc_id, $wordsSql AS w FROM documents
+        WHERE doc_id % 3 = 0),
+      dw AS (SELECT doc_id, w FROM w WHERE len(w) > 0),
+      post AS (
+        SELECT doc_id, word, CAST(COUNT(*) AS BIGINT) AS tf
+        FROM (SELECT doc_id, unnest(w) AS word FROM dw) GROUP BY 1, 2),
+      dftab AS (
+        SELECT word, CAST(COUNT(*) AS BIGINT) AS df
+        FROM post GROUP BY 1),
+      totals AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM dw),
+      loginputs AS (
+        SELECT (SELECT n FROM totals) + 1 AS val
+        UNION
+        SELECT DISTINCT df AS val FROM dftab),
+      ${Portable.sql.log2CteSql("loginputs", "logsteps", "logs")},
+      wt AS (
+        SELECT p.doc_id, p.word,
+          p.tf * (ln.log2_q20 - ld.log2_q20) AS w
+        FROM post p
+        JOIN dftab f ON p.word = f.word
+        CROSS JOIN totals tt
+        JOIN logs ln ON ln.val = tt.n + 1
+        JOIN logs ld ON ld.val = f.df),
+      n2 AS (SELECT doc_id, SUM(CAST(w AS HUGEINT) * w) AS n2
+             FROM wt GROUP BY 1),
+      dotp AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+          SUM(CAST(a.w AS HUGEINT) * b.w) AS d
+        FROM wt a JOIN wt b ON a.word = b.word AND a.doc_id < b.doc_id
+        GROUP BY 1, 2),
+      sim AS (
+        SELECT doc_a, doc_b,
+          round(CAST(d AS DOUBLE) /
+            (sqrt(CAST(na.n2 AS DOUBLE)) * sqrt(CAST(nb.n2 AS DOUBLE))),
+            6) AS cos_sim
+        FROM dotp
+        JOIN n2 na ON dotp.doc_a = na.doc_id
+        JOIN n2 nb ON dotp.doc_b = nb.doc_id)
+      SELECT doc_a, doc_b, cos_sim FROM sim WHERE cos_sim >= $simTau
+      ORDER BY doc_a, doc_b
+      """))
+
   override val queries: Seq[GraftQuery] =
     Seq(lmScore, bm25Search, keywordExtract,
       bm25IndexSearch, bm25IndexAppendSearch,
-      lmIndexScore, lmIndexAppendScore, phraseSearch, collocations)
+      lmIndexScore, lmIndexAppendScore, phraseSearch, collocations,
+      docSimilarity)
 }

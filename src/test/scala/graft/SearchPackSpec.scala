@@ -205,4 +205,80 @@ class SearchPackSpec extends GraftSpec {
     assert(m(Seq("a", "b", "a")) == Map(4L -> 2L))
     assert(m(Seq("nope")) == Map.empty)
   }
+
+  // ---- I8: doc_similarity ----
+
+  /** Brute-force τ-join: the same weight/dot/norm arithmetic with NO
+    * prefix filter — every pair sharing a term. Equality at several τ
+    * proves the prefix filter's candidate generation misses nothing
+    * (the cross-engine gate separately re-proves the arithmetic).
+    */
+  private def bruteSim(p: org.apache.spark.sql.DataFrame, tau: Double) = {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types.{DecimalType, DoubleType}
+    val dec = DecimalType(38, 0)
+    val totals = broadcast(
+      p.select(col("doc_id")).distinct().agg(count(lit(1)).as("n")))
+    val dfTab = p.groupBy(col("word")).agg(count(lit(1)).as("df"))
+    val w = p.join(dfTab, Seq("word")).crossJoin(totals)
+      .select(col("doc_id"), col("word"),
+        (col("tf") * (functions.Portable.log2q20(col("n") + lit(1L)) -
+          functions.Portable.log2q20(col("df")))).as("w"))
+    val n2 = w.groupBy(col("doc_id"))
+      .agg(sum(col("w").cast(dec) * col("w")).as("n2"))
+    w.select(col("doc_id").as("doc_a"), col("word"), col("w").as("w_a"))
+      .join(w.select(col("doc_id").as("doc_b"), col("word"),
+        col("w").as("w_b")), Seq("word"))
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(sum(col("w_a").cast(dec) * col("w_b")).as("dot"))
+      .join(n2.select(col("doc_id").as("doc_a"), col("n2").as("na")),
+        Seq("doc_a"))
+      .join(n2.select(col("doc_id").as("doc_b"), col("n2").as("nb")),
+        Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        round(col("dot").cast(DoubleType) /
+            (sqrt(col("na").cast(DoubleType)) *
+              sqrt(col("nb").cast(DoubleType))), 6).as("cos_sim"))
+      .filter(col("cos_sim") >= tau)
+  }
+
+  private def pairSet(df: org.apache.spark.sql.DataFrame) =
+    df.collect().map(r =>
+      (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+
+  test("doc_similarity prefix filter equals brute force at several " +
+      "thresholds on sf0.001") {
+    import org.apache.spark.sql.functions._
+    val p = SearchPack.postingsOf(
+        sources.Tables.documents(spark, sfDir)
+          .select(col("doc_id"), col("text")))
+      .select(col("doc_id"), col("word"), col("tf"))
+    for (tau <- Seq(0.8, 0.85, 0.9)) {
+      val pruned = pairSet(SearchPack.docSimilarityOver(p, tau))
+      val brute = pairSet(bruteSim(p, tau))
+      assert(pruned == brute, s"tau=$tau: " +
+        s"missed=${(brute -- pruned).take(5)} " +
+        s"extra=${(pruned -- brute).take(5)}")
+      assert(brute.nonEmpty, s"tau=$tau vacuous on sf0.001")
+    }
+  }
+
+  test("doc_similarity finds a planted exact duplicate at cos 1.0 and " +
+      "keeps disjoint docs out") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val docs = Seq(
+      (1L, "spark table scan merge window batch"),
+      (2L, "spark table scan merge window batch"), // exact dup of 1
+      (3L, "completely different words entirely unrelated here"),
+      (4L, "spark table scan merge window group")) // near 1/2
+      .toDF("doc_id", "text")
+    val p = SearchPack.postingsOf(docs)
+      .select(col("doc_id"), col("word"), col("tf"))
+    val got = pairSet(SearchPack.docSimilarityOver(p, 0.8))
+    assert(got.exists(t => t._1 == 1L && t._2 == 2L && t._3 == 1.0))
+    assert(!got.exists(t => t._1 == 3L || t._2 == 3L))
+    assert(got == pairSet(bruteSim(p, 0.8)))
+  }
 }
