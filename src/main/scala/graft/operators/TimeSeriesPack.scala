@@ -328,6 +328,84 @@ object TimeSeriesPack extends QueryPack {
       .orderBy(col("event_type")),
     Some(kmvOracle))
 
+  // A10h — count-min sketch over the user_id stream: the
+  // bounded-memory FREQUENCY sketch beside KMV's distinct-count and
+  // the HLL/histogram rollups. Every cell is an integer sum, so —
+  // unusually for a sketch — the whole d×w structure AND its point
+  // estimates are deterministic and carry full hash-match oracles.
+  // The build is one map-side-combining aggregation from the corpus to
+  // ≤ d·w cells; partials are themselves sketches, so a 100 TB scan
+  // ships d·w longs per task.
+  /** DuckDB mirror of [[TimeSeries.cmsCells]] ending in CTE
+    * `cells(row_id, bucket, cnt)` — the affine family over P reduced
+    * mod w, the double-mod idiom keeping both engines' `%` agreeing.
+    */
+  private val cmsCellsSql = s"""
+      js AS (SELECT unnest(range(${TimeSeries.cmsD})) AS j),
+      cb AS (SELECT js.j AS row_id,
+          ((2*js.j+1) * ((user_id % 2147483647 + 2147483647) % 2147483647)
+            + (js.j*40503+13) % 2147483647) % 2147483647
+            % ${TimeSeries.cmsW} AS bucket
+        FROM events CROSS JOIN js),
+      cells AS (SELECT row_id, bucket, CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM cb GROUP BY 1, 2)"""
+
+  private val cmsOracle = s"""
+      WITH $cmsCellsSql
+      SELECT row_id, bucket, cnt FROM cells ORDER BY row_id, bucket
+      """
+
+  private val cmsMetrics = GraftQuery(
+    "metrics_cms",
+    (s, d) => TimeSeries.cmsCells(Tables.events(s, d), col("user_id"))
+      .orderBy(col("row_id"), col("bucket")),
+    Some(cmsOracle))
+
+  // A10i — per-day partial sketches merged cell-wise: integer sums
+  // commute, so the rollup is EXACTLY the direct build for any
+  // day-partitioning — proven by sharing metrics_cms's oracle
+  // verbatim, the pre-aggregate contract a monitoring store relies on.
+  private val cmsRollup = GraftQuery(
+    "metrics_cms_rollup",
+    (s, d) => TimeSeries.cmsMerge(
+        TimeSeries.cmsDailyCells(Tables.events(s, d), col("ts"),
+          col("user_id")))
+      .orderBy(col("row_id"), col("bucket")),
+    Some(cmsOracle))
+
+  // A10j — CMS point estimates beside the exact counts: est = min over
+  // hash rows of the bucket count, ≥ exact by construction (collisions
+  // only add) — the (user, est, exact) view is the sketch-error audit
+  // a dashboard runs at sketch-sized cost when exact counting is the
+  // thing being avoided (here the exact side doubles as the gate).
+  private val cmsEstimate = GraftQuery(
+    "metrics_cms_estimate",
+    (s, d) => {
+      val ev = Tables.events(s, d)
+      val cells = TimeSeries.cmsCells(ev, col("user_id"))
+      ev.groupBy(col("user_id")).agg(count(lit(1)).as("n_exact"))
+        .join(TimeSeries.cmsEstimate(ev, col("user_id"), cells)
+          .withColumnRenamed("id", "user_id"), Seq("user_id"))
+        .select(col("user_id"), col("n_exact"), col("n_est"))
+        .orderBy(col("user_id"))
+    },
+    Some(s"""
+      WITH $cmsCellsSql,
+      u AS (SELECT DISTINCT user_id FROM events),
+      probes AS (SELECT user_id, js.j AS row_id,
+          ((2*js.j+1) * ((user_id % 2147483647 + 2147483647) % 2147483647)
+            + (js.j*40503+13) % 2147483647) % 2147483647
+            % ${TimeSeries.cmsW} AS bucket
+        FROM u CROSS JOIN js),
+      est AS (SELECT user_id, MIN(cnt) AS n_est
+        FROM probes JOIN cells USING (row_id, bucket) GROUP BY 1),
+      ex AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_exact
+        FROM events GROUP BY 1)
+      SELECT ex.user_id, ex.n_exact, est.n_est
+      FROM ex JOIN est ON ex.user_id = est.user_id
+      ORDER BY ex.user_id
+      """))
+
   // A11 — Timestream INTERPOLATE_LINEAR: hourly per-dimension series
   // with missing bins linearly interpolated between the nearest
   // observed neighbors. prev/next lookups use running max/min windows
@@ -875,6 +953,7 @@ object TimeSeriesPack extends QueryPack {
   override val queries: Seq[GraftQuery] = Seq(
     tsBin, tsAgo, tsSeries, sessionize, metricsDaily, percentiles,
     topUsers, approxMetrics, kmvMetrics, kmvRollup, kmvStoreEstimate,
+    cmsMetrics, cmsRollup, cmsEstimate,
     tsInterpolate,
     tsLocfFill, tsAsof, tsAnomaly, tsDerivative, tsIntegral,
     qAsofJoin, qLatest, qSkewAgg, qTransitions, sketchRollup, histRollup)

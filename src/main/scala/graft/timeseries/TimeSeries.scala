@@ -235,6 +235,76 @@ object TimeSeries {
             col("__hk").cast(DoubleType))
           .as("kmv_distinct"))
 
+  /** Count-min sketch over an integer key column — the bounded-memory
+    * frequency sketch (Cormode & Muthukrishnan '05) next to KMV's
+    * distinct-count: `cmsD` hash rows × `cmsW` buckets of plain int64
+    * counts. Every cell is a SUM of indicator contributions, so the
+    * sketch is (a) exactly mergeable across any partitioning — sums
+    * commute — and (b) fully deterministic: unlike most sketches, the
+    * whole structure AND its estimates carry hash-match oracles. The
+    * hash family is [[graft.functions.Portable.affine]] over the prime
+    * field mod P reduced mod `cmsW` (pairwise independence is the
+    * textbook requirement; every intermediate < 2^62).
+    *
+    * Scale shape: the sketch build is ONE map-side-combining
+    * aggregation from the corpus down to ≤ d·w cells — the partials
+    * ARE sketches, so a 100 TB scan ships d·w longs per task. Point
+    * estimates broadcast the cell table.
+    */
+  val cmsD = 4
+  val cmsW = 512
+
+  private def cmsBucket(j: Int, id: Column): Column =
+    graft.functions.Portable.affine(j, pmod(id, lit(KmvP))) % cmsW
+
+  /** The d×w cell table (row_id, bucket, cnt) of `df`'s `id` column —
+    * count of rows landing in each (hash row, bucket).
+    */
+  def cmsCells(df: DataFrame, id: Column): DataFrame =
+    df.select(explode(array((0 until cmsD).map(j =>
+        struct(lit(j.toLong).as("row_id"),
+          cmsBucket(j, id).as("bucket"))): _*)).as("c"))
+      .groupBy(col("c.row_id").as("row_id"), col("c.bucket").as("bucket"))
+      .agg(count(lit(1)).as("cnt"))
+
+  /** Per-day partial CMS cell tables (day, row_id, bucket, cnt) — the
+    * persisted pre-aggregate shape a monitoring store lands per ingest
+    * day.
+    */
+  def cmsDailyCells(df: DataFrame, ts: Column, id: Column): DataFrame =
+    df.select(bin(ts, 86400).cast(TimestampNTZType).as("day"),
+        explode(array((0 until cmsD).map(j =>
+          struct(lit(j.toLong).as("row_id"),
+            cmsBucket(j, id).as("bucket"))): _*)).as("c"))
+      .groupBy(col("day"), col("c.row_id").as("row_id"),
+        col("c.bucket").as("bucket"))
+      .agg(count(lit(1)).as("cnt"))
+
+  /** Merge partial cell tables cell-wise — exact for ANY partitioning
+    * of the input (integer sums commute), which is why the rollup
+    * shares the direct build's oracle verbatim.
+    */
+  def cmsMerge(daily: DataFrame): DataFrame =
+    daily.groupBy(col("row_id"), col("bucket"))
+      .agg(sum(col("cnt")).as("cnt"))
+
+  /** Point estimates for every distinct id in `df`: est(id) = min over
+    * hash rows of that row's bucket count — ≥ the true count by
+    * construction (collisions only add). `cells` is ≤ d·w rows,
+    * broadcast; the probe is id-distinct-sized.
+    */
+  def cmsEstimate(df: DataFrame, id: Column,
+      cells: DataFrame): DataFrame =
+    df.select(id.as("id")).distinct()
+      .select(col("id"), explode(array((0 until cmsD).map(j =>
+        struct(lit(j.toLong).as("row_id"),
+          cmsBucket(j, col("id")).as("bucket"))): _*)).as("c"))
+      .select(col("id"), col("c.row_id").as("row_id"),
+        col("c.bucket").as("bucket"))
+      .join(broadcast(cells), Seq("row_id", "bucket"))
+      .groupBy(col("id"))
+      .agg(min(col("cnt")).as("n_est"))
+
   /** Mergeable quantile pre-aggregate: a decimal log-histogram over a
     * positive cents-precision measure. Bucket = (digit count,
     * leading-3-digits) of the cents value — i.e. a base-10 log scale at

@@ -227,4 +227,32 @@ class TimeSeriesSpec extends GraftSpec {
       .collect().map(_.toString).sorted.toSeq
     assert(direct == rollup, "KMV merge must be lossless")
   }
+
+  test("cms: cells reconcile with the corpus, the daily merge is " +
+      "exact, and every estimate dominates its exact count") {
+    val ev = Tables.events(spark, sfDir)
+    val cells = TimeSeries.cmsCells(ev, col("user_id"))
+    // each hash row partitions the corpus: its cells sum to N
+    val n = ev.count()
+    val rowTotals = cells.groupBy(col("row_id"))
+      .agg(sum(col("cnt")).as("t")).collect()
+    assert(rowTotals.length == TimeSeries.cmsD)
+    assert(rowTotals.forall(_.getLong(1) == n))
+    // cell-wise merge of per-day partials == the direct build
+    val direct = cells.orderBy(col("row_id"), col("bucket"))
+      .collect().toSeq
+    val merged = TimeSeries.cmsMerge(
+        TimeSeries.cmsDailyCells(ev, col("ts"), col("user_id")))
+      .orderBy(col("row_id"), col("bucket")).collect().toSeq
+    assert(direct == merged, "CMS daily merge must be exact")
+    // overestimate-only: est(u) >= exact(u) for every user
+    val audit = ev.groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_exact"))
+      .join(TimeSeries.cmsEstimate(ev, col("user_id"), cells)
+        .withColumnRenamed("id", "user_id"), Seq("user_id"))
+      .collect()
+    assert(audit.nonEmpty)
+    audit.foreach(r => assert(r.getLong(2) >= r.getLong(1),
+      s"CMS underestimated user ${r.getLong(0)}"))
+  }
 }
