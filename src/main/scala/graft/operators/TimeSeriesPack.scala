@@ -406,6 +406,73 @@ object TimeSeriesPack extends QueryPack {
       ORDER BY ex.user_id
       """))
 
+  // A23 — exponential smoothing (Brown's simple EMA, the monitoring
+  // dashboard's trend line) over each dimension's OBSERVED hourly
+  // series: s_0 = x_0, s_t = s_{t-1} + α·(x_t − s_{t-1}), α = 1/4.
+  // A recurrence is order-sequential by definition, so the Spark shape
+  // is the A7 series shape: one shuffle collects each dimension's
+  // (bin, avg) points, sort_array fixes the order, and ONE
+  // higher-order aggregate folds the recurrence — per-key state is the
+  // series, bounded by the retention window's bin count (the
+  // Timestream-model contract), never by corpus size. α is dyadic so
+  // the multiply is exact, and every step is the same three IEEE
+  // binary64 ops in both engines — the DuckDB oracle replays the exact
+  // recurrence as a recursive CTE and hash-matches bit-for-bit (the
+  // same reason a LIBM-based smoothing constant could not be gated).
+  // The hourly-average input is hourlySpine's `bins` frame BY
+  // REFERENCE, so the subplan is plan-identical with A11's and the
+  // CacheManager shares one build.
+  private val tsEma = GraftQuery(
+    "ts_ema",
+    (s, d) => {
+      val bins = hourlySpine(s, d)._1
+      val p0 = col("pts")(0)
+      val folded = bins
+        .groupBy(col("event_type"))
+        .agg(sort_array(collect_list(
+          struct(col("bin"), col("avg_val")))).as("pts"))
+        .select(col("event_type"), aggregate(
+          slice(col("pts"), lit(2),
+            greatest(size(col("pts")) - 1, lit(0))),
+          struct(
+            array(struct(p0("bin").as("bin"),
+              p0("avg_val").as("avg_val"),
+              p0("avg_val").as("ema"))).as("out"),
+            p0("avg_val").as("s")),
+          (acc, p) => {
+            val s2 = acc("s") + lit(0.25) * (p("avg_val") - acc("s"))
+            struct(
+              concat(acc("out"), array(struct(p("bin").as("bin"),
+                p("avg_val").as("avg_val"), s2.as("ema")))).as("out"),
+              s2.as("s"))
+          },
+          acc => acc("out")).as("sm"))
+      folded
+        .select(col("event_type"), explode(col("sm")).as("p"))
+        .select(col("event_type"), col("p.bin").as("bin"),
+          col("p.avg_val").as("avg_val"), col("p.ema").as("ema"))
+        .orderBy(col("event_type"), col("bin"))
+    },
+    Some("""
+      WITH RECURSIVE bins AS (
+        SELECT event_type,
+          make_timestamp(epoch_us(ts) - epoch_us(ts) % 3600000000) AS bin,
+          CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*)
+            AS avg_val
+        FROM events GROUP BY 1, 2),
+      b AS (SELECT event_type, bin, avg_val, ROW_NUMBER() OVER (
+          PARTITION BY event_type ORDER BY bin) AS rn FROM bins),
+      rec(event_type, rn, bin, avg_val, ema) AS (
+        SELECT event_type, rn, bin, avg_val, avg_val FROM b WHERE rn = 1
+        UNION ALL
+        SELECT b.event_type, b.rn, b.bin, b.avg_val,
+          r.ema + CAST(0.25 AS DOUBLE) * (b.avg_val - r.ema)
+        FROM rec r JOIN b ON b.event_type = r.event_type
+          AND b.rn = r.rn + 1)
+      SELECT event_type, bin, avg_val, ema FROM rec
+      ORDER BY event_type, bin
+      """))
+
   // A11 — Timestream INTERPOLATE_LINEAR: hourly per-dimension series
   // with missing bins linearly interpolated between the nearest
   // observed neighbors. prev/next lookups use running max/min windows
@@ -953,7 +1020,7 @@ object TimeSeriesPack extends QueryPack {
   override val queries: Seq[GraftQuery] = Seq(
     tsBin, tsAgo, tsSeries, sessionize, metricsDaily, percentiles,
     topUsers, approxMetrics, kmvMetrics, kmvRollup, kmvStoreEstimate,
-    cmsMetrics, cmsRollup, cmsEstimate,
+    cmsMetrics, cmsRollup, cmsEstimate, tsEma,
     tsInterpolate,
     tsLocfFill, tsAsof, tsAnomaly, tsDerivative, tsIntegral,
     qAsofJoin, qLatest, qSkewAgg, qTransitions, sketchRollup, histRollup)

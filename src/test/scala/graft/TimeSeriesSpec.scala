@@ -228,6 +228,24 @@ class TimeSeriesSpec extends GraftSpec {
     assert(direct == rollup, "KMV merge must be lossless")
   }
 
+  test("ts_ema replays the exact recurrence per dimension") {
+    val rows = SparkEntry.queries("ts_ema")(spark, sfDir)
+      .collect()
+      .map(r => (r.getString(0), r.getAs[java.time.LocalDateTime](1),
+        r.getDouble(2), r.getDouble(3)))
+    assert(rows.nonEmpty)
+    rows.groupBy(_._1).foreach { case (et, g) =>
+      val sorted = g.sortBy(_._2.toString)
+      assert(g.toSeq == sorted.toSeq, s"$et not bin-ordered per key")
+      var s = sorted.head._3
+      assert(sorted.head._4 == s, s"$et: first ema must equal first avg")
+      sorted.tail.foreach { case (_, bin, x, ema) =>
+        s = s + 0.25 * (x - s)
+        assert(ema == s, s"$et @ $bin: ema $ema != replay $s")
+      }
+    }
+  }
+
   test("cms: cells reconcile with the corpus, the daily merge is " +
       "exact, and every estimate dominates its exact count") {
     val ev = Tables.events(spark, sfDir)
