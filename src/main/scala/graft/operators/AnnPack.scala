@@ -674,14 +674,16 @@ object AnnPack extends QueryPack {
     * vectors route to the FIXED trained centroids. With trainPred TRUE
     * the two sets coincide and this is the plain D5 oracle.
     */
-  private def kmeansOracle(trainPred: String): String = s"""
-      WITH $vecsSql,
+  /** The unrolled two-round Lloyd train over `corpusPred`-selected
+    * vectors — CTE chain `corpus → seeds → s1/g1/d1/m1/c1/cn1 →
+    * s2/g2/d2/m2/c2 → cn2(cell, cv, cc)`, expecting `$vecsSql`
+    * upstream. Shared by the D5/D9 oracles and J1 doc_topics so the
+    * trained-quantizer spelling cannot drift between them.
+    */
+  private def kmTrainSql(corpusPred: String): String = s"""
       corpus AS (SELECT vec_id, label, v, nrm,
           ${Vectors.sql.dot("v", "v")} AS vv
-        FROM n WHERE vec_id % 50 <> 0 AND ($trainPred)),
-      assign AS (SELECT vec_id, v, nrm,
-          ${Vectors.sql.dot("v", "v")} AS vv
-        FROM n WHERE vec_id % 50 <> 0),
+        FROM n WHERE $corpusPred),
       seeds AS (SELECT vec_id AS cell, v AS cv,
           ${Vectors.sql.dot("v", "v")} AS cc
         FROM corpus ORDER BY $seedHashSql, vec_id
@@ -713,7 +715,14 @@ object AnnPack extends QueryPack {
         FROM d2 GROUP BY cell, j),
       c2 AS (SELECT cell, list(c ORDER BY j) AS cv FROM m2 GROUP BY cell),
       cn2 AS (SELECT cell, cv, ${Vectors.sql.dot("cv", "cv")} AS cc
-              FROM c2),
+              FROM c2)"""
+
+  private def kmeansOracle(trainPred: String): String = s"""
+      WITH $vecsSql,
+      ${kmTrainSql(s"vec_id % 50 <> 0 AND ($trainPred)")},
+      assign AS (SELECT vec_id, v, nrm,
+          ${Vectors.sql.dot("v", "v")} AS vv
+        FROM n WHERE vec_id % 50 <> 0),
       lists AS (SELECT co.vec_id, co.v, co.nrm, s.cell,
           ROW_NUMBER() OVER (PARTITION BY co.vec_id ORDER BY
             co.vv + s.cc - 2.0 * ${Vectors.sql.dot("co.v", "s.cv")}, s.cell)
@@ -765,6 +774,57 @@ object AnnPack extends QueryPack {
         .orderBy(col("query_id"), col("rank"))
     },
     Some(kmeansOracle("TRUE")))
+
+  // J1 — corpus topic clustering: the curation view of the SAME
+  // deterministic quantizer D5 trains for pruning. Every embedding is
+  // assigned its nearest of kmK k-means centroids (exact-double argmin,
+  // low-cell tiebreak) over the FULL corpus, with the cluster's
+  // population and the doc's cosine to its centroid — the
+  // "what is this corpus made of / how coherent is each topic" report
+  // a training-data pipeline uses to steer mixing quotas (H6) and spot
+  // collapsed crawl slices. Scale: the train is the D5 story (each
+  // Lloyd round = one broadcast-join assignment + one mean
+  // aggregation); the final pass is one broadcast argmin over the
+  // corpus and a kmK-row size join — no shuffle beyond the mean aggs.
+  // The oracle replays seed pick, both Lloyd rounds AND the final
+  // assignment in SQL via the shared kmTrainSql chain, so even the
+  // trained topic boundaries hash-match.
+  private val docTopics = GraftQuery(
+    "doc_topics",
+    (s, d) => {
+      val n = vecs(s, d)
+      val corpus = kmCorpus(n)
+      val cent = kmCentroids(corpus).persistTracked
+      val assigned = kmAssign(corpus, cent)
+      val sizes = assigned.groupBy(col("cell"))
+        .agg(count(lit(1)).as("n_topic"))
+      assigned
+        .join(n.select(col("vec_id"), col("nrm")), Seq("vec_id"))
+        .join(broadcast(cent.select(col("cell"), col("cv"), col("cc"))),
+          Seq("cell"))
+        .join(broadcast(sizes), Seq("cell"))
+        .select(col("vec_id"), col("cell").as("topic"), col("n_topic"),
+          round(Vectors.dot(col("v"), col("cv")) /
+            (col("nrm") * sqrt(col("cc"))), 6).as("topic_sim"))
+        .orderBy(col("vec_id"))
+    },
+    Some(s"""
+      WITH $vecsSql,
+      ${kmTrainSql("TRUE")},
+      fin AS (SELECT co.vec_id, co.nrm, co.v, s.cell, s.cv, s.cc,
+          ROW_NUMBER() OVER (PARTITION BY co.vec_id ORDER BY
+            co.vv + s.cc - 2.0 * ${Vectors.sql.dot("co.v", "s.cv")}, s.cell)
+            AS rn
+        FROM corpus co CROSS JOIN cn2 s),
+      li AS (SELECT vec_id, nrm, v, cell, cv, cc FROM fin WHERE rn = 1),
+      sizes AS (SELECT cell, CAST(COUNT(*) AS BIGINT) AS n_topic
+                FROM li GROUP BY cell)
+      SELECT li.vec_id, li.cell AS topic, sizes.n_topic,
+        round(${Vectors.sql.dot("li.v", "li.cv")} / (li.nrm * sqrt(li.cc)),
+          6) AS topic_sim
+      FROM li JOIN sizes ON li.cell = sizes.cell
+      ORDER BY li.vec_id
+      """))
 
   /** Memoized on-disk artifacts keyed by input dir: the index content
     * is a deterministic function of the (immutable) testdata, so a
@@ -1585,7 +1645,8 @@ object AnnPack extends QueryPack {
     Seq(annBrute, annLsh, knnJoin, dedupEmbedding, annIvf, annIvfKmeans,
       annRange, embeddingQuantize, annQuantized, annIndexSearch,
       annIndexAppendSearch, dedupIncEmbed, dedupIncEmbedAppend,
-      pqEncode, annPq, pqIndexSearch, pqIndexAppendSearch, annIvfPq)
+      pqEncode, annPq, pqIndexSearch, pqIndexAppendSearch, annIvfPq,
+      docTopics)
 
   /** Cross-query shared working sets (see [[graft.QueryPack.warm]]):
     * the (label, cell) inverted lists feed D3/C5/D6 + C10's rangePairs,
