@@ -406,6 +406,36 @@ object TimeSeriesPack extends QueryPack {
       ORDER BY ex.user_id
       """))
 
+  // A10k — the persisted CMS cell store through the driver gate: build
+  // on even event_ids, APPEND the odds (a day-splitting slice — cell
+  // sums are partition-shape-independent), read the merged cells — and
+  // the result must hash-match the SAME oracle as the in-query
+  // metrics_cms, the cells-after-append ≡ one-global-pass contract.
+  private def cmsStore(s: SparkSession, d: String): String = {
+    val tag = java.security.MessageDigest.getInstance("MD5")
+      .digest(d.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(10)
+    val base = s"graft_cms_store_$tag"
+    val root = sys.env.getOrElse("SPARK_GRAFT_STORE_DIR",
+      sys.props("java.io.tmpdir"))
+    if (!s.catalog.tableExists(s"${base}_cms")) {
+      val ev = Tables.events(s, d)
+      graft.sources.MetricsStore.writeCms(
+        ev.filter(pmod(col("event_id"), lit(2)) === 0),
+        col("ts"), col("user_id"), base, s"$root/$base")
+      graft.sources.MetricsStore.appendCms(s, base,
+        ev.filter(pmod(col("event_id"), lit(2)) =!= 0),
+        col("ts"), col("user_id"))
+      metricsStores.add((s"${base}_cms", s"$root/$base"))
+    }
+    base
+  }
+
+  private val cmsStoreEstimate = GraftQuery(
+    "cms_store_estimate",
+    (s, d) => graft.sources.MetricsStore.cmsCells(s, cmsStore(s, d))
+      .orderBy(col("row_id"), col("bucket")),
+    Some(cmsOracle))
+
   // A23 — exponential smoothing (Brown's simple EMA, the monitoring
   // dashboard's trend line) over each dimension's OBSERVED hourly
   // series: s_0 = x_0, s_t = s_{t-1} + α·(x_t − s_{t-1}), α = 1/4.
@@ -1020,7 +1050,7 @@ object TimeSeriesPack extends QueryPack {
   override val queries: Seq[GraftQuery] = Seq(
     tsBin, tsAgo, tsSeries, sessionize, metricsDaily, percentiles,
     topUsers, approxMetrics, kmvMetrics, kmvRollup, kmvStoreEstimate,
-    cmsMetrics, cmsRollup, cmsEstimate, tsEma,
+    cmsMetrics, cmsRollup, cmsEstimate, cmsStoreEstimate, tsEma,
     tsInterpolate,
     tsLocfFill, tsAsof, tsAnomaly, tsDerivative, tsIntegral,
     qAsofJoin, qLatest, qSkewAgg, qTransitions, sketchRollup, histRollup)

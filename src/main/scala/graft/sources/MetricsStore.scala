@@ -88,4 +88,72 @@ object MetricsStore {
     Bucketed.compactBucketed(spark, s"${tableBase}_kmv")
     Bucketed.compactPlain(spark, s"${tableBase}_meta", Seq("k"))
   }
+
+  // ---- CMS leg: persisted count-min frequency cells ----
+  // The second sketch family under the observability store: per-ingest
+  // -unit partial CMS cell tables `<base>_cms`
+  // (batch_id, day, row_id, bucket, cnt) — the LmStore delta/LSM
+  // shape. Integer cell sums are additive over ANY partition of the
+  // events, so cells-after-append ≡ one global pass bit-for-bit (the
+  // `cms_store_estimate` gate row shares metrics_cms's oracle
+  // verbatim). Unlike KMV rows — where a replayed append's duplicates
+  // vanish in the merge's DISTINCT — duplicate CMS deltas would
+  // DOUBLE-count, so each delta carries a batch_id derived from its
+  // own canonical cell serialization: a crash-replayed append derives
+  // the identical id and the read path collapses the duplicate before
+  // summing. Compaction of the delta table is LAYOUT-only
+  // ([[Bucketed.compactPlain]]; folding across batch_ids would erase
+  // the replay-dedup key — the LmStore lesson).
+
+  /** One ingest unit's delta rows: per-(day, hash row, bucket) counts
+    * stamped with the content-derived batch id.
+    */
+  private def cmsDelta(events: DataFrame, ts: Column,
+      id: Column): DataFrame = {
+    val cells = TimeSeries.cmsDailyCells(events, ts, id)
+    val bid = cells
+      .select(concat_ws(":", col("day").cast("string"), col("row_id"),
+        col("bucket"), col("cnt")).as("c"))
+      .agg(md5(array_join(sort_array(collect_list(col("c"))), "|"))
+        .as("batch_id"))
+    cells.crossJoin(broadcast(bid))
+      .select(col("batch_id"), col("day"), col("row_id"), col("bucket"),
+        col("cnt"))
+  }
+
+  /** Build the CMS cell store over `events` at `path` (counts of `id`
+    * per (day of `ts`, hash row, bucket)).
+    */
+  def writeCms(events: DataFrame, ts: Column, id: Column,
+      tableBase: String, path: String): Unit = {
+    val spark = events.sparkSession
+    cmsDelta(events, ts, id).write.mode("overwrite").format("parquet")
+      .option("path", s"$path/cms").saveAsTable(s"${tableBase}_cms")
+    spark.catalog.refreshTable(s"${tableBase}_cms")
+  }
+
+  /** Fold a new slice of events in — any slice shape; sums are
+    * partition-shape-independent and a replayed append's delta
+    * collapses at read on its content-derived batch_id.
+    */
+  def appendCms(spark: SparkSession, tableBase: String,
+      events: DataFrame, ts: Column, id: Column): Unit = {
+    cmsDelta(events, ts, id).write.mode("append").format("parquet")
+      .saveAsTable(s"${tableBase}_cms")
+    spark.catalog.refreshTable(s"${tableBase}_cms")
+  }
+
+  /** The merged d×w cell table over everything ingested — bit-identical
+    * to a direct global [[TimeSeries.cmsCells]] pass.
+    */
+  def cmsCells(spark: SparkSession, tableBase: String): DataFrame =
+    TimeSeries.cmsMerge(
+      spark.table(s"${tableBase}_cms").dropDuplicates())
+
+  /** Rewrite the delta table to one sorted file (layout only — rows
+    * and batch_ids preserved; see the leg doc).
+    */
+  def compactCms(spark: SparkSession, tableBase: String): Unit =
+    Bucketed.compactPlain(spark, s"${tableBase}_cms",
+      Seq("batch_id", "day", "row_id", "bucket"))
 }

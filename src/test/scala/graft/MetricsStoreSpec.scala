@@ -76,4 +76,35 @@ class MetricsStoreSpec extends GraftSpec {
       assert(rows(MetricsStore.estimate(spark, base)) == s1)
     } finally cleanup(base, path)
   }
+
+  test("cms leg: write + day-splitting append equals the direct cell " +
+      "build; a replayed append's delta collapses; compact is stable") {
+    val base = s"graft_cms_spec_${System.nanoTime()}"
+    val path = s"${sys.props("java.io.tmpdir")}/$base"
+    val ev = Tables.events(spark, sfDir)
+    val odds = ev.filter(pmod(col("event_id"), lit(2)) =!= 0)
+    try {
+      MetricsStore.writeCms(
+        ev.filter(pmod(col("event_id"), lit(2)) === 0),
+        col("ts"), col("user_id"), base, path)
+      MetricsStore.appendCms(spark, base, odds,
+        col("ts"), col("user_id"))
+      val direct = rows(graft.timeseries.TimeSeries
+        .cmsCells(ev, col("user_id")).orderBy("row_id", "bucket"))
+      def stored() = rows(MetricsStore.cmsCells(spark, base)
+        .orderBy("row_id", "bucket"))
+      assert(stored() == direct,
+        "cells-after-append must equal one global pass")
+      // crash-replayed append: identical delta rows (same content-
+      // derived batch_id) collapse at read — counts must NOT double
+      MetricsStore.appendCms(spark, base, odds,
+        col("ts"), col("user_id"))
+      assert(stored() == direct, "replayed delta must collapse at read")
+      MetricsStore.compactCms(spark, base)
+      assert(stored() == direct)
+    } finally {
+      spark.sql(s"DROP TABLE IF EXISTS ${base}_cms")
+      cleanup(base, path)
+    }
+  }
 }
