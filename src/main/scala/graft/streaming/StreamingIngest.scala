@@ -1,6 +1,6 @@
 package graft.streaming
 
-import graft.sources.{EmbedStore, FingerprintStore, MinHashStore, SearchIndex, Tables}
+import graft.sources.{EmbedStore, FingerprintStore, MinHashStore, SearchIndex, SimHashStore, Tables}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.StreamingQuery
@@ -120,6 +120,25 @@ object StreamingIngest {
     */
   def processBatch(spark: SparkSession, fpTable: String, mhBase: String,
       searchBase: Option[String], embedBase: Option[String],
+      batch: DataFrame): DataFrame =
+    processBatch(spark, fpTable, mhBase, searchBase, embedBase, None,
+      batch)
+
+  /** As above, plus an optional [[SimHashStore]] leg: the exact
+    * survivors are probed for STRUCTURAL near-dups (hamming ≤ 7 on the
+    * 64-bit SimHash — catches small-edit rewrites whose shingle sets
+    * already drifted) against the persisted signature history, verdict
+    * columns n_sh_matches / sh_canonical / best_hamming (NULL for
+    * exact dups or when the leg is off), and the KEPT docs' key rows
+    * fold in. Like the index and embed legs, the simhash verdict does
+    * NOT feed the `kept` policy and its append is a kept-CONSUMER that
+    * runs strictly before the band append — the same crash-stranding
+    * argument; simhash re-appends converge at read (pair-level dedupe
+    * + self-pair drop in the probe).
+    */
+  def processBatch(spark: SparkSession, fpTable: String, mhBase: String,
+      searchBase: Option[String], embedBase: Option[String],
+      simBase: Option[String],
       batch: DataFrame): DataFrame = {
     // one materialization of the micro-batch: it feeds the exact probe,
     // the survivor join and both appends, and a foreachBatch source
@@ -144,22 +163,34 @@ object StreamingIngest {
           col("best_cos"))
         .localCheckpoint(true)
     }
+    // structural probe on the same severed slice, before any append
+    val sh = simBase.map { sb =>
+      SimHashStore.dedupAgainst(spark, sb, survivors)
+        .select(col("doc_id"),
+          col("n_hist_matches").as("n_sh_matches"),
+          col("hist_canonical").as("sh_canonical"),
+          col("best_hamming"))
+        .localCheckpoint(true)
+    }
     // the dedup verdict's keep set — severed frames only, so the joins
     // below stay correct after the appends mutate the stores
     val kept = survivors.join(
       near.filter(col("n_hist_matches") === 0).select("doc_id"), "doc_id")
-    // novel content becomes history for the NEXT batch — index and
-    // embed legs strictly before the band append (ordering notes above)
+    // novel content becomes history for the NEXT batch — index, embed
+    // and simhash legs strictly before the band append (ordering notes
+    // above)
     FingerprintStore.append(spark, fpTable, b)
     searchBase.foreach(sb => SearchIndex.append(spark, sb, kept))
     embedBase.foreach(eb => EmbedStore.append(spark, eb, embBatchOf(kept)))
+    simBase.foreach(sb => SimHashStore.append(spark, sb, kept))
     MinHashStore.append(spark, mhBase, kept)
     val base = exact
       .select(col("doc_id"), col("canonical_id"), col("dup_of_history"),
         col("is_dup"))
       .join(near.select(col("doc_id"), col("n_hist_matches"),
         col("hist_canonical"), col("best_jaccard")), Seq("doc_id"), "left")
-    emb.fold(base)(e => base.join(e, Seq("doc_id"), "left"))
+    val withEmb = emb.fold(base)(e => base.join(e, Seq("doc_id"), "left"))
+    sh.fold(withEmb)(e => withEmb.join(e, Seq("doc_id"), "left"))
   }
 
   /** Wire a (doc_id, text) stream through [[processBatch]]; per-batch
@@ -184,10 +215,19 @@ object StreamingIngest {
       mhBase: String, searchBase: Option[String],
       embedBase: Option[String],
       sink: (DataFrame, Long) => Unit): StreamingQuery =
+    run(spark, stream, fpTable, mhBase, searchBase, embedBase, None, sink)
+
+  /** As [[run]], with all optional legs of the 7-arg
+    * [[processBatch]] (BM25 index, embed store, simhash store).
+    */
+  def run(spark: SparkSession, stream: DataFrame, fpTable: String,
+      mhBase: String, searchBase: Option[String],
+      embedBase: Option[String], simBase: Option[String],
+      sink: (DataFrame, Long) => Unit): StreamingQuery =
     stream.writeStream
       .foreachBatch { (batch: DataFrame, id: Long) =>
         sink(processBatch(spark, fpTable, mhBase, searchBase, embedBase,
-          batch), id)
+          simBase, batch), id)
       }
       .start()
 
@@ -257,6 +297,8 @@ object StreamingIngest {
     EmbedStore.write(
       embBatchOf(stubEmbed(docs.filter(col("doc_id") % 3 === 0))),
       "ingest_em", s"$workDir/em")
+    SimHashStore.write(docs.filter(col("doc_id") % 3 === 0),
+      "ingest_sh", s"$workDir/sh")
     println(s"[ingest] seeded history stores at $workDir")
 
     // two arrival files + maxFilesPerTrigger=1 → two real micro-batches
@@ -271,24 +313,28 @@ object StreamingIngest {
         .option("recursiveFileLookup", "true")
         .parquet(incoming))
     val q = run(spark, stream, "ingest_fp", "ingest_mh",
-      Some("ingest_search"), Some("ingest_em"), (v, id) => {
+      Some("ingest_search"), Some("ingest_em"), Some("ingest_sh"),
+      (v, id) => {
       val s = v.agg(
         count(lit(1)).as("docs"),
         sum(col("dup_of_history").cast("long")).as("exact_hist_dups"),
         sum((col("n_hist_matches") > 0).cast("long")).as("near_hist_dups"),
-        sum((col("n_emb_matches") > 0).cast("long")).as("sem_hist_dups"))
+        sum((col("n_emb_matches") > 0).cast("long")).as("sem_hist_dups"),
+        sum((col("n_sh_matches") > 0).cast("long")).as("sh_hist_dups"))
         .collect()(0)
       println(s"[ingest] batch $id: ${s.getLong(0)} docs, " +
         s"${s.getLong(1)} exact history dups, " +
         s"${s.getLong(2)} near history dups, " +
-        s"${s.getLong(3)} semantic history dups")
+        s"${s.getLong(3)} semantic history dups, " +
+        s"${s.getLong(4)} simhash history dups")
     })
     q.processAllAvailable(); q.stop()
     println(s"[ingest] final store sizes: " +
       s"fp=${spark.table("ingest_fp").count()} fingerprints, " +
       s"mh=${spark.table("ingest_mh_shingles").count()} shingle sets, " +
       s"search=${spark.table("ingest_search_postings").count()} postings, " +
-      s"em=${spark.table("ingest_em_lists").count()} vectors")
+      s"em=${spark.table("ingest_em_lists").count()} vectors, " +
+      s"sh=${spark.table("ingest_sh").count()} signature keys")
     val hits = SearchIndex.search(spark, "ingest_search",
       Seq("table", "data", "query"), 5).collect()
     println(s"[ingest] bm25 probe over the live index: " +

@@ -270,6 +270,83 @@ class StreamingIngestSpec extends GraftSpec {
     }
   }
 
+  test("simhash-store leg: structural near-dups are annotated against " +
+      "the signature history; kept docs' keys enter the store; exact " +
+      "dups carry NULL simhash columns") {
+    import java.nio.file.{Files, Paths}
+    import spark.implicits._
+    import graft.sources.SimHashStore
+    // LONG docs are what makes a one-token edit a simhash near-dup:
+    // each bit's vote margin grows like √tokens while the edit moves
+    // it by ≤ 2, so flipped bits ~ (few) at 300 tokens where a 40-token
+    // doc would flip ~15. Validate the plant before using it.
+    val base = (1 to 300).map(i => s"w${i % 50}").mkString(" ")
+    val edited = base.replaceFirst("w17", "zz")
+    val sigs = graft.operators.SimHashPack.sigsOf(
+        Seq((1L, base), (2L, edited)).toDF("doc_id", "text"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val plantHam = java.lang.Long.bitCount(sigs(1L) ^ sigs(2L))
+    assert(plantHam >= 1 && plantHam <= 7,
+      s"plant invalid: hamming $plantHam not in [1, 7]")
+    val tmp = Files.createTempDirectory("graft-ingest-sh").toString
+    val seed = Seq((2L, "seed history content")).toDF("doc_id", "text")
+    FingerprintStore.write(seed, "ingsh_fp", s"$tmp/fp")
+    MinHashStore.write(seed, "ingsh_mh", s"$tmp/mh")
+    SimHashStore.write(seed, "ingsh_sh", s"$tmp/sh")
+    val incoming = Paths.get(tmp, "incoming")
+    Seq((11L, base), (13L, "batch one fresh content"))
+      .toDF("doc_id", "text").coalesce(1).write.parquet(s"$incoming/b1")
+    Seq(
+      (21L, edited),                         // one-token edit of 11
+      (23L, "batch one fresh content"),      // exact dup: NULL sh cols
+      (25L, "genuinely new in batch two"))
+      .toDF("doc_id", "text").coalesce(1).write.parquet(s"$incoming/b2")
+    new java.io.File(s"$incoming/b1").listFiles()
+      .filter(_.getName.endsWith(".parquet"))
+      .foreach(f => f.setLastModified(System.currentTimeMillis() - 60000))
+    val stream = spark.readStream
+      .schema("doc_id LONG, text STRING")
+      .option("maxFilesPerTrigger", "1")
+      .option("recursiveFileLookup", "true")
+      .parquet(s"$incoming")
+    val out = scala.collection.mutable.Map.empty[Long, Array[
+      org.apache.spark.sql.Row]]
+    val q = StreamingIngest.run(spark, stream.toDF(),
+      "ingsh_fp", "ingsh_mh", None, None, Some("ingsh_sh"),
+      (v: DataFrame, id: Long) => out(id) = v.collect())
+    try {
+      q.processAllAvailable()
+      assert(out.keySet == Set(0L, 1L), s"expected 2 micro-batches: $out")
+      // verdict columns: doc_id, canonical_id, dup_of_history, is_dup,
+      // n_hist_matches, hist_canonical, best_jaccard, n_sh_matches,
+      // sh_canonical, best_hamming
+      val b1 = out(0L).map(r => r.getLong(0) -> r).toMap
+      val b2 = out(1L).map(r => r.getLong(0) -> r).toMap
+      // batch1 never sees itself structurally (probe severed pre-append)
+      b1.values.foreach(r =>
+        assert(r.getLong(7) == 0L, s"batch1 sh-matched itself: $r"))
+      // 21 structurally near-dups b1's doc 11 at the validated distance
+      assert(b2(21L).getLong(7) >= 1L && b2(21L).getLong(8) == 11L,
+        s"simhash match missing: ${b2(21L)}")
+      assert(b2(21L).getLong(9) == plantHam.toLong,
+        s"best_hamming: ${b2(21L)} want $plantHam")
+      // exact dup: sh columns NULL (never probed)
+      assert(b2(23L).isNullAt(7) && b2(23L).isNullAt(9), s"${b2(23L)}")
+      // novel doc: no structural match
+      assert(b2(25L).getLong(7) == 0L, s"${b2(25L)}")
+      // the signature store holds the kept docs (4 key rows each);
+      // 21 was a minhash near-dup of 11 → not kept, not appended
+      val stored = spark.table("ingsh_sh")
+        .select("h_id").distinct().collect().map(_.getLong(0)).toSet
+      assert(stored == Set(2L, 11L, 13L, 25L), s"stored: $stored")
+    } finally {
+      q.stop()
+      Seq("ingsh_fp", "ingsh_mh_bands", "ingsh_mh_shingles", "ingsh_sh")
+        .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+      Caches.deleteDir(tmp)
+    }
+  }
+
   test("embed-before-band-append ordering: a crash between the embed " +
       "and band appends replays with every kept vector stored") {
     // Same hazard class the index-leg ordering test pins: were the
