@@ -884,6 +884,22 @@ object TimeSeriesPack extends QueryPack {
   // shuffle with map-side partials, no window over raw history. The
   // (ts, event_id) prefix makes the max total, so the pick is
   // deterministic under timestamp ties.
+  /** Shared verbatim by A19's direct query and the [[graft.sources
+    * .SnapshotStore]] gate row — the snapshot-after-append ≡ one-pass
+    * contract.
+    */
+  private val latestOracle = """
+      WITH r AS (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+          ORDER BY ts DESC, event_id DESC) AS rn,
+          COUNT(*) OVER (PARTITION BY user_id) AS n_events
+        FROM events)
+      SELECT user_id, ts AS last_ts, event_id AS last_event_id,
+        event_type AS last_event_type, value AS last_value, n_events
+      FROM r WHERE rn = 1
+      ORDER BY user_id
+      """
+
   private val qLatest = GraftQuery(
     "q_latest",
     (s, d) => {
@@ -899,17 +915,36 @@ object TimeSeriesPack extends QueryPack {
           col("m.value").as("last_value"), col("n_events"))
         .orderBy(col("user_id"))
     },
-    Some("""
-      WITH r AS (
-        SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
-          ORDER BY ts DESC, event_id DESC) AS rn,
-          COUNT(*) OVER (PARTITION BY user_id) AS n_events
-        FROM events)
-      SELECT user_id, ts AS last_ts, event_id AS last_event_id,
-        event_type AS last_event_type, value AS last_value, n_events
-      FROM r WHERE rn = 1
-      ORDER BY user_id
-      """))
+    Some(latestOracle))
+
+  // A19b — the persisted changelog-compaction store through the driver
+  // gate: build per-batch partial (struct-max, count) rows on even
+  // event_ids, APPEND the odds, read the folded snapshot — must
+  // hash-match the SAME oracle as the in-query q_latest (max is
+  // associative, counts additive over disjoint slices).
+  private def latestStore(s: SparkSession, d: String): String = {
+    val tag = java.security.MessageDigest.getInstance("MD5")
+      .digest(d.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(10)
+    val base = s"graft_latest_store_$tag"
+    val root = sys.env.getOrElse("SPARK_GRAFT_STORE_DIR",
+      sys.props("java.io.tmpdir"))
+    if (!s.catalog.tableExists(s"${base}_latest")) {
+      val ev = Tables.events(s, d)
+      graft.sources.SnapshotStore.write(
+        ev.filter(pmod(col("event_id"), lit(2)) === 0), base,
+        s"$root/$base")
+      graft.sources.SnapshotStore.append(s, base,
+        ev.filter(pmod(col("event_id"), lit(2)) =!= 0))
+      metricsStores.add((s"${base}_latest", s"$root/$base"))
+    }
+    base
+  }
+
+  private val latestStoreSnapshot = GraftQuery(
+    "latest_store_snapshot",
+    (s, d) => graft.sources.SnapshotStore.snapshot(s, latestStore(s, d))
+      .orderBy(col("user_id")),
+    Some(latestOracle))
 
   // A22 — event-path transition counts (Markov/path analysis, the
   // "where do users go next" dashboard view): per user, each event's
@@ -1053,5 +1088,6 @@ object TimeSeriesPack extends QueryPack {
     cmsMetrics, cmsRollup, cmsEstimate, cmsStoreEstimate, tsEma,
     tsInterpolate,
     tsLocfFill, tsAsof, tsAnomaly, tsDerivative, tsIntegral,
-    qAsofJoin, qLatest, qSkewAgg, qTransitions, sketchRollup, histRollup)
+    qAsofJoin, qLatest, latestStoreSnapshot, qSkewAgg, qTransitions,
+    sketchRollup, histRollup)
 }
