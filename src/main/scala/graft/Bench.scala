@@ -155,7 +155,12 @@ object Bench {
     val gcWarm = driverGcMs - gc0
 
     // ---- cold pass: plan + codegen + execute, shared caches hot ----
+    // SPARK_GRAFT_BENCH_ONLY (comma-separated names) is a dev-iteration
+    // filter; the driver never sets it and the full set runs.
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(',').toSet)
     val names = SparkEntry.queries.keys.toSeq.sorted
+      .filter(n => only.forall(_.contains(n)))
     def pass(prefix: String): Seq[(String, Double)] = names.map { n =>
       n -> timed(s"$prefix:$n",
         () => { SparkEntry.queries(n)(spark, sfDir).count(); () })

@@ -4,7 +4,7 @@ import graft.{GraftQuery, QueryPack}
 import graft.functions.Portable
 import graft.plans.TopKPerKey
 import graft.sources.Tables
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -643,27 +643,51 @@ object SearchPack extends QueryPack {
   private val simRbMargin = 1.5e-6
 
   /** All pairs with tf-idf cosine ≥ `tau` over a (doc_id, word, tf)
-    * postings frame → (doc_a, doc_b, cos_sim), doc_a < doc_b. Exact:
-    * weights are int64 tf·idf_q20, dots/norms DECIMAL-routed, the one
-    * division+round per surviving pair.
+    * postings frame → (doc_a, doc_b, cos_sim), doc_a < doc_b.
+    *
+    * Exactness spelling: weights are int64 tf·idf_q20; dots and norms
+    * run as THREE pure int64 sums over the weights' 20-bit hi/lo
+    * halves (w = hi·2^20 + lo), reconstructed in double by the
+    * identical three-term IEEE expression in both engines. Splitting
+    * keeps the corpus-pair-sized aggregation in codegen'd long
+    * arithmetic — a DECIMAL(38) sum here runs on heap BigDecimals
+    * (Spark decimals are long-backed only to 18 digits) and measured
+    * 33 s steady at sf0.1 vs ~4 s split. Width budget: products and
+    * partial sums stay exact for w < 2^41 — i.e. tf < 2^15 at the
+    * idf_q20 ceiling of 2^26 — over up to 2^20 shared terms per pair;
+    * the I2 discipline of stating where int64 passes out.
     */
   private[graft] def docSimilarityOver(p: DataFrame,
       tau: Double): DataFrame = {
-    val dec = DecimalType(38, 0)
     val totals = broadcast(
       p.select(col("doc_id")).distinct().agg(count(lit(1)).as("n")))
     val dfTab = p.groupBy(col("word")).agg(count(lit(1)).as("df"))
-    // w fans into the norm agg, the prefix window and BOTH dot sides
-    // (no cross-branch CSE) — persist, registry-scoped
+    // w fans into the norm agg, the prefix window and BOTH dot sides —
+    // but deliberately NOT persisted: it is one cheap join+projection
+    // off the postings frame, and a cached copy poisons AQE's join
+    // planning downstream (an InMemoryRelation's stats are its
+    // in-memory size, so the weight-table dot-join sides stop
+    // broadcasting and the candidate join degrades to corpus-scale
+    // shuffles)
     val w = p.join(dfTab, Seq("word")).crossJoin(totals)
       .select(col("doc_id"), col("word"), col("df"),
         (col("tf") * (lg(col("n") + lit(1L)) - lg(col("df")))).as("w"))
+      .withColumn("hi", shiftrightunsigned(col("w"), 20))
+      .withColumn("lo", col("w").bitwiseAND(lit((1L << 20) - 1)))
       .persistTracked
+    // the three-term double reconstruction — ONE spelling for norms
+    // (a = b) and dots, mirrored verbatim in the oracle SQL
+    def recon(s1: Column, s2: Column, s3: Column): Column =
+      s1.cast(DoubleType) * lit(1099511627776.0) +
+        s2.cast(DoubleType) * lit(1048576.0) + s3.cast(DoubleType)
     val n2 = w.groupBy(col("doc_id"))
-      .agg(sum(col("w").cast(dec) * col("w")).as("n2"))
+      .agg(sum(col("hi") * col("hi")).as("s1"),
+        sum(col("hi") * col("lo") + col("lo") * col("hi")).as("s2"),
+        sum(col("lo") * col("lo")).as("s3"))
+      .select(col("doc_id"),
+        recon(col("s1"), col("s2"), col("s3")).as("n2"))
     val wn = w.join(n2, "doc_id")
-      .withColumn("wn",
-        col("w").cast(DoubleType) / sqrt(col("n2").cast(DoubleType)))
+      .withColumn("wn", col("w").cast(DoubleType) / sqrt(col("n2")))
     val mx = wn.groupBy(col("word")).agg(max(col("wn")).as("mw"))
     val rbW = Window.partitionBy(col("doc_id"))
       .orderBy(col("df").asc, col("word"))
@@ -672,28 +696,35 @@ object SearchPack extends QueryPack {
       .withColumn("rb", sum(col("wn") * col("mw")).over(rbW))
       .filter(col("rb") >= tau - simRbMargin)
       .select(col("doc_id").as("da"), col("word"))
+    // da < db, not merely da ≠ db: the prefix guarantee is direction-
+    // free (a qualifying pair shares a term in prefix(x) ∩ terms(y)
+    // for EITHER naming of the sides), so generating only the ordered
+    // orientation halves the candidate stream and the distinct behind
+    // it — the measured hotspot
     val cand = prefix
       .join(w.select(col("doc_id").as("db"), col("word")), Seq("word"))
-      .filter(col("da") =!= col("db"))
-      .select(least(col("da"), col("db")).as("doc_a"),
-        greatest(col("da"), col("db")).as("doc_b"))
+      .filter(col("da") < col("db"))
+      .select(col("da").as("doc_a"), col("db").as("doc_b"))
       .distinct()
     val dot = cand
       .join(w.select(col("doc_id").as("doc_a"), col("word"),
-        col("w").as("w_a")), Seq("doc_a"))
+        col("hi").as("a_hi"), col("lo").as("a_lo")), Seq("doc_a"))
       .join(w.select(col("doc_id").as("doc_b"), col("word"),
-        col("w").as("w_b")), Seq("doc_b", "word"))
+        col("hi").as("b_hi"), col("lo").as("b_lo")), Seq("doc_b", "word"))
       .groupBy(col("doc_a"), col("doc_b"))
-      .agg(sum(col("w_a").cast(dec) * col("w_b")).as("dot"))
+      .agg(sum(col("a_hi") * col("b_hi")).as("s1"),
+        sum(col("a_hi") * col("b_lo") + col("a_lo") * col("b_hi"))
+          .as("s2"),
+        sum(col("a_lo") * col("b_lo")).as("s3"))
+      .select(col("doc_a"), col("doc_b"),
+        recon(col("s1"), col("s2"), col("s3")).as("dot"))
     dot
       .join(n2.select(col("doc_id").as("doc_a"), col("n2").as("na")),
         Seq("doc_a"))
       .join(n2.select(col("doc_id").as("doc_b"), col("n2").as("nb")),
         Seq("doc_b"))
       .select(col("doc_a"), col("doc_b"),
-        round(col("dot").cast(DoubleType) /
-            (sqrt(col("na").cast(DoubleType)) *
-              sqrt(col("nb").cast(DoubleType))), 6)
+        round(col("dot") / (sqrt(col("na")) * sqrt(col("nb"))), 6)
           .as("cos_sim"))
       .filter(col("cos_sim") >= tau)
       .orderBy(col("doc_a"), col("doc_b"))
@@ -723,24 +754,34 @@ object SearchPack extends QueryPack {
       ${Portable.sql.log2CteSql("loginputs", "logsteps", "logs")},
       wt AS (
         SELECT p.doc_id, p.word,
-          p.tf * (ln.log2_q20 - ld.log2_q20) AS w
+          (p.tf * (ln.log2_q20 - ld.log2_q20)) >> 20 AS hi,
+          (p.tf * (ln.log2_q20 - ld.log2_q20)) & 1048575 AS lo
         FROM post p
         JOIN dftab f ON p.word = f.word
         CROSS JOIN totals tt
         JOIN logs ln ON ln.val = tt.n + 1
         JOIN logs ld ON ld.val = f.df),
-      n2 AS (SELECT doc_id, SUM(CAST(w AS HUGEINT) * w) AS n2
-             FROM wt GROUP BY 1),
+      n2 AS (
+        SELECT doc_id,
+          CAST(CAST(SUM(hi * hi) AS BIGINT) AS DOUBLE)
+              * CAST(1099511627776 AS DOUBLE)
+            + CAST(CAST(SUM(hi * lo + lo * hi) AS BIGINT) AS DOUBLE)
+              * CAST(1048576 AS DOUBLE)
+            + CAST(CAST(SUM(lo * lo) AS BIGINT) AS DOUBLE) AS n2
+        FROM wt GROUP BY 1),
       dotp AS (
         SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-          SUM(CAST(a.w AS HUGEINT) * b.w) AS d
+          CAST(CAST(SUM(a.hi * b.hi) AS BIGINT) AS DOUBLE)
+              * CAST(1099511627776 AS DOUBLE)
+            + CAST(CAST(SUM(a.hi * b.lo + a.lo * b.hi) AS BIGINT)
+                AS DOUBLE)
+              * CAST(1048576 AS DOUBLE)
+            + CAST(CAST(SUM(a.lo * b.lo) AS BIGINT) AS DOUBLE) AS d
         FROM wt a JOIN wt b ON a.word = b.word AND a.doc_id < b.doc_id
         GROUP BY 1, 2),
       sim AS (
         SELECT doc_a, doc_b,
-          round(CAST(d AS DOUBLE) /
-            (sqrt(CAST(na.n2 AS DOUBLE)) * sqrt(CAST(nb.n2 AS DOUBLE))),
-            6) AS cos_sim
+          round(d / (sqrt(na.n2) * sqrt(nb.n2)), 6) AS cos_sim
         FROM dotp
         JOIN n2 na ON dotp.doc_a = na.doc_id
         JOIN n2 nb ON dotp.doc_b = nb.doc_id)

@@ -215,8 +215,11 @@ class SearchPackSpec extends GraftSpec {
     */
   private def bruteSim(p: org.apache.spark.sql.DataFrame, tau: Double) = {
     import org.apache.spark.sql.functions._
-    import org.apache.spark.sql.types.{DecimalType, DoubleType}
-    val dec = DecimalType(38, 0)
+    import org.apache.spark.sql.types.DoubleType
+    import org.apache.spark.sql.Column
+    def recon(s1: Column, s2: Column, s3: Column): Column =
+      s1.cast(DoubleType) * lit(1099511627776.0) +
+        s2.cast(DoubleType) * lit(1048576.0) + s3.cast(DoubleType)
     val totals = broadcast(
       p.select(col("doc_id")).distinct().agg(count(lit(1)).as("n")))
     val dfTab = p.groupBy(col("word")).agg(count(lit(1)).as("df"))
@@ -224,22 +227,33 @@ class SearchPackSpec extends GraftSpec {
       .select(col("doc_id"), col("word"),
         (col("tf") * (functions.Portable.log2q20(col("n") + lit(1L)) -
           functions.Portable.log2q20(col("df")))).as("w"))
+      .withColumn("hi", shiftrightunsigned(col("w"), 20))
+      .withColumn("lo", col("w").bitwiseAND(lit((1L << 20) - 1)))
     val n2 = w.groupBy(col("doc_id"))
-      .agg(sum(col("w").cast(dec) * col("w")).as("n2"))
-    w.select(col("doc_id").as("doc_a"), col("word"), col("w").as("w_a"))
+      .agg(sum(col("hi") * col("hi")).as("s1"),
+        sum(col("hi") * col("lo") + col("lo") * col("hi")).as("s2"),
+        sum(col("lo") * col("lo")).as("s3"))
+      .select(col("doc_id"),
+        recon(col("s1"), col("s2"), col("s3")).as("n2"))
+    w.select(col("doc_id").as("doc_a"), col("word"),
+        col("hi").as("a_hi"), col("lo").as("a_lo"))
       .join(w.select(col("doc_id").as("doc_b"), col("word"),
-        col("w").as("w_b")), Seq("word"))
+        col("hi").as("b_hi"), col("lo").as("b_lo")), Seq("word"))
       .filter(col("doc_a") < col("doc_b"))
       .groupBy(col("doc_a"), col("doc_b"))
-      .agg(sum(col("w_a").cast(dec) * col("w_b")).as("dot"))
+      .agg(sum(col("a_hi") * col("b_hi")).as("s1"),
+        sum(col("a_hi") * col("b_lo") + col("a_lo") * col("b_hi"))
+          .as("s2"),
+        sum(col("a_lo") * col("b_lo")).as("s3"))
+      .select(col("doc_a"), col("doc_b"),
+        recon(col("s1"), col("s2"), col("s3")).as("dot"))
       .join(n2.select(col("doc_id").as("doc_a"), col("n2").as("na")),
         Seq("doc_a"))
       .join(n2.select(col("doc_id").as("doc_b"), col("n2").as("nb")),
         Seq("doc_b"))
       .select(col("doc_a"), col("doc_b"),
-        round(col("dot").cast(DoubleType) /
-            (sqrt(col("na").cast(DoubleType)) *
-              sqrt(col("nb").cast(DoubleType))), 6).as("cos_sim"))
+        round(col("dot") / (sqrt(col("na")) * sqrt(col("nb"))), 6)
+          .as("cos_sim"))
       .filter(col("cos_sim") >= tau)
   }
 
