@@ -406,6 +406,47 @@ object TimeSeriesPack extends QueryPack {
       ORDER BY ex.user_id
       """))
 
+  // A10j2 — CMS-pruned exact heavy hitters: the two-pass shape that is
+  // the POINT of a frequency sketch at 100 TB — pass 1 reduces the
+  // corpus to the d×w cells (map-side combining, no wide shuffle),
+  // candidates are the keys whose ESTIMATE clears the threshold
+  // (est ≥ exact always ⇒ no true heavy hitter can be missed), and
+  // only the candidates' events are exactly counted (broadcast
+  // semi-join — the full per-key aggregation never runs). The oracle
+  // is the plain exact query with no sketch at all, so the hash match
+  // re-proves the pruning's recall 1 on every run (the I8 pattern).
+  // Threshold: 25% above the mean events-per-user, in exact integer
+  // division so both engines agree on the boundary.
+  private val cmsHeavyHitters = GraftQuery(
+    "cms_heavy_hitters",
+    (s, d) => {
+      val ev = Tables.events(s, d)
+      val cells = TimeSeries.cmsCells(ev, col("user_id"))
+      val thr = broadcast(ev
+        .agg(count(lit(1)).as("n_total"),
+          countDistinct(col("user_id")).as("n_users"))
+        .select(expr("(5 * n_total) div (4 * n_users)").as("thr")))
+      val cand = TimeSeries.cmsEstimate(ev, col("user_id"), cells)
+        .crossJoin(thr)
+        .filter(col("n_est") >= col("thr"))
+        .select(col("id").as("user_id"))
+      ev.join(broadcast(cand), Seq("user_id"))
+        .groupBy(col("user_id")).agg(count(lit(1)).as("n_events"))
+        .crossJoin(thr)
+        .filter(col("n_events") >= col("thr"))
+        .select(col("user_id"), col("n_events"))
+        .orderBy(col("user_id"))
+    },
+    Some("""
+      WITH t AS (SELECT (5 * (SELECT COUNT(*) FROM events))
+          // (4 * (SELECT COUNT(DISTINCT user_id) FROM events)) AS thr),
+      g AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events
+            FROM events GROUP BY 1)
+      SELECT user_id, n_events FROM g
+      WHERE n_events >= (SELECT thr FROM t)
+      ORDER BY user_id
+      """))
+
   // A10k — the persisted CMS cell store through the driver gate: build
   // on even event_ids, APPEND the odds (a day-splitting slice — cell
   // sums are partition-shape-independent), read the merged cells — and
@@ -501,6 +542,80 @@ object TimeSeriesPack extends QueryPack {
           AND b.rn = r.rn + 1)
       SELECT event_type, bin, avg_val, ema FROM rec
       ORDER BY event_type, bin
+      """))
+
+  // A24 — Holt's linear-trend (double exponential) smoothing over the
+  // same observed hourly series as A23: level s and trend b evolve as
+  //   s_t = α·x_t + (1−α)·(s_{t−1} + b_{t−1}),  α = 1/2
+  //   b_t = β·(s_t − s_{t−1}) + (1−β)·b_{t−1},  β = 1/4
+  // with s_0 = x_0, b_0 = 0 — the dashboard's short-horizon forecast
+  // line (forecast = s + b). Same discipline as A23: dyadic constants,
+  // one HOF fold per key, a recursive-CTE replay of the two-state
+  // recurrence hash-matching bit-for-bit; the hourly input is
+  // hourlySpine's bins frame by reference again.
+  private val tsHolt = GraftQuery(
+    "ts_holt",
+    (s, d) => {
+      val bins = hourlySpine(s, d)._1
+      val p0 = col("pts")(0)
+      val folded = bins
+        .groupBy(col("event_type"))
+        .agg(sort_array(collect_list(
+          struct(col("bin"), col("avg_val")))).as("pts"))
+        .select(col("event_type"), aggregate(
+          slice(col("pts"), lit(2),
+            greatest(size(col("pts")) - 1, lit(0))),
+          struct(
+            array(struct(p0("bin").as("bin"),
+              p0("avg_val").as("avg_val"),
+              p0("avg_val").as("level"),
+              lit(0.0).as("trend"))).as("out"),
+            p0("avg_val").as("s"), lit(0.0).as("b")),
+          (acc, p) => {
+            val sNew = lit(0.5) * p("avg_val") +
+              lit(0.5) * (acc("s") + acc("b"))
+            val bNew = lit(0.25) * (sNew - acc("s")) +
+              lit(0.75) * acc("b")
+            struct(
+              concat(acc("out"), array(struct(p("bin").as("bin"),
+                p("avg_val").as("avg_val"), sNew.as("level"),
+                bNew.as("trend")))).as("out"),
+              sNew.as("s"), bNew.as("b"))
+          },
+          acc => acc("out")).as("sm"))
+      folded
+        .select(col("event_type"), explode(col("sm")).as("p"))
+        .select(col("event_type"), col("p.bin").as("bin"),
+          col("p.avg_val").as("avg_val"), col("p.level").as("level"),
+          col("p.trend").as("trend"),
+          (col("p.level") + col("p.trend")).as("forecast"))
+        .orderBy(col("event_type"), col("bin"))
+    },
+    Some("""
+      WITH RECURSIVE bins AS (
+        SELECT event_type,
+          make_timestamp(epoch_us(ts) - epoch_us(ts) % 3600000000) AS bin,
+          CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*)
+            AS avg_val
+        FROM events GROUP BY 1, 2),
+      b AS (SELECT event_type, bin, avg_val, ROW_NUMBER() OVER (
+          PARTITION BY event_type ORDER BY bin) AS rn FROM bins),
+      rec(event_type, rn, bin, avg_val, s, t) AS (
+        SELECT event_type, rn, bin, avg_val, avg_val,
+          CAST(0 AS DOUBLE) FROM b WHERE rn = 1
+        UNION ALL
+        SELECT bb.event_type, bb.rn, bb.bin, bb.avg_val,
+          CAST(0.5 AS DOUBLE) * bb.avg_val
+            + CAST(0.5 AS DOUBLE) * (r.s + r.t),
+          CAST(0.25 AS DOUBLE) *
+            ((CAST(0.5 AS DOUBLE) * bb.avg_val
+              + CAST(0.5 AS DOUBLE) * (r.s + r.t)) - r.s)
+            + CAST(0.75 AS DOUBLE) * r.t
+        FROM rec r JOIN b bb ON bb.event_type = r.event_type
+          AND bb.rn = r.rn + 1)
+      SELECT event_type, bin, avg_val, s AS level, t AS trend,
+        s + t AS forecast
+      FROM rec ORDER BY event_type, bin
       """))
 
   // A11 — Timestream INTERPOLATE_LINEAR: hourly per-dimension series
@@ -1085,7 +1200,8 @@ object TimeSeriesPack extends QueryPack {
   override val queries: Seq[GraftQuery] = Seq(
     tsBin, tsAgo, tsSeries, sessionize, metricsDaily, percentiles,
     topUsers, approxMetrics, kmvMetrics, kmvRollup, kmvStoreEstimate,
-    cmsMetrics, cmsRollup, cmsEstimate, cmsStoreEstimate, tsEma,
+    cmsMetrics, cmsRollup, cmsEstimate, cmsHeavyHitters,
+    cmsStoreEstimate, tsEma, tsHolt,
     tsInterpolate,
     tsLocfFill, tsAsof, tsAnomaly, tsDerivative, tsIntegral,
     qAsofJoin, qLatest, latestStoreSnapshot, qSkewAgg, qTransitions,

@@ -246,6 +246,41 @@ class TimeSeriesSpec extends GraftSpec {
     }
   }
 
+  test("ts_holt replays the exact two-state recurrence per dimension") {
+    val rows = SparkEntry.queries("ts_holt")(spark, sfDir)
+      .collect()
+      .map(r => (r.getString(0), r.getAs[java.time.LocalDateTime](1),
+        r.getDouble(2), r.getDouble(3), r.getDouble(4), r.getDouble(5)))
+    assert(rows.nonEmpty)
+    rows.groupBy(_._1).foreach { case (et, g) =>
+      var s = g.head._3
+      var b = 0.0
+      assert(g.head._4 == s && g.head._5 == 0.0 && g.head._6 == s)
+      g.tail.foreach { case (_, bin, x, level, trend, forecast) =>
+        val s2 = 0.5 * x + 0.5 * (s + b)
+        b = 0.25 * (s2 - s) + 0.75 * b
+        s = s2
+        assert(level == s && trend == b && forecast == s + b,
+          s"$et @ $bin: ($level,$trend,$forecast) != replay ($s,$b)")
+      }
+    }
+  }
+
+  test("cms_heavy_hitters: every reported user truly clears the " +
+      "threshold and none are missed") {
+    val ev = Tables.events(spark, sfDir)
+    val n = ev.count()
+    val users = ev.select("user_id").distinct().count()
+    val thr = (5 * n) / (4 * users)
+    val exact = ev.groupBy(col("user_id")).agg(count(lit(1)).as("n"))
+      .filter(col("n") >= thr)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val got = SparkEntry.queries("cms_heavy_hitters")(spark, sfDir)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == exact, "sketch pruning must have recall 1")
+    assert(exact.nonEmpty, "threshold yields no hitters at sf0.001")
+  }
+
   test("cms: cells reconcile with the corpus, the daily merge is " +
       "exact, and every estimate dominates its exact count") {
     val ev = Tables.events(spark, sfDir)
