@@ -49,6 +49,13 @@ object ScaleSmoke {
     "metrics_kmv",       // hash distinct + bounded-heap k-smallest (r8)
     "ann_pq",            // grouped-kmeans train + ADC scan + re-rank (r8)
     "phrase_search",     // positional chain join (r8)
+    "doc_similarity",    // prefix-filtered all-pairs τ-join (r8c):
+                         // replicas share no vocab, so candidate mass
+                         // must grow ~K, never K²
+    "doc_topics",        // full-corpus kmeans train + assignment (r8c)
+    "metrics_cms",       // corpus → d·w cells map-side combine (r8c)
+    "cms_heavy_hitters", // sketch-pruned two-pass exact count (r8c)
+    "ts_ema",            // per-dimension recurrence fold (r8c)
     "source_report",     // corpus-wide agg + broadcast total
     "mix_sources",       // two-level rank
     "shard_pack")        // two-level cumsum
@@ -211,6 +218,8 @@ object ScaleSmoke {
         sources.PqStore.write(
           histEmb.select(col("vec_id"), col("embedding")),
           s"scale_pq_$tag", s"$storesRoot/pq_$tag")
+        sources.SimHashStore.write(hist, s"scale_sh_$tag",
+          s"$storesRoot/sh_$tag")
       }
       def fpProbe() = probeSteady(() =>
         sources.FingerprintStore.dedupAgainst(spark, s"scale_fp_$tag", batch))
@@ -232,11 +241,16 @@ object ScaleSmoke {
       def pqProbe() = probeSteady(() =>
         sources.PqStore.search(spark, s"scale_pq_$tag",
           batchEmb.select(col("vec_id"), col("embedding"))))
+      // replicas share no vocabulary, so a base batch signature meets
+      // x1-sized collision sets — the ratio isolates store-layout cost
+      def shProbe() = probeSteady(() =>
+        sources.SimHashStore.dedupAgainst(spark, s"scale_sh_$tag", batch))
       val fp = fpProbe()
       val mh = mhProbe()
       val ix = ixProbe()
       val em = emProbe()
       val pq = pqProbe()
+      val sh = shProbe()
       // ingest-loop legs: fold in a batch of NOVEL docs (fresh ids AND
       // fresh content — the ingest contract), re-probe the appended
       // store, compact, re-probe
@@ -259,47 +273,52 @@ object ScaleSmoke {
         sources.EmbedStore.append(spark, s"scale_em_$tag", appendEmb)
         sources.PqStore.append(spark, s"scale_pq_$tag",
           appendEmb.select(col("vec_id"), col("embedding")))
+        sources.SimHashStore.append(spark, s"scale_sh_$tag", appendBatch)
       }
       val fpA = fpProbe()
       val mhA = mhProbe()
       val ixA = ixProbe()
       val emA = emProbe()
       val pqA = pqProbe()
+      val shA = shProbe()
       val cmp = timeOf {
         sources.FingerprintStore.compact(spark, s"scale_fp_$tag")
         sources.MinHashStore.compact(spark, s"scale_mh_$tag")
         sources.SearchIndex.compact(spark, s"scale_ix_$tag")
         sources.EmbedStore.compact(spark, s"scale_em_$tag")
         sources.PqStore.compact(spark, s"scale_pq_$tag")
+        sources.SimHashStore.compact(spark, s"scale_sh_$tag")
       }
       val fpC = fpProbe()
       val mhC = mhProbe()
       val ixC = ixProbe()
       val emC = emProbe()
       val pqC = pqProbe()
+      val shC = shProbe()
       Seq("store_build" -> build,
         "fp_store_probe" -> fp, "mh_store_probe" -> mh,
         "ix_store_search" -> ix, "em_store_probe" -> em,
-        "pq_store_search" -> pq,
+        "pq_store_search" -> pq, "sh_store_probe" -> sh,
         "store_append" -> app,
         "fp_probe_post_append" -> fpA, "mh_probe_post_append" -> mhA,
         "ix_search_post_append" -> ixA, "em_probe_post_append" -> emA,
-        "pq_search_post_append" -> pqA,
+        "pq_search_post_append" -> pqA, "sh_probe_post_append" -> shA,
         "store_compact" -> cmp,
         "fp_probe_post_compact" -> fpC, "mh_probe_post_compact" -> mhC,
         "ix_search_post_compact" -> ixC, "em_probe_post_compact" -> emC,
-        "pq_search_post_compact" -> pqC)
+        "pq_search_post_compact" -> pqC, "sh_probe_post_compact" -> shC)
     }
     val s1 = storeProbe(base, "x1").toMap
     val sK = storeProbe(dir, s"x$k").toMap
     val storeOrder = Seq("store_build", "fp_store_probe", "mh_store_probe",
       "ix_store_search", "em_store_probe", "pq_store_search",
+      "sh_store_probe",
       "store_append", "fp_probe_post_append", "mh_probe_post_append",
       "ix_search_post_append", "em_probe_post_append",
-      "pq_search_post_append",
+      "pq_search_post_append", "sh_probe_post_append",
       "store_compact", "fp_probe_post_compact", "mh_probe_post_compact",
       "ix_search_post_compact", "em_probe_post_compact",
-      "pq_search_post_compact")
+      "pq_search_post_compact", "sh_probe_post_compact")
     val storeReport = storeOrder.map { op =>
       f"""{"op":"$op","x1":${s1(op)}%.3f,"x$k":${sK(op)}%.3f,"ratio":${sK(op) / math.max(s1(op), 1e-9)}%.2f}"""
     }

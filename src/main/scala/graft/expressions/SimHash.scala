@@ -136,6 +136,10 @@ object GraftFunctions {
     (FunctionIdentifier("graft_log2_q20"),
       new ExpressionInfo(classOf[Log2FixQ20].getName, "graft_log2_q20"),
       (e: Seq[Expression]) => Log2FixQ20(e.head)),
+    (FunctionIdentifier("graft_dot_pack_q20"),
+      new ExpressionInfo(classOf[DotPackQ20].getName,
+        "graft_dot_pack_q20"),
+      (e: Seq[Expression]) => DotPackQ20(e(0), e(1), e(2), e(3))),
     // Timestream bin(time, seconds) as a SQL function: composed from the
     // same exact-long-arithmetic column expression TimeSeries.bin uses.
     (FunctionIdentifier("graft_bin"),

@@ -66,6 +66,17 @@ object Portable {
     column(graft.expressions.Shingles3Hashed(expression(ws)))
   }
 
+  /** Sparse integer dot product over two word-sorted weight vectors,
+    * returned as the exact split sums [s1, s2, s3] — the I8 similarity
+    * join's per-pair kernel. See [[graft.expressions.DotPackQ20]].
+    */
+  def dotPackQ20(aw: Column, av: Column, bw: Column,
+      bv: Column): Column = {
+    import org.apache.spark.sql.GraftColumnBridge.{column, expression}
+    column(graft.expressions.DotPackQ20(expression(aw), expression(av),
+      expression(bw), expression(bv)))
+  }
+
   /** Fixed-point Q20 binary log of a positive bigint column — the
     * engine-portable logarithm under BM25 idf and LM cross-entropy
     * (libm log is not correctly rounded; this digit recurrence is pure

@@ -706,18 +706,32 @@ object SearchPack extends QueryPack {
       .filter(col("da") < col("db"))
       .select(col("da").as("doc_a"), col("db").as("doc_b"))
       .distinct()
+    // dots run PER PAIR, not per (pair, shared term): each doc's
+    // word-sorted weight vector packs once (doc-count-sized frame),
+    // the pair stream joins it twice, and the G15 kernel
+    // merge-intersects the two sorted arrays in one codegen'd loop.
+    // The per-term join formulation this replaced streamed
+    // |pairs|·|terms| rows into a (doc, word) sort-merge join — at 8×
+    // data that stream hit ~300M rows and its SMJ sort was the whole
+    // scale story (measured 16× wall at 8× data; pair-packed, the
+    // stream is |pairs| rows and the sort is gone).
+    val dv = w.groupBy(col("doc_id"))
+      .agg(sort_array(collect_list(struct(col("word"), col("w"))))
+        .as("ps"))
+      .select(col("doc_id"),
+        transform(col("ps"), p => p("word")).as("ws"),
+        transform(col("ps"), p => p("w")).as("wv"))
+      .persistTracked
     val dot = cand
-      .join(w.select(col("doc_id").as("doc_a"), col("word"),
-        col("hi").as("a_hi"), col("lo").as("a_lo")), Seq("doc_a"))
-      .join(w.select(col("doc_id").as("doc_b"), col("word"),
-        col("hi").as("b_hi"), col("lo").as("b_lo")), Seq("doc_b", "word"))
-      .groupBy(col("doc_a"), col("doc_b"))
-      .agg(sum(col("a_hi") * col("b_hi")).as("s1"),
-        sum(col("a_hi") * col("b_lo") + col("a_lo") * col("b_hi"))
-          .as("s2"),
-        sum(col("a_lo") * col("b_lo")).as("s3"))
+      .join(dv.select(col("doc_id").as("doc_a"), col("ws").as("aw"),
+        col("wv").as("av")), Seq("doc_a"))
+      .join(dv.select(col("doc_id").as("doc_b"), col("ws").as("bw"),
+        col("wv").as("bv")), Seq("doc_b"))
       .select(col("doc_a"), col("doc_b"),
-        recon(col("s1"), col("s2"), col("s3")).as("dot"))
+        Portable.dotPackQ20(col("aw"), col("av"), col("bw"), col("bv"))
+          .as("s"))
+      .select(col("doc_a"), col("doc_b"),
+        recon(col("s")(0), col("s")(1), col("s")(2)).as("dot"))
     dot
       .join(n2.select(col("doc_id").as("doc_a"), col("n2").as("na")),
         Seq("doc_a"))

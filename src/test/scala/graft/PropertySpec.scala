@@ -301,4 +301,36 @@ class PropertySpec extends GraftSpec {
       "/root/testdata/sf0.01").collect()
     assert(kept.map(_.toString).toSeq == again.map(_.toString).toSeq)
   }
+
+  test("dot_pack_q20 equals a JVM map-based sparse dot on random " +
+      "sorted vectors, through codegen") {
+    import org.apache.spark.sql.functions._
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    val vocab = ('a' to 'z').map(_.toString)
+    val vecGen = for {
+      n <- Gen.chooseNum(0, 12)
+      ws <- Gen.pick(n, vocab)
+      vs <- Gen.listOfN(n, Gen.chooseNum(0L, (1L << 41) - 1))
+    } yield ws.sorted.zip(vs).toSeq
+    val p = Prop.forAll(vecGen, vecGen) { (a, b) =>
+      val am = a.toMap
+      val bm = b.toMap
+      var s1 = 0L; var s2 = 0L; var s3 = 0L
+      for (k <- am.keySet intersect bm.keySet) {
+        val (ah, al) = (am(k) >>> 20, am(k) & ((1L << 20) - 1))
+        val (bh, bl) = (bm(k) >>> 20, bm(k) & ((1L << 20) - 1))
+        s1 += ah * bh; s2 += ah * bl + al * bh; s3 += al * bl
+      }
+      import spark.implicits._
+      val got = Seq((a.map(_._1), a.map(_._2), b.map(_._1), b.map(_._2)))
+        .toDF("aw", "av", "bw", "bv")
+        .select(functions.Portable.dotPackQ20(col("aw"), col("av"),
+          col("bw"), col("bv")).as("s"))
+        .collect()(0).getSeq[Long](0)
+      got == Seq(s1, s2, s3)
+    }
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(40), p)
+    assert(res.passed, res.status.toString)
+  }
 }
