@@ -993,6 +993,53 @@ object TimeSeriesPack extends QueryPack {
       ORDER BY 1, 2
       """))
 
+  // A18b — the FORWARD direction of the generic as-of join: each event
+  // attributed to the NEXT day-quota taking effect at or after it
+  // (deploy→first-error, event→next-policy attribution). Same
+  // construction as q_asof_join, direction reversed; the engine is
+  // asofJoin on the negated time axis, so the time-sliced shape is
+  // inherited. Oracle: DuckDB's native ASOF JOIN with the <=
+  // comparison — again an independent implementation of the semantics.
+  private val qAsofJoinFwd = GraftQuery(
+    "q_asof_join_fwd",
+    (s, d) => {
+      val ev = Tables.events(s, d)
+      val quotas = ev
+        .select(col("event_type"),
+          TimeSeries.bin(col("ts"), 86400).cast(TimestampNTZType).as("qts"))
+        .distinct()
+        .withColumn("dday",
+          expr("unix_seconds(CAST(qts AS TIMESTAMP)) div 86400"))
+        .filter(pmod(col("dday"), lit(3)) === 0)
+        .withColumn("quota",
+          pmod(col("dday"), lit(7)) * 100 + length(col("event_type")))
+        .select(col("event_type"), col("qts"), col("quota"))
+      TimeSeries.asofJoinForward(ev, quotas, "event_type", "ts", "qts",
+          Seq("quota"))
+        .filter(col("asof_quota").isNotNull)
+        .groupBy(col("event_type"), col("asof_quota"))
+        .agg(count(lit(1)).as("n"), dsumValue.as("sum_value"))
+        .orderBy(col("event_type"), col("asof_quota"))
+    },
+    Some("""
+      WITH days AS (
+        SELECT DISTINCT event_type,
+          make_timestamp(epoch_us(ts) - epoch_us(ts) % 86400000000) AS qts
+        FROM events),
+      quotas AS (
+        SELECT event_type, qts,
+          ((epoch(qts)::BIGINT // 86400) % 7) * 100 + length(event_type)
+            AS quota
+        FROM days
+        WHERE (epoch(qts)::BIGINT // 86400) % 3 = 0)
+      SELECT e.event_type, q.quota AS asof_quota, COUNT(*) AS n,
+        CAST(SUM(CAST(e.value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+      FROM events e ASOF JOIN quotas q
+        ON e.event_type = q.event_type AND e.ts <= q.qts
+      GROUP BY 1, 2
+      ORDER BY 1, 2
+      """))
+
   // A19 — latest-record-per-key snapshot (the SCD / changelog-compaction
   // read pattern): one row per user carrying the most recent event's
   // attributes. max_by-shaped via a single struct-max aggregation — one
@@ -1204,6 +1251,7 @@ object TimeSeriesPack extends QueryPack {
     cmsStoreEstimate, tsEma, tsHolt,
     tsInterpolate,
     tsLocfFill, tsAsof, tsAnomaly, tsDerivative, tsIntegral,
-    qAsofJoin, qLatest, latestStoreSnapshot, qSkewAgg, qTransitions,
+    qAsofJoin, qAsofJoinFwd, qLatest, latestStoreSnapshot, qSkewAgg,
+    qTransitions,
     sketchRollup, histRollup)
 }

@@ -145,6 +145,36 @@ object TimeSeries {
           Seq(s"__r_$v", s"__loc_$v", s"__in_$v"))): _*)
   }
 
+  /** FORWARD as-of join: for each left row, the EARLIEST right row
+    * with rightTs ≥ leftTs — next-event attribution (the quota that
+    * takes effect next, the first error after a deploy). Implemented
+    * by running [[asofJoin]] on the NEGATED time axis: "latest prior"
+    * under −t IS "earliest following" under t, so the time-sliced,
+    * shuffle-minimal, both-sides-can-be-facts decomposition is
+    * inherited verbatim (trunc division is a monotone slice key for
+    * negative values too). Ties at equal rightTs resolve to the MAX
+    * `rightTiebreak` (inherited) — pass a negated column for
+    * min-tiebreak semantics. Timestamp/date axes negate through epoch
+    * micros; numeric axes negate directly.
+    */
+  def asofJoinForward(left: DataFrame, right: DataFrame, key: String,
+      leftTs: String, rightTs: String, rightVals: Seq[String],
+      rightTiebreak: Column = lit(0),
+      sliceSeconds: Long = 86400L): DataFrame = {
+    def neg(df: DataFrame, ts: String, out: String): DataFrame = {
+      val c = df.schema(ts).dataType match {
+        case TimestampType | TimestampNTZType | DateType =>
+          -unix_micros(col(ts).cast(TimestampType))
+        case _ => -col(ts).cast(LongType)
+      }
+      df.withColumn(out, c)
+    }
+    asofJoin(neg(left, leftTs, "__fwd_t"), neg(right, rightTs, "__fwd_rt"),
+        key, "__fwd_t", "__fwd_rt", rightVals, rightTiebreak,
+        sliceSeconds)
+      .drop("__fwd_t")
+  }
+
   /** Mergeable-sketch pre-aggregation — the scale path for distinct
     * counts a dashboard asks at many granularities. Build one HLL sketch
     * per (key, day) — a few-KB binary, map-side combinable — persist

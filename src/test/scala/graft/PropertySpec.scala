@@ -156,6 +156,37 @@ class PropertySpec extends GraftSpec {
     }
   }
 
+  test("asofJoinForward matches brute-force earliest-following on " +
+      "random tables") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(43)
+    val keys = Seq("a", "b", "c")
+    val left = (1 to 200).map(i =>
+      (keys(rnd.nextInt(3)), rnd.nextInt(1000), i.toLong))
+      .toDF("k", "lt", "lid")
+    val right = (1 to 60).map(i =>
+      (keys(rnd.nextInt(3)), rnd.nextInt(1000), i * 10L))
+      .toDF("k", "rt", "quota")
+    val got = graft.timeseries.TimeSeries.asofJoinForward(
+        left, right, "k", "lt", "rt", Seq("quota"),
+        rightTiebreak = col("quota"))
+      .select(col("k"), col("lt"), col("lid"), col("asof_quota"))
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2)) ->
+        Option(r.get(3)).map(_.asInstanceOf[Long])).toMap
+    // brute force: for each left row, the MIN-rt right row with
+    // rt >= lt and the same key; quota ties resolve to MAX quota
+    // (inherited tiebreak direction — see the scaladoc)
+    val rs = right.collect().map(r =>
+      (r.getString(0), r.getInt(1), r.getLong(2)))
+    left.collect().foreach { l =>
+      val (k, lt, lid) = (l.getString(0), l.getInt(1), l.getLong(2))
+      val cand = rs.filter(r => r._1 == k && r._2 >= lt)
+      val want = if (cand.isEmpty) None
+        else Some(cand.sortBy(r => (-r._2, r._3)).last._3)
+      assert(got((k, lt, lid)) == want, s"key=$k lt=$lt")
+    }
+  }
+
   test("asofJoin time-slicing: same answer at every slice width, plan splits low-card keys") {
     import spark.implicits._
     val rnd = new scala.util.Random(7)
