@@ -1478,25 +1478,6 @@ object AnnPack extends QueryPack {
       """
     })
 
-  /** Memoized vector-store artifacts (EmbedStore + PqStore) — catalog tables +
-    * store dirs keyed by dataset dir, the DedupPack storeArtifacts
-    * discipline: dropped with the cache registry so a dataset rewritten
-    * in-session rebuilds the store instead of probing a stale one.
-    */
-  private val vectorStores = java.util.concurrent.ConcurrentHashMap
-    .newKeySet[(String, String)]() // (catalog table, store dir)
-  graft.Caches.onRelease(() => {
-    org.apache.spark.sql.SparkSession.getActiveSession
-      .orElse(org.apache.spark.sql.SparkSession.getDefaultSession)
-      .foreach { s =>
-        vectorStores.forEach { case (t, _) =>
-          s.sql(s"DROP TABLE IF EXISTS $t") }
-      }
-    vectorStores.forEach { case (_, dir) =>
-      if (dir.nonEmpty) graft.Caches.deleteDir(dir) }
-    vectorStores.clear()
-  })
-
   /** Build (once per JVM × dataset × path-shape) the C14 gate's history
     * store: even vec_ids. `split = false` writes the whole history in
     * one build; `split = true` writes the vec_id % 4 == 0 slice and
@@ -1506,26 +1487,23 @@ object AnnPack extends QueryPack {
     */
   private def embStore(s: SparkSession, d: String,
       split: Boolean): String = {
-    val tag = java.security.MessageDigest.getInstance("MD5")
-      .digest(d.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(10)
-    val base = s"graft_emb_store_$tag" + (if (split) "a" else "")
-    val root = sys.env.getOrElse("SPARK_GRAFT_STORE_DIR",
-      sys.props("java.io.tmpdir"))
-    if (!s.catalog.tableExists(s"${base}_lists")) {
+    import graft.sources.StoreMemo
+    val base = s"graft_emb_store_${StoreMemo.tagOf(d)}" +
+      (if (split) "a" else "")
+    val dir = s"${StoreMemo.root}/$base"
+    StoreMemo.once(s, s"${base}_lists", dir,
+        Seq(s"${base}_cells", s"${base}_lists")) {
       val hist = Tables.embeddings(s, d)
         .filter(pmod(col("vec_id"), lit(2)) === 0)
         .select(col("vec_id"), col("label"), col("embedding"))
       if (!split)
-        graft.sources.EmbedStore.write(hist, base, s"$root/$base")
+        graft.sources.EmbedStore.write(hist, base, dir)
       else {
         graft.sources.EmbedStore.write(
-          hist.filter(pmod(col("vec_id"), lit(4)) === 0),
-          base, s"$root/$base")
+          hist.filter(pmod(col("vec_id"), lit(4)) === 0), base, dir)
         graft.sources.EmbedStore.append(s, base,
           hist.filter(pmod(col("vec_id"), lit(4)) === 2))
       }
-      vectorStores.add((s"${base}_cells", s"$root/$base"))
-      vectorStores.add((s"${base}_lists", ""))
     }
     base
   }
@@ -1591,27 +1569,23 @@ object AnnPack extends QueryPack {
     */
   private def pqStore(s: SparkSession, d: String,
       split: Boolean): String = {
-    val tag = java.security.MessageDigest.getInstance("MD5")
-      .digest(d.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(10)
-    val base = s"graft_pq_store_$tag" + (if (split) "a" else "")
-    val root = sys.env.getOrElse("SPARK_GRAFT_STORE_DIR",
-      sys.props("java.io.tmpdir"))
-    if (!s.catalog.tableExists(s"${base}_codes")) {
+    import graft.sources.StoreMemo
+    val base = s"graft_pq_store_${StoreMemo.tagOf(d)}" +
+      (if (split) "a" else "")
+    val dir = s"${StoreMemo.root}/$base"
+    StoreMemo.once(s, s"${base}_codes", dir,
+        Seq(s"${base}_books", s"${base}_codes", s"${base}_vecs")) {
       val corpus = Tables.embeddings(s, d)
         .filter(pmod(col("vec_id"), lit(50)) =!= 0)
         .select(col("vec_id"), col("embedding"))
       if (!split)
-        graft.sources.PqStore.write(corpus, base, s"$root/$base")
+        graft.sources.PqStore.write(corpus, base, dir)
       else {
         graft.sources.PqStore.write(
-          corpus.filter(pmod(col("vec_id"), lit(11)) =!= 5),
-          base, s"$root/$base")
+          corpus.filter(pmod(col("vec_id"), lit(11)) =!= 5), base, dir)
         graft.sources.PqStore.append(s, base,
           corpus.filter(pmod(col("vec_id"), lit(11)) === 5))
       }
-      vectorStores.add((s"${base}_books", s"$root/$base"))
-      vectorStores.add((s"${base}_codes", ""))
-      vectorStores.add((s"${base}_vecs", ""))
     }
     base
   }

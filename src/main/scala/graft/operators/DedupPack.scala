@@ -929,42 +929,21 @@ object DedupPack extends QueryPack {
   // spec-asserted), while only the small batch shuffles. Verdicts
   // distinguish re-ingested content (dup_of_history) from novel
   // within-batch duplicates (batch-minimum election, agg + join-back).
-  /** The C11/C12 store artifacts built this JVM, so Caches.releaseAll
-    * resets THIS memo like every other dataset-keyed one (persisted
-    * frames, AnnPack.indexDirs, ccMemo): the memo key is
+  /** Store builds memoized through [[graft.sources.StoreMemo]] — its
+    * release hook resets the memo like every other dataset-keyed one
+    * (persisted frames, AnnPack.indexDirs, ccMemo): the memo key is
     * catalog-table existence, which releaseAll does not touch on its
-    * own — without this hook, a dataset dir rewritten in-session would
+    * own — without the hook, a dataset dir rewritten in-session would
     * probe the NEW batch against the STALE history store.
     */
-  private val storeArtifacts = java.util.concurrent.ConcurrentHashMap
-    .newKeySet[(String, String)]() // (catalog table, store dir)
-  graft.Caches.onRelease(() => {
-    org.apache.spark.sql.SparkSession.getActiveSession
-      .orElse(org.apache.spark.sql.SparkSession.getDefaultSession)
-      .foreach { s =>
-        storeArtifacts.forEach { case (t, _) =>
-          s.sql(s"DROP TABLE IF EXISTS $t") }
-      }
-    // entries registering a second catalog table of the same store
-    // carry an empty dir — never hand "" to deleteDir (Paths.get("")
-    // is the working directory)
-    storeArtifacts.forEach { case (_, dir) =>
-      if (dir.nonEmpty) graft.Caches.deleteDir(dir) }
-    storeArtifacts.clear()
-  })
-
   private def fpStore(s: SparkSession, d: String): String = {
-    val tag = java.security.MessageDigest.getInstance("MD5")
-      .digest(d.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(10)
-    val table = s"graft_fp_store_$tag"
-    val root = sys.env.getOrElse("SPARK_GRAFT_STORE_DIR",
-      sys.props("java.io.tmpdir"))
-    if (!s.catalog.tableExists(table)) {
-      val dir = s"$root/graft_fp_store_$tag"
+    import graft.sources.StoreMemo
+    val table = s"graft_fp_store_${StoreMemo.tagOf(d)}"
+    val dir = s"${StoreMemo.root}/$table"
+    StoreMemo.once(s, table, dir, Seq(table)) {
       graft.sources.FingerprintStore.write(
         Tables.documents(s, d).filter(pmod(col("doc_id"), lit(2)) === 0),
         table, dir)
-      storeArtifacts.add((table, dir))
     }
     table
   }
@@ -1006,21 +985,18 @@ object DedupPack extends QueryPack {
   // and keeps the cross-parity pairs — the store path must find
   // exactly the pairs the in-corpus path finds.
   private def mhStore(s: SparkSession, d: String): String = {
-    val tag = java.security.MessageDigest.getInstance("MD5")
-      .digest(d.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(10)
-    val base = s"graft_mh_store_$tag"
-    val root = sys.env.getOrElse("SPARK_GRAFT_STORE_DIR",
-      sys.props("java.io.tmpdir"))
-    if (!s.catalog.tableExists(s"${base}_bands")) {
+    import graft.sources.StoreMemo
+    val base = s"graft_mh_store_${StoreMemo.tagOf(d)}"
+    val dir = s"${StoreMemo.root}/$base"
+    StoreMemo.once(s, s"${base}_bands", dir,
+        Seq(s"${base}_bands", s"${base}_shingles")) {
       // uncapped: the oracle recomputes the FULL pair graph, so the
       // gated path must be exact by construction — the bounded-recall
       // cap (MinHashStore.capBands) is a production-ingest trade, not
       // part of the verified query semantics
       graft.sources.MinHashStore.write(
         Tables.documents(s, d).filter(pmod(col("doc_id"), lit(2)) === 0),
-        base, s"$root/$base", maxPerBucket = Int.MaxValue)
-      storeArtifacts.add((s"${base}_bands", s"$root/$base"))
-      storeArtifacts.add((s"${base}_shingles", ""))
+        base, dir, maxPerBucket = Int.MaxValue)
     }
     base
   }

@@ -325,43 +325,29 @@ object SearchPack extends QueryPack {
     * the memoized stores must not outlive a released/rewritten dataset
     * (the C11/C12 r6 lesson).
     */
-  private val storeArtifacts = java.util.concurrent.ConcurrentHashMap
-    .newKeySet[(String, String)]()
-  graft.Caches.onRelease(() => {
-    org.apache.spark.sql.SparkSession.getActiveSession
-      .orElse(org.apache.spark.sql.SparkSession.getDefaultSession)
-      .foreach { s =>
-        storeArtifacts.forEach { case (t, _) =>
-          Seq("postings", "docs", "totals", "uni", "big").foreach(suf =>
-            s.sql(s"DROP TABLE IF EXISTS ${t}_$suf"))
-      } }
-    storeArtifacts.forEach { case (_, dir) =>
-      if (dir.nonEmpty) graft.Caches.deleteDir(dir) }
-    storeArtifacts.clear()
-  })
-
-  /** Memoized store build shared by the I4/I5 registry rows: write
-    * over the full corpus (split = false) or write-evens + append-odds
-    * (split = true — the append-path gate), keyed on the dataset dir,
+  /** Memoized store build shared by the I4/I5 registry rows
+    * ([[graft.sources.StoreMemo]] discipline): write over the full
+    * corpus (split = false) or write-evens + append-odds (split =
+    * true — the append-path gate), keyed on the dataset dir,
     * registered for release-time cleanup.
     */
   private def memoStore(s: SparkSession, d: String, prefix: String,
       existsSuffix: String, split: Boolean)(
       write: (DataFrame, String, String) => Unit,
       append: (SparkSession, String, DataFrame) => Unit): String = {
-    val tag = java.security.MessageDigest.getInstance("MD5")
-      .digest(d.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(10)
+    import graft.sources.StoreMemo
+    val tag = StoreMemo.tagOf(d)
     val base = if (split) s"${prefix}_half_$tag" else s"${prefix}_$tag"
-    val root = sys.env.getOrElse("SPARK_GRAFT_STORE_DIR",
-      sys.props("java.io.tmpdir"))
-    if (!s.catalog.tableExists(s"${base}_$existsSuffix")) {
+    val dir = s"${StoreMemo.root}/$base"
+    StoreMemo.once(s, s"${base}_$existsSuffix", dir,
+        Seq("postings", "docs", "totals", "uni", "big")
+          .map(suf => s"${base}_$suf")) {
       val docs = Tables.documents(s, d)
       val history =
         if (split) docs.filter(pmod(col("doc_id"), lit(2)) === 0) else docs
-      write(history, base, s"$root/$base")
+      write(history, base, dir)
       if (split)
         append(s, base, docs.filter(pmod(col("doc_id"), lit(2)) =!= 0))
-      storeArtifacts.add((base, s"$root/$base"))
     }
     base
   }

@@ -135,40 +135,19 @@ object SimHashPack extends QueryPack {
       ORDER BY doc_a, doc_b
       """))
 
-  /** C15 store artifacts built this JVM — the DedupPack storeArtifacts
-    * discipline: dropped with the cache registry so a dataset dir
-    * rewritten in-session rebuilds the store instead of probing a
-    * stale one.
-    */
-  private val storeArtifacts = java.util.concurrent.ConcurrentHashMap
-    .newKeySet[(String, String)]() // (catalog table, store dir)
-  graft.Caches.onRelease(() => {
-    org.apache.spark.sql.SparkSession.getActiveSession
-      .orElse(org.apache.spark.sql.SparkSession.getDefaultSession)
-      .foreach { s =>
-        storeArtifacts.forEach { case (t, _) =>
-          s.sql(s"DROP TABLE IF EXISTS $t") }
-      }
-    storeArtifacts.forEach { case (_, dir) =>
-      if (dir.nonEmpty) graft.Caches.deleteDir(dir) }
-    storeArtifacts.clear()
-  })
-
-  /** Build (once per JVM × dataset × path-shape) the C15 gate's
-    * history store: even doc_ids. `split = true` writes the
-    * doc_id % 4 == 0 slice and APPENDS the % 4 == 2 slice — the probe
-    * must be identical either way, which is the append contract the
-    * second gate row proves.
+  /** Build (once per JVM × dataset × path-shape, [[StoreMemo]]
+    * discipline) the C15 gate's history store: even doc_ids.
+    * `split = true` writes the doc_id % 4 == 0 slice and APPENDS the
+    * % 4 == 2 slice — the probe must be identical either way, which is
+    * the append contract the second gate row proves.
     */
   private def simStore(s: SparkSession, d: String,
       split: Boolean): String = {
-    val tag = java.security.MessageDigest.getInstance("MD5")
-      .digest(d.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(10)
-    val table = s"graft_sh_store_$tag" + (if (split) "a" else "")
-    val root = sys.env.getOrElse("SPARK_GRAFT_STORE_DIR",
-      sys.props("java.io.tmpdir"))
-    if (!s.catalog.tableExists(table)) {
-      val dir = s"$root/$table"
+    import graft.sources.StoreMemo
+    val table = s"graft_sh_store_${StoreMemo.tagOf(d)}" +
+      (if (split) "a" else "")
+    val dir = s"${StoreMemo.root}/$table"
+    StoreMemo.once(s, table, dir, Seq(table)) {
       val hist = Tables.documents(s, d)
         .filter(pmod(col("doc_id"), lit(2)) === 0)
         .select(col("doc_id"), col("text"))
@@ -179,7 +158,6 @@ object SimHashPack extends QueryPack {
         graft.sources.SimHashStore.append(s, table,
           hist.filter(pmod(col("doc_id"), lit(4)) === 2))
       }
-      storeArtifacts.add((table, dir))
     }
     table
   }

@@ -286,37 +286,20 @@ object TimeSeriesPack extends QueryPack {
   // result must hash-match the SAME oracle as the in-query
   // metrics_kmv, which is the "estimate-after-append ≡ one global
   // pass" contract a monitoring dashboard relies on.
-  private val metricsStores = java.util.concurrent.ConcurrentHashMap
-    .newKeySet[(String, String)]() // (catalog table, store dir)
-  graft.Caches.onRelease(() => {
-    org.apache.spark.sql.SparkSession.getActiveSession
-      .orElse(org.apache.spark.sql.SparkSession.getDefaultSession)
-      .foreach { s =>
-        metricsStores.forEach { case (t, _) =>
-          s.sql(s"DROP TABLE IF EXISTS $t") }
-      }
-    metricsStores.forEach { case (_, dir) =>
-      if (dir.nonEmpty) graft.Caches.deleteDir(dir) }
-    metricsStores.clear()
-  })
-
   private def kmvStore(s: SparkSession, d: String): String = {
-    val tag = java.security.MessageDigest.getInstance("MD5")
-      .digest(d.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(10)
-    val base = s"graft_kmv_store_$tag"
-    val root = sys.env.getOrElse("SPARK_GRAFT_STORE_DIR",
-      sys.props("java.io.tmpdir"))
-    if (!s.catalog.tableExists(s"${base}_kmv")) {
+    import graft.sources.StoreMemo
+    val base = s"graft_kmv_store_${StoreMemo.tagOf(d)}"
+    val dir = s"${StoreMemo.root}/$base"
+    StoreMemo.once(s, s"${base}_kmv", dir,
+        Seq(s"${base}_kmv", s"${base}_meta")) {
       val ev = Tables.events(s, d)
       graft.sources.MetricsStore.write(
         ev.filter(pmod(col("event_id"), lit(2)) === 0),
         col("event_type"), col("ts"), col("user_id"),
-        base, s"$root/$base", k = kmvK)
+        base, dir, k = kmvK)
       graft.sources.MetricsStore.append(s, base,
         ev.filter(pmod(col("event_id"), lit(2)) =!= 0),
         col("event_type"), col("ts"), col("user_id"))
-      metricsStores.add((s"${base}_kmv", s"$root/$base"))
-      metricsStores.add((s"${base}_meta", ""))
     }
     base
   }
@@ -453,20 +436,17 @@ object TimeSeriesPack extends QueryPack {
   // the result must hash-match the SAME oracle as the in-query
   // metrics_cms, the cells-after-append ≡ one-global-pass contract.
   private def cmsStore(s: SparkSession, d: String): String = {
-    val tag = java.security.MessageDigest.getInstance("MD5")
-      .digest(d.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(10)
-    val base = s"graft_cms_store_$tag"
-    val root = sys.env.getOrElse("SPARK_GRAFT_STORE_DIR",
-      sys.props("java.io.tmpdir"))
-    if (!s.catalog.tableExists(s"${base}_cms")) {
+    import graft.sources.StoreMemo
+    val base = s"graft_cms_store_${StoreMemo.tagOf(d)}"
+    val dir = s"${StoreMemo.root}/$base"
+    StoreMemo.once(s, s"${base}_cms", dir, Seq(s"${base}_cms")) {
       val ev = Tables.events(s, d)
       graft.sources.MetricsStore.writeCms(
         ev.filter(pmod(col("event_id"), lit(2)) === 0),
-        col("ts"), col("user_id"), base, s"$root/$base")
+        col("ts"), col("user_id"), base, dir)
       graft.sources.MetricsStore.appendCms(s, base,
         ev.filter(pmod(col("event_id"), lit(2)) =!= 0),
         col("ts"), col("user_id"))
-      metricsStores.add((s"${base}_cms", s"$root/$base"))
     }
     base
   }
@@ -1085,19 +1065,15 @@ object TimeSeriesPack extends QueryPack {
   // hash-match the SAME oracle as the in-query q_latest (max is
   // associative, counts additive over disjoint slices).
   private def latestStore(s: SparkSession, d: String): String = {
-    val tag = java.security.MessageDigest.getInstance("MD5")
-      .digest(d.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(10)
-    val base = s"graft_latest_store_$tag"
-    val root = sys.env.getOrElse("SPARK_GRAFT_STORE_DIR",
-      sys.props("java.io.tmpdir"))
-    if (!s.catalog.tableExists(s"${base}_latest")) {
+    import graft.sources.StoreMemo
+    val base = s"graft_latest_store_${StoreMemo.tagOf(d)}"
+    val dir = s"${StoreMemo.root}/$base"
+    StoreMemo.once(s, s"${base}_latest", dir, Seq(s"${base}_latest")) {
       val ev = Tables.events(s, d)
       graft.sources.SnapshotStore.write(
-        ev.filter(pmod(col("event_id"), lit(2)) === 0), base,
-        s"$root/$base")
+        ev.filter(pmod(col("event_id"), lit(2)) === 0), base, dir)
       graft.sources.SnapshotStore.append(s, base,
         ev.filter(pmod(col("event_id"), lit(2)) =!= 0))
-      metricsStores.add((s"${base}_latest", s"$root/$base"))
     }
     base
   }

@@ -106,20 +106,22 @@ object MetricsStore {
   // the replay-dedup key — the LmStore lesson).
 
   /** One ingest unit's delta rows: per-(day, hash row, bucket) counts
-    * stamped with the content-derived batch id.
+    * stamped with the batch's [[IngestId]] over its event_ids — the
+    * same identity every sibling delta store uses. The id must come
+    * from the RAW ids, not the cells themselves: two genuinely
+    * distinct batches can produce identical cell tables (same user on
+    * the same day, same count — a steady same-shaped ingest), and a
+    * cell-content-derived id would collapse the second batch at read
+    * as if it were a replay (review finding). `events` must therefore
+    * carry the `event_id` column — the ingest unit's unique key.
     */
   private def cmsDelta(events: DataFrame, ts: Column,
-      id: Column): DataFrame = {
-    val cells = TimeSeries.cmsDailyCells(events, ts, id)
-    val bid = cells
-      .select(concat_ws(":", col("day").cast("string"), col("row_id"),
-        col("bucket"), col("cnt")).as("c"))
-      .agg(md5(array_join(sort_array(collect_list(col("c"))), "|"))
-        .as("batch_id"))
-    cells.crossJoin(broadcast(bid))
+      id: Column): DataFrame =
+    TimeSeries.cmsDailyCells(events, ts, id)
+      .crossJoin(broadcast(
+        IngestId.of(events.select(col("event_id").as("doc_id")))))
       .select(col("batch_id"), col("day"), col("row_id"), col("bucket"),
         col("cnt"))
-  }
 
   /** Build the CMS cell store over `events` at `path` (counts of `id`
     * per (day of `ts`, hash row, bucket)).

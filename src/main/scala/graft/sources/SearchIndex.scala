@@ -98,17 +98,23 @@ object SearchIndex {
     */
   def append(spark: SparkSession, tableBase: String,
       batch: DataFrame): Unit = {
+    // tokenize the severed batch ONCE: the postings frame is the
+    // single words() pass, and lens derive from it (dl rides on every
+    // posting row, so distinct (doc_id, dl) is a cheap projection of
+    // the checkpointed frame — the earlier docLens(novel) +
+    // postingsOf(novel) pair re-ran the tokenization twice per
+    // micro-batch, review finding). An all-known batch (every trigger
+    // of a steady stream re-offering history) short-circuits before
+    // any lease acquisition or empty file lands.
     val novel = novelSlice(spark, tableBase, batch)
-    // tokenize the severed batch ONCE; an all-known batch (every
-    // trigger of a steady stream re-offering history) short-circuits
-    // before any lease acquisition or empty file lands
-    val lens = docLens(novel).localCheckpoint(true)
-    if (lens.limit(1).count() > 0) {
-      appendPostings(spark, tableBase, novel)
+    val posts = postingsOf(novel).localCheckpoint(true)
+    val lens = posts.select(col("doc_id"), col("dl")).distinct()
+    if (posts.limit(1).count() > 0) {
+      appendPostingsOf(spark, tableBase, posts)
       appendTotalsOf(spark, tableBase, lens)
       commitDocsOf(spark, tableBase, lens)
     }
-    lens.unpersist()
+    posts.unpersist()
     novel.unpersist()
   }
 
@@ -123,8 +129,11 @@ object SearchIndex {
 
   private[graft] def appendPostings(spark: SparkSession, tableBase: String,
       novel: DataFrame): Unit =
-    Bucketed.appendBucketed(spark, postingsOf(novel),
-      s"${tableBase}_postings")
+    appendPostingsOf(spark, tableBase, postingsOf(novel))
+
+  private def appendPostingsOf(spark: SparkSession, tableBase: String,
+      posts: DataFrame): Unit =
+    Bucketed.appendBucketed(spark, posts, s"${tableBase}_postings")
 
   private[graft] def appendTotals(spark: SparkSession, tableBase: String,
       novel: DataFrame): Unit =

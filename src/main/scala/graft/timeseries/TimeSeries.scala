@@ -161,17 +161,27 @@ object TimeSeries {
       leftTs: String, rightTs: String, rightVals: Seq[String],
       rightTiebreak: Column = lit(0),
       sliceSeconds: Long = 86400L): DataFrame = {
-    def neg(df: DataFrame, ts: String, out: String): DataFrame = {
-      val c = df.schema(ts).dataType match {
-        case TimestampType | TimestampNTZType | DateType =>
-          -unix_micros(col(ts).cast(TimestampType))
-        case _ => -col(ts).cast(LongType)
+    def micros(df: DataFrame, ts: String): Boolean =
+      df.schema(ts).dataType match {
+        case TimestampType | TimestampNTZType | DateType => true
+        case _ => false
       }
-      df.withColumn(out, c)
-    }
+    def neg(df: DataFrame, ts: String, out: String): DataFrame =
+      df.withColumn(out,
+        if (micros(df, ts)) -unix_micros(col(ts).cast(TimestampType))
+        else -col(ts).cast(LongType))
+    // the negated timestamp axis is in MICROseconds and takes
+    // asofJoin's numeric-axis slice branch, so the slice width must
+    // scale with it — unscaled, every distinct timestamp became its
+    // own slice and the cross-slice carry window ran over a row-scale
+    // partition per key, exactly the serialization slicing exists to
+    // avoid (review finding; truncating the axis to seconds instead
+    // would break sub-second tie ordering)
+    val width =
+      if (micros(left, leftTs)) sliceSeconds * 1000000L else sliceSeconds
     asofJoin(neg(left, leftTs, "__fwd_t"), neg(right, rightTs, "__fwd_rt"),
         key, "__fwd_t", "__fwd_rt", rightVals, rightTiebreak,
-        sliceSeconds)
+        width)
       .drop("__fwd_t")
   }
 

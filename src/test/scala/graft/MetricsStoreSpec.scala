@@ -107,4 +107,36 @@ class MetricsStoreSpec extends GraftSpec {
       cleanup(base, path)
     }
   }
+
+  test("cms leg: two DISTINCT same-shaped batches both count — only a " +
+      "true replay collapses") {
+    import spark.implicits._
+    val base = s"graft_cms_spec2_${System.nanoTime()}"
+    val path = s"${sys.props("java.io.tmpdir")}/$base"
+    // same user, same day, same count — identical CELL tables, so a
+    // cell-content-derived batch id would wrongly collapse batch2
+    // (the review finding this test pins); distinct event_ids make
+    // them distinct ingest units
+    def batch(ids: Seq[Long]): org.apache.spark.sql.DataFrame =
+      ids.map(i => (i, 7L)).toDF("event_id", "user_id")
+        .withColumn("ts", expr("to_timestamp('2024-03-01 10:00:00')"))
+    try {
+      MetricsStore.writeCms(batch(Seq(1L, 2L, 3L)),
+        col("ts"), col("user_id"), base, path)
+      MetricsStore.appendCms(spark, base, batch(Seq(4L, 5L, 6L)),
+        col("ts"), col("user_id"))
+      def total() = MetricsStore.cmsCells(spark, base)
+        .filter(col("row_id") === 0).agg(sum(col("cnt")))
+        .collect()(0).getLong(0)
+      assert(total() == 6L,
+        "distinct same-shaped batches must both count")
+      // a genuine replay of batch2 still collapses
+      MetricsStore.appendCms(spark, base, batch(Seq(4L, 5L, 6L)),
+        col("ts"), col("user_id"))
+      assert(total() == 6L, "replayed batch must collapse")
+    } finally {
+      spark.sql(s"DROP TABLE IF EXISTS ${base}_cms")
+      Caches.deleteDir(path)
+    }
+  }
 }

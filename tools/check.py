@@ -47,11 +47,17 @@ def main(sf_dir: str, out_dir: str) -> int:
         if os.path.exists(p):
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
     oracle = json.load(open(os.path.join(out_dir, "oracle_sql.json")))
+    failures = 0
     errs_path = os.path.join(out_dir, "verify_errors.json")
     if os.path.exists(errs_path):
+        # every Verify-side failure is a gate failure, including for
+        # oracle-less queries that would otherwise dodge the
+        # "no spark output" branch below (review finding: an ERR line
+        # with rc 0 re-opens the round-7 silent-shrink gap)
         for name, msg in sorted(json.load(open(errs_path)).items()):
             print(f"ERR  {name}: {msg[:200]}")
-    failures = 0
+            if name not in oracle:
+                failures += 1
     for name, sql in sorted(oracle.items()):
         files = glob.glob(os.path.join(out_dir, name, "*.parquet"))
         if not files:
