@@ -1020,6 +1020,56 @@ object TimeSeriesPack extends QueryPack {
       ORDER BY 1, 2
       """))
 
+  // A25 — per-user burst detection: the rate/abuse view a monitoring
+  // pipeline runs beside the anomaly pack — each user's PEAK rolling
+  // 3-hour event count and when it happened. The rolling frame is a
+  // RANGE window over the integer hour axis (gaps count as empty
+  // hours — a RANGE frame over occupied bins only, which a ROWS frame
+  // would get wrong), partitioned per user over hour-BINNED rows, so
+  // partition size is bounded by the retention window's hours, never
+  // by a user's raw event share. All-integer arithmetic; the peak's
+  // bin resolves by agg + join-back to the earliest achiever (the C1
+  // election shape — no argmax window).
+  private val tsBurst = GraftQuery(
+    "ts_burst",
+    (s, d) => {
+      val binned = Tables.events(s, d)
+        .groupBy(col("user_id"),
+          TimeSeries.bin(col("ts"), 3600).cast(TimestampNTZType).as("bin"))
+        .agg(count(lit(1)).as("n"))
+        .withColumn("h",
+          expr("unix_seconds(CAST(bin AS TIMESTAMP)) div 3600"))
+      val wr = Window.partitionBy(col("user_id")).orderBy(col("h"))
+        .rangeBetween(-2, 0)
+      val rolled = binned.withColumn("n_3h", sum(col("n")).over(wr))
+      val peaks = rolled.groupBy(col("user_id"))
+        .agg(max(col("n_3h")).as("peak_3h"))
+      rolled.join(peaks, Seq("user_id"))
+        .filter(col("n_3h") === col("peak_3h"))
+        .groupBy(col("user_id"), col("peak_3h"))
+        .agg(min(col("bin")).as("peak_bin"))
+        .select(col("user_id"), col("peak_3h"), col("peak_bin"))
+        .orderBy(col("user_id"))
+    },
+    Some("""
+      WITH b AS (
+        SELECT user_id,
+          epoch_us(ts) // 3600000000 AS h,
+          CAST(COUNT(*) AS BIGINT) AS n
+        FROM events GROUP BY 1, 2),
+      r AS (
+        SELECT user_id, h,
+          SUM(n) OVER (PARTITION BY user_id ORDER BY h
+            RANGE BETWEEN 2 PRECEDING AND CURRENT ROW) AS n3
+        FROM b),
+      p AS (SELECT user_id, MAX(n3) AS peak_3h FROM r GROUP BY 1)
+      SELECT r.user_id, CAST(p.peak_3h AS BIGINT) AS peak_3h,
+        make_timestamp(MIN(r.h) * 3600000000) AS peak_bin
+      FROM r JOIN p ON r.user_id = p.user_id AND r.n3 = p.peak_3h
+      GROUP BY 1, 2
+      ORDER BY r.user_id
+      """))
+
   // A19 — latest-record-per-key snapshot (the SCD / changelog-compaction
   // read pattern): one row per user carrying the most recent event's
   // attributes. max_by-shaped via a single struct-max aggregation — one
@@ -1228,6 +1278,6 @@ object TimeSeriesPack extends QueryPack {
     tsInterpolate,
     tsLocfFill, tsAsof, tsAnomaly, tsDerivative, tsIntegral,
     qAsofJoin, qAsofJoinFwd, qLatest, latestStoreSnapshot, qSkewAgg,
-    qTransitions,
+    qTransitions, tsBurst,
     sketchRollup, histRollup)
 }
