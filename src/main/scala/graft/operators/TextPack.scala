@@ -3,7 +3,7 @@ package graft.operators
 import graft.{GraftQuery, QueryPack}
 import graft.functions.Portable
 import graft.sources.Tables
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -46,45 +46,94 @@ object TextPack extends QueryPack {
   // fixed preference order on ties. (On this synthetic corpus every text
   // draws from one English-ish vocabulary, so the mechanism — not corpus
   // accuracy — is what the oracle verifies.)
+  /** (doc_id, score_*, pred_lang) for every doc with ≥ 1 word — shared
+    * by E1 and the E10 confusion matrix.
+    */
+  private def langScored(s: SparkSession, d: String): DataFrame = {
+    val base = Tables.parallelized(Tables.documents(s, d))
+      .select(col("doc_id"), words(col("text")).as("w"))
+      .filter(size(col("w")) > 0)
+    val scored = base.select(
+      (col("doc_id") +: profiles.map { case (l, st) =>
+        scoreCol(col("w"), st).as(s"score_$l")
+      }): _*)
+    val pred = profiles.init.foldRight(lit(profiles.last._1)) {
+      case ((l, _), els) =>
+        val c = col(s"score_$l")
+        val beats = profiles.filter(_._1 != l)
+          .map(o => c >= col(s"score_${o._1}")).reduce(_ && _)
+        when(beats, l).otherwise(els)
+    }
+    scored.withColumn("pred_lang", pred)
+  }
+
   private val langId = GraftQuery(
     "lang_id",
-    (s, d) => {
-      val base = Tables.parallelized(Tables.documents(s, d))
-        .select(col("doc_id"), words(col("text")).as("w"))
-        .filter(size(col("w")) > 0)
-      val scored = base.select(
-        (col("doc_id") +: profiles.map { case (l, st) =>
-          scoreCol(col("w"), st).as(s"score_$l")
-        }): _*)
-      val pred = profiles.init.foldRight(lit(profiles.last._1)) {
-        case ((l, _), els) =>
-          val c = col(s"score_$l")
-          val beats = profiles.filter(_._1 != l)
-            .map(o => c >= col(s"score_${o._1}")).reduce(_ && _)
-          when(beats, l).otherwise(els)
-      }
-      scored.withColumn("pred_lang", pred).orderBy(col("doc_id"))
-    },
-    Some {
-      val scores = profiles.map { case (l, st) =>
-        s"${scoreSql(st)} AS score_$l"
-      }.mkString(",\n          ")
-      val pred = profiles.init.map { case (l, _) =>
-        val beats = profiles.filter(_._1 != l)
-          .map(o => s"score_$l >= score_${o._1}").mkString(" AND ")
-        s"WHEN $beats THEN '$l'"
-      }.mkString("\n          ")
-      s"""
-      WITH w AS (
+    (s, d) => langScored(s, d).orderBy(col("doc_id")),
+    Some(s"""
+      WITH $langScoredSql
+      SELECT * FROM predicted ORDER BY doc_id
+      """))
+
+  /** CTE chain `w → scored → predicted(doc_id, score_*, pred_lang)` —
+    * the DuckDB spelling shared by the E1 and E10 oracles.
+    */
+  private lazy val langScoredSql: String = {
+    val scores = profiles.map { case (l, st) =>
+      s"${scoreSql(st)} AS score_$l"
+    }.mkString(",\n          ")
+    val pred = profiles.init.map { case (l, _) =>
+      val beats = profiles.filter(_._1 != l)
+        .map(o => s"score_$l >= score_${o._1}").mkString(" AND ")
+      s"WHEN $beats THEN '$l'"
+    }.mkString("\n          ")
+    s"""w AS (
         SELECT doc_id, ${Portable.sql.words} AS w FROM documents),
       scored AS (
         SELECT doc_id,
           $scores
-        FROM w WHERE len(w) > 0)
-      SELECT *, CASE $pred ELSE '${profiles.last._1}' END AS pred_lang
-      FROM scored ORDER BY doc_id
-      """
-    })
+        FROM w WHERE len(w) > 0),
+      predicted AS (
+        SELECT *, CASE $pred ELSE '${profiles.last._1}' END AS pred_lang
+        FROM scored)"""
+  }
+
+  // E10 — the language-ID CONFUSION MATRIX against the corpus's own
+  // lang labels: per (true lang, predicted lang) doc counts and the
+  // exact-ppm share of the true language — the model-evaluation view a
+  // pipeline runs before trusting E1's routing (H2 shards and H6
+  // quotas key on language). One join of the E1 prediction frame
+  // against the label column + one map-side-combining count; shares by
+  // agg + join-back in exact integer division. (On this synthetic
+  // corpus every text draws from one vocabulary, so the matrix mostly
+  // measures the tie-preference order — the MECHANISM, like E1.)
+  private val langConfusion = GraftQuery(
+    "lang_confusion",
+    (s, d) => {
+      val g = Tables.documents(s, d).select(col("doc_id"), col("lang"))
+        .join(langScored(s, d).select(col("doc_id"), col("pred_lang")),
+          Seq("doc_id"))
+        .groupBy(col("lang"), col("pred_lang"))
+        .agg(count(lit(1)).as("n"))
+      val totals = g.groupBy(col("lang")).agg(sum(col("n")).as("total"))
+      g.join(totals, Seq("lang"))
+        .withColumn("share_ppm", expr("(1000000 * n) div total"))
+        .select(col("lang"), col("pred_lang"), col("n"), col("share_ppm"))
+        .orderBy(col("lang"), col("pred_lang"))
+    },
+    Some(s"""
+      WITH $langScoredSql,
+      j AS (SELECT d.lang, p.pred_lang
+            FROM documents d JOIN predicted p ON d.doc_id = p.doc_id),
+      g AS (SELECT lang, pred_lang, CAST(COUNT(*) AS BIGINT) AS n
+            FROM j GROUP BY 1, 2),
+      t AS (SELECT lang, CAST(SUM(n) AS BIGINT) AS total
+            FROM g GROUP BY 1)
+      SELECT g.lang, g.pred_lang, g.n,
+        CAST((1000000 * g.n) // t.total AS BIGINT) AS share_ppm
+      FROM g JOIN t ON g.lang = t.lang
+      ORDER BY g.lang, g.pred_lang
+      """))
 
   // E2 — quality scoring: length, word stats, alpha ratio, stopword
   // ratio, lexical diversity, and a composite score. No round(): every
@@ -547,6 +596,6 @@ object TextPack extends QueryPack {
            ELSE acc || ' ' || t END)"""
 
   override val queries: Seq[GraftQuery] =
-    Seq(langId, textQuality, tokenCount, fingerprint, textRepetition,
-      piiScrub, bpePairs, bpeTrain, bpeEncode)
+    Seq(langId, langConfusion, textQuality, tokenCount, fingerprint,
+      textRepetition, piiScrub, bpePairs, bpeTrain, bpeEncode)
 }

@@ -1070,6 +1070,78 @@ object TimeSeriesPack extends QueryPack {
       ORDER BY r.user_id
       """))
 
+  // A26 — robust per-dimension outlier stats: MEDIAN and MAD (median
+  // absolute deviation) of each dimension's hourly series with the
+  // count of bins beyond 3·MAD — the robust companion to A17's z-score
+  // (one wild hour corrupts a mean/σ baseline; the median pair
+  // shrugs). Medians are EXACT rank selection — the lower median, an
+  // actual series element picked by row_number under the total
+  // (value, bin) order — so the whole result is deterministic and
+  // hash-matches (an interpolated median would average two doubles;
+  // fine too, but selection needs no arithmetic at all). Two selection
+  // passes (values, then absolute deviations); windows partition per
+  // dimension over hourly bins, bounded by the retention window like
+  // A23. The input is hourlySpine's bins frame by reference again.
+  private val tsMad = GraftQuery(
+    "ts_mad",
+    (s, d) => {
+      val bins = hourlySpine(s, d)._1
+      def lowerMedian(df: DataFrame, value: String,
+          out: String): DataFrame = {
+        val w = Window.partitionBy(col("event_type"))
+          .orderBy(col(value), col("bin"))
+        val wAll = Window.partitionBy(col("event_type"))
+        df.withColumn("__rn", row_number().over(w))
+          .withColumn("__n", count(lit(1)).over(wAll))
+          .filter(col("__rn") === expr("(__n + 1) div 2"))
+          .select(col("event_type"), col(value).as(out))
+      }
+      val med = lowerMedian(bins, "avg_val", "med")
+      val dev = bins.join(med, Seq("event_type"))
+        .withColumn("adev", abs(col("avg_val") - col("med")))
+      val mad = lowerMedian(dev, "adev", "mad")
+      dev.join(mad, Seq("event_type"))
+        .groupBy(col("event_type"), col("med"), col("mad"))
+        .agg(count(lit(1)).as("n_bins"),
+          sum((col("adev") > lit(3.0) * col("mad")).cast(LongType))
+            .as("n_outliers"))
+        .select(col("event_type"), col("n_bins"), col("med"),
+          col("mad"), col("n_outliers"))
+        .orderBy(col("event_type"))
+    },
+    Some("""
+      WITH bins AS (
+        SELECT event_type,
+          make_timestamp(epoch_us(ts) - epoch_us(ts) % 3600000000) AS bin,
+          CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*)
+            AS avg_val
+        FROM events GROUP BY 1, 2),
+      mr AS (SELECT event_type, avg_val,
+          ROW_NUMBER() OVER (PARTITION BY event_type
+            ORDER BY avg_val, bin) AS rn,
+          COUNT(*) OVER (PARTITION BY event_type) AS n
+        FROM bins),
+      med AS (SELECT event_type, avg_val AS med FROM mr
+              WHERE rn = (n + 1) // 2),
+      dev AS (SELECT b.event_type, b.bin, b.avg_val, m.med,
+          abs(b.avg_val - m.med) AS adev
+        FROM bins b JOIN med m ON b.event_type = m.event_type),
+      dr AS (SELECT event_type, adev,
+          ROW_NUMBER() OVER (PARTITION BY event_type
+            ORDER BY adev, bin) AS rn,
+          COUNT(*) OVER (PARTITION BY event_type) AS n
+        FROM dev),
+      mad AS (SELECT event_type, adev AS mad FROM dr
+              WHERE rn = (n + 1) // 2)
+      SELECT d.event_type, CAST(COUNT(*) AS BIGINT) AS n_bins,
+        d.med, a.mad,
+        CAST(SUM(CASE WHEN d.adev > 3.0 * a.mad THEN 1 ELSE 0 END)
+          AS BIGINT) AS n_outliers
+      FROM dev d JOIN mad a ON d.event_type = a.event_type
+      GROUP BY 1, 3, 4
+      ORDER BY d.event_type
+      """))
+
   // A19 — latest-record-per-key snapshot (the SCD / changelog-compaction
   // read pattern): one row per user carrying the most recent event's
   // attributes. max_by-shaped via a single struct-max aggregation — one
@@ -1278,6 +1350,6 @@ object TimeSeriesPack extends QueryPack {
     tsInterpolate,
     tsLocfFill, tsAsof, tsAnomaly, tsDerivative, tsIntegral,
     qAsofJoin, qAsofJoinFwd, qLatest, latestStoreSnapshot, qSkewAgg,
-    qTransitions, tsBurst,
+    qTransitions, tsBurst, tsMad,
     sketchRollup, histRollup)
 }
