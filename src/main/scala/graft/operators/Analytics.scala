@@ -580,8 +580,77 @@ object Analytics extends QueryPack {
       FROM f
       """))
 
+  // B13b — the TIME-BOUNDED funnel (ClickHouse windowFunnel's read):
+  // signup counts only within W of a PRIOR view, purchase only within
+  // W of a QUALIFYING signup. The exact "exists a chain" semantics
+  // reduce to two backward as-of joins — the nearest prior stage is
+  // within W iff ANY prior one is (nearest = max ts ≤ t), so no
+  // per-user sequence scan and no self-join over raw events; both
+  // sides of each as-of can be 100 TB facts (the A18 engine). Oracle:
+  // DuckDB's native ASOF JOIN twice, with the window as a residual
+  // filter on the matched pair.
+  private val funnelW = 48L * 3600 // seconds
+  private val qFunnelWindowed = GraftQuery(
+    "q_funnel_windowed",
+    (s, d) => {
+      val ev = Tables.events(s, d)
+      def stage(t: String): DataFrame =
+        ev.filter(col("event_type") === t)
+          .select(col("user_id"), col("ts"))
+      // right-side time columns get their own names: asofJoin drops
+      // rightTs by name, which would also kill a same-named left ts
+      val views = stage("view")
+        .select(col("user_id"), col("ts").as("vt"),
+          col("ts").as("view_ts"))
+      val qs = graft.timeseries.TimeSeries.asofJoin(
+          stage("signup"), views, "user_id", "ts", "vt",
+          Seq("view_ts"))
+        .filter(col("asof_view_ts").isNotNull &&
+          expr("unix_micros(CAST(ts AS TIMESTAMP)) - " +
+            s"unix_micros(CAST(asof_view_ts AS TIMESTAMP)) <= " +
+            s"${funnelW * 1000000L}L"))
+        .select(col("user_id"), col("ts"))
+      val qp = graft.timeseries.TimeSeries.asofJoin(
+          stage("purchase"),
+          qs.select(col("user_id"), col("ts").as("st"),
+            col("ts").as("signup_ts")),
+          "user_id", "ts", "st", Seq("signup_ts"))
+        .filter(col("asof_signup_ts").isNotNull &&
+          expr("unix_micros(CAST(ts AS TIMESTAMP)) - " +
+            s"unix_micros(CAST(asof_signup_ts AS TIMESTAMP)) <= " +
+            s"${funnelW * 1000000L}L"))
+      def cnt(df: DataFrame, name: String): DataFrame =
+        broadcast(df.select(col("user_id")).distinct()
+          .agg(count(lit(1)).as(name)))
+      cnt(ev, "n_users")
+        .crossJoin(cnt(stage("view"), "n_view_users"))
+        .crossJoin(cnt(qs, "n_signup_in_window"))
+        .crossJoin(cnt(qp, "n_purchase_in_window"))
+    },
+    Some(s"""
+      WITH v AS (SELECT user_id, ts FROM events
+                 WHERE event_type = 'view'),
+      sg AS (SELECT user_id, ts FROM events
+             WHERE event_type = 'signup'),
+      pc AS (SELECT user_id, ts FROM events
+             WHERE event_type = 'purchase'),
+      qs AS (SELECT sg.user_id, sg.ts
+        FROM sg ASOF JOIN v
+          ON sg.user_id = v.user_id AND sg.ts >= v.ts
+        WHERE epoch_us(sg.ts) - epoch_us(v.ts) <= ${funnelW * 1000000L}),
+      qp AS (SELECT pc.user_id
+        FROM pc ASOF JOIN qs
+          ON pc.user_id = qs.user_id AND pc.ts >= qs.ts
+        WHERE epoch_us(pc.ts) - epoch_us(qs.ts) <= ${funnelW * 1000000L})
+      SELECT
+        (SELECT COUNT(DISTINCT user_id) FROM events) AS n_users,
+        (SELECT COUNT(DISTINCT user_id) FROM v) AS n_view_users,
+        (SELECT COUNT(DISTINCT user_id) FROM qs) AS n_signup_in_window,
+        (SELECT COUNT(DISTINCT user_id) FROM qp) AS n_purchase_in_window
+      """))
+
   override val queries: Seq[GraftQuery] =
-    Seq(qRetention, qFunnel, qPivot, q1, q3, q3Bucketed, q5, qWindow,
-      qTopk, qCube, qSemi, qAnti, qJson,
+    Seq(qRetention, qFunnel, qFunnelWindowed, qPivot, q1, q3, q3Bucketed,
+      q5, qWindow, qTopk, qCube, qSemi, qAnti, qJson,
       qTopkPerKey, qRangeJoin)
 }
