@@ -104,6 +104,20 @@ object Bench {
     def loadAvg: Double =
       math.max(0.0, osBean.getSystemLoadAverage)
 
+    // Contention self-disqualification (round-8 lesson: the driver's
+    // artifact recorded 262 s steady on a box whose own env block
+    // proved co-tenant CPU starvation — median 1.58× per-query
+    // inflation, zero evictions/spill, input bytes flat — and would
+    // read as a 3× regression to anyone not cross-checking). The
+    // 1-minute load average BEFORE the run is the one sample our own
+    // work cannot pollute: above the threshold the artifact stamps
+    // itself "contended":true in BOTH output lines, so it can never
+    // silently read as a pass or a regression. (Mid/end samples stay
+    // recorded but are not gates — by then they include the bench's
+    // own 32 threads.)
+    val loadThreshold = sys.env.getOrElse(
+      "SPARK_GRAFT_BENCH_MAX_LOAD", "1.0").toDouble
+
     val errors = scala.collection.mutable.ArrayBuffer.empty[String]
     // Cached-storage deltas per query: a snapshot of every cached RDD's
     // (partitions, bytes) before and after each timed body. A cached
@@ -187,6 +201,12 @@ object Bench {
     val steadyTotal = steady.map(_._2).sum
     val total = warmupTotal + coldTotal
     val heapMaxMb = Runtime.getRuntime.maxMemory / (1024 * 1024)
+    val contended = load0 > loadThreshold
+    if (contended) System.err.println(
+      f"[bench] WARNING: load_avg_start $load0%.2f exceeds threshold " +
+        f"$loadThreshold%.2f — this box was busy before the run began; " +
+        "the artifact is stamped \"contended\":true and must not gate " +
+        "performance. Re-run on a quiet box.")
     val line =
       s"""{"metric":"total","value":$total,"unit":"sec"""" +
       s""","queries":${fmt(cold)},"sf":"$sfDir"""" +
@@ -225,7 +245,8 @@ object Bench {
       s""","driver_gc_ms":{"warmup":$gcWarm,"cold":$gcCold,"steady":$gcSteady}""" +
       s""","env":{"heap_max_mb":$heapMaxMb,"cpus":$cpus,""" +
       s""""load_avg_start":$load0,"load_avg_mid":$loadMid,""" +
-      s""""load_avg_end":$load1}""" +
+      s""""load_avg_end":$load1,"load_threshold":$loadThreshold}""" +
+      s""","contended":$contended""" +
       s""","errors":${errors.map("\"" + _ + "\"").mkString("[", ",", "]")}}"""
     println(line)
     // Also land the line in a file: sbt's logger can interleave or
@@ -241,7 +262,7 @@ object Bench {
     // "parsed": null). Repeat a COMPACT totals-only record as the very
     // LAST stdout line so a structured number survives any tail window.
     System.out.flush()
-    println(s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","steady_total":$steadyTotal,"warmup_total":$warmupTotal,"cold_total":$coldTotal,"heap_max_mb":$heapMaxMb,"driver_gc_ms":${gcWarm + gcCold + gcSteady},"load_avg_end":$load1,"failed":${errors.size}}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","steady_total":$steadyTotal,"warmup_total":$warmupTotal,"cold_total":$coldTotal,"heap_max_mb":$heapMaxMb,"driver_gc_ms":${gcWarm + gcCold + gcSteady},"load_avg_start":$load0,"load_avg_end":$load1,"contended":$contended,"failed":${errors.size}}""")
     System.out.flush()
     spark.stop()
     // A run where queries failed must not read as success downstream:

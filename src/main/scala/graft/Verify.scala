@@ -12,6 +12,11 @@ object Verify {
     val (sfDir, outDir, only) = args match {
       case Array(s, o) => (s, o, None)
       case Array(s, o, q) => (s, o, Some(q.split(',').toSet))
+      case _ =>
+        System.err.println(
+          "usage: graft.Verify <sfDir> <outDir> [name1,name2,...]")
+        sys.exit(2)
+        throw new IllegalStateException("unreachable")
     }
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
@@ -34,6 +39,11 @@ object Verify {
     val selected = SparkEntry.queries
       .filter { case (n, _) => only.forall(_.contains(n)) }
     selected.foreach { case (name, fn) =>
+      // a FAILED dump must leave no output behind: mode("overwrite")
+      // only replaces on success, so a reused outDir would otherwise
+      // keep a prior run's parquet under this name and a downstream
+      // compare could read the stale result as current
+      Caches.deleteDir(s"$outDir/$name")
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>

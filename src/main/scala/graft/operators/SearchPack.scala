@@ -536,7 +536,12 @@ object SearchPack extends QueryPack {
       val docs = Tables.parallelized(Tables.documents(s, d))
       val bi = docBigramsOf(docs)
         .groupBy(col("w1"), col("w2")).agg(sum(col("k")).as("c12"))
-      val uni = uniCountsOf(docs)
+      // unigram counts from the shared postings cache (≡ uniCountsOf:
+      // summing per-doc tf over docs is counting occurrences) — the
+      // lm_score spelling; a fresh uniCountsOf(docs) would re-explode
+      // the whole corpus a second time for a vocab-sized frame
+      val uni = postings(s, d)
+        .groupBy(col("word")).agg(sum(col("tf")).as("c1"))
       val totals = broadcast(
         bi.agg(sum(col("c12")).as("b"))
           .crossJoin(uni.agg(sum(col("c1")).as("t"))))

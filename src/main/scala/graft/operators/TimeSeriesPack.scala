@@ -320,13 +320,16 @@ object TimeSeriesPack extends QueryPack {
   // ≤ d·w cells; partials are themselves sketches, so a 100 TB scan
   // ships d·w longs per task.
   /** DuckDB mirror of [[TimeSeries.cmsCells]] ending in CTE
-    * `cells(row_id, bucket, cnt)` — the affine family over P reduced
-    * mod w, the double-mod idiom keeping both engines' `%` agreeing.
+    * `cells(row_id, bucket, cnt)` — the CMS-local affine family
+    * (large odd multipliers a_j = ((2j+1)·1103515245) mod P, see
+    * TimeSeries.cmsBucket) over P reduced mod w, the double-mod idiom
+    * keeping both engines' `%` agreeing.
     */
   private val cmsCellsSql = s"""
       js AS (SELECT unnest(range(${TimeSeries.cmsD})) AS j),
       cb AS (SELECT js.j AS row_id,
-          ((2*js.j+1) * ((user_id % 2147483647 + 2147483647) % 2147483647)
+          ((((2*js.j+1) * 1103515245) % 2147483647)
+            * ((user_id % 2147483647 + 2147483647) % 2147483647)
             + (js.j*40503+13) % 2147483647) % 2147483647
             % ${TimeSeries.cmsW} AS bucket
         FROM events CROSS JOIN js),
@@ -376,7 +379,8 @@ object TimeSeriesPack extends QueryPack {
       WITH $cmsCellsSql,
       u AS (SELECT DISTINCT user_id FROM events),
       probes AS (SELECT user_id, js.j AS row_id,
-          ((2*js.j+1) * ((user_id % 2147483647 + 2147483647) % 2147483647)
+          ((((2*js.j+1) * 1103515245) % 2147483647)
+            * ((user_id % 2147483647 + 2147483647) % 2147483647)
             + (js.j*40503+13) % 2147483647) % 2147483647
             % ${TimeSeries.cmsW} AS bucket
         FROM u CROSS JOIN js),

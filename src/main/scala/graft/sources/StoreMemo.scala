@@ -41,14 +41,23 @@ object StoreMemo {
     sys.props("java.io.tmpdir"))
 
   /** Run `build` once per (JVM, dataset): skipped when `marker` (a
-    * catalog table the build creates) already exists; afterwards
-    * `tables` and `dir` are registered for release-time cleanup.
+    * catalog table the build creates) already exists; `tables` and
+    * `dir` are registered for release-time cleanup BEFORE the build
+    * runs, and a build that throws drops whatever it created — so a
+    * partial build can neither be probed by a later same-JVM call
+    * (the marker is gone, the build retries) nor leak past the
+    * release hook.
     */
   def once(s: SparkSession, marker: String, dir: String,
       tables: Seq[String])(build: => Unit): Unit =
     if (!s.catalog.tableExists(marker)) {
-      build
       tables.foreach(t => artifacts.add((t, "")))
       artifacts.add(("", dir))
+      try build
+      catch { case e: Throwable =>
+        tables.foreach(t => s.sql(s"DROP TABLE IF EXISTS $t"))
+        graft.Caches.deleteDir(dir)
+        throw e
+      }
     }
 }

@@ -282,9 +282,13 @@ object TimeSeries {
     * sketch is (a) exactly mergeable across any partitioning — sums
     * commute — and (b) fully deterministic: unlike most sketches, the
     * whole structure AND its estimates carry hash-match oracles. The
-    * hash family is [[graft.functions.Portable.affine]] over the prime
-    * field mod P reduced mod `cmsW` (pairwise independence is the
-    * textbook requirement; every intermediate < 2^62).
+    * hash rows are a FIXED deterministic affine family over the prime
+    * field mod P reduced mod `cmsW` — not the textbook
+    * pairwise-independent family (that would need multipliers drawn
+    * uniformly from the field), so the ε·N overestimate bound is
+    * heuristic, not guaranteed; overestimate-only (est ≥ exact) holds
+    * regardless, which is what the heavy-hitter pruning and the audit
+    * view rely on. Every intermediate < 2^62.
     *
     * Scale shape: the sketch build is ONE map-side-combining
     * aggregation from the corpus down to ≤ d·w cells — the partials
@@ -294,8 +298,18 @@ object TimeSeries {
   val cmsD = 4
   val cmsW = 512
 
-  private def cmsBucket(j: Int, id: Column): Column =
-    graft.functions.Portable.affine(j, pmod(id, lit(KmvP))) % cmsW
+  /** Row-j bucket hash: the shared family's single-digit multipliers
+    * (2j+1 ∈ 1,3,5,7) would let ids at regular strides (multiples of
+    * w·small) collide in ALL d rows simultaneously against w=512
+    * buckets — so the CMS rows use LARGE odd multipliers
+    * a_j = ((2j+1)·1103515245) mod P instead (still compile-time
+    * constants, still mirrored verbatim in the oracles' SQL).
+    */
+  private def cmsBucket(j: Int, id: Column): Column = {
+    val a = ((2L * j + 1) * 1103515245L) % KmvP
+    val b = (j.toLong * 40503L + 13L) % KmvP
+    pmod(lit(a) * pmod(id, lit(KmvP)) + lit(b), lit(KmvP)) % cmsW
+  }
 
   /** The d×w cell table (row_id, bucket, cnt) of `df`'s `id` column —
     * count of rows landing in each (hash row, bucket).

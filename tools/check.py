@@ -49,16 +49,25 @@ def main(sf_dir: str, out_dir: str) -> int:
     oracle = json.load(open(os.path.join(out_dir, "oracle_sql.json")))
     failures = 0
     errs_path = os.path.join(out_dir, "verify_errors.json")
+    errs = {}
     if os.path.exists(errs_path):
         # every Verify-side failure is a gate failure, including for
         # oracle-less queries that would otherwise dodge the
         # "no spark output" branch below (review finding: an ERR line
         # with rc 0 re-opens the round-7 silent-shrink gap)
-        for name, msg in sorted(json.load(open(errs_path)).items()):
+        errs = json.load(open(errs_path))
+        for name, msg in sorted(errs.items()):
             print(f"ERR  {name}: {msg[:200]}")
             if name not in oracle:
                 failures += 1
     for name, sql in sorted(oracle.items()):
+        if name in errs:
+            # an ERR name with an oracle must fail HERE, before any
+            # parquet lookup: a reused outDir can carry stale output
+            # from a prior run that would otherwise compare OK
+            print(f"FAIL {name}: verify-side error (any output is stale)")
+            failures += 1
+            continue
         files = glob.glob(os.path.join(out_dir, name, "*.parquet"))
         if not files:
             print(f"FAIL {name}: no spark output")
