@@ -58,7 +58,16 @@ object ScaleSmoke {
     "ts_ema",            // per-dimension recurrence fold (r8c)
     "source_report",     // corpus-wide agg + broadcast total
     "mix_sources",       // two-level rank
-    "shard_pack")        // two-level cumsum
+    "shard_pack",        // two-level cumsum
+    // r9: the families that had never appeared in a ratio table
+    "cf_parse",          // typed 40-field parse over synthesized lines
+    "cf_top_uris",       // per-edge G7 top-k
+    "cf_latency_percentiles", // per-edge exact rank selection
+    "q_timestream_headline",  // bin/ago/SUM-CASE reference headline
+    "q_asof_join",       // backward as-of (union time-axis engine)
+    "q_asof_join_fwd",   // forward as-of (negated-axis reuse)
+    "q_funnel_windowed", // two chained backward as-of joins
+    "q_retention")       // cohort day-0 × day-N self-join
 
   /** Suffix every WORD of `text` with `tag`: same lengths, same
     * structure, disjoint content — fresh fingerprints AND zero shared
@@ -380,6 +389,34 @@ object ScaleSmoke {
     val selected = sys.env.get("SPARK_GRAFT_SCALE_OPS")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
       .fold(targets)(f => targets.filter(f))
+    // ---- workload-mass attribution (r9) ----
+    // Wall-time ratios alone can't separate "the operator degrades"
+    // from "the sweep's workload definition grows faster than the
+    // corpus". Two ops need the distinction made with numbers:
+    //  - ann_pq: queries are DEFINED as every 50th corpus vector, so
+    //    K× data is K× queries × K× corpus = K² ADC pairs — the
+    //    corpus-growth-controlled measurement is pq_store_search
+    //    (fixed batch, scaled history) above.
+    //  - ngram_jaccard: the df-band [2, maxDF] makes candidate mass
+    //    replica-sensitive; the measured pair count says whether it
+    //    grows ~K (shape holds) or faster (band needs corpus scaling).
+    val massLines = {
+      def massOf(d: String): (Long, Long, Long) = {
+        val ids = spark.read.parquet(s"$d/embeddings.parquet")
+          .select(col("vec_id"))
+        val nVec = ids.count()
+        val nQ = ids.filter(pmod(col("vec_id"), lit(50)) === 0).count()
+        val cand = operators.DedupPack.ngramCandidates(spark, d).count()
+        Caches.releaseAll(blocking = true)
+        (nVec, nQ, cand)
+      }
+      val (v1, q1, c1) = massOf(base)
+      val (vK, qK, cK) = massOf(dir)
+      Seq(
+        f"""{"op":"ann_pq_adc_pairs","x1":${q1 * (v1 - q1)},"x$k":${qK * (vK - qK)},"ratio":${(qK * (vK - qK)).toDouble / math.max(q1 * (v1 - q1), 1L)}%.2f}""",
+        f"""{"op":"ngram_candidate_pairs","x1":$c1,"x$k":$cK,"ratio":${cK.toDouble / math.max(c1, 1L)}%.2f}""")
+    }
+    massLines.foreach(println)
     val report = selected.map { name =>
       val c1 = run(name, base); val w1 = run(name, base)
       val cK = run(name, dir); val wK = run(name, dir)
@@ -404,7 +441,8 @@ object ScaleSmoke {
     java.nio.file.Files.write(out,
       (report.map(r =>
         f"""{"op":"${r._1}","x1":${r._3}%.3f,"x$k":${r._5}%.3f,"ratio":${r._6}%.2f}""")
-        ++ storeReport ++ growLines).mkString("", "\n", "\n" + summary + "\n")
+        ++ storeReport ++ growLines ++ massLines)
+        .mkString("", "\n", "\n" + summary + "\n")
         .getBytes(java.nio.charset.StandardCharsets.UTF_8))
     spark.stop()
   }

@@ -1216,45 +1216,82 @@ object AnnPack extends QueryPack {
     * reproduce the in-query scores bit-for-bit, so it runs the SAME
     * code): per-query LUT over the broadcast codebooks, decimal-routed
     * approx cosine from code lookups, bounded pool, exact re-rank.
-    * `codes` and `rerankVecs` may carry replay-duplicated rows — both
-    * deduped here so a crash-replayed store append can neither
-    * double-count a subspace term nor surface the same vector at two
-    * ranks of the re-ranked result (the duplicate rows are
-    * byte-identical, so which one survives is immaterial).
+    *
+    * Shape (reworked r9 — the r8 spelling joined codes against the LUT
+    * on (sub, cid) and hash-aggregated the n·q·m exploded rows, an
+    * n·q-row SHUFFLE on the brute-force pair mass): codes collapse to
+    * ONE array row per vector — `code[sub] = cid` — and each query's
+    * LUT flattens to ONE slot-indexed array (`sub·ks + cid`), so the
+    * ADC pass is a broadcast nested loop producing each (query, vec)
+    * pair exactly once with its 8-term sum computed inline in fixed
+    * sub order. Decimal addition is exact and associative, so the
+    * ordered chain equals the oracle's any-order decimal SUM
+    * bit-for-bit. No exchange remains between the code scan and the
+    * bounded TopKPerKey pool (partial heaps prune map-side); the
+    * reconstructed norm rides the same code row via the broadcast
+    * cc-array, replacing the old n·q ⋈ n rnorm join.
+    *
+    * `codes` and `rerankVecs` may carry replay-duplicated rows —
+    * `collect_set` collapses the byte-identical code rows, and the
+    * re-rank dedupes (query, vec) pairs AFTER the pool join, where the
+    * frame is pool-sized rather than corpus-sized.
     */
   private[graft] def pqAdcSearch(cent: DataFrame, codesRaw: DataFrame,
       rerankVecsRaw: DataFrame, q: DataFrame): DataFrame = {
-    val codes = codesRaw.dropDuplicates("vec_id", "sub")
-    val rerankVecs = rerankVecsRaw.dropDuplicates("vec_id")
+    val slots = pqM * pqKs
+    // (vec_id, code[pqM]) — one map-side-combinable agg; on the store's
+    // vec_id-bucketed codes table this plans with no exchange at all
+    val codeArr = codesRaw
+      .groupBy(col("vec_id"))
+      .agg(transform(
+        array_sort(collect_set(struct(col("sub"), col("cid")))),
+        e => e.getField("cid")).as("code"))
+    // slot-indexed flat arrays: slot = sub·ks + cid. Slots no trained
+    // centroid occupies stay null and are never indexed — codes only
+    // ever reference centroids that exist.
+    def flatten(entries: Column, out: String): Column =
+      transform(sequence(lit(0), lit(slots - 1)),
+        i => element_at(entries, i)).as(out)
+    val ccRow = cent.agg(map_from_entries(collect_list(struct(
+        (col("sub") * lit(pqKs) + col("cid")).cast(IntegerType),
+        col("cc")))).as("m"))
+      .select(flatten(col("m"), "ccArr"))
     val qsubs = pqSlices(q.select(col("query_id").as("vec_id"),
         col("qv").as("v")))
       .select(col("vec_id").as("query_id"), col("sub"),
         col("sv").as("qsv"))
-    val lut = qsubs.join(broadcast(cent), Seq("sub"))
-      .select(col("query_id"), col("sub"), col("cid"),
+    val lutQ = qsubs.join(broadcast(cent), Seq("sub"))
+      .select(col("query_id"),
+        (col("sub") * lit(pqKs) + col("cid")).cast(IntegerType).as("slot"),
         Vectors.dot(col("qsv"), col("cv")).as("pd"))
-    // reconstructed norm² per corpus vector — query-independent
-    val rnorm = codes
-      .join(broadcast(cent.select(col("sub"), col("cid"), col("cc"))),
-        Seq("sub", "cid"))
-      .groupBy(col("vec_id"))
-      .agg(sum(col("cc").cast(DecimalType(28, 12)))
-        .cast(DoubleType).as("rn2"))
-    val scored = codes.join(broadcast(lut), Seq("sub", "cid"))
-      .groupBy(col("query_id"), col("vec_id"))
-      .agg(sum(col("pd").cast(DecimalType(28, 12)))
-        .cast(DoubleType).as("ad"))
-      .join(rnorm, Seq("vec_id"))
-      .join(broadcast(q.select(col("query_id"), col("qn"))),
-        Seq("query_id"))
+      .groupBy(col("query_id"))
+      .agg(map_from_entries(collect_list(
+        struct(col("slot"), col("pd")))).as("m"))
+      .select(col("query_id"), flatten(col("m"), "lutArr"))
+      .join(q.select(col("query_id"), col("qn")), Seq("query_id"))
+    // Σ_sub arr[code[sub] + sub·ks] as an UNROLLED codegen'd chain of
+    // exact decimal adds (fixed sub order ≡ the oracle's decimal SUM)
+    def adcSum(arr: Column): Column =
+      (0 until pqM).map { sub =>
+        element_at(arr,
+          (col("code")(sub) + lit(sub * pqKs + 1)).cast(IntegerType))
+          .cast(DecimalType(28, 12))
+      }.reduce(_ + _).cast(DoubleType)
+    val scored = codeArr
+      .crossJoin(broadcast(ccRow))
+      .withColumn("rn2", adcSum(col("ccArr")))
+      .crossJoin(broadcast(lutQ))
+      .withColumn("ad", adcSum(col("lutArr")))
       .withColumn("approx_cos",
         round(col("ad") / (sqrt(col("rn2")) * col("qn")), 6))
+      .select(col("query_id"), col("vec_id"), col("approx_cos"))
     val pool = graft.plans.TopKPerKey(scored,
       Seq(col("query_id")),
       Seq(col("approx_cos").desc, col("vec_id")), pqPool)
-    val pairs = pool
-      .select(col("query_id"), col("vec_id"), col("approx_cos"))
-      .join(rerankVecs.select(col("vec_id"), col("v"), col("nrm")),
+    val pairs = rerankVecsRaw
+      .select(col("vec_id"), col("v"), col("nrm"))
+      .join(broadcast(pool
+        .select(col("query_id"), col("vec_id"), col("approx_cos"))),
         "vec_id")
       .join(broadcast(q.select(col("query_id"), col("qv"), col("qn"))),
         Seq("query_id"))
@@ -1262,6 +1299,9 @@ object AnnPack extends QueryPack {
         Vectors.cosine(col("qv"), col("v"), col("qn"), col("nrm")))
       .select(col("query_id"), col("vec_id"), col("cos_sim"),
         col("approx_cos"))
+      // replayed _vecs rows surface here as byte-identical pairs:
+      // dedupe on the pool-sized frame, not the corpus-sized one
+      .dropDuplicates("query_id", "vec_id")
     topKPerQuery(pairs, K, Seq("approx_cos"))
       .orderBy(col("query_id"), col("rank"))
   }

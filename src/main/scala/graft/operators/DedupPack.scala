@@ -415,35 +415,47 @@ object DedupPack extends QueryPack {
     * worth verifying).
     */
   private val minCooccur = 2
+
+  /** C4's candidate-pair frame (doc_a, doc_b) — the quantity whose
+    * growth governs the operator's scale behavior, factored out so the
+    * scale sweep can COUNT it at x1/xK (the r8 sweep's 4.6×-at-8× row
+    * had no measured candidate-mass attribution).
+    */
+  private[graft] def ngramCandidates(s: SparkSession, d: String)
+      : DataFrame = {
+    val sh = shingled(s, d)
+    // Shingles are already 60-bit hashes (G9 at shingling time): the
+    // whole index works on 8-byte keys; collisions merge postings,
+    // harmless because candidates are Jaccard-verified and the oracle
+    // mirrors the same hashing.
+    val ex = sh.select(col("doc_id"), explode(col("shingles")).as("sh"))
+    // ONE shuffle builds the whole inverted index: exact df + the
+    // per-shingle posting list through the G8 bounded-collect aggregate
+    // (cap maxDF+1, so under-cap groups carry their complete doc set
+    // and a hot shingle's buffer can never exceed maxDF+1 elements on
+    // any partial-aggregation path — the memory-safety property plain
+    // collect_list lacks at corpus scale). The previous two-pass shape
+    // (df agg → rare-set join-back → second groupBy) is collapsed into
+    // this single aggregation.
+    ex.groupBy(col("sh"))
+      .agg(count(lit(1)).as("df"),
+        graft.expressions.BoundedCollectList
+          .boundedCollect(col("doc_id"), maxDF + 1).as("docs"))
+      .filter(col("df") >= 2 && col("df") <= maxDF)
+      .select(explode(col("docs")).as("doc_a"), col("docs"))
+      .select(col("doc_a"), explode(col("docs")).as("doc_b"))
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minCooccur)
+      .select(col("doc_a"), col("doc_b"))
+  }
+
   private val ngramJaccard = GraftQuery(
     "ngram_jaccard",
     (s, d) => {
       val sh = shingled(s, d)
-      // Shingles are already 60-bit hashes (G9 at shingling time): the
-      // whole index works on 8-byte keys; collisions merge postings,
-      // harmless because candidates are Jaccard-verified and the oracle
-      // mirrors the same hashing.
-      val ex = sh.select(col("doc_id"), explode(col("shingles")).as("sh"))
-      // ONE shuffle builds the whole inverted index: exact df + the
-      // per-shingle posting list through the G8 bounded-collect aggregate
-      // (cap maxDF+1, so under-cap groups carry their complete doc set
-      // and a hot shingle's buffer can never exceed maxDF+1 elements on
-      // any partial-aggregation path — the memory-safety property plain
-      // collect_list lacks at corpus scale). The previous two-pass shape
-      // (df agg → rare-set join-back → second groupBy) is collapsed into
-      // this single aggregation.
-      val cand = ex.groupBy(col("sh"))
-        .agg(count(lit(1)).as("df"),
-          graft.expressions.BoundedCollectList
-            .boundedCollect(col("doc_id"), maxDF + 1).as("docs"))
-        .filter(col("df") >= 2 && col("df") <= maxDF)
-        .select(explode(col("docs")).as("doc_a"), col("docs"))
-        .select(col("doc_a"), explode(col("docs")).as("doc_b"))
-        .filter(col("doc_a") < col("doc_b"))
-        .groupBy(col("doc_a"), col("doc_b"))
-        .agg(count(lit(1)).as("n_shared"))
-        .filter(col("n_shared") >= minCooccur)
-        .select(col("doc_a"), col("doc_b"))
+      val cand = ngramCandidates(s, d)
       val sa = sh.select(col("doc_id").as("doc_a"), col("shingles").as("sa"))
       val sb = sh.select(col("doc_id").as("doc_b"), col("shingles").as("sb"))
       cand.join(sa, "doc_a").join(sb, "doc_b")
