@@ -1236,49 +1236,74 @@ object AnnPack extends QueryPack {
     * re-rank dedupes (query, vec) pairs AFTER the pool join, where the
     * frame is pool-sized rather than corpus-sized.
     */
-  private[graft] def pqAdcSearch(cent: DataFrame, codesRaw: DataFrame,
-      rerankVecsRaw: DataFrame, q: DataFrame): DataFrame = {
-    val slots = pqM * pqKs
-    // (vec_id, code[pqM]) — one map-side-combinable agg; on the store's
-    // vec_id-bucketed codes table this plans with no exchange at all
-    val codeArr = codesRaw
+  /** (vec_id, code[pqM]): codes collapsed to ONE array row per vector
+    * — a single map-side-combinable agg; on the store's vec_id-bucketed
+    * codes table this plans with no exchange at all. `collect_set`
+    * collapses byte-identical replay-duplicated rows.
+    */
+  private def pqCodeArr(codesRaw: DataFrame): DataFrame =
+    codesRaw
       .groupBy(col("vec_id"))
       .agg(transform(
         array_sort(collect_set(struct(col("sub"), col("cid")))),
         e => e.getField("cid")).as("code"))
-    // slot-indexed flat arrays: slot = sub·ks + cid. Slots no trained
-    // centroid occupies stay null and are never indexed — codes only
-    // ever reference centroids that exist.
-    def flatten(entries: Column, out: String): Column =
-      transform(sequence(lit(0), lit(slots - 1)),
-        i => element_at(entries, i)).as(out)
-    val ccRow = cent.agg(map_from_entries(collect_list(struct(
+
+  /** Slot-indexed flat array: slot = sub·ks + cid. Slots no trained
+    * centroid occupies stay null and are never indexed — codes only
+    * ever reference centroids that exist.
+    */
+  private def pqFlatten(entries: Column, out: String): Column =
+    transform(sequence(lit(0), lit(pqM * pqKs - 1)),
+      i => element_at(entries, i)).as(out)
+
+  /** One-row broadcastable frame carrying every centroid's norm² in a
+    * flat slot-indexed `ccArr` — the reconstructed norm rides the code
+    * row via this instead of a corpus-wide join.
+    */
+  private def pqCcRow(cent: DataFrame): DataFrame =
+    cent.agg(map_from_entries(collect_list(struct(
         (col("sub") * lit(pqKs) + col("cid")).cast(IntegerType),
         col("cc")))).as("m"))
-      .select(flatten(col("m"), "ccArr"))
+      .select(pqFlatten(col("m"), "ccArr"))
+
+  /** Per-query flat ADC lookup table (query_id, lutArr, qn):
+    * lutArr[sub·ks + cid] = ⟨q_sub, centroid⟩.
+    */
+  private def pqLutFlat(cent: DataFrame, q: DataFrame): DataFrame = {
     val qsubs = pqSlices(q.select(col("query_id").as("vec_id"),
         col("qv").as("v")))
       .select(col("vec_id").as("query_id"), col("sub"),
         col("sv").as("qsv"))
-    val lutQ = qsubs.join(broadcast(cent), Seq("sub"))
+    qsubs.join(broadcast(cent), Seq("sub"))
       .select(col("query_id"),
         (col("sub") * lit(pqKs) + col("cid")).cast(IntegerType).as("slot"),
         Vectors.dot(col("qsv"), col("cv")).as("pd"))
       .groupBy(col("query_id"))
       .agg(map_from_entries(collect_list(
         struct(col("slot"), col("pd")))).as("m"))
-      .select(col("query_id"), flatten(col("m"), "lutArr"))
+      .select(col("query_id"), pqFlatten(col("m"), "lutArr"))
       .join(q.select(col("query_id"), col("qn")), Seq("query_id"))
-    // Σ_sub arr[code[sub] + sub·ks] as an UNROLLED codegen'd chain of
-    // exact decimal adds (fixed sub order ≡ the oracle's decimal SUM)
-    def adcSum(arr: Column): Column =
-      (0 until pqM).map { sub =>
-        element_at(arr,
-          (col("code")(sub) + lit(sub * pqKs + 1)).cast(IntegerType))
-          .cast(DecimalType(28, 12))
-      }.reduce(_ + _).cast(DoubleType)
+  }
+
+  /** Σ_sub arr[code[sub] + sub·ks] as an UNROLLED codegen'd chain of
+    * exact decimal adds — fixed sub order, and decimal addition is
+    * exact and associative, so the chain equals the oracle's any-order
+    * decimal SUM bit-for-bit.
+    */
+  private def pqAdcSum(arr: Column): Column =
+    (0 until pqM).map { sub =>
+      element_at(arr,
+        (col("code")(sub) + lit(sub * pqKs + 1)).cast(IntegerType))
+        .cast(DecimalType(28, 12))
+    }.reduce(_ + _).cast(DoubleType)
+
+  private[graft] def pqAdcSearch(cent: DataFrame, codesRaw: DataFrame,
+      rerankVecsRaw: DataFrame, q: DataFrame): DataFrame = {
+    val codeArr = pqCodeArr(codesRaw)
+    val lutQ = pqLutFlat(cent, q)
+    def adcSum(arr: Column): Column = pqAdcSum(arr)
     val scored = codeArr
-      .crossJoin(broadcast(ccRow))
+      .crossJoin(broadcast(pqCcRow(cent)))
       .withColumn("rn2", adcSum(col("ccArr")))
       .crossJoin(broadcast(lutQ))
       .withColumn("ad", adcSum(col("lutArr")))
@@ -1398,29 +1423,21 @@ object AnnPack extends QueryPack {
         .join(broadcast(probed.select(col("query_id"), col("cell"))),
           Seq("cell"))
         .select(col("query_id"), col("vec_id"))
-      val qsubs = pqSlices(q.select(col("query_id").as("vec_id"),
-          col("qv").as("v")))
-        .select(col("vec_id").as("query_id"), col("sub"),
-          col("sv").as("qsv"))
-      val lut = qsubs.join(broadcast(books), Seq("sub"))
-        .select(col("query_id"), col("sub"), col("cid"),
-          Vectors.dot(col("qsv"), col("cv")).as("pd"))
-      val rnorm = codes
-        .join(broadcast(books.select(col("sub"), col("cid"), col("cc"))),
-          Seq("sub", "cid"))
-        .groupBy(col("vec_id"))
-        .agg(sum(col("cc").cast(DecimalType(28, 12)))
-          .cast(DoubleType).as("rn2"))
-      val scored = cand.join(codes, Seq("vec_id"))
-        .join(broadcast(lut), Seq("query_id", "sub", "cid"))
-        .groupBy(col("query_id"), col("vec_id"))
-        .agg(sum(col("pd").cast(DecimalType(28, 12)))
-          .cast(DoubleType).as("ad"))
-        .join(rnorm, Seq("vec_id"))
-        .join(broadcast(q.select(col("query_id"), col("qn"))),
-          Seq("query_id"))
+      // the r9 flat-ADC shape shared with pqAdcSearch: candidates join
+      // ONE array row per vector (rn2 riding along via the broadcast
+      // cc-array), the per-query LUT broadcasts as a flat array, and
+      // the 8-term sum unrolls inline — the r8 (sub,cid) join +
+      // cand·m hash-agg shuffle is gone here too
+      val withRn2 = pqCodeArr(codes)
+        .crossJoin(broadcast(pqCcRow(books)))
+        .withColumn("rn2", pqAdcSum(col("ccArr")))
+        .drop("ccArr")
+      val scored = cand.join(withRn2, Seq("vec_id"))
+        .join(broadcast(pqLutFlat(books, q)), Seq("query_id"))
+        .withColumn("ad", pqAdcSum(col("lutArr")))
         .withColumn("approx_cos",
           round(col("ad") / (sqrt(col("rn2")) * col("qn")), 6))
+        .select(col("query_id"), col("vec_id"), col("approx_cos"))
       val pool = graft.plans.TopKPerKey(scored,
         Seq(col("query_id")),
         Seq(col("approx_cos").desc, col("vec_id")), ivfpqPool)

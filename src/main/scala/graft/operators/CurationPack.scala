@@ -460,7 +460,98 @@ object CurationPack extends QueryPack {
       FROM g ORDER BY source, lang
       """))
 
+  // ---- H9: fixed-length sequence packing ----
+  // The trainer-side layout step H2 stops short of: a causal-LM
+  // training run consumes fixed-length token SEQUENCES (L = 2048),
+  // with documents concatenated in a canonical order and SPLIT across
+  // sequence boundaries — the "sequence packing" pass every large
+  // pretraining pipeline runs after curation (H2's shards bin whole
+  // docs by byte budget; this cuts the token stream itself). Output is
+  // one row per (doc, crossed-boundary segment): which sequence the
+  // segment lands in, where in the sequence, and which slice of the
+  // doc it is — exactly the index a data loader needs to materialize
+  // sequence tensors without re-tokenizing.
+  //
+  // Scale shape: the H2 two-level cumsum discipline, globally — local
+  // token cumsums inside doc_id-range buckets (bounded windows), an
+  // exclusive prefix over per-bucket totals (metadata-scale: one
+  // ~corpus/span-row window), broadcast join-back; the boundary
+  // explode emits ceil(n/L)+1 ≤ 2 rows for virtually every doc. Since
+  // `bkt = doc_id div span`, (bkt, doc_id) order IS doc_id order, so
+  // the oracle mirrors it with one plain window. All-integer
+  // arithmetic — full hash oracle.
+  private val seqLen = 2048L
+  private val packSequences = GraftQuery(
+    "pack_sequences",
+    (s, d) => {
+      val pat = "[a-z]+|[0-9]+|[^a-z0-9\\s]" // E3's BPE-ish tokenizer
+      val t = Tables.parallelized(Tables.documents(s, d)).select(
+          col("doc_id"),
+          size(regexp_extract_all(lower(col("text")), lit(pat), lit(0)))
+            .cast(LongType).as("n"))
+        .filter(col("n") > 0)
+        .withColumn("bkt", expr(s"doc_id div ${packBucketSpan}L"))
+        .persistTracked
+      val wLocal = Window.partitionBy(col("bkt")).orderBy(col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wOff = Window.orderBy(col("bkt"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val offsets = t.groupBy(col("bkt")).agg(sum(col("n")).as("bt"))
+        .withColumn("off",
+          coalesce(sum(col("bt")).over(wOff), lit(0L)))
+        .select(col("bkt"), col("off"))
+      val st = t.withColumn("loc", sum(col("n")).over(wLocal))
+        .join(broadcast(offsets), Seq("bkt"))
+        .withColumn("st", col("loc") + col("off") - col("n"))
+      st.select(col("doc_id"), col("n"), col("st"),
+          explode(sequence(expr(s"st div ${seqLen}L"),
+            expr(s"(st + n - 1) div ${seqLen}L"))).as("seq_id"))
+        .withColumn("seg_idx", col("seq_id") - expr(s"st div ${seqLen}L"))
+        .withColumn("seg_begin",
+          greatest(col("st"), col("seq_id") * lit(seqLen)))
+        .withColumn("seq_offset",
+          col("seg_begin") - col("seq_id") * lit(seqLen))
+        .withColumn("doc_offset", col("seg_begin") - col("st"))
+        .withColumn("seg_len",
+          least(col("st") + col("n"),
+            (col("seq_id") + lit(1L)) * lit(seqLen)) - col("seg_begin"))
+        .select(col("doc_id"), col("seg_idx"), col("seq_id"),
+          col("seq_offset"), col("doc_offset"), col("seg_len"))
+        .orderBy(col("doc_id"), col("seg_idx"))
+    },
+    Some(s"""
+      WITH t AS (
+        SELECT doc_id,
+          CAST(len(regexp_extract_all(lower(text),
+            '[a-z]+|[0-9]+|[^a-z0-9\\s]')) AS BIGINT) AS n
+        FROM documents
+        WHERE len(regexp_extract_all(lower(text),
+          '[a-z]+|[0-9]+|[^a-z0-9\\s]')) > 0),
+      c AS (
+        SELECT doc_id, n,
+          CAST(COALESCE(SUM(n) OVER (ORDER BY doc_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+            AS BIGINT) AS st
+        FROM t),
+      g AS (
+        SELECT doc_id, n, st,
+          unnest(range(st // $seqLen, (st + n - 1) // $seqLen + 1))
+            AS seq_id
+        FROM c),
+      x AS (
+        SELECT doc_id, seq_id - (st // $seqLen) AS seg_idx, seq_id,
+          GREATEST(st, seq_id * $seqLen) AS seg_begin,
+          LEAST(st + n, (seq_id + 1) * $seqLen) AS seg_end, st
+        FROM g)
+      SELECT doc_id, seg_idx, seq_id,
+        seg_begin - seq_id * $seqLen AS seq_offset,
+        seg_begin - st AS doc_offset,
+        seg_end - seg_begin AS seg_len
+      FROM x ORDER BY doc_id, seg_idx
+      """))
+
   override val queries: Seq[GraftQuery] =
     Seq(sampleStratified, shardPack, curationFilter, curationPipeline,
-      splitAssign, mixSources, sourceReport, shardsRoundtrip)
+      splitAssign, mixSources, sourceReport, shardsRoundtrip,
+      packSequences)
 }

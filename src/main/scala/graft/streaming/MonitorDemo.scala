@@ -79,6 +79,47 @@ object MonitorDemo {
       .orderBy(col("key"), col("bin_start"))
     println(s"[monitor] anomalies: ${found.count()}")
     found.show(100, truncate = false)
+
+    // observability stores on the same live feed (the A10g/A10k/A19b
+    // streaming legs): seed from a first slice, stream the rest in two
+    // micro-batches through StreamingMonitor, then poll the stores the
+    // way a dashboard would — each read is exactly the one-global-pass
+    // answer (the StreamingMonitorSpec contract)
+    if (java.nio.file.Files.exists(
+        java.nio.file.Paths.get(s"$linesDir/events.parquet"))) {
+      import graft.sources.{MetricsStore, SnapshotStore, Tables}
+      val ev = Tables.events(spark, linesDir)
+      val seed = ev.filter(pmod(col("event_id"), lit(3)) === 0)
+      MetricsStore.write(seed, col("event_type"), col("ts"),
+        col("user_id"), "monitor_kmv", s"$workDir/kmv")
+      MetricsStore.writeCms(seed, col("ts"), col("user_id"),
+        "monitor_cms", s"$workDir/cms")
+      SnapshotStore.write(seed, "monitor_snap", s"$workDir/snap")
+      val incoming = s"$workDir/ev-incoming"
+      ev.filter(pmod(col("event_id"), lit(3)) === 1)
+        .coalesce(1).write.parquet(s"$incoming/b1")
+      ev.filter(pmod(col("event_id"), lit(3)) === 2)
+        .coalesce(1).write.parquet(s"$incoming/b2")
+      val evStream = spark.readStream
+        .schema("event_id LONG, user_id LONG, ts TIMESTAMP_NTZ, " +
+          "event_type STRING, value DOUBLE, props STRING")
+        .option("maxFilesPerTrigger", "1")
+        .option("recursiveFileLookup", "true")
+        .parquet(incoming)
+        .select(ev.columns.map(col): _*)
+      val mon = StreamingMonitor.run(spark, evStream, "monitor_kmv",
+        "monitor_cms", "monitor_snap",
+        id => println(s"[monitor] observability fold: micro-batch $id"))
+      mon.processAllAvailable(); mon.stop()
+      val est = MetricsStore.estimate(spark, "monitor_kmv")
+        .orderBy(col("key")).collect()
+      println("[monitor] distinct users per event_type (KMV store): " +
+        est.map(r => s"${r.getString(0)}=${r.getLong(1)}").mkString(", "))
+      println(s"[monitor] CMS cells stored: " +
+        s"${MetricsStore.cmsCells(spark, "monitor_cms").count()}; " +
+        s"snapshot keys: " +
+        s"${SnapshotStore.snapshot(spark, "monitor_snap").count()}")
+    }
     spark.stop()
   }
 }

@@ -23,6 +23,55 @@ class CurationPackSpec extends GraftSpec {
     assert(rows.map(_.toString).toSeq == again.map(_.toString).toSeq)
   }
 
+  test("pack_sequences: segments tile the token stream exactly — " +
+      "per-doc slices reassemble, per-sequence slots fill to L") {
+    val L = 2048L
+    val segs = SparkEntry.queries("pack_sequences")(spark, sfDir)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))) // doc, seg_idx, seq, seq_off, doc_off, len
+    assert(segs.nonEmpty)
+    // per doc: segment 0 starts at doc offset 0, segments are
+    // contiguous in the doc, and lengths sum to the doc's token count
+    val pat = "[a-z]+|[0-9]+|[^a-z0-9\\s]"
+    val nTok = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id"),
+        size(regexp_extract_all(lower(col("text")), lit(pat), lit(0)))
+          .cast("long").as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    segs.groupBy(_._1).foreach { case (doc, ss) =>
+      val ordered = ss.sortBy(_._2)
+      assert(ordered.head._5 == 0L, s"doc $doc segment 0 doc_offset")
+      ordered.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(b._5 == a._5 + a._6, s"doc $doc segments not contiguous")
+          assert(b._3 == a._3 + 1 && b._4 == 0L,
+            s"doc $doc boundary crossing must land at the next " +
+              "sequence's slot 0")
+        case _ =>
+      }
+      assert(ordered.map(_._6).sum == nTok(doc),
+        s"doc $doc segment lengths must sum to its token count")
+    }
+    // per sequence: slots tile [0, L) without gap or overlap; every
+    // sequence but the last is exactly full
+    val lastSeq = segs.map(_._3).max
+    segs.groupBy(_._3).foreach { case (seq, ss) =>
+      val slots = ss.sortBy(_._4)
+      assert(slots.head._4 == 0L, s"seq $seq must start at offset 0")
+      slots.sliding(2).foreach {
+        case Array(a, b) => assert(b._4 == a._4 + a._6,
+          s"seq $seq slots must tile without gap/overlap")
+        case _ =>
+      }
+      val filled = slots.map(_._6).sum
+      if (seq < lastSeq) assert(filled == L, s"seq $seq must be full")
+      else assert(filled <= L)
+    }
+    // global: the stream's total length is the corpus token count
+    assert(segs.map(_._6).sum == nTok.values.sum)
+  }
+
   test("mix_sources hits each source's quota exactly") {
     val out = SparkEntry.queries("mix_sources")(spark, sfDir)
     val perSource = out.groupBy("source").count().collect()

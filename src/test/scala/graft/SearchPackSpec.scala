@@ -44,6 +44,49 @@ class SearchPackSpec extends GraftSpec {
     intercept[IllegalArgumentException](Log2FixImpl.log2q20(-5L))
   }
 
+  test("log2q20's int64 recurrence equals the arbitrary-precision " +
+      "digit recurrence over the fuzz distribution (tools/log2_fuzz.py " +
+      "promoted in-suite)") {
+    // Line-for-line BigInt mirror of the recurrence: if any int64
+    // intermediate could overflow or shift wrong, THIS is where it
+    // diverges — BigInt never wraps. (The DuckDB CTE half of the fuzz
+    // stays in tools/; the engine gate already exercises it on every
+    // oracle run through the I1-I3/I7 rows.)
+    def ref(x: Long): Long = {
+      require(x > 0)
+      val e = 63 - java.lang.Long.numberOfLeadingZeros(x)
+      var y = BigInt(x)
+      y = if (e <= 30) y << (30 - e) else y >> (e - 30)
+      var acc = BigInt(0)
+      for (_ <- 0 until 20) {
+        val y2 = y * y
+        if (y2 >= (BigInt(1) << 61)) { acc = 2 * acc + 1; y = y2 >> 31 }
+        else { acc = 2 * acc; y = y2 >> 30 }
+      }
+      ((BigInt(e) << 20) + acc).toLong
+    }
+    // the fuzz's edge band: 1..64, all powers of two, MaxValue
+    // neighborhood — plus a log-uniform sweep (small and huge
+    // magnitudes both appear; uniform-over-int64 would never draw a
+    // small value)
+    val edge = (1L to 64L) ++ (0 to 62).map(1L << _) ++
+      (0 to 7).map(Long.MaxValue - _)
+    edge.foreach(x =>
+      assert(Log2FixImpl.log2q20(x) == ref(x), s"edge x=$x"))
+    val logUniform = for {
+      bits <- Gen.chooseNum(1, 63)
+      x <- Gen.chooseNum(
+        if (bits == 1) 1L else 1L << (bits - 1),
+        if (bits == 63) Long.MaxValue else (1L << bits) - 1)
+    } yield x
+    val p = Prop.forAll(logUniform) { x =>
+      Log2FixImpl.log2q20(x) == ref(x)
+    }
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(2000), p)
+    assert(res.passed, res.status.toString)
+  }
+
   test("log2q20 native expression matches the JVM impl through codegen") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col
