@@ -169,10 +169,17 @@ object SearchPack extends QueryPack {
         SELECT w1, w2, CAST(SUM(k) AS BIGINT) AS c12
         FROM docbg GROUP BY 1, 2),
       vocab AS (SELECT CAST(COUNT(*) AS BIGINT) AS v FROM uni),
+      -- every loginputs below dedupes through an explicit outer
+      -- DISTINCT: in a WITH RECURSIVE list DuckDB does NOT set-dedupe
+      -- a plain UNION of non-self-referencing branches, so a val in
+      -- two branches walks the log recursion twice and silently
+      -- doubles every row joined through it (found via E11, where the
+      -- tf/dl ranges overlap on real data)
       loginputs AS (
-        SELECT DISTINCT c1 + (SELECT v FROM vocab) AS val FROM uni
-        UNION
-        SELECT DISTINCT c12 + 1 AS val FROM big),
+        SELECT DISTINCT val FROM (
+          SELECT c1 + (SELECT v FROM vocab) AS val FROM uni
+          UNION ALL
+          SELECT c12 + 1 AS val FROM big)),
       ${Portable.sql.log2CteSql("loginputs", "logsteps", "logs")},
       scored AS (
         SELECT d.doc_id, d.k,
@@ -274,9 +281,10 @@ object SearchPack extends QueryPack {
       dftab AS (
         SELECT word, CAST(COUNT(*) AS BIGINT) AS df FROM hits GROUP BY 1),
       loginputs AS (
-        SELECT (SELECT n FROM totals) + 1 AS val
-        UNION
-        SELECT DISTINCT df AS val FROM dftab),
+        SELECT DISTINCT val FROM (
+          SELECT (SELECT n FROM totals) + 1 AS val
+          UNION ALL
+          SELECT df AS val FROM dftab)),
       ${Portable.sql.log2CteSql("loginputs", "logsteps", "logs")},
       scored AS (
         SELECT h.doc_id,
@@ -431,9 +439,10 @@ object SearchPack extends QueryPack {
         FROM post GROUP BY 1),
       totals AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM dw),
       loginputs AS (
-        SELECT (SELECT n FROM totals) + 1 AS val
-        UNION
-        SELECT DISTINCT df AS val FROM dftab),
+        SELECT DISTINCT val FROM (
+          SELECT (SELECT n FROM totals) + 1 AS val
+          UNION ALL
+          SELECT df AS val FROM dftab)),
       ${Portable.sql.log2CteSql("loginputs", "logsteps", "logs")},
       scored AS (
         SELECT p.doc_id, p.word, p.tf,
@@ -574,10 +583,11 @@ object SearchPack extends QueryPack {
           (SELECT CAST(SUM(c1) AS BIGINT) FROM uni) AS t),
       kept AS (SELECT * FROM big WHERE c12 >= $pmiMinCount),
       loginputs AS (
-        SELECT DISTINCT c12 AS val FROM kept
-        UNION SELECT b AS val FROM totals
-        UNION SELECT t AS val FROM totals
-        UNION SELECT DISTINCT c1 AS val FROM uni),
+        SELECT DISTINCT val FROM (
+          SELECT c12 AS val FROM kept
+          UNION ALL SELECT b AS val FROM totals
+          UNION ALL SELECT t AS val FROM totals
+          UNION ALL SELECT c1 AS val FROM uni)),
       ${Portable.sql.log2CteSql("loginputs", "logsteps", "logs")},
       scored AS (
         SELECT k.w1, k.w2, k.c12,
@@ -753,9 +763,10 @@ object SearchPack extends QueryPack {
         FROM post GROUP BY 1),
       totals AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM dw),
       loginputs AS (
-        SELECT (SELECT n FROM totals) + 1 AS val
-        UNION
-        SELECT DISTINCT df AS val FROM dftab),
+        SELECT DISTINCT val FROM (
+          SELECT (SELECT n FROM totals) + 1 AS val
+          UNION ALL
+          SELECT df AS val FROM dftab)),
       ${Portable.sql.log2CteSql("loginputs", "logsteps", "logs")},
       wt AS (
         SELECT p.doc_id, p.word,
@@ -794,9 +805,85 @@ object SearchPack extends QueryPack {
       ORDER BY doc_a, doc_b
       """))
 
+  // ---- E11: token_entropy — per-doc Shannon entropy, exact Q20 ----
+  // The distributional quality signal beside E2's surface ratios and
+  // I1's model-based cross-entropy: low entropy flags repetition
+  // loops/boilerplate (few tokens dominate), entropy ≈ log2(N) flags
+  // hapax-everything gibberish. Shannon entropy needs a log, which is
+  // exactly what G14 makes oracle-able:
+  //   H_q20 = log2q20(N) − ⌊Σ_w c_w · log2q20(c_w) / N⌋
+  // (the identity H = log2 N − (1/N)·Σ c·log2 c in pure int64; the
+  // one floor division is mirrored in both engines). ratio_ppm
+  // normalizes by the doc's max entropy log2(N) — 1e6 = all tokens
+  // distinct, small = dominated by repeats.
+  //
+  // Width budget: Σ c_w·log2q20(c_w) ≤ N·63·2^20 < N·2^26 — int64-safe
+  // to N < 2^37 tokens per DOCUMENT (any real document; a 100 TB
+  // corpus bounds N per doc, not the corpus). Scale shape: one
+  // per-(doc, word) count (the SHARED postings cache — no new corpus
+  // explode) + one map-side-combining per-doc aggregation; log2q20 is
+  // the native codegen'd kernel per POSTING row, never per token.
+  private val tokenEntropy = GraftQuery(
+    "token_entropy",
+    (s, d) => {
+      val p = postings(s, d)
+      p.groupBy(col("doc_id"), col("dl"))
+        .agg(count(lit(1)).as("n_distinct"),
+          sum(col("tf") * lg(col("tf"))).as("sum_clog"))
+        .withColumn("entropy_q20",
+          lg(col("dl")) - expr("sum_clog div dl"))
+        .withColumn("entropy_bits",
+          round(col("entropy_q20") / lit(Q20.toDouble), 6))
+        .withColumn("logn", lg(col("dl")))
+        .withColumn("entropy_ratio_ppm",
+          when(col("dl") > 1,
+            expr("(entropy_q20 * 1000000) div logn"))
+            .otherwise(lit(0L)))
+        .select(col("doc_id"), col("dl").as("n_tokens"),
+          col("n_distinct"), col("entropy_q20"), col("entropy_bits"),
+          col("entropy_ratio_ppm"))
+        .orderBy(col("doc_id"))
+    },
+    Some(s"""
+      WITH RECURSIVE w AS (
+        SELECT doc_id, $wordsSql AS w FROM documents),
+      dw AS (
+        SELECT doc_id, w, CAST(len(w) AS BIGINT) AS dl FROM w
+        WHERE len(w) > 0),
+      post AS (
+        SELECT doc_id, dl, word, CAST(COUNT(*) AS BIGINT) AS tf
+        FROM (SELECT doc_id, dl, unnest(w) AS word FROM dw)
+        GROUP BY 1, 2, 3),
+      loginputs AS (
+        -- explicit outer DISTINCT: under WITH RECURSIVE, DuckDB does
+        -- NOT set-dedupe a plain UNION of two non-self-referencing
+        -- branches, and tf and dl ranges OVERLAP (a val in both would
+        -- walk the log recursion twice and double every joined row)
+        SELECT DISTINCT val FROM (
+          SELECT tf AS val FROM post
+          UNION ALL
+          SELECT dl AS val FROM dw)),
+      ${Portable.sql.log2CteSql("loginputs", "logsteps", "logs")},
+      agg AS (
+        SELECT p.doc_id, p.dl, CAST(COUNT(*) AS BIGINT) AS n_distinct,
+          CAST(SUM(p.tf * l.log2_q20) AS BIGINT) AS sum_clog
+        FROM post p JOIN logs l ON l.val = p.tf
+        GROUP BY 1, 2),
+      e AS (
+        SELECT a.doc_id, a.dl, a.n_distinct,
+          ln.log2_q20 - (a.sum_clog // a.dl) AS entropy_q20,
+          ln.log2_q20 AS logn
+        FROM agg a JOIN logs ln ON ln.val = a.dl)
+      SELECT doc_id, dl AS n_tokens, n_distinct, entropy_q20,
+        round(entropy_q20 / ${Q20}.0, 6) AS entropy_bits,
+        CASE WHEN dl > 1 THEN (entropy_q20 * 1000000) // logn
+             ELSE 0 END AS entropy_ratio_ppm
+      FROM e ORDER BY doc_id
+      """))
+
   override val queries: Seq[GraftQuery] =
     Seq(lmScore, bm25Search, keywordExtract,
       bm25IndexSearch, bm25IndexAppendSearch,
       lmIndexScore, lmIndexAppendScore, phraseSearch, collocations,
-      docSimilarity)
+      docSimilarity, tokenEntropy)
 }
