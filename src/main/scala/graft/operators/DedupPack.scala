@@ -128,12 +128,19 @@ object DedupPack extends QueryPack {
     * Shared by C2's in-corpus pair generation and the C12 persisted
     * band store (write AND probe sides must band identically).
     */
-  private[graft] def bandKeys(sh: DataFrame): DataFrame = {
-      val based = sh
-        .select(col("doc_id"), explode(col("shingles")).as("h"))
-      val mins = based.groupBy(col("doc_id")).agg(
+  /** (doc_id, sig[numHashes]) — the full MinHash signature frame
+    * (G11), factored out of [[bandKeys]] so the C2b accuracy audit can
+    * read component agreement off the SAME signatures the banding
+    * uses.
+    */
+  private[graft] def signatures(sh: DataFrame): DataFrame =
+    sh.select(col("doc_id"), explode(col("shingles")).as("h"))
+      .groupBy(col("doc_id")).agg(
         graft.expressions.MinHashAgg.minhashAgg(col("h"), numHashes)
           .as("sig"))
+
+  private[graft] def bandKeys(sh: DataFrame): DataFrame = {
+      val mins = signatures(sh)
       mins
         .select(col("doc_id"),
           explode(array((0 until numBands).map(b =>
@@ -206,6 +213,75 @@ object DedupPack extends QueryPack {
       SELECT doc_a, doc_b, n_shared_bands, jaccard
       FROM pairs
       ORDER BY doc_a, doc_b
+      """))
+
+  // C2b — the MinHash accuracy audit (r9): for every banding candidate
+  // (NO τ filter — the audit wants the whole range, including the
+  // false positives the verify step exists to reject), the sketch's
+  // own Jaccard estimate — matching signature components / numHashes,
+  // the textbook unbiased estimator — beside the exact Jaccard. The
+  // est-vs-exact pattern of metrics_cms_estimate for the dedup family:
+  // it quantifies, per corpus, what the banding geometry trades for
+  // its one-shuffle candidate generation, at candidate-pair cost (the
+  // corpus is never re-scanned — signatures and shingle sets are the
+  // C2 cached frames). MinHash is deterministic here (fixed affine
+  // family), so even the estimates carry a full hash oracle.
+  private val dedupMinhashEst = GraftQuery(
+    "dedup_minhash_est",
+    (s, d) => {
+      val sh = shingled(s, d)
+      val keyed = bandKeys(sh)
+      val a = keyed.select(col("doc_id").as("doc_a"), col("band"),
+        col("key"))
+      val b = keyed.select(col("doc_id").as("doc_b"),
+        col("band").as("band_b"), col("key").as("key_b"))
+      val cand = a.join(b,
+          col("band") === col("band_b") && col("key") === col("key_b") &&
+            col("doc_a") < col("doc_b"))
+        .groupBy(col("doc_a"), col("doc_b"))
+        .agg(count(lit(1)).as("n_shared_bands"))
+      val sig = signatures(sh)
+      val est = cand
+        .join(sig.select(col("doc_id").as("doc_a"),
+          col("sig").as("sig_a")), "doc_a")
+        .join(sig.select(col("doc_id").as("doc_b"),
+          col("sig").as("sig_b")), "doc_b")
+        .withColumn("n_match",
+          expr("aggregate(zip_with(sig_a, sig_b, " +
+            "(x, y) -> IF(x = y, 1L, 0L)), 0L, (acc, v) -> acc + v)"))
+        .withColumn("est_ppm",
+          expr(s"(n_match * 1000000) div $numHashes"))
+      val sa = sh.select(col("doc_id").as("doc_a"),
+        col("shingles").as("sa"))
+      val sb = sh.select(col("doc_id").as("doc_b"),
+        col("shingles").as("sb"))
+      est.join(sa, "doc_a").join(sb, "doc_b")
+        .withColumn("jaccard", jaccard(col("sa"), col("sb")))
+        .select(col("doc_a"), col("doc_b"), col("n_shared_bands"),
+          col("n_match"), col("est_ppm"), col("jaccard"))
+        .orderBy(col("doc_a"), col("doc_b"))
+    },
+    Some(s"""
+      WITH $minhashPairsSql,
+      m AS (SELECT c.doc_a, c.doc_b, c.n_shared_bands,
+          CAST(len(list_filter(range($numHashes),
+            i -> a.sig[CAST(i AS INTEGER)+1] =
+                 b.sig[CAST(i AS INTEGER)+1])) AS BIGINT) AS n_match
+        FROM cand c
+        JOIN sig a ON c.doc_a = a.doc_id
+        JOIN sig b ON c.doc_b = b.doc_id),
+      x AS (SELECT m.doc_a, m.doc_b,
+          CAST(m.n_shared_bands AS BIGINT) AS n_shared_bands, m.n_match,
+          (m.n_match * 1000000) // $numHashes AS est_ppm,
+          len(list_filter(sa.shingles,
+            x -> list_contains(sb.shingles, x))) AS inter,
+          len(sa.shingles) + len(sb.shingles) AS tot
+        FROM m
+        JOIN sh sa ON m.doc_a = sa.doc_id
+        JOIN sh sb ON m.doc_b = sb.doc_id)
+      SELECT doc_a, doc_b, n_shared_bands, n_match, est_ppm,
+        round(inter::DOUBLE / (tot - inter), 6) AS jaccard
+      FROM x ORDER BY doc_a, doc_b
       """))
 
   // C6 — duplicate-pair CLUSTERING: connected components over the C2
@@ -1039,7 +1115,8 @@ object DedupPack extends QueryPack {
       """))
 
   override val queries: Seq[GraftQuery] =
-    Seq(dedupExact, dedupMinhash, dedupCluster, ngramJaccard, decontaminate,
+    Seq(dedupExact, dedupMinhash, dedupMinhashEst, dedupCluster,
+      ngramJaccard, decontaminate,
       substringDedup, passageDedup, boilerplateStrip, semanticDedup,
       dedupIncremental, dedupIncrementalMinhash)
 

@@ -881,9 +881,82 @@ object SearchPack extends QueryPack {
       FROM e ORDER BY doc_id
       """))
 
+  // ---- E12: doc_kl — per-doc KL divergence from the corpus ----
+  // The domain-outlier signal beside E11's within-doc entropy: how far
+  // each document's unigram distribution sits from the corpus's,
+  //   D = Σ_w (c_w/N) · log2( (c_w/N) / (C_w/T) )
+  // in exact Q20 via the product form log2(c_w·T) − log2(N·C_w) (both
+  // args positive ints). High KL = off-domain text (a code file in a
+  // prose corpus, the wrong language, spam); near-zero = corpus-
+  // typical. Per-TERM differences are signed; the unnormalized
+  //   kl_sum_q20 = Σ c_w·(log2q20(c_w·T) − log2q20(N·C_w))
+  // stays exact int64, and the per-token rate is reported as ONE IEEE
+  // division + round (integer div is avoided on purpose: Spark's `div`
+  // truncates toward zero while DuckDB's `//` floors, and the sum can
+  // be epsilon-negative under log truncation even though true KL ≥ 0).
+  //
+  // Width budget: log args ≤ N·T — int64-safe while max-within-doc
+  // term count × corpus tokens < 2^63 (c_w < 2^20 at a T = 1e13 ≈ 2^43
+  // corpus — the same envelope bm25's tf·T products document; past it,
+  // split the logs at a documented determinism break).
+  private val docKl = GraftQuery(
+    "doc_kl",
+    (s, d) => {
+      val p = postings(s, d)
+      val uni = p.groupBy(col("word")).agg(sum(col("tf")).as("c1"))
+      val tot = uni.agg(sum(col("c1")).as("t"))
+      p.join(uni, Seq("word"))
+        .crossJoin(broadcast(tot))
+        .select(col("doc_id"), col("dl"),
+          (col("tf") * (lg(col("tf") * col("t")) -
+            lg(col("dl") * col("c1")))).as("term_q20"))
+        .groupBy(col("doc_id"), col("dl"))
+        .agg(sum(col("term_q20")).as("kl_sum_q20"))
+        .withColumn("kl_bits_per_token",
+          round(col("kl_sum_q20") /
+            (col("dl").cast(DoubleType) * lit(Q20.toDouble)), 6))
+        .select(col("doc_id"), col("dl").as("n_tokens"),
+          col("kl_sum_q20"), col("kl_bits_per_token"))
+        .orderBy(col("doc_id"))
+    },
+    Some(s"""
+      WITH RECURSIVE w AS (
+        SELECT doc_id, $wordsSql AS w FROM documents),
+      dw AS (
+        SELECT doc_id, w, CAST(len(w) AS BIGINT) AS dl FROM w
+        WHERE len(w) > 0),
+      post AS (
+        SELECT doc_id, dl, word, CAST(COUNT(*) AS BIGINT) AS tf
+        FROM (SELECT doc_id, dl, unnest(w) AS word FROM dw)
+        GROUP BY 1, 2, 3),
+      uni AS (
+        SELECT word, CAST(SUM(tf) AS BIGINT) AS c1 FROM post GROUP BY 1),
+      tot AS (SELECT CAST(SUM(c1) AS BIGINT) AS t FROM uni),
+      loginputs AS (
+        SELECT DISTINCT val FROM (
+          SELECT tf * (SELECT t FROM tot) AS val FROM post
+          UNION ALL
+          SELECT p.dl * u.c1 AS val
+          FROM post p JOIN uni u ON p.word = u.word)),
+      ${Portable.sql.log2CteSql("loginputs", "logsteps", "logs")},
+      scored AS (
+        SELECT p.doc_id, p.dl,
+          p.tf * (ln.log2_q20 - ld.log2_q20) AS term_q20
+        FROM post p
+        JOIN uni u ON p.word = u.word
+        JOIN logs ln ON ln.val = p.tf * (SELECT t FROM tot)
+        JOIN logs ld ON ld.val = p.dl * u.c1),
+      agg AS (
+        SELECT doc_id, dl, CAST(SUM(term_q20) AS BIGINT) AS kl_sum_q20
+        FROM scored GROUP BY 1, 2)
+      SELECT doc_id, dl AS n_tokens, kl_sum_q20,
+        round(kl_sum_q20 / (dl * ${Q20}.0), 6) AS kl_bits_per_token
+      FROM agg ORDER BY doc_id
+      """))
+
   override val queries: Seq[GraftQuery] =
     Seq(lmScore, bm25Search, keywordExtract,
       bm25IndexSearch, bm25IndexAppendSearch,
       lmIndexScore, lmIndexAppendScore, phraseSearch, collocations,
-      docSimilarity, tokenEntropy)
+      docSimilarity, tokenEntropy, docKl)
 }

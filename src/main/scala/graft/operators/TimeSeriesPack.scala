@@ -1298,16 +1298,11 @@ object TimeSeriesPack extends QueryPack {
   // engine-portable bit-for-bit, so it gets a FULL hash-match oracle —
   // the daily→global merge is provably lossless (bucket-count sums),
   // which the spec double-checks against a direct global histogram.
-  private val histRollup = GraftQuery(
-    "metrics_hist_rollup",
-    (s, d) => {
-      val daily = TimeSeries.logHistDaily(
-        Tables.events(s, d), col("event_type"), col("ts"), col("value"))
-      TimeSeries.logHistRollup(daily)
-        .withColumnRenamed("key", "event_type")
-        .orderBy(col("event_type"))
-    },
-    Some("""
+  /** metrics_hist_rollup's oracle — shared VERBATIM by the persisted
+    * leg's gate row (`hist_store_rollup`): brackets-after-any-append ≡
+    * one global pass.
+    */
+  private val histRollupOracle: String = """
       WITH b AS (
         SELECT event_type AS key,
           CAST(round(value * 100, 0) AS BIGINT) AS cents
@@ -1344,7 +1339,49 @@ object TimeSeriesPack extends QueryPack {
           AS BIGINT) AS p99_hi_cents
       FROM pk
       ORDER BY event_type
-      """))
+      """
+
+  private val histRollup = GraftQuery(
+    "metrics_hist_rollup",
+    (s, d) => {
+      val daily = TimeSeries.logHistDaily(
+        Tables.events(s, d), col("event_type"), col("ts"), col("value"))
+      TimeSeries.logHistRollup(daily)
+        .withColumnRenamed("key", "event_type")
+        .orderBy(col("event_type"))
+    },
+    Some(histRollupOracle))
+
+  // A10l — the persisted histogram store through the driver gate (the
+  // third sketch family under MetricsStore, completing KMV + CMS +
+  // HIST): build on even event_ids, APPEND the odds (a day-splitting
+  // slice — bucket-count sums are partition-shape-independent), roll
+  // the merged cells up to quantile brackets — and the result must
+  // hash-match the SAME oracle as the in-query metrics_hist_rollup:
+  // brackets-after-append ≡ one-global-pass bit-for-bit.
+  private def histStore(s: SparkSession, d: String): String = {
+    import graft.sources.StoreMemo
+    val base = s"graft_hist_store_${StoreMemo.tagOf(d)}"
+    val dir = s"${StoreMemo.root}/$base"
+    StoreMemo.once(s, s"${base}_hist", dir, Seq(s"${base}_hist")) {
+      val ev = Tables.events(s, d)
+      graft.sources.MetricsStore.writeHist(
+        ev.filter(pmod(col("event_id"), lit(2)) === 0),
+        col("event_type"), col("ts"), col("value"), base, dir)
+      graft.sources.MetricsStore.appendHist(s, base,
+        ev.filter(pmod(col("event_id"), lit(2)) =!= 0),
+        col("event_type"), col("ts"), col("value"))
+    }
+    base
+  }
+
+  private val histStoreRollup = GraftQuery(
+    "hist_store_rollup",
+    (s, d) => TimeSeries.logHistRollup(
+        graft.sources.MetricsStore.histCells(s, histStore(s, d)))
+      .withColumnRenamed("key", "event_type")
+      .orderBy(col("event_type")),
+    Some(histRollupOracle))
 
   override val queries: Seq[GraftQuery] = Seq(
     tsBin, tsAgo, tsSeries, sessionize, metricsDaily, percentiles,
@@ -1355,5 +1392,5 @@ object TimeSeriesPack extends QueryPack {
     tsLocfFill, tsAsof, tsAnomaly, tsDerivative, tsIntegral,
     qAsofJoin, qAsofJoinFwd, qLatest, latestStoreSnapshot, qSkewAgg,
     qTransitions, tsBurst, tsMad,
-    sketchRollup, histRollup)
+    sketchRollup, histRollup, histStoreRollup)
 }

@@ -158,4 +158,68 @@ object MetricsStore {
   def compactCms(spark: SparkSession, tableBase: String): Unit =
     Bucketed.compactPlain(spark, s"${tableBase}_cms",
       Seq("batch_id", "day", "row_id", "bucket"))
+
+  // ---- HIST leg: persisted per-(key, day) log-histogram cells ----
+  // The third sketch family under the observability store (KMV
+  // distinct, CMS frequency, now value HISTOGRAMS → quantile
+  // brackets): per-ingest-unit delta tables
+  // `<base>_hist` (batch_id, key, day, bucket_id, cnt) — the CMS
+  // delta/LSM shape verbatim. Bucket counts are additive ints over ANY
+  // partition of the events, so the rolled-up quantile brackets after
+  // any append sequence ≡ one global pass bit-for-bit
+  // (`hist_store_rollup` shares metrics_hist_rollup's oracle). Like
+  // CMS — and unlike KMV — duplicate deltas would DOUBLE-count, so
+  // each delta carries the content-derived [[IngestId]] over its raw
+  // event_ids and the read collapses replays before summing.
+  // Compaction is LAYOUT-only (folding across batch_ids would erase
+  // the replay-dedup key — the LmStore lesson).
+
+  private def histDelta(events: DataFrame, key: Column, ts: Column,
+      value: Column): DataFrame =
+    TimeSeries.logHistDaily(events, key, ts, value)
+      .crossJoin(broadcast(
+        IngestId.of(events.select(col("event_id").as("doc_id")))))
+      .select(col("batch_id"), col("key"), col("day"), col("bucket_id"),
+        col("cnt"))
+
+  /** Build the histogram cell store over `events` at `path` (counts of
+    * `value`'s log-bucket per (`key`, day of `ts`)).
+    */
+  def writeHist(events: DataFrame, key: Column, ts: Column,
+      value: Column, tableBase: String, path: String): Unit = {
+    val spark = events.sparkSession
+    histDelta(events, key, ts, value).write.mode("overwrite")
+      .format("parquet")
+      .option("path", s"$path/hist").saveAsTable(s"${tableBase}_hist")
+    spark.catalog.refreshTable(s"${tableBase}_hist")
+  }
+
+  /** Fold a new slice of events in — any slice shape; bucket sums are
+    * partition-shape-independent and a replayed append's delta
+    * collapses at read on its content-derived batch_id.
+    */
+  def appendHist(spark: SparkSession, tableBase: String,
+      events: DataFrame, key: Column, ts: Column,
+      value: Column): Unit = {
+    histDelta(events, key, ts, value).write.mode("append")
+      .format("parquet").saveAsTable(s"${tableBase}_hist")
+    spark.catalog.refreshTable(s"${tableBase}_hist")
+  }
+
+  /** The merged (key, day, bucket_id, cnt) cells over everything
+    * ingested — bit-identical to a direct [[TimeSeries.logHistDaily]]
+    * pass; feed to [[TimeSeries.logHistRollup]] for the quantile
+    * brackets.
+    */
+  def histCells(spark: SparkSession, tableBase: String): DataFrame =
+    spark.table(s"${tableBase}_hist")
+      .dropDuplicates()
+      .drop("batch_id")
+      .groupBy(col("key"), col("day"), col("bucket_id"))
+      .agg(sum(col("cnt")).as("cnt"))
+
+  /** Rewrite the delta table to one sorted file (layout only). */
+  def compactHist(spark: SparkSession, tableBase: String): Unit =
+    Bucketed.compactPlain(spark, s"${tableBase}_hist",
+      Seq("batch_id", "key", "day", "bucket_id"))
 }

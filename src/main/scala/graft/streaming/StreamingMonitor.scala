@@ -12,11 +12,12 @@ import org.apache.spark.sql.streaming.StreamingQuery
   * snapshot) must have a streaming ingest leg, not just the batch
   * `write`+`append` the gate rows drive.
   *
-  * Each micro-batch folds three deltas in via `foreachBatch` (the
+  * Each micro-batch folds four deltas in via `foreachBatch` (the
   * [[StreamingIngest]] seam — these legs MUTATE external tables, which
   * no exactly-once sink can express):
   *  - per-(event_type, day) KMV distinct-user sketch rows,
   *  - per-(day, hash row, bucket) CMS count cells,
+  *  - per-(event_type, day) value-histogram cells (r9, the A10l leg),
   *  - per-user latest-state partials.
   *
   * Replay convergence is the stores' own contract, and — unlike the
@@ -26,7 +27,7 @@ import org.apache.spark.sql.streaming.StreamingQuery
   *  - KMV: a replayed append lands duplicate (key, day, hv) rows; the
   *    merge's DISTINCT collapses them (subset-of-k-smallest argument,
   *    [[MetricsStore]] doc).
-  *  - CMS / snapshot: integer cells and per-key partials would
+  *  - CMS / HIST / snapshot: integer cells and per-key partials would
   *    double-count, so each delta carries the batch's content-derived
   *    [[graft.sources.IngestId]] — a replay derives the identical
   *    batch_id and the read collapses it. A crash BETWEEN the appends
@@ -50,11 +51,19 @@ object StreamingMonitor {
     * scan).
     */
   def processBatch(spark: SparkSession, kmvBase: String, cmsBase: String,
-      snapBase: String, batch: DataFrame): Unit = {
+      snapBase: String, batch: DataFrame): Unit =
+    processBatch(spark, kmvBase, cmsBase, None, snapBase, batch)
+
+  /** As above with the optional histogram leg (A10l). */
+  def processBatch(spark: SparkSession, kmvBase: String, cmsBase: String,
+      histBase: Option[String], snapBase: String,
+      batch: DataFrame): Unit = {
     val b = batch.localCheckpoint(true)
     MetricsStore.append(spark, kmvBase, b,
       col("event_type"), col("ts"), col("user_id"))
     MetricsStore.appendCms(spark, cmsBase, b, col("ts"), col("user_id"))
+    histBase.foreach(hb => MetricsStore.appendHist(spark, hb, b,
+      col("event_type"), col("ts"), col("value")))
     SnapshotStore.append(spark, snapBase, b)
   }
 
@@ -64,9 +73,15 @@ object StreamingMonitor {
   def run(spark: SparkSession, stream: DataFrame, kmvBase: String,
       cmsBase: String, snapBase: String,
       onBatch: Long => Unit = _ => ()): StreamingQuery =
+    run(spark, stream, kmvBase, cmsBase, None, snapBase, onBatch)
+
+  /** As [[run]] with the optional histogram leg. */
+  def run(spark: SparkSession, stream: DataFrame, kmvBase: String,
+      cmsBase: String, histBase: Option[String], snapBase: String,
+      onBatch: Long => Unit): StreamingQuery =
     stream.writeStream
       .foreachBatch { (batch: DataFrame, id: Long) =>
-        processBatch(spark, kmvBase, cmsBase, snapBase, batch)
+        processBatch(spark, kmvBase, cmsBase, histBase, snapBase, batch)
         onBatch(id)
       }
       .start()

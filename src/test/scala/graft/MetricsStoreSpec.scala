@@ -139,4 +139,42 @@ class MetricsStoreSpec extends GraftSpec {
       Caches.deleteDir(path)
     }
   }
+
+  test("hist leg: write + day-splitting append equals the direct cell " +
+      "build and rollup; a replayed append collapses; compact is " +
+      "stable") {
+    val base = s"graft_hist_spec_${System.nanoTime()}"
+    val path = s"${sys.props("java.io.tmpdir")}/$base"
+    val ev = Tables.events(spark, sfDir)
+    val odds = ev.filter(pmod(col("event_id"), lit(2)) =!= 0)
+    try {
+      MetricsStore.writeHist(
+        ev.filter(pmod(col("event_id"), lit(2)) === 0),
+        col("event_type"), col("ts"), col("value"), base, path)
+      MetricsStore.appendHist(spark, base, odds,
+        col("event_type"), col("ts"), col("value"))
+      val directCells = rows(graft.timeseries.TimeSeries
+        .logHistDaily(ev, col("event_type"), col("ts"), col("value"))
+        .orderBy("key", "day", "bucket_id"))
+      val directRoll = rows(graft.timeseries.TimeSeries.logHistRollup(
+        graft.timeseries.TimeSeries.logHistDaily(ev, col("event_type"),
+          col("ts"), col("value"))).orderBy("key"))
+      def cells() = rows(MetricsStore.histCells(spark, base)
+        .orderBy("key", "day", "bucket_id"))
+      def roll() = rows(graft.timeseries.TimeSeries.logHistRollup(
+        MetricsStore.histCells(spark, base)).orderBy("key"))
+      assert(cells() == directCells,
+        "cells-after-append must equal one global pass")
+      assert(roll() == directRoll,
+        "brackets-after-append must equal one global pass")
+      MetricsStore.appendHist(spark, base, odds,
+        col("event_type"), col("ts"), col("value"))
+      assert(cells() == directCells, "replayed delta must collapse")
+      MetricsStore.compactHist(spark, base)
+      assert(cells() == directCells && roll() == directRoll)
+    } finally {
+      spark.sql(s"DROP TABLE IF EXISTS ${base}_hist")
+      cleanup(base, path)
+    }
+  }
 }

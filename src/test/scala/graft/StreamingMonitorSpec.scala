@@ -25,6 +25,7 @@ class StreamingMonitorSpec extends GraftSpec {
     val tag = System.nanoTime()
     val kmvBase = s"graft_mon_kmv_$tag"
     val cmsBase = s"graft_mon_cms_$tag"
+    val histBase = s"graft_mon_hist_$tag"
     val snapBase = s"graft_mon_snap_$tag"
     val tmp = java.nio.file.Files
       .createTempDirectory("graft-monitor-spec").toString
@@ -38,6 +39,8 @@ class StreamingMonitorSpec extends GraftSpec {
         col("user_id"), kmvBase, s"$tmp/kmv", k = kmvK)
       MetricsStore.writeCms(seed, col("ts"), col("user_id"),
         cmsBase, s"$tmp/cms")
+      MetricsStore.writeHist(seed, col("event_type"), col("ts"),
+        col("value"), histBase, s"$tmp/hist")
       SnapshotStore.write(seed, snapBase, s"$tmp/snap")
       // two arrival files → two real micro-batches
       val incoming = s"$tmp/incoming"
@@ -52,7 +55,7 @@ class StreamingMonitorSpec extends GraftSpec {
         .select(ev.columns.map(col): _*) // pin the column order
       val seen = scala.collection.mutable.ArrayBuffer.empty[Long]
       val q = StreamingMonitor.run(spark, stream, kmvBase, cmsBase,
-        snapBase, id => seen += id)
+        Some(histBase), snapBase, id => seen += id)
       try q.processAllAvailable() finally q.stop()
       assert(seen.size == 2, s"expected 2 micro-batches, saw $seen")
 
@@ -64,23 +67,32 @@ class StreamingMonitorSpec extends GraftSpec {
         "row_id", "bucket")
       val wantSnap = rows(
         SparkEntry.queries("q_latest")(spark, sfDir), "user_id")
+      val wantHist = rows(TimeSeries.logHistRollup(
+        TimeSeries.logHistDaily(ev, col("event_type"), col("ts"),
+          col("value"))), "key")
       def gotKmv() = rows(MetricsStore.estimate(spark, kmvBase), "key")
       def gotCms() = rows(MetricsStore.cmsCells(spark, cmsBase),
         "row_id", "bucket")
       def gotSnap() = rows(SnapshotStore.snapshot(spark, snapBase),
         "user_id")
+      def gotHist() = rows(TimeSeries.logHistRollup(
+        MetricsStore.histCells(spark, histBase)), "key")
       assert(gotKmv() == wantKmv,
         "streamed KMV estimate must equal the one-pass estimate")
       assert(gotCms() == wantCms,
         "streamed CMS cells must equal the one-pass cells")
       assert(gotSnap() == wantSnap,
         "streamed snapshot must equal the one-pass q_latest")
+      assert(gotHist() == wantHist,
+        "streamed histogram brackets must equal the one-pass rollup")
 
       // crash replay: batch 2 re-delivered whole — KMV duplicates
       // collapse in the merge's distinct, CMS/snapshot on the
       // content-derived batch_id
-      StreamingMonitor.processBatch(spark, kmvBase, cmsBase, snapBase, b2)
+      StreamingMonitor.processBatch(spark, kmvBase, cmsBase,
+        Some(histBase), snapBase, b2)
       assert(gotKmv() == wantKmv, "replayed KMV rows must collapse")
+      assert(gotHist() == wantHist, "replayed HIST delta must collapse")
       assert(gotCms() == wantCms, "replayed CMS delta must collapse")
       assert(gotSnap() == wantSnap, "replayed snapshot delta must collapse")
 
@@ -91,7 +103,8 @@ class StreamingMonitorSpec extends GraftSpec {
         .withColumn("event_id", col("event_id") + lit(1000000000L))
       MetricsStore.appendCms(spark, cmsBase, b3, col("ts"),
         col("user_id"))
-      StreamingMonitor.processBatch(spark, kmvBase, cmsBase, snapBase, b3)
+      StreamingMonitor.processBatch(spark, kmvBase, cmsBase,
+        Some(histBase), snapBase, b3)
       val all3 = ev.unionByName(b3)
       assert(gotCms() == rows(TimeSeries.cmsCells(all3, col("user_id")),
         "row_id", "bucket"),
@@ -101,7 +114,7 @@ class StreamingMonitorSpec extends GraftSpec {
           col("user_id"), kmvK), kmvK), kmvK), "key"))
     } finally {
       Seq(s"${kmvBase}_kmv", s"${kmvBase}_meta", s"${cmsBase}_cms",
-        s"${snapBase}_latest")
+        s"${histBase}_hist", s"${snapBase}_latest")
         .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
       Caches.deleteDir(tmp)
     }
