@@ -1383,6 +1383,59 @@ object TimeSeriesPack extends QueryPack {
       .orderBy(col("event_type")),
     Some(histRollupOracle))
 
+  // A28 — seasonal (hour-of-day) baseline + deviation audit: each
+  // dimension's expected level per clock hour across the retention
+  // window, and how many observed hourly bins sit more than 50% off
+  // their hour's baseline — the view that separates "traffic is high
+  // because it is 14:00" from a real anomaly, feeding A17's z-score
+  // with a seasonality-aware prior. Shares A11's hourly bins frame by
+  // reference; baselines are decimal-summed means (partition-order-
+  // proof), the deviation predicate is pure IEEE arithmetic computed
+  // identically in both engines, and the flag count is one agg +
+  // join-back — partitions bounded by (dimension × 24), never by raw
+  // event share.
+  private val tsSeasonal = GraftQuery(
+    "ts_seasonal",
+    (s, d) => {
+      val binsH = hourlySpine(s, d)._1
+        .withColumn("hod", hour(col("bin")).cast(LongType))
+      val base = binsH.groupBy(col("event_type"), col("hod"))
+        .agg(count(lit(1)).as("n_bins"),
+          (sum(col("avg_val").cast(DecimalType(28, 12)))
+            .cast(DoubleType) / count(lit(1))).as("baseline"))
+      binsH.join(base, Seq("event_type", "hod"))
+        .groupBy(col("event_type"), col("hod"), col("n_bins"),
+          col("baseline"))
+        .agg(sum((abs(col("avg_val") - col("baseline")) >
+          col("baseline") * lit(0.5)).cast(LongType)).as("n_dev"))
+        .select(col("event_type"), col("hod"), col("n_bins"),
+          round(col("baseline"), 6).as("baseline_avg"), col("n_dev"))
+        .orderBy(col("event_type"), col("hod"))
+    },
+    Some("""
+      WITH bins AS (
+        SELECT event_type,
+          make_timestamp(epoch_us(ts) - epoch_us(ts) % 3600000000) AS bin,
+          CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*)
+            AS avg_val
+        FROM events GROUP BY 1, 2),
+      h AS (SELECT event_type,
+          (epoch_us(bin) // 3600000000) % 24 AS hod, avg_val
+        FROM bins),
+      b AS (SELECT event_type, hod, CAST(COUNT(*) AS BIGINT) AS n_bins,
+          CAST(SUM(CAST(avg_val AS DECIMAL(28,12))) AS DOUBLE)
+            / COUNT(*) AS baseline
+        FROM h GROUP BY 1, 2),
+      j AS (SELECT h.event_type, h.hod, b.n_bins, b.baseline,
+          CASE WHEN abs(h.avg_val - b.baseline) > b.baseline * 0.5
+               THEN 1 ELSE 0 END AS dev
+        FROM h JOIN b ON h.event_type = b.event_type AND h.hod = b.hod)
+      SELECT event_type, CAST(hod AS BIGINT) AS hod, n_bins,
+        round(baseline, 6) AS baseline_avg,
+        CAST(SUM(dev) AS BIGINT) AS n_dev
+      FROM j GROUP BY 1, 2, 3, baseline ORDER BY 1, 2
+      """))
+
   override val queries: Seq[GraftQuery] = Seq(
     tsBin, tsAgo, tsSeries, sessionize, metricsDaily, percentiles,
     topUsers, approxMetrics, kmvMetrics, kmvRollup, kmvStoreEstimate,
@@ -1392,5 +1445,5 @@ object TimeSeriesPack extends QueryPack {
     tsLocfFill, tsAsof, tsAnomaly, tsDerivative, tsIntegral,
     qAsofJoin, qAsofJoinFwd, qLatest, latestStoreSnapshot, qSkewAgg,
     qTransitions, tsBurst, tsMad,
-    sketchRollup, histRollup, histStoreRollup)
+    sketchRollup, histRollup, histStoreRollup, tsSeasonal)
 }
