@@ -117,6 +117,19 @@ object Bench {
     // own 32 threads.)
     val loadThreshold = sys.env.getOrElse(
       "SPARK_GRAFT_BENCH_MAX_LOAD", "1.0").toDouble
+    // Hypervisor CPU STEAL across the run window — the co-tenant
+    // signature load_avg CANNOT see: on a contended VM host, steal
+    // inflates every query uniformly with zero evictions, flat input
+    // bytes and normal GC (exactly the residual the r9 clean runs
+    // showed vs r8c, on a box whose cumulative /proc/stat steal showed
+    // hours of historical theft). (-1, -1) where /proc/stat is absent.
+    def cpuSteal(): (Long, Long) =
+      try {
+        val parts = scala.io.Source.fromFile("/proc/stat").getLines()
+          .next().trim.split("\\s+").drop(1).map(_.toLong)
+        (if (parts.length > 7) parts(7) else 0L, parts.sum)
+      } catch { case _: Throwable => (-1L, -1L) }
+    val (steal0, jiffies0) = cpuSteal()
 
     val errors = scala.collection.mutable.ArrayBuffer.empty[String]
     // Cached-storage deltas per query: a snapshot of every cached RDD's
@@ -201,12 +214,22 @@ object Bench {
     val steadyTotal = steady.map(_._2).sum
     val total = warmupTotal + coldTotal
     val heapMaxMb = Runtime.getRuntime.maxMemory / (1024 * 1024)
-    val contended = load0 > loadThreshold
+    val (steal1, jiffies1) = cpuSteal()
+    // % of the machine's cpu-time the hypervisor withheld during the
+    // run; > ~2% inflates every query visibly on a 32-thread bench
+    val stealPct =
+      if (steal0 < 0 || jiffies1 <= jiffies0) -1.0
+      else 100.0 * (steal1 - steal0) / (jiffies1 - jiffies0)
+    val stealThreshold = sys.env.getOrElse(
+      "SPARK_GRAFT_BENCH_MAX_STEAL_PCT", "2.0").toDouble
+    val contended = load0 > loadThreshold || stealPct > stealThreshold
     if (contended) System.err.println(
-      f"[bench] WARNING: load_avg_start $load0%.2f exceeds threshold " +
-        f"$loadThreshold%.2f — this box was busy before the run began; " +
-        "the artifact is stamped \"contended\":true and must not gate " +
-        "performance. Re-run on a quiet box.")
+      f"[bench] WARNING: load_avg_start $load0%.2f (threshold " +
+        f"$loadThreshold%.2f) / steal $stealPct%.2f%% (threshold " +
+        f"$stealThreshold%.2f%%) — the box was busy before the run or " +
+        "the hypervisor withheld cpu during it; the artifact is " +
+        "stamped \"contended\":true and must not gate performance. " +
+        "Re-run on a quiet box.")
     val line =
       s"""{"metric":"total","value":$total,"unit":"sec"""" +
       s""","queries":${fmt(cold)},"sf":"$sfDir"""" +
@@ -245,7 +268,8 @@ object Bench {
       s""","driver_gc_ms":{"warmup":$gcWarm,"cold":$gcCold,"steady":$gcSteady}""" +
       s""","env":{"heap_max_mb":$heapMaxMb,"cpus":$cpus,""" +
       s""""load_avg_start":$load0,"load_avg_mid":$loadMid,""" +
-      s""""load_avg_end":$load1,"load_threshold":$loadThreshold}""" +
+      s""""load_avg_end":$load1,"load_threshold":$loadThreshold,""" +
+      f""""steal_pct":$stealPct%.3f,"steal_threshold":$stealThreshold}""" +
       s""","contended":$contended""" +
       s""","errors":${errors.map("\"" + _ + "\"").mkString("[", ",", "]")}}"""
     println(line)
@@ -262,7 +286,7 @@ object Bench {
     // "parsed": null). Repeat a COMPACT totals-only record as the very
     // LAST stdout line so a structured number survives any tail window.
     System.out.flush()
-    println(s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","steady_total":$steadyTotal,"warmup_total":$warmupTotal,"cold_total":$coldTotal,"heap_max_mb":$heapMaxMb,"driver_gc_ms":${gcWarm + gcCold + gcSteady},"load_avg_start":$load0,"load_avg_end":$load1,"contended":$contended,"failed":${errors.size}}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","steady_total":$steadyTotal,"warmup_total":$warmupTotal,"cold_total":$coldTotal,"heap_max_mb":$heapMaxMb,"driver_gc_ms":${gcWarm + gcCold + gcSteady},"load_avg_start":$load0,"load_avg_end":$load1,"steal_pct":${f"$stealPct%.3f"},"contended":$contended,"failed":${errors.size}}""")
     System.out.flush()
     spark.stop()
     // A run where queries failed must not read as success downstream:
