@@ -481,45 +481,58 @@ object CurationPack extends QueryPack {
   // the oracle mirrors it with one plain window. All-integer
   // arithmetic — full hash oracle.
   private val seqLen = 2048L
-  private val packSequences = GraftQuery(
-    "pack_sequences",
-    (s, d) => {
-      val pat = "[a-z]+|[0-9]+|[^a-z0-9\\s]" // E3's BPE-ish tokenizer
-      val t = Tables.parallelized(Tables.documents(s, d)).select(
-          col("doc_id"),
-          size(regexp_extract_all(lower(col("text")), lit(pat), lit(0)))
-            .cast(LongType).as("n"))
-        .filter(col("n") > 0)
-        .withColumn("bkt", expr(s"doc_id div ${packBucketSpan}L"))
-        .persistTracked
-      val wLocal = Window.partitionBy(col("bkt")).orderBy(col("doc_id"))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      val wOff = Window.orderBy(col("bkt"))
-        .rowsBetween(Window.unboundedPreceding, -1)
-      val offsets = t.groupBy(col("bkt")).agg(sum(col("n")).as("bt"))
-        .withColumn("off",
-          coalesce(sum(col("bt")).over(wOff), lit(0L)))
-        .select(col("bkt"), col("off"))
-      val st = t.withColumn("loc", sum(col("n")).over(wLocal))
-        .join(broadcast(offsets), Seq("bkt"))
-        .withColumn("st", col("loc") + col("off") - col("n"))
-      st.select(col("doc_id"), col("n"), col("st"),
-          explode(sequence(expr(s"st div ${seqLen}L"),
-            expr(s"(st + n - 1) div ${seqLen}L"))).as("seq_id"))
-        .withColumn("seg_idx", col("seq_id") - expr(s"st div ${seqLen}L"))
-        .withColumn("seg_begin",
-          greatest(col("st"), col("seq_id") * lit(seqLen)))
-        .withColumn("seq_offset",
-          col("seg_begin") - col("seq_id") * lit(seqLen))
-        .withColumn("doc_offset", col("seg_begin") - col("st"))
-        .withColumn("seg_len",
-          least(col("st") + col("n"),
-            (col("seq_id") + lit(1L)) * lit(seqLen)) - col("seg_begin"))
-        .select(col("doc_id"), col("seg_idx"), col("seq_id"),
-          col("seq_offset"), col("doc_offset"), col("seg_len"))
-        .orderBy(col("doc_id"), col("seg_idx"))
-    },
-    Some(s"""
+
+  /** The H9 packing over a (doc_id, text) frame, starting at stream
+    * position `baseOff` (a ONE-ROW frame with column `off`) — shared
+    * by the in-query `pack_sequences` (off = 0) and
+    * [[graft.sources.SeqStore]]'s append leg (off = the stored stream
+    * cursor), so the two paths cannot drift. Output: one row per
+    * (doc, crossed-boundary segment).
+    */
+  private[graft] def packSegments(docs: org.apache.spark.sql.DataFrame,
+      baseOff: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val pat = "[a-z]+|[0-9]+|[^a-z0-9\\s]" // E3's BPE-ish tokenizer
+    val t = docs.select(
+        col("doc_id"),
+        size(regexp_extract_all(lower(col("text")), lit(pat), lit(0)))
+          .cast(LongType).as("n"))
+      .filter(col("n") > 0)
+      .withColumn("bkt", expr(s"doc_id div ${packBucketSpan}L"))
+      .persistTracked
+    val wLocal = Window.partitionBy(col("bkt")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wOff = Window.orderBy(col("bkt"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = t.groupBy(col("bkt")).agg(sum(col("n")).as("bt"))
+      .withColumn("off0",
+        coalesce(sum(col("bt")).over(wOff), lit(0L)))
+      .select(col("bkt"), col("off0"))
+    val st = t.withColumn("loc", sum(col("n")).over(wLocal))
+      .join(broadcast(offsets), Seq("bkt"))
+      .crossJoin(broadcast(baseOff))
+      .withColumn("st", col("loc") + col("off0") + col("off") - col("n"))
+    st.select(col("doc_id"), col("n"), col("st"),
+        explode(sequence(expr(s"st div ${seqLen}L"),
+          expr(s"(st + n - 1) div ${seqLen}L"))).as("seq_id"))
+      .withColumn("seg_idx", col("seq_id") - expr(s"st div ${seqLen}L"))
+      .withColumn("seg_begin",
+        greatest(col("st"), col("seq_id") * lit(seqLen)))
+      .withColumn("seq_offset",
+        col("seg_begin") - col("seq_id") * lit(seqLen))
+      .withColumn("doc_offset", col("seg_begin") - col("st"))
+      .withColumn("seg_len",
+        least(col("st") + col("n"),
+          (col("seq_id") + lit(1L)) * lit(seqLen)) - col("seg_begin"))
+      .select(col("doc_id"), col("seg_idx"), col("seq_id"),
+        col("seq_offset"), col("doc_offset"), col("seg_len"))
+  }
+
+  /** H9's oracle — shared VERBATIM by `pack_store_roundtrip` (H9b):
+    * the persisted packing after any doc_id-monotone append sequence
+    * must read back as EXACTLY the one-pass packing.
+    */
+  private[graft] val packSequencesOracle: String = s"""
       WITH t AS (
         SELECT doc_id,
           CAST(len(regexp_extract_all(lower(text),
@@ -548,10 +561,49 @@ object CurationPack extends QueryPack {
         seg_begin - st AS doc_offset,
         seg_end - seg_begin AS seg_len
       FROM x ORDER BY doc_id, seg_idx
-      """))
+      """
+
+  private val packSequences = GraftQuery(
+    "pack_sequences",
+    (s, d) => {
+      import s.implicits._
+      packSegments(
+          Tables.parallelized(Tables.documents(s, d))
+            .select(col("doc_id"), col("text")),
+          Seq(0L).toDF("off"))
+        .orderBy(col("doc_id"), col("seg_idx"))
+    },
+    Some(packSequencesOracle))
+
+  // H9b — the persisted packing through the driver gate: build the
+  // SeqStore on the doc_id-lower half, APPEND the upper half (the
+  // ingest contract: doc ids rise monotonically across batches), read
+  // the segment table back — and it must hash-match the SAME oracle
+  // as the in-query pack_sequences: packing-after-append ≡ one pass.
+  private def seqStore(s: org.apache.spark.sql.SparkSession,
+      d: String): String = {
+    import graft.sources.StoreMemo
+    val base = s"graft_seq_store_${StoreMemo.tagOf(d)}"
+    val dir = s"${StoreMemo.root}/$base"
+    StoreMemo.once(s, s"${base}_segs", dir, Seq(s"${base}_segs")) {
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+      val thr = docs.agg(max(col("doc_id"))).head.getLong(0) / 2
+      graft.sources.SeqStore.write(
+        docs.filter(col("doc_id") <= thr), base, dir)
+      graft.sources.SeqStore.append(s, base,
+        docs.filter(col("doc_id") > thr))
+    }
+    base
+  }
+
+  private val packStoreRoundtrip = GraftQuery(
+    "pack_store_roundtrip",
+    (s, d) => graft.sources.SeqStore.segments(s, seqStore(s, d))
+      .orderBy(col("doc_id"), col("seg_idx")),
+    Some(packSequencesOracle))
 
   override val queries: Seq[GraftQuery] =
     Seq(sampleStratified, shardPack, curationFilter, curationPipeline,
       splitAssign, mixSources, sourceReport, shardsRoundtrip,
-      packSequences)
+      packSequences, packStoreRoundtrip)
 }

@@ -1,0 +1,91 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Persisted training-sequence packing — the build-once / extend-many
+  * form of H9's in-query `pack_sequences` (SURVEY.md §2 H9b),
+  * completing the in-query ↔ persisted symmetry for the packing the
+  * way D11 ↔ PqStore did for product quantization: a pretraining
+  * ingest keeps the data-loader's segment index CURRENT as document
+  * batches arrive, without ever re-tokenizing or re-packing history.
+  *
+  * One table `<base>_segs` (doc_id, seg_idx, seq_id, seq_offset,
+  * doc_offset, seg_len): the packed segment rows. Appends pack ONLY
+  * the arriving batch, starting at the stored stream cursor — which
+  * is derivable from the table itself (Σ seg_len = total tokens
+  * packed; segment-scale, never corpus-scale), so there is no meta
+  * table to keep consistent.
+  *
+  * Contracts, both load-bearing and loudly enforced:
+  *  - **doc_id-monotone appends**: packing is an append-only LAYOUT —
+  *    each batch's doc ids must exceed everything stored (checked;
+  *    violations throw rather than silently produce a packing no
+  *    one-pass run would). Backfill means repack, exactly like a
+  *    tokenized-and-sharded corpus on disk.
+  *  - **Crash replay**: appends are NOVEL-ONLY by doc_id (anti-join
+  *    against the stored segment index before packing), so a replayed
+  *    batch packs zero new docs and converges; without the filter a
+  *    replay would re-pack the same docs at an ADVANCED cursor —
+  *    duplicates at different positions that no read-side dedupe
+  *    could collapse. dropDuplicates at read additionally absorbs a
+  *    torn duplicate file pair.
+  *  - Single-writer per store (the cursor read-modify-write), like
+  *    EmbedStore's cells rewrite.
+  *
+  * `pack_store_roundtrip` gates the loop against `pack_sequences`'
+  * oracle VERBATIM: write the doc_id-lower half, append the upper
+  * half, read back ≡ one global pass bit-for-bit.
+  */
+object SeqStore {
+
+  private def pack(docs: DataFrame, off: DataFrame): DataFrame =
+    graft.operators.CurationPack.packSegments(docs, off)
+
+  /** Build the store over `docs` (doc_id, text) at `path`. */
+  def write(docs: DataFrame, tableBase: String, path: String): Unit = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    pack(docs, Seq(0L).toDF("off"))
+      .write.mode("overwrite").format("parquet")
+      .option("path", s"$path/segs").saveAsTable(s"${tableBase}_segs")
+    spark.catalog.refreshTable(s"${tableBase}_segs")
+  }
+
+  /** Pack an arriving batch in at the current stream cursor. Novel
+    * doc_ids only (replay-safe); refuses non-monotone batches loudly.
+    */
+  def append(spark: SparkSession, tableBase: String,
+      docs: DataFrame): Unit = {
+    val segs = spark.table(s"${tableBase}_segs")
+    // novel-only: a crash-replayed batch packs zero new docs
+    val novel = docs.join(segs.select(col("doc_id")).distinct(),
+      Seq("doc_id"), "left_anti")
+    val bounds = novel.agg(min(col("doc_id")).as("mn")).collect()(0)
+    if (bounds.isNullAt(0)) return // whole batch already packed
+    val hi = segs.agg(max(col("doc_id")).as("mx")).collect()(0)
+    require(hi.isNullAt(0) || bounds.getLong(0) > hi.getLong(0),
+      s"SeqStore $tableBase: append batch min doc_id ${bounds.get(0)} " +
+        s"does not exceed stored max ${hi.get(0)} — sequence packing " +
+        "is an append-only layout; backfill requires a rebuild")
+    // the stream cursor: total tokens packed so far (segment-scale agg)
+    val off = segs.agg(
+      coalesce(sum(col("seg_len")), lit(0L)).as("off"))
+    pack(novel, off)
+      .write.mode("append").format("parquet")
+      .saveAsTable(s"${tableBase}_segs")
+    spark.catalog.refreshTable(s"${tableBase}_segs")
+  }
+
+  /** The segment index over everything packed — bit-identical to one
+    * global `pack_sequences` pass over the same documents (in
+    * doc_id-monotone append order).
+    */
+  def segments(spark: SparkSession, tableBase: String): DataFrame =
+    spark.table(s"${tableBase}_segs").dropDuplicates()
+
+  /** Rewrite to one sorted file (layout only). */
+  def compact(spark: SparkSession, tableBase: String): Unit =
+    Bucketed.compactPlain(spark, s"${tableBase}_segs",
+      Seq("doc_id", "seg_idx"))
+}
