@@ -153,6 +153,14 @@ object ScaleSmoke {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     spark.range(1000).selectExpr("sum(id)").collect()
+    val load0 = math.max(0.0, java.lang.management.ManagementFactory
+      .getOperatingSystemMXBean.getSystemLoadAverage)
+    val (steal0, jiffies0) =
+      try {
+        val parts = scala.io.Source.fromFile("/proc/stat").getLines()
+          .next().trim.split("\\s+").drop(1).map(_.toLong)
+        (if (parts.length > 7) parts(7) else 0L, parts.sum)
+      } catch { case _: Throwable => (-1L, -1L) }
 
     // the reuse marker must key on BASE as well as K — a dir named by K
     // alone would silently serve stale replicas of a different dataset —
@@ -428,13 +436,33 @@ object ScaleSmoke {
       (name, c1, w1, cK, wK, ratio)
     }
     graft.Caches.releaseAll()
+    // the bench's artifact-must-defend-itself discipline, here too:
+    // load averages + hypervisor steal over the sweep window land in
+    // the summary so a contended sweep can be recognized from the file
+    // alone (the r9 full sweep's doc_similarity 6.72 vs 2.63 quiet was
+    // exactly this)
+    val envTail = {
+      def cpuSteal(): (Long, Long) =
+        try {
+          val parts = scala.io.Source.fromFile("/proc/stat").getLines()
+            .next().trim.split("\\s+").drop(1).map(_.toLong)
+          (if (parts.length > 7) parts(7) else 0L, parts.sum)
+        } catch { case _: Throwable => (-1L, -1L) }
+      val (st1, j1) = cpuSteal()
+      val stealPct =
+        if (steal0 < 0 || j1 <= jiffies0) -1.0
+        else 100.0 * (st1 - steal0) / (j1 - jiffies0)
+      val load1 = math.max(0.0, java.lang.management.ManagementFactory
+        .getOperatingSystemMXBean.getSystemLoadAverage)
+      f""""load_avg_start":$load0%.2f,"load_avg_end":$load1%.2f,"steal_pct":$stealPct%.3f"""
+    }
     val summary = if (report.nonEmpty) {
       val worst = report.maxBy(_._6)
       f"""{"metric":"scale_smoke","k":$k,"ops":${report.size},""" +
       f""""worst_op":"${worst._1}","worst_ratio":${worst._6}%.2f,""" +
       f""""x1_total":${report.map(_._3).sum}%.1f,""" +
-      f""""x${k}_total":${report.map(_._5).sum}%.1f}"""
-    } else f"""{"metric":"scale_smoke","k":$k,"ops":0}"""
+      f""""x${k}_total":${report.map(_._5).sum}%.1f,$envTail}"""
+    } else f"""{"metric":"scale_smoke","k":$k,"ops":0,$envTail}"""
     println(summary)
     val out = java.nio.file.Paths.get(
       sys.env.getOrElse("SPARK_GRAFT_SCALE_OUT", "scale_out.json"))

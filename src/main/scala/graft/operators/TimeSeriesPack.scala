@@ -1436,6 +1436,99 @@ object TimeSeriesPack extends QueryPack {
       FROM j GROUP BY 1, 2, 3, baseline ORDER BY 1, 2
       """))
 
+  // A29 — CUSUM change-point detection over each dimension's hourly
+  // series: the classic small-persistent-shift detector beside A17's
+  // z-score (one big spike), A25's burst (rate), A26's MAD (robust
+  // spread) and A28's seasonal prior — a mean shift of well under one
+  // σ that persists accumulates in the one-sided sums long before any
+  // per-point detector fires. sp_t = max(0, sp_{t-1} + (x_t − μ − k)),
+  // sn_t mirrored; μ is the dimension's decimal-summed mean, allowance
+  // k = 0.05·|μ|, alarm at h = 0.2·|μ| — all fixed IEEE arithmetic in
+  // a FIXED fold order (the A23/A24 recurrence discipline), so the
+  // whole trajectory hash-matches a recursive-CTE replay. Per-key
+  // state is the retention window's bin count, never raw events.
+  private val tsCusum = GraftQuery(
+    "ts_cusum",
+    (s, d) => {
+      val bins = hourlySpine(s, d)._1
+      val mu = bins.groupBy(col("event_type"))
+        .agg((sum(col("avg_val").cast(DecimalType(28, 12)))
+          .cast(DoubleType) / count(lit(1))).as("mu"))
+      val p0 = col("pts")(0)
+      def spOf(x: Column, prev: Column): Column =
+        greatest(lit(0.0), prev + (x - col("mu") - col("k")))
+      def snOf(x: Column, prev: Column): Column =
+        greatest(lit(0.0), prev + (col("mu") - col("k") - x))
+      bins.join(mu, Seq("event_type"))
+        .groupBy(col("event_type"), col("mu"))
+        .agg(sort_array(collect_list(
+          struct(col("bin"), col("avg_val")))).as("pts"))
+        .withColumn("k", abs(col("mu")) * lit(0.05))
+        .withColumn("h", abs(col("mu")) * lit(0.2))
+        .select(col("event_type"), col("h"), aggregate(
+          slice(col("pts"), lit(2),
+            greatest(size(col("pts")) - 1, lit(0))),
+          struct(
+            array(struct(p0("bin").as("bin"),
+              p0("avg_val").as("avg_val"),
+              spOf(p0("avg_val"), lit(0.0)).as("sp"),
+              snOf(p0("avg_val"), lit(0.0)).as("sn"))).as("out"),
+            spOf(p0("avg_val"), lit(0.0)).as("sp"),
+            snOf(p0("avg_val"), lit(0.0)).as("sn")),
+          (acc, p) => {
+            val sp = spOf(p("avg_val"), acc("sp"))
+            val sn = snOf(p("avg_val"), acc("sn"))
+            struct(
+              concat(acc("out"), array(struct(p("bin").as("bin"),
+                p("avg_val").as("avg_val"), sp.as("sp"),
+                sn.as("sn")))).as("out"),
+              sp.as("sp"), sn.as("sn"))
+          },
+          acc => acc("out")).as("cs"))
+        .select(col("event_type"), col("h"), explode(col("cs")).as("p"))
+        .select(col("event_type"), col("p.bin").as("bin"),
+          col("p.avg_val").as("avg_val"), col("p.sp").as("cusum_up"),
+          col("p.sn").as("cusum_dn"),
+          (col("p.sp") > col("h") || col("p.sn") > col("h")).as("alarm"))
+        .orderBy(col("event_type"), col("bin"))
+    },
+    Some("""
+      WITH RECURSIVE bins AS (
+        SELECT event_type,
+          make_timestamp(epoch_us(ts) - epoch_us(ts) % 3600000000) AS bin,
+          CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*)
+            AS avg_val
+        FROM events GROUP BY 1, 2),
+      m AS (SELECT event_type,
+          CAST(SUM(CAST(avg_val AS DECIMAL(28,12))) AS DOUBLE)
+            / COUNT(*) AS mu
+        FROM bins GROUP BY 1),
+      b AS (SELECT bins.event_type, bin, avg_val, m.mu,
+          abs(m.mu) * 0.05 AS k, abs(m.mu) * 0.2 AS h,
+          ROW_NUMBER() OVER (PARTITION BY bins.event_type
+            ORDER BY bin) AS rn
+        FROM bins JOIN m ON bins.event_type = m.event_type),
+      rec(event_type, rn, bin, avg_val, mu, k, h, sp, sn) AS (
+        SELECT event_type, rn, bin, avg_val, mu, k, h,
+          GREATEST(CAST(0 AS DOUBLE), CAST(0 AS DOUBLE)
+            + (avg_val - mu - k)),
+          GREATEST(CAST(0 AS DOUBLE), CAST(0 AS DOUBLE)
+            + (mu - k - avg_val))
+        FROM b WHERE rn = 1
+        UNION ALL
+        SELECT bb.event_type, bb.rn, bb.bin, bb.avg_val, bb.mu, bb.k,
+          bb.h,
+          GREATEST(CAST(0 AS DOUBLE),
+            r.sp + (bb.avg_val - bb.mu - bb.k)),
+          GREATEST(CAST(0 AS DOUBLE),
+            r.sn + (bb.mu - bb.k - bb.avg_val))
+        FROM rec r JOIN b bb ON bb.event_type = r.event_type
+          AND bb.rn = r.rn + 1)
+      SELECT event_type, bin, avg_val, sp AS cusum_up, sn AS cusum_dn,
+        (sp > h OR sn > h) AS alarm
+      FROM rec ORDER BY event_type, bin
+      """))
+
   override val queries: Seq[GraftQuery] = Seq(
     tsBin, tsAgo, tsSeries, sessionize, metricsDaily, percentiles,
     topUsers, approxMetrics, kmvMetrics, kmvRollup, kmvStoreEstimate,
@@ -1445,5 +1538,5 @@ object TimeSeriesPack extends QueryPack {
     tsLocfFill, tsAsof, tsAnomaly, tsDerivative, tsIntegral,
     qAsofJoin, qAsofJoinFwd, qLatest, latestStoreSnapshot, qSkewAgg,
     qTransitions, tsBurst, tsMad,
-    sketchRollup, histRollup, histStoreRollup, tsSeasonal)
+    sketchRollup, histRollup, histStoreRollup, tsSeasonal, tsCusum)
 }
