@@ -1,6 +1,6 @@
 package graft.streaming
 
-import graft.sources.{EmbedStore, FingerprintStore, MinHashStore, SearchIndex, SimHashStore, Tables}
+import graft.sources.{EmbedStore, FingerprintStore, MinHashStore, SearchIndex, SeqStore, SimHashStore, Tables}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.StreamingQuery
@@ -139,6 +139,27 @@ object StreamingIngest {
   def processBatch(spark: SparkSession, fpTable: String, mhBase: String,
       searchBase: Option[String], embedBase: Option[String],
       simBase: Option[String],
+      batch: DataFrame): DataFrame =
+    processBatch(spark, fpTable, mhBase, searchBase, embedBase, simBase,
+      None, batch)
+
+  /** As above, plus an optional [[SeqStore]] leg (r9): the batch's KEPT
+    * docs extend the persisted training-sequence index, so the
+    * data-loader layout stays current as the corpus ingests — the full
+    * curation story (dedup → index → pack) in one loop. Like the
+    * index/embed/simhash legs it is a kept-CONSUMER and runs strictly
+    * BEFORE the band append (same crash-stranding argument: were it
+    * after, a crash between them would leave within-batch near-dups
+    * banded-but-never-packed — the replay's smaller kept set never
+    * offers them again). Replays converge on SeqStore's own novel-only
+    * contract. NOTE the inherited constraint: SeqStore's packing is an
+    * append-only layout, so batches must arrive with doc_ids above all
+    * packed history (the store refuses loudly otherwise) — true of
+    * id-monotone ingest streams, the normal case.
+    */
+  def processBatch(spark: SparkSession, fpTable: String, mhBase: String,
+      searchBase: Option[String], embedBase: Option[String],
+      simBase: Option[String], seqBase: Option[String],
       batch: DataFrame): DataFrame = {
     // one materialization of the micro-batch: it feeds the exact probe,
     // the survivor join and both appends, and a foreachBatch source
@@ -183,6 +204,8 @@ object StreamingIngest {
     searchBase.foreach(sb => SearchIndex.append(spark, sb, kept))
     embedBase.foreach(eb => EmbedStore.append(spark, eb, embBatchOf(kept)))
     simBase.foreach(sb => SimHashStore.append(spark, sb, kept))
+    seqBase.foreach(qb => SeqStore.append(spark, qb,
+      kept.select(col("doc_id"), col("text"))))
     MinHashStore.append(spark, mhBase, kept)
     val base = exact
       .select(col("doc_id"), col("canonical_id"), col("dup_of_history"),
@@ -224,10 +247,21 @@ object StreamingIngest {
       mhBase: String, searchBase: Option[String],
       embedBase: Option[String], simBase: Option[String],
       sink: (DataFrame, Long) => Unit): StreamingQuery =
+    run(spark, stream, fpTable, mhBase, searchBase, embedBase, simBase,
+      None, sink)
+
+  /** As [[run]], with all optional legs including the [[SeqStore]]
+    * packing leg of the 8-arg [[processBatch]].
+    */
+  def run(spark: SparkSession, stream: DataFrame, fpTable: String,
+      mhBase: String, searchBase: Option[String],
+      embedBase: Option[String], simBase: Option[String],
+      seqBase: Option[String],
+      sink: (DataFrame, Long) => Unit): StreamingQuery =
     stream.writeStream
       .foreachBatch { (batch: DataFrame, id: Long) =>
         sink(processBatch(spark, fpTable, mhBase, searchBase, embedBase,
-          simBase, batch), id)
+          simBase, seqBase, batch), id)
       }
       .start()
 

@@ -193,6 +193,60 @@ class StreamingIngestSpec extends GraftSpec {
     }
   }
 
+  test("seq-store leg: kept docs extend the training-sequence index; " +
+      "dropped dups never occupy token positions") {
+    import java.nio.file.{Files, Paths}
+    import spark.implicits._
+    import graft.sources.SeqStore
+    val base = (1 to 40).map(i => s"w$i").mkString(" ")
+    val tmp = Files.createTempDirectory("graft-ingest-seq").toString
+    val seed = Seq((2L, "seed history content")).toDF("doc_id", "text")
+    FingerprintStore.write(seed, "ingseq_fp", s"$tmp/fp")
+    MinHashStore.write(seed, "ingseq_mh", s"$tmp/mh")
+    SeqStore.write(seed, "ingseq_sq", s"$tmp/sq")
+    val incoming = Paths.get(tmp, "incoming")
+    Files.createDirectories(incoming)
+    Files.writeString(incoming.resolve("b1.csv"),
+      s"11\t$base\n13\tbatch one fresh content\n")
+    Files.writeString(incoming.resolve("b2.csv"),
+      s"21\t${base.replace("w20", "zz")}\n" + // near-dup of 11: dropped
+        "23\tbatch one fresh content\n" +     // exact dup of 13: dropped
+        "25\tgenuinely new in batch two\n")   // kept
+    Files.setLastModifiedTime(incoming.resolve("b1.csv"),
+      java.nio.file.attribute.FileTime.fromMillis(
+        System.currentTimeMillis() - 60000))
+    val stream = spark.readStream
+      .schema("doc_id LONG, text STRING")
+      .option("sep", "\t").option("maxFilesPerTrigger", "1")
+      .csv(incoming.toString)
+    val q = StreamingIngest.run(spark, stream.toDF(),
+      "ingseq_fp", "ingseq_mh", None, None, None, Some("ingseq_sq"),
+      (_: DataFrame, _: Long) => ())
+    try {
+      q.processAllAvailable()
+      // the segment index is exactly the one-pass packing over the
+      // kept corpus (seed + 11 + 13 + 25) — 21 and 23 occupy no
+      // token positions
+      val got = SeqStore.segments(spark, "ingseq_sq")
+        .orderBy("doc_id", "seg_idx").collect().map(_.toString).toSeq
+      val keptDocs = seed.unionByName(Seq(
+        (11L, base), (13L, "batch one fresh content"),
+        (25L, "genuinely new in batch two")).toDF("doc_id", "text"))
+      val want = graft.operators.CurationPack
+        .packSegments(keptDocs, Seq(0L).toDF("off"))
+        .orderBy("doc_id", "seg_idx").collect().map(_.toString).toSeq
+      assert(got == want,
+        s"streamed packing must equal one pass over kept docs:\n" +
+          s"got $got\nwant $want")
+    } finally {
+      q.stop()
+      Seq("ingseq_fp", "ingseq_mh_bands", "ingseq_mh_shingles",
+        "ingseq_sq_segs")
+        .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+      Caches.deleteDir(tmp)
+    }
+  }
+
   test("embed-store leg: semantic near-dups are annotated against the " +
       "vector history; kept docs' embeddings enter the store; exact " +
       "dups carry NULL semantic columns") {
