@@ -69,7 +69,16 @@ object CloudFrontPack extends QueryPack {
       (col("value") / 64.0d).cast(StringType), // time-taken
       lit("HTTP/2.0"), // cs-protocol-version
       lit("IPv4"), // c-ip-version
-      lit("Mozilla/5.0"), // cs-user-agent
+      element_at(array( // cs-user-agent: deterministic variety so
+          // the A30 bot-share analysis has something to classify; the
+          // curl UA is the reference's own test record
+          // (log-processor/test.json)
+          lit("Mozilla/5.0 (Windows NT 10.0) Chrome/120"),
+          lit("Mozilla/5.0 (Macintosh; Intel Mac OS X) Safari/605.1"),
+          lit("curl/7.53.1"),
+          lit("Googlebot/2.1 (+http://www.google.com/bot.html)"),
+          lit("python-requests/2.28")),
+        (pmod(col("event_id"), lit(5)) + lit(1)).cast(IntegerType)),
       dash, // cs-referer (exercises the NULL path)
       dash, // cs-cookie
       dash, // cs-uri-query
@@ -120,6 +129,12 @@ object CloudFrontPack extends QueryPack {
       '/' || event_type || '/' || CAST(event_id % 100 AS VARCHAR)
         AS cs_uri_stem,
       md5(CAST(event_id AS VARCHAR)) AS x_edge_request_id,
+      CASE event_id % 5
+        WHEN 0 THEN 'Mozilla/5.0 (Windows NT 10.0) Chrome/120'
+        WHEN 1 THEN 'Mozilla/5.0 (Macintosh; Intel Mac OS X) Safari/605.1'
+        WHEN 2 THEN 'curl/7.53.1'
+        WHEN 3 THEN 'Googlebot/2.1 (+http://www.google.com/bot.html)'
+        ELSE 'python-requests/2.28' END AS cs_user_agent,
       make_timestamp(CAST(floor(epoch(ts)) AS BIGINT) * 1000000) AS time
     FROM events"""
 
@@ -139,7 +154,8 @@ object CloudFrontPack extends QueryPack {
       .select(col("timestamp"), col("sc_status"), col("sc_bytes"),
         col("time_taken"), col("c_ip"), col("cs_referer"),
         col("x_edge_location"), col("x_edge_result_type"),
-        col("c_country"), col("cs_uri_stem"), col("x_edge_request_id"))
+        col("c_country"), col("cs_uri_stem"), col("x_edge_request_id"),
+        col("cs_user_agent"))
       .persistTracked
 
   /** The A1 rollup: groups on two PARSED typed columns and checks
@@ -534,10 +550,59 @@ object CloudFrontPack extends QueryPack {
       ORDER BY x_edge_location
       """))
 
+  // A30 — per-edge bot-traffic analysis off the user-agent field: the
+  // CDN-monitoring view the reference's dashboards imply (is an edge's
+  // traffic spike humans or a crawler?) — UA classified by the
+  // standard heuristics (a 'bot' token, cli/library prefixes), per
+  // (edge, class) volumes + distinct client IPs + byte share of the
+  // edge in exact integer ppm. Reads the SHARED parse cache; one
+  // map-side-combining agg + a keys-scale share join-back.
+  private val cfUserAgents = GraftQuery(
+    "cf_user_agents",
+    (s, d) => {
+      val cls = when(lower(col("cs_user_agent")).contains("bot") ||
+          col("cs_user_agent").startsWith("curl/") ||
+          col("cs_user_agent").startsWith("python-requests"), "bot")
+        .otherwise("browser")
+      val g = parsedCached(s, d)
+        .groupBy(col("x_edge_location"), cls.as("ua_class"))
+        .agg(count(lit(1)).as("n"),
+          countDistinct(col("c_ip")).as("uniq_ips"),
+          sum(col("sc_bytes")).as("total_bytes"))
+      val tot = g.groupBy(col("x_edge_location"))
+        .agg(sum(col("n")).as("t"))
+      g.join(tot, Seq("x_edge_location"))
+        .withColumn("share_ppm", expr("(1000000 * n) div t"))
+        .select(col("x_edge_location"), col("ua_class"), col("n"),
+          col("uniq_ips"), col("total_bytes"), col("share_ppm"))
+        .orderBy(col("x_edge_location"), col("ua_class"))
+    },
+    Some(s"""
+      WITH derived AS ($oracleDerived),
+      c AS (SELECT x_edge_location, c_ip, sc_bytes,
+          CASE WHEN lower(cs_user_agent) LIKE '%bot%'
+                OR cs_user_agent LIKE 'curl/%'
+                OR cs_user_agent LIKE 'python-requests%'
+               THEN 'bot' ELSE 'browser' END AS ua_class
+        FROM derived),
+      g AS (SELECT x_edge_location, ua_class,
+          CAST(COUNT(*) AS BIGINT) AS n,
+          COUNT(DISTINCT c_ip) AS uniq_ips,
+          CAST(SUM(sc_bytes) AS BIGINT) AS total_bytes
+        FROM c GROUP BY 1, 2),
+      t AS (SELECT x_edge_location, CAST(SUM(n) AS BIGINT) AS t
+            FROM g GROUP BY 1)
+      SELECT g.x_edge_location, g.ua_class, g.n, g.uniq_ips,
+        g.total_bytes, (1000000 * g.n) // t.t AS share_ppm
+      FROM g JOIN t ON g.x_edge_location = t.x_edge_location
+      ORDER BY 1, 2
+      """))
+
   override val queries: Seq[GraftQuery] =
     Seq(cfParse, cfParseConfig, cfHeaders, cfMelt, qBytesByEdge,
       qTimestreamHeadline,
-      cfCacheHitRatio, cfStatusClasses, cfTopUris, cfLatencyPercentiles)
+      cfCacheHitRatio, cfStatusClasses, cfTopUris, cfLatencyPercentiles,
+      cfUserAgents)
 
   /** Cross-query shared working set (see [[graft.QueryPack.warm]]): the
     * parse-once columnar view every CF metric query reads.
