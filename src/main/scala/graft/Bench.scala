@@ -123,13 +123,7 @@ object Bench {
     // bytes and normal GC (exactly the residual the r9 clean runs
     // showed vs r8c, on a box whose cumulative /proc/stat steal showed
     // hours of historical theft). (-1, -1) where /proc/stat is absent.
-    def cpuSteal(): (Long, Long) =
-      try {
-        val parts = scala.io.Source.fromFile("/proc/stat").getLines()
-          .next().trim.split("\\s+").drop(1).map(_.toLong)
-        (if (parts.length > 7) parts(7) else 0L, parts.sum)
-      } catch { case _: Throwable => (-1L, -1L) }
-    val (steal0, jiffies0) = cpuSteal()
+    val (steal0, jiffies0) = SysStat.cpuSteal()
 
     val errors = scala.collection.mutable.ArrayBuffer.empty[String]
     // Cached-storage deltas per query: a snapshot of every cached RDD's
@@ -214,12 +208,10 @@ object Bench {
     val steadyTotal = steady.map(_._2).sum
     val total = warmupTotal + coldTotal
     val heapMaxMb = Runtime.getRuntime.maxMemory / (1024 * 1024)
-    val (steal1, jiffies1) = cpuSteal()
+    val (steal1, jiffies1) = SysStat.cpuSteal()
     // % of the machine's cpu-time the hypervisor withheld during the
     // run; > ~2% inflates every query visibly on a 32-thread bench
-    val stealPct =
-      if (steal0 < 0 || jiffies1 <= jiffies0) -1.0
-      else 100.0 * (steal1 - steal0) / (jiffies1 - jiffies0)
+    val stealPct = SysStat.stealPct(steal0, jiffies0, steal1, jiffies1)
     val stealThreshold = sys.env.getOrElse(
       "SPARK_GRAFT_BENCH_MAX_STEAL_PCT", "2.0").toDouble
     val contended = load0 > loadThreshold || stealPct > stealThreshold

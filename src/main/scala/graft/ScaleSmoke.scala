@@ -153,14 +153,8 @@ object ScaleSmoke {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     spark.range(1000).selectExpr("sum(id)").collect()
-    val load0 = math.max(0.0, java.lang.management.ManagementFactory
-      .getOperatingSystemMXBean.getSystemLoadAverage)
-    val (steal0, jiffies0) =
-      try {
-        val parts = scala.io.Source.fromFile("/proc/stat").getLines()
-          .next().trim.split("\\s+").drop(1).map(_.toLong)
-        (if (parts.length > 7) parts(7) else 0L, parts.sum)
-      } catch { case _: Throwable => (-1L, -1L) }
+    val load0 = SysStat.loadAvg
+    val (steal0, jiffies0) = SysStat.cpuSteal()
 
     // the reuse marker must key on BASE as well as K — a dir named by K
     // alone would silently serve stale replicas of a different dataset —
@@ -408,21 +402,30 @@ object ScaleSmoke {
     //  - ngram_jaccard: the df-band [2, maxDF] makes candidate mass
     //    replica-sensitive; the measured pair count says whether it
     //    grows ~K (shape holds) or faster (band needs corpus scaling).
+    // mass rows ride with the op that motivates them: a store-only or
+    // ops-focused sweep should not pay the ngram candidate generation
+    // or require an embeddings table it never measures (review finding)
     val massLines = {
-      def massOf(d: String): (Long, Long, Long) = {
+      def annMass(d: String): (Long, Long) = {
         val ids = spark.read.parquet(s"$d/embeddings.parquet")
           .select(col("vec_id"))
-        val nVec = ids.count()
-        val nQ = ids.filter(pmod(col("vec_id"), lit(50)) === 0).count()
-        val cand = operators.DedupPack.ngramCandidates(spark, d).count()
-        Caches.releaseAll(blocking = true)
-        (nVec, nQ, cand)
+        (ids.count(),
+          ids.filter(pmod(col("vec_id"), lit(50)) === 0).count())
       }
-      val (v1, q1, c1) = massOf(base)
-      val (vK, qK, cK) = massOf(dir)
-      Seq(
-        f"""{"op":"ann_pq_adc_pairs","x1":${q1 * (v1 - q1)},"x$k":${qK * (vK - qK)},"ratio":${(qK * (vK - qK)).toDouble / math.max(q1 * (v1 - q1), 1L)}%.2f}""",
-        f"""{"op":"ngram_candidate_pairs","x1":$c1,"x$k":$cK,"ratio":${cK.toDouble / math.max(c1, 1L)}%.2f}""")
+      def ngramMass(d: String): Long = {
+        val c = operators.DedupPack.ngramCandidates(spark, d).count()
+        Caches.releaseAll(blocking = true)
+        c
+      }
+      val ann = if (selected.contains("ann_pq")) {
+        val (v1, q1) = annMass(base); val (vK, qK) = annMass(dir)
+        Seq(f"""{"op":"ann_pq_adc_pairs","x1":${q1 * (v1 - q1)},"x$k":${qK * (vK - qK)},"ratio":${(qK * (vK - qK)).toDouble / math.max(q1 * (v1 - q1), 1L)}%.2f}""")
+      } else Nil
+      val ng = if (selected.contains("ngram_jaccard")) {
+        val c1 = ngramMass(base); val cK = ngramMass(dir)
+        Seq(f"""{"op":"ngram_candidate_pairs","x1":$c1,"x$k":$cK,"ratio":${cK.toDouble / math.max(c1, 1L)}%.2f}""")
+      } else Nil
+      ann ++ ng
     }
     massLines.foreach(println)
     val report = selected.map { name =>
@@ -442,19 +445,9 @@ object ScaleSmoke {
     // alone (the r9 full sweep's doc_similarity 6.72 vs 2.63 quiet was
     // exactly this)
     val envTail = {
-      def cpuSteal(): (Long, Long) =
-        try {
-          val parts = scala.io.Source.fromFile("/proc/stat").getLines()
-            .next().trim.split("\\s+").drop(1).map(_.toLong)
-          (if (parts.length > 7) parts(7) else 0L, parts.sum)
-        } catch { case _: Throwable => (-1L, -1L) }
-      val (st1, j1) = cpuSteal()
-      val stealPct =
-        if (steal0 < 0 || j1 <= jiffies0) -1.0
-        else 100.0 * (st1 - steal0) / (j1 - jiffies0)
-      val load1 = math.max(0.0, java.lang.management.ManagementFactory
-        .getOperatingSystemMXBean.getSystemLoadAverage)
-      f""""load_avg_start":$load0%.2f,"load_avg_end":$load1%.2f,"steal_pct":$stealPct%.3f"""
+      val (st1, j1) = SysStat.cpuSteal()
+      val stealPct = SysStat.stealPct(steal0, jiffies0, st1, j1)
+      f""""load_avg_start":$load0%.2f,"load_avg_end":${SysStat.loadAvg}%.2f,"steal_pct":$stealPct%.3f"""
     }
     val summary = if (report.nonEmpty) {
       val worst = report.maxBy(_._6)

@@ -489,17 +489,44 @@ object CurationPack extends QueryPack {
     * cursor), so the two paths cannot drift. Output: one row per
     * (doc, crossed-boundary segment).
     */
+  /** E3's BPE-ish tokenizer pattern — the packing's token counter. */
+  private val packPat = "[a-z]+|[0-9]+|[^a-z0-9\\s]"
+
+  /** Docs that occupy token positions (≥ 1 token). [[graft.sources
+    * .SeqStore]] filters its batches through this BEFORE the
+    * novelty/monotonicity logic: a zero-token doc never lands in the
+    * segment index, so left in the batch it would read as eternally
+    * novel and fail the monotone check on every later replay (review
+    * finding — the replay-convergence contract broke on a
+    * whitespace-only doc).
+    */
+  private[graft] def packable(docs: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame =
+    docs.filter(size(regexp_extract_all(lower(col("text")),
+      lit(packPat), lit(0))) > 0)
+
   private[graft] def packSegments(docs: org.apache.spark.sql.DataFrame,
       baseOff: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame =
+    packSegmentsWith(docs, baseOff, _.persistTracked)
+
+  /** As [[packSegments]] with the token-frame cache policy injected:
+    * the in-query path registry-tracks it (released with the session's
+    * shared caches), while SeqStore's per-batch calls scope it to the
+    * call — a foreachBatch loop would otherwise accumulate one
+    * never-released cached frame per micro-batch (review finding).
+    */
+  private[graft] def packSegmentsWith(
+      docs: org.apache.spark.sql.DataFrame,
+      baseOff: org.apache.spark.sql.DataFrame,
+      cache: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame)
       : org.apache.spark.sql.DataFrame = {
-    val pat = "[a-z]+|[0-9]+|[^a-z0-9\\s]" // E3's BPE-ish tokenizer
-    val t = docs.select(
+    val t = cache(docs.select(
         col("doc_id"),
-        size(regexp_extract_all(lower(col("text")), lit(pat), lit(0)))
+        size(regexp_extract_all(lower(col("text")), lit(packPat), lit(0)))
           .cast(LongType).as("n"))
       .filter(col("n") > 0)
-      .withColumn("bkt", expr(s"doc_id div ${packBucketSpan}L"))
-      .persistTracked
+      .withColumn("bkt", expr(s"doc_id div ${packBucketSpan}L")))
     val wLocal = Window.partitionBy(col("bkt")).orderBy(col("doc_id"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val wOff = Window.orderBy(col("bkt"))

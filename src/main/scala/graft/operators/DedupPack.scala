@@ -154,17 +154,28 @@ object DedupPack extends QueryPack {
           col("bk.key").as("key"))
   }
 
+  /** The C2 banding candidate generator — (doc_a, doc_b,
+    * n_shared_bands) from the band-key self-join — factored so C2 and
+    * C2b band IDENTICALLY by construction (review finding: a verbatim
+    * copy in the audit row could band differently after a geometry
+    * change while both gates stayed green).
+    */
+  private def bandCandidates(sh: DataFrame): DataFrame = {
+    val keyed = bandKeys(sh)
+    val a = keyed.select(col("doc_id").as("doc_a"), col("band"),
+      col("key"))
+    val b = keyed.select(col("doc_id").as("doc_b"),
+      col("band").as("band_b"), col("key").as("key_b"))
+    a.join(b,
+        col("band") === col("band_b") && col("key") === col("key_b") &&
+          col("doc_a") < col("doc_b"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("n_shared_bands"))
+  }
+
   private def minhashPairs(s: SparkSession, d: String): DataFrame = {
       val sh = shingled(s, d)
-      val keyed = bandKeys(sh)
-      val a = keyed.select(col("doc_id").as("doc_a"), col("band"), col("key"))
-      val b = keyed.select(col("doc_id").as("doc_b"),
-        col("band").as("band_b"), col("key").as("key_b"))
-      val cand = a.join(b,
-          col("band") === col("band_b") && col("key") === col("key_b") &&
-            col("doc_a") < col("doc_b"))
-        .groupBy(col("doc_a"), col("doc_b"))
-        .agg(count(lit(1)).as("n_shared_bands"))
+      val cand = bandCandidates(sh)
       val sa = sh.select(col("doc_id").as("doc_a"), col("shingles").as("sa"))
       val sb = sh.select(col("doc_id").as("doc_b"), col("shingles").as("sb"))
       cand.join(sa, "doc_a").join(sb, "doc_b")
@@ -230,16 +241,7 @@ object DedupPack extends QueryPack {
     "dedup_minhash_est",
     (s, d) => {
       val sh = shingled(s, d)
-      val keyed = bandKeys(sh)
-      val a = keyed.select(col("doc_id").as("doc_a"), col("band"),
-        col("key"))
-      val b = keyed.select(col("doc_id").as("doc_b"),
-        col("band").as("band_b"), col("key").as("key_b"))
-      val cand = a.join(b,
-          col("band") === col("band_b") && col("key") === col("key_b") &&
-            col("doc_a") < col("doc_b"))
-        .groupBy(col("doc_a"), col("doc_b"))
-        .agg(count(lit(1)).as("n_shared_bands"))
+      val cand = bandCandidates(sh)
       val sig = signatures(sh)
       val est = cand
         .join(sig.select(col("doc_id").as("doc_a"),

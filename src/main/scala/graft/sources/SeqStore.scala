@@ -39,16 +39,27 @@ import org.apache.spark.sql.functions._
   */
 object SeqStore {
 
-  private def pack(docs: DataFrame, off: DataFrame): DataFrame =
-    graft.operators.CurationPack.packSegments(docs, off)
+  /** Pack with the token frame scoped to this call: a foreachBatch
+    * loop calling in would otherwise accumulate one registry-tracked
+    * cached frame per micro-batch, released only at session teardown.
+    */
+  private def packScoped(docs: DataFrame, off: DataFrame)(
+      write: DataFrame => Unit): Unit = {
+    var scoped: DataFrame = null
+    val packed = graft.operators.CurationPack.packSegmentsWith(docs, off,
+      df => { scoped = df.persist(); scoped })
+    try write(packed)
+    finally if (scoped != null) scoped.unpersist()
+  }
 
   /** Build the store over `docs` (doc_id, text) at `path`. */
   def write(docs: DataFrame, tableBase: String, path: String): Unit = {
     val spark = docs.sparkSession
     import spark.implicits._
-    pack(docs, Seq(0L).toDF("off"))
-      .write.mode("overwrite").format("parquet")
-      .option("path", s"$path/segs").saveAsTable(s"${tableBase}_segs")
+    packScoped(docs, Seq(0L).toDF("off")) {
+      _.write.mode("overwrite").format("parquet")
+        .option("path", s"$path/segs").saveAsTable(s"${tableBase}_segs")
+    }
     spark.catalog.refreshTable(s"${tableBase}_segs")
   }
 
@@ -57,9 +68,18 @@ object SeqStore {
     */
   def append(spark: SparkSession, tableBase: String,
       docs: DataFrame): Unit = {
-    val segs = spark.table(s"${tableBase}_segs")
+    // every read below is off the DEDUPED view: a torn append's
+    // duplicate file pair must not inflate the cursor (which would
+    // shift all later packing) any more than the novelty or bound
+    // reads (review finding — the cursor was the one raw-table read)
+    val segs = segments(spark, tableBase)
+    // zero-token docs occupy no positions and never land in the index:
+    // drop them BEFORE the novelty/monotone logic or a replayed batch
+    // carrying one reads as eternally-novel and fails the monotone
+    // check forever (review finding)
+    val packableDocs = graft.operators.CurationPack.packable(docs)
     // novel-only: a crash-replayed batch packs zero new docs
-    val novel = docs.join(segs.select(col("doc_id")).distinct(),
+    val novel = packableDocs.join(segs.select(col("doc_id")).distinct(),
       Seq("doc_id"), "left_anti")
     val bounds = novel.agg(min(col("doc_id")).as("mn")).collect()(0)
     if (bounds.isNullAt(0)) return // whole batch already packed
@@ -71,9 +91,10 @@ object SeqStore {
     // the stream cursor: total tokens packed so far (segment-scale agg)
     val off = segs.agg(
       coalesce(sum(col("seg_len")), lit(0L)).as("off"))
-    pack(novel, off)
-      .write.mode("append").format("parquet")
-      .saveAsTable(s"${tableBase}_segs")
+    packScoped(novel, off) {
+      _.write.mode("append").format("parquet")
+        .saveAsTable(s"${tableBase}_segs")
+    }
     spark.catalog.refreshTable(s"${tableBase}_segs")
   }
 

@@ -55,6 +55,35 @@ class SeqStoreSpec extends GraftSpec {
     }
   }
 
+  test("a replayed batch carrying a zero-token doc still converges " +
+      "after later appends (the eternally-novel hazard, pinned)") {
+    val base = s"graft_seq_spec3_${System.nanoTime()}"
+    val path = s"${sys.props("java.io.tmpdir")}/$base"
+    import spark.implicits._
+    try {
+      SeqStore.write(Seq((1L, "alpha beta")).toDF("doc_id", "text"),
+        base, path)
+      // batch 1 contains a whitespace-only doc: it occupies no token
+      // positions and never lands in the segment index
+      val b1 = Seq((10L, "gamma delta"), (11L, "   "))
+        .toDF("doc_id", "text")
+      SeqStore.append(spark, base, b1)
+      SeqStore.append(spark, base,
+        Seq((20L, "epsilon zeta")).toDF("doc_id", "text"))
+      val before = SeqStore.segments(spark, base)
+        .orderBy("doc_id", "seg_idx").collect().map(_.toString).toSeq
+      // crash replay of batch 1: doc 11 must not read as novel and
+      // trip the monotone check against the stored max of 20
+      SeqStore.append(spark, base, b1)
+      val after = SeqStore.segments(spark, base)
+        .orderBy("doc_id", "seg_idx").collect().map(_.toString).toSeq
+      assert(after == before, "replay must be a no-op")
+    } finally {
+      spark.sql(s"DROP TABLE IF EXISTS ${base}_segs")
+      Caches.deleteDir(path)
+    }
+  }
+
   test("a non-monotone append refuses loudly") {
     val base = s"graft_seq_spec2_${System.nanoTime()}"
     val path = s"${sys.props("java.io.tmpdir")}/$base"
