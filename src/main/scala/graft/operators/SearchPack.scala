@@ -954,9 +954,62 @@ object SearchPack extends QueryPack {
       FROM agg ORDER BY doc_id
       """))
 
+  // ---- E13: vocab_stats — the corpus vocabulary report ----
+  // The Zipf/coverage dashboard a data pipeline checks before trusting
+  // token budgets: per frequency BAND (hapax, 2–10, 11–100, …, the
+  // powers-of-ten decades), how many types fall in it, how many tokens
+  // they carry, and each band's share of the token mass in exact ppm.
+  // A healthy natural corpus is hapax-heavy in types and head-heavy in
+  // tokens; a synthetic/looped corpus inverts that. One vocab-sized
+  // frame off the shared postings cache — the corpus explode is never
+  // re-run — and integer-exact throughout.
+  private val vocabStats = GraftQuery(
+    "vocab_stats",
+    (s, d) => {
+      val uni = postings(s, d)
+        .groupBy(col("word")).agg(sum(col("tf")).as("c1"))
+      val banded = uni.withColumn("band",
+        when(col("c1") === 1, lit(0L))
+          .otherwise(length(col("c1").cast(StringType)).cast(LongType)))
+      val g = banded.groupBy(col("band"))
+        .agg(count(lit(1)).as("n_types"), sum(col("c1")).as("n_tokens"))
+      val tot = broadcast(g.agg(sum(col("n_tokens")).as("t"),
+        sum(col("n_types")).as("v")))
+      g.crossJoin(tot)
+        .withColumn("token_share_ppm",
+          expr("(1000000 * n_tokens) div t"))
+        .withColumn("type_share_ppm",
+          expr("(1000000 * n_types) div v"))
+        .select(col("band"), col("n_types"), col("n_tokens"),
+          col("type_share_ppm"), col("token_share_ppm"))
+        .orderBy(col("band"))
+    },
+    Some(s"""
+      WITH w AS (
+        SELECT doc_id, $wordsSql AS w FROM documents),
+      dw AS (SELECT doc_id, w FROM w WHERE len(w) > 0),
+      uni AS (
+        SELECT word, CAST(COUNT(*) AS BIGINT) AS c1
+        FROM (SELECT doc_id, unnest(w) AS word FROM dw) GROUP BY 1),
+      banded AS (
+        SELECT CASE WHEN c1 = 1 THEN 0
+                    ELSE len(CAST(c1 AS VARCHAR)) END AS band, c1
+        FROM uni),
+      g AS (SELECT CAST(band AS BIGINT) AS band,
+          CAST(COUNT(*) AS BIGINT) AS n_types,
+          CAST(SUM(c1) AS BIGINT) AS n_tokens
+        FROM banded GROUP BY 1),
+      t AS (SELECT CAST(SUM(n_tokens) AS BIGINT) AS t,
+          CAST(SUM(n_types) AS BIGINT) AS v FROM g)
+      SELECT g.band, g.n_types, g.n_tokens,
+        (1000000 * g.n_types) // t.v AS type_share_ppm,
+        (1000000 * g.n_tokens) // t.t AS token_share_ppm
+      FROM g, t ORDER BY g.band
+      """))
+
   override val queries: Seq[GraftQuery] =
     Seq(lmScore, bm25Search, keywordExtract,
       bm25IndexSearch, bm25IndexAppendSearch,
       lmIndexScore, lmIndexAppendScore, phraseSearch, collocations,
-      docSimilarity, tokenEntropy, docKl)
+      docSimilarity, tokenEntropy, docKl, vocabStats)
 }
