@@ -649,8 +649,66 @@ object Analytics extends QueryPack {
         (SELECT COUNT(DISTINCT user_id) FROM qp) AS n_purchase_in_window
       """))
 
+  // B16 — top session journeys: the most common event-type PATHS users
+  // take within one session (A9's session definition verbatim — the
+  // TimeSeries.sessionize engine, 30-min gap) — the product-analytics
+  // view between q_transitions' global bigrams and q_funnel's fixed
+  // stages: which full journeys actually happen, how often, by how
+  // many distinct users. The per-session path agg is SESSION-bounded
+  // (collect over one user's one session, sorted under the total
+  // (ts, event_id) order — a production variant with adversarial
+  // sessions would cap it with the G8 bounded collect); path counting
+  // is a map-side-combinable agg on the path string; top-20 under a
+  // total order via TakeOrderedAndProject.
+  private val qSessionPaths = GraftQuery(
+    "q_session_paths",
+    (s, d) => {
+      val sess = graft.timeseries.TimeSeries.sessionize(
+        Tables.events(s, d), userCol = "user_id", tsCol = "ts",
+        tiebreakCol = "event_id", gapSeconds = 1800)
+      val paths = sess
+        .groupBy(col("user_id"), col("session_seq"))
+        .agg(concat_ws(">", transform(
+            array_sort(collect_list(struct(col("ts"), col("event_id"),
+              col("event_type")))),
+            e => e.getField("event_type"))).as("path"),
+          count(lit(1)).as("n_events"))
+      paths.groupBy(col("path"))
+        // equal path strings have equal lengths, so MAX(n_events) is
+        // the (deterministic) common session length
+        .agg(count(lit(1)).as("n_sessions"),
+          countDistinct(col("user_id")).as("n_users"),
+          max(col("n_events")).as("path_len"))
+        .orderBy(col("n_sessions").desc, col("path"))
+        .limit(20)
+    },
+    Some("""
+      WITH flagged AS (
+        SELECT user_id, ts, event_id, event_type,
+          CASE WHEN lag(ts) OVER w IS NULL
+                 OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+               THEN 1 ELSE 0 END AS is_new
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      sessions AS (
+        SELECT *, SUM(is_new) OVER (PARTITION BY user_id
+          ORDER BY ts, event_id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+        FROM flagged),
+      p AS (
+        SELECT user_id, session_seq,
+          string_agg(event_type, '>' ORDER BY ts, event_id) AS path,
+          CAST(COUNT(*) AS BIGINT) AS n_events
+        FROM sessions GROUP BY 1, 2)
+      SELECT path, CAST(COUNT(*) AS BIGINT) AS n_sessions,
+        COUNT(DISTINCT user_id) AS n_users,
+        CAST(MAX(n_events) AS BIGINT) AS path_len
+      FROM p GROUP BY 1
+      ORDER BY n_sessions DESC, path LIMIT 20
+      """))
+
   override val queries: Seq[GraftQuery] =
     Seq(qRetention, qFunnel, qFunnelWindowed, qPivot, q1, q3, q3Bucketed,
       q5, qWindow, qTopk, qCube, qSemi, qAnti, qJson,
-      qTopkPerKey, qRangeJoin)
+      qTopkPerKey, qRangeJoin, qSessionPaths)
 }
