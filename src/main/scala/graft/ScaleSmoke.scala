@@ -67,7 +67,18 @@ object ScaleSmoke {
     "q_asof_join",       // backward as-of (union time-axis engine)
     "q_asof_join_fwd",   // forward as-of (negated-axis reuse)
     "q_funnel_windowed", // two chained backward as-of joins
-    "q_retention")       // cohort day-0 × day-N self-join
+    "q_retention",       // cohort day-0 × day-N self-join
+    // r9 second wave: every operator added this round gets a ratio row
+    "pack_sequences",    // two-level global cumsum + boundary explode
+    "token_entropy",     // per-doc Q20 entropy off shared postings
+    "doc_kl",            // postings ⋈ vocab model + signed Q20 sums
+    "dedup_minhash_est", // banding candidates + per-pair 64-comp zip
+    "ts_seasonal",       // (dim, hod) decimal means + flag join-back
+    "ts_cusum",          // per-dimension 2-state recurrence fold
+    "cf_user_agents",    // shared parse cache + per-edge class agg
+    "vocab_stats",       // vocab-sized banding off shared postings
+    "q_session_paths",   // session engine + session-bounded path agg
+    "hist_store_rollup") // per-(JVM, dataset) store build + cell read
 
   /** Suffix every WORD of `text` with `tag`: same lengths, same
     * structure, disjoint content — fresh fingerprints AND zero shared
