@@ -117,6 +117,27 @@ object Bench {
     // own 32 threads.)
     val loadThreshold = sys.env.getOrElse(
       "SPARK_GRAFT_BENCH_MAX_LOAD", "1.0").toDouble
+    // Self-HEALING, not just self-disqualifying (r9 verdict: two rounds
+    // running the committed gate artifact was load-polluted; the stamp
+    // caught it but the artifact still wasn't usable as a gate). If the
+    // box is busy BEFORE we start, sleep-and-resample up to N bounded
+    // retries — co-tenant load spikes on a shared box drain in minutes
+    // — and only then run with whatever the final sample says. The
+    // waits are recorded so the artifact shows its own history.
+    val maxWaits = sys.env.getOrElse(
+      "SPARK_GRAFT_BENCH_LOAD_RETRIES", "6").toInt
+    val waitSecs = sys.env.getOrElse(
+      "SPARK_GRAFT_BENCH_LOAD_WAIT_S", "30").toInt
+    val loadSamples = scala.collection.mutable.ArrayBuffer(loadAvg)
+    while (loadSamples.last > loadThreshold &&
+           loadSamples.size <= maxWaits) {
+      System.err.println(
+        f"[bench] load_avg ${loadSamples.last}%.2f > $loadThreshold%.2f" +
+          f" — waiting ${waitSecs}s for the box to drain " +
+          s"(${loadSamples.size}/$maxWaits)")
+      Thread.sleep(waitSecs * 1000L)
+      loadSamples += loadAvg
+    }
     // Hypervisor CPU STEAL across the run window — the co-tenant
     // signature load_avg CANNOT see: on a contended VM host, steal
     // inflates every query uniformly with zero evictions, flat input
@@ -261,6 +282,8 @@ object Bench {
       s""","env":{"heap_max_mb":$heapMaxMb,"cpus":$cpus,""" +
       s""""load_avg_start":$load0,"load_avg_mid":$loadMid,""" +
       s""""load_avg_end":$load1,"load_threshold":$loadThreshold,""" +
+      s""""load_wait_samples":${loadSamples.map(v => f"$v%.2f")
+            .mkString("[", ",", "]")},""" +
       f""""steal_pct":$stealPct%.3f,"steal_threshold":$stealThreshold}""" +
       s""","contended":$contended""" +
       s""","errors":${errors.map("\"" + _ + "\"").mkString("[", ",", "]")}}"""

@@ -14,7 +14,11 @@ object SysStat {
     try {
       val parts = scala.io.Source.fromFile("/proc/stat").getLines()
         .next().trim.split("\\s+").drop(1).map(_.toLong)
-      (if (parts.length > 7) parts(7) else 0L, parts.sum)
+      // denominator: user..steal (first 8 fields) ONLY — guest and
+      // guest_nice are already accounted inside user/nice, so summing
+      // the whole line double-counts guest time and understates
+      // steal_pct right where the 2% gate lives (r9 advice)
+      (if (parts.length > 7) parts(7) else 0L, parts.take(8).sum)
     } catch { case _: Throwable => (-1L, -1L) }
 
   /** % of machine cpu-time the hypervisor withheld between two

@@ -1247,6 +1247,15 @@ object AnnPack extends QueryPack {
       .agg(transform(
         array_sort(collect_set(struct(col("sub"), col("cid")))),
         e => e.getField("cid")).as("code"))
+      // Contract guard (r9 advice): collect_set only collapses
+      // byte-IDENTICAL replay rows. If a duplicate (vec_id, sub) ever
+      // carried a different cid — e.g. a replay after a codebook
+      // retrain — the array would grow past pqM and every later sub's
+      // positional lookup would silently shift one slot. Fail LOUDLY
+      // on a malformed store instead of returning wrong approx_cos.
+      .filter(expr(s"IF(size(code) = $pqM, true, raise_error(concat(" +
+        "'graft pq store malformed: size(code) != " + pqM +
+        " for vec_id ', CAST(vec_id AS STRING))))"))
 
   /** Slot-indexed flat array: slot = sub·ks + cid. Slots no trained
     * centroid occupies stay null and are never indexed — codes only

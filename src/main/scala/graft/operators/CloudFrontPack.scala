@@ -572,7 +572,11 @@ object CloudFrontPack extends QueryPack {
       val tot = g.groupBy(col("x_edge_location"))
         .agg(sum(col("n")).as("t"))
       g.join(tot, Seq("x_edge_location"))
-        .withColumn("share_ppm", expr("(1000000 * n) div t"))
+        // DECIMAL(38,0)-widened ppm numerator (source_report
+        // discipline; r9 advice): int64 wraps past ~9.2e12 requests
+        // per edge in non-ANSI Spark where DuckDB raises. `div` → BIGINT.
+        .withColumn("share_ppm",
+          expr("(CAST(1000000 AS DECIMAL(38,0)) * n) div t"))
         .select(col("x_edge_location"), col("ua_class"), col("n"),
           col("uniq_ips"), col("total_bytes"), col("share_ppm"))
         .orderBy(col("x_edge_location"), col("ua_class"))
@@ -593,7 +597,9 @@ object CloudFrontPack extends QueryPack {
       t AS (SELECT x_edge_location, CAST(SUM(n) AS BIGINT) AS t
             FROM g GROUP BY 1)
       SELECT g.x_edge_location, g.ua_class, g.n, g.uniq_ips,
-        g.total_bytes, (1000000 * g.n) // t.t AS share_ppm
+        g.total_bytes,
+        CAST((CAST(1000000 AS HUGEINT) * g.n) // t.t AS BIGINT)
+          AS share_ppm
       FROM g JOIN t ON g.x_edge_location = t.x_edge_location
       ORDER BY 1, 2
       """))

@@ -975,11 +975,15 @@ object SearchPack extends QueryPack {
         .agg(count(lit(1)).as("n_types"), sum(col("c1")).as("n_tokens"))
       val tot = broadcast(g.agg(sum(col("n_tokens")).as("t"),
         sum(col("n_types")).as("v")))
+      // ppm numerators widened to DECIMAL(38,0) (the source_report
+      // discipline): plain int64 1e6·n_tokens silently wraps past
+      // ~9.2e12 tokens in non-ANSI Spark while DuckDB raises — a
+      // divergence inside the 100 TB envelope. `div` still lands BIGINT.
       g.crossJoin(tot)
         .withColumn("token_share_ppm",
-          expr("(1000000 * n_tokens) div t"))
+          expr("(CAST(1000000 AS DECIMAL(38,0)) * n_tokens) div t"))
         .withColumn("type_share_ppm",
-          expr("(1000000 * n_types) div v"))
+          expr("(CAST(1000000 AS DECIMAL(38,0)) * n_types) div v"))
         .select(col("band"), col("n_types"), col("n_tokens"),
           col("type_share_ppm"), col("token_share_ppm"))
         .orderBy(col("band"))
@@ -1002,8 +1006,10 @@ object SearchPack extends QueryPack {
       t AS (SELECT CAST(SUM(n_tokens) AS BIGINT) AS t,
           CAST(SUM(n_types) AS BIGINT) AS v FROM g)
       SELECT g.band, g.n_types, g.n_tokens,
-        (1000000 * g.n_types) // t.v AS type_share_ppm,
-        (1000000 * g.n_tokens) // t.t AS token_share_ppm
+        CAST((CAST(1000000 AS HUGEINT) * g.n_types) // t.v AS BIGINT)
+          AS type_share_ppm,
+        CAST((CAST(1000000 AS HUGEINT) * g.n_tokens) // t.t AS BIGINT)
+          AS token_share_ppm
       FROM g, t ORDER BY g.band
       """))
 
