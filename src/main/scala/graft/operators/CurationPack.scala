@@ -629,8 +629,171 @@ object CurationPack extends QueryPack {
       .orderBy(col("doc_id"), col("seg_idx")),
     Some(packSequencesOracle))
 
+  // ---- H10: model-based quality filter (fastText/CCNet shape) ----
+  // The learned classifier the curation story was missing beside the
+  // surface ratios (E2), LM cross-entropy (I1) and entropy/KL
+  // (E11/E12): a linear scorer over HASHED BIGRAM features — the
+  // fastText recipe (Joulin et al. '16, "Bag of Tricks"), the standard
+  // CCNet/GPT-3-style quality gate — trained by a fixed number of
+  // UNROLLED batch-gradient steps (the D5/E8 unroll discipline) and
+  // deterministic to the bit on both engines:
+  //  - features: distinct hash60(bigram) mod 64 buckets per doc, plus a
+  //    bias feature (f = -1) every doc carries;
+  //  - weights: int64 Q20 fixed point, w₀ = 0;
+  //  - the sigmoid is the HARD sigmoid σ̂(z) = clamp(z/4 + 1/2, 0, 1) —
+  //    in Q20 `(clamp(z, ±2S) + 2S) div 4`, a non-negative dividend so
+  //    Spark's truncating `div` and DuckDB's flooring `//` agree;
+  //  - update: w ← w − tdiv(Σ err·x, 2n) (η = ½ on the mean gradient),
+  //    with tdiv spelled sign-symmetrically on both engines;
+  //  - training labels are a self-supervised proxy the pipeline already
+  //    trusts (the CCNet trick of training against a reference corpus,
+  //    collapsed to one table): y = 1 iff distinct-token ratio ≥ ½ —
+  //    the repetition signal — so the model learns which BIGRAMS
+  //    co-occur with degenerate text and generalizes that to docs the
+  //    heuristic scores near its threshold.
+  // Scale shape: the (doc_id, y, feats[]) frame is corpus-linear with
+  // ≤ 64 buckets/doc and is cached once; the MODEL is a one-row
+  // 65-slot array broadcast to every pass, so each training step is a
+  // map-only margin/error fold over the cached arrays plus exactly ONE
+  // corpus-scale shuffle (the gradient agg, map-side combined to ≤ 65
+  // rows per partition), and scoring is shuffle-free. Steps are fixed
+  // (8), so the whole train+score is O(steps · corpus) with no
+  // all-pairs anything — textbook distributed batch GD. `keep =
+  // margin > 0` is the gate column an H3-style filter consumes.
+  private val qfF = 64
+  private val qfS = 1048576L // Q20 one
+  private val qfSteps = 8
+  private val qfSalt = "qf|"
+
+  /** Train-and-score over an arbitrary (doc_id, text) frame (spec entry
+    * point — CurationPackSpec plants a separable good/bad corpus and
+    * asserts the learned gate classifies it).
+    */
+  def qualityScoreOver(docs: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val spark = docs.sparkSession
+    // (doc_id, y, feats[]) — the one corpus-scale frame, cached once.
+    // feats carries the doc's DISTINCT hashed-bigram buckets; the bias
+    // feature is implicit (every doc, slot 0 of the weight array).
+    val base = docs.select(col("doc_id"), words(col("text")).as("w"))
+      .select(col("doc_id"), col("w"),
+        size(col("w")).cast(LongType).as("nt"),
+        size(array_distinct(col("w"))).cast(LongType).as("nd"))
+      .select(col("doc_id"),
+        when(col("nt") >= 1L && col("nd") * 2 >= col("nt"), lit(1L))
+          .otherwise(lit(0L)).as("y"),
+        when(col("nt") >= 2L, array_distinct(transform(
+          sequence(lit(1), col("nt").cast(IntegerType) - 1),
+          i => pmod(hash60(concat(lit(qfSalt), element_at(col("w"), i),
+            lit(" "), element_at(col("w"), i + 1))), lit(qfF.toLong)))))
+          .otherwise(array().cast("array<bigint>")).as("feats"))
+      .persistTracked
+    val nn = base.agg(count(lit(1)).as("n"))
+    // Model state is ONE row carrying wArr[0..F]: wArr[0] the bias,
+    // wArr[f+1] bucket f's weight. It rides every pass as a broadcast,
+    // so the margin z = bias + Σ_f wArr[f+1] is a MAP-ONLY fold over
+    // the cached feature arrays — no doc-keyed shuffle anywhere.
+    val w0 = spark.range(1).select(
+      transform(sequence(lit(0), lit(qfF)), _ => lit(0L)).as("wArr"))
+    def zCol: org.apache.spark.sql.Column =
+      element_at(col("wArr"), 1) + aggregate(col("feats"), lit(0L),
+        (acc, f) => acc +
+          element_at(col("wArr"), (f + lit(2L)).cast(IntegerType)))
+    def errCol: org.apache.spark.sql.Column =
+      expr(s"(GREATEST(${-2 * qfS}, LEAST(${2 * qfS}, z))" +
+        s" + ${2 * qfS}) div 4") - col("y") * lit(qfS)
+    def stepOnce(wRow: org.apache.spark.sql.DataFrame)
+        : org.apache.spark.sql.DataFrame = {
+      val scored = base.crossJoin(broadcast(wRow))
+        .withColumn("z", zCol)
+        .select(col("feats"), errCol.as("err"))
+      // the ONLY corpus-scale shuffle per step: err contributions keyed
+      // by feature (bias = -1), partially aggregated map-side to ≤ 65
+      // rows per partition before the exchange
+      val deltas = scored
+        .select(explode(concat(array(lit(-1L)), col("feats"))).as("f"),
+          col("err"))
+        .groupBy(col("f")).agg(sum(col("err")).as("g"))
+        .crossJoin(broadcast(nn))
+        // both tdiv branches keep the dividend non-negative, so
+        // Spark's truncating div and the oracle's flooring // agree
+        .select(col("f"), expr(
+          "CASE WHEN g >= 0 THEN g div (2 * n)" +
+            " ELSE -((-g) div (2 * n)) END").as("d"))
+      val dRow = deltas.agg(map_from_entries(collect_list(struct(
+        (col("f") + 1L).cast(IntegerType).as("slot"), col("d"))))
+        .as("dm"))
+      wRow.crossJoin(broadcast(dRow))
+        .select(transform(sequence(lit(0), lit(qfF)),
+          i => element_at(col("wArr"), i + 1) -
+            coalesce(element_at(col("dm"), i), lit(0L))).as("wArr"))
+        .persistTracked
+    }
+    val wT = (1 to qfSteps).foldLeft(w0)((w, _) => stepOnce(w))
+    // scoring: another map-only pass — broadcast model, no shuffle
+    base.crossJoin(broadcast(wT))
+      .withColumn("z", zCol)
+      .select(col("doc_id"), col("y").as("label"),
+        col("z").as("margin_q20"),
+        expr(s"(GREATEST(${-2 * qfS}, LEAST(${2 * qfS}, z))" +
+          s" + ${2 * qfS}) div 4").as("score_q20"),
+        (col("z") > 0L).as("keep"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** One unrolled gradient step of the oracle's CTE chain. */
+  private def qfStepSql(t: Int): String = s"""
+      z$t AS (SELECT p.doc_id, CAST(SUM(w.wt) AS BIGINT) AS z
+        FROM pairs p JOIN w${t - 1} w ON p.f = w.f GROUP BY 1),
+      e$t AS (SELECT l.doc_id,
+          (GREATEST(-${2 * qfS}, LEAST(${2 * qfS}, z.z)) + ${2 * qfS})
+            // 4 - l.y * $qfS AS err
+        FROM lab l JOIN z$t z ON l.doc_id = z.doc_id),
+      g$t AS (SELECT p.f, CAST(SUM(e.err) AS BIGINT) AS g
+        FROM pairs p JOIN e$t e ON p.doc_id = e.doc_id GROUP BY 1),
+      w$t AS (SELECT w.f,
+          CAST(w.wt - (CASE WHEN COALESCE(g.g, 0) >= 0
+            THEN COALESCE(g.g, 0) // (2 * (SELECT n FROM nn))
+            ELSE -((-COALESCE(g.g, 0)) // (2 * (SELECT n FROM nn)))
+            END) AS BIGINT) AS wt
+        FROM w${t - 1} w LEFT JOIN g$t g ON w.f = g.f)"""
+
+  private val qualityScoreOracle: String = s"""
+      WITH w AS (SELECT doc_id, ${Portable.sql.words} AS w
+        FROM documents),
+      lab AS (SELECT doc_id,
+          CASE WHEN len(w) >= 1 AND 2 * len(list_distinct(w)) >= len(w)
+            THEN 1 ELSE 0 END AS y FROM w),
+      feats AS (SELECT doc_id,
+          list_distinct(list_transform(range(len(w) - 1), i ->
+            ${Portable.sql.hash60(
+              "'" + qfSalt + "' || w[i+1] || ' ' || w[i+2]")} % $qfF))
+            AS f
+        FROM w WHERE len(w) >= 2),
+      pairs AS (SELECT doc_id, unnest(f) AS f FROM feats
+        UNION ALL SELECT doc_id, CAST(-1 AS BIGINT) AS f FROM lab),
+      nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM lab),
+      w0 AS (SELECT CAST(range AS BIGINT) AS f, CAST(0 AS BIGINT) AS wt
+        FROM range(-1, $qfF)),
+      ${(1 to qfSteps).map(qfStepSql).mkString(",\n")},
+      zf AS (SELECT p.doc_id, CAST(SUM(w.wt) AS BIGINT) AS z
+        FROM pairs p JOIN w$qfSteps w ON p.f = w.f GROUP BY 1)
+      SELECT l.doc_id, CAST(l.y AS BIGINT) AS label, zf.z AS margin_q20,
+        CAST((GREATEST(-${2 * qfS}, LEAST(${2 * qfS}, zf.z))
+          + ${2 * qfS}) // 4 AS BIGINT) AS score_q20,
+        zf.z > 0 AS keep
+      FROM lab l JOIN zf ON l.doc_id = zf.doc_id
+      ORDER BY l.doc_id
+      """
+
+  private val qualityScore = GraftQuery(
+    "quality_score",
+    (s, d) => qualityScoreOver(
+      Tables.documents(s, d).select(col("doc_id"), col("text"))),
+    Some(qualityScoreOracle))
+
   override val queries: Seq[GraftQuery] =
     Seq(sampleStratified, shardPack, curationFilter, curationPipeline,
       splitAssign, mixSources, sourceReport, shardsRoundtrip,
-      packSequences, packStoreRoundtrip)
+      packSequences, packStoreRoundtrip, qualityScore)
 }

@@ -174,6 +174,44 @@ class CurationPackSpec extends GraftSpec {
     assert(got == want)
   }
 
+  test("quality_score: the learned gate separates a planted good/bad corpus") {
+    import spark.implicits._
+    // 120 clean docs (distinct-heavy token streams over a 'clean'
+    // vocabulary — proxy label 1) vs 80 degenerate docs (looped spam
+    // bigrams, distinct ratio < 1/2 — proxy label 0). The classes share
+    // NO bigrams, so 8 hard-sigmoid gradient steps must push the two
+    // margin clusters to opposite signs of the decision boundary.
+    val good = (0 until 120).map { i =>
+      val ws = (0 until 12).map(j => s"clean${(i * 7 + j * 3) % 40}")
+      (i.toLong, ws.distinct.mkString(" "))
+    }
+    val bad = (0 until 80).map { i =>
+      val a = s"spam${i % 5}"; val b = s"junk${i % 4}"
+      (1000L + i, Seq.fill(10)(s"$a $b").mkString(" "))
+    }
+    val docs = (good ++ bad).toDF("doc_id", "text")
+    val res = operators.CurationPack.qualityScoreOver(docs).collect()
+    assert(res.length == 200)
+    res.foreach { r =>
+      val y = r.getAs[Long]("label")
+      val keep = r.getAs[Boolean]("keep")
+      val z = r.getAs[Long]("margin_q20")
+      val isGood = r.getAs[Long]("doc_id") < 1000L
+      assert(y == (if (isGood) 1L else 0L),
+        s"proxy label wrong for doc ${r.getAs[Long]("doc_id")}")
+      assert(keep == isGood,
+        s"doc ${r.getAs[Long]("doc_id")}: margin $z classified " +
+          s"keep=$keep, want $isGood")
+      // the hard-sigmoid score is the clamped affine image of the margin
+      val s = r.getAs[Long]("score_q20")
+      val S = 1048576L
+      assert(s == (math.max(-2 * S, math.min(2 * S, z)) + 2 * S) / 4)
+    }
+    // and the scorer is deterministic under re-evaluation
+    val again = operators.CurationPack.qualityScoreOver(docs).collect()
+    assert(res.map(_.toString).toSeq == again.map(_.toString).toSeq)
+  }
+
   test("source_report volumes reconcile with the corpus") {
     val rows = SparkEntry.queries("source_report")(spark, sfDir).collect()
     val nDocs = spark.read.parquet(s"$sfDir/documents.parquet").count()
