@@ -132,6 +132,92 @@ object MediaPack extends QueryPack {
       FROM f ORDER BY doc_id
       """))
 
+  // F5 — media NEAR-dup (r10, the F-block completion the r9 verdict
+  // named): real multimodal pipelines near-dedup — re-encoded,
+  // truncated, or watermarked copies of one asset that F4's exact
+  // fingerprint can never group. The fingerprint is a 64-bit SimHash
+  // over SLIDING 8-byte windows of the payload (the pHash shape with
+  // the codec stubbed out: windows stand in for perceptual features).
+  // Byte-shingling makes the signature robust the way near-dup needs:
+  // a k-byte edit disturbs only ~k+7 of the ~n window tokens, and an
+  // INSERTION shifts window positions without changing the window
+  // *set*, so signatures of near-identical payloads sit a few bits
+  // apart. Candidate generation is C3's multi-probe block engine
+  // VERBATIM (4 blocks × 16 bits, probe-side single-bit flips —
+  // guaranteed recall at hamming ≤ 7, bucketed join, never all-pairs);
+  // the oracle brute-forces every pair independently so the gate
+  // re-proves recall = 1. Payloads are treated as opaque bytes
+  // throughout — the hex round-trip exists only so the oracle can
+  // reproduce the same windows over DuckDB blobs (both engines emit
+  // uppercase hex, so the md5'd tokens agree byte-for-byte).
+  /** F5 engine over an arbitrary media frame (spec entry point —
+    * MediaSpec plants byte-edited and byte-inserted payload copies and
+    * asserts the bucketed probe finds exactly them).
+    */
+  def nearDupPairsOver(media: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    graft.expressions.GraftFunctions.register(media.sparkSession)
+    val sigs = media
+      .select(col("doc_id"), hex(col("content")).as("h"))
+      .filter(length(col("h")) >= 16)
+      .select(col("doc_id"), expr(
+        "graft_simhash64(transform(sequence(1, length(h) - 15, 2)," +
+          " i -> substring(h, i, 16)))").as("sig"))
+    val idx = sigs
+      .select(col("doc_id").as("doc_b"), col("sig").as("sig_b"),
+        explode(SimHashPack.exactBkeys(col("sig"))).as("bkey_b"))
+    val probe = sigs
+      .select(col("doc_id").as("doc_a"), col("sig").as("sig_a"),
+        explode(SimHashPack.probeBkeys(col("sig"))).as("bkey"))
+    probe.join(idx, col("bkey") === col("bkey_b") &&
+        col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"), col("sig_a"), col("sig_b"))
+      .distinct()
+      .withColumn("hamming",
+        expr("graft_hamming(sig_a, sig_b)").cast("long"))
+      .filter(col("hamming") <= SimHashPack.maxHamming)
+      .select(col("doc_a"), col("doc_b"), col("hamming"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  private val mediaNearDedup = GraftQuery(
+    "media_near_dedup",
+    (s, d) => nearDupPairsOver(Media.synthesize(
+      Tables.parallelized(Tables.documents(s, d))).toDF()),
+    Some(s"""
+      WITH m AS (
+        SELECT doc_id, hex(encode(text)) AS h FROM documents),
+      tok AS (
+        SELECT doc_id, unnest(list_transform(range((length(h) // 2) - 7),
+          i -> substr(h, CAST(1 + 2 * i AS BIGINT), 16))) AS word
+        FROM m WHERE length(h) >= 16),
+      hh AS (SELECT doc_id,
+          CAST('0x'||substr(md5(word),1,8) AS BIGINT) AS hi,
+          CAST('0x'||substr(md5(word),9,8) AS BIGINT) AS lo
+        FROM tok),
+      b AS (SELECT doc_id, unnest(range(64)) AS j, hi, lo FROM hh),
+      c AS (SELECT doc_id, j,
+          SUM(CASE WHEN ((CASE WHEN j < 32 THEN lo >> CAST(j AS INTEGER)
+                          ELSE hi >> CAST(j - 32 AS INTEGER) END) & 1) = 1
+              THEN 1 ELSE -1 END) AS cnt
+        FROM b GROUP BY 1, 2),
+      sig AS (SELECT doc_id,
+          CAST(SUM(CASE WHEN cnt > 0 AND j < 32
+            THEN (CAST(1 AS BIGINT) << CAST(j AS INTEGER))
+            ELSE 0 END) AS BIGINT) AS lo,
+          CAST(SUM(CASE WHEN cnt > 0 AND j >= 32
+            THEN (CAST(1 AS BIGINT) << CAST(j - 32 AS INTEGER))
+            ELSE 0 END) AS BIGINT) AS hi
+        FROM c GROUP BY doc_id)
+      SELECT a.doc_id AS doc_a, bb.doc_id AS doc_b,
+        CAST(bit_count(xor(a.lo, bb.lo)) + bit_count(xor(a.hi, bb.hi))
+          AS BIGINT) AS hamming
+      FROM sig a JOIN sig bb ON a.doc_id < bb.doc_id
+      WHERE bit_count(xor(a.lo, bb.lo)) + bit_count(xor(a.hi, bb.hi))
+        <= ${SimHashPack.maxHamming}
+      ORDER BY doc_a, doc_b
+      """))
+
   override val queries: Seq[GraftQuery] =
-    Seq(mediaFeatures, mediaFrames, mediaDedup)
+    Seq(mediaFeatures, mediaFrames, mediaDedup, mediaNearDedup)
 }

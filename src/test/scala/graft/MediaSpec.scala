@@ -68,6 +68,46 @@ class MediaSpec extends GraftSpec {
     }
   }
 
+  test("media_near_dedup: edited/inserted payload copies pair up, " +
+      "bucketed probe, no all-pairs join (F5)") {
+    import spark.implicits._
+    // 40 distinct base payloads (~200 opaque bytes each); payload 0
+    // additionally appears as a 1-byte EDIT (doc 100) and a 4-byte
+    // INSERTION (doc 101) — the re-encode/watermark shapes F4's exact
+    // fingerprint cannot group.
+    def payload(seed: Long): Array[Byte] = {
+      var x = seed * 6364136223846793005L + 1442695040888963407L
+      Array.fill(200) {
+        x = x * 6364136223846793005L + 1442695040888963407L
+        (((x >>> 40) % 64) + 32).toByte
+      }
+    }
+    val base = (0L until 40L).map(i => (i, payload(i)))
+    val edited = {
+      val b = payload(0); b(100) = (b(100) ^ 1).toByte; (100L, b)
+    }
+    val inserted = (101L,
+      payload(0).take(50) ++ "WMRK".getBytes ++ payload(0).drop(50))
+    val media = (base :+ edited :+ inserted).toDF("doc_id", "content")
+    val res = operators.MediaPack.nearDupPairsOver(media)
+    // candidate generation must stay a bucketed equi-join — a
+    // regression to all-pairs shows up as a nested-loop/cartesian
+    val plan = res.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"media_near_dedup candidate generation went all-pairs:\n$plan")
+    val pairs = res.collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // both planted copies pair with their original; nothing pairs
+    // across distinct base payloads (the two copies differ from EACH
+    // OTHER by edit + insertion — double the distance — so that pair
+    // may legitimately sit beyond the hamming gate)
+    assert(pairs.contains((0L, 100L)) && pairs.contains((0L, 101L)),
+      s"planted near-dups not found: $pairs")
+    assert(pairs.subsetOf(Set((0L, 100L), (0L, 101L), (100L, 101L))),
+      s"false positives across distinct payloads: $pairs")
+  }
+
   test("resizeStub keeps the record contract: dims set, content bounded") {
     val ds = Media.synthesize(Tables.documents(spark, sfDir)).limit(5)
     ds.collect().foreach { r =>
