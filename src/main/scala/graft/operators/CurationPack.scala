@@ -398,6 +398,85 @@ object CurationPack extends QueryPack {
       ORDER BY r.doc_id
       """))
 
+  // ---- H6b: temperature-proportional source mixing ----
+  // The OTHER standard mixing shape beside H6's quota-exact fractions:
+  // sample each source proportionally to count^α (α = ½ here — the
+  // Pile/LLaMA temperature-sampling recipe that upsamples small
+  // sources relative to their raw share). Same deterministic
+  // hash-threshold machinery as H1: keep iff draw < rate_ppm(source),
+  // with the per-source threshold derived from α entirely in integer
+  // arithmetic:
+  //   rate_ppm(s) = isqrt((1e12 · cnt_min) div cnt(s))
+  // so kept(s) ≈ cnt(s)·rate/1e6 ∝ √(cnt·cnt_min) ∝ cnt^½, and the
+  // smallest source keeps everything (rate = isqrt(1e12) = 1e6). The
+  // 1e12 numerator is DECIMAL(38,0)-widened (the source_report
+  // discipline), and isqrt is FLOOR(SQRT(double)) followed by an
+  // explicit ±1 correction — sqrt is IEEE correctly-rounded on both
+  // engines and x ≤ 1e12 < 2^53 converts exactly, so the corrected
+  // value is the true integer square root bit-for-bit.
+  //
+  // Scale shape: one map-side-combinable count agg, a source-count
+  // frame of metadata size carrying the thresholds (broadcast back),
+  // and a stateless per-row hash comparison — no window, no per-source
+  // ordering, nothing hot-key-shaped anywhere.
+  private val mixTempSalt = "mixt|"
+
+  /** H6b engine over an arbitrary (doc_id, source) frame (spec entry
+    * point — the testdata's sources are uniform, so the spec plants a
+    * skewed corpus to observe the relative upsampling).
+    */
+  def mixSourcesTempOver(docs: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+      val base = docs
+        .select(col("doc_id"), col("source"),
+          pmod(hashP(concat(lit(mixTempSalt),
+            col("doc_id").cast(StringType))), lit(1000000L)).as("draw"))
+      val cnts = base.groupBy(col("source")).agg(count(lit(1)).as("cnt"))
+      val minC = cnts.agg(min(col("cnt")).as("cmin"))
+      val rates = cnts.crossJoin(broadcast(minC))
+        .withColumn("x", expr(
+          "(CAST(1000000000000 AS DECIMAL(38,0)) * cmin) div cnt"))
+        .withColumn("r0",
+          expr("CAST(FLOOR(SQRT(CAST(x AS DOUBLE))) AS BIGINT)"))
+        .withColumn("keep_rate_ppm", expr(
+          "CASE WHEN r0 * r0 > x THEN r0 - 1" +
+            " WHEN (r0 + 1) * (r0 + 1) <= x THEN r0 + 1 ELSE r0 END"))
+        .select(col("source"), col("keep_rate_ppm"))
+      base.join(broadcast(rates), Seq("source"))
+        .filter(col("draw") < col("keep_rate_ppm"))
+        .select(col("doc_id"), col("source"), col("keep_rate_ppm"),
+          col("draw"))
+        .orderBy(col("doc_id"))
+  }
+
+  private val mixSourcesTemp = GraftQuery(
+    "mix_sources_temp",
+    (s, d) => mixSourcesTempOver(Tables.documents(s, d)),
+    Some(s"""
+      WITH c AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM documents GROUP BY 1),
+      m AS (SELECT MIN(cnt) AS cmin FROM c),
+      r AS (SELECT source,
+          CAST((CAST(1000000000000 AS HUGEINT) * (SELECT cmin FROM m))
+            // cnt AS BIGINT) AS x
+        FROM c),
+      r2 AS (SELECT source, x,
+          CAST(FLOOR(SQRT(CAST(x AS DOUBLE))) AS BIGINT) AS r0 FROM r),
+      rates AS (SELECT source,
+          CASE WHEN r0 * r0 > x THEN r0 - 1
+               WHEN (r0 + 1) * (r0 + 1) <= x THEN r0 + 1
+               ELSE r0 END AS keep_rate_ppm
+        FROM r2),
+      h AS (SELECT doc_id, source,
+          ${Portable.sql.hashP(s"'$mixTempSalt' || CAST(doc_id AS VARCHAR)")}
+            % 1000000 AS draw
+        FROM documents)
+      SELECT h.doc_id, h.source, rates.keep_rate_ppm, h.draw
+      FROM h JOIN rates ON h.source = rates.source
+      WHERE h.draw < rates.keep_rate_ppm
+      ORDER BY h.doc_id
+      """))
+
   // ---- H7: corpus composition report ----
   // The monitoring view a curation pipeline steers by (and the input
   // that picks H6's mixture quotas): per (source, lang) document /
@@ -794,6 +873,6 @@ object CurationPack extends QueryPack {
 
   override val queries: Seq[GraftQuery] =
     Seq(sampleStratified, shardPack, curationFilter, curationPipeline,
-      splitAssign, mixSources, sourceReport, shardsRoundtrip,
+      splitAssign, mixSources, mixSourcesTemp, sourceReport, shardsRoundtrip,
       packSequences, packStoreRoundtrip, qualityScore)
 }

@@ -174,6 +174,54 @@ class CurationPackSpec extends GraftSpec {
     assert(got == want)
   }
 
+  test("mix_sources_temp: realized proportions track count^(1/2) targets") {
+    import spark.implicits._
+    // the testdata's sources are uniform (rate 1e6 everywhere), so
+    // plant the skew temperature sampling exists for: one dominant
+    // source, one mid, one small
+    val docs = ((0L until 1600L).map(i => (i, "big")) ++
+      (1600L until 2000L).map(i => (i, "mid")) ++
+      (2000L until 2100L).map(i => (i, "small")))
+      .toDF("doc_id", "source")
+    val kept = operators.CurationPack.mixSourcesTempOver(docs).collect()
+    val counts = Map("big" -> 1600L, "mid" -> 400L, "small" -> 100L)
+    val cmin = counts.values.min
+    val keptBySrc = kept.groupBy(_.getString(1)).map { case (s, rs) =>
+      s -> rs.length.toLong
+    }
+    counts.foreach { case (src, cnt) =>
+      // the threshold is the exact isqrt-derived rate the operator
+      // defines; realized keeps must reconcile within binomial noise
+      val x = 1000000000000L * cmin / cnt
+      val rate = {
+        val r0 = math.sqrt(x.toDouble).toLong
+        if (r0 * r0 > x) r0 - 1
+        else if ((r0 + 1) * (r0 + 1) <= x) r0 + 1 else r0
+      }
+      val expect = cnt.toDouble * rate / 1e6
+      val got = keptBySrc.getOrElse(src, 0L).toDouble
+      val tol = 4 * math.sqrt(expect) + 5
+      assert(math.abs(got - expect) <= tol,
+        s"$src: kept $got, expected ~$expect (cnt=$cnt rate=$rate)")
+      // rate_ppm carried on every kept row equals the derived threshold
+      kept.filter(_.getString(1) == src).foreach(r =>
+        assert(r.getLong(2) == rate))
+    }
+    // the smallest source is kept in full (rate = 1e6)
+    val smallest = counts.minBy(_._2)._1
+    assert(keptBySrc(smallest) == counts(smallest),
+      "temperature sampling must keep the smallest source entirely")
+    // and upsampling is relative: kept share of a small source exceeds
+    // its raw corpus share, the defining property of alpha < 1 mixing
+    val largest = counts.maxBy(_._2)._1
+    val keptTotal = kept.length.toDouble
+    val corpusTotal = counts.values.sum.toDouble
+    assert(keptBySrc(smallest) / keptTotal >
+      counts(smallest) / corpusTotal)
+    assert(keptBySrc(largest) / keptTotal <
+      counts(largest) / corpusTotal)
+  }
+
   test("quality_score: the learned gate separates a planted good/bad corpus") {
     import spark.implicits._
     // 120 clean docs (distinct-heavy token streams over a 'clean'
