@@ -81,16 +81,22 @@ object SeqStore {
     // novel-only: a crash-replayed batch packs zero new docs
     val novel = packableDocs.join(segs.select(col("doc_id")).distinct(),
       Seq("doc_id"), "left_anti")
-    val bounds = novel.agg(min(col("doc_id")).as("mn")).collect()(0)
-    if (bounds.isNullAt(0)) return // whole batch already packed
-    val hi = segs.agg(max(col("doc_id")).as("mx")).collect()(0)
-    require(hi.isNullAt(0) || bounds.getLong(0) > hi.getLong(0),
-      s"SeqStore $tableBase: append batch min doc_id ${bounds.get(0)} " +
-        s"does not exceed stored max ${hi.get(0)} — sequence packing " +
+    // ONE driver action for all three scalars the guards and the
+    // cursor need — min of the novel batch, max of the stored index,
+    // and the stream cursor Σ seg_len (r9 verdict finding #4: two
+    // separate metadata-scale actions where one crossJoined agg does)
+    val guard = novel.agg(min(col("doc_id")).as("mn"))
+      .crossJoin(segs.agg(max(col("doc_id")).as("mx"),
+        coalesce(sum(col("seg_len")), lit(0L)).as("off")))
+      .collect()(0)
+    if (guard.isNullAt(0)) return // whole batch already packed
+    require(guard.isNullAt(1) || guard.getLong(0) > guard.getLong(1),
+      s"SeqStore $tableBase: append batch min doc_id ${guard.get(0)} " +
+        s"does not exceed stored max ${guard.get(1)} — sequence packing " +
         "is an append-only layout; backfill requires a rebuild")
-    // the stream cursor: total tokens packed so far (segment-scale agg)
-    val off = segs.agg(
-      coalesce(sum(col("seg_len")), lit(0L)).as("off"))
+    val spark2 = docs.sparkSession
+    import spark2.implicits._
+    val off = Seq(guard.getLong(2)).toDF("off")
     packScoped(novel, off) {
       _.write.mode("append").format("parquet")
         .saveAsTable(s"${tableBase}_segs")
