@@ -77,8 +77,12 @@ object ScaleSmoke {
     "ts_cusum",          // per-dimension 2-state recurrence fold
     "cf_user_agents",    // shared parse cache + per-edge class agg
     "vocab_stats",       // vocab-sized banding off shared postings
-    "q_session_paths",   // session engine + session-bounded path agg
-    "hist_store_rollup") // per-(JVM, dataset) store build + cell read
+    "q_session_paths",   // session engine + CAPPED path agg (r10)
+    "hist_store_rollup", // per-(JVM, dataset) store build + cell read
+    // r10: every operator added this round gets a ratio row
+    "quality_score",     // 8 unrolled GD steps × 1 gradient shuffle
+    "media_near_dedup",  // payload-window simhash + multi-probe join
+    "mix_sources_temp")  // count agg + broadcast isqrt thresholds
 
   /** Suffix every WORD of `text` with `tag`: same lengths, same
     * structure, disjoint content — fresh fingerprints AND zero shared

@@ -744,17 +744,16 @@ object CurationPack extends QueryPack {
   private val qfSteps = 8
   private val qfSalt = "qf|"
 
-  /** Train-and-score over an arbitrary (doc_id, text) frame (spec entry
-    * point — CurationPackSpec plants a separable good/bad corpus and
-    * asserts the learned gate classifies it).
+  /** (doc_id, y, feats[]) — H10's feature/label extraction, the one
+    * corpus-scale frame, cached once. feats carries the doc's DISTINCT
+    * hashed-bigram buckets; the bias feature is implicit (every doc,
+    * slot 0 of the weight array). Shared by the in-query trainer and
+    * [[graft.sources.QualityStore]], so the feature spelling cannot
+    * drift between the train and serve paths.
     */
-  def qualityScoreOver(docs: org.apache.spark.sql.DataFrame)
-      : org.apache.spark.sql.DataFrame = {
-    val spark = docs.sparkSession
-    // (doc_id, y, feats[]) — the one corpus-scale frame, cached once.
-    // feats carries the doc's DISTINCT hashed-bigram buckets; the bias
-    // feature is implicit (every doc, slot 0 of the weight array).
-    val base = docs.select(col("doc_id"), words(col("text")).as("w"))
+  private[graft] def qfBase(docs: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame =
+    docs.select(col("doc_id"), words(col("text")).as("w"))
       .select(col("doc_id"), col("w"),
         size(col("w")).cast(LongType).as("nt"),
         size(array_distinct(col("w"))).cast(LongType).as("nd"))
@@ -767,57 +766,83 @@ object CurationPack extends QueryPack {
             lit(" "), element_at(col("w"), i + 1))), lit(qfF.toLong)))))
           .otherwise(array().cast("array<bigint>")).as("feats"))
       .persistTracked
-    val nn = base.agg(count(lit(1)).as("n"))
-    // Model state is ONE row carrying wArr[0..F]: wArr[0] the bias,
-    // wArr[f+1] bucket f's weight. It rides every pass as a broadcast,
-    // so the margin z = bias + Σ_f wArr[f+1] is a MAP-ONLY fold over
-    // the cached feature arrays — no doc-keyed shuffle anywhere.
-    val w0 = spark.range(1).select(
-      transform(sequence(lit(0), lit(qfF)), _ => lit(0L)).as("wArr"))
-    def zCol: org.apache.spark.sql.Column =
-      element_at(col("wArr"), 1) + aggregate(col("feats"), lit(0L),
-        (acc, f) => acc +
-          element_at(col("wArr"), (f + lit(2L)).cast(IntegerType)))
-    def errCol: org.apache.spark.sql.Column =
-      expr(s"(GREATEST(${-2 * qfS}, LEAST(${2 * qfS}, z))" +
-        s" + ${2 * qfS}) div 4") - col("y") * lit(qfS)
-    def stepOnce(wRow: org.apache.spark.sql.DataFrame)
-        : org.apache.spark.sql.DataFrame = {
-      val scored = base.crossJoin(broadcast(wRow))
-        .withColumn("z", zCol)
-        .select(col("feats"), errCol.as("err"))
-      // the ONLY corpus-scale shuffle per step: err contributions keyed
-      // by feature (bias = -1), partially aggregated map-side to ≤ 65
-      // rows per partition before the exchange
-      val deltas = scored
+
+  /** Margin z = bias + Σ_f wArr[f+1]: a map-only fold over the cached
+    * feature arrays against the broadcast one-row model.
+    */
+  private def qfZCol: org.apache.spark.sql.Column =
+    element_at(col("wArr"), 1) + aggregate(col("feats"), lit(0L),
+      (acc, f) => acc +
+        element_at(col("wArr"), (f + lit(2L)).cast(IntegerType)))
+
+  /** 8 batch-GD steps over a feature frame → the one-row model
+    * (wArr[0..F]: wArr[0] the bias, wArr[f+1] bucket f).
+    *
+    * The model STATE lives on the driver between steps — 65 longs, the
+    * MLlib shape — and each step ships it back out as a broadcast
+    * literal, so every step costs exactly ONE corpus-scale job: the
+    * gradient aggregation, map-side combined to ≤ 65 rows per
+    * partition before its exchange. The per-step ≤ 65-row collect is
+    * model-scale (the SeqStore-cursor class of driver action), never
+    * corpus rows. The first spelling of this loop chained each step's
+    * plan through the previous step's DataFrame instead: the analyzed
+    * tree then contains the prior step TWICE (margin pass + update
+    * join), doubling per step — 2⁸ plan copies whose ANALYSIS cost
+    * (56 s wall on 600 ms of task time at sf0.1) caching cannot touch,
+    * the iterative-lineage trap D5 solves the same way.
+    */
+  private[graft] def qfTrain(base: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val spark = base.sparkSession
+    def wRowOf(w: Seq[Long]) =
+      spark.range(1).select(typedLit(w).as("wArr"))
+    val n = base.count()
+    var w: Seq[Long] = Vector.fill(qfF + 1)(0L)
+    if (n > 0) (1 to qfSteps).foreach { _ =>
+      val grads = base.crossJoin(broadcast(wRowOf(w)))
+        .withColumn("z", qfZCol)
+        .select(col("feats"),
+          (expr(s"(GREATEST(${-2 * qfS}, LEAST(${2 * qfS}, z))" +
+            s" + ${2 * qfS}) div 4") - col("y") * lit(qfS)).as("err"))
         .select(explode(concat(array(lit(-1L)), col("feats"))).as("f"),
           col("err"))
         .groupBy(col("f")).agg(sum(col("err")).as("g"))
-        .crossJoin(broadcast(nn))
-        // both tdiv branches keep the dividend non-negative, so
-        // Spark's truncating div and the oracle's flooring // agree
-        .select(col("f"), expr(
-          "CASE WHEN g >= 0 THEN g div (2 * n)" +
-            " ELSE -((-g) div (2 * n)) END").as("d"))
-      val dRow = deltas.agg(map_from_entries(collect_list(struct(
-        (col("f") + 1L).cast(IntegerType).as("slot"), col("d"))))
-        .as("dm"))
-      wRow.crossJoin(broadcast(dRow))
-        .select(transform(sequence(lit(0), lit(qfF)),
-          i => element_at(col("wArr"), i + 1) -
-            coalesce(element_at(col("dm"), i), lit(0L))).as("wArr"))
-        .persistTracked
+        .collect()
+      val upd = w.toArray
+      grads.foreach { r =>
+        val g = r.getLong(1)
+        // JVM Long division truncates toward zero on both signs —
+        // the sign-symmetric tdiv the oracle spells with CASE + //
+        upd((r.getLong(0) + 1L).toInt) -= g / (2L * n)
+      }
+      w = upd.toVector
     }
-    val wT = (1 to qfSteps).foldLeft(w0)((w, _) => stepOnce(w))
-    // scoring: another map-only pass — broadcast model, no shuffle
-    base.crossJoin(broadcast(wT))
-      .withColumn("z", zCol)
+    wRowOf(w)
+  }
+
+  /** Score a feature frame with a one-row model frame — map-only,
+    * model broadcast, no shuffle.
+    */
+  private[graft] def qfScore(base: org.apache.spark.sql.DataFrame,
+      wRow: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame =
+    base.crossJoin(broadcast(wRow))
+      .withColumn("z", qfZCol)
       .select(col("doc_id"), col("y").as("label"),
         col("z").as("margin_q20"),
         expr(s"(GREATEST(${-2 * qfS}, LEAST(${2 * qfS}, z))" +
           s" + ${2 * qfS}) div 4").as("score_q20"),
         (col("z") > 0L).as("keep"))
       .orderBy(col("doc_id"))
+
+  /** Train-and-score over an arbitrary (doc_id, text) frame (spec entry
+    * point — CurationPackSpec plants a separable good/bad corpus and
+    * asserts the learned gate classifies it).
+    */
+  def qualityScoreOver(docs: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val base = qfBase(docs)
+    qfScore(base, qfTrain(base))
   }
 
   /** One unrolled gradient step of the oracle's CTE chain. */
@@ -871,8 +896,47 @@ object CurationPack extends QueryPack {
       Tables.documents(s, d).select(col("doc_id"), col("text"))),
     Some(qualityScoreOracle))
 
+  // ---- H10b: the persisted trained model, through the driver gate ----
+  // Train once per (JVM, dataset) via the StoreMemo discipline, then
+  // both gate rows SCORE with the stored weights: whole-corpus scoring
+  // and two-disjoint-batch scoring (the serving contract) must each
+  // reproduce the in-query train+score — quality_score's oracle
+  // VERBATIM.
+  private def qualityStoreOf(s: org.apache.spark.sql.SparkSession,
+      d: String): String = {
+    import graft.sources.StoreMemo
+    val base = s"graft_quality_store_${StoreMemo.tagOf(d)}"
+    val dir = s"${StoreMemo.root}/$base"
+    StoreMemo.once(s, s"${base}_model", dir, Seq(s"${base}_model")) {
+      graft.sources.QualityStore.write(
+        Tables.documents(s, d).select(col("doc_id"), col("text")),
+        base, dir)
+    }
+    base
+  }
+
+  private val qualityStoreScore = GraftQuery(
+    "quality_store_score",
+    (s, d) => graft.sources.QualityStore.score(s, qualityStoreOf(s, d),
+      Tables.documents(s, d).select(col("doc_id"), col("text"))),
+    Some(qualityScoreOracle))
+
+  private val qualityStoreBatchScore = GraftQuery(
+    "quality_store_batch_score",
+    (s, d) => {
+      val store = qualityStoreOf(s, d)
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+      graft.sources.QualityStore
+        .score(s, store, docs.filter(pmod(col("doc_id"), lit(2)) === 0))
+        .union(graft.sources.QualityStore
+          .score(s, store, docs.filter(pmod(col("doc_id"), lit(2)) === 1)))
+        .orderBy(col("doc_id"))
+    },
+    Some(qualityScoreOracle))
+
   override val queries: Seq[GraftQuery] =
     Seq(sampleStratified, shardPack, curationFilter, curationPipeline,
       splitAssign, mixSources, mixSourcesTemp, sourceReport, shardsRoundtrip,
-      packSequences, packStoreRoundtrip, qualityScore)
+      packSequences, packStoreRoundtrip, qualityScore,
+      qualityStoreScore, qualityStoreBatchScore)
 }

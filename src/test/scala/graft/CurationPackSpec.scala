@@ -260,6 +260,41 @@ class CurationPackSpec extends GraftSpec {
     assert(res.map(_.toString).toSeq == again.map(_.toString).toSeq)
   }
 
+  test("QualityStore: stored model reproduces in-query scores; " +
+      "novel docs score at the bias alone") {
+    import spark.implicits._
+    val docs = ((0 until 60).map { i =>
+      (i.toLong, (0 until 10).map(j => s"ref${(i * 3 + j) % 25}")
+        .distinct.mkString(" "))
+    } ++ (100 until 140).map { i =>
+      (i.toLong, Seq.fill(8)(s"loop${i % 3}").mkString(" "))
+    }).toDF("doc_id", "text")
+    val base = s"graft_qs_spec_${System.nanoTime()}"
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_qs_spec").toString
+    try {
+      graft.sources.QualityStore.write(docs, base, dir)
+      // the persisted-model path IS the in-query path, bit-for-bit
+      val inQuery = operators.CurationPack.qualityScoreOver(docs)
+        .collect().map(_.toString).toSeq
+      val stored = graft.sources.QualityStore.score(spark, base, docs)
+        .collect().map(_.toString).toSeq
+      assert(stored == inQuery)
+      // a doc with entirely NOVEL bigrams scores at whatever its
+      // hashed buckets carry; a doc with NO bigrams (one word) scores
+      // at the bias alone — the smoothing-floor analog
+      val bias = spark.table(s"${base}_model").select(col("wArr"))
+        .collect().head.getSeq[Long](0).head
+      val novel = Seq((9999L, "solitary")).toDF("doc_id", "text")
+      val scored = graft.sources.QualityStore.score(spark, base, novel)
+        .collect().head
+      assert(scored.getAs[Long]("margin_q20") == bias)
+    } finally {
+      spark.sql(s"DROP TABLE IF EXISTS ${base}_model")
+      graft.Caches.deleteDir(dir)
+    }
+  }
+
   test("source_report volumes reconcile with the corpus") {
     val rows = SparkEntry.queries("source_report")(spark, sfDir).collect()
     val nDocs = spark.read.parquet(s"$sfDir/documents.parquet").count()
