@@ -440,7 +440,27 @@ object ScaleSmoke {
         val c1 = ngramMass(base); val cK = ngramMass(dir)
         Seq(f"""{"op":"ngram_candidate_pairs","x1":$c1,"x$k":$cK,"ratio":${cK.toDouble / math.max(c1, 1L)}%.2f}""")
       } else Nil
-      ann ++ ng
+      //  - media_near_dedup (r10): the word-suffix mutation is
+      //    shingle-disjoint for WORD-level ops but not for BYTE-window
+      //    ones — a re-suffixed replica still shares most 8-byte
+      //    payload windows with its source doc, so replicas ARE
+      //    genuine byte-level near-dups of each other and the true
+      //    pair mass grows ~K² by construction of the data (measured
+      //    36.7× at K=8 on 2.8× wall). The mass row makes the ratio
+      //    readable the way ann_pq's does.
+      val media = if (selected.contains("media_near_dedup")) {
+        def mass(d: String): Long = {
+          val c = operators.MediaPack.nearDupPairsOver(
+            graft.media.Media.synthesize(graft.sources.Tables
+              .parallelized(graft.sources.Tables.documents(spark, d)))
+              .toDF()).count()
+          Caches.releaseAll(blocking = true)
+          c
+        }
+        val c1 = mass(base); val cK = mass(dir)
+        Seq(f"""{"op":"media_near_dup_pairs","x1":$c1,"x$k":$cK,"ratio":${cK.toDouble / math.max(c1, 1L)}%.2f}""")
+      } else Nil
+      ann ++ ng ++ media
     }
     massLines.foreach(println)
     val report = selected.map { name =>

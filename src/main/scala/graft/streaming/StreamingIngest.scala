@@ -157,6 +157,37 @@ object StreamingIngest {
     * packed history (the store refuses loudly otherwise) — true of
     * id-monotone ingest streams, the normal case.
     */
+  /** As above, plus an optional [[graft.sources.QualityStore]] leg
+    * (r10): every batch doc is scored against the FROZEN trained
+    * quality model and the verdict frame carries quality_margin_q20 /
+    * quality_score_q20 / quality_keep beside the dedup verdicts — the
+    * full curation loop (dedup → quality gate → index → pack) in one
+    * pass. Unlike every other leg this one is READ-ONLY: the model
+    * never mutates during ingest (QualityStore's no-append contract),
+    * so it has no ordering or crash-stranding constraints. Like the
+    * embed/simhash verdicts it deliberately does NOT feed the `kept`
+    * policy — kept stays dedup-only, so a replay's kept set cannot
+    * shift under it; a caller that wants the gate enforced filters the
+    * SINK on quality_keep.
+    */
+  def processBatch(spark: SparkSession, fpTable: String, mhBase: String,
+      searchBase: Option[String], embedBase: Option[String],
+      simBase: Option[String], seqBase: Option[String],
+      qualityBase: Option[String],
+      batch: DataFrame): DataFrame = {
+    val verdicts = processBatch(spark, fpTable, mhBase, searchBase,
+      embedBase, simBase, seqBase, batch)
+    qualityBase.fold(verdicts) { qb =>
+      val scored = graft.sources.QualityStore.score(spark, qb,
+          batch.select(col("doc_id"), col("text")))
+        .select(col("doc_id"),
+          col("margin_q20").as("quality_margin_q20"),
+          col("score_q20").as("quality_score_q20"),
+          col("keep").as("quality_keep"))
+      verdicts.join(scored, Seq("doc_id"), "left")
+    }
+  }
+
   def processBatch(spark: SparkSession, fpTable: String, mhBase: String,
       searchBase: Option[String], embedBase: Option[String],
       simBase: Option[String], seqBase: Option[String],
@@ -258,10 +289,22 @@ object StreamingIngest {
       embedBase: Option[String], simBase: Option[String],
       seqBase: Option[String],
       sink: (DataFrame, Long) => Unit): StreamingQuery =
+    run(spark, stream, fpTable, mhBase, searchBase, embedBase, simBase,
+      seqBase, None, sink)
+
+  /** As [[run]], with all optional legs including the read-only
+    * [[graft.sources.QualityStore]] scoring leg of the 9-arg
+    * [[processBatch]].
+    */
+  def run(spark: SparkSession, stream: DataFrame, fpTable: String,
+      mhBase: String, searchBase: Option[String],
+      embedBase: Option[String], simBase: Option[String],
+      seqBase: Option[String], qualityBase: Option[String],
+      sink: (DataFrame, Long) => Unit): StreamingQuery =
     stream.writeStream
       .foreachBatch { (batch: DataFrame, id: Long) =>
         sink(processBatch(spark, fpTable, mhBase, searchBase, embedBase,
-          simBase, seqBase, batch), id)
+          simBase, seqBase, qualityBase, batch), id)
       }
       .start()
 

@@ -247,6 +247,62 @@ class StreamingIngestSpec extends GraftSpec {
     }
   }
 
+  test("quality leg: every batch doc is scored against the frozen " +
+      "stored model; the verdict carries the gate columns") {
+    import java.nio.file.{Files, Paths}
+    import spark.implicits._
+    val tmp = Files.createTempDirectory("graft-ingest-q").toString
+    val seed = Seq((2L, "seed history content")).toDF("doc_id", "text")
+    FingerprintStore.write(seed, "ingq_fp", s"$tmp/fp")
+    MinHashStore.write(seed, "ingq_mh", s"$tmp/mh")
+    // reference model trained on a separable corpus: diverse 'ref'
+    // docs (label 1) vs looped spam (label 0)
+    val ref = ((0 until 60).map { i =>
+      (1000L + i, (0 until 10).map(j => s"ref${(i * 3 + j) % 25}")
+        .distinct.mkString(" "))
+    } ++ (100 until 140).map { i =>
+      (2000L + i, Seq.fill(8)(s"loop${i % 3}").mkString(" "))
+    }).toDF("doc_id", "text")
+    graft.sources.QualityStore.write(ref, "ingq_q", s"$tmp/q")
+    val incoming = Paths.get(tmp, "incoming")
+    Files.createDirectories(incoming)
+    Files.writeString(incoming.resolve("b1.csv"),
+      "11\tref0 ref1 ref2 ref3 ref4 ref5 ref6 ref7\n" +
+        "13\tloop0 loop0 loop0 loop0 loop0 loop0 loop0 loop0\n")
+    val stream = spark.readStream
+      .schema("doc_id LONG, text STRING")
+      .option("sep", "\t").csv(incoming.toString)
+    var verdicts: Array[org.apache.spark.sql.Row] = Array.empty
+    val q = StreamingIngest.run(spark, stream.toDF(),
+      "ingq_fp", "ingq_mh", None, None, None, None, Some("ingq_q"),
+      (df: DataFrame, _: Long) => { verdicts = df.collect() })
+    try {
+      q.processAllAvailable()
+      val byId = verdicts.map(r => r.getAs[Long]("doc_id") -> r).toMap
+      assert(byId.keySet == Set(11L, 13L))
+      // the scores are EXACTLY what batch-scoring with the store gives
+      val want = graft.sources.QualityStore.score(spark, "ingq_q",
+          Seq((11L, "ref0 ref1 ref2 ref3 ref4 ref5 ref6 ref7"),
+            (13L, "loop0 loop0 loop0 loop0 loop0 loop0 loop0 loop0"))
+            .toDF("doc_id", "text"))
+        .collect().map(r => r.getAs[Long]("doc_id") ->
+          (r.getAs[Long]("margin_q20"), r.getAs[Boolean]("keep"))).toMap
+      Seq(11L, 13L).foreach { id =>
+        assert(byId(id).getAs[Long]("quality_margin_q20") == want(id)._1)
+        assert(byId(id).getAs[Boolean]("quality_keep") == want(id)._2)
+      }
+      // and the gate discriminates: the ref-shaped doc passes, the
+      // looped one does not
+      assert(byId(11L).getAs[Boolean]("quality_keep"))
+      assert(!byId(13L).getAs[Boolean]("quality_keep"))
+    } finally {
+      q.stop()
+      Seq("ingq_fp", "ingq_mh_bands", "ingq_mh_shingles", "ingq_q_model")
+        .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+      Caches.deleteDir(tmp)
+    }
+  }
+
   test("embed-store leg: semantic near-dups are annotated against the " +
       "vector history; kept docs' embeddings enter the store; exact " +
       "dups carry NULL semantic columns") {
