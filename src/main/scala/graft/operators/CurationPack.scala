@@ -896,6 +896,120 @@ object CurationPack extends QueryPack {
       Tables.documents(s, d).select(col("doc_id"), col("text"))),
     Some(qualityScoreOracle))
 
+  // ---- H11: DSIR importance weights ----
+  // Data Selection via Importance Resampling (Xie et al. '23) — the
+  // OTHER standard learned-selection recipe beside H10's classifier:
+  // score each raw document by how much more likely its hashed-ngram
+  // profile is under a TARGET (reference) distribution than under the
+  // raw-corpus distribution,
+  //   w(doc) = Σ_features count_doc(f) · [log p_target(f) − log p_raw(f)]
+  // with Laplace-smoothed bucket unigram models over hashed BIGRAM
+  // features (64 buckets, hash60, multiset counts — DSIR's hashed
+  // n-gram estimator verbatim). The target slice here is lang = 'en'
+  // (the "reference corpus = English Wikipedia" shape collapsed to one
+  // table); keep = w > 0 — the doc is more target-like than raw-like.
+  // Every log is the G14 Q20 kernel, so the weights are exact int64
+  // and the DuckDB oracle replays them bit-for-bit through the
+  // recursive log CTE.
+  //
+  // Scale shape: the per-doc bucket arrays are computed once
+  // (persisted — two consumers, no cross-branch CSE); the feature
+  // model is ONE map-side-combinable count agg collapsing the corpus
+  // to 64 rows; the log-weight table collapses to a one-row broadcast
+  // 64-slot array; scoring is a map-only fold over the cached arrays —
+  // no per-doc join, no shuffle beyond the one count agg. |w| is
+  // bounded by n_feats · 45·2^20 — int64-safe to ~6e9-token docs.
+  private val dsirSalt = "dsir|"
+  private val dsirF = 64L
+
+  /** H11 engine over an arbitrary (doc_id, text, lang) frame (spec
+    * entry point). `targetLang` selects the reference slice.
+    */
+  def dsirWeightsOver(docs: org.apache.spark.sql.DataFrame,
+      targetLang: String = "en"): org.apache.spark.sql.DataFrame = {
+    val bkts = docs
+      .select(col("doc_id"), col("lang"), words(col("text")).as("w"))
+      .select(col("doc_id"), col("lang"),
+        when(size(col("w")) >= 2, transform(
+          sequence(lit(1), size(col("w")) - 1),
+          i => pmod(hash60(concat(lit(dsirSalt), element_at(col("w"), i),
+            lit(" "), element_at(col("w"), i + 1))), lit(dsirF))))
+          .otherwise(array().cast("array<bigint>")).as("bkts"))
+      .persistTracked
+    val cnt = bkts.select(col("lang"), explode(col("bkts")).as("f"))
+      .groupBy(col("f"))
+      .agg(count(lit(1)).as("cr"),
+        sum(when(col("lang") === targetLang, lit(1L)).otherwise(lit(0L)))
+          .as("ct"))
+    val tot = cnt.agg(sum(col("cr")).as("r"), sum(col("ct")).as("t"))
+    val lgwRow = cnt.crossJoin(broadcast(tot))
+      .select(col("f"),
+        (log2q20(col("ct") + 1L) - log2q20(col("cr") + 1L)
+          - log2q20(col("t") + lit(dsirF))
+          + log2q20(col("r") + lit(dsirF))).as("d"))
+      .agg(map_from_entries(collect_list(struct(
+        col("f").cast(IntegerType).as("slot"), col("d")))).as("m"))
+      .select(transform(sequence(lit(0), lit(dsirF.toInt - 1)),
+        i => coalesce(element_at(col("m"), i), lit(0L))).as("lgwArr"))
+    bkts.crossJoin(broadcast(lgwRow))
+      .select(col("doc_id"),
+        size(col("bkts")).cast(LongType).as("n_feats"),
+        aggregate(col("bkts"), lit(0L), (acc, f) => acc +
+          element_at(col("lgwArr"), (f + lit(1L)).cast(IntegerType)))
+          .as("w_q20"))
+      .withColumn("keep", col("w_q20") > 0L)
+      .orderBy(col("doc_id"))
+  }
+
+  private val dsirWeights = GraftQuery(
+    "dsir_weights",
+    (s, d) => dsirWeightsOver(Tables.documents(s, d)
+      .select(col("doc_id"), col("text"), col("lang"))),
+    Some(s"""
+      WITH RECURSIVE w AS (
+        SELECT doc_id, lang, ${Portable.sql.words} AS w FROM documents),
+      bg AS (
+        SELECT doc_id, lang, unnest(list_transform(range(len(w) - 1),
+          i -> ${Portable.sql.hash60(
+            "'" + dsirSalt + "' || w[i+1] || ' ' || w[i+2]")} % $dsirF))
+          AS f
+        FROM w WHERE len(w) >= 2),
+      cnt AS (
+        SELECT f, CAST(COUNT(*) AS BIGINT) AS cr,
+          CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT)
+            AS ct
+        FROM bg GROUP BY 1),
+      tot AS (SELECT CAST(SUM(cr) AS BIGINT) AS r,
+          CAST(SUM(ct) AS BIGINT) AS t FROM cnt),
+      loginputs AS (
+        SELECT DISTINCT val FROM (
+          SELECT cr + 1 AS val FROM cnt
+          UNION ALL SELECT ct + 1 FROM cnt
+          UNION ALL SELECT r + $dsirF FROM tot
+          UNION ALL SELECT t + $dsirF FROM tot)),
+      ${Portable.sql.log2CteSql("loginputs", "logsteps", "logs")},
+      lgw AS (
+        SELECT c.f,
+          lc.log2_q20 - lr.log2_q20
+            - (SELECT l2.log2_q20 FROM logs l2
+               WHERE l2.val = (SELECT t + $dsirF FROM tot))
+            + (SELECT l3.log2_q20 FROM logs l3
+               WHERE l3.val = (SELECT r + $dsirF FROM tot)) AS d
+        FROM cnt c
+        JOIN logs lc ON lc.val = c.ct + 1
+        JOIN logs lr ON lr.val = c.cr + 1),
+      perdoc AS (
+        SELECT b.doc_id, CAST(COUNT(*) AS BIGINT) AS n_feats,
+          CAST(SUM(l.d) AS BIGINT) AS w_q20
+        FROM bg b JOIN lgw l ON b.f = l.f GROUP BY 1)
+      SELECT d.doc_id,
+        COALESCE(p.n_feats, 0) AS n_feats,
+        COALESCE(p.w_q20, 0) AS w_q20,
+        COALESCE(p.w_q20, 0) > 0 AS keep
+      FROM documents d LEFT JOIN perdoc p ON d.doc_id = p.doc_id
+      ORDER BY d.doc_id
+      """))
+
   // ---- H10b: the persisted trained model, through the driver gate ----
   // Train once per (JVM, dataset) via the StoreMemo discipline, then
   // both gate rows SCORE with the stored weights: whole-corpus scoring
@@ -938,5 +1052,5 @@ object CurationPack extends QueryPack {
     Seq(sampleStratified, shardPack, curationFilter, curationPipeline,
       splitAssign, mixSources, mixSourcesTemp, sourceReport, shardsRoundtrip,
       packSequences, packStoreRoundtrip, qualityScore,
-      qualityStoreScore, qualityStoreBatchScore)
+      qualityStoreScore, qualityStoreBatchScore, dsirWeights)
 }

@@ -260,6 +260,42 @@ class CurationPackSpec extends GraftSpec {
     assert(res.map(_.toString).toSeq == again.map(_.toString).toSeq)
   }
 
+  test("dsir_weights: target-profile docs weigh positive, " +
+      "alien-profile negative, mixed follows its majority") {
+    import spark.implicits._
+    // target (en) docs draw bigrams from the 'tgt' vocabulary; the
+    // raw-only (xx) docs from a disjoint 'alien' vocabulary; two
+    // probe docs are NOT in the target slice but carry target-like vs
+    // alien-like content — DSIR must keep the first and drop the
+    // second regardless of their own lang tag
+    val en = (0 until 50).map { i =>
+      (i.toLong, (0 until 8).map(j => s"tgt${(i + j) % 12}")
+        .mkString(" "), "en")
+    }
+    val alien = (100 until 150).map { i =>
+      (i.toLong, (0 until 8).map(j => s"alien${(i + j) % 12}")
+        .mkString(" "), "xx")
+    }
+    val probes = Seq(
+      (900L, (0 until 8).map(j => s"tgt${j % 12}").mkString(" "), "xx"),
+      (901L, (0 until 8).map(j => s"alien${j % 12}").mkString(" "), "xx"))
+    val docs = (en ++ alien ++ probes).toDF("doc_id", "text", "lang")
+    val rows = operators.CurationPack.dsirWeightsOver(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("w_q20"), r.getAs[Boolean]("keep"))).toMap
+    assert(rows.size == 102)
+    // every target-vocabulary doc (including the mislabeled probe)
+    // scores positive; every alien-vocabulary doc scores negative
+    (en.map(_._1) :+ 900L).foreach(id =>
+      assert(rows(id)._1 > 0L && rows(id)._2, s"doc $id: ${rows(id)}"))
+    (alien.map(_._1) :+ 901L).foreach(id =>
+      assert(rows(id)._1 < 0L && !rows(id)._2, s"doc $id: ${rows(id)}"))
+    // and the weights are a pure function of content: identical texts
+    // get identical weights
+    assert(rows(900L)._1 == rows(0L)._1 ||
+      en.find(_._2 == probes.head._2).isEmpty)
+  }
+
   test("QualityStore: stored model reproduces in-query scores; " +
       "novel docs score at the bias alone") {
     import spark.implicits._
