@@ -83,7 +83,8 @@ object ScaleSmoke {
     "quality_score",     // 8 unrolled GD steps × 1 gradient shuffle
     "media_near_dedup",  // payload-window simhash + multi-probe join
     "mix_sources_temp",  // count agg + broadcast isqrt thresholds
-    "dsir_weights")      // 64-bucket model agg + map-only Q20 fold
+    "dsir_weights",      // 64-bucket model agg + map-only Q20 fold
+    "ccnet_buckets")     // lm frames + (lang, mbits) histogram terciles
 
   /** Suffix every WORD of `text` with `tag`: same lengths, same
     * structure, disjoint content — fresh fingerprints AND zero shared

@@ -216,6 +216,93 @@ object SearchPack extends QueryPack {
     },
     Some(lmOracleSql))
 
+  // ---- I9: ccnet_buckets — per-language perplexity terciles ----
+  // The step CCNet actually ships after its LM scores (r10): bucket
+  // each language's documents into head/middle/tail perplexity
+  // TERCILES and keep head+middle — the standard "drop the worst
+  // third by reference-LM perplexity" gate, composed entirely from
+  // machinery already gated here (I1's exact Q20 cross-entropy; the
+  // A16 histogram rank-selection shape). Thresholds are VALUE-based
+  // (the smallest mbits value whose cumulative count reaches rank
+  // (n−1) div 3 + 1, resp. 2(n−1) div 3 + 1 — all-integer ranks, no
+  // float percentile arithmetic), so equal-perplexity ties land in one
+  // bucket deterministically on both engines.
+  //
+  // Scale shape: scoring rides the shared lm_score frames (postings
+  // cache + the persisted per-doc bigram frame — plan-identical, so
+  // the CacheManager serves one build); the tercile pass is the
+  // HistogramRank discipline — one map-side-combinable (lang, mbits)
+  // count agg, a cumulation window over each language's DISTINCT mbits
+  // values (bounded by the value domain, never the doc count), and a
+  // keys-scale threshold frame broadcast back. No task ever sorts a
+  // language's raw rows.
+  private val ccnetBuckets = GraftQuery(
+    "ccnet_buckets",
+    (s, d) => {
+      val p = postings(s, d)
+      val uni = p.groupBy(col("word")).agg(sum(col("tf")).as("c1"))
+      val vocab = uni.agg(count(lit(1)).as("v"))
+      val docBg = docBigramsOf(
+          Tables.parallelized(Tables.documents(s, d)))
+        .persistTracked
+      val big = docBg.groupBy(col("w1"), col("w2"))
+        .agg(sum(col("k")).as("c12"))
+      val withLang = lmScoreOf(docBg, big, uni, vocab)
+        .select(col("doc_id"), col("mbits_per_token"))
+        .join(Tables.documents(s, d).select(col("doc_id"), col("lang")),
+          Seq("doc_id"))
+      val hist = withLang
+        .groupBy(col("lang"), col("mbits_per_token").as("v"))
+        .agg(count(lit(1)).as("cnt"))
+      val cum = hist
+        .withColumn("cum", sum(col("cnt")).over(
+          Window.partitionBy(col("lang")).orderBy(col("v"))))
+        .withColumn("tot", sum(col("cnt")).over(
+          Window.partitionBy(col("lang"))))
+      val thr = cum.groupBy(col("lang")).agg(
+        min(when(col("cum") >= expr("(tot - 1) div 3 + 1"), col("v")))
+          .as("t1"),
+        min(when(col("cum") >= expr("(2 * (tot - 1)) div 3 + 1"),
+          col("v"))).as("t2"))
+      withLang.join(broadcast(thr), Seq("lang"))
+        .withColumn("ppl_bucket",
+          when(col("mbits_per_token") <= col("t1"), "head")
+            .when(col("mbits_per_token") <= col("t2"), "middle")
+            .otherwise("tail"))
+        .withColumn("keep", col("mbits_per_token") <= col("t2"))
+        .select(col("doc_id"), col("lang"), col("mbits_per_token"),
+          col("ppl_bucket"), col("keep"))
+        .orderBy(col("doc_id"))
+    },
+    Some(s"""
+      WITH lm AS ($lmOracleSql),
+      d2 AS (
+        SELECT l.doc_id, d.lang, l.mbits_per_token
+        FROM lm l JOIN documents d ON l.doc_id = d.doc_id),
+      hist AS (
+        SELECT lang, mbits_per_token AS v, CAST(COUNT(*) AS BIGINT)
+          AS cnt
+        FROM d2 GROUP BY 1, 2),
+      cum AS (
+        SELECT lang, v,
+          SUM(cnt) OVER (PARTITION BY lang ORDER BY v) AS cum,
+          SUM(cnt) OVER (PARTITION BY lang) AS tot
+        FROM hist),
+      thr AS (
+        SELECT lang,
+          MIN(CASE WHEN cum >= (tot - 1) // 3 + 1 THEN v END) AS t1,
+          MIN(CASE WHEN cum >= (2 * (tot - 1)) // 3 + 1 THEN v END)
+            AS t2
+        FROM cum GROUP BY 1)
+      SELECT d2.doc_id, d2.lang, d2.mbits_per_token,
+        CASE WHEN d2.mbits_per_token <= t.t1 THEN 'head'
+             WHEN d2.mbits_per_token <= t.t2 THEN 'middle'
+             ELSE 'tail' END AS ppl_bucket,
+        d2.mbits_per_token <= t.t2 AS keep
+      FROM d2 JOIN thr t ON d2.lang = t.lang
+      ORDER BY d2.doc_id
+      """))
+
   // ---- I2: bm25_search — BM25 top-k retrieval ----
   // The standard lexical retrieval scorer (k1 = 1.2, b = 0.75) over the
   // shared postings, for a fixed query-term set. With avgdl = T/N the
@@ -1017,5 +1104,5 @@ object SearchPack extends QueryPack {
     Seq(lmScore, bm25Search, keywordExtract,
       bm25IndexSearch, bm25IndexAppendSearch,
       lmIndexScore, lmIndexAppendScore, phraseSearch, collocations,
-      docSimilarity, tokenEntropy, docKl, vocabStats)
+      docSimilarity, tokenEntropy, docKl, vocabStats, ccnetBuckets)
 }

@@ -338,4 +338,35 @@ class SearchPackSpec extends GraftSpec {
     assert(!got.exists(t => t._1 == 3L || t._2 == 3L))
     assert(got == pairSet(bruteSim(p, 0.8)))
   }
+
+  test("ccnet_buckets: value-thresholded terciles cover each language " +
+      "at the exact rank bounds; keep drops exactly the tail") {
+    val rows = SparkEntry.queries("ccnet_buckets")(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getString(1)).foreach { case (lang, rs) =>
+      val n = rs.length.toLong
+      val byBucket = rs.groupBy(_.getString(3))
+        .map { case (b, g) => b -> g.map(_.getLong(2)) }
+      assert(byBucket.keySet.subsetOf(Set("head", "middle", "tail")))
+      // value thresholds imply strict score ordering between buckets
+      for {
+        h <- byBucket.get("head"); m <- byBucket.get("middle")
+      } assert(h.max < m.min, s"$lang: head/middle overlap")
+      for {
+        m <- byBucket.get("middle"); t <- byBucket.get("tail")
+      } assert(m.max < t.min, s"$lang: middle/tail overlap")
+      // the rank convention: cumulative count at t1 reaches rank1,
+      // at t2 reaches rank2 — so head >= rank1, head+middle >= rank2
+      val rank1 = (n - 1) / 3 + 1
+      val rank2 = 2 * (n - 1) / 3 + 1
+      val head = byBucket.get("head").map(_.size).getOrElse(0).toLong
+      val mid = byBucket.get("middle").map(_.size).getOrElse(0).toLong
+      assert(head >= rank1, s"$lang: head $head < rank $rank1")
+      assert(head + mid >= rank2,
+        s"$lang: head+middle ${head + mid} < rank $rank2")
+      // keep is exactly the non-tail predicate
+      rs.foreach(r =>
+        assert(r.getBoolean(4) == (r.getString(3) != "tail")))
+    }
+  }
 }
