@@ -575,7 +575,13 @@ object TextPack extends QueryPack {
           md5(concat_ws(" ", col("w"))).as("encoded_md5")), "doc_id")
         .orderBy(col("doc_id"))
     },
-    Some(s"""
+    Some(bpeEncodeOracle))
+
+  /** E9's oracle — shared verbatim by `bpe_store_encode` (E8b): the
+    * persisted merge table must reproduce the in-query encoding
+    * bit-for-bit.
+    */
+  private[graft] lazy val bpeEncodeOracle: String = s"""
       WITH $bpeRoundsSql
       SELECT d0.doc_id,
         CAST(len(d0.w) AS BIGINT) AS n_tokens_in,
@@ -583,7 +589,31 @@ object TextPack extends QueryPack {
         md5(array_to_string(d2.w, ' ')) AS encoded_md5
       FROM d0 JOIN d2 USING (doc_id)
       ORDER BY d0.doc_id
-      """))
+      """
+
+  // ---- E8b: the persisted tokenizer, through the driver gate ----
+  // Train once per (JVM, dataset) via the StoreMemo discipline, then
+  // encode the corpus with the STORED merge table — bpe_encode's
+  // oracle VERBATIM (the frozen-tokenizer serving contract).
+  private def bpeStoreOf(s: org.apache.spark.sql.SparkSession,
+      d: String): String = {
+    import graft.sources.StoreMemo
+    val base = s"graft_bpe_store_${StoreMemo.tagOf(d)}"
+    val dir = s"${StoreMemo.root}/$base"
+    StoreMemo.once(s, s"${base}_merges", dir, Seq(s"${base}_merges")) {
+      graft.sources.BpeStore.write(
+        Tables.parallelized(Tables.documents(s, d))
+          .select(col("doc_id"), col("text")), base, dir)
+    }
+    base
+  }
+
+  private val bpeStoreEncode = GraftQuery(
+    "bpe_store_encode",
+    (s, d) => graft.sources.BpeStore.encode(s, bpeStoreOf(s, d),
+      Tables.parallelized(Tables.documents(s, d))
+        .select(col("doc_id"), col("text"))),
+    Some(bpeEncodeOracle))
 
   /** DuckDB spelling of the [[bpeMerge]] fold (over columns w, a, b). */
   private def bpeMergeSql: String = """
@@ -597,5 +627,6 @@ object TextPack extends QueryPack {
 
   override val queries: Seq[GraftQuery] =
     Seq(langId, langConfusion, textQuality, tokenCount, fingerprint,
-      textRepetition, piiScrub, bpePairs, bpeTrain, bpeEncode)
+      textRepetition, piiScrub, bpePairs, bpeTrain, bpeEncode,
+      bpeStoreEncode)
 }

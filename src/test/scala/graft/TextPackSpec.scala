@@ -175,4 +175,56 @@ class TextPackSpec extends GraftSpec {
       .collect().map(r => r.getString(0) -> r.getLong(1)).toSeq
     assert(got == expected)
   }
+
+  test("BpeStore: frozen merges encode a later batch exactly as the " +
+      "in-query rounds; a pairless corpus trains an empty table") {
+    import spark.implicits._
+    val ref = Seq(
+      (1L, "lo rem ip sum lo rem do lor"),
+      (2L, "lo rem sit am et lo rem"),
+      (3L, "con sec te tur lo rem")).toDF("doc_id", "text")
+    val base = s"graft_bpe_spec_${System.nanoTime()}"
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_bpe_spec").toString
+    try {
+      graft.sources.BpeStore.write(ref, base, dir)
+      // the stored merges are the two greedily-learned rounds:
+      // "lo rem" dominates round 1; round 2 merges the next best pair
+      val merges = spark.table(s"${base}_merges")
+        .orderBy("round").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+      assert(merges.length == 2)
+      assert((merges(0)._2, merges(0)._3) == ("lo", "rem"))
+      // a LATER batch (never seen in training) encodes through the
+      // frozen merges — the serving contract: "lo rem" fuses, novel
+      // tokens pass through untouched
+      val batch = Seq((10L, "lo rem novel to ken lo rem")).toDF(
+        "doc_id", "text")
+      val enc = graft.sources.BpeStore.encode(spark, base, batch)
+        .collect().head
+      assert(enc.getAs[Long]("n_tokens_in") == 7L)
+      // two "lo rem" fusions: 7 tokens -> 5 (round 2's pair may or may
+      // not occur in this batch; it cannot fuse more than one more)
+      assert(enc.getAs[Long]("n_tokens_out") <= 5L &&
+        enc.getAs[Long]("n_tokens_out") >= 4L)
+      // and the encoding is a pure function: re-encoding matches
+      val again = graft.sources.BpeStore.encode(spark, base, batch)
+        .collect().head
+      assert(enc.toString == again.toString)
+      // degenerate reference: single-token docs have no pairs — the
+      // store trains an EMPTY merge table and encoding is identity
+      val base2 = s"${base}b"
+      graft.sources.BpeStore.write(
+        Seq((1L, "solo"), (2L, "alone")).toDF("doc_id", "text"),
+        base2, s"$dir/b")
+      assert(spark.table(s"${base2}_merges").count() == 0)
+      val id = graft.sources.BpeStore.encode(spark, base2, batch)
+        .collect().head
+      assert(id.getAs[Long]("n_tokens_out") == 7L)
+    } finally {
+      spark.sql(s"DROP TABLE IF EXISTS ${base}_merges")
+      spark.sql(s"DROP TABLE IF EXISTS ${base}b_merges")
+      graft.Caches.deleteDir(dir)
+    }
+  }
 }
