@@ -753,7 +753,23 @@ object CurationPack extends QueryPack {
     */
   private[graft] def qfBase(docs: org.apache.spark.sql.DataFrame)
       : org.apache.spark.sql.DataFrame =
-    docs.select(col("doc_id"), words(col("text")).as("w"))
+    qfBaseWith(docs, _.persistTracked)
+
+  /** As [[qfBase]] with the cache policy injected — the
+    * [[packSegmentsWith]] discipline: TRAINING pays 1 + `qfSteps`
+    * actions over this frame and registry-tracks the persist; SERVING
+    * ([[graft.sources.QualityStore.score]]) is one map-only pass per
+    * sink action and must NOT persist at all — a foreachBatch loop
+    * scoring every micro-batch through a `.persistTracked` here would
+    * register one never-released cached batch frame per micro-batch in
+    * the registry (releaseAll is harness-scoped, not loop-scoped) and
+    * leak the stream's whole history into the block manager (review
+    * finding, r10 ADVICE).
+    */
+  private[graft] def qfBaseWith(docs: org.apache.spark.sql.DataFrame,
+      cache: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame =
+    cache(docs.select(col("doc_id"), words(col("text")).as("w"))
       .select(col("doc_id"), col("w"),
         size(col("w")).cast(LongType).as("nt"),
         size(array_distinct(col("w"))).cast(LongType).as("nd"))
@@ -764,8 +780,7 @@ object CurationPack extends QueryPack {
           sequence(lit(1), col("nt").cast(IntegerType) - 1),
           i => pmod(hash60(concat(lit(qfSalt), element_at(col("w"), i),
             lit(" "), element_at(col("w"), i + 1))), lit(qfF.toLong)))))
-          .otherwise(array().cast("array<bigint>")).as("feats"))
-      .persistTracked
+          .otherwise(array().cast("array<bigint>")).as("feats")))
 
   /** Margin z = bias + Σ_f wArr[f+1]: a map-only fold over the cached
     * feature arrays against the broadcast one-row model.
@@ -790,6 +805,17 @@ object CurationPack extends QueryPack {
     * join), doubling per step — 2⁸ plan copies whose ANALYSIS cost
     * (56 s wall on 600 ms of task time at sf0.1) caching cannot touch,
     * the iterative-lineage trap D5 solves the same way.
+    *
+    * Cache-miss cost model (the D5/E8 audit-trail discipline):
+    * training pays 1 + `qfSteps` actions over the cached feature frame
+    * (the count plus one gradient agg per step). With the frame
+    * resident each step scans cached arrays; under cache pressure an
+    * evicted partition re-runs the tokenize+hash projection, so the
+    * worst case is (1 + steps) × the feature scan — linear in steps,
+    * inherent to batch GD (every step must see every example), and
+    * bounded: MEMORY_AND_DISK spills to local disk before it ever
+    * recomputes, so the recompute path needs disk loss, not just
+    * memory pressure.
     */
   private[graft] def qfTrain(base: org.apache.spark.sql.DataFrame)
       : org.apache.spark.sql.DataFrame = {

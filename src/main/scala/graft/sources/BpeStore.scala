@@ -47,13 +47,24 @@ object BpeStore {
     * kernel; no shuffle anywhere. A round absent from the store (a
     * degenerate training corpus ran out of pairs) is skipped, which is
     * exactly what training would have produced. dropDuplicates absorbs
-    * a torn overwrite's duplicate file pair.
+    * a torn overwrite's duplicate file pair; a store carrying two
+    * DIFFERENT pairs for one round is MALFORMED (no training run
+    * produces it) and fails loudly naming the round — applying either
+    * pair in arbitrary order would silently produce arbitrary
+    * encodings (the AnnPack malformed-store discipline, r10 ADVICE).
     */
   def encode(spark: SparkSession, tableBase: String,
       docs: DataFrame): DataFrame = {
     val merges = spark.table(s"${tableBase}_merges").dropDuplicates()
       .select(col("round"), col("a"), col("b"))
       .collect().sortBy(_.getLong(0)) // model-scale: one row per round
+    val dupRounds = merges.map(_.getLong(0))
+      .groupBy(identity).collect { case (r, o) if o.length > 1 => r }
+    require(dupRounds.isEmpty,
+      s"malformed BPE store ${tableBase}_merges: round(s) " +
+        s"${dupRounds.toSeq.sorted.mkString(", ")} carry more than one " +
+        "distinct merge pair — a training run writes exactly one pair " +
+        "per round; rebuild the store")
     import spark.implicits._
     val d0 = TextPack.bpeTokens(docs)
     val dT = merges.foldLeft(d0) { (d, r) =>

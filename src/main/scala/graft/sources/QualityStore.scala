@@ -52,11 +52,19 @@ object QualityStore {
   /** Score `docs` (doc_id, text) with the STORED model — 65 longs
     * read, broadcast, map-only scoring, no shuffle. dropDuplicates
     * absorbs a torn overwrite's duplicate file pair.
+    *
+    * The feature frame is deliberately NOT persisted (identity cache
+    * policy): serving is one map-only pass per sink action, and a
+    * long-lived ingest loop scoring every micro-batch through a
+    * registry-tracked persist would leak one cached batch frame per
+    * micro-batch — releaseAll is harness-scoped, not loop-scoped
+    * (r10 ADVICE). Training ([[write]]) keeps the tracked persist: it
+    * pays 1 + steps actions over the same frame.
     */
   def score(spark: SparkSession, tableBase: String,
       docs: DataFrame): DataFrame = {
     val wRow = spark.table(s"${tableBase}_model").dropDuplicates()
       .select(col("wArr"))
-    CurationPack.qfScore(CurationPack.qfBase(docs), wRow)
+    CurationPack.qfScore(CurationPack.qfBaseWith(docs, identity), wRow)
   }
 }

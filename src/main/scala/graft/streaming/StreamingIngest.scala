@@ -157,8 +157,15 @@ object StreamingIngest {
     * packed history (the store refuses loudly otherwise) — true of
     * id-monotone ingest streams, the normal case.
     */
-  /** As above, plus an optional [[graft.sources.QualityStore]] leg
-    * (r10): every batch doc is scored against the FROZEN trained
+  def processBatch(spark: SparkSession, fpTable: String, mhBase: String,
+      searchBase: Option[String], embedBase: Option[String],
+      simBase: Option[String], seqBase: Option[String],
+      batch: DataFrame): DataFrame =
+    processBatch(spark, fpTable, mhBase, searchBase, embedBase, simBase,
+      seqBase, None, batch)
+
+  /** The full core, plus the optional [[graft.sources.QualityStore]]
+    * leg (r10): every batch doc is scored against the FROZEN trained
     * quality model and the verdict frame carries quality_margin_q20 /
     * quality_score_q20 / quality_keep beside the dedup verdicts — the
     * full curation loop (dedup → quality gate → index → pack) in one
@@ -168,29 +175,16 @@ object StreamingIngest {
     * embed/simhash verdicts it deliberately does NOT feed the `kept`
     * policy — kept stays dedup-only, so a replay's kept set cannot
     * shift under it; a caller that wants the gate enforced filters the
-    * SINK on quality_keep.
+    * SINK on quality_keep. The leg scores the SEVERED micro-batch `b`
+    * (not the foreachBatch source frame, which would re-execute the
+    * source per sink action) through the serving path's no-persist
+    * feature frame — the loop's scoped-working-set contract: nothing
+    * here registers registry-tracked state (r10 ADVICE, both items).
     */
   def processBatch(spark: SparkSession, fpTable: String, mhBase: String,
       searchBase: Option[String], embedBase: Option[String],
       simBase: Option[String], seqBase: Option[String],
       qualityBase: Option[String],
-      batch: DataFrame): DataFrame = {
-    val verdicts = processBatch(spark, fpTable, mhBase, searchBase,
-      embedBase, simBase, seqBase, batch)
-    qualityBase.fold(verdicts) { qb =>
-      val scored = graft.sources.QualityStore.score(spark, qb,
-          batch.select(col("doc_id"), col("text")))
-        .select(col("doc_id"),
-          col("margin_q20").as("quality_margin_q20"),
-          col("score_q20").as("quality_score_q20"),
-          col("keep").as("quality_keep"))
-      verdicts.join(scored, Seq("doc_id"), "left")
-    }
-  }
-
-  def processBatch(spark: SparkSession, fpTable: String, mhBase: String,
-      searchBase: Option[String], embedBase: Option[String],
-      simBase: Option[String], seqBase: Option[String],
       batch: DataFrame): DataFrame = {
     // one materialization of the micro-batch: it feeds the exact probe,
     // the survivor join and both appends, and a foreachBatch source
@@ -224,6 +218,17 @@ object StreamingIngest {
           col("best_hamming"))
         .localCheckpoint(true)
     }
+    // quality leg: read-only scoring of the severed batch against the
+    // frozen model — lazy is safe here (the model never mutates, unlike
+    // the stores the probes above must be severed from)
+    val qual = qualityBase.map { qb =>
+      graft.sources.QualityStore.score(spark, qb,
+          b.select(col("doc_id"), col("text")))
+        .select(col("doc_id"),
+          col("margin_q20").as("quality_margin_q20"),
+          col("score_q20").as("quality_score_q20"),
+          col("keep").as("quality_keep"))
+    }
     // the dedup verdict's keep set — severed frames only, so the joins
     // below stay correct after the appends mutate the stores
     val kept = survivors.join(
@@ -244,7 +249,8 @@ object StreamingIngest {
       .join(near.select(col("doc_id"), col("n_hist_matches"),
         col("hist_canonical"), col("best_jaccard")), Seq("doc_id"), "left")
     val withEmb = emb.fold(base)(e => base.join(e, Seq("doc_id"), "left"))
-    sh.fold(withEmb)(e => withEmb.join(e, Seq("doc_id"), "left"))
+    val withSh = sh.fold(withEmb)(e => withEmb.join(e, Seq("doc_id"), "left"))
+    qual.fold(withSh)(q => withSh.join(q, Seq("doc_id"), "left"))
   }
 
   /** Wire a (doc_id, text) stream through [[processBatch]]; per-batch

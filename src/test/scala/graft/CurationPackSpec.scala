@@ -316,6 +316,14 @@ class CurationPackSpec extends GraftSpec {
       val stored = graft.sources.QualityStore.score(spark, base, docs)
         .collect().map(_.toString).toSeq
       assert(stored == inQuery)
+      // serving is PERSIST-FREE (r10 ADVICE): a long-lived ingest loop
+      // scoring every micro-batch through a registry-tracked persist
+      // would leak one cached batch frame per micro-batch — score must
+      // leave the set of persistent RDDs exactly as it found it
+      val before = spark.sparkContext.getPersistentRDDs.keySet
+      graft.sources.QualityStore.score(spark, base, docs).collect()
+      assert(spark.sparkContext.getPersistentRDDs.keySet == before,
+        "QualityStore.score registered a persist on the serving path")
       // a doc with entirely NOVEL bigrams scores at whatever its
       // hashed buckets carry; a doc with NO bigrams (one word) scores
       // at the bias alone — the smoothing-floor analog

@@ -227,4 +227,35 @@ class TextPackSpec extends GraftSpec {
       graft.Caches.deleteDir(dir)
     }
   }
+
+  test("BpeStore: a malformed store with two distinct pairs for one " +
+      "round fails loudly naming the round (never silently applies " +
+      "either in arbitrary order)") {
+    import spark.implicits._
+    val ref = Seq(
+      (1L, "lo rem ip sum lo rem do lor"),
+      (2L, "lo rem sit am et lo rem")).toDF("doc_id", "text")
+    val base = s"graft_bpe_mal_${System.nanoTime()}"
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_bpe_mal").toString
+    try {
+      graft.sources.BpeStore.write(ref, base, dir)
+      // corrupt the store: a CONFLICTING pair lands under round 2 (a
+      // torn overwrite's byte-identical duplicates are fine and
+      // absorbed; two different pairs for one round are not)
+      Seq((2L, "zz", "yy")).toDF("round", "a", "b")
+        .write.mode("append").format("parquet")
+        .saveAsTable(s"${base}_merges")
+      spark.catalog.refreshTable(s"${base}_merges")
+      val batch = Seq((10L, "lo rem zz yy")).toDF("doc_id", "text")
+      val e = intercept[IllegalArgumentException] {
+        graft.sources.BpeStore.encode(spark, base, batch)
+      }
+      assert(e.getMessage.contains("malformed BPE store"))
+      assert(e.getMessage.contains("2"))
+    } finally {
+      spark.sql(s"DROP TABLE IF EXISTS ${base}_merges")
+      graft.Caches.deleteDir(dir)
+    }
+  }
 }
