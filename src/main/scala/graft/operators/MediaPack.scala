@@ -152,7 +152,11 @@ object MediaPack extends QueryPack {
   // uppercase hex, so the md5'd tokens agree byte-for-byte).
   /** F5 engine over an arbitrary media frame (spec entry point —
     * MediaSpec plants byte-edited and byte-inserted payload copies and
-    * asserts the bucketed probe finds exactly them).
+    * asserts the bucketed probe finds exactly them). Candidate
+    * generation is [[SimHashPack.nearPairs]] VERBATIM — including its
+    * in-query hot-bucket admission cap (a constant-payload media corpus
+    * — the tracking-pixel shape — is exactly the degenerate case that
+    * cap exists for; see the recall bound there).
     */
   def nearDupPairsOver(media: org.apache.spark.sql.DataFrame)
       : org.apache.spark.sql.DataFrame = {
@@ -163,20 +167,7 @@ object MediaPack extends QueryPack {
       .select(col("doc_id"), expr(
         "graft_simhash64(transform(sequence(1, length(h) - 15, 2)," +
           " i -> substring(h, i, 16)))").as("sig"))
-    val idx = sigs
-      .select(col("doc_id").as("doc_b"), col("sig").as("sig_b"),
-        explode(SimHashPack.exactBkeys(col("sig"))).as("bkey_b"))
-    val probe = sigs
-      .select(col("doc_id").as("doc_a"), col("sig").as("sig_a"),
-        explode(SimHashPack.probeBkeys(col("sig"))).as("bkey"))
-    probe.join(idx, col("bkey") === col("bkey_b") &&
-        col("doc_a") < col("doc_b"))
-      .select(col("doc_a"), col("doc_b"), col("sig_a"), col("sig_b"))
-      .distinct()
-      .withColumn("hamming",
-        expr("graft_hamming(sig_a, sig_b)").cast("long"))
-      .filter(col("hamming") <= SimHashPack.maxHamming)
-      .select(col("doc_a"), col("doc_b"), col("hamming"))
+    SimHashPack.nearPairs(sigs)
       .orderBy(col("doc_a"), col("doc_b"))
   }
 

@@ -73,6 +73,63 @@ object SimHashPack extends QueryPack {
           .plus(blockKey(sig, b).bitwiseXOR(lit(1L << i))))
     }: _*)
 
+  /** In-query hot-bucket admission cap — the [[graft.sources
+    * .SimHashStore]]/[[graft.sources.MinHashStore]] `maxPerBucket`
+    * discipline applied to the IN-QUERY candidate join (r10 verdict's
+    * one open hazard): a degenerate corpus — billions of near-constant
+    * payloads, think tracking pixels — puts its whole population behind
+    * ONE 16-bit block value, and an uncapped probe ⋈ index join on that
+    * key generates a QUADRATIC candidate set before the hamming filter
+    * ever runs (AQE skew-split spreads the join's partitions, but the
+    * pair mass itself is the cost). The cap retains the `maxPerBucket`
+    * SMALLEST doc ids per composite block key on the INDEX side — a
+    * [[graft.plans.TopKPerKey]] bounded heap (map-side partial prune,
+    * one hash exchange), never a per-bucket sort, so the hot bucket
+    * never materializes.
+    *
+    * Recall — the honest bound, same as the stores': a pair (a, b) is
+    * dropped iff b is capped out of EVERY block bucket the pair
+    * collides in, so pair mass per bucket is ≤ n·cap instead of n²;
+    * among any `maxPerBucket` docs sharing a bucket, recall stays 1.
+    * At the default cap the bound is unreachable on non-degenerate
+    * corpora (sf0.1's hottest block bucket is ~20 docs, so the gated
+    * rows run capped AND still hash-match the uncapped brute-force
+    * oracle — which is what keeps the oracle an independent recall
+    * proof rather than a mirror of the cap); the degenerate shape is
+    * spec-pinned with a planted constant-payload corpus instead
+    * (SkewSpec). `Int.MaxValue` disables, like the stores.
+    */
+  private[graft] val defaultMaxPerBucket = 1024
+
+  /** The shared multi-probe candidate engine over a (doc_id, sig)
+    * frame: exact-key index side (capped — see [[defaultMaxPerBucket]])
+    * ⋈ flip-probe side on the composite block key, pair-level dedupe,
+    * one codegen'd popcount per pair. Used verbatim by C3
+    * (`dedup_simhash`) and F5 ([[MediaPack.nearDupPairsOver]]) — one
+    * spelling, so the hazard fix cannot drift between the text and
+    * media paths.
+    */
+  private[graft] def nearPairs(sigs: DataFrame,
+      maxPerBucket: Int = defaultMaxPerBucket): DataFrame = {
+    val idxAll = sigs
+      .select(col("doc_id").as("doc_b"), col("sig").as("sig_b"),
+        explode(exactBkeys(col("sig"))).as("bkey_b"))
+    val idx = if (maxPerBucket == Int.MaxValue) idxAll
+      else graft.plans.TopKPerKey(idxAll, Seq(col("bkey_b")),
+        Seq(col("doc_b").asc), maxPerBucket)
+    val probe = sigs
+      .select(col("doc_id").as("doc_a"), col("sig").as("sig_a"),
+        explode(probeBkeys(col("sig"))).as("bkey"))
+    probe.join(idx, col("bkey") === col("bkey_b") &&
+        col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"), col("sig_a"), col("sig_b"))
+      .distinct()
+      .withColumn("hamming",
+        expr("graft_hamming(sig_a, sig_b)").cast(LongType))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("doc_a"), col("doc_b"), col("hamming"))
+  }
+
   /** The DuckDB spelling of the corpus signature table — CTE chain
     * ending in `sig(doc_id, lo, hi)` (the 64-bit signature as two
     * int64 halves; DuckDB's `<<` on BIGINT is well-defined to 63 bits
@@ -104,26 +161,9 @@ object SimHashPack extends QueryPack {
 
   private val dedupSimhash = GraftQuery(
     "dedup_simhash",
-    (s, d) => {
-      val sigs = sigsOf(Tables.parallelized(Tables.documents(s, d)))
-      // index side: each block's exact key (numBlocks rows per doc)
-      val idx = sigs
-        .select(col("doc_id").as("doc_b"), col("sig").as("sig_b"),
-          explode(exactBkeys(col("sig"))).as("bkey_b"))
-      // probe side: exact key + all single-bit flips (17 keys per block)
-      val probe = sigs
-        .select(col("doc_id").as("doc_a"), col("sig").as("sig_a"),
-          explode(probeBkeys(col("sig"))).as("bkey"))
-      probe.join(idx, col("bkey") === col("bkey_b") &&
-          col("doc_a") < col("doc_b"))
-        .select(col("doc_a"), col("doc_b"), col("sig_a"), col("sig_b"))
-        .distinct()
-        .withColumn("hamming",
-          expr("graft_hamming(sig_a, sig_b)").cast(LongType))
-        .filter(col("hamming") <= maxHamming)
-        .select(col("doc_a"), col("doc_b"), col("hamming"))
-        .orderBy(col("doc_a"), col("doc_b"))
-    },
+    (s, d) => nearPairs(
+        sigsOf(Tables.parallelized(Tables.documents(s, d))))
+      .orderBy(col("doc_a"), col("doc_b")),
     Some(s"""
       WITH $sigSql
       SELECT a.doc_id AS doc_a, bb.doc_id AS doc_b,

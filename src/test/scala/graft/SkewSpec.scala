@@ -345,6 +345,50 @@ class SkewSpec extends GraftSpec {
     ev.unpersist()
   }
 
+  test("dedup_simhash: a constant-payload flood stays cap-bounded " +
+      "in-query (the r10 verdict's one open hazard)") {
+    import spark.implicits._
+    // 40 byte-identical docs share ONE signature, so all four 16-bit
+    // block buckets hold the whole flood — the tracking-pixel shape
+    // whose uncapped probe ⋈ index join is quadratic BEFORE the
+    // hamming filter. A genuinely distinct near-dup pair lives in
+    // other buckets and must be untouched by the cap.
+    val n = 40L
+    val flood = spark.range(1, n + 1).select(col("id").as("doc_id"),
+      lit("alpha beta gamma delta epsilon zeta eta theta iota kappa")
+        .as("text"))
+    val pair = Seq((100L, "uniq1 uniq2 uniq3 uniq4 uniq5 uniq6"),
+      (101L, "uniq1 uniq2 uniq3 uniq4 uniq5 uniq6")).toDF("doc_id", "text")
+    val sigs = operators.SimHashPack.sigsOf(flood.union(pair))
+    val cap = 8
+    val capped = operators.SimHashPack.nearPairs(sigs, cap)
+    // the cap must be the G7 bounded heap in the executed plan — and
+    // the candidate join an equi-join, never a cartesian
+    val plan = capped.queryExecution.executedPlan.toString
+    assert(plan.contains("TopKPerKey"),
+      s"in-query simhash candidate join lost the per-bucket cap:\n$plan")
+    assert(!plan.contains("Cartesian") &&
+      !plan.contains("BroadcastNestedLoop"),
+      s"candidate generation degenerated to an all-pairs join:\n$plan")
+    val rows = capped.collect()
+    val floodPairs = rows.filter(_.getAs[Long]("doc_b") <= n)
+    // the index retains the cap SMALLEST ids per bucket: every surviving
+    // flood pair names a retained doc_b, and the pair mass is
+    // Σ_{b=1..cap}(b−1) = 28 — not C(40,2) = 780
+    assert(floodPairs.forall(_.getAs[Long]("doc_b") <= cap.toLong),
+      "a capped-out doc reappeared as an index-side candidate")
+    assert(floodPairs.length == (0 until cap).sum,
+      s"${floodPairs.length} flood pairs — cap not bounding the bucket")
+    // recall outside the hot bucket is untouched
+    assert(rows.exists(r => r.getAs[Long]("doc_a") == 100L &&
+      r.getAs[Long]("doc_b") == 101L),
+      "the cap dropped a pair outside the flooded bucket")
+    // uncapped control: the flood IS quadratic without the cap
+    val un = operators.SimHashPack.nearPairs(sigs, Int.MaxValue)
+      .collect().filter(_.getAs[Long]("doc_b") <= n)
+    assert(un.length == (n * (n - 1) / 2).toInt)
+  }
+
   test("streaming LSH: a hot bucket of identical docs stays cap-bounded") {
     import spark.implicits._
     val m = 200
