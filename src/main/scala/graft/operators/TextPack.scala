@@ -494,6 +494,70 @@ object TextPack extends QueryPack {
           expression(col("a")), expression(col("b")))).as("w"))
   }
 
+  /** [[bpeMerge]] with the pair as DRIVER-side literals — the shape the
+    * iterated trainer and the stored-merge encoder use: the pair is
+    * model state (one row), so shipping it as a literal into the
+    * codegen'd kernel beats a one-row broadcast join per round once
+    * rounds number in the thousands (no join node, no broadcast
+    * exchange, one projection per round).
+    */
+  private[graft] def bpeMergeLit(d: org.apache.spark.sql.DataFrame,
+      a: String, b: String) = {
+    import org.apache.spark.sql.GraftColumnBridge.{column, expression}
+    d.select(col("doc_id"),
+      column(graft.expressions.MergePair(expression(col("w")),
+        expression(lit(a)), expression(lit(b)))).as("w"))
+  }
+
+  /** Iterated BPE training — the PRODUCTION form of E8's two unrolled
+    * rounds (a shippable tokenizer is thousands of merges): `rounds`
+    * greedy rounds of the IDENTICAL round body, with the merge list as
+    * DRIVER-side state (the H10 lineage lesson — chaining each round's
+    * plan through the previous round's DataFrame grows the analyzed
+    * tree per round; here every round's frame is severed by an eager
+    * localCheckpoint, so the plan stays O(1) deep and per-round cost is
+    * FLAT: one corpus-scale pair-count agg + one map-only merge
+    * projection + one corpus-sized materialization, regardless of how
+    * many rounds preceded). Returns the learned merges in application
+    * order as (a, b, cnt) — ≤ `rounds` entries; training stops early
+    * when the corpus runs out of adjacent pairs, exactly where the
+    * unrolled spelling's empty top-1 frame degenerates to a no-op.
+    *
+    * At `rounds = 2` this computes bit-for-bit what the unrolled
+    * E8/E8b spelling computes (same agg, same (cnt DESC, a, b) argmax,
+    * same kernel), which is how [[graft.sources.BpeStore.write]] stays
+    * on `bpe_store_encode`'s 2-round CTE oracle while exposing the
+    * round-count parameter; the ≥ 8-round behavior is spec-pinned
+    * against a JVM recompute (TextPackSpec).
+    */
+  private[graft] def bpeTrainMerges(docs: org.apache.spark.sql.DataFrame,
+      rounds: Int): Seq[(String, String, Long)] = {
+    require(rounds >= 1, s"rounds must be >= 1, got $rounds")
+    import org.apache.spark.sql.GraftDatasetBridge.freeLocalCheckpoint
+    val out = scala.collection.mutable.ArrayBuffer.empty[(String, String, Long)]
+    var d = bpeTokens(docs).localCheckpoint(true)
+    var dry = false
+    while (out.length < rounds && !dry) {
+      val top = bpeTopPair(d).collect() // model-scale: one row or none
+      if (top.isEmpty) dry = true
+      else {
+        val (a, b) = (top(0).getString(0), top(0).getString(1))
+        out += ((a, b, top(0).getLong(2)))
+        if (out.length < rounds) {
+          val next = bpeMergeLit(d, a, b).localCheckpoint(true)
+          // retire the previous round's checkpoint EAGERLY — the
+          // ContextCleaner would get there eventually, but a tight
+          // thousands-of-rounds loop cannot carry GC-slack copies of
+          // the corpus between collections
+          freeLocalCheckpoint(d)
+          d = next
+        }
+      }
+    }
+    freeLocalCheckpoint(d)
+    out.toSeq
+  }
+
   private val bpeTrain = GraftQuery(
     "bpe_train",
     (s, d) => {

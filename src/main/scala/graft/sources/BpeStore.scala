@@ -14,9 +14,11 @@ import org.apache.spark.sql.functions._
   *
   * One table `<base>_merges` (round, a, b): the learned merge pairs in
   * application order. Model-scale (one row per round); encoding reads
-  * it, broadcasts each round's pair, and re-runs the native MergePair
-  * kernel per document — the EXACT code path of the in-query E9, so
-  * `bpe_store_encode` shares bpe_encode's oracle VERBATIM.
+  * it and re-runs the native MergePair kernel per document per round
+  * (each round's pair a driver-side literal — one projection per
+  * round, one map-only stage in total) — the same kernel and round
+  * order as the in-query E9, so `bpe_store_encode` shares bpe_encode's
+  * oracle VERBATIM.
   *
   * No append, same argument as QualityStore: BPE training is a
   * sequential greedy optimization over the full corpus — its state
@@ -25,18 +27,25 @@ import org.apache.spark.sql.functions._
   */
 object BpeStore {
 
-  /** Train the merge table over `refDocs` (doc_id, text) and persist
-    * it as catalog table `<tableBase>_merges` rooted at `path`.
+  /** Train `rounds` merge rounds over `refDocs` (doc_id, text) and
+    * persist them as catalog table `<tableBase>_merges` rooted at
+    * `path`. Training is [[TextPack.bpeTrainMerges]] — the iterated
+    * round body with driver-side merge state, flat per-round cost
+    * (each round: one pair-count agg, one map-only merge, one
+    * corpus-sized localCheckpoint; the plan never grows) — so a
+    * production-sized vocabulary (thousands of rounds) is the same
+    * loop, not a new spelling. At the default `rounds = 2` the stored
+    * table is bit-for-bit the unrolled E8 spelling's, which is what
+    * keeps `bpe_store_encode` on bpe_encode's 2-round oracle.
     */
-  def write(refDocs: DataFrame, tableBase: String, path: String): Unit = {
-    import graft.Caches.CachesSyntax
+  def write(refDocs: DataFrame, tableBase: String, path: String,
+      rounds: Int = 2): Unit = {
     val spark = refDocs.sparkSession
-    val d0 = TextPack.bpeTokens(refDocs).persistTracked
-    val t1 = TextPack.bpeTopPair(d0)
-    val d1 = TextPack.bpeMerge(d0, t1).persistTracked
-    val t2 = TextPack.bpeTopPair(d1)
-    t1.select(lit(1L).as("round"), col("a"), col("b"))
-      .unionByName(t2.select(lit(2L).as("round"), col("a"), col("b")))
+    import spark.implicits._
+    val merges = TextPack.bpeTrainMerges(refDocs, rounds)
+      .zipWithIndex
+      .map { case ((a, b, _), i) => ((i + 1).toLong, a, b) }
+    merges.toDF("round", "a", "b")
       .write.mode("overwrite").format("parquet")
       .option("path", s"$path/merges").saveAsTable(s"${tableBase}_merges")
     spark.catalog.refreshTable(s"${tableBase}_merges")
@@ -65,11 +74,12 @@ object BpeStore {
         s"${dupRounds.toSeq.sorted.mkString(", ")} carry more than one " +
         "distinct merge pair — a training run writes exactly one pair " +
         "per round; rebuild the store")
-    import spark.implicits._
     val d0 = TextPack.bpeTokens(docs)
+    // one literal-pair projection per round — no join, no broadcast,
+    // the whole merge chain is a single map-only stage however many
+    // rounds the store holds
     val dT = merges.foldLeft(d0) { (d, r) =>
-      TextPack.bpeMerge(d,
-        Seq((r.getString(1), r.getString(2))).toDF("a", "b"))
+      TextPack.bpeMergeLit(d, r.getString(1), r.getString(2))
     }
     d0.select(col("doc_id"), size(col("w")).cast("long").as("n_tokens_in"))
       .join(dT.select(col("doc_id"),

@@ -31,4 +31,22 @@ object GraftDatasetBridge {
       : DataFrame =
     classic.Dataset.ofRows(
       spark.asInstanceOf[classic.SparkSession], plan)
+
+  /** Eagerly free the block-manager storage behind a
+    * `localCheckpoint`-ed DataFrame. `Dataset.unpersist` only clears
+    * CacheManager entries, so a checkpoint's materialized RDD
+    * otherwise lives until the ContextCleaner happens to GC-collect
+    * its reference — unbounded slack for a tight driver loop that
+    * retires one corpus-sized checkpoint per round (the iterated BPE
+    * trainer). The checkpointed RDD sits behind the plan's LogicalRDD
+    * leaf (private[sql], hence this bridge); non-checkpoint frames
+    * have no such leaf and the call is a no-op.
+    */
+  def freeLocalCheckpoint(df: DataFrame): Unit =
+    df.asInstanceOf[classic.Dataset[Row]].queryExecution.analyzed
+      .collectLeaves().foreach {
+        case l: org.apache.spark.sql.execution.LogicalRDD =>
+          l.rdd.unpersist(blocking = false)
+        case _ => ()
+      }
 }

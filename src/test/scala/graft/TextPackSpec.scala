@@ -228,6 +228,79 @@ class TextPackSpec extends GraftSpec {
     }
   }
 
+  test("bpeTrainMerges: 10 iterated rounds match a JVM-side BPE " +
+      "recompute; rounds=2 equals the unrolled spelling; a dry corpus " +
+      "stops early") {
+    import spark.implicits._
+    def pairCount(ds: Seq[List[String]]) = {
+      val m = scala.collection.mutable.Map.empty[(String, String), Long]
+      ds.foreach(w => w.sliding(2).filter(_.size == 2).foreach { p =>
+        val k = (p(0), p(1)); m(k) = m.getOrElse(k, 0L) + 1
+      })
+      m.toSeq.sortBy { case ((a, b), c) => (-c, a, b) }.headOption
+    }
+    def merge(w: List[String], a: String, b: String): List[String] =
+      w.foldLeft(List.empty[String]) { (acc, t) =>
+        if (acc.nonEmpty && acc.last == a && t == b)
+          acc.init :+ (a + "+" + b)
+        else acc :+ t
+      }
+    def jvmTrain(corpus: Seq[List[String]], rounds: Int)
+        : Seq[(String, String, Long)] = {
+      var ds = corpus
+      val out = scala.collection.mutable.ArrayBuffer
+        .empty[(String, String, Long)]
+      var dry = false
+      while (out.length < rounds && !dry) pairCount(ds) match {
+        case None => dry = true
+        case Some(((a, b), c)) =>
+          out += ((a, b, c)); ds = ds.map(w => merge(w, a, b))
+      }
+      out.toSeq
+    }
+    // planted corpus with a deep merge cascade: repeated runs force
+    // multi-round fusions (x y -> x+y; x+y z -> ...), so 10 rounds
+    // exercise merged-token-as-unit behavior, not just 10 disjoint pairs
+    val texts = Seq(
+      "x y z x y z x y z w",
+      "x y z w x y z w q r",
+      "q r s q r s x y q r",
+      "m n m n m n x y z w",
+      "s t u s t u q r s t")
+    val docs = texts.zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val rddsBefore = spark.sparkContext.getPersistentRDDs.keySet
+    val corpus = texts.map(_.split(" ").toList)
+    val got10 = operators.TextPack.bpeTrainMerges(docs, 10)
+    assert(got10 == jvmTrain(corpus, 10),
+      s"iterated trainer diverged from the JVM recompute:\n$got10")
+    assert(got10.length == 10, "the cascade corpus supports 10 rounds")
+    // rounds=2 is bit-for-bit the unrolled E8 spelling (the contract
+    // that keeps BpeStore.write on the 2-round oracle)
+    val d0 = operators.TextPack.bpeTokens(docs)
+    val t1 = operators.TextPack.bpeTopPair(d0)
+    val unrolled1 = t1.collect().map(r =>
+      (r.getString(0), r.getString(1), r.getLong(2))).head
+    val t2 = operators.TextPack
+      .bpeTopPair(operators.TextPack.bpeMerge(d0, t1))
+      .collect().map(r =>
+        (r.getString(0), r.getString(1), r.getLong(2))).head
+    assert(operators.TextPack.bpeTrainMerges(docs, 2)
+      == Seq(unrolled1, t2))
+    // a corpus that runs dry stops early instead of looping
+    val tiny = Seq((1L, "a b")).toDF("doc_id", "text")
+    val dry = operators.TextPack.bpeTrainMerges(tiny, 10)
+    assert(dry == Seq(("a", "b", 1L)),
+      "after merging the only pair the trainer must stop")
+    // the loop frees every round's localCheckpoint EAGERLY (it cannot
+    // rely on ContextCleaner GC slack): no per-round frame survives
+    assert(spark.sparkContext.getPersistentRDDs.keySet
+        .subsetOf(rddsBefore),
+      "bpeTrainMerges leaked per-round checkpointed frames: " +
+        (spark.sparkContext.getPersistentRDDs.keySet -- rddsBefore)
+          .mkString(", "))
+  }
+
   test("BpeStore: a malformed store with two distinct pairs for one " +
       "round fails loudly naming the round (never silently applies " +
       "either in arbitrary order)") {
