@@ -190,6 +190,7 @@ object CurationPack extends QueryPack {
   // the final filter stage before packing.
   private val minTokens = 20L
   private val maxTokens = 2000L
+  private val allowedLangs = Seq("en", "de", "es", "fr", "zh")
 
   /** Per-doc curation features (token count, exact-dup flag) — shared
     * by H3 and H4.
@@ -202,22 +203,14 @@ object CurationPack extends QueryPack {
       .select(col("doc_id"), col("lang"), col("n_tokens"),
         col("fingerprint"), col("is_dup"))
 
-  /** The H3 keep predicate — shared by H3 and H4. */
+  /** The H3 keep predicate — shared by H3, H4 and H12. */
   private def keepCol =
-    col("lang").isin("en", "de", "es", "fr", "zh") &&
+    col("lang").isin(allowedLangs: _*) &&
       col("n_tokens") >= minTokens && col("n_tokens") <= maxTokens &&
       !col("is_dup")
 
-  private val curationFilter = GraftQuery(
-    "curation_filter",
-    (s, d) => {
-      docFeatures(s, d)
-        .withColumn("keep", keepCol)
-        .select(col("doc_id"), col("lang"), col("n_tokens"),
-          col("is_dup"), col("keep"))
-        .orderBy(col("doc_id"))
-    },
-    Some(s"""
+  /** H3's oracle — composed verbatim into `curation_report`'s oracle. */
+  private val curationFilterOracle: String = s"""
       WITH f AS (
         SELECT doc_id, lang,
           CAST(len(${Portable.sql.words}) AS BIGINT) AS n_tokens,
@@ -233,7 +226,18 @@ object CurationPack extends QueryPack {
           AND n_tokens >= $minTokens AND n_tokens <= $maxTokens
           AND NOT is_dup) AS keep
       FROM d2 ORDER BY doc_id
-      """))
+      """
+
+  private val curationFilter = GraftQuery(
+    "curation_filter",
+    (s, d) => {
+      docFeatures(s, d)
+        .withColumn("keep", keepCol)
+        .select(col("doc_id"), col("lang"), col("n_tokens"),
+          col("is_dup"), col("keep"))
+        .orderBy(col("doc_id"))
+    },
+    Some(curationFilterOracle))
 
   // ---- H4: the composed pipeline — the library's user story in one
   // plan: quality/dup FILTER (H3 semantics) → stratified hash SAMPLE
@@ -948,25 +952,50 @@ object CurationPack extends QueryPack {
   private val dsirSalt = "dsir|"
   private val dsirF = 64L
 
-  /** H11 engine over an arbitrary (doc_id, text, lang) frame (spec
-    * entry point). `targetLang` selects the reference slice.
+  /** The hashed-bigram bucket projection (doc_id[, passthrough], bkts)
+    * — shared BY REFERENCE between the in-query H11 path and
+    * [[graft.sources.DsirStore]] (both the count-delta generation and
+    * the serving-side fold), so the feature spelling cannot drift
+    * between them. Docs with < 2 tokens carry an empty array (they
+    * contribute no counts and score 0). Deliberately persist-free: the
+    * store's serving path scores micro-batches through it and must not
+    * register registry-tracked state (the r10 QualityStore lesson).
     */
-  def dsirWeightsOver(docs: org.apache.spark.sql.DataFrame,
-      targetLang: String = "en"): org.apache.spark.sql.DataFrame = {
-    val bkts = docs
-      .select(col("doc_id"), col("lang"), words(col("text")).as("w"))
-      .select(col("doc_id"), col("lang"),
+  private[graft] def dsirBucketsOf(docs: org.apache.spark.sql.DataFrame,
+      passthrough: Seq[String] = Nil): org.apache.spark.sql.DataFrame = {
+    val keep = col("doc_id") +: passthrough.map(col)
+    docs
+      .select(keep :+ words(col("text")).as("w"): _*)
+      .select(keep :+
         when(size(col("w")) >= 2, transform(
           sequence(lit(1), size(col("w")) - 1),
           i => pmod(hash60(concat(lit(dsirSalt), element_at(col("w"), i),
             lit(" "), element_at(col("w"), i + 1))), lit(dsirF))))
-          .otherwise(array().cast("array<bigint>")).as("bkts"))
-      .persistTracked
-    val cnt = bkts.select(col("lang"), explode(col("bkts")).as("f"))
+          .otherwise(array().cast("array<bigint>")).as("bkts"): _*)
+  }
+
+  /** Per-bucket (f, cr, ct) counts of a (lang, bkts) frame — cr over
+    * every doc, ct over the `targetLang` slice. ONE map-side-combinable
+    * agg; 64-row result.
+    */
+  private[graft] def dsirCountsOf(bkts: org.apache.spark.sql.DataFrame,
+      targetLang: String): org.apache.spark.sql.DataFrame =
+    bkts.select(col("lang"), explode(col("bkts")).as("f"))
       .groupBy(col("f"))
       .agg(count(lit(1)).as("cr"),
         sum(when(col("lang") === targetLang, lit(1L)).otherwise(lit(0L)))
           .as("ct"))
+
+  /** The DSIR scoring tail over a bucket-array frame (doc_id, bkts) and
+    * a bucket-count model (f, cr, ct) — shared BY REFERENCE between
+    * `dsir_weights` and [[graft.sources.DsirStore.score]]: the model
+    * collapses to a one-row broadcast 64-slot Q20 log-weight array and
+    * scoring is a map-only fold, so the store path reproduces the
+    * in-query weights bit-for-bit whenever its merged counts equal the
+    * in-query counts.
+    */
+  private[graft] def dsirScoreOf(bkts: org.apache.spark.sql.DataFrame,
+      cnt: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
     val tot = cnt.agg(sum(col("cr")).as("r"), sum(col("ct")).as("t"))
     val lgwRow = cnt.crossJoin(broadcast(tot))
       .select(col("f"),
@@ -987,11 +1016,21 @@ object CurationPack extends QueryPack {
       .orderBy(col("doc_id"))
   }
 
-  private val dsirWeights = GraftQuery(
-    "dsir_weights",
-    (s, d) => dsirWeightsOver(Tables.documents(s, d)
-      .select(col("doc_id"), col("text"), col("lang"))),
-    Some(s"""
+  /** H11 engine over an arbitrary (doc_id, text, lang) frame (spec
+    * entry point). `targetLang` selects the reference slice.
+    */
+  def dsirWeightsOver(docs: org.apache.spark.sql.DataFrame,
+      targetLang: String = "en"): org.apache.spark.sql.DataFrame = {
+    val bkts = dsirBucketsOf(docs, Seq("lang")).persistTracked
+    dsirScoreOf(bkts, dsirCountsOf(bkts, targetLang))
+  }
+
+  /** H11's oracle, shared VERBATIM with the [[graft.sources.DsirStore]]
+    * registry rows — the persisted-model path must reproduce the
+    * in-query weights bit-for-bit (counts are additive over disjoint
+    * doc sets, so merged-store counts ≡ in-query counts exactly).
+    */
+  private[graft] val dsirOracleSql: String = s"""
       WITH RECURSIVE w AS (
         SELECT doc_id, lang, ${Portable.sql.words} AS w FROM documents),
       bg AS (
@@ -1034,6 +1073,152 @@ object CurationPack extends QueryPack {
         COALESCE(p.w_q20, 0) > 0 AS keep
       FROM documents d LEFT JOIN perdoc p ON d.doc_id = p.doc_id
       ORDER BY d.doc_id
+      """
+
+  private val dsirWeights = GraftQuery(
+    "dsir_weights",
+    (s, d) => dsirWeightsOver(Tables.documents(s, d)
+      .select(col("doc_id"), col("text"), col("lang"))),
+    Some(dsirOracleSql))
+
+  // ---- H11b: the persisted, APPENDABLE form (sources/DsirStore) ----
+  // Unlike H10's GD state, DSIR's bucket counts ARE delta-mergeable —
+  // the LmStore count-delta shape applies verbatim — so the store has
+  // a real append. Same gating as I4/I5: counts are additive over
+  // disjoint doc sets and the scoring tail is shared by reference, so
+  // the full-build row AND the write-evens/append-odds row must both
+  // hash-match H11's oracle verbatim.
+  private def dsirStore(s: org.apache.spark.sql.SparkSession, d: String,
+      split: Boolean): String = {
+    import graft.sources.StoreMemo
+    val tag = StoreMemo.tagOf(d)
+    val base = if (split) s"graft_dsir_half_$tag" else s"graft_dsir_$tag"
+    val dir = s"${StoreMemo.root}/$base"
+    StoreMemo.once(s, s"${base}_cnt", dir,
+        Seq(s"${base}_cnt", s"${base}_docs")) {
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), col("text"), col("lang"))
+      val history =
+        if (split) docs.filter(pmod(col("doc_id"), lit(2)) === 0) else docs
+      graft.sources.DsirStore.write(history, base, dir)
+      if (split)
+        graft.sources.DsirStore.append(s, base,
+          docs.filter(pmod(col("doc_id"), lit(2)) =!= 0))
+    }
+    base
+  }
+
+  private val dsirStoreScore = GraftQuery(
+    "dsir_store_score",
+    (s, d) => graft.sources.DsirStore.score(s, dsirStore(s, d, split = false),
+      Tables.documents(s, d).select(col("doc_id"), col("text"))),
+    Some(dsirOracleSql))
+
+  private val dsirStoreAppendScore = GraftQuery(
+    "dsir_store_append_score",
+    (s, d) => graft.sources.DsirStore.score(s, dsirStore(s, d, split = true),
+      Tables.documents(s, d).select(col("doc_id"), col("text"))),
+    Some(dsirOracleSql))
+
+  // ---- H12: curation_report — the composed final verdict ----
+  // The pipeline carries five per-doc keep signals (H3's band/dup
+  // predicates, H10's learned quality gate, H11's DSIR importance
+  // sign, I9's per-language perplexity tercile) but each lives in its
+  // own table — this is the ONE gate frame a dataset builder actually
+  // filters on: per doc, every signal as a column, a failure-reason
+  // BITMASK (bit set = signal failed: 1 lang, 2 token band, 4 exact
+  // dup, 8 quality, 16 dsir, 32 ccnet), keep = all pass (reason 0).
+  //
+  // Scale shape: pure composition — every component rides its own
+  // already-audited engine and their SHARED cached frames (the H3
+  // feature frame, H10's persisted feature arrays, H11's persisted
+  // bucket arrays, I9's shared lm_score frames), so the report adds
+  // doc_id-keyed joins of corpus-linear verdict frames and per-row bit
+  // arithmetic — no new corpus-scale scan, no new shuffle shape beyond
+  // the joins. Docs the ccnet leg cannot score (< 2 tokens — no
+  // bigrams, no perplexity) fail that signal by definition (LEFT join
+  // + coalesce false): un-scorable is not keep-worthy, and the token
+  // band already rejects them anyway.
+  //
+  // The oracle composes the component ORACLES verbatim as subqueries —
+  // the report's correctness proof is literally the conjunction of the
+  // four already-verified proofs plus bit arithmetic.
+  private val curationReport = GraftQuery(
+    "curation_report",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      val f = docFeatures(s, d)
+        .select(col("doc_id"), col("lang"), col("n_tokens"), col("is_dup"),
+          col("lang").isin(allowedLangs: _*).as("lang_ok"),
+          (col("n_tokens") >= minTokens && col("n_tokens") <= maxTokens)
+            .as("tokens_ok"))
+      val qual = qualityScoreOver(docs.select(col("doc_id"), col("text")))
+        .select(col("doc_id"), col("keep").as("quality_keep"))
+      val dsir = dsirWeightsOver(
+          docs.select(col("doc_id"), col("text"), col("lang")))
+        .select(col("doc_id"), col("keep").as("dsir_keep"))
+      val ccn = SearchPack.ccnetBucketsOf(s, d)
+        .select(col("doc_id"), col("keep").as("ccnet_keep"))
+      f.join(qual, Seq("doc_id")).join(dsir, Seq("doc_id"))
+        .join(ccn, Seq("doc_id"), "left")
+        .withColumn("ccnet_keep", coalesce(col("ccnet_keep"), lit(false)))
+        .withColumn("reason",
+          when(!col("lang_ok"), lit(1L)).otherwise(lit(0L)) +
+            when(!col("tokens_ok"), lit(2L)).otherwise(lit(0L)) +
+            when(col("is_dup"), lit(4L)).otherwise(lit(0L)) +
+            when(!col("quality_keep"), lit(8L)).otherwise(lit(0L)) +
+            when(!col("dsir_keep"), lit(16L)).otherwise(lit(0L)) +
+            when(!col("ccnet_keep"), lit(32L)).otherwise(lit(0L)))
+        .withColumn("keep", col("reason") === 0L)
+        .select(col("doc_id"), col("lang"), col("n_tokens"),
+          col("lang_ok"), col("tokens_ok"), col("is_dup"),
+          col("quality_keep"), col("dsir_keep"), col("ccnet_keep"),
+          col("reason"), col("keep"))
+        .orderBy(col("doc_id"))
+    },
+    Some(s"""
+      WITH flt AS (
+        SELECT doc_id, lang, n_tokens, is_dup
+        FROM (${curationFilterOracle}) x),
+      qual AS (SELECT doc_id, keep FROM (${qualityScoreOracle}) x),
+      dsir AS (SELECT doc_id, keep FROM (${dsirOracleSql}) x),
+      ccn AS (SELECT doc_id, keep
+        FROM (${SearchPack.ccnetOracleSql}) x)
+      SELECT f.doc_id, f.lang, f.n_tokens,
+        f.lang IN (${allowedLangs.map(l => s"'$l'").mkString(", ")})
+          AS lang_ok,
+        (f.n_tokens >= $minTokens AND f.n_tokens <= $maxTokens)
+          AS tokens_ok,
+        f.is_dup,
+        q.keep AS quality_keep,
+        s.keep AS dsir_keep,
+        COALESCE(c.keep, FALSE) AS ccnet_keep,
+        CAST(
+          (CASE WHEN NOT f.lang IN
+             (${allowedLangs.map(l => s"'$l'").mkString(", ")})
+            THEN 1 ELSE 0 END)
+          + (CASE WHEN NOT (f.n_tokens >= $minTokens
+              AND f.n_tokens <= $maxTokens) THEN 2 ELSE 0 END)
+          + (CASE WHEN f.is_dup THEN 4 ELSE 0 END)
+          + (CASE WHEN NOT q.keep THEN 8 ELSE 0 END)
+          + (CASE WHEN NOT s.keep THEN 16 ELSE 0 END)
+          + (CASE WHEN NOT COALESCE(c.keep, FALSE) THEN 32 ELSE 0 END)
+          AS BIGINT) AS reason,
+        ((CASE WHEN NOT f.lang IN
+             (${allowedLangs.map(l => s"'$l'").mkString(", ")})
+            THEN 1 ELSE 0 END)
+          + (CASE WHEN NOT (f.n_tokens >= $minTokens
+              AND f.n_tokens <= $maxTokens) THEN 2 ELSE 0 END)
+          + (CASE WHEN f.is_dup THEN 4 ELSE 0 END)
+          + (CASE WHEN NOT q.keep THEN 8 ELSE 0 END)
+          + (CASE WHEN NOT s.keep THEN 16 ELSE 0 END)
+          + (CASE WHEN NOT COALESCE(c.keep, FALSE) THEN 32 ELSE 0 END))
+          = 0 AS keep
+      FROM flt f
+      JOIN qual q ON f.doc_id = q.doc_id
+      JOIN dsir s ON f.doc_id = s.doc_id
+      LEFT JOIN ccn c ON f.doc_id = c.doc_id
+      ORDER BY f.doc_id
       """))
 
   // ---- H10b: the persisted trained model, through the driver gate ----
@@ -1078,5 +1263,6 @@ object CurationPack extends QueryPack {
     Seq(sampleStratified, shardPack, curationFilter, curationPipeline,
       splitAssign, mixSources, mixSourcesTemp, sourceReport, shardsRoundtrip,
       packSequences, packStoreRoundtrip, qualityScore,
-      qualityStoreScore, qualityStoreBatchScore, dsirWeights)
+      qualityStoreScore, qualityStoreBatchScore, dsirWeights,
+      dsirStoreScore, dsirStoreAppendScore, curationReport)
 }

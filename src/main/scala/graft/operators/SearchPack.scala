@@ -236,9 +236,13 @@ object SearchPack extends QueryPack {
   // values (bounded by the value domain, never the doc count), and a
   // keys-scale threshold frame broadcast back. No task ever sorts a
   // language's raw rows.
-  private val ccnetBuckets = GraftQuery(
-    "ccnet_buckets",
-    (s, d) => {
+  /** I9 engine — shared with `curation_report` (CurationPack), which
+    * composes the ccnet keep signal into the final gate table. Rides
+    * the shared lm_score frames (postings cache + persisted per-doc
+    * bigram frame), so a second consumer adds no corpus scan.
+    */
+  private[graft] def ccnetBucketsOf(s: SparkSession, d: String)
+      : DataFrame = {
       val p = postings(s, d)
       val uni = p.groupBy(col("word")).agg(sum(col("tf")).as("c1"))
       val vocab = uni.agg(count(lit(1)).as("v"))
@@ -273,8 +277,10 @@ object SearchPack extends QueryPack {
         .select(col("doc_id"), col("lang"), col("mbits_per_token"),
           col("ppl_bucket"), col("keep"))
         .orderBy(col("doc_id"))
-    },
-    Some(s"""
+  }
+
+  /** I9's oracle — shared with `curation_report`'s composed oracle. */
+  private[graft] val ccnetOracleSql: String = s"""
       WITH lm AS ($lmOracleSql),
       d2 AS (
         SELECT l.doc_id, d.lang, l.mbits_per_token
@@ -301,7 +307,12 @@ object SearchPack extends QueryPack {
         d2.mbits_per_token <= t.t2 AS keep
       FROM d2 JOIN thr t ON d2.lang = t.lang
       ORDER BY d2.doc_id
-      """))
+      """
+
+  private val ccnetBuckets = GraftQuery(
+    "ccnet_buckets",
+    (s, d) => ccnetBucketsOf(s, d),
+    Some(ccnetOracleSql))
 
   // ---- I2: bm25_search — BM25 top-k retrieval ----
   // The standard lexical retrieval scorer (k1 = 1.2, b = 0.75) over the

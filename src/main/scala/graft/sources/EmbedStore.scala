@@ -155,6 +155,11 @@ object EmbedStore {
     // radius first, lists second — the crash-safe order (class doc)
     appendCellsLeg(spark, tableBase, grownCells)
     appendListsLeg(spark, tableBase, routed)
+    // free the plan's checkpointed RDDs once both legs landed — a
+    // long-lived ingest loop would otherwise carry one retired batch
+    // copy per append until the ContextCleaner collects it
+    org.apache.spark.sql.GraftDatasetBridge.freeLocalCheckpoint(routed)
+    org.apache.spark.sql.GraftDatasetBridge.freeLocalCheckpoint(grownCells)
   }
 
   /** The append's routing + radius computation, severed

@@ -89,7 +89,9 @@ object LmStore {
       appendDeltas(spark, tableBase, novel)
       commitDocs(spark, tableBase, novel)
     }
-    novel.unpersist()
+    // free the checkpoint's materialized RDD (Dataset.unpersist is a
+    // no-op on checkpointed frames — the ingest-loop slack lesson)
+    org.apache.spark.sql.GraftDatasetBridge.freeLocalCheckpoint(novel)
   }
 
   // individually addressable so the spec can inject a crash between

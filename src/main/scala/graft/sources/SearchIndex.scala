@@ -114,8 +114,10 @@ object SearchIndex {
       appendTotalsOf(spark, tableBase, lens)
       commitDocsOf(spark, tableBase, lens)
     }
-    posts.unpersist()
-    novel.unpersist()
+    // free both checkpoints' materialized RDDs (Dataset.unpersist is a
+    // no-op on checkpointed frames — the ingest-loop slack lesson)
+    org.apache.spark.sql.GraftDatasetBridge.freeLocalCheckpoint(posts)
+    org.apache.spark.sql.GraftDatasetBridge.freeLocalCheckpoint(novel)
   }
 
   // the append legs are individually addressable so the spec can

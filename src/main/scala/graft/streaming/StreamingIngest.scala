@@ -185,6 +185,42 @@ object StreamingIngest {
       searchBase: Option[String], embedBase: Option[String],
       simBase: Option[String], seqBase: Option[String],
       qualityBase: Option[String],
+      batch: DataFrame): DataFrame =
+    processBatch(spark, fpTable, mhBase, searchBase, embedBase, simBase,
+      seqBase, qualityBase, None, batch)
+
+  /** The (doc_id, text, lang) frame the [[graft.sources.DsirStore]] leg
+    * appends for a doc batch: the batch's own `lang` column when it
+    * carries one, else a non-target placeholder — such docs feed the
+    * raw-side counts only, which is the right degradation (the target
+    * slice needs a language id by definition).
+    */
+  private def dsirBatchOf(df: DataFrame): DataFrame = {
+    val l = if (df.columns.contains("lang")) col("lang")
+      else lit("")
+    df.select(col("doc_id"), col("text"), l.as("lang"))
+  }
+
+  /** The full core, plus the optional [[graft.sources.DsirStore]] leg
+    * (r11): every batch doc is scored for DSIR importance against the
+    * CURRENT merged bucket model (verdict columns dsir_w_q20 /
+    * dsir_keep) and the KEPT docs' count deltas fold back in — unlike
+    * the frozen-model quality leg, the DSIR model TRACKS the corpus
+    * (the [[graft.sources.LmStore]] mergeable-counts shape). Two
+    * consequences: the score must be SEVERED (localCheckpoint) before
+    * any append below mutates the count table — a lazy verdict
+    * recomputed after the fold would see the batch's own counts as
+    * corpus — and the append is a kept-CONSUMER that runs strictly
+    * before the band append (the same crash-stranding argument as the
+    * index/embed/simhash/seq legs). Like those legs the dsir verdict
+    * does NOT feed the `kept` policy — kept stays dedup-only, so a
+    * replay's kept set cannot shift under it; replays converge on
+    * DsirStore's own novel-only + content-batch_id contract.
+    */
+  def processBatch(spark: SparkSession, fpTable: String, mhBase: String,
+      searchBase: Option[String], embedBase: Option[String],
+      simBase: Option[String], seqBase: Option[String],
+      qualityBase: Option[String], dsirBase: Option[String],
       batch: DataFrame): DataFrame = {
     // one materialization of the micro-batch: it feeds the exact probe,
     // the survivor join and both appends, and a foreachBatch source
@@ -229,6 +265,17 @@ object StreamingIngest {
           col("score_q20").as("quality_score_q20"),
           col("keep").as("quality_keep"))
     }
+    // dsir leg: importance scoring against the CURRENT merged model —
+    // severed, because the kept docs' counts fold in below and a lazy
+    // verdict would see the batch as its own corpus
+    val dsir = dsirBase.map { db =>
+      graft.sources.DsirStore.score(spark, db,
+          b.select(col("doc_id"), col("text")))
+        .select(col("doc_id"),
+          col("w_q20").as("dsir_w_q20"),
+          col("keep").as("dsir_keep"))
+        .localCheckpoint(true)
+    }
     // the dedup verdict's keep set — severed frames only, so the joins
     // below stay correct after the appends mutate the stores
     val kept = survivors.join(
@@ -242,6 +289,8 @@ object StreamingIngest {
     simBase.foreach(sb => SimHashStore.append(spark, sb, kept))
     seqBase.foreach(qb => SeqStore.append(spark, qb,
       kept.select(col("doc_id"), col("text"))))
+    dsirBase.foreach(db => graft.sources.DsirStore.append(spark, db,
+      dsirBatchOf(kept)))
     MinHashStore.append(spark, mhBase, kept)
     val base = exact
       .select(col("doc_id"), col("canonical_id"), col("dup_of_history"),
@@ -250,7 +299,8 @@ object StreamingIngest {
         col("hist_canonical"), col("best_jaccard")), Seq("doc_id"), "left")
     val withEmb = emb.fold(base)(e => base.join(e, Seq("doc_id"), "left"))
     val withSh = sh.fold(withEmb)(e => withEmb.join(e, Seq("doc_id"), "left"))
-    qual.fold(withSh)(q => withSh.join(q, Seq("doc_id"), "left"))
+    val withQual = qual.fold(withSh)(q => withSh.join(q, Seq("doc_id"), "left"))
+    dsir.fold(withQual)(x => withQual.join(x, Seq("doc_id"), "left"))
   }
 
   /** Wire a (doc_id, text) stream through [[processBatch]]; per-batch
@@ -307,10 +357,23 @@ object StreamingIngest {
       embedBase: Option[String], simBase: Option[String],
       seqBase: Option[String], qualityBase: Option[String],
       sink: (DataFrame, Long) => Unit): StreamingQuery =
+    run(spark, stream, fpTable, mhBase, searchBase, embedBase, simBase,
+      seqBase, qualityBase, None, sink)
+
+  /** As [[run]], with all optional legs including the appendable
+    * [[graft.sources.DsirStore]] importance-weight leg of the 10-arg
+    * [[processBatch]].
+    */
+  def run(spark: SparkSession, stream: DataFrame, fpTable: String,
+      mhBase: String, searchBase: Option[String],
+      embedBase: Option[String], simBase: Option[String],
+      seqBase: Option[String], qualityBase: Option[String],
+      dsirBase: Option[String],
+      sink: (DataFrame, Long) => Unit): StreamingQuery =
     stream.writeStream
       .foreachBatch { (batch: DataFrame, id: Long) =>
         sink(processBatch(spark, fpTable, mhBase, searchBase, embedBase,
-          simBase, seqBase, qualityBase, batch), id)
+          simBase, seqBase, qualityBase, dsirBase, batch), id)
       }
       .start()
 

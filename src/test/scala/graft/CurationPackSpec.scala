@@ -353,4 +353,61 @@ class CurationPackSpec extends GraftSpec {
       assert(r.getLong(r.fieldIndex("mean_tokens_ppm")) > 0L)
     }
   }
+
+  test("curation_report reconciles with every component signal, and " +
+      "its bitmask/keep are exactly the conjunction") {
+    def byId(name: String, keepCol: String): Map[Long, Boolean] =
+      SparkEntry.queries(name)(spark, sfDir).collect()
+        .map(r => r.getAs[Long]("doc_id") -> r.getAs[Boolean](keepCol))
+        .toMap
+    val report = SparkEntry.queries("curation_report")(spark, sfDir)
+      .collect()
+    val nDocs = spark.read.parquet(s"$sfDir/documents.parquet").count()
+    assert(report.length == nDocs, "one report row per document")
+    val filterKeep = byId("curation_filter", "keep")
+    val qualityKeep = byId("quality_score", "keep")
+    val dsirKeep = byId("dsir_weights", "keep")
+    val ccnetKeep = byId("ccnet_buckets", "keep") // partial: bigram docs
+    report.foreach { r =>
+      val id = r.getAs[Long]("doc_id")
+      val langOk = r.getAs[Boolean]("lang_ok")
+      val tokensOk = r.getAs[Boolean]("tokens_ok")
+      val isDup = r.getAs[Boolean]("is_dup")
+      // H3's composed keep is exactly the report's three band signals
+      assert((langOk && tokensOk && !isDup) == filterKeep(id),
+        s"doc $id: band signals disagree with curation_filter")
+      assert(r.getAs[Boolean]("quality_keep") == qualityKeep(id),
+        s"doc $id: quality signal disagrees with quality_score")
+      assert(r.getAs[Boolean]("dsir_keep") == dsirKeep(id),
+        s"doc $id: dsir signal disagrees with dsir_weights")
+      // un-scorable docs (no ccnet row) fail the ccnet signal
+      assert(r.getAs[Boolean]("ccnet_keep")
+          == ccnetKeep.getOrElse(id, false),
+        s"doc $id: ccnet signal disagrees with ccnet_buckets")
+      val mask = (if (!langOk) 1L else 0L) + (if (!tokensOk) 2L else 0L) +
+        (if (isDup) 4L else 0L) +
+        (if (!r.getAs[Boolean]("quality_keep")) 8L else 0L) +
+        (if (!r.getAs[Boolean]("dsir_keep")) 16L else 0L) +
+        (if (!r.getAs[Boolean]("ccnet_keep")) 32L else 0L)
+      assert(r.getAs[Long]("reason") == mask, s"doc $id: reason bitmask")
+      assert(r.getAs[Boolean]("keep") == (mask == 0L), s"doc $id: keep")
+    }
+    // per-bit failure COUNTS reconcile with the components exactly —
+    // never vacuous, whatever this corpus happens to exercise
+    def bitCount(bit: Long): Long =
+      report.count(r => (r.getAs[Long]("reason") & bit) != 0L).toLong
+    val flt = SparkEntry.queries("curation_filter")(spark, sfDir).collect()
+    assert(bitCount(1L) ==
+      flt.count(r => !Seq("en", "de", "es", "fr", "zh")
+        .contains(r.getAs[String]("lang"))).toLong)
+    assert(bitCount(2L) == flt.count { r =>
+      val n = r.getAs[Long]("n_tokens"); n < 20L || n > 2000L }.toLong)
+    assert(bitCount(4L) == flt.count(_.getAs[Boolean]("is_dup")).toLong)
+    assert(bitCount(8L) == qualityKeep.count(!_._2).toLong)
+    assert(bitCount(16L) == dsirKeep.count(!_._2).toLong)
+    assert(bitCount(32L) == (nDocs - ccnetKeep.count(_._2)))
+    // and the composed gate discriminates: kept and dropped both occur
+    assert(report.exists(_.getAs[Boolean]("keep")))
+    assert(report.exists(r => !r.getAs[Boolean]("keep")))
+  }
 }

@@ -303,6 +303,90 @@ class StreamingIngestSpec extends GraftSpec {
     }
   }
 
+  test("dsir leg: batch docs are scored against the PRE-batch merged " +
+      "model (severed before the fold); kept docs' counts fold in, " +
+      "dropped dups never do") {
+    import java.nio.file.{Files, Paths}
+    import spark.implicits._
+    import graft.sources.DsirStore
+    val tmp = Files.createTempDirectory("graft-ingest-dsir").toString
+    val enText = (1 to 8).map(i => s"e$i").mkString(" ")
+    val xxText = (1 to 8).map(i => s"x$i").mkString(" ")
+    // target-slice (en) and alien (xx) seed corpora with disjoint
+    // bigram profiles — the store's log-weights discriminate them
+    val seed = ((1 to 5).map(i => (100L + i, enText, "en"))
+      ++ (1 to 5).map(i => (200L + i, xxText, "xx")))
+      .toDF("doc_id", "text", "lang")
+    FingerprintStore.write(seed.select("doc_id", "text"),
+      "ingd_fp", s"$tmp/fp")
+    MinHashStore.write(seed.select("doc_id", "text"),
+      "ingd_mh", s"$tmp/mh")
+    DsirStore.write(seed, "ingd_ds", s"$tmp/ds")
+    // batch docs are SHINGLE-distant from the seed (a word-pair loop
+    // shares no 3-shingle with the seed's straight-line texts, so the
+    // dedup legs keep them) but BIGRAM-profiled: 11 rides the target
+    // bucket e1→e2, 13 the alien bucket x1→x2
+    val tgtLike = "e1 e2 e1 e2 e1 e2 e1 e2"
+    val alienLike = "x1 x2 x1 x2 x1 x2 x1 x2"
+    val incoming = Paths.get(tmp, "incoming")
+    Files.createDirectories(incoming)
+    Files.writeString(incoming.resolve("b1.csv"),
+      s"11\t$tgtLike\n" +
+        s"13\t$alienLike\n" +
+        s"15\t$enText\n") // exact dup of seed 101: dropped, never folds
+    // batch-doc scores against the SEED-ONLY model — collected before
+    // the stream runs, so the equality below proves the leg severed
+    // its verdict before the fold mutated the count table
+    val batchDocs = Seq((11L, tgtLike), (13L, alienLike),
+      (15L, enText)).toDF("doc_id", "text")
+    val want = DsirStore.score(spark, "ingd_ds", batchDocs)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("w_q20"), r.getAs[Boolean]("keep"))).toMap
+    val stream = spark.readStream
+      .schema("doc_id LONG, text STRING")
+      .option("sep", "\t").csv(incoming.toString)
+    var verdicts: Array[org.apache.spark.sql.Row] = Array.empty
+    val q = StreamingIngest.run(spark, stream.toDF(),
+      "ingd_fp", "ingd_mh", None, None, None, None, None,
+      Some("ingd_ds"),
+      (df: DataFrame, _: Long) => { verdicts = df.collect() })
+    try {
+      q.processAllAvailable()
+      val byId = verdicts.map(r => r.getAs[Long]("doc_id") -> r).toMap
+      assert(byId.keySet == Set(11L, 13L, 15L))
+      // every batch doc (dups included) carries the pre-fold scores
+      Seq(11L, 13L, 15L).foreach { id =>
+        assert(byId(id).getAs[Long]("dsir_w_q20") == want(id)._1)
+        assert(byId(id).getAs[Boolean]("dsir_keep") == want(id)._2)
+      }
+      // and the weights discriminate: target-profile positive, alien
+      // negative
+      assert(byId(11L).getAs[Boolean]("dsir_keep"))
+      assert(!byId(13L).getAs[Boolean]("dsir_keep"))
+      // the fold: the post-ingest merged model equals a fresh build
+      // over seed + the KEPT docs only (11 and 13; the history dup 15
+      // never folds; streamed docs carry the placeholder lang)
+      val keptDf = seed.unionByName(Seq(
+        (11L, tgtLike, ""), (13L, alienLike, ""))
+        .toDF("doc_id", "text", "lang"))
+      DsirStore.write(keptDf, "ingd_ref", s"$tmp/ref")
+      def model(t: String): Seq[String] = spark.table(t)
+        .groupBy(col("batch_id"), col("lang"), col("f"))
+        .agg(max(col("c")).as("c"))
+        .groupBy(col("lang"), col("f")).agg(sum(col("c")).as("c"))
+        .orderBy(col("lang"), col("f"))
+        .collect().map(_.toString).toSeq
+      assert(model("ingd_ds_cnt") == model("ingd_ref_cnt"),
+        "post-ingest merged model must equal seed + kept docs exactly")
+    } finally {
+      q.stop()
+      Seq("ingd_fp", "ingd_mh_bands", "ingd_mh_shingles", "ingd_ds_cnt",
+        "ingd_ds_docs", "ingd_ref_cnt", "ingd_ref_docs")
+        .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+      Caches.deleteDir(tmp)
+    }
+  }
+
   test("embed-store leg: semantic near-dups are annotated against the " +
       "vector history; kept docs' embeddings enter the store; exact " +
       "dups carry NULL semantic columns") {
