@@ -134,6 +134,41 @@ object MediaFeaturizer {
     }
   }
 
+  /** STUB for the real media embedder (CLIP-style encoder): a fixed-dim
+    * feature VECTOR from a deterministic per-slice decode — dim j is the
+    * [[frameStub]] polynomial fold of payload slice j of `dims`, mapped
+    * to [-1, 1] by the same integer-mod trick the LSH plane weights use
+    * ((h % 2001 − 1000)/1000 — one IEEE division of small exact ints,
+    * reproducible in DuckDB). This is the pHash block-grid shape: a real
+    * encoder would emit per-region features here; the signature (bytes
+    * in, fixed-dim double vector out, pure, partition-reusable) is the
+    * contract the D-block similarity path relies on. A k-byte edit
+    * disturbs only the slices it touches, so near-identical payloads
+    * yield high-cosine vectors while unrelated payloads' dims are
+    * independent draws (cos concentrates near 0, std ≈ 1/√dims).
+    */
+  def embedStub(content: Array[Byte], dims: Int = 16): Array[Double] =
+    Array.tabulate(dims)(j =>
+      ((frameStub(content, j, dims) % 2001L) - 1000L) / 1000.0)
+
+  final case class MediaEmbedding(doc_id: Long, media_type: String,
+                                  embedding: Array[Double])
+
+  /** Per-partition media embedding: one imperative pass per record, no
+    * shuffle — the F2 featurizer contract with a vector output. Payloads
+    * under `dims` bytes carry no meaningful slice grid and are dropped
+    * (the F5 short-payload discipline).
+    */
+  def embed(media: Dataset[MediaRecord],
+            dims: Int = 16): Dataset[MediaEmbedding] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.filter(_.content.length >= dims).mapPartitions { it =>
+      it.map(r => MediaEmbedding(r.doc_id, r.meta.media_type,
+        embedStub(r.content, dims)))
+    }
+  }
+
   /** STUB for resize: deterministic fake of a resize-to-(w,h) decode —
     * emits the target dims plus a content checksum the way a real
     * implementation would emit resized pixel buffers. Keeps the

@@ -480,8 +480,16 @@ object AnnPack extends QueryPack {
     * the join: the UB ≥ τ probe filter drops whole cells.
     */
   private[graft] def rangePairs(s: SparkSession, d: String,
-      tau: Double): DataFrame = {
-    val (centR, lists) = labelCells(s, d)
+      tau: Double): DataFrame =
+    rangePairsOf(vecs(s, d), tau)
+
+  /** The D6 radius-search body over an arbitrary normed frame (vec_id,
+    * label, v, nrm) — shared with `media_semantic_dedup` (MediaPack),
+    * whose media-feature vectors ride the SAME exact-bound cell
+    * machinery the D6/C10 oracles verify.
+    */
+  private[graft] def rangePairsOf(n: DataFrame, tau: Double): DataFrame = {
+    val (centR, lists) = labelCellsOf(n)
     val probes = lists.drop("cell")
       .join(broadcast(centR), Seq("label"))
       .withColumn("qang", clampedAngle(

@@ -209,6 +209,112 @@ object MediaPack extends QueryPack {
       ORDER BY doc_a, doc_b
       """))
 
+  // F6 — the media → embedding bridge (F-block ↔ D-block composition):
+  // F5's near-dup is STRUCTURAL (byte SimHash); semantic media dedup
+  // needs the decode stub's features as VECTORS in the D-block
+  // similarity path. media_embed is the fixed-dim projection — dim j is
+  // the F3 slice fold of payload slice j of 16 (the pHash block grid
+  // with the codec stubbed), mapped to [-1, 1] by the LSH plane-weight
+  // integer-mod trick, so the whole vector is oracle-reproducible from
+  // character ordinals. Exploded to (doc_id, dim, v) for the gate (the
+  // scalar-column hashing discipline); the array form feeds F7 and the
+  // ingest loop's embed leg. Payloads under 16 bytes carry no slice
+  // grid and are dropped (the F5 short-payload discipline).
+  private val embedDims = 16
+  private val sliceFoldSql: String =
+    s"""list_reduce(list_prepend(CAST(0 AS BIGINT),
+          list_transform(string_split(substr(text,
+              CAST((len * dim) // $embedDims AS BIGINT) + 1,
+              CAST((len * (dim + 1)) // $embedDims
+                - (len * dim) // $embedDims AS BIGINT)), ''),
+            c -> CAST(ord(c) AS BIGINT))),
+          (h, c) -> (h * 131 + c) % ${graft.functions.Portable.P})"""
+
+  private val mediaVecSql: String = s"""
+      m AS (
+        SELECT doc_id, $mediaTypeSql AS media_type, text,
+          CAST(octet_length(encode(text)) AS BIGINT) AS len
+        FROM documents WHERE octet_length(encode(text)) >= $embedDims),
+      fd AS (
+        SELECT doc_id, media_type, text, len,
+          unnest(range($embedDims)) AS dim
+        FROM m),
+      ev AS (
+        SELECT doc_id, media_type, CAST(dim AS BIGINT) AS dim,
+          ($sliceFoldSql % 2001 - 1000) / 1000.0 AS v
+        FROM fd)"""
+
+  private val mediaEmbed = GraftQuery(
+    "media_embed",
+    (s, d) => MediaFeaturizer
+      .embed(Media.synthesize(Tables.documents(s, d)), embedDims)
+      .toDF()
+      .select(col("doc_id"), col("media_type"),
+        posexplode(col("embedding")).as(Seq("dim", "v")))
+      .select(col("doc_id"), col("media_type"),
+        col("dim").cast("long").as("dim"), col("v"))
+      .orderBy(col("doc_id"), col("dim")),
+    Some(s"""
+      WITH $mediaVecSql
+      SELECT doc_id, media_type, dim, v FROM ev
+      ORDER BY doc_id, dim
+      """))
+
+  // F7 — media SEMANTIC near-dup: all same-type pairs whose feature
+  // vectors clear the cosine threshold, riding the D6/C10 exact-bound
+  // cell machinery VERBATIM (AnnPack.rangePairsOf — label = media_type,
+  // per-label IVF cells, UB ≥ τ probe pruning, recall 1 by
+  // construction), so media vectors get the same never-all-pairs scale
+  // path every other embedding column gets. The brute-force within-type
+  // oracle re-proves recall = 1 on every run. τ = 0.75: a 1-slice edit
+  // leaves 15/16 dims intact (cos ≈ 0.94 in expectation) and
+  // prefix-sharing rewrites of the same asset land 0.75–0.85 on the
+  // slice-grid geometry, while unrelated payloads' dims are independent
+  // draws (cos concentrates at 0, std ≈ 1/√16 = 0.25 — τ is 3σ out, so
+  // a chance pair needs a ~1e-3 tail event per candidate).
+  private[graft] val mediaTau = 0.75
+
+  /** F7 engine over an arbitrary media frame (spec entry point). */
+  def semanticDedupOver(media: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    val emb = MediaFeaturizer
+      .embed(media.as[graft.media.MediaRecord], embedDims)
+      .toDF()
+    val n = emb.select(col("doc_id").as("vec_id"),
+      col("media_type").as("label"), col("embedding").as("v"),
+      graft.functions.Vectors.norm(col("embedding")).as("nrm"))
+    AnnPack.rangePairsOf(n, mediaTau)
+      .select(col("vec_id"), col("nn_id"), col("label"), col("cos_sim"))
+      .orderBy(col("vec_id"), col("nn_id"))
+  }
+
+  private val mediaSemanticDedup = GraftQuery(
+    "media_semantic_dedup",
+    (s, d) => semanticDedupOver(Media.synthesize(
+      Tables.parallelized(Tables.documents(s, d))).toDF()),
+    Some(s"""
+      WITH $mediaVecSql,
+      vec AS (
+        SELECT doc_id, media_type, list(v ORDER BY dim) AS v
+        FROM ev GROUP BY 1, 2),
+      n AS (SELECT doc_id, media_type, v,
+          ${graft.functions.Vectors.sql.norm("v")} AS nrm
+        FROM vec),
+      pr AS (
+        SELECT a.doc_id AS vec_id, b.doc_id AS nn_id,
+          a.media_type AS label,
+          round(${graft.functions.Vectors.sql.dot("a.v", "b.v")}
+            / (a.nrm * b.nrm), 6) AS cos_sim
+        FROM n a JOIN n b
+          ON a.media_type = b.media_type AND a.doc_id < b.doc_id)
+      SELECT vec_id, nn_id, label, cos_sim FROM pr
+      WHERE cos_sim >= $mediaTau
+      ORDER BY vec_id, nn_id
+      """))
+
   override val queries: Seq[GraftQuery] =
-    Seq(mediaFeatures, mediaFrames, mediaDedup, mediaNearDedup)
+    Seq(mediaFeatures, mediaFrames, mediaDedup, mediaNearDedup,
+      mediaEmbed, mediaSemanticDedup)
 }

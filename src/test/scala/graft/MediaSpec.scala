@@ -108,6 +108,70 @@ class MediaSpec extends GraftSpec {
       s"false positives across distinct payloads: $pairs")
   }
 
+  test("media_semantic_dedup: a slice-edit copy pairs with its " +
+      "original WITHIN its type only; bucketed probe, no all-pairs " +
+      "join (F7)") {
+    import spark.implicits._
+    import graft.media.{MediaMeta, MediaRecord}
+    def payload(seed: Long): Array[Byte] = {
+      var x = seed * 6364136223846793005L + 1442695040888963407L
+      Array.fill(200) {
+        x = x * 6364136223846793005L + 1442695040888963407L
+        (((x >>> 40) % 64) + 32).toByte
+      }
+    }
+    def rec(id: Long, content: Array[Byte], mt: String) =
+      MediaRecord(id, content, MediaMeta(mt, "png", 64, 64, 0L))
+    // 30 distinct image payloads; payload 0 additionally appears as a
+    // 1-byte edit (doc 100, same type — disturbs exactly ONE of the 16
+    // feature slices, the re-encode shape) and BYTE-IDENTICAL under a
+    // different media_type (doc 200 — the within-type contract probe)
+    val base = (0L until 30L).map(i => rec(i, payload(i), "image"))
+    val edited = {
+      val b = payload(0); b(100) = (b(100) ^ 1).toByte
+      rec(100L, b, "image")
+    }
+    val crossType = rec(200L, payload(0), "audio")
+    val media = (base :+ edited :+ crossType).toDS().toDF()
+    val res = operators.MediaPack.semanticDedupOver(media)
+    val plan = res.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"media_semantic_dedup candidate generation went all-pairs:\n$plan")
+    val rows = res.collect()
+    val pairs = rows.map(r => (r.getLong(0), r.getLong(1))).toSet
+    // the slice-edit copy pairs with its original at high cosine
+    assert(pairs.contains((0L, 100L)), s"planted near-copy missed: $pairs")
+    val cos = rows.find(r => r.getLong(0) == 0L && r.getLong(1) == 100L)
+      .get.getAs[Double]("cos_sim")
+    assert(cos >= 0.9, s"1-slice edit should leave 15/16 dims intact: $cos")
+    // the byte-identical payload under ANOTHER type never pairs —
+    // semantic dedup is within-type by contract
+    assert(!pairs.exists(p => p._1 == 200L || p._2 == 200L),
+      s"cross-type pair leaked: $pairs")
+    // and nothing pairs across distinct base payloads
+    assert(pairs.subsetOf(Set((0L, 100L))),
+      s"false positives across distinct payloads: $pairs")
+  }
+
+  test("media_embed: vectors match a JVM recompute of the slice grid; " +
+      "short payloads are dropped") {
+    import spark.implicits._
+    import graft.media.{MediaFeaturizer, MediaMeta, MediaRecord}
+    val long = ("A" * 20 + "B" * 13).getBytes("UTF-8") // 33 bytes
+    val short = "tiny".getBytes("UTF-8") // < 16: no slice grid
+    val media = Seq(
+      MediaRecord(1L, long, MediaMeta("image", "png", 64, 64, 0L)),
+      MediaRecord(2L, short, MediaMeta("audio", "wav", 0, 0, 1000L)))
+      .toDS()
+    val got = MediaFeaturizer.embed(media).collect()
+    assert(got.map(_.doc_id).toSeq == Seq(1L))
+    assert(got.head.embedding.toSeq ==
+      MediaFeaturizer.embedStub(long).toSeq)
+    assert(got.head.embedding.length == 16)
+    assert(got.head.embedding.forall(v => v >= -1.0 && v <= 1.0))
+  }
+
   test("resizeStub keeps the record contract: dims set, content bounded") {
     val ds = Media.synthesize(Tables.documents(spark, sfDir)).limit(5)
     ds.collect().foreach { r =>

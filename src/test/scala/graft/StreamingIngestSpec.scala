@@ -464,6 +464,93 @@ class StreamingIngestSpec extends GraftSpec {
     }
   }
 
+  test("media vectors ride the embed leg: a media batch's vectors land " +
+      "in the store, and a slice-edited payload copy is annotated " +
+      "against the seed media history") {
+    import java.nio.file.{Files, Paths}
+    import spark.implicits._
+    import graft.media.MediaFeaturizer
+    import graft.sources.EmbedStore
+    val tmp = Files.createTempDirectory("graft-ingest-media").toString
+    def mtOf(id: Long): String = (id % 3) match {
+      case 0 => "image"; case 1 => "audio"; case _ => "video"
+    }
+    def vecOf(text: String): Array[Float] =
+      MediaFeaturizer.embedStub(text.getBytes("UTF-8")).map(_.toFloat)
+    // seed media corpus: distinct ~160-byte payloads, ids ≡ 0 mod 3 so
+    // they share the image slot with the planted batch copy below
+    val seedTexts = Seq(
+      3L -> (1 to 24).map(i => s"alpha$i").mkString(" "),
+      6L -> (1 to 24).map(i => s"beta$i").mkString(" "),
+      9L -> (1 to 24).map(i => s"gamma$i").mkString(" "))
+    val seed = seedTexts.toDF("doc_id", "text")
+    FingerprintStore.write(seed, "ingm_fp", s"$tmp/fp")
+    MinHashStore.write(seed, "ingm_mh", s"$tmp/mh")
+    EmbedStore.write(
+      seedTexts.map { case (id, t) => (id, mtOf(id), vecOf(t)) }
+        .toDF("vec_id", "label", "embedding"),
+      "ingm_em", s"$tmp/em")
+    // batch: 102 is seed 3's payload with ONE byte flipped mid-stream
+    // (disturbs one of 16 feature slices — the re-encode shape); 105 is
+    // fresh media. Both are image-slot ids (≡ 0 mod 3).
+    val editText = {
+      val c = seedTexts.head._2.toCharArray
+      c(c.length / 2) = 'Q'
+      new String(c)
+    }
+    val freshText = (1 to 24).map(i => s"delta$i").mkString(" ")
+    val incoming = Paths.get(tmp, "incoming")
+    Files.createDirectories(incoming)
+    Files.writeString(incoming.resolve("b1.csv"),
+      s"102\t$editText\n105\t$freshText\n")
+    val stream = spark.readStream
+      .schema("doc_id LONG, text STRING")
+      .option("sep", "\t").csv(incoming.toString)
+      .as[(Long, String)]
+      .map { case (id, t) => (id, t, mtOf(id), vecOf(t)) }
+      .toDF("doc_id", "text", "label", "embedding")
+    var verdicts: Array[org.apache.spark.sql.Row] = Array.empty
+    val q = StreamingIngest.run(spark, stream,
+      "ingm_fp", "ingm_mh", None, Some("ingm_em"),
+      (df: DataFrame, _: Long) => { verdicts = df.collect() })
+    try {
+      q.processAllAvailable()
+      val byId = verdicts.map(r => r.getAs[Long]("doc_id") -> r).toMap
+      assert(byId.keySet == Set(102L, 105L))
+      // the slice-edited media copy is annotated against the seed
+      // vector history: canonical = the original asset, cosine high
+      assert(byId(102L).getAs[Long]("n_emb_matches") >= 1L)
+      assert(byId(102L).getAs[Long]("emb_canonical") == 3L)
+      assert(byId(102L).getAs[Double]("best_cos") >= 0.9)
+      // fresh media matches nothing semantically
+      assert(byId(105L).getAs[Long]("n_emb_matches") == 0L)
+      // the KEPT docs' media vectors landed in the embed store — and
+      // only those (the kept set is the dedup verdict's, whatever the
+      // lexical legs decided about the edited copy)
+      val kept = verdicts.filter(r => !r.getAs[Boolean]("is_dup")
+          && r.getAs[Long]("n_hist_matches") == 0L)
+        .map(_.getAs[Long]("doc_id")).toSet
+      val landed = spark.table("ingm_em_lists")
+        .select("h_id").distinct().collect().map(_.getLong(0)).toSet
+      assert(landed == Set(3L, 6L, 9L) ++ kept,
+        s"store holds $landed, expected seed + kept $kept")
+      // and a landed vector is probe-able intact: the fresh payload's
+      // own vector meets itself at cosine 1
+      val self = EmbedStore.dedupAgainst(spark, "ingm_em",
+        Seq((999L, mtOf(105L), vecOf(freshText)))
+          .toDF("vec_id", "label", "embedding"))
+        .collect().head
+      assert(self.getAs[Long]("n_hist_matches") >= 1L)
+      assert(self.getAs[Double]("best_cos") >= 0.999999)
+    } finally {
+      q.stop()
+      Seq("ingm_fp", "ingm_mh_bands", "ingm_mh_shingles", "ingm_em_lists",
+        "ingm_em_cells")
+        .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+      Caches.deleteDir(tmp)
+    }
+  }
+
   test("simhash-store leg: structural near-dups are annotated against " +
       "the signature history; kept docs' keys enter the store; exact " +
       "dups carry NULL simhash columns") {
