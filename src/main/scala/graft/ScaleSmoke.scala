@@ -84,7 +84,15 @@ object ScaleSmoke {
     "media_near_dedup",  // payload-window simhash + multi-probe join
     "mix_sources_temp",  // count agg + broadcast isqrt thresholds
     "dsir_weights",      // 64-bucket model agg + map-only Q20 fold
-    "ccnet_buckets")     // lm frames + (lang, mbits) histogram terciles
+    "ccnet_buckets",     // lm frames + (lang, mbits) histogram terciles
+    // r11: every operator added this round gets a ratio row
+    "curation_report",   // 4-engine composition + doc_id verdict joins
+    "media_embed",       // per-partition slice-grid vector projection
+    "media_semantic_dedup", // per-type IVF cells + UB-pruned τ-pairs
+                         // (replicas suffix every word, so replica
+                         // vectors share no slice content — pair mass
+                         // grows ~K, unlike the byte-window F5 row)
+    "dsir_store_score")  // memoized store build (cold) + map-only scoring
 
   /** Suffix every WORD of `text` with `tag`: same lengths, same
     * structure, disjoint content — fresh fingerprints AND zero shared
@@ -323,6 +331,48 @@ object ScaleSmoke {
       val emC = emProbe()
       val pqC = pqProbe()
       val shC = shProbe()
+      // ---- per-store append attribution (r11) ----
+      // The aggregate store_append row can't say WHICH append's cost
+      // depends on history size — the two index-append gates read
+      // cold-heavy in the full-run artifact and needed the pq_store
+      // framing (fixed batch, scaled history). AnnIndex additionally
+      // gets its own build/search/append legs here: it is path-based
+      // (partitioned parquet + kmeans centroids), not a catalog store,
+      // so it never rode the shared build block. Expected shapes:
+      // ann_index_build ~K (kmeans train is corpus-proportional);
+      // ann_index_append ~flat (routing a FIXED batch against a FIXED
+      // centroid count + one cell-partition append); ix_index_append
+      // ~flat (batch-vocabulary delta generation + novelty anti-join
+      // over bucket-pruned reads); both searches ~flat through
+      // partition pruning (probed cells bound the scan).
+      val annPath = s"$storesRoot/ann_$tag"
+      val annBuild = timeOf {
+        sources.AnnIndex.write(
+          histEmb.select(col("vec_id"), col("embedding")), annPath)
+      }
+      def annProbe() = probeSteady(() =>
+        sources.AnnIndex.search(spark, annPath,
+          batchEmb.select(col("vec_id"), col("embedding"))))
+      val annS = annProbe()
+      // a SECOND fixed novel batch: the aggregate block above already
+      // consumed the "ap" batch, and re-offering it would make these
+      // appends novelty no-ops that measure nothing
+      val appendBatch2 = freshen(sources.Tables.documents(spark, base)
+        .filter(pmod(col("doc_id"), lit(107)) === 2)
+        .withColumn("doc_id", col("doc_id") + lit(950000000L)), "aq")
+      val appendEmb2 = sources.Tables.embeddings(spark, base)
+        .filter(pmod(col("vec_id"), lit(107)) === 2)
+        .withColumn("vec_id", col("vec_id") + lit(950000000L))
+        .select(col("vec_id"), col("label"), col("embedding"))
+      val annApp = timeOf {
+        sources.AnnIndex.append(spark, annPath,
+          appendEmb2.select(col("vec_id"), col("embedding")))
+      }
+      val annSA = annProbe()
+      val ixApp = timeOf {
+        sources.SearchIndex.append(spark, s"scale_ix_$tag", appendBatch2)
+      }
+      val ixA2 = ixProbe()
       Seq("store_build" -> build,
         "fp_store_probe" -> fp, "mh_store_probe" -> mh,
         "ix_store_search" -> ix, "em_store_probe" -> em,
@@ -334,7 +384,12 @@ object ScaleSmoke {
         "store_compact" -> cmp,
         "fp_probe_post_compact" -> fpC, "mh_probe_post_compact" -> mhC,
         "ix_search_post_compact" -> ixC, "em_probe_post_compact" -> emC,
-        "pq_search_post_compact" -> pqC, "sh_probe_post_compact" -> shC)
+        "pq_search_post_compact" -> pqC, "sh_probe_post_compact" -> shC,
+        "ann_index_build" -> annBuild, "ann_index_search" -> annS,
+        "ann_index_append" -> annApp,
+        "ann_search_post_append" -> annSA,
+        "ix_index_append" -> ixApp,
+        "ix_search_post_ix_append" -> ixA2)
     }
     val s1 = storeProbe(base, "x1").toMap
     val sK = storeProbe(dir, s"x$k").toMap
@@ -346,7 +401,10 @@ object ScaleSmoke {
       "pq_search_post_append", "sh_probe_post_append",
       "store_compact", "fp_probe_post_compact", "mh_probe_post_compact",
       "ix_search_post_compact", "em_probe_post_compact",
-      "pq_search_post_compact", "sh_probe_post_compact")
+      "pq_search_post_compact", "sh_probe_post_compact",
+      "ann_index_build", "ann_index_search", "ann_index_append",
+      "ann_search_post_append", "ix_index_append",
+      "ix_search_post_ix_append")
     val storeReport = storeOrder.map { op =>
       f"""{"op":"$op","x1":${s1(op)}%.3f,"x$k":${sK(op)}%.3f,"ratio":${sK(op) / math.max(s1(op), 1e-9)}%.2f}"""
     }
