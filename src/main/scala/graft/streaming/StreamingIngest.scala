@@ -292,6 +292,15 @@ object StreamingIngest {
     dsirBase.foreach(db => graft.sources.DsirStore.append(spark, db,
       dsirBatchOf(kept)))
     MinHashStore.append(spark, mhBase, kept)
+    // `survivors` is fully consumed: its probe readers were severed
+    // above and `kept`'s appends just ran — free its checkpoint now
+    // rather than waiting out the ContextCleaner (Dataset.unpersist is
+    // a no-op on checkpointed frames; a high-rate stream would carry
+    // one retired batch copy per trigger as GC slack otherwise). `b`
+    // can go too UNLESS the quality leg holds a lazy plan over it.
+    org.apache.spark.sql.GraftDatasetBridge.freeLocalCheckpoint(survivors)
+    if (qualityBase.isEmpty)
+      org.apache.spark.sql.GraftDatasetBridge.freeLocalCheckpoint(b)
     val base = exact
       .select(col("doc_id"), col("canonical_id"), col("dup_of_history"),
         col("is_dup"))
@@ -302,6 +311,18 @@ object StreamingIngest {
     val withQual = qual.fold(withSh)(q => withSh.join(q, Seq("doc_id"), "left"))
     dsir.fold(withQual)(x => withQual.join(x, Seq("doc_id"), "left"))
   }
+
+  /** Free every checkpointed frame the batch's VERDICT plan still
+    * references (the severed probe frames — exact/near/emb/sh/dsir —
+    * and, when the quality leg held it, the micro-batch itself). Call
+    * AFTER the sink has consumed the verdict: the verdict's joins are
+    * lazy over those checkpoints, and a checkpointed frame cannot be
+    * recomputed once its storage is dropped. [[run]] does this per
+    * trigger, so a long-lived stream's working set is exactly one
+    * batch: nothing waits for the ContextCleaner.
+    */
+  def releaseBatch(verdict: DataFrame): Unit =
+    org.apache.spark.sql.GraftDatasetBridge.freeLocalCheckpoint(verdict)
 
   /** Wire a (doc_id, text) stream through [[processBatch]]; per-batch
     * verdicts go to `sink` (e.g. a parquet append, an alerting bus).
@@ -372,8 +393,12 @@ object StreamingIngest {
       sink: (DataFrame, Long) => Unit): StreamingQuery =
     stream.writeStream
       .foreachBatch { (batch: DataFrame, id: Long) =>
-        sink(processBatch(spark, fpTable, mhBase, searchBase, embedBase,
-          simBase, seqBase, qualityBase, dsirBase, batch), id)
+        val verdict = processBatch(spark, fpTable, mhBase, searchBase,
+          embedBase, simBase, seqBase, qualityBase, dsirBase, batch)
+        sink(verdict, id)
+        // the sink has consumed the verdict — drop the batch's
+        // checkpoint storage now (scoped working set: one batch, ever)
+        releaseBatch(verdict)
       }
       .start()
 

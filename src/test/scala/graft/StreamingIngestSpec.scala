@@ -464,6 +464,47 @@ class StreamingIngestSpec extends GraftSpec {
     }
   }
 
+  test("the loop's working set is scoped: no checkpointed or persisted " +
+      "frames survive a trigger") {
+    import java.nio.file.{Files, Paths}
+    import spark.implicits._
+    val tmp = Files.createTempDirectory("graft-ingest-ws").toString
+    val seed = Seq((2L, "seed history content here")).toDF("doc_id", "text")
+    FingerprintStore.write(seed, "ingws_fp", s"$tmp/fp")
+    MinHashStore.write(seed, "ingws_mh", s"$tmp/mh")
+    graft.sources.SimHashStore.write(seed, "ingws_sh", s"$tmp/sh")
+    val incoming = Paths.get(tmp, "incoming")
+    Files.createDirectories(incoming)
+    Files.writeString(incoming.resolve("b1.csv"),
+      "11\tfirst fresh batch content flows here\n")
+    Files.writeString(incoming.resolve("b2.csv"),
+      "21\tsecond fresh batch content flows here\n")
+    Files.setLastModifiedTime(incoming.resolve("b1.csv"),
+      java.nio.file.attribute.FileTime.fromMillis(
+        System.currentTimeMillis() - 60000))
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    val stream = spark.readStream
+      .schema("doc_id LONG, text STRING")
+      .option("sep", "\t").option("maxFilesPerTrigger", "1")
+      .csv(incoming.toString)
+    val q = StreamingIngest.run(spark, stream.toDF(),
+      "ingws_fp", "ingws_mh", None, None, Some("ingws_sh"), None, None,
+      None, (df: DataFrame, _: Long) => { df.collect(); () })
+    try {
+      q.processAllAvailable()
+      // every checkpoint the two triggers materialized (micro-batch,
+      // probe verdicts, store novelty slices) was freed eagerly — the
+      // loop never waits for the ContextCleaner
+      val leaked = spark.sparkContext.getPersistentRDDs.keySet -- before
+      assert(leaked.isEmpty, s"trigger leaked persisted RDD ids: $leaked")
+    } finally {
+      q.stop()
+      Seq("ingws_fp", "ingws_mh_bands", "ingws_mh_shingles", "ingws_sh")
+        .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+      Caches.deleteDir(tmp)
+    }
+  }
+
   test("media vectors ride the embed leg: a media batch's vectors land " +
       "in the store, and a slice-edited payload copy is annotated " +
       "against the seed media history") {
