@@ -520,7 +520,31 @@ object ScaleSmoke {
         val c1 = mass(base); val cK = mass(dir)
         Seq(f"""{"op":"media_near_dup_pairs","x1":$c1,"x$k":$cK,"ratio":${cK.toDouble / math.max(c1, 1L)}%.2f}""")
       } else Nil
-      ann ++ ng ++ media
+      //  - media_semantic_dedup (r11): media types are a FIXED 3-label
+      //    space, so per-label blocks grow ~K/3× and the cell count
+      //    clamps at maxCells — per-cell membership, and with it the
+      //    UB-pruned candidate mass, grows ~K (and unstructured media
+      //    vectors give the radius bound little to prune). The mass row
+      //    counts the exact candidate frame the τ filter verifies, so
+      //    the wall ratio reads per unit of verification work — and at
+      //    a true 100 TB block maxCells is the documented knob to
+      //    raise (AnnPack.labelCellsOf), which restores ≈flat per-cell
+      //    work; the sweep measures the knob-FIXED shape.
+      val msd = if (selected.contains("media_semantic_dedup")) {
+        def mass(d: String): Long = {
+          val c = operators.AnnPack.rangeCandidatesOf(
+            operators.MediaPack.mediaNormedOf(
+              graft.media.Media.synthesize(graft.sources.Tables
+                .parallelized(graft.sources.Tables.documents(spark, d)))
+                .toDF()),
+            operators.MediaPack.mediaTau).count()
+          Caches.releaseAll(blocking = true)
+          c
+        }
+        val c1 = mass(base); val cK = mass(dir)
+        Seq(f"""{"op":"media_semantic_candidates","x1":$c1,"x$k":$cK,"ratio":${cK.toDouble / math.max(c1, 1L)}%.2f}""")
+      } else Nil
+      ann ++ ng ++ media ++ msd
     }
     massLines.foreach(println)
     val report = selected.map { name =>

@@ -483,12 +483,15 @@ object AnnPack extends QueryPack {
       tau: Double): DataFrame =
     rangePairsOf(vecs(s, d), tau)
 
-  /** The D6 radius-search body over an arbitrary normed frame (vec_id,
-    * label, v, nrm) — shared with `media_semantic_dedup` (MediaPack),
-    * whose media-feature vectors ride the SAME exact-bound cell
-    * machinery the D6/C10 oracles verify.
+  /** The D6 candidate stage over an arbitrary normed frame — the
+    * UB-pruned (probe, member) pairs the exact-cosine filter then
+    * verifies. Split out so the scale sweep can measure the CANDIDATE
+    * MASS separately from the wall time (the ann_pq mass-row
+    * discipline: a ratio on a cell-capped corpus needs the pair count
+    * to be readable next to it).
     */
-  private[graft] def rangePairsOf(n: DataFrame, tau: Double): DataFrame = {
+  private[graft] def rangeCandidatesOf(n: DataFrame,
+      tau: Double): DataFrame = {
     val (centR, lists) = labelCellsOf(n)
     val probes = lists.drop("cell")
       .join(broadcast(centR), Seq("label"))
@@ -505,11 +508,19 @@ object AnnPack extends QueryPack {
           col("nrm").as("nrmb")),
         Seq("label", "c_cell"))
       .filter(col("vec_id") < col("nn_id"))
+  }
+
+  /** The D6 radius-search body over an arbitrary normed frame (vec_id,
+    * label, v, nrm) — shared with `media_semantic_dedup` (MediaPack),
+    * whose media-feature vectors ride the SAME exact-bound cell
+    * machinery the D6/C10 oracles verify.
+    */
+  private[graft] def rangePairsOf(n: DataFrame, tau: Double): DataFrame =
+    rangeCandidatesOf(n, tau)
       .withColumn("cos_sim",
         Vectors.cosine(col("qv"), col("vb"), col("qn"), col("nrmb")))
       .filter(col("cos_sim") >= tau)
       .select(col("vec_id"), col("nn_id"), col("label"), col("cos_sim"))
-  }
 
   private val annRange = GraftQuery(
     "ann_range_search",

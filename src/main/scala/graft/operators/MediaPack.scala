@@ -274,21 +274,28 @@ object MediaPack extends QueryPack {
   // a chance pair needs a ~1e-3 tail event per candidate).
   private[graft] val mediaTau = 0.75
 
-  /** F7 engine over an arbitrary media frame (spec entry point). */
-  def semanticDedupOver(media: org.apache.spark.sql.DataFrame)
+  /** The F7 normed media-vector frame (vec_id, label, v, nrm) — shared
+    * with the scale sweep's candidate-mass row so the mass is counted
+    * over the exact frame the gate row scores.
+    */
+  private[graft] def mediaNormedOf(media: org.apache.spark.sql.DataFrame)
       : org.apache.spark.sql.DataFrame = {
     val spark = media.sparkSession
     import spark.implicits._
-    val emb = MediaFeaturizer
+    MediaFeaturizer
       .embed(media.as[graft.media.MediaRecord], embedDims)
       .toDF()
-    val n = emb.select(col("doc_id").as("vec_id"),
-      col("media_type").as("label"), col("embedding").as("v"),
-      graft.functions.Vectors.norm(col("embedding")).as("nrm"))
-    AnnPack.rangePairsOf(n, mediaTau)
+      .select(col("doc_id").as("vec_id"),
+        col("media_type").as("label"), col("embedding").as("v"),
+        graft.functions.Vectors.norm(col("embedding")).as("nrm"))
+  }
+
+  /** F7 engine over an arbitrary media frame (spec entry point). */
+  def semanticDedupOver(media: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame =
+    AnnPack.rangePairsOf(mediaNormedOf(media), mediaTau)
       .select(col("vec_id"), col("nn_id"), col("label"), col("cos_sim"))
       .orderBy(col("vec_id"), col("nn_id"))
-  }
 
   private val mediaSemanticDedup = GraftQuery(
     "media_semantic_dedup",
