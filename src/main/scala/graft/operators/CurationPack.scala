@@ -1143,9 +1143,11 @@ object CurationPack extends QueryPack {
   // The oracle composes the component ORACLES verbatim as subqueries —
   // the report's correctness proof is literally the conjunction of the
   // four already-verified proofs plus bit arithmetic.
-  private val curationReport = GraftQuery(
-    "curation_report",
-    (s, d) => {
+  /** H12 engine — shared with H13's learned pipeline, which filters on
+    * the composed verdict this frame carries.
+    */
+  private[graft] def curationReportOf(s: org.apache.spark.sql.SparkSession,
+      d: String): org.apache.spark.sql.DataFrame = {
       val docs = Tables.documents(s, d)
       val f = docFeatures(s, d)
         .select(col("doc_id"), col("lang"), col("n_tokens"), col("is_dup"),
@@ -1175,8 +1177,10 @@ object CurationPack extends QueryPack {
           col("quality_keep"), col("dsir_keep"), col("ccnet_keep"),
           col("reason"), col("keep"))
         .orderBy(col("doc_id"))
-    },
-    Some(s"""
+  }
+
+  /** H12's oracle — composed verbatim into H13's. */
+  private val curationReportOracle: String = s"""
       WITH flt AS (
         SELECT doc_id, lang, n_tokens, is_dup
         FROM (${curationFilterOracle}) x),
@@ -1219,6 +1223,53 @@ object CurationPack extends QueryPack {
       JOIN dsir s ON f.doc_id = s.doc_id
       LEFT JOIN ccn c ON f.doc_id = c.doc_id
       ORDER BY f.doc_id
+      """
+
+  private val curationReport = GraftQuery(
+    "curation_report",
+    (s, d) => curationReportOf(s, d),
+    Some(curationReportOracle))
+
+  // ---- H13: curation_pipeline_learned — the H4 user story in the
+  // learned era ----
+  // H4 composes filter → sample → pack over H3's hand-written bands;
+  // this is the SAME one-plan user story gated on H12's composed
+  // verdict instead — every signal the pipeline has (bands, exact dup,
+  // learned quality, DSIR importance, perplexity tercile) decides what
+  // survives into the packed training shards. The H12 report carries
+  // exactly the (doc_id, lang, n_tokens) the H1 sampler and H2 packer
+  // need, so the extension is one filter + the audited sample/pack
+  // tail — no new corpus scan beyond the report's own components.
+  // The oracle composes H12's oracle verbatim and re-proves the
+  // two-level packing against a single-window cumsum on the learned
+  // survivor set (the H4 discipline).
+  private val curationPipelineLearned = GraftQuery(
+    "curation_pipeline_learned",
+    (s, d) => packShards(
+        curationReportOf(s, d)
+          .filter(col("keep") && drawCol < rateCol)
+          .select(col("doc_id"), col("lang"), col("n_tokens")))
+      .orderBy(col("doc_id")),
+    Some(s"""
+      WITH rep AS (SELECT doc_id, lang, n_tokens, keep
+        FROM (${curationReportOracle}) x),
+      kept AS (
+        SELECT doc_id, lang, n_tokens FROM rep
+        WHERE keep
+          AND ${Portable.sql.hashP(s"'$salt' || CAST(doc_id AS VARCHAR)")}
+            % 1000000 <
+            CASE lang WHEN 'zh' THEN 200000 WHEN 'fr' THEN 300000
+                      WHEN 'es' THEN 300000 WHEN 'de' THEN 300000
+                      WHEN 'en' THEN 500000 ELSE $defaultPpm END),
+      c AS (
+        SELECT doc_id, lang, n_tokens,
+          CAST(SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+            AS BIGINT) AS cum_tokens
+        FROM kept)
+      SELECT doc_id, lang, n_tokens, cum_tokens,
+        (cum_tokens - n_tokens) // $shardBudget AS shard_id
+      FROM c ORDER BY doc_id
       """))
 
   // ---- H10b: the persisted trained model, through the driver gate ----
@@ -1264,5 +1315,6 @@ object CurationPack extends QueryPack {
       splitAssign, mixSources, mixSourcesTemp, sourceReport, shardsRoundtrip,
       packSequences, packStoreRoundtrip, qualityScore,
       qualityStoreScore, qualityStoreBatchScore, dsirWeights,
-      dsirStoreScore, dsirStoreAppendScore, curationReport)
+      dsirStoreScore, dsirStoreAppendScore, curationReport,
+      curationPipelineLearned)
 }

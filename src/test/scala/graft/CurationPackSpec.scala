@@ -410,4 +410,30 @@ class CurationPackSpec extends GraftSpec {
     assert(report.exists(_.getAs[Boolean]("keep")))
     assert(report.exists(r => !r.getAs[Boolean]("keep")))
   }
+
+  test("curation_pipeline_learned packs exactly the report's keep ∩ " +
+      "the stratified sample's survivors, with a correct cumsum") {
+    val packed = SparkEntry.queries("curation_pipeline_learned")(
+      spark, sfDir).collect()
+    val repKeep = SparkEntry.queries("curation_report")(spark, sfDir)
+      .collect().filter(_.getAs[Boolean]("keep"))
+      .map(_.getAs[Long]("doc_id")).toSet
+    // H1's sample emits the surviving rows; the draw is a pure function
+    // of (doc_id, lang), so restricting it to the report's keep set IS
+    // the learned pipeline's survivor set
+    val sampled = SparkEntry.queries("sample_stratified")(spark, sfDir)
+      .collect().map(_.getAs[Long]("doc_id")).toSet
+    assert(packed.map(_.getAs[Long]("doc_id")).toSet
+      == (repKeep intersect sampled))
+    assert(packed.nonEmpty, "the learned pipeline kept nothing — vacuous")
+    // per-language running token sums tile exactly (shard_id itself is
+    // hash-proven by the oracle)
+    packed.groupBy(_.getAs[String]("lang")).foreach { case (_, rows) =>
+      var cum = 0L
+      rows.sortBy(_.getAs[Long]("doc_id")).foreach { r =>
+        cum += r.getAs[Long]("n_tokens")
+        assert(r.getAs[Long]("cum_tokens") == cum)
+      }
+    }
+  }
 }
