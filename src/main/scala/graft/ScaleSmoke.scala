@@ -92,7 +92,8 @@ object ScaleSmoke {
                          // (replicas suffix every word, so replica
                          // vectors share no slice content — pair mass
                          // grows ~K, unlike the byte-window F5 row)
-    "dsir_store_score")  // memoized store build (cold) + map-only scoring
+    "dsir_store_score",  // memoized store build (cold) + map-only scoring
+    "curation_pipeline_learned") // report composition + sample/pack tail
 
   /** Suffix every WORD of `text` with `tag`: same lengths, same
     * structure, disjoint content — fresh fingerprints AND zero shared

@@ -31,9 +31,12 @@ WT="$(mktemp -d /tmp/envprobe-XXXX)"
 trap 'git -C "$REPO_ROOT" worktree remove --force "$WT" 2>/dev/null || true; rm -rf "$WT"' EXIT
 
 bench_tree() { # $1 = tree dir, $2 = label
+  # Bench prints TWO metric lines — the full artifact (with the
+  # queries_steady map) and a compact totals line; keep the longest
   ( cd "$1" &&
     SPARK_GRAFT_SF_DIR="$SF_DIR" sbt -batch "runMain graft.Bench" 2>&1 |
-      grep '"metric"' | tail -1 ) |
+      grep '"metric"' | awk '{ print length, $0 }' | sort -rn |
+      head -1 | cut -d' ' -f2- ) |
   python3 -c "
 import json, sys
 line = sys.stdin.readline().strip()
