@@ -93,7 +93,8 @@ object ScaleSmoke {
                          // vectors share no slice content — pair mass
                          // grows ~K, unlike the byte-window F5 row)
     "dsir_store_score",  // memoized store build (cold) + map-only scoring
-    "curation_pipeline_learned") // report composition + sample/pack tail
+    "curation_pipeline_learned", // report composition + sample/pack tail
+    "tokenizer_stats")   // shared encode frame + languages-sized agg
 
   /** Suffix every WORD of `text` with `tag`: same lengths, same
     * structure, disjoint content — fresh fingerprints AND zero shared

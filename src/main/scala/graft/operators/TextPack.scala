@@ -624,9 +624,13 @@ object TextPack extends QueryPack {
   // frames are plan-identical to bpe_train's, so the CacheManager
   // serves both queries from one build. The encoded stream is pinned by
   // md5 — a full content hash-match, not just token counts.
-  private val bpeEncode = GraftQuery(
-    "bpe_encode",
-    (s, d) => {
+  /** E9 engine — shared with E14's `tokenizer_stats`, which aggregates
+    * the same per-doc encode frame per language (the shared persisted
+    * d0/d1 frames serve both, so the second consumer adds no corpus
+    * re-tokenization).
+    */
+  private[graft] def bpeEncodeOf(s: org.apache.spark.sql.SparkSession,
+      d: String): org.apache.spark.sql.DataFrame = {
       import graft.Caches.CachesSyntax
       val d0 = bpeTokens(Tables.parallelized(Tables.documents(s, d))).persistTracked
       val t1 = bpeTopPair(d0)
@@ -638,8 +642,56 @@ object TextPack extends QueryPack {
           size(col("w")).cast("long").as("n_tokens_out"),
           md5(concat_ws(" ", col("w"))).as("encoded_md5")), "doc_id")
         .orderBy(col("doc_id"))
-    },
+  }
+
+  private val bpeEncode = GraftQuery(
+    "bpe_encode",
+    (s, d) => bpeEncodeOf(s, d),
     Some(bpeEncodeOracle))
+
+  // ---- E14: tokenizer_stats — per-language fertility report ----
+  // The tokenizer-side monitoring view a mixture balancer actually
+  // reads (the H7 source_report analog for the tokenizer): per
+  // language, how many word tokens go IN and how many BPE tokens come
+  // OUT of the frozen merge chain — languages the tokenizer compresses
+  // poorly eat more sequence budget per document, which is exactly what
+  // count-based mixing (H6/H6b) cannot see. Rides E9's shared encode
+  // frame BY REFERENCE (no second tokenization pass); one map-side-
+  // combinable agg to a languages-sized result; ppm arithmetic exact
+  // and DECIMAL-widened (the H7 discipline — int64-safe past 9.2e12
+  // tokens per cell, under the 100 TB design point).
+  private val tokenizerStats = GraftQuery(
+    "tokenizer_stats",
+    (s, d) => bpeEncodeOf(s, d)
+      .join(Tables.documents(s, d).select(col("doc_id"), col("lang")),
+        Seq("doc_id"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens_in")).as("tokens_in"),
+        sum(col("n_tokens_out")).as("tokens_out"))
+      .select(col("lang"), col("n_docs"), col("tokens_in"),
+        col("tokens_out"),
+        expr("(CAST(1000000 AS DECIMAL(38,0)) * tokens_out)" +
+          " div tokens_in").as("compression_ppm"),
+        expr("(CAST(1000000 AS DECIMAL(38,0)) * tokens_out) div n_docs")
+          .as("mean_tokens_ppm"))
+      .orderBy(col("lang")),
+    Some(s"""
+      WITH enc AS ($bpeEncodeOracle),
+      j AS (SELECT e.n_tokens_in, e.n_tokens_out, d.lang
+        FROM enc e JOIN documents d ON e.doc_id = d.doc_id),
+      g AS (
+        SELECT lang, COUNT(*) AS n_docs,
+          CAST(SUM(n_tokens_in) AS BIGINT) AS tokens_in,
+          CAST(SUM(n_tokens_out) AS BIGINT) AS tokens_out
+        FROM j GROUP BY 1)
+      SELECT lang, n_docs, tokens_in, tokens_out,
+        CAST((CAST(1000000 AS HUGEINT) * tokens_out) // tokens_in
+          AS BIGINT) AS compression_ppm,
+        CAST((CAST(1000000 AS HUGEINT) * tokens_out) // n_docs
+          AS BIGINT) AS mean_tokens_ppm
+      FROM g ORDER BY lang
+      """))
 
   /** E9's oracle — shared verbatim by `bpe_store_encode` (E8b): the
     * persisted merge table must reproduce the in-query encoding
@@ -692,5 +744,5 @@ object TextPack extends QueryPack {
   override val queries: Seq[GraftQuery] =
     Seq(langId, langConfusion, textQuality, tokenCount, fingerprint,
       textRepetition, piiScrub, bpePairs, bpeTrain, bpeEncode,
-      bpeStoreEncode)
+      bpeStoreEncode, tokenizerStats)
 }

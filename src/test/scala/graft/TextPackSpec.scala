@@ -331,4 +331,30 @@ class TextPackSpec extends GraftSpec {
       graft.Caches.deleteDir(dir)
     }
   }
+
+  test("tokenizer_stats reconciles with the per-doc encode frame and " +
+      "merges only ever compress") {
+    import org.apache.spark.sql.functions.col
+    val stats = SparkEntry.queries("tokenizer_stats")(spark, sfDir)
+      .collect()
+    val langOf = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id"), col("lang")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val enc = SparkEntry.queries("bpe_encode")(spark, sfDir).collect()
+      .groupBy(r => langOf(r.getAs[Long]("doc_id")))
+    stats.foreach { r =>
+      val lang = r.getAs[String]("lang")
+      val rows = enc(lang)
+      assert(r.getAs[Long]("n_docs") == rows.length.toLong)
+      assert(r.getAs[Long]("tokens_in")
+        == rows.map(_.getAs[Long]("n_tokens_in")).sum)
+      assert(r.getAs[Long]("tokens_out")
+        == rows.map(_.getAs[Long]("n_tokens_out")).sum)
+      // a BPE merge can only shrink a token stream
+      assert(r.getAs[Long]("compression_ppm") <= 1000000L)
+    }
+    assert(stats.map(_.getAs[String]("lang")).toSet == enc.keySet)
+    // and the report is not vacuous: the learned merges fired somewhere
+    assert(stats.exists(_.getAs[Long]("compression_ppm") < 1000000L))
+  }
 }
