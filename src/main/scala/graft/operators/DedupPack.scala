@@ -159,13 +159,41 @@ object DedupPack extends QueryPack {
     * C2b band IDENTICALLY by construction (review finding: a verbatim
     * copy in the audit row could band differently after a geometry
     * change while both gates stayed green).
+    *
+    * Hot-bucket admission cap (r11 verdict item 2 — the last uncapped
+    * in-query banding): the [[graft.operators.SimHashPack.nearPairs]]
+    * discipline applied to the MinHash band join. A degenerate corpus —
+    * k byte-identical docs — collides in EVERY band bucket, and the
+    * uncapped (band, key) self-join generates C(k,2) pairs PER BAND
+    * before the Jaccard verify ever runs. The cap retains the
+    * `maxPerBucket` SMALLEST doc_ids per (band, key) on the INDEX
+    * (doc_b) side via a [[graft.plans.TopKPerKey]] bounded heap
+    * (map-side partial prune, one hash exchange — the hot bucket never
+    * materializes), bounding per-bucket pair mass at n·cap instead of
+    * n². Recall, honestly: a pair (a, b) is dropped iff b is capped out
+    * of EVERY bucket the pair collides in; among any `maxPerBucket`
+    * docs sharing a bucket, recall stays 1. For a surviving pair whose
+    * doc_b was capped out of SOME of its buckets, `n_shared_bands`
+    * counts only the surviving collisions — at the default cap
+    * (GraftConf, 1024) both effects are unreachable on non-degenerate
+    * corpora (sf0.1's hottest band bucket is ~30 docs), so the gated
+    * rows run capped AND still hash-match the uncapped brute-force
+    * oracle. The degenerate shape is spec-pinned with a planted
+    * constant-text flood (SkewSpec). `Int.MaxValue` disables, like the
+    * stores and the SimHash engine.
     */
-  private def bandCandidates(sh: DataFrame): DataFrame = {
+  private[graft] def bandCandidates(sh: DataFrame,
+      maxPerBucket: Int = -1): DataFrame = {
+    val cap = if (maxPerBucket > 0) maxPerBucket
+      else graft.GraftConf.minhashMaxPerBucket(sh.sparkSession)
     val keyed = bandKeys(sh)
     val a = keyed.select(col("doc_id").as("doc_a"), col("band"),
       col("key"))
-    val b = keyed.select(col("doc_id").as("doc_b"),
+    val bAll = keyed.select(col("doc_id").as("doc_b"),
       col("band").as("band_b"), col("key").as("key_b"))
+    val b = if (cap == Int.MaxValue) bAll
+      else graft.plans.TopKPerKey(bAll,
+        Seq(col("band_b"), col("key_b")), Seq(col("doc_b").asc), cap)
     a.join(b,
         col("band") === col("band_b") && col("key") === col("key_b") &&
           col("doc_a") < col("doc_b"))

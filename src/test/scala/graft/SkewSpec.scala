@@ -406,4 +406,54 @@ class SkewSpec extends GraftSpec {
     val flagged = pairs.flatMap(p => Seq(p.doc_a, p.doc_b)).toSet
     assert(flagged.size == m)
   }
+
+  test("dedup_minhash: a constant-text flood stays cap-bounded in-query " +
+      "(the r11 verdict's last uncapped banding)") {
+    import spark.implicits._
+    import graft.functions.Portable._
+    // 40 byte-identical docs share ONE signature, so all 32 band
+    // buckets hold the whole flood — uncapped, the (band, key)
+    // self-join generates C(40,2) = 780 pairs per band before the
+    // Jaccard verify. A genuinely distinct duplicate pair lives in
+    // other buckets and must be untouched by the cap.
+    val n = 40L
+    val flood = spark.range(1, n + 1).select(col("id").as("doc_id"),
+      lit("alpha beta gamma delta epsilon zeta eta theta iota kappa")
+        .as("text"))
+    val pair = Seq((100L, "uniq1 uniq2 uniq3 uniq4 uniq5 uniq6"),
+      (101L, "uniq1 uniq2 uniq3 uniq4 uniq5 uniq6")).toDF("doc_id", "text")
+    val sh = flood.union(pair)
+      .select(col("doc_id"), words(col("text")).as("w"))
+      .filter(size(col("w")) >= 3)
+      .select(col("doc_id"), shingles3Hashed(col("w")).as("shingles"))
+    val cap = 8
+    val capped = operators.DedupPack.bandCandidates(sh, cap)
+    // the cap must be the G7 bounded heap in the executed plan — and
+    // the candidate join an equi-join, never a cartesian
+    val plan = capped.queryExecution.executedPlan.toString
+    assert(plan.contains("TopKPerKey"),
+      s"in-query minhash band join lost the per-bucket cap:\n$plan")
+    assert(!plan.contains("Cartesian") &&
+      !plan.contains("BroadcastNestedLoop"),
+      s"candidate generation degenerated to an all-pairs join:\n$plan")
+    val rows = capped.collect()
+    val floodPairs = rows.filter(_.getAs[Long]("doc_b") <= n)
+    // the index retains the cap SMALLEST ids per (band, key): every
+    // surviving flood pair names a retained doc_b, pair mass is
+    // Σ_{b=1..cap}(b−1) = 28 — not C(40,2) = 780 — and each surviving
+    // pair still counts all 32 band collisions
+    assert(floodPairs.forall(_.getAs[Long]("doc_b") <= cap.toLong),
+      "a capped-out doc reappeared as an index-side candidate")
+    assert(floodPairs.length == (0 until cap).sum,
+      s"${floodPairs.length} flood pairs — cap not bounding the bucket")
+    assert(floodPairs.forall(_.getAs[Long]("n_shared_bands") == 32L))
+    // recall outside the hot bucket is untouched
+    assert(rows.exists(r => r.getAs[Long]("doc_a") == 100L &&
+      r.getAs[Long]("doc_b") == 101L),
+      "the cap dropped a pair outside the flooded bucket")
+    // uncapped control: the flood IS quadratic without the cap
+    val un = operators.DedupPack.bandCandidates(sh, Int.MaxValue)
+      .collect().filter(_.getAs[Long]("doc_b") <= n)
+    assert(un.length == (n * (n - 1) / 2).toInt)
+  }
 }
