@@ -28,6 +28,7 @@ object GraftConf {
     */
   val SimhashMaxPerBucketKey = "spark.graft.simhash.maxPerBucket"
   val MinhashMaxPerBucketKey = "spark.graft.minhash.maxPerBucket"
+  val AnnBandMaxPerBucketKey = "spark.graft.ann.bandMaxPerBucket"
 
   val DefaultTargetCellSize = 24
   val DefaultMaxCells = 64
@@ -47,4 +48,7 @@ object GraftConf {
 
   def minhashMaxPerBucket(s: SparkSession): Int =
     intConf(s, MinhashMaxPerBucketKey, DefaultMaxPerBucket)
+
+  def annBandMaxPerBucket(s: SparkSession): Int =
+    intConf(s, AnnBandMaxPerBucketKey, DefaultMaxPerBucket)
 }

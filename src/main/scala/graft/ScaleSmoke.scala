@@ -522,16 +522,17 @@ object ScaleSmoke {
         val c1 = mass(base); val cK = mass(dir)
         Seq(f"""{"op":"media_near_dup_pairs","x1":$c1,"x$k":$cK,"ratio":${cK.toDouble / math.max(c1, 1L)}%.2f}""")
       } else Nil
-      //  - media_semantic_dedup (r11): media types are a FIXED 3-label
-      //    space, so per-label blocks grow ~K/3× and the cell count
-      //    clamps at maxCells — per-cell membership, and with it the
-      //    UB-pruned candidate mass, grows ~K (and unstructured media
-      //    vectors give the radius bound little to prune). The mass row
-      //    counts the exact candidate frame the τ filter verifies, so
-      //    the wall ratio reads per unit of verification work — and at
-      //    a true 100 TB block maxCells is the documented knob to
-      //    raise (AnnPack.labelCellsOf), which restores ≈flat per-cell
-      //    work; the sweep measures the knob-FIXED shape.
+      //  - media_semantic_dedup (r11; engine re-shaped r12): media
+      //    types are a FIXED 3-label space, so per-label blocks grow
+      //    ~K/3×. The r12 HIERARCHICAL cell build (AnnPack.cellIndexOf)
+      //    keeps per-leaf membership ≈targetCellSize far past the old
+      //    single-level clamp (the r11-measured 68.3×-at-8× curve),
+      //    but on UNSTRUCTURED media vectors the exact angular bounds
+      //    still prune little — isotropic noise is the provable worst
+      //    case for any exact method — so the exact path's mass stays
+      //    super-linear here BY THE NATURE OF THE DATA, not by a
+      //    clamp. The row measures it honestly; the SCALE path for
+      //    this regime is the banded row below.
       val msd = if (selected.contains("media_semantic_dedup")) {
         def mass(d: String): Long = {
           val c = operators.AnnPack.rangeCandidatesOf(
@@ -546,7 +547,25 @@ object ScaleSmoke {
         val c1 = mass(base); val cK = mass(dir)
         Seq(f"""{"op":"media_semantic_candidates","x1":$c1,"x$k":$cK,"ratio":${cK.toDouble / math.max(c1, 1L)}%.2f}""")
       } else Nil
-      ann ++ ng ++ media ++ msd
+      //  - media_semantic_dedup_banded (r12): the capped banded engine
+      //    whose mass is ~linear BY CONSTRUCTION (scale-derived band
+      //    width keeps bucket load ≈targetLoad; the TopKPerKey cap
+      //    bounds degenerate floods) — the row proves the curve on the
+      //    same media frame the exact row measures.
+      val msdBanded = if (selected.contains("media_semantic_dedup_banded")) {
+        def mass(d: String): Long = {
+          val c = operators.AnnPack.bandedRangeCandidatesOf(
+            operators.MediaPack.mediaNormedOf(
+              graft.media.Media.synthesize(graft.sources.Tables
+                .parallelized(graft.sources.Tables.documents(spark, d)))
+                .toDF()), 16).count()
+          Caches.releaseAll(blocking = true)
+          c
+        }
+        val c1 = mass(base); val cK = mass(dir)
+        Seq(f"""{"op":"media_semantic_banded_candidates","x1":$c1,"x$k":$cK,"ratio":${cK.toDouble / math.max(c1, 1L)}%.2f}""")
+      } else Nil
+      ann ++ ng ++ media ++ msd ++ msdBanded
     }
     massLines.foreach(println)
     val report = selected.map { name =>

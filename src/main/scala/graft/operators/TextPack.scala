@@ -671,8 +671,13 @@ object TextPack extends QueryPack {
         sum(col("n_tokens_out")).as("tokens_out"))
       .select(col("lang"), col("n_docs"), col("tokens_in"),
         col("tokens_out"),
+        // greatest(…, 1): a language whose docs all tokenize to zero
+        // words would otherwise make Spark's `div` return NULL while
+        // DuckDB's `//` raises — the guard must be IDENTICAL on both
+        // engines (tokens_out is 0 whenever tokens_in is, so the
+        // guarded ratio is a clean 0)
         expr("(CAST(1000000 AS DECIMAL(38,0)) * tokens_out)" +
-          " div tokens_in").as("compression_ppm"),
+          " div greatest(tokens_in, 1L)").as("compression_ppm"),
         expr("(CAST(1000000 AS DECIMAL(38,0)) * tokens_out) div n_docs")
           .as("mean_tokens_ppm"))
       .orderBy(col("lang")),
@@ -686,8 +691,8 @@ object TextPack extends QueryPack {
           CAST(SUM(n_tokens_out) AS BIGINT) AS tokens_out
         FROM j GROUP BY 1)
       SELECT lang, n_docs, tokens_in, tokens_out,
-        CAST((CAST(1000000 AS HUGEINT) * tokens_out) // tokens_in
-          AS BIGINT) AS compression_ppm,
+        CAST((CAST(1000000 AS HUGEINT) * tokens_out)
+          // GREATEST(tokens_in, 1) AS BIGINT) AS compression_ppm,
         CAST((CAST(1000000 AS HUGEINT) * tokens_out) // n_docs
           AS BIGINT) AS mean_tokens_ppm
       FROM g ORDER BY lang

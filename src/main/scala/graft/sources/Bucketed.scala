@@ -133,11 +133,27 @@ object Bucketed {
     withWriterLeaseAt(spark, meta.location.toString, table)(body)
   }
 
+  /** Lock paths this THREAD currently holds — makes the lease
+    * reentrant per thread, so a store operation that must cover
+    * several leased legs in ONE critical section (DsirStore.append:
+    * novelty probe + delta + docs commit) can take the lease once and
+    * call the per-leg helpers, whose own acquisition then no-ops
+    * instead of reading its own live marker as contention. Thread-
+    * confined on purpose: a SECOND thread of the same process still
+    * contends (the single-writer contract is per store, not per
+    * process).
+    */
+  private val heldLeases = new ThreadLocal[scala.collection.mutable.Set[String]] {
+    override def initialValue(): scala.collection.mutable.Set[String] =
+      scala.collection.mutable.Set.empty
+  }
+
   private def withWriterLeaseAt[T](spark: SparkSession, location: String,
       table: String)(body: => T): T = {
     val loc = location.stripSuffix("/")
     val lock = new org.apache.hadoop.fs.Path(
       loc.replaceAll("__g\\d+$", "") + "__lock")
+    if (heldLeases.get.contains(lock.toString)) return body
     val fs = lock.getFileSystem(spark.sessionState.newHadoopConf())
     val holder = s"pid=${ProcessHandle.current().pid()} host=${
       java.net.InetAddress.getLocalHost.getHostName} at=${
@@ -261,7 +277,11 @@ object Bucketed {
         if (!tryAcquire()) contention(readHolder())
       } else contention(who)
     }
-    try body finally fs.delete(lock, false)
+    heldLeases.get += lock.toString
+    try body finally {
+      heldLeases.get -= lock.toString
+      fs.delete(lock, false)
+    }
   }
 
   /** Append `df` into an existing bucketed table, bucket-ALIGNED: the

@@ -86,18 +86,27 @@ object DsirStore {
     * duplicates at read.
     */
   def append(spark: SparkSession, tableBase: String,
-      batch: DataFrame): Unit = {
-    val novel = novelSlice(spark, tableBase, batch)
-    if (novel.limit(1).count() > 0) {
-      appendDelta(spark, tableBase, novel)
-      commitDocs(spark, tableBase, novel)
+      batch: DataFrame): Unit =
+    // ONE critical section under the `_docs` writer lease covering the
+    // novelty probe AND both legs (r11 ADVICE): the `_cnt` delta is
+    // plain parquet with no lease of its own, so two concurrent
+    // appends with overlapping doc_ids could both pass the probe and
+    // double-count the overlap — the scaladoc's serialize-per-store
+    // contract, now enforced instead of documented. commitDocs'
+    // internal acquisition of the same lease is reentrant
+    // (Bucketed.heldLeases).
+    Bucketed.withWriterLease(spark, s"${tableBase}_docs") {
+      val novel = novelSlice(spark, tableBase, batch)
+      if (novel.limit(1).count() > 0) {
+        appendDelta(spark, tableBase, novel)
+        commitDocs(spark, tableBase, novel)
+      }
+      // Dataset.unpersist is a no-op on a checkpointed frame — free the
+      // materialized RDD itself, or a long-lived ingest loop carries one
+      // retired batch copy per append until the ContextCleaner happens
+      // to collect it
+      org.apache.spark.sql.GraftDatasetBridge.freeLocalCheckpoint(novel)
     }
-    // Dataset.unpersist is a no-op on a checkpointed frame — free the
-    // materialized RDD itself, or a long-lived ingest loop carries one
-    // retired batch copy per append until the ContextCleaner happens
-    // to collect it
-    org.apache.spark.sql.GraftDatasetBridge.freeLocalCheckpoint(novel)
-  }
 
   // individually addressable so the spec can inject a crash between
   // the delta leg and the commit record

@@ -60,32 +60,67 @@ object StreamingIngest {
     */
   def processBatch(spark: SparkSession, fpTable: String, mhBase: String,
       batch: DataFrame): DataFrame =
-    processBatch(spark, fpTable, mhBase, None, None, batch)
+    processBatch(spark, fpTable, mhBase, IngestLegs(), batch)
 
-  /** As the 4-arg overload, plus an optional [[SearchIndex]] leg: the
-    * batch's KEPT docs (exact-unique, no history near-dup — exactly the
-    * set appended to the band store) also land in the BM25 index, so
-    * each micro-batch is lexically searchable as soon as its verdicts
-    * are out.
+  /** The optional store legs of [[processBatch]]/[[run]] — one config
+    * object instead of the former telescoping overloads (r11 verdict
+    * polish: the arity race stopped at nine). Every leg defaults to
+    * off. Shared ordering contract (load-bearing, spec-pinned by
+    * StreamingIngestSpec's injected crashes): the BAND append is the
+    * one mutation that changes a REPLAY's own verdicts (a replayed
+    * batch's within-batch near-dup pair meets itself as history —
+    * distinct ids, so the self-pair drop does not apply — shrinking
+    * the replay's `kept`), so every kept-consuming leg (search, embed,
+    * simhash, seq, dsir) appends strictly BEFORE it: were one after,
+    * a crash between them would leave docs in the band store but
+    * invisible to that leg forever (the replay's smaller `kept` never
+    * offers them again). No optional verdict feeds the `kept` policy —
+    * kept stays dedup-only, so a replay's kept set cannot shift under
+    * any leg; a caller that wants a gate enforced filters the SINK on
+    * the verdict columns.
     *
-    * The index append runs BEFORE the band-store append, and the
-    * ordering is load-bearing: the band store is the one mutation that
-    * changes a REPLAY's own verdicts (a replayed batch's within-batch
-    * near-dup pair meets itself as history — distinct ids, so the
-    * self-pair drop does not apply — shrinking the replay's `kept`).
-    * Were the index leg after the band append, a crash between them
-    * would leave those docs in the band store but permanently
-    * unindexed: the replay's smaller `kept` never offers them to the
-    * index again. Index-first, every crash point replays converged:
-    * before/inside the index append the band store is untouched, so
-    * the replay re-derives the SAME `kept` and the index append
-    * converges on its own contract (novelty filter + idempotent-at-
-    * read legs); after the band append, both stores already hold the
-    * full attempt-1 `kept`.
+    * @param searchBase [[SearchIndex]]: the batch's KEPT docs (exact-
+    *   unique, no history near-dup) land in the BM25 index, so each
+    *   micro-batch is lexically searchable as soon as its verdicts are
+    *   out; replays converge on the index's novelty filter and
+    *   idempotent-at-read legs.
+    * @param embedBase [[EmbedStore]] (the batch must then carry an
+    *   `embedding` column from the caller's embedder stage, optionally
+    *   a `label` blocking column): exact survivors are probed for
+    *   SEMANTIC near-dups against the vector history (verdict columns
+    *   n_emb_matches / emb_canonical / best_cos, NULL for exact dups
+    *   or when off) and the kept embeddings fold in; re-appends
+    *   converge at read (pair-level dedupe; radius growth idempotent).
+    * @param simBase [[SimHashStore]]: exact survivors are probed for
+    *   STRUCTURAL near-dups (hamming ≤ 7 on the 64-bit SimHash —
+    *   catches small-edit rewrites whose shingle sets already
+    *   drifted), verdict columns n_sh_matches / sh_canonical /
+    *   best_hamming; kept key rows fold in; converges via pair-level
+    *   dedupe + the probe's self-pair drop.
+    * @param seqBase [[SeqStore]] (r9): kept docs extend the persisted
+    *   training-sequence layout — the full dedup → index → pack story
+    *   in one loop. Inherited constraint: batches must arrive with
+    *   doc_ids above all packed history (the store refuses loudly
+    *   otherwise) — true of id-monotone ingest streams.
+    * @param qualityBase [[graft.sources.QualityStore]] (r10):
+    *   READ-ONLY scoring of every batch doc against the FROZEN trained
+    *   model (quality_margin_q20 / quality_score_q20 / quality_keep) —
+    *   no ordering or crash-stranding constraints; scores the severed
+    *   micro-batch through the serving path's no-persist feature frame
+    *   (the loop's scoped-working-set contract).
+    * @param dsirBase [[graft.sources.DsirStore]] (r11): importance
+    *   scoring against the CURRENT merged bucket model (dsir_w_q20 /
+    *   dsir_keep), severed before the kept docs' count deltas fold
+    *   back in — unlike the frozen quality leg the DSIR model TRACKS
+    *   the corpus.
     */
-  def processBatch(spark: SparkSession, fpTable: String, mhBase: String,
-      searchBase: Option[String], batch: DataFrame): DataFrame =
-    processBatch(spark, fpTable, mhBase, searchBase, None, batch)
+  final case class IngestLegs(
+      searchBase: Option[String] = None,
+      embedBase: Option[String] = None,
+      simBase: Option[String] = None,
+      seqBase: Option[String] = None,
+      qualityBase: Option[String] = None,
+      dsirBase: Option[String] = None)
 
   /** The (vec_id, label, embedding) frame the [[EmbedStore]] leg probes
     * and appends for a doc batch: doc_id is the vector id; the blocking
@@ -99,107 +134,16 @@ object StreamingIngest {
     df.select(col("doc_id").as("vec_id"), l.as("label"), col("embedding"))
   }
 
-  /** As above, plus an optional [[EmbedStore]] leg (the batch must then
-    * carry an `embedding` column, produced by the caller's embedder
-    * stage upstream — and optionally a `label` blocking column): the
-    * exact survivors are probed for SEMANTIC near-dups against the
-    * persisted vector history (verdict columns n_emb_matches /
-    * emb_canonical / best_cos, NULL for exact dups or when the leg is
-    * off), and the KEPT docs' embeddings are folded in. The semantic
-    * verdict deliberately does NOT feed the `kept` policy here — kept
-    * stays "exact-unique with no lexical near-dup", so the replay
-    * analysis above is unchanged: the band store remains the ONLY
-    * mutation that changes a replay's own kept set, and the embed
-    * append (like the index leg) is a kept-CONSUMER that must run
-    * strictly before it — were it after, a crash between them would
-    * strand within-batch lexical near-dups banded-but-unembedded
-    * forever, invisible to every later semantic probe. A caller whose
-    * keep policy includes the semantic verdict filters on the returned
-    * columns at the sink. Embed re-appends converge at read (pair-level
-    * dedupe; radius growth is idempotent).
-    */
-  def processBatch(spark: SparkSession, fpTable: String, mhBase: String,
-      searchBase: Option[String], embedBase: Option[String],
-      batch: DataFrame): DataFrame =
-    processBatch(spark, fpTable, mhBase, searchBase, embedBase, None,
-      batch)
-
-  /** As above, plus an optional [[SimHashStore]] leg: the exact
-    * survivors are probed for STRUCTURAL near-dups (hamming ≤ 7 on the
-    * 64-bit SimHash — catches small-edit rewrites whose shingle sets
-    * already drifted) against the persisted signature history, verdict
-    * columns n_sh_matches / sh_canonical / best_hamming (NULL for
-    * exact dups or when the leg is off), and the KEPT docs' key rows
-    * fold in. Like the index and embed legs, the simhash verdict does
-    * NOT feed the `kept` policy and its append is a kept-CONSUMER that
-    * runs strictly before the band append — the same crash-stranding
-    * argument; simhash re-appends converge at read (pair-level dedupe
-    * + self-pair drop in the probe).
-    */
-  def processBatch(spark: SparkSession, fpTable: String, mhBase: String,
-      searchBase: Option[String], embedBase: Option[String],
-      simBase: Option[String],
-      batch: DataFrame): DataFrame =
-    processBatch(spark, fpTable, mhBase, searchBase, embedBase, simBase,
-      None, batch)
-
-  /** As above, plus an optional [[SeqStore]] leg (r9): the batch's KEPT
-    * docs extend the persisted training-sequence index, so the
-    * data-loader layout stays current as the corpus ingests — the full
-    * curation story (dedup → index → pack) in one loop. Like the
-    * index/embed/simhash legs it is a kept-CONSUMER and runs strictly
-    * BEFORE the band append (same crash-stranding argument: were it
-    * after, a crash between them would leave within-batch near-dups
-    * banded-but-never-packed — the replay's smaller kept set never
-    * offers them again). Replays converge on SeqStore's own novel-only
-    * contract. NOTE the inherited constraint: SeqStore's packing is an
-    * append-only layout, so batches must arrive with doc_ids above all
-    * packed history (the store refuses loudly otherwise) — true of
-    * id-monotone ingest streams, the normal case.
-    */
-  def processBatch(spark: SparkSession, fpTable: String, mhBase: String,
-      searchBase: Option[String], embedBase: Option[String],
-      simBase: Option[String], seqBase: Option[String],
-      batch: DataFrame): DataFrame =
-    processBatch(spark, fpTable, mhBase, searchBase, embedBase, simBase,
-      seqBase, None, batch)
-
-  /** The full core, plus the optional [[graft.sources.QualityStore]]
-    * leg (r10): every batch doc is scored against the FROZEN trained
-    * quality model and the verdict frame carries quality_margin_q20 /
-    * quality_score_q20 / quality_keep beside the dedup verdicts — the
-    * full curation loop (dedup → quality gate → index → pack) in one
-    * pass. Unlike every other leg this one is READ-ONLY: the model
-    * never mutates during ingest (QualityStore's no-append contract),
-    * so it has no ordering or crash-stranding constraints. Like the
-    * embed/simhash verdicts it deliberately does NOT feed the `kept`
-    * policy — kept stays dedup-only, so a replay's kept set cannot
-    * shift under it; a caller that wants the gate enforced filters the
-    * SINK on quality_keep. The leg scores the SEVERED micro-batch `b`
-    * (not the foreachBatch source frame, which would re-execute the
-    * source per sink action) through the serving path's no-persist
-    * feature frame — the loop's scoped-working-set contract: nothing
-    * here registers registry-tracked state (r10 ADVICE, both items).
-    */
-  def processBatch(spark: SparkSession, fpTable: String, mhBase: String,
-      searchBase: Option[String], embedBase: Option[String],
-      simBase: Option[String], seqBase: Option[String],
-      qualityBase: Option[String],
-      batch: DataFrame): DataFrame =
-    processBatch(spark, fpTable, mhBase, searchBase, embedBase, simBase,
-      seqBase, qualityBase, None, batch)
-
   /** The (doc_id, text, lang) frame the [[graft.sources.DsirStore]] leg
-    * appends for a doc batch: the batch's own `lang` column when it
-    * carries one, else a non-target placeholder — such docs feed the
-    * raw-side counts only, which is the right degradation (the target
-    * slice needs a language id by definition).
+    * appends for a doc batch — only reached for batches that CARRY a
+    * lang column: lang-less streams are scored but never folded (r11
+    * ADVICE — a placeholder lang grows only the RAW side of the model
+    * while the target slice stays seed-only, so every weight drifts
+    * monotonically negative as the stream runs; score-only against the
+    * seed model is the stable degradation).
     */
-  private def dsirBatchOf(df: DataFrame): DataFrame = {
-    val l = if (df.columns.contains("lang")) col("lang")
-      else lit("")
-    df.select(col("doc_id"), col("text"), l.as("lang"))
-  }
+  private def dsirBatchOf(df: DataFrame): DataFrame =
+    df.select(col("doc_id"), col("text"), col("lang"))
 
   /** The full core, plus the optional [[graft.sources.DsirStore]] leg
     * (r11): every batch doc is scored for DSIR importance against the
@@ -218,10 +162,8 @@ object StreamingIngest {
     * DsirStore's own novel-only + content-batch_id contract.
     */
   def processBatch(spark: SparkSession, fpTable: String, mhBase: String,
-      searchBase: Option[String], embedBase: Option[String],
-      simBase: Option[String], seqBase: Option[String],
-      qualityBase: Option[String], dsirBase: Option[String],
-      batch: DataFrame): DataFrame = {
+      legs: IngestLegs, batch: DataFrame): DataFrame = {
+    import legs._
     // one materialization of the micro-batch: it feeds the exact probe,
     // the survivor join and both appends, and a foreachBatch source
     // frame re-executes per action otherwise
@@ -289,8 +231,12 @@ object StreamingIngest {
     simBase.foreach(sb => SimHashStore.append(spark, sb, kept))
     seqBase.foreach(qb => SeqStore.append(spark, qb,
       kept.select(col("doc_id"), col("text"))))
-    dsirBase.foreach(db => graft.sources.DsirStore.append(spark, db,
-      dsirBatchOf(kept)))
+    // lang-less streams are scored (above) but NOT folded — see
+    // dsirBatchOf on why the placeholder-lang fold would drift the
+    // model
+    if (kept.columns.contains("lang"))
+      dsirBase.foreach(db => graft.sources.DsirStore.append(spark, db,
+        dsirBatchOf(kept)))
     MinHashStore.append(spark, mhBase, kept)
     // `survivors` is fully consumed: its probe readers were severed
     // above and `kept`'s appends just ran — free its checkpoint now
@@ -329,72 +275,23 @@ object StreamingIngest {
     */
   def run(spark: SparkSession, stream: DataFrame, fpTable: String,
       mhBase: String, sink: (DataFrame, Long) => Unit): StreamingQuery =
-    run(spark, stream, fpTable, mhBase, None, sink)
+    run(spark, stream, fpTable, mhBase, IngestLegs(), sink)
 
-  /** As [[run]], with the optional BM25-index leg of the 5-arg
-    * [[processBatch]].
+  /** As [[run]], with the optional store legs of [[IngestLegs]].
+    *
+    * The `sink` contract: the verdict frame must be FULLY consumed
+    * (collected, written, or otherwise materialized) before `sink`
+    * returns — [[releaseBatch]] runs immediately after and drops the
+    * checkpoint blocks the verdict's lazy joins depend on, so a sink
+    * that defers consumption (an async write, a retained DataFrame)
+    * fails later with unrecoverable missing-block errors.
     */
   def run(spark: SparkSession, stream: DataFrame, fpTable: String,
-      mhBase: String, searchBase: Option[String],
-      sink: (DataFrame, Long) => Unit): StreamingQuery =
-    run(spark, stream, fpTable, mhBase, searchBase, None, sink)
-
-  /** As [[run]], with the optional BM25-index AND embed-store legs of
-    * the 6-arg [[processBatch]].
-    */
-  def run(spark: SparkSession, stream: DataFrame, fpTable: String,
-      mhBase: String, searchBase: Option[String],
-      embedBase: Option[String],
-      sink: (DataFrame, Long) => Unit): StreamingQuery =
-    run(spark, stream, fpTable, mhBase, searchBase, embedBase, None, sink)
-
-  /** As [[run]], with all optional legs of the 7-arg
-    * [[processBatch]] (BM25 index, embed store, simhash store).
-    */
-  def run(spark: SparkSession, stream: DataFrame, fpTable: String,
-      mhBase: String, searchBase: Option[String],
-      embedBase: Option[String], simBase: Option[String],
-      sink: (DataFrame, Long) => Unit): StreamingQuery =
-    run(spark, stream, fpTable, mhBase, searchBase, embedBase, simBase,
-      None, sink)
-
-  /** As [[run]], with all optional legs including the [[SeqStore]]
-    * packing leg of the 8-arg [[processBatch]].
-    */
-  def run(spark: SparkSession, stream: DataFrame, fpTable: String,
-      mhBase: String, searchBase: Option[String],
-      embedBase: Option[String], simBase: Option[String],
-      seqBase: Option[String],
-      sink: (DataFrame, Long) => Unit): StreamingQuery =
-    run(spark, stream, fpTable, mhBase, searchBase, embedBase, simBase,
-      seqBase, None, sink)
-
-  /** As [[run]], with all optional legs including the read-only
-    * [[graft.sources.QualityStore]] scoring leg of the 9-arg
-    * [[processBatch]].
-    */
-  def run(spark: SparkSession, stream: DataFrame, fpTable: String,
-      mhBase: String, searchBase: Option[String],
-      embedBase: Option[String], simBase: Option[String],
-      seqBase: Option[String], qualityBase: Option[String],
-      sink: (DataFrame, Long) => Unit): StreamingQuery =
-    run(spark, stream, fpTable, mhBase, searchBase, embedBase, simBase,
-      seqBase, qualityBase, None, sink)
-
-  /** As [[run]], with all optional legs including the appendable
-    * [[graft.sources.DsirStore]] importance-weight leg of the 10-arg
-    * [[processBatch]].
-    */
-  def run(spark: SparkSession, stream: DataFrame, fpTable: String,
-      mhBase: String, searchBase: Option[String],
-      embedBase: Option[String], simBase: Option[String],
-      seqBase: Option[String], qualityBase: Option[String],
-      dsirBase: Option[String],
+      mhBase: String, legs: IngestLegs,
       sink: (DataFrame, Long) => Unit): StreamingQuery =
     stream.writeStream
       .foreachBatch { (batch: DataFrame, id: Long) =>
-        val verdict = processBatch(spark, fpTable, mhBase, searchBase,
-          embedBase, simBase, seqBase, qualityBase, dsirBase, batch)
+        val verdict = processBatch(spark, fpTable, mhBase, legs, batch)
         sink(verdict, id)
         // the sink has consumed the verdict — drop the batch's
         // checkpoint storage now (scoped working set: one batch, ever)
@@ -484,7 +381,8 @@ object StreamingIngest {
         .option("recursiveFileLookup", "true")
         .parquet(incoming))
     val q = run(spark, stream, "ingest_fp", "ingest_mh",
-      Some("ingest_search"), Some("ingest_em"), Some("ingest_sh"),
+      IngestLegs(searchBase = Some("ingest_search"),
+        embedBase = Some("ingest_em"), simBase = Some("ingest_sh")),
       (v, id) => {
       val s = v.agg(
         count(lit(1)).as("docs"),

@@ -77,6 +77,12 @@ class AnnPackSpec extends GraftSpec {
       .map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
     assert(got.nonEmpty)
     got.foreach { case (lbl, cells, n) =>
+      // every test-corpus block fits one level-1 parent, where the
+      // hierarchical build degenerates to the single-level structure
+      // bit-for-bit — the scalar mirror is exact
+      assert(operators.AnnPack.l1CellsForBlock(n) == 1,
+        s"label $lbl: block of $n rows no longer fits one parent — " +
+          "update this test's mirror for the multi-parent split")
       val want = operators.AnnPack.cellsForBlock(n)
       assert(cells == want,
         s"label $lbl: block of $n rows should get $want cells, got $cells")
@@ -85,6 +91,145 @@ class AnnPackSpec extends GraftSpec {
     // counts — the knob is not a constant
     assert(got.map(_._2).distinct.length > 1,
       s"expected ≥2 distinct per-label cell counts, got ${got.toSeq}")
+  }
+
+  /** Deterministic planted clustered corpus for the hierarchy tests:
+    * `n` vectors in 64 dims, tight clusters of 20 (fixed similarity
+    * structure — the cluster size does not grow with n), signed
+    * hash-derived centers so cross-cluster angles spread wide.
+    */
+  private def plantedClusters(n: Int): org.apache.spark.sql.DataFrame = {
+    import spark.implicits._
+    val dim = 64
+    val rows = (0 until n).map { i =>
+      val cluster = i / 20
+      val h0 = cluster.toLong * 2654435761L + 1442695040888963407L
+      val raw = (0 until dim).map(j =>
+        (((h0 * (j * 6364136223846793005L + 1442695040888963407L))
+          >>> 40) & 0xffL).toDouble - 127.5)
+      val cn = math.sqrt(raw.map(x => x * x).sum)
+      val c = raw.map(_ / cn)
+      val h1 = i.toLong * 40503L + 7L
+      val v = (0 until dim).map(j => c(j) +
+        ((((h1 * (j * 2862933555777941757L + 3037000493L)) >>> 40)
+          & 0xffL).toDouble - 127.5) / 127.5 * 0.02)
+      val nrm = math.sqrt(v.map(x => x * x).sum)
+      (i.toLong, 0, v, nrm)
+    }
+    rows.toDF("vec_id", "label", "v", "nrm")
+  }
+
+  test("hierarchical cells: leaf size stays ≈targetCellSize past the " +
+      "old single-level clamp") {
+    val n = 4000 // > targetCellSize·maxCells = 1536 → multi-parent
+    val ci = operators.AnnPack.cellIndexOf(plantedClusters(n).repartition(8))
+    val sizes = ci.lists.groupBy(col("label"), col("cell"))
+      .agg(count(lit(1)).as("m")).collect().map(_.getAs[Long]("m"))
+    val parents = ci.cent1R.select(col("c1")).distinct().count()
+    assert(parents == operators.AnnPack.l1CellsForBlock(n.toLong),
+      s"expected ${operators.AnnPack.l1CellsForBlock(n.toLong)} " +
+        s"level-1 parents for a block of $n, got $parents")
+    // the old clamp stopped at 64 cells (mean membership n/64 = 62 and
+    // growing); the hierarchy keeps splitting
+    assert(sizes.length > 64,
+      s"only ${sizes.length} leaves for a block of $n — the clamp is back")
+    Caches.releaseAll(blocking = true)
+  }
+
+  test("banded range-candidate mass grows ~linearly in block size " +
+      "(the r11 weak, closed by construction)") {
+    // two scales spanning the old single-level cell clamp: the
+    // measured r11 curve was 68.3× candidates at 8× data
+    // (scale_msd_x8.json) because cells clamped. The banded engine's
+    // bucket load stays ≈targetLoad (band width derives from the block
+    // size), so random-collision mass per probe is ≈flat and total
+    // mass ≈linear — on ANY data, clustered or isotropic.
+    def mass(n: Int): Long = {
+      val c = operators.AnnPack.bandedRangeCandidatesOf(
+        plantedClusters(n).repartition(8), 64).count()
+      Caches.releaseAll(blocking = true)
+      c
+    }
+    val m1 = mass(3000)
+    val m8 = mass(24000)
+    val ratio = m8.toDouble / math.max(m1, 1L)
+    info(s"banded candidate mass: x1=$m1 x8=$m8 ratio=$ratio")
+    // linear would be 8; leave headroom for bit-ladder rounding (the
+    // 8× step can straddle one bit increment) but stay far below the
+    // old ~64× curve
+    assert(ratio <= 14.0,
+      s"banded candidate mass grew ${ratio}× at 8× data — " +
+        s"super-linear; x1=$m1 x8=$m8")
+    // sanity: the candidate set covers the within-cluster true pairs
+    // (near-identical signatures collide in every band; 150 clusters ×
+    // C(20,2) = 28500 at n=3000)
+    assert(m1 >= 28500L, s"x1 candidate mass $m1 misses true pairs")
+  }
+
+  test("banded band width derives from block size (the knob turns) " +
+      "and the scalar/SQL mirrors agree") {
+    import operators.AnnPack
+    assert(AnnPack.bandBitsForBlock(1L) == 4)
+    assert(AnnPack.bandBitsForBlock(64L) == 4)
+    assert(AnnPack.bandBitsForBlock(65L) == 5)
+    assert(AnnPack.bandBitsForBlock(3000L) == 10)
+    assert(AnnPack.bandBitsForBlock(24000L) == 13)
+    assert(AnnPack.bandBitsForBlock(Long.MaxValue / 4) == 16)
+  }
+
+  test("banded recall: every exact-path pair of the planted clusters " +
+      "is recovered (near-identical signatures collide)") {
+    val n = plantedClusters(2000).repartition(8)
+    val exact = operators.AnnPack.rangePairsOf(n, 0.75)
+      .select(col("vec_id"), col("nn_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val banded = operators.AnnPack.bandedRangePairsOf(n, 64, 0.75)
+      .select(col("vec_id"), col("nn_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    Caches.releaseAll(blocking = true)
+    assert(exact.nonEmpty)
+    // banded ⊆ exact always (same τ verdict on a candidate subset)
+    assert(banded.subsetOf(exact))
+    val recall = banded.size.toDouble / exact.size
+    info(s"banded recall vs exact: ${banded.size}/${exact.size} = $recall")
+    // tight clusters (cos ≥ 0.99 ⇒ per-bit agreement ≈ 0.97): the
+    // multiprobe miss probability is ≤ ~1e-8 per pair — any real miss
+    // here means the banding or multiprobe broke
+    assert(recall >= 0.999,
+      s"banded path lost ${exact.size - banded.size} of ${exact.size} " +
+        "tight-cluster pairs")
+  }
+
+  test("banded engine: a constant-vector flood stays cap-bounded " +
+      "in-query") {
+    import spark.implicits._
+    // 40 identical vectors share one signature: every band bucket
+    // holds the whole flood. A genuinely distinct near-dup pair lives
+    // in other buckets and must be untouched by the cap.
+    val base = (0 until 32).map(j => math.sin(j + 1.0))
+    val bn = math.sqrt(base.map(x => x * x).sum)
+    val other = (0 until 32).map(j => math.cos(3.0 * j + 2.0))
+    val on = math.sqrt(other.map(x => x * x).sum)
+    val rows = (1L to 40L).map(i => (i, 0, base, bn)) ++
+      Seq((100L, 0, other, on), (101L, 0, other, on))
+    val n = rows.toDF("vec_id", "label", "v", "nrm")
+    val cap = 8
+    val capped = operators.AnnPack.bandedRangeCandidatesOf(n, 32, cap)
+    val plan = capped.queryExecution.executedPlan.toString
+    assert(plan.contains("TopKPerKey"),
+      s"banded candidate join lost the per-bucket cap:\n$plan")
+    val got = capped.collect()
+    val floodPairs = got.filter(_.getAs[Long]("nn_id") <= 40L)
+    assert(floodPairs.forall(_.getAs[Long]("nn_id") <= cap.toLong),
+      "a capped-out vector reappeared as an index-side candidate")
+    assert(got.exists(r => r.getAs[Long]("vec_id") == 100L &&
+      r.getAs[Long]("nn_id") == 101L),
+      "the cap dropped a pair outside the flooded buckets")
+    // uncapped control: the flood IS quadratic without the cap
+    val un = operators.AnnPack.bandedRangeCandidatesOf(n, 32, Int.MaxValue)
+      .collect().count(_.getAs[Long]("nn_id") <= 40L)
+    assert(un == 40 * 39 / 2)
+    Caches.releaseAll(blocking = true)
   }
 
   test("D3/C5/D6 plans: no window partitioned by a whole label block") {

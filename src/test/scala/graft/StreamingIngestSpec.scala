@@ -170,7 +170,8 @@ class StreamingIngestSpec extends GraftSpec {
       .option("sep", "\t").option("maxFilesPerTrigger", "1")
       .csv(incoming.toString)
     val q = StreamingIngest.run(spark, stream.toDF(),
-      "ingsrch_fp", "ingsrch_mh", Some("ingsrch_ix"),
+      "ingsrch_fp", "ingsrch_mh",
+      StreamingIngest.IngestLegs(searchBase = Some("ingsrch_ix")),
       (_: DataFrame, _: Long) => ())
     try {
       q.processAllAvailable()
@@ -220,7 +221,8 @@ class StreamingIngestSpec extends GraftSpec {
       .option("sep", "\t").option("maxFilesPerTrigger", "1")
       .csv(incoming.toString)
     val q = StreamingIngest.run(spark, stream.toDF(),
-      "ingseq_fp", "ingseq_mh", None, None, None, Some("ingseq_sq"),
+      "ingseq_fp", "ingseq_mh",
+      StreamingIngest.IngestLegs(seqBase = Some("ingseq_sq")),
       (_: DataFrame, _: Long) => ())
     try {
       q.processAllAvailable()
@@ -274,7 +276,8 @@ class StreamingIngestSpec extends GraftSpec {
       .option("sep", "\t").csv(incoming.toString)
     var verdicts: Array[org.apache.spark.sql.Row] = Array.empty
     val q = StreamingIngest.run(spark, stream.toDF(),
-      "ingq_fp", "ingq_mh", None, None, None, None, Some("ingq_q"),
+      "ingq_fp", "ingq_mh",
+      StreamingIngest.IngestLegs(qualityBase = Some("ingq_q")),
       (df: DataFrame, _: Long) => { verdicts = df.collect() })
     try {
       q.processAllAvailable()
@@ -331,9 +334,9 @@ class StreamingIngestSpec extends GraftSpec {
     val incoming = Paths.get(tmp, "incoming")
     Files.createDirectories(incoming)
     Files.writeString(incoming.resolve("b1.csv"),
-      s"11\t$tgtLike\n" +
-        s"13\t$alienLike\n" +
-        s"15\t$enText\n") // exact dup of seed 101: dropped, never folds
+      s"11\t$tgtLike\ten\n" +
+        s"13\t$alienLike\txx\n" +
+        s"15\t$enText\ten\n") // exact dup of seed 101: dropped, never folds
     // batch-doc scores against the SEED-ONLY model — collected before
     // the stream runs, so the equality below proves the leg severed
     // its verdict before the fold mutated the count table
@@ -343,12 +346,12 @@ class StreamingIngestSpec extends GraftSpec {
       .collect().map(r => r.getAs[Long]("doc_id") ->
         (r.getAs[Long]("w_q20"), r.getAs[Boolean]("keep"))).toMap
     val stream = spark.readStream
-      .schema("doc_id LONG, text STRING")
+      .schema("doc_id LONG, text STRING, lang STRING")
       .option("sep", "\t").csv(incoming.toString)
     var verdicts: Array[org.apache.spark.sql.Row] = Array.empty
     val q = StreamingIngest.run(spark, stream.toDF(),
-      "ingd_fp", "ingd_mh", None, None, None, None, None,
-      Some("ingd_ds"),
+      "ingd_fp", "ingd_mh",
+      StreamingIngest.IngestLegs(dsirBase = Some("ingd_ds")),
       (df: DataFrame, _: Long) => { verdicts = df.collect() })
     try {
       q.processAllAvailable()
@@ -365,9 +368,10 @@ class StreamingIngestSpec extends GraftSpec {
       assert(!byId(13L).getAs[Boolean]("dsir_keep"))
       // the fold: the post-ingest merged model equals a fresh build
       // over seed + the KEPT docs only (11 and 13; the history dup 15
-      // never folds; streamed docs carry the placeholder lang)
+      // never folds; streamed docs carry their own lang, so the
+      // TARGET slice tracks the stream too — not just the raw side)
       val keptDf = seed.unionByName(Seq(
-        (11L, tgtLike, ""), (13L, alienLike, ""))
+        (11L, tgtLike, "en"), (13L, alienLike, "xx"))
         .toDF("doc_id", "text", "lang"))
       DsirStore.write(keptDf, "ingd_ref", s"$tmp/ref")
       def model(t: String): Seq[String] = spark.table(t)
@@ -382,6 +386,56 @@ class StreamingIngestSpec extends GraftSpec {
       q.stop()
       Seq("ingd_fp", "ingd_mh_bands", "ingd_mh_shingles", "ingd_ds_cnt",
         "ingd_ds_docs", "ingd_ref_cnt", "ingd_ref_docs")
+        .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+      Caches.deleteDir(tmp)
+    }
+  }
+
+  test("dsir leg: a lang-less stream is scored but never folded " +
+      "(r11 ADVICE: the placeholder fold drifts the model)") {
+    import java.nio.file.{Files, Paths}
+    import spark.implicits._
+    import graft.sources.DsirStore
+    val tmp = Files.createTempDirectory("graft-ingest-dsirll").toString
+    val enText = (1 to 8).map(i => s"e$i").mkString(" ")
+    val seed = (1 to 5).map(i => (100L + i, enText, "en"))
+      .toDF("doc_id", "text", "lang")
+    FingerprintStore.write(seed.select("doc_id", "text"),
+      "ingll_fp", s"$tmp/fp")
+    MinHashStore.write(seed.select("doc_id", "text"),
+      "ingll_mh", s"$tmp/mh")
+    DsirStore.write(seed, "ingll_ds", s"$tmp/ds")
+    val before = spark.table("ingll_ds_cnt").collect()
+      .map(_.toString).sorted.toSeq
+    val tgtLike = "e1 e2 e1 e2 e1 e2 e1 e2"
+    val incoming = Paths.get(tmp, "incoming")
+    Files.createDirectories(incoming)
+    Files.writeString(incoming.resolve("b1.csv"), s"11\t$tgtLike\n")
+    val stream = spark.readStream.schema("doc_id LONG, text STRING")
+      .option("sep", "\t").csv(incoming.toString)
+    var verdicts: Array[org.apache.spark.sql.Row] = Array.empty
+    val q = StreamingIngest.run(spark, stream.toDF(),
+      "ingll_fp", "ingll_mh",
+      StreamingIngest.IngestLegs(dsirBase = Some("ingll_ds")),
+      (df: DataFrame, _: Long) => { verdicts = df.collect() })
+    try {
+      q.processAllAvailable()
+      // the doc IS scored (the serving half still works): the verdict
+      // carries exactly the direct store score
+      val byId = verdicts.map(r => r.getAs[Long]("doc_id") -> r).toMap
+      assert(byId.keySet == Set(11L))
+      val direct = DsirStore.score(spark, "ingll_ds",
+        Seq((11L, tgtLike)).toDF("doc_id", "text")).collect().head
+      assert(byId(11L).getAs[Long]("dsir_w_q20") ==
+        direct.getAs[Long]("w_q20"))
+      // ...but the model is untouched: score-only, no placeholder fold
+      val after = spark.table("ingll_ds_cnt").collect()
+        .map(_.toString).sorted.toSeq
+      assert(after == before, "a lang-less batch mutated the DSIR model")
+    } finally {
+      q.stop()
+      Seq("ingll_fp", "ingll_mh_bands", "ingll_mh_shingles",
+        "ingll_ds_cnt", "ingll_ds_docs")
         .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
       Caches.deleteDir(tmp)
     }
@@ -430,7 +484,8 @@ class StreamingIngestSpec extends GraftSpec {
     val out = scala.collection.mutable.Map.empty[Long, Array[
       org.apache.spark.sql.Row]]
     val q = StreamingIngest.run(spark, stream.toDF(),
-      "ingemb_fp", "ingemb_mh", None, Some("ingemb_em"),
+      "ingemb_fp", "ingemb_mh",
+      StreamingIngest.IngestLegs(embedBase = Some("ingemb_em")),
       (v: DataFrame, id: Long) => out(id) = v.collect())
     try {
       q.processAllAvailable()
@@ -488,8 +543,9 @@ class StreamingIngestSpec extends GraftSpec {
       .option("sep", "\t").option("maxFilesPerTrigger", "1")
       .csv(incoming.toString)
     val q = StreamingIngest.run(spark, stream.toDF(),
-      "ingws_fp", "ingws_mh", None, None, Some("ingws_sh"), None, None,
-      None, (df: DataFrame, _: Long) => { df.collect(); () })
+      "ingws_fp", "ingws_mh",
+      StreamingIngest.IngestLegs(simBase = Some("ingws_sh")),
+      (df: DataFrame, _: Long) => { df.collect(); () })
     try {
       q.processAllAvailable()
       // every checkpoint the two triggers materialized (micro-batch,
@@ -552,7 +608,8 @@ class StreamingIngestSpec extends GraftSpec {
       .toDF("doc_id", "text", "label", "embedding")
     var verdicts: Array[org.apache.spark.sql.Row] = Array.empty
     val q = StreamingIngest.run(spark, stream,
-      "ingm_fp", "ingm_mh", None, Some("ingm_em"),
+      "ingm_fp", "ingm_mh",
+      StreamingIngest.IngestLegs(embedBase = Some("ingm_em")),
       (df: DataFrame, _: Long) => { verdicts = df.collect() })
     try {
       q.processAllAvailable()
@@ -634,7 +691,8 @@ class StreamingIngestSpec extends GraftSpec {
     val out = scala.collection.mutable.Map.empty[Long, Array[
       org.apache.spark.sql.Row]]
     val q = StreamingIngest.run(spark, stream.toDF(),
-      "ingsh_fp", "ingsh_mh", None, None, Some("ingsh_sh"),
+      "ingsh_fp", "ingsh_mh",
+      StreamingIngest.IngestLegs(simBase = Some("ingsh_sh")),
       (v: DataFrame, id: Long) => out(id) = v.collect())
     try {
       q.processAllAvailable()
@@ -706,7 +764,8 @@ class StreamingIngestSpec extends GraftSpec {
       EmbedStore.append(spark, "emord_em", embOf(batch)) // kept = {11,13}
       // replay: the full loop
       StreamingIngest.processBatch(spark, "emord_fp", "emord_mh",
-        None, Some("emord_em"), batch).collect()
+        StreamingIngest.IngestLegs(embedBase = Some("emord_em")),
+        batch).collect()
       // both docs are in BOTH stores — no banded-but-unembedded gap
       val banded = spark.table("emord_mh_shingles")
         .select("h_id").collect().map(_.getLong(0)).toSet
@@ -758,7 +817,9 @@ class StreamingIngestSpec extends GraftSpec {
       SearchIndex.append(spark, "ingord_ix", batch) // kept = {11, 13}
       // replay: the full loop
       val verdicts = StreamingIngest.processBatch(spark, "ingord_fp",
-        "ingord_mh", Some("ingord_ix"), batch).collect()
+        "ingord_mh",
+        StreamingIngest.IngestLegs(searchBase = Some("ingord_ix")),
+        batch).collect()
         .map(r => r.getLong(0) -> r).toMap
       // the replay's fp verdicts are replay-stable (not history dups)
       assert(!verdicts(11L).getBoolean(2) && !verdicts(13L).getBoolean(2))
