@@ -188,9 +188,9 @@ object CurationPack extends QueryPack {
   // duplicate check (canonical = min doc_id per fingerprint), language
   // allowlist. Per-row features + one fingerprint window — the shape of
   // the final filter stage before packing.
-  private val minTokens = 20L
-  private val maxTokens = 2000L
-  private val allowedLangs = Seq("en", "de", "es", "fr", "zh")
+  private[graft] val minTokens = 20L
+  private[graft] val maxTokens = 2000L
+  private[graft] val allowedLangs = Seq("en", "de", "es", "fr", "zh")
 
   /** Per-doc curation features (token count, exact-dup flag) — shared
     * by H3 and H4.
@@ -400,6 +400,91 @@ object CurationPack extends QueryPack {
       FROM r JOIN q ON r.source = q.source
       WHERE r.rnk <= q.quota
       ORDER BY r.doc_id
+      """))
+
+  // ---- H6c: token-budget source mixing (r12) ----
+  // H6 hits per-source DOC quotas, but a training run budgets TOKENS —
+  // and E14's fertility report measures exactly why the two differ per
+  // slice (a poorly-compressed language eats more sequence budget per
+  // document). This row mixes to per-source TOKEN quotas:
+  // quota_tokens(source) = total_tokens(source) · frac_ppm / 1e6 (the
+  // H6 fraction schedule, DECIMAL-widened — total_tokens · 8e5
+  // overflows int64 just under the 100 TB design point), rank each
+  // source's docs by the SAME deterministic mix hash, keep docs while
+  // the source's running token mass has not yet reached quota (keep
+  // iff cum_tokens − n_tokens < quota — the boundary-crossing doc is
+  // kept, so realized mass overshoots by less than one document and a
+  // quota is always reachable even when one doc exceeds it; the spec
+  // reconciles realized mass against the quota from both sides).
+  //
+  // Scale shape: H6's two-level rank decomposition with TOKEN sums —
+  // local running sums inside (source, hash-range bucket), an
+  // exclusive prefix over per-bucket token counts (one row per bucket,
+  // metadata-scale, broadcast back) — never a single per-source window.
+  private val mixSourcesTokens = GraftQuery(
+    "mix_sources_tokens",
+    (s, d) => {
+      val fracPpm = lit(200000L) *
+        (lit(1L) + pmod(expr("CAST(substring(source, 4, 18) AS LONG)"),
+          lit(4L)))
+      val base = Tables.documents(s, d)
+        .select(col("doc_id"), col("source"),
+          size(words(col("text"))).cast(LongType).as("n_tokens"),
+          hashP(concat(lit(mixSalt), col("doc_id").cast(StringType)))
+            .as("h"))
+        .withColumn("bkt", expr(s"h div ${mixBucketSpan}L"))
+        .persistTracked
+      val quotas = base.groupBy(col("source"))
+        .agg(sum(col("n_tokens")).as("tok"))
+        .withColumn("frac_ppm", fracPpm)
+        .withColumn("quota_tokens", expr(
+          "(CAST(tok AS DECIMAL(38,0)) * frac_ppm) div 1000000")
+          .cast(LongType))
+      val wLocal = Window.partitionBy(col("source"), col("bkt"))
+        .orderBy(col("h"), col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wOff = Window.partitionBy(col("source")).orderBy(col("bkt"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val offsets = base.groupBy(col("source"), col("bkt"))
+        .agg(sum(col("n_tokens")).as("bkt_tokens"))
+        .withColumn("off",
+          coalesce(sum(col("bkt_tokens")).over(wOff), lit(0L)))
+        .select(col("source"), col("bkt"), col("off"))
+      base
+        .withColumn("loc_cum", sum(col("n_tokens")).over(wLocal))
+        .join(broadcast(offsets), Seq("source", "bkt"))
+        .withColumn("cum_tokens", col("loc_cum") + col("off"))
+        .join(broadcast(quotas.select(col("source"), col("quota_tokens"))),
+          Seq("source"))
+        .filter(col("cum_tokens") - col("n_tokens") < col("quota_tokens"))
+        .select(col("doc_id"), col("source"), col("n_tokens"),
+          col("cum_tokens"), col("quota_tokens"))
+        .orderBy(col("doc_id"))
+    },
+    Some(s"""
+      WITH t AS (
+        SELECT doc_id, source,
+          CAST(len(${Portable.sql.words}) AS BIGINT) AS n_tokens,
+          ${Portable.sql.hashP(s"'$mixSalt' || CAST(doc_id AS VARCHAR)")}
+            AS h
+        FROM documents),
+      q AS (
+        SELECT source,
+          CAST((CAST(SUM(n_tokens) AS HUGEINT) *
+            (200000 * (1 + CAST(substr(source, 4) AS BIGINT) % 4)))
+            // 1000000 AS BIGINT) AS quota_tokens
+        FROM t GROUP BY source),
+      c AS (
+        SELECT doc_id, source, n_tokens,
+          CAST(SUM(n_tokens) OVER (PARTITION BY source ORDER BY h, doc_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+            AS cum_tokens
+        FROM t)
+      SELECT c.doc_id, c.source, c.n_tokens, c.cum_tokens,
+        q.quota_tokens
+      FROM c JOIN q ON c.source = q.source
+      WHERE c.cum_tokens - c.n_tokens < q.quota_tokens
+      ORDER BY c.doc_id
       """))
 
   // ---- H6b: temperature-proportional source mixing ----
@@ -892,7 +977,7 @@ object CurationPack extends QueryPack {
             END) AS BIGINT) AS wt
         FROM w${t - 1} w LEFT JOIN g$t g ON w.f = g.f)"""
 
-  private val qualityScoreOracle: String = s"""
+  private[graft] val qualityScoreOracle: String = s"""
       WITH w AS (SELECT doc_id, ${Portable.sql.words} AS w
         FROM documents),
       lab AS (SELECT doc_id,
@@ -1312,7 +1397,8 @@ object CurationPack extends QueryPack {
 
   override val queries: Seq[GraftQuery] =
     Seq(sampleStratified, shardPack, curationFilter, curationPipeline,
-      splitAssign, mixSources, mixSourcesTemp, sourceReport, shardsRoundtrip,
+      splitAssign, mixSources, mixSourcesTokens, mixSourcesTemp,
+      sourceReport, shardsRoundtrip,
       packSequences, packStoreRoundtrip, qualityScore,
       qualityStoreScore, qualityStoreBatchScore, dsirWeights,
       dsirStoreScore, dsirStoreAppendScore, curationReport,

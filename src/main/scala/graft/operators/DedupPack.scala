@@ -964,9 +964,13 @@ object DedupPack extends QueryPack {
     */
   private[graft] val semanticTau = AnnPack.nearDupTau
 
-  private val semanticDedup = GraftQuery(
-    "semantic_dedup",
-    (s, d) => {
+  /** C10's cluster frame (doc_id, cluster_id, is_dup) — factored so
+    * the quality-aware election (C16 `semantic_dedup_best`) labels
+    * documents with EXACTLY the components the min-id verdict is
+    * oracle-verified on.
+    */
+  private[graft] def semanticClusters(s: SparkSession,
+      d: String): DataFrame = {
       val mh = minhashPairs(s, d).select(col("doc_a"), col("doc_b"))
       val em = AnnPack.rangePairs(s, d, semanticTau)
         .select(col("vec_id").as("doc_a"), col("nn_id").as("doc_b"))
@@ -1009,10 +1013,13 @@ object DedupPack extends QueryPack {
         .withColumn("cluster_id", coalesce(col("lab"), col("node")))
         .withColumn("is_dup", col("doc_id") =!= col("cluster_id"))
         .select(col("doc_id"), col("cluster_id"), col("is_dup"))
-        .orderBy(col("doc_id"))
-    },
-    Some(s"""
-      WITH RECURSIVE $minhashPairsSql,
+  }
+
+  /** The C10 component closure as DuckDB CTEs ending in `clu(doc_id,
+    * cluster_id)` — factored verbatim from C10's oracle so C16
+    * composes the SAME closure proof.
+    */
+  private val semanticClustersSql: String = s"""$minhashPairsSql,
       ${AnnPack.vecsSql},
       epairs AS (SELECT a.vec_id AS doc_a, b.vec_id AS doc_b
         FROM n a JOIN n b ON a.label = b.label AND a.vec_id < b.vec_id
@@ -1029,12 +1036,79 @@ object DedupPack extends QueryPack {
         UNION
         SELECT r.a, g.b FROM reach r JOIN edges g ON r.b = g.a),
       res AS (SELECT a AS doc_id, MIN(b) AS cluster_id
-              FROM reach GROUP BY a)
-      SELECT dd.doc_id,
-        coalesce(res.cluster_id, dd.doc_id) AS cluster_id,
-        dd.doc_id <> coalesce(res.cluster_id, dd.doc_id) AS is_dup
-      FROM documents dd LEFT JOIN res ON dd.doc_id = res.doc_id
-      ORDER BY dd.doc_id
+              FROM reach GROUP BY a),
+      clu AS (SELECT dd.doc_id,
+          coalesce(res.cluster_id, dd.doc_id) AS cluster_id
+        FROM documents dd LEFT JOIN res ON dd.doc_id = res.doc_id)"""
+
+  private val semanticDedup = GraftQuery(
+    "semantic_dedup",
+    (s, d) => semanticClusters(s, d).orderBy(col("doc_id")),
+    Some(s"""
+      WITH RECURSIVE $semanticClustersSql
+      SELECT doc_id, cluster_id, doc_id <> cluster_id AS is_dup
+      FROM clu ORDER BY doc_id
+      """))
+
+  // C16 — quality-aware canonical election (r12): every dedup verdict
+  // in the repo elects the component MINIMUM doc_id as canonical —
+  // deterministic, but a production pipeline keeps the best-QUALITY
+  // member of each duplicate cluster. This row re-labels C10's
+  // components with canonical = argmax (quality score DESC, doc_id
+  // ASC) — H10's learned score as the fitness, doc_id as the
+  // deterministic tiebreak, so the election stays a total order and
+  // the row stays fully oracle-able (the closure proof composed with
+  // the quality proof VERBATIM). Election is an AGGREGATION + join-back
+  // (the C1 discipline — max_by combines map-side and AQE can split a
+  // viral cluster across tasks; a window partitioned by cluster_id
+  // could not), so the hot-cluster shape is as safe as every other
+  // election in the repo.
+  /** The election engine over (doc_id, cluster_id) labels and (doc_id,
+    * score_q20) scores — spec entry point; docs without a score (the
+    * quality featurizer needs ≥ 2 words) rank below every scored
+    * member via the −1 sentinel, doc_id breaking ties.
+    */
+  private[graft] def bestCanonicalOf(labels: DataFrame,
+      scores: DataFrame): DataFrame = {
+    val withScore = labels
+      .join(scores.select(col("doc_id"), col("score_q20")),
+        Seq("doc_id"), "left")
+      .withColumn("sc", coalesce(col("score_q20"), lit(-1L)))
+    val elect = withScore.groupBy(col("cluster_id"))
+      .agg(max_by(col("doc_id"),
+        struct(col("sc").as("s"), (-col("doc_id")).as("nd")))
+        .as("canonical_id"))
+    // plain equi-join, not a broadcast: the election frame is one row
+    // per cluster — corpus-scale, like C1's group table
+    withScore.join(elect, Seq("cluster_id"))
+      .withColumn("is_dup", col("doc_id") =!= col("canonical_id"))
+      .select(col("doc_id"), col("cluster_id"), col("canonical_id"),
+        col("is_dup"))
+  }
+
+  private val semanticDedupBest = GraftQuery(
+    "semantic_dedup_best",
+    (s, d) => bestCanonicalOf(
+        semanticClusters(s, d).select(col("doc_id"), col("cluster_id")),
+        graft.operators.CurationPack.qualityScoreOver(
+          Tables.documents(s, d).select(col("doc_id"), col("text"))))
+      .orderBy(col("doc_id")),
+    Some(s"""
+      WITH RECURSIVE $semanticClustersSql,
+      qsc AS (SELECT doc_id, score_q20
+        FROM (${graft.operators.CurationPack.qualityScoreOracle}) x),
+      msc AS (SELECT c.doc_id, c.cluster_id,
+          COALESCE(q.score_q20, -1) AS sc
+        FROM clu c LEFT JOIN qsc q ON c.doc_id = q.doc_id),
+      el AS (SELECT cluster_id, doc_id AS canonical_id,
+          ROW_NUMBER() OVER (PARTITION BY cluster_id
+            ORDER BY sc DESC, doc_id) AS rn
+        FROM msc)
+      SELECT m.doc_id, m.cluster_id, e.canonical_id,
+        m.doc_id <> e.canonical_id AS is_dup
+      FROM msc m JOIN el e
+        ON m.cluster_id = e.cluster_id AND e.rn = 1
+      ORDER BY m.doc_id
       """))
 
   // C11 — incremental dedup against a PERSISTED history store (the
@@ -1148,7 +1222,7 @@ object DedupPack extends QueryPack {
     Seq(dedupExact, dedupMinhash, dedupMinhashEst, dedupCluster,
       ngramJaccard, decontaminate,
       substringDedup, passageDedup, boilerplateStrip, semanticDedup,
-      dedupIncremental, dedupIncrementalMinhash)
+      semanticDedupBest, dedupIncremental, dedupIncrementalMinhash)
 
   /** Cross-query shared working sets (see [[graft.QueryPack.warm]]):
     * the hashed-shingle table feeds C2/C4/C7 (+C6/C10 through the pair

@@ -255,19 +255,7 @@ object SearchPack extends QueryPack {
         .select(col("doc_id"), col("mbits_per_token"))
         .join(Tables.documents(s, d).select(col("doc_id"), col("lang")),
           Seq("doc_id"))
-      val hist = withLang
-        .groupBy(col("lang"), col("mbits_per_token").as("v"))
-        .agg(count(lit(1)).as("cnt"))
-      val cum = hist
-        .withColumn("cum", sum(col("cnt")).over(
-          Window.partitionBy(col("lang")).orderBy(col("v"))))
-        .withColumn("tot", sum(col("cnt")).over(
-          Window.partitionBy(col("lang"))))
-      val thr = cum.groupBy(col("lang")).agg(
-        min(when(col("cum") >= expr("(tot - 1) div 3 + 1"), col("v")))
-          .as("t1"),
-        min(when(col("cum") >= expr("(2 * (tot - 1)) div 3 + 1"),
-          col("v"))).as("t2"))
+      val thr = ccnetThresholdsOf(withLang)
       withLang.join(broadcast(thr), Seq("lang"))
         .withColumn("ppl_bucket",
           when(col("mbits_per_token") <= col("t1"), "head")
@@ -277,6 +265,31 @@ object SearchPack extends QueryPack {
         .select(col("doc_id"), col("lang"), col("mbits_per_token"),
           col("ppl_bucket"), col("keep"))
         .orderBy(col("doc_id"))
+  }
+
+  /** Per-language tercile thresholds (lang, t1, t2) over a scored
+    * (doc_id, lang, mbits_per_token) population — factored from
+    * [[ccnetBucketsOf]] so the FROZEN streaming thresholds
+    * ([[graft.sources.LmStore.writeThresholds]]) are derived by the
+    * SAME integer order-statistic arithmetic the I9/H12 oracles
+    * verify. The per-lang windows run over the DISTINCT-value
+    * histogram (one row per (lang, score) value, not per doc), so no
+    * partition holds a corpus-scale slice.
+    */
+  private[graft] def ccnetThresholdsOf(withLang: DataFrame): DataFrame = {
+    val hist = withLang
+      .groupBy(col("lang"), col("mbits_per_token").as("v"))
+      .agg(count(lit(1)).as("cnt"))
+    val cum = hist
+      .withColumn("cum", sum(col("cnt")).over(
+        Window.partitionBy(col("lang")).orderBy(col("v"))))
+      .withColumn("tot", sum(col("cnt")).over(
+        Window.partitionBy(col("lang"))))
+    cum.groupBy(col("lang")).agg(
+      min(when(col("cum") >= expr("(tot - 1) div 3 + 1"), col("v")))
+        .as("t1"),
+      min(when(col("cum") >= expr("(2 * (tot - 1)) div 3 + 1"),
+        col("v"))).as("t2"))
   }
 
   /** I9's oracle — shared with `curation_report`'s composed oracle. */

@@ -147,6 +147,36 @@ object LmStore {
       uni.agg(count(lit(1)).as("v")))
   }
 
+  /** Freeze the per-language ccnet tercile thresholds over a REFERENCE
+    * population (doc_id, text, lang), scored under the CURRENT merged
+    * model, as a `<base>_thr` (lang, t1, t2) catalog table — the
+    * metadata-scale table the streaming ccnet leg broadcasts
+    * ([[graft.streaming.StreamingIngest]]). FROZEN like QualityStore's
+    * model BY CONTRACT: a tercile is an order statistic over a
+    * population, not a mergeable count — it cannot fold incrementally;
+    * re-run this when the reference population should move. Derived by
+    * [[SearchPack.ccnetThresholdsOf]] — the same arithmetic the I9/H12
+    * oracles verify.
+    */
+  def writeThresholds(spark: SparkSession, tableBase: String,
+      refDocs: DataFrame, path: String): Unit = {
+    val scored = score(spark, tableBase,
+        refDocs.select(col("doc_id"), col("text")))
+      .select(col("doc_id"), col("mbits_per_token"))
+      .join(refDocs.select(col("doc_id"), col("lang")), Seq("doc_id"))
+    SearchPack.ccnetThresholdsOf(scored)
+      .write.mode("overwrite").format("parquet")
+      .option("path", s"$path/thr").saveAsTable(s"${tableBase}_thr")
+    spark.catalog.refreshTable(s"${tableBase}_thr")
+  }
+
+  /** The frozen thresholds table (lang, t1, t2); dropDuplicates
+    * absorbs a torn overwrite's duplicate file pair (the QualityStore
+    * read discipline).
+    */
+  def thresholds(spark: SparkSession, tableBase: String): DataFrame =
+    spark.table(s"${tableBase}_thr").dropDuplicates("lang")
+
   /** LAYOUT-only compaction: rewrite each delta table's rows — batch_id
     * keys included, exactly as they are — into one sorted file under a
     * generation-swapped sibling ([[Bucketed.compactPlain]]: lease-

@@ -113,6 +113,23 @@ object StreamingIngest {
     *   dsir_keep), severed before the kept docs' count deltas fold
     *   back in — unlike the frozen quality leg the DSIR model TRACKS
     *   the corpus.
+    * @param ccnetBase [[graft.sources.LmStore]] base (r12): perplexity
+    *   scoring of every batch doc against the CURRENT merged bigram
+    *   model with the store's FROZEN per-language tercile thresholds
+    *   (`<base>_thr`, written by LmStore.writeThresholds) — verdict
+    *   columns mbits_per_token / ccnet_keep (false when un-scorable:
+    *   < 2 tokens or a lang with no threshold row — H12's rule); the
+    *   kept docs' n-gram counts fold back in (the dsir severing
+    *   discipline), so the LM tracks the corpus while the tercile cut
+    *   stays a frozen reference. Requires a `lang` column.
+    * @param report compose the per-batch H12 `curation_report` verdict
+    *   (r12): lang_ok / tokens_ok / n_tokens plus the failure-reason
+    *   bitmask and `keep` over the streamed signals — the SAME bits as
+    *   the batch report (1 lang, 2 tokens, 4 exact dup, 8 quality,
+    *   16 dsir, 32 ccnet), each evaluated against the PRE-batch
+    *   models. Requires the quality, dsir and ccnet legs plus a lang
+    *   column; spec-pinned ≡ the batch `curationReportOf` on the same
+    *   corpus state.
     */
   final case class IngestLegs(
       searchBase: Option[String] = None,
@@ -120,7 +137,9 @@ object StreamingIngest {
       simBase: Option[String] = None,
       seqBase: Option[String] = None,
       qualityBase: Option[String] = None,
-      dsirBase: Option[String] = None)
+      dsirBase: Option[String] = None,
+      ccnetBase: Option[String] = None,
+      report: Boolean = false)
 
   /** The (vec_id, label, embedding) frame the [[EmbedStore]] leg probes
     * and appends for a doc batch: doc_id is the vector id; the blocking
@@ -218,6 +237,27 @@ object StreamingIngest {
           col("keep").as("dsir_keep"))
         .localCheckpoint(true)
     }
+    // ccnet leg (r12): perplexity scoring of the severed batch against
+    // the CURRENT merged LM, cut at the store's FROZEN per-language
+    // tercile thresholds — severed before the kept docs' counts fold
+    // below (the dsir discipline: the LM tracks the corpus). Docs the
+    // scorer cannot reach (< 2 tokens — no bigrams) or whose lang has
+    // no threshold row surface as ccnet_keep = false after the verdict
+    // join (un-scorable is not keep-worthy — H12's rule).
+    val ccn = ccnetBase.map { cb =>
+      require(b.columns.contains("lang"),
+        "the ccnet leg needs a lang column (per-language thresholds)")
+      graft.sources.LmStore.score(spark, cb,
+          b.select(col("doc_id"), col("text")))
+        .select(col("doc_id"), col("mbits_per_token"))
+        .join(b.select(col("doc_id"), col("lang")), Seq("doc_id"))
+        .join(broadcast(graft.sources.LmStore.thresholds(spark, cb)),
+          Seq("lang"), "left")
+        .select(col("doc_id"), col("mbits_per_token"),
+          coalesce(col("mbits_per_token") <= col("t2"), lit(false))
+            .as("ccnet_keep"))
+        .localCheckpoint(true)
+    }
     // the dedup verdict's keep set — severed frames only, so the joins
     // below stay correct after the appends mutate the stores
     val kept = survivors.join(
@@ -237,6 +277,8 @@ object StreamingIngest {
     if (kept.columns.contains("lang"))
       dsirBase.foreach(db => graft.sources.DsirStore.append(spark, db,
         dsirBatchOf(kept)))
+    ccnetBase.foreach(cb => graft.sources.LmStore.append(spark, cb,
+      kept.select(col("doc_id"), col("text"))))
     MinHashStore.append(spark, mhBase, kept)
     // `survivors` is fully consumed: its probe readers were severed
     // above and `kept`'s appends just ran — free its checkpoint now
@@ -255,7 +297,40 @@ object StreamingIngest {
     val withEmb = emb.fold(base)(e => base.join(e, Seq("doc_id"), "left"))
     val withSh = sh.fold(withEmb)(e => withEmb.join(e, Seq("doc_id"), "left"))
     val withQual = qual.fold(withSh)(q => withSh.join(q, Seq("doc_id"), "left"))
-    dsir.fold(withQual)(x => withQual.join(x, Seq("doc_id"), "left"))
+    val withDsir = dsir.fold(withQual)(x =>
+      withQual.join(x, Seq("doc_id"), "left"))
+    val withCcn = ccn.fold(withDsir)(c => withDsir
+      .join(c, Seq("doc_id"), "left")
+      .withColumn("ccnet_keep", coalesce(col("ccnet_keep"), lit(false))))
+    if (!report) withCcn
+    else {
+      require(qualityBase.isDefined && dsirBase.isDefined &&
+        ccnetBase.isDefined && b.columns.contains("lang"),
+        "report = true composes the H12 verdict: it needs the quality, " +
+          "dsir and ccnet legs plus a lang column on the stream")
+      // the H12 composition over the STREAMED signals: same bits, each
+      // against the pre-batch models; unscored docs (a frame the
+      // batch report would inner-join away) fail their signal
+      val f = b.select(col("doc_id"), col("lang"),
+        size(graft.functions.Portable.words(col("text")))
+          .cast("long").as("n_tokens"))
+      withCcn.join(f, Seq("doc_id"))
+        .withColumn("lang_ok", col("lang").isin(
+          graft.operators.CurationPack.allowedLangs: _*))
+        .withColumn("tokens_ok",
+          col("n_tokens") >= graft.operators.CurationPack.minTokens &&
+            col("n_tokens") <= graft.operators.CurationPack.maxTokens)
+        .withColumn("reason",
+          when(!col("lang_ok"), lit(1L)).otherwise(lit(0L)) +
+            when(!col("tokens_ok"), lit(2L)).otherwise(lit(0L)) +
+            when(col("is_dup"), lit(4L)).otherwise(lit(0L)) +
+            when(!coalesce(col("quality_keep"), lit(false)), lit(8L))
+              .otherwise(lit(0L)) +
+            when(!coalesce(col("dsir_keep"), lit(false)), lit(16L))
+              .otherwise(lit(0L)) +
+            when(!col("ccnet_keep"), lit(32L)).otherwise(lit(0L)))
+        .withColumn("keep", col("reason") === 0L)
+    }
   }
 
   /** Free every checkpointed frame the batch's VERDICT plan still

@@ -436,4 +436,22 @@ class CurationPackSpec extends GraftSpec {
       }
     }
   }
+
+  test("mix_sources_tokens: realized token mass per source lands in " +
+      "[quota, quota + one doc) — token-exact mixing") {
+    val rows = SparkEntry.queries("mix_sources_tokens")(spark, sfDir)
+      .collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getAs[String]("source")).foreach { case (src, rs) =>
+      val quota = rs.head.getAs[Long]("quota_tokens")
+      val realized = rs.map(_.getAs[Long]("n_tokens")).sum
+      val maxKept = rs.map(_.getAs[Long]("n_tokens")).max
+      assert(quota > 0L, s"$src: degenerate zero quota")
+      // the boundary-crossing doc is kept, so the quota is REACHED...
+      assert(realized >= quota, s"$src under quota: $realized < $quota")
+      // ...and overshot by strictly less than that one doc
+      assert(realized - quota < maxKept,
+        s"$src overshoot >= one doc: realized $realized, quota $quota")
+    }
+  }
 }

@@ -727,4 +727,37 @@ class DedupPackSpec extends GraftSpec {
     val ids = rows.map(r => (r.getLong(0), r.getLong(1)))
     assert(ids.distinct.length == ids.length)
   }
+
+  test("semantic_dedup_best: the election keeps the best-quality " +
+      "member (doc_id tiebreak); unscored members lose; singletons " +
+      "self-canonical") {
+    import spark.implicits._
+    val labels = Seq(
+      (1L, 1L), (2L, 1L), (3L, 1L), // cluster 1: 2 has the top score
+      (10L, 10L),                   // singleton
+      (20L, 20L), (21L, 20L)        // tied scores -> lower doc_id wins
+    ).toDF("doc_id", "cluster_id")
+    val scores = Seq(
+      (1L, 5L), (2L, 9L),           // 3 is unscored (< 2 words shape)
+      (20L, 7L), (21L, 7L)
+    ).toDF("doc_id", "score_q20")
+    val got = operators.DedupPack.bestCanonicalOf(labels, scores)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("canonical_id"), r.getAs[Boolean]("is_dup"))))
+      .toMap
+    assert(got(1L) == ((2L, true)))
+    assert(got(2L) == ((2L, false)))
+    assert(got(3L) == ((2L, true)),
+      "an unscored member must lose to any scored member")
+    assert(got(10L) == ((10L, false)))
+    assert(got(20L) == ((20L, false)), "score tie must break on doc_id")
+    assert(got(21L) == ((20L, true)))
+    // the election must be an aggregation + join-back, not a window
+    // over cluster_id (the hot-cluster discipline)
+    val plan = operators.DedupPack.bestCanonicalOf(labels, scores)
+      .queryExecution.optimizedPlan.toString
+    assert(!plan.contains("specifiedwindowframe") &&
+      !plan.toLowerCase.contains("windowexec"),
+      s"election regressed to a window:\n$plan")
+  }
 }

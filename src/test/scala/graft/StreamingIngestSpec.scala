@@ -441,6 +441,74 @@ class StreamingIngestSpec extends GraftSpec {
     }
   }
 
+  test("report leg: streamed composed verdicts equal the batch " +
+      "curation_report on the same corpus state") {
+    import java.nio.file.{Files, Paths}
+    import graft.sources.{DsirStore, LmStore, QualityStore}
+    val tmp = Files.createTempDirectory("graft-ingest-rep").toString
+    val docs = graft.sources.Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("text"), col("lang"))
+    // seed EVERY store with the FULL corpus: each streamed batch then
+    // scores against exactly the corpus state the batch report uses,
+    // and every append leg no-ops on novelty (all ids are history), so
+    // batch 2 still sees the same state
+    FingerprintStore.write(docs.select("doc_id", "text"),
+      "ingrep_fp", s"$tmp/fp")
+    MinHashStore.write(docs.select("doc_id", "text"),
+      "ingrep_mh", s"$tmp/mh")
+    QualityStore.write(docs.select("doc_id", "text"),
+      "ingrep_q", s"$tmp/q")
+    DsirStore.write(docs, "ingrep_ds", s"$tmp/ds")
+    LmStore.write(docs.select("doc_id", "text"), "ingrep_lm", s"$tmp/lm")
+    LmStore.writeThresholds(spark, "ingrep_lm", docs, s"$tmp/lm")
+    val want = graft.operators.CurationPack.curationReportOf(spark, sfDir)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+    val incoming = Paths.get(tmp, "incoming")
+    val half = docs.agg(max(col("doc_id"))).head.getLong(0) / 2
+    docs.filter(col("doc_id") <= half).coalesce(1)
+      .write.parquet(s"$incoming/b1")
+    docs.filter(col("doc_id") > half).coalesce(1)
+      .write.parquet(s"$incoming/b2")
+    val stream = spark.readStream
+      .schema("doc_id LONG, text STRING, lang STRING")
+      .option("maxFilesPerTrigger", "1")
+      .option("recursiveFileLookup", "true").parquet(incoming.toString)
+    var got = Map.empty[Long, org.apache.spark.sql.Row]
+    val q = StreamingIngest.run(spark, stream, "ingrep_fp", "ingrep_mh",
+      StreamingIngest.IngestLegs(qualityBase = Some("ingrep_q"),
+        dsirBase = Some("ingrep_ds"), ccnetBase = Some("ingrep_lm"),
+        report = true),
+      (df: DataFrame, _: Long) => {
+        got = got ++ df.collect().map(r => r.getAs[Long]("doc_id") -> r)
+      })
+    try {
+      q.processAllAvailable()
+      assert(want.nonEmpty)
+      // every batch-report row has a streamed twin agreeing on every
+      // signal, the bitmask and the final verdict
+      want.foreach { case (id, w) =>
+        val g = got(id)
+        for (c <- Seq("lang_ok", "tokens_ok", "is_dup", "quality_keep",
+            "dsir_keep", "ccnet_keep", "keep"))
+          assert(g.getAs[Boolean](c) == w.getAs[Boolean](c),
+            s"doc $id: $c streamed " + g.getAs[Boolean](c) +
+              " vs batch " + w.getAs[Boolean](c))
+        assert(g.getAs[Long]("reason") == w.getAs[Long]("reason"),
+          s"doc $id bitmask")
+        assert(g.getAs[Long]("n_tokens") == w.getAs[Long]("n_tokens"))
+      }
+    } finally {
+      q.stop()
+      Seq("ingrep_fp", "ingrep_mh_bands", "ingrep_mh_shingles",
+        "ingrep_q_model", "ingrep_ds_cnt", "ingrep_ds_docs",
+        "ingrep_lm_uni", "ingrep_lm_big", "ingrep_lm_docs",
+        "ingrep_lm_thr")
+        .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+      Caches.releaseAll(blocking = true)
+      Caches.deleteDir(tmp)
+    }
+  }
+
   test("embed-store leg: semantic near-dups are annotated against the " +
       "vector history; kept docs' embeddings enter the store; exact " +
       "dups carry NULL semantic columns") {
