@@ -94,7 +94,11 @@ object ScaleSmoke {
                          // grows ~K, unlike the byte-window F5 row)
     "dsir_store_score",  // memoized store build (cold) + map-only scoring
     "curation_pipeline_learned", // report composition + sample/pack tail
-    "tokenizer_stats")   // shared encode frame + languages-sized agg
+    "tokenizer_stats",   // shared encode frame + languages-sized agg
+    // r12: every operator added this round gets a ratio row
+    "media_semantic_dedup_banded", // scale-derived banding + bucket cap
+    "semantic_dedup_best",         // C10 closure + quality election
+    "mix_sources_tokens")          // two-level token-quota cumsum
 
   /** Suffix every WORD of `text` with `tag`: same lengths, same
     * structure, disjoint content — fresh fingerprints AND zero shared

@@ -336,8 +336,8 @@ object AnnPack extends QueryPack {
     * (vec_id, label, cell, v, nrm) with the composite leaf id
     * cell = (c1−1)·maxCells + c2.
     */
-  private[graft] case class CellIndex(cent1R: DataFrame, centR: DataFrame,
-      lists: DataFrame)
+  private[graft] case class CellIndex(cent1R: Option[DataFrame],
+      centR: DataFrame, lists: DataFrame)
 
   /** Deterministic hash-ordered seeds via TopKPerKey (bounded heaps of
     * maxCells rows per group, one exchange) — never a window sorting a
@@ -396,13 +396,45 @@ object AnnPack extends QueryPack {
     val tcs = targetCellSize(s)
     val mc = maxCells(s)
     // level-1 parent count per label (one partial-agg pass, a tiny
-    // broadcast result); 1 parent ⇒ level 2 degenerates to the audited
-    // single-level build bit-for-bit
+    // broadcast result)
     val nC1 = n.groupBy(col("label"))
       .agg(least(lit(mc.toLong),
         greatest(lit(1L),
           ceil(count(lit(1)) / lit(tcs.toDouble * mc))))
         .cast(IntegerType).as("n_cells"))
+    // Single-parent fast path: when EVERY label block fits one parent
+    // (n ≤ targetCellSize·maxCells — all current gate corpora), the
+    // two-level build's level 1 is a trivial one-centroid pass that
+    // still costs an assign+recenter round and an extra probe stage
+    // per consumer (+1.2 s on each of knn_join/dedup_embedding/
+    // ann_range_search at sf0.1, measured). Peek at the parent counts
+    // (a metadata-scale agg) and build the audited single-level
+    // structure directly — bit-identical plans AND structure to the
+    // pre-hierarchy engine; probing then skips the level-1 stage
+    // (cent1R = None). Multi-parent blocks take the full hierarchy.
+    val multiParent = nC1.agg(max(col("n_cells"))).head.getInt(0) > 1
+    if (!multiParent) {
+      val nCells = n.groupBy(col("label"))
+        .agg(least(lit(mc.toLong),
+          greatest(lit(2L),
+            ceil(count(lit(1)) / lit(tcs.toDouble))))
+          .cast(IntegerType).as("n_cells"))
+      val seeds = seedCells(n, Seq("label"), nCells, mc)
+      val cent = recenterCells(assignToCells(n, seeds), Seq("label"))
+        .persistTracked
+      val lists = assignToCells(n, cent).persistTracked
+      val radii = lists.join(broadcast(cent), Seq("label", "cell"))
+        .withColumn("ang", clampedAngle(
+          Vectors.cosine(col("v"), col("cv"), col("nrm"), col("cnrm"))))
+        .groupBy(col("label"), col("cell"))
+        .agg(max(col("ang")).as("r"))
+      val centR = cent.withColumn("c1", lit(1).cast(IntegerType))
+        .join(radii, Seq("label", "cell"))
+        .withColumnRenamed("cell", "c_cell")
+        .select(col("label"), col("c1"), col("c_cell"), col("cv"),
+          col("cnrm"), col("r"))
+      return CellIndex(None, centR, lists)
+    }
     val seeds1 = seedCells(n, Seq("label"), nC1, mc)
     // cent1/lists1/cent2/lists each fan into 2-4 branches (counts,
     // seeds, assigns, radii, probe broadcasts) and Spark has no
@@ -453,7 +485,7 @@ object AnnPack extends QueryPack {
       .agg(max(col("ang")).as("r"))
     val cent1R = cent1.withColumnRenamed("cell", "c1")
       .join(radii1, Seq("label", "c1"))
-    CellIndex(cent1R, centR, lists)
+    CellIndex(Some(cent1R), centR, lists)
   }
 
   /** [[cellIndexOf]] exposed in the legacy (centR, lists) shape for
@@ -487,15 +519,19 @@ object AnnPack extends QueryPack {
     val withLb = lists.drop("cell")
       .join(lb, col("vec_id") === col("lb_id"), "left")
       .withColumn("lbv", coalesce(col("lb"), lit(-2.0)))
-    val p1 = withLb.join(broadcast(ci.cent1R), Seq("label"))
-      .withColumn("qang", clampedAngle(
-        Vectors.cosine(col("v"), col("cv"), col("nrm"), col("cnrm"))))
-      .withColumn("ub",
-        cos(greatest(lit(0.0), col("qang") - col("r"))) + lit(boundEps))
-      .filter(col("ub") >= col("lbv"))
-      .select(col("vec_id"), col("label"), col("c1"), col("v"),
-        col("nrm"), col("lbv"))
-    val cand = p1.join(broadcast(ci.centR), Seq("label", "c1"))
+    val probeBase = ci.cent1R match {
+      case Some(c1r) => withLb.join(broadcast(c1r), Seq("label"))
+        .withColumn("qang", clampedAngle(
+          Vectors.cosine(col("v"), col("cv"), col("nrm"), col("cnrm"))))
+        .withColumn("ub",
+          cos(greatest(lit(0.0), col("qang") - col("r"))) + lit(boundEps))
+        .filter(col("ub") >= col("lbv"))
+        .select(col("vec_id"), col("label"), col("c1"), col("v"),
+          col("nrm"), col("lbv"))
+        .join(broadcast(ci.centR), Seq("label", "c1"))
+      case None => withLb.join(broadcast(ci.centR), Seq("label"))
+    }
+    val cand = probeBase
       .withColumn("qang", clampedAngle(
         Vectors.cosine(col("v"), col("cv"), col("nrm"), col("cnrm"))))
       .withColumn("ub",
@@ -609,16 +645,21 @@ object AnnPack extends QueryPack {
     // two-stage UB pruning (exact at both levels — parent radii cover
     // the parent's final membership): parents whose UB clears τ first,
     // then only the survivors' leaves
-    val p1 = ci.lists.drop("cell")
-      .join(broadcast(ci.cent1R), Seq("label"))
-      .withColumn("qang", clampedAngle(
-        Vectors.cosine(col("v"), col("cv"), col("nrm"), col("cnrm"))))
-      .withColumn("ub",
-        cos(greatest(lit(0.0), col("qang") - col("r"))) + lit(boundEps))
-      .filter(col("ub") >= tau)
-      .select(col("vec_id"), col("label"), col("c1"), col("v"),
-        col("nrm"))
-    val probes = p1.join(broadcast(ci.centR), Seq("label", "c1"))
+    val probeBase = ci.cent1R match {
+      case Some(c1r) => ci.lists.drop("cell")
+        .join(broadcast(c1r), Seq("label"))
+        .withColumn("qang", clampedAngle(
+          Vectors.cosine(col("v"), col("cv"), col("nrm"), col("cnrm"))))
+        .withColumn("ub",
+          cos(greatest(lit(0.0), col("qang") - col("r"))) + lit(boundEps))
+        .filter(col("ub") >= tau)
+        .select(col("vec_id"), col("label"), col("c1"), col("v"),
+          col("nrm"))
+        .join(broadcast(ci.centR), Seq("label", "c1"))
+      case None => ci.lists.drop("cell")
+        .join(broadcast(ci.centR), Seq("label"))
+    }
+    val probes = probeBase
       .withColumn("qang", clampedAngle(
         Vectors.cosine(col("v"), col("cv"), col("nrm"), col("cnrm"))))
       .withColumn("ub",

@@ -125,7 +125,9 @@ class AnnPackSpec extends GraftSpec {
     val ci = operators.AnnPack.cellIndexOf(plantedClusters(n).repartition(8))
     val sizes = ci.lists.groupBy(col("label"), col("cell"))
       .agg(count(lit(1)).as("m")).collect().map(_.getAs[Long]("m"))
-    val parents = ci.cent1R.select(col("c1")).distinct().count()
+    assert(ci.cent1R.isDefined,
+      "a multi-parent block must take the hierarchical path")
+    val parents = ci.cent1R.get.select(col("c1")).distinct().count()
     assert(parents == operators.AnnPack.l1CellsForBlock(n.toLong),
       s"expected ${operators.AnnPack.l1CellsForBlock(n.toLong)} " +
         s"level-1 parents for a block of $n, got $parents")
