@@ -274,12 +274,24 @@ object AnnPack extends QueryPack {
     math.min(mc.toLong,
       math.max(2L, math.ceil(n / tcs.toDouble).toLong)).toInt
 
+  /** Level-1 slack: a block pays the second level only once it is
+    * l1Slack× past the single-level clamp (targetCellSize·maxCells).
+    * Between 1× and l1Slack× the single-level build's leaf membership
+    * drifts to at most l1Slack·targetCellSize — a bounded constant,
+    * nothing like the old unbounded growth — while the build stays ONE
+    * level (the two-level build costs a full extra assign+recenter
+    * round, measured +3.5 s on media_semantic_dedup at sf0.1 for a
+    * block 8% past the clamp).
+    */
+  private[graft] val l1Slack = 4
+
   /** Scalar mirror of the level-1 parent count for a block of `n`. */
   private[graft] def l1CellsForBlock(n: Long,
       tcs: Int = graft.GraftConf.DefaultTargetCellSize,
       mc: Int = graft.GraftConf.DefaultMaxCells): Int =
     math.min(mc.toLong,
-      math.max(1L, math.ceil(n / (tcs.toDouble * mc)).toLong)).toInt
+      math.max(1L,
+        math.ceil(n / (tcs.toDouble * mc * l1Slack)).toLong)).toInt
   /** Slack covering the rounding of [[Vectors.cosine]] (6 decimals,
     * |Δcos| ≤ 5e-7) through acos near |cos|=1, where the amplification
     * is unbounded: acos(1−δ) ≈ √(2δ), so a 5e-7 cosine perturbation
@@ -400,7 +412,7 @@ object AnnPack extends QueryPack {
     val nC1 = n.groupBy(col("label"))
       .agg(least(lit(mc.toLong),
         greatest(lit(1L),
-          ceil(count(lit(1)) / lit(tcs.toDouble * mc))))
+          ceil(count(lit(1)) / lit(tcs.toDouble * mc * l1Slack))))
         .cast(IntegerType).as("n_cells"))
     // Single-parent fast path: when EVERY label block fits one parent
     // (n ≤ targetCellSize·maxCells — all current gate corpora), the

@@ -194,11 +194,18 @@ object DedupPack extends QueryPack {
     val b = if (cap == Int.MaxValue) bAll
       else graft.plans.TopKPerKey(bAll,
         Seq(col("band_b"), col("key_b")), Seq(col("doc_b").asc), cap)
-    a.join(b,
+    val cand = a.join(b,
         col("band") === col("band_b") && col("key") === col("key_b") &&
           col("doc_a") < col("doc_b"))
       .groupBy(col("doc_a"), col("doc_b"))
       .agg(count(lit(1)).as("n_shared_bands"))
+    // the pair-scale candidate frame feeds C2's verify, C2b's sketch
+    // audit and (through C2's persisted pairs) C6 — persist it on the
+    // shared default-cap path so the banding (and the cap's heap pass)
+    // runs once per session, not once per consumer (CacheManager
+    // dedupes the identical subplan across the queries); explicit-cap
+    // callers (the planted-flood specs) stay unpersisted
+    if (maxPerBucket > 0) cand else cand.persistTracked
   }
 
   private def minhashPairs(s: SparkSession, d: String): DataFrame = {

@@ -121,7 +121,7 @@ class AnnPackSpec extends GraftSpec {
 
   test("hierarchical cells: leaf size stays ≈targetCellSize past the " +
       "old single-level clamp") {
-    val n = 4000 // > targetCellSize·maxCells = 1536 → multi-parent
+    val n = 30000 // > l1Slack·targetCellSize·maxCells = 6144 → multi-parent
     val ci = operators.AnnPack.cellIndexOf(plantedClusters(n).repartition(8))
     val sizes = ci.lists.groupBy(col("label"), col("cell"))
       .agg(count(lit(1)).as("m")).collect().map(_.getAs[Long]("m"))
