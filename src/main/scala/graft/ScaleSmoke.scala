@@ -97,6 +97,7 @@ object ScaleSmoke {
     "tokenizer_stats",   // shared encode frame + languages-sized agg
     // r12: every operator added this round gets a ratio row
     "media_semantic_dedup_banded", // scale-derived banding + bucket cap
+    "ann_range_banded",            // the banded engine on 64-dim embeddings
     "semantic_dedup_best",         // C10 closure + quality election
     "mix_sources_tokens")          // two-level token-quota cumsum
 

@@ -898,6 +898,36 @@ object AnnPack extends QueryPack {
         JOIN n x ON c.vec_id = x.$id
         JOIN n y ON c.nn_id = y.$id)"""
 
+  // D6b — banded radius search over the PRIMARY embeddings table
+  // (r12): the banded engine at D6's own τ, proving the scale
+  // path is generic over dimensions and label spaces (F7b runs it on
+  // 16-dim media vectors in a 3-label space; this row on the 64-dim
+  // corpus with its richer labels). The gate is a FULL hash match —
+  // the oracle mirrors the banding — so correctness is exact; recall
+  // vs the exact D6 path is the LSH contract: dup-regime pairs
+  // (cos ≥ ~0.8) collide with probability ≈ 1 at any block size, while
+  // borderline-τ recall decays as the bit ladder grows with the block
+  // (the spec measures it against rangePairs at the same τ, and
+  // banded ⊆ exact always — same verdict on a candidate subset).
+  private val annRangeBanded = GraftQuery(
+    "ann_range_banded",
+    (s, d) => {
+      val dim = Tables.embeddings(s, d)
+        .select(size(col("embedding"))).head.getInt(0)
+      require(dim == lshDim,
+        s"ann_range_banded's plane table is built for $lshDim-dim " +
+          s"embeddings; this corpus has $dim")
+      bandedRangePairsOf(vecs(s, d), lshDim, rangeTau)
+        .orderBy(col("vec_id"), col("nn_id"))
+    },
+    Some(s"""
+      WITH $vecsSql,
+      ${bandedPairsSql(lshDim, "vec_id", "label")}
+      SELECT vec_id, nn_id, label, cos_sim FROM bpairs
+      WHERE cos_sim >= $rangeTau
+      ORDER BY vec_id, nn_id
+      """))
+
   // D4 — IVF-style ANN: a coarse quantizer (label groups stand in for
   // k-means cells — deterministic, no iterative training) with
   // exact-decimal centroids, nprobe=3 probing, and exact cosine
@@ -2062,7 +2092,8 @@ object AnnPack extends QueryPack {
 
   override val queries: Seq[GraftQuery] =
     Seq(annBrute, annLsh, knnJoin, dedupEmbedding, annIvf, annIvfKmeans,
-      annRange, embeddingQuantize, annQuantized, annIndexSearch,
+      annRange, annRangeBanded, embeddingQuantize, annQuantized,
+      annIndexSearch,
       annIndexAppendSearch, dedupIncEmbed, dedupIncEmbedAppend,
       pqEncode, annPq, pqIndexSearch, pqIndexAppendSearch, annIvfPq,
       docTopics)

@@ -202,6 +202,31 @@ class AnnPackSpec extends GraftSpec {
         "tight-cluster pairs")
   }
 
+  test("ann_range_banded ⊆ exact radius search at the same τ; " +
+      "recall measured") {
+    import operators.AnnPack
+    val exact = AnnPack.rangePairs(spark, sfDir, AnnPack.rangeTau)
+      .select(col("vec_id"), col("nn_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val banded = SparkEntry.queries("ann_range_banded")(spark, sfDir)
+      .select(col("vec_id"), col("nn_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    Caches.releaseAll(blocking = true)
+    // same τ verdict on a candidate subset — banded can never invent
+    // a pair the exact path lacks
+    assert(banded.subsetOf(exact),
+      s"banded pairs not a subset: ${(banded -- exact).take(3)}")
+    if (exact.nonEmpty) {
+      val recall = banded.size.toDouble / exact.size
+      info(s"banded recall vs exact at τ=${AnnPack.rangeTau}: " +
+        s"${banded.size}/${exact.size} = $recall")
+      // borderline-τ recall is the LSH contract (decays with the bit
+      // ladder); it must stay useful, not perfect
+      assert(recall >= 0.5,
+        s"banded recall $recall collapsed at τ=${AnnPack.rangeTau}")
+    }
+  }
+
   test("banded engine: a constant-vector flood stays cap-bounded " +
       "in-query") {
     import spark.implicits._
