@@ -30,9 +30,47 @@ object GraftConf {
   val MinhashMaxPerBucketKey = "spark.graft.minhash.maxPerBucket"
   val AnnBandMaxPerBucketKey = "spark.graft.ann.bandMaxPerBucket"
 
+  /** Banded (hyperplane-sign LSH) range-engine geometry
+    * (AnnPack.bandedRangeCandidatesOf): `bandNumBands` independent
+    * bands, each keyed by the first `bits` sign bits of its
+    * `bandMaxBits`-bit plane block, where `bits` derives from the label
+    * block size n as the smallest b with bandTargetLoad·2^b ≥ n
+    * (clamped to [4, bandMaxBits]). The plane count DERIVES as
+    * bands × maxBits, so raising either knob adds planes consistently.
+    * The r12 ladder topped out at compile-time constants: past
+    * n ≈ targetLoad·2^maxBits (~262k at the defaults) per label,
+    * `bits` clamps, bucket load grows linearly again, and the
+    * bandMaxPerBucket cap truncates with a smallest-id retention bias
+    * — recall decays on exactly the mega-blocks the engine exists for.
+    * These keys make that point operable: a corpus with bigger label
+    * blocks raises maxBits (each +1 doubles the ladder's reach) or
+    * targetLoad per job, no recompile. The DuckDB gate oracles mirror
+    * the DEFAULTS — gate rows must run at default geometry; specs that
+    * turn the knobs assert engine-side invariants (mass bounds,
+    * recall), not oracle hashes.
+    */
+  val BandNumBandsKey = "spark.graft.ann.bandNumBands"
+  val BandMaxBitsKey = "spark.graft.ann.bandMaxBits"
+  val BandTargetLoadKey = "spark.graft.ann.bandTargetLoad"
+
+  /** Range-pair engine dispatch for the composed consumers (C10
+    * semantic_dedup's pair generation, C16's election input, F7's
+    * media verdict): `exact` (default — the recall-1 cell-bound path
+    * every brute-force oracle verifies) or `banded` (the
+    * linear-mass-by-construction LSH path; recall is the LSH contract,
+    * pair graph ⊆ exact's at the same τ). The gate rows run at the
+    * default; a 100× unstructured corpus flips this per job instead of
+    * paying the exact path's data-dependent candidate curve.
+    */
+  val RangeEngineKey = "spark.graft.ann.rangeEngine"
+
   val DefaultTargetCellSize = 24
   val DefaultMaxCells = 64
   val DefaultMaxPerBucket = 1024
+  val DefaultBandNumBands = 8
+  val DefaultBandMaxBits = 16
+  val DefaultBandTargetLoad = 4
+  val DefaultRangeEngine = "exact"
 
   private def intConf(s: SparkSession, key: String, default: Int): Int =
     s.conf.getOption(key).map(_.trim.toInt).getOrElse(default)
@@ -51,4 +89,21 @@ object GraftConf {
 
   def annBandMaxPerBucket(s: SparkSession): Int =
     intConf(s, AnnBandMaxPerBucketKey, DefaultMaxPerBucket)
+
+  def bandNumBands(s: SparkSession): Int =
+    intConf(s, BandNumBandsKey, DefaultBandNumBands)
+
+  def bandMaxBits(s: SparkSession): Int =
+    intConf(s, BandMaxBitsKey, DefaultBandMaxBits)
+
+  def bandTargetLoad(s: SparkSession): Int =
+    intConf(s, BandTargetLoadKey, DefaultBandTargetLoad)
+
+  def rangeEngine(s: SparkSession): String = {
+    val v = s.conf.getOption(RangeEngineKey).map(_.trim.toLowerCase)
+      .getOrElse(DefaultRangeEngine)
+    require(v == "exact" || v == "banded",
+      s"$RangeEngineKey must be 'exact' or 'banded', got '$v'")
+    v
+  }
 }

@@ -99,7 +99,9 @@ object ScaleSmoke {
     "media_semantic_dedup_banded", // scale-derived banding + bucket cap
     "ann_range_banded",            // the banded engine on 64-dim embeddings
     "semantic_dedup_best",         // C10 closure + quality election
-    "mix_sources_tokens")          // two-level token-quota cumsum
+    "mix_sources_tokens",          // two-level token-quota cumsum
+    // r13: every operator added this round gets a ratio row
+    "dedup_incremental_embedding_banded") // banded store build + probe
 
   /** Suffix every WORD of `text` with `tag`: same lengths, same
     * structure, disjoint content — fresh fingerprints AND zero shared

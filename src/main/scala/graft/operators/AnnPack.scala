@@ -408,12 +408,16 @@ object AnnPack extends QueryPack {
     val tcs = targetCellSize(s)
     val mc = maxCells(s)
     // level-1 parent count per label (one partial-agg pass, a tiny
-    // broadcast result)
+    // ≤|labels|-row result) — persisted because the multi-parent branch
+    // reads it twice (the peek below and seedCells' broadcast), and
+    // without the persist the second read re-runs the corpus-scale
+    // count aggregation
     val nC1 = n.groupBy(col("label"))
       .agg(least(lit(mc.toLong),
         greatest(lit(1L),
           ceil(count(lit(1)) / lit(tcs.toDouble * mc * l1Slack))))
         .cast(IntegerType).as("n_cells"))
+      .persistTracked
     // Single-parent fast path: when EVERY label block fits one parent
     // (n ≤ targetCellSize·maxCells — all current gate corpora), the
     // two-level build's level 1 is a trivial one-centroid pass that
@@ -424,7 +428,12 @@ object AnnPack extends QueryPack {
     // structure directly — bit-identical plans AND structure to the
     // pre-hierarchy engine; probing then skips the level-1 stage
     // (cent1R = None). Multi-parent blocks take the full hierarchy.
-    val multiParent = nC1.agg(max(col("n_cells"))).head.getInt(0) > 1
+    // max over ZERO rows is NULL — an empty corpus (every media payload
+    // under the feature minimum, an empty store history) must take the
+    // single-level path and yield empty frames, not NPE on the peek
+    val multiParent = nC1
+      .agg(coalesce(max(col("n_cells")), lit(1)).as("m"))
+      .head.getInt(0) > 1
     if (!multiParent) {
       val nCells = n.groupBy(col("label"))
         .agg(least(lit(mc.toLong),
@@ -642,7 +651,30 @@ object AnnPack extends QueryPack {
     */
   private[graft] def rangePairs(s: SparkSession, d: String,
       tau: Double): DataFrame =
-    rangePairsOf(vecs(s, d), tau)
+    rangePairsAuto(vecs(s, d), lshDim, tau)
+
+  /** Conf-dispatched range-pair engine (r13): ONE entry point for the
+    * composed consumers (C10 semantic_dedup / C16's election input via
+    * [[rangePairs]], F7's media verdict), switched by
+    * `spark.graft.ann.rangeEngine`:
+    *  - `exact` (default) — [[rangePairsOf]], the recall-1 cell-bound
+    *    path every brute-force oracle verifies; candidate mass is
+    *    data-dependent (the isotropic worst case measured 63.4× at 8×).
+    *  - `banded` — [[bandedRangePairsOf]], candidate mass linear BY
+    *    CONSTRUCTION (n·bands·(bits+1)·cap); recall is the LSH
+    *    contract, and the pair graph is ⊆ the exact engine's at the
+    *    same τ (verdicts only ever come from exact cosines), so a
+    *    downstream component/election verdict can only split clusters,
+    *    never invent a pair — the refinement the spec pins.
+    * Gate rows run at the default; a 100× unstructured corpus flips
+    * the conf per job instead of paying the exact candidate curve.
+    */
+  private[graft] def rangePairsAuto(n: DataFrame, dim: Int,
+      tau: Double): DataFrame =
+    graft.GraftConf.rangeEngine(n.sparkSession) match {
+      case "banded" => bandedRangePairsOf(n, dim, tau)
+      case _ => rangePairsOf(n, tau)
+    }
 
   /** The D6 candidate stage over an arbitrary normed frame — the
     * UB-pruned (probe, member) pairs the exact-cosine filter then
@@ -751,32 +783,88 @@ object AnnPack extends QueryPack {
   // the gate row's oracle MIRRORS the banding (deterministic planes ⇒
   // full hash-match), and the recall-vs-exact spec measures the gap
   // against the exact-cell path.
-  private[graft] val bandNumBands = 8
-  private[graft] val bandMaxBits = 16
+  // Geometry knobs live in GraftConf (r13 — the r12 verdict's "the
+  // ladder tops out at compile-time constants"): bandNumBands /
+  // bandMaxBits / bandTargetLoad read from Spark conf at plan-build
+  // time, the plane count DERIVING as bands × maxBits so the ladder's
+  // reach (targetLoad·2^maxBits vectors per label before `bits` clamps
+  // and the per-bucket cap starts truncating) is a per-job setting.
+  // Only the floor stays a constant: below 2^minBits keys the bucket
+  // count is too small for banding to mean anything.
   private[graft] val bandMinBits = 4
-  private[graft] val bandTargetLoad = 4
-  private[graft] val bandNumPlanes = bandNumBands * bandMaxBits
 
   /** The integer bit-width ladder as a Column over a per-label count
     * `n_l`: minBits + Σ_{b=minBits}^{maxBits−1} [n_l > targetLoad·2^b].
+    * Shared with [[graft.sources.EmbedStore]]'s banded leg, which
+    * FREEZES the resulting widths per label at write time.
     */
-  private def bandBitsCol: Column =
-    (bandMinBits until bandMaxBits)
-      .map(b => when(col("n_l") > lit(bandTargetLoad.toLong * (1L << b)),
+  private[graft] def bandBitsCol(maxBits: Int, targetLoad: Int): Column =
+    (bandMinBits until maxBits)
+      .map(b => when(col("n_l") > lit(targetLoad.toLong * (1L << b)),
         1).otherwise(0))
       .foldLeft(lit(bandMinBits): Column)(_ + _)
 
   /** Scalar mirror of [[bandBitsCol]] for specs. */
-  private[graft] def bandBitsForBlock(n: Long): Int =
-    bandMinBits + (bandMinBits until bandMaxBits)
-      .count(b => n > bandTargetLoad.toLong * (1L << b))
+  private[graft] def bandBitsForBlock(n: Long,
+      maxBits: Int = graft.GraftConf.DefaultBandMaxBits,
+      targetLoad: Int = graft.GraftConf.DefaultBandTargetLoad): Int =
+    bandMinBits + (bandMinBits until maxBits)
+      .count(b => n > targetLoad.toLong * (1L << b))
 
-  /** SQL mirror of [[bandBitsCol]] over a column expression `n`. */
+  /** SQL mirror of [[bandBitsCol]] over a column expression `n` — at
+    * the DEFAULT geometry: the oracle strings are static, so gate rows
+    * must run at default conf (the [[graft.GraftConf]] scaladoc
+    * contract).
+    */
   private[graft] def bandBitsSql(n: String): String =
-    s"$bandMinBits + " + (bandMinBits until bandMaxBits)
-      .map(b => s"(CASE WHEN $n > ${bandTargetLoad.toLong * (1L << b)} " +
+    s"$bandMinBits + " + (bandMinBits until
+        graft.GraftConf.DefaultBandMaxBits)
+      .map(b => s"(CASE WHEN $n > ${
+        graft.GraftConf.DefaultBandTargetLoad.toLong * (1L << b)} " +
         "THEN 1 ELSE 0 END)")
       .mkString(" + ")
+
+  /** Plan-side vector-width guard (no driver peek): a vector of the
+    * wrong width would silently project against a truncated/NULL-padded
+    * plane table — fail loudly on the first offending row instead.
+    */
+  private[graft] def bandDimGuard(dim: Int): Column =
+    when(size(col("v")) === dim, col("v"))
+      .otherwise(raise_error(concat(
+        lit(s"banded range engine built for $dim-dim vectors; got "),
+        size(col("v")).cast(StringType))))
+
+  /** The hyperplane sign-bit signature over a `v` column of
+    * `dim`-wide vectors — shared with [[graft.sources.EmbedStore]]'s
+    * banded leg, whose persisted keys MUST be built by the same
+    * arithmetic the probe rebuilds (md5-derived planes, so both sides
+    * and the DuckDB oracles regenerate them bit-identically).
+    */
+  private[graft] def bandSigBits(dim: Int, numPlanes: Int): Column = {
+    val planes = Vectors.planeWeights(numPlanes, dim)
+    concat((0 until numPlanes).map { p =>
+      val pw = array(planes(p).map(lit): _*)
+      when(Vectors.dot(col("v"), pw) > 0.0, "1").otherwise("0")
+    }: _*)
+  }
+
+  /** Per-band (band, key) structs over `sigbits`/`bits` columns: band
+    * b's key is the first `bits` bits of its maxBits-wide plane block.
+    */
+  private[graft] def bandKeyCols(numBands: Int, maxBits: Int): Column =
+    array((0 until numBands).map(b =>
+      struct(lit(b).as("band"),
+        expr(s"substring(sigbits, ${b * maxBits + 1}, bits)")
+          .as("key"))): _*)
+
+  /** The multi-probe key set over `key0`/`bits` columns: the exact key
+    * (f = 0) plus one single-bit flip per used bit.
+    */
+  private[graft] def bandProbeKeys(maxBits: Int): Column =
+    expr("transform(sequence(0, bits), f -> " +
+      "IF(f = 0, key0, concat(substring(key0, 1, f - 1), " +
+      "IF(substring(key0, f, 1) = '1', '0', '1'), " +
+      s"substring(key0, f + 1, $maxBits))))")
 
   /** The banded candidate pairs over a normed frame (vec_id, label, v,
     * nrm) of `dim`-dimensional vectors: (vec_id, nn_id, label, qv, qn,
@@ -788,23 +876,23 @@ object AnnPack extends QueryPack {
     val s = n.sparkSession
     val cap = if (maxPerBucket > 0) maxPerBucket
       else graft.GraftConf.annBandMaxPerBucket(s)
-    val planes = Vectors.planeWeights(bandNumPlanes, dim)
-    val sigBits = concat((0 until bandNumPlanes).map { p =>
-      val pw = array(planes(p).map(lit): _*)
-      when(Vectors.dot(col("v"), pw) > 0.0, "1").otherwise("0")
-    }: _*)
+    val numBands = graft.GraftConf.bandNumBands(s)
+    val maxBits = graft.GraftConf.bandMaxBits(s)
+    val targetLoad = graft.GraftConf.bandTargetLoad(s)
+    require(numBands >= 1 && maxBits >= bandMinBits && targetLoad >= 1,
+      s"banded geometry out of range: bands=$numBands (≥1), " +
+        s"maxBits=$maxBits (≥$bandMinBits), targetLoad=$targetLoad (≥1)")
     val nl = n.groupBy(col("label")).agg(count(lit(1)).as("n_l"))
-    val bits = nl.select(col("label"), bandBitsCol.as("bits"))
+    val bits = nl.select(col("label"),
+      bandBitsCol(maxBits, targetLoad).as("bits"))
     // signatures fan into the probe explode, the index explode, and
     // both vector join-backs — persist once (the 128-dot projection is
     // the frame's one corpus-scale map)
-    val sigs = n.withColumn("sigbits", sigBits)
+    val sigs = n.withColumn("v", bandDimGuard(dim))
+      .withColumn("sigbits", bandSigBits(dim, numBands * maxBits))
       .join(broadcast(bits), Seq("label"))
       .persistTracked
-    val bandKeys = array((0 until bandNumBands).map(b =>
-      struct(lit(b).as("band"),
-        expr(s"substring(sigbits, ${b * bandMaxBits + 1}, bits)")
-          .as("key"))): _*)
+    val bandKeys = bandKeyCols(numBands, maxBits)
     val idx0 = sigs
       .select(col("vec_id").as("nn_id"), col("label"),
         explode(bandKeys).as("bk"))
@@ -821,10 +909,7 @@ object AnnPack extends QueryPack {
       .select(col("vec_id"), col("label"), col("bits"),
         col("bk.band").as("band"), col("bk.key").as("key0"))
       .select(col("vec_id"), col("label"), col("band"),
-        explode(expr("transform(sequence(0, bits), f -> " +
-          "IF(f = 0, key0, concat(substring(key0, 1, f - 1), " +
-          "IF(substring(key0, f, 1) = '1', '0', '1'), " +
-          s"substring(key0, f + 1, $bandMaxBits))))")).as("key"))
+        explode(bandProbeKeys(maxBits)).as("key"))
     val cand = probe.join(idx, Seq("label", "band", "key"))
       .filter(col("vec_id") < col("nn_id"))
       .select(col("vec_id"), col("nn_id"), col("label"))
@@ -853,11 +938,20 @@ object AnnPack extends QueryPack {
     * `n(doc_id, media_type/label, v, nrm)` — parameterized on the id
     * and label column names so the media oracle can compose it. Ends
     * in `bpairs(vec_id, nn_id, label, cos_sim)` (banded candidates,
-    * exact cosine attached, NOT yet τ-filtered).
+    * exact cosine attached, NOT yet τ-filtered). Geometry AND the
+    * per-bucket cap are the DEFAULTS ([[graft.GraftConf]]): the index
+    * side keeps the `DefaultMaxPerBucket` smallest ids per (label,
+    * band, key) exactly as the engine's TopKPerKey does — without the
+    * mirror, the first gate corpus growing a >cap bucket would
+    * hash-mismatch silently (r12 ADVICE).
     */
   private[graft] def bandedPairsSql(dim: Int, id: String,
-      lab: String): String = s"""
-      p AS (${Vectors.sql.planes(bandNumPlanes, dim)}),
+      lab: String): String = {
+    val numBands = graft.GraftConf.DefaultBandNumBands
+    val maxBits = graft.GraftConf.DefaultBandMaxBits
+    val cap = graft.GraftConf.DefaultMaxPerBucket
+    s"""
+      p AS (${Vectors.sql.planes(numBands * maxBits, dim)}),
       sbits AS (SELECT n.$id, n.$lab,
           CASE WHEN ${Vectors.sql.dot("n.v", "p.pw")} > 0
                THEN '1' ELSE '0' END AS bit, p.p
@@ -867,14 +961,16 @@ object AnnPack extends QueryPack {
       bcnt AS (SELECT $lab, ${bandBitsSql("COUNT(*)")} AS bits
                FROM n GROUP BY 1),
       bkeys AS (SELECT s.$id, s.$lab, c.bits,
-          unnest(range($bandNumBands)) AS band, s.sigbits
+          unnest(range($numBands)) AS band, s.sigbits
         FROM bsig s JOIN bcnt c ON s.$lab = c.$lab),
       bidx AS (SELECT $id, $lab, band,
-          substr(sigbits, CAST(band * $bandMaxBits + 1 AS INTEGER),
+          substr(sigbits, CAST(band * $maxBits + 1 AS INTEGER),
             CAST(bits AS INTEGER)) AS key
-        FROM bkeys),
+        FROM bkeys
+        QUALIFY ROW_NUMBER() OVER (PARTITION BY $lab, band, key
+          ORDER BY $id) <= $cap),
       bprobe0 AS (SELECT $id, $lab, band, bits,
-          substr(sigbits, CAST(band * $bandMaxBits + 1 AS INTEGER),
+          substr(sigbits, CAST(band * $maxBits + 1 AS INTEGER),
             CAST(bits AS INTEGER)) AS key0,
           unnest(range(bits + 1)) AS f
         FROM bkeys),
@@ -883,7 +979,7 @@ object AnnPack extends QueryPack {
                ELSE substr(key0, 1, CAST(f - 1 AS INTEGER)) ||
                  (CASE WHEN substr(key0, CAST(f AS INTEGER), 1) = '1'
                        THEN '0' ELSE '1' END) ||
-                 substr(key0, CAST(f + 1 AS INTEGER), $bandMaxBits)
+                 substr(key0, CAST(f + 1 AS INTEGER), $maxBits)
           END AS key
         FROM bprobe0),
       bcand AS (SELECT DISTINCT a.$id AS vec_id, b.$id AS nn_id,
@@ -897,6 +993,7 @@ object AnnPack extends QueryPack {
         FROM bcand c
         JOIN n x ON c.vec_id = x.$id
         JOIN n y ON c.nn_id = y.$id)"""
+  }
 
   // D6b — banded radius search over the PRIMARY embeddings table
   // (r12): the banded engine at D6's own τ, proving the scale
@@ -911,15 +1008,11 @@ object AnnPack extends QueryPack {
   // banded ⊆ exact always — same verdict on a candidate subset).
   private val annRangeBanded = GraftQuery(
     "ann_range_banded",
-    (s, d) => {
-      val dim = Tables.embeddings(s, d)
-        .select(size(col("embedding"))).head.getInt(0)
-      require(dim == lshDim,
-        s"ann_range_banded's plane table is built for $lshDim-dim " +
-          s"embeddings; this corpus has $dim")
-      bandedRangePairsOf(vecs(s, d), lshDim, rangeTau)
-        .orderBy(col("vec_id"), col("nn_id"))
-    },
+    // no driver-side dim peek (r12 polish): the engine carries a
+    // plan-side width guard that raise_errors on the first
+    // wrong-width vector, which protects every banded consumer
+    (s, d) => bandedRangePairsOf(vecs(s, d), lshDim, rangeTau)
+      .orderBy(col("vec_id"), col("nn_id")),
     Some(s"""
       WITH $vecsSql,
       ${bandedPairsSql(lshDim, "vec_id", "label")}
@@ -1967,7 +2060,8 @@ object AnnPack extends QueryPack {
       (if (split) "a" else "")
     val dir = s"${StoreMemo.root}/$base"
     StoreMemo.once(s, s"${base}_lists", dir,
-        Seq(s"${base}_cells", s"${base}_lists")) {
+        Seq(s"${base}_cells", s"${base}_lists", s"${base}_bands",
+          s"${base}_bbits")) {
       val hist = Tables.embeddings(s, d)
         .filter(pmod(col("vec_id"), lit(2)) === 0)
         .select(col("vec_id"), col("label"), col("embedding"))
@@ -2037,6 +2131,97 @@ object AnnPack extends QueryPack {
       .orderBy(col("vec_id")),
     Some(embedIncOracle))
 
+  /** The C14b oracle: the banding MIRRORED cross-parity (the D6b/F7b
+    * discipline) — signatures for everything, bits FROZEN from the
+    * per-label EVEN (history) counts exactly as the store's write
+    * froze them, index side = even ids at the capped smallest per
+    * (label, band, key), probe side = odd ids multi-probing the exact
+    * key plus every single-bit flip, distinct pairs, exact cosine at
+    * τ, the C14 verdict row. Deterministic planes + integer ladder ⇒
+    * a full hash match; batch labels the history never saw drop at the
+    * bits join and re-attach as sentinels, as in the engine.
+    */
+  private val embedIncBandedOracle: String = {
+    val numBands = graft.GraftConf.DefaultBandNumBands
+    val maxBits = graft.GraftConf.DefaultBandMaxBits
+    val cap = graft.GraftConf.DefaultMaxPerBucket
+    s"""
+      WITH $vecsSql,
+      p AS (${Vectors.sql.planes(numBands * maxBits, lshDim)}),
+      sb AS (SELECT n.vec_id, n.label,
+          CASE WHEN ${Vectors.sql.dot("n.v", "p.pw")} > 0
+               THEN '1' ELSE '0' END AS bit, p.p
+        FROM n CROSS JOIN p),
+      sig AS (SELECT vec_id, label, string_agg(bit, '' ORDER BY p)
+            AS sigbits
+        FROM sb GROUP BY 1, 2),
+      fb AS (SELECT label, ${bandBitsSql("COUNT(*)")} AS bits
+        FROM n WHERE vec_id % 2 = 0 GROUP BY 1),
+      hk AS (SELECT s.vec_id AS h_id, s.label, f.bits,
+          unnest(range($numBands)) AS band, s.sigbits
+        FROM sig s JOIN fb f ON s.label = f.label
+        WHERE s.vec_id % 2 = 0),
+      hidx AS (SELECT h_id, label, band,
+          substr(sigbits, CAST(band * $maxBits + 1 AS INTEGER),
+            CAST(bits AS INTEGER)) AS key
+        FROM hk
+        QUALIFY ROW_NUMBER() OVER (PARTITION BY label, band, key
+          ORDER BY h_id) <= $cap),
+      bk AS (SELECT s.vec_id, s.label, f.bits,
+          unnest(range($numBands)) AS band, s.sigbits
+        FROM sig s JOIN fb f ON s.label = f.label
+        WHERE s.vec_id % 2 = 1),
+      bp0 AS (SELECT vec_id, label, band, bits,
+          substr(sigbits, CAST(band * $maxBits + 1 AS INTEGER),
+            CAST(bits AS INTEGER)) AS key0,
+          unnest(range(bits + 1)) AS f
+        FROM bk),
+      bp AS (SELECT vec_id, label, band,
+          CASE WHEN f = 0 THEN key0
+               ELSE substr(key0, 1, CAST(f - 1 AS INTEGER)) ||
+                 (CASE WHEN substr(key0, CAST(f AS INTEGER), 1) = '1'
+                       THEN '0' ELSE '1' END) ||
+                 substr(key0, CAST(f + 1 AS INTEGER), $maxBits)
+          END AS key
+        FROM bp0),
+      cand AS (SELECT DISTINCT a.vec_id AS b_id, b.h_id
+        FROM bp a JOIN hidx b ON a.label = b.label AND a.band = b.band
+          AND a.key = b.key),
+      x AS (SELECT c.b_id, c.h_id,
+          round(${Vectors.sql.dot("x.v", "y.v")} / (x.nrm * y.nrm), 6)
+            AS cos_sim
+        FROM cand c
+        JOIN n x ON c.b_id = x.vec_id
+        JOIN n y ON c.h_id = y.vec_id),
+      g AS (SELECT b_id, COUNT(*) AS cnt, MIN(h_id) AS hist,
+          MAX(cos_sim) AS best
+        FROM x WHERE cos_sim >= $nearDupTau GROUP BY b_id)
+      SELECT v.vec_id,
+        CAST(COALESCE(g.cnt, 0) AS BIGINT) AS n_hist_matches,
+        CAST(COALESCE(g.hist, -1) AS BIGINT) AS hist_canonical,
+        COALESCE(g.best, 0.0) AS best_cos
+      FROM (SELECT vec_id FROM n WHERE vec_id % 2 = 1) v
+      LEFT JOIN g ON v.vec_id = g.b_id
+      ORDER BY v.vec_id
+      """
+  }
+
+  // C14b — the banded leg of the persisted embedding store (r13,
+  // closing the r12 verdict's top task): the SAME odd-batch probe as
+  // C14, but candidates come from the store's persisted band keys —
+  // candidate mass bounded bands·(bits+1)·cap per batch vector BY
+  // CONSTRUCTION against any history, where the exact cell leg's mass
+  // is data-dependent (measured 63.4× at 8× on unstructured vectors).
+  // Shares C14's one store build; the oracle mirrors the banding, so
+  // the gate is a full hash match while recall vs the exact leg stays
+  // the LSH contract (banded verdicts ⊆ C14's — spec-pinned).
+  private val dedupIncEmbedBanded = GraftQuery(
+    "dedup_incremental_embedding_banded",
+    (s, d) => graft.sources.EmbedStore.bandedDedupAgainst(
+        s, embStore(s, d, split = false), oddBatch(s, d))
+      .orderBy(col("vec_id")),
+    Some(embedIncBandedOracle))
+
   /** Build (once per JVM × dataset × path-shape) the D12 gate's PQ
     * store over the corpus slice; `split = true` trains/writes on the
     * vec_id % 11 <> 5 subset and APPENDS the rest (encoded against the
@@ -2095,6 +2280,7 @@ object AnnPack extends QueryPack {
       annRange, annRangeBanded, embeddingQuantize, annQuantized,
       annIndexSearch,
       annIndexAppendSearch, dedupIncEmbed, dedupIncEmbedAppend,
+      dedupIncEmbedBanded,
       pqEncode, annPq, pqIndexSearch, pqIndexAppendSearch, annIvfPq,
       docTopics)
 

@@ -298,10 +298,17 @@ object MediaPack extends QueryPack {
         graft.functions.Vectors.norm(col("embedding")).as("nrm"))
   }
 
-  /** F7 engine over an arbitrary media frame (spec entry point). */
+  /** F7 engine over an arbitrary media frame (spec entry point).
+    * Routed through the conf dispatcher (r13): the default is the
+    * exact cell-bound path the gate oracle brute-forces; a corpus
+    * whose exact candidate mass goes super-linear (media's similarity
+    * continuum — the measured 63.4× at 8×) flips
+    * `spark.graft.ann.rangeEngine=banded` per job and takes F7b's
+    * linear-by-construction engine under the SAME τ verdict.
+    */
   def semanticDedupOver(media: org.apache.spark.sql.DataFrame)
       : org.apache.spark.sql.DataFrame =
-    AnnPack.rangePairsOf(mediaNormedOf(media), mediaTau)
+    AnnPack.rangePairsAuto(mediaNormedOf(media), embedDims, mediaTau)
       .select(col("vec_id"), col("nn_id"), col("label"), col("cos_sim"))
       .orderBy(col("vec_id"), col("nn_id"))
 

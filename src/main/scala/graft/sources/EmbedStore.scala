@@ -14,7 +14,10 @@ import org.apache.spark.sql.types.IntegerType
   * near-dup verdict — against a 100 TB history whose vectors are read
   * in place, never reshuffled.
   *
-  * Two tables under one base name:
+  * Four tables under one base name — the exact cell leg (recall 1 by
+  * construction, candidate mass data-dependent) and the BANDED leg
+  * (r13: candidate mass linear by construction, recall the LSH
+  * contract — see the banded section below):
   *  - `<base>_cells` — (label, cell, cv, cnrm, r): the per-(label, cell)
   *    centroid and ANGULAR RADIUS of the exact-bound IVF structure
   *    (built by [[AnnPack.labelCellsOf]] — the same arithmetic the
@@ -67,17 +70,24 @@ object EmbedStore {
     routed.select(ckey(col("label"), col("cell")).as("ckey"),
       col("vec_id").as("h_id"), col("v").as("hv"), col("nrm").as("hnrm"))
 
-  /** Land the history's cell and list tables at `path`. */
+  /** Land the history's cell and list tables at `path`, plus the
+    * BANDED leg (r13 — the r12 verdict's top task: the exact cell
+    * probe's candidate mass is data-dependent, measured 63.4× at 8× on
+    * unstructured vectors, so a 100 TB history needs the
+    * linear-by-construction path persisted too).
+    */
   def write(history: DataFrame, tableBase: String, path: String,
       buckets: Int = 8): Unit = {
     val spark = history.sparkSession
-    val (centR, lists) = AnnPack.labelCellsOf(normed(history))
+    val n = normed(history)
+    val (centR, lists) = AnnPack.labelCellsOf(n)
     Bucketed.writePlain(
       centR.select(col("label"), col("c_cell").as("cell"), col("cv"),
         col("cnrm"), col("r")),
       s"${tableBase}_cells", s"$path/cells", Seq("label", "cell"))
     Bucketed.writeBucketed(listsRows(lists),
       s"${tableBase}_lists", "ckey", buckets, s"$path/lists")
+    writeBandedLeg(spark, n, tableBase, path, buckets)
     spark.catalog.refreshTable(s"${tableBase}_cells")
   }
 
@@ -125,6 +135,152 @@ object EmbedStore {
         coalesce(col("__best"), lit(0.0)).as("best_cos"))
   }
 
+  // ---- the BANDED leg (r13): hyperplane-sign band keys persisted
+  // beside the exact cell structure, so a probe can take the
+  // linear-mass-by-construction path against a 100 TB history ----
+  //
+  // Two more tables under the same base name:
+  //  - `<base>_bbits` — (label, bits, dim, bands, max_bits): the
+  //    per-label band-key width, FROZEN at the label's first write
+  //    (the LmStore frozen-threshold discipline: the ladder's input is
+  //    the block size, which appends grow — re-deriving bits on append
+  //    would re-key the label's ENTIRE history, a rebuild in disguise;
+  //    frozen-by-contract is the honest incremental design, and bits
+  //    only gates candidate recall, never a verdict — those come from
+  //    exact cosines). dim/bands/max_bits pin the plane geometry the
+  //    probe must rebuild (md5-derived planes regenerate
+  //    bit-identically from these three ints). Metadata-scale.
+  //  - `<base>_bands` — (bkey, h_id, hv, hnrm): the banded inverted
+  //    index, bucketed+sorted by `bkey` = label:band:key fused into ONE
+  //    composite column (the MinHashStore lesson), the index side
+  //    capped at `spark.graft.ann.bandMaxPerBucket` SMALLEST h_ids per
+  //    key at write. Vectors are stored inline (×bands duplication —
+  //    the classic LSH index trade) so the probe never joins back
+  //    through the corpus-scale lists table.
+  //
+  // Append is additive: new rows are capped PER BATCH, so a bucket can
+  // exceed the cap by one cap's worth per append generation until a
+  // rebuild — compaction preserves rows (re-capping would change
+  // verdicts under the replayers' feet). Recall is the LSH contract
+  // (dup-regime pairs collide with probability ≈ 1; borderline-τ pairs
+  // may be missed); the exact cell leg stays the recall-1 path.
+
+  /** label+band+key as ONE join column, matching the bands table's
+    * bucket spec.
+    */
+  private def bkey3(label: Column, band: Column, key: Column): Column =
+    concat_ws(":", label.cast("string"), band.cast("string"), key)
+
+  /** Banded index rows for a normed frame under a frozen bits table —
+    * capped at `cap` smallest h_ids per key (TopKPerKey bounded heap).
+    */
+  private def bandsRowsOf(n: DataFrame, bbits: DataFrame, dim: Int,
+      numBands: Int, maxBits: Int, cap: Int): DataFrame = {
+    val rows = n.withColumn("v", AnnPack.bandDimGuard(dim))
+      .withColumn("sigbits", AnnPack.bandSigBits(dim, numBands * maxBits))
+      .join(broadcast(bbits.select(col("label"), col("bits"))),
+        Seq("label"))
+      .select(col("vec_id").as("h_id"), col("label"), col("v"),
+        col("nrm"), explode(AnnPack.bandKeyCols(numBands, maxBits))
+          .as("bk"))
+      .select(bkey3(col("label"), col("bk.band"), col("bk.key"))
+          .as("bkey"),
+        col("h_id"), col("v").as("hv"), col("nrm").as("hnrm"))
+    graft.plans.TopKPerKey(rows, Seq(col("bkey")),
+      Seq(col("h_id").asc), cap)
+  }
+
+  private def writeBandedLeg(spark: SparkSession, n: DataFrame,
+      tableBase: String, path: String, buckets: Int): Unit = {
+    val numBands = graft.GraftConf.bandNumBands(spark)
+    val maxBits = graft.GraftConf.bandMaxBits(spark)
+    val targetLoad = graft.GraftConf.bandTargetLoad(spark)
+    val cap = graft.GraftConf.annBandMaxPerBucket(spark)
+    // the geometry peek: one driver-side width read per store BUILD
+    // (not per probe); an empty history freezes dim=1 with zero labels,
+    // which every probe then short-circuits on
+    val dim = n.select(size(col("v")).as("d")).limit(1).collect()
+      .headOption.map(_.getInt(0)).getOrElse(1)
+    val bbits = n.groupBy(col("label")).agg(count(lit(1)).as("n_l"))
+      .select(col("label"),
+        AnnPack.bandBitsCol(maxBits, targetLoad).as("bits"),
+        lit(dim).as("dim"), lit(numBands).as("bands"),
+        lit(maxBits).as("max_bits"))
+    Bucketed.writePlain(bbits, s"${tableBase}_bbits", s"$path/bbits",
+      Seq("label"))
+    Bucketed.writeBucketed(
+      bandsRowsOf(n, spark.table(s"${tableBase}_bbits"), dim, numBands,
+        maxBits, cap),
+      s"${tableBase}_bands", "bkey", buckets, s"$path/bands")
+    spark.catalog.refreshTable(s"${tableBase}_bbits")
+  }
+
+  /** Near-dup verdict for `batch` through the BANDED leg — same
+    * verdict row shape as [[dedupAgainst]] ((vec_id, n_hist_matches,
+    * hist_canonical, best_cos), sentinels when nothing clears τ), but
+    * candidates come from the persisted band keys: the batch rebuilds
+    * signatures under the store's FROZEN geometry, multi-probes each
+    * band's exact key plus every single-bit flip, and sort-merge joins
+    * the bands table on the composite bkey with the history side
+    * reading its buckets IN PLACE (no exchange above the store scan —
+    * spec-asserted). Candidate mass per batch vector is bounded by
+    * bands·(bits+1)·cap BY CONSTRUCTION, against any history — the
+    * 100 TB path the exact cell probe cannot promise (its mass is
+    * data-dependent; measured 63.4× at 8× on unstructured vectors).
+    * Recall is the LSH contract; verdicts only ever come from exact
+    * cosines, so every returned match is real (banded verdicts ⊆ the
+    * exact leg's).
+    */
+  def bandedDedupAgainst(spark: SparkSession, tableBase: String,
+      batch: DataFrame, tau: Double = AnnPack.nearDupTau): DataFrame = {
+    val bbits = spark.table(s"${tableBase}_bbits")
+    val meta = bbits.select(col("dim"), col("bands"), col("max_bits"))
+      .limit(1).collect()
+    val empty = batch.select(col("vec_id"),
+      lit(0L).as("n_hist_matches"), lit(-1L).as("hist_canonical"),
+      lit(0.0).as("best_cos"))
+    if (meta.isEmpty) return empty
+    val (dim, numBands, maxBits) =
+      (meta.head.getInt(0), meta.head.getInt(1), meta.head.getInt(2))
+    val bands = spark.table(s"${tableBase}_bands")
+    val n = normed(batch)
+    // labels the store has never seen drop at the inner bits join (no
+    // history ⇒ no verdict) and re-attach through the final left join
+    val sigs = n.withColumn("v", AnnPack.bandDimGuard(dim))
+      .withColumn("sigbits", AnnPack.bandSigBits(dim, numBands * maxBits))
+      .join(broadcast(bbits.select(col("label"), col("bits"))),
+        Seq("label"))
+    val probes = sigs
+      .select(col("vec_id"), col("label"), col("bits"),
+        explode(AnnPack.bandKeyCols(numBands, maxBits)).as("bk"))
+      .select(col("vec_id"), col("label"), col("bits"),
+        col("bk.band").as("band"), col("bk.key").as("key0"))
+      .select(col("vec_id"), col("label"), col("band"),
+        explode(AnnPack.bandProbeKeys(maxBits)).as("key"))
+      .select(col("vec_id"),
+        bkey3(col("label"), col("band"), col("key")).as("bkey"))
+    val verified = probes.join(bands, Seq("bkey"))
+      // globally-unique ingest ids: a self-pair is a crash-replayed
+      // append of THIS batch (same contract as the exact leg)
+      .filter(col("vec_id") =!= col("h_id"))
+      // multi-band hits AND replayed duplicate bands rows collapse at
+      // pair level BEFORE the cosine (duplicates carry identical hv)
+      .dropDuplicates("vec_id", "h_id")
+      .join(n.select(col("vec_id"), col("v").as("qv"),
+        col("nrm").as("qn")), Seq("vec_id"))
+      .withColumn("cos_sim",
+        Vectors.cosine(col("qv"), col("hv"), col("qn"), col("hnrm")))
+      .filter(col("cos_sim") >= tau)
+    val verdicts = verified.groupBy(col("vec_id"))
+      .agg(count(lit(1)).as("__n"), min(col("h_id")).as("__hist"),
+        max(col("cos_sim")).as("__best"))
+    batch.select(col("vec_id")).join(verdicts, Seq("vec_id"), "left")
+      .select(col("vec_id"),
+        coalesce(col("__n"), lit(0L)).as("n_hist_matches"),
+        coalesce(col("__hist"), lit(-1L)).as("hist_canonical"),
+        coalesce(col("__best"), lit(0.0)).as("best_cos"))
+  }
+
   /** Fold `embs` (vec_id, label, embedding — typically the batch's
     * near-dup SURVIVORS; the policy is the caller's) into the history.
     * Known-label vectors route to their nearest EXISTING centroid (the
@@ -152,14 +308,68 @@ object EmbedStore {
   def append(spark: SparkSession, tableBase: String,
       embs: DataFrame): Unit = {
     val (routed, grownCells) = planAppend(spark, tableBase, embs)
-    // radius first, lists second — the crash-safe order (class doc)
+    // radius first, lists second — the crash-safe order (class doc);
+    // the banded leg last: a crash before it leaves the exact leg
+    // complete and the banded index merely missing this batch (an
+    // LSH-recall gap, never a false verdict), and the replay's
+    // duplicate bands rows collapse at pair level like the lists'
     appendCellsLeg(spark, tableBase, grownCells)
     appendListsLeg(spark, tableBase, routed)
-    // free the plan's checkpointed RDDs once both legs landed — a
+    bandedAppendLeg(spark, tableBase, routed)
+    // free the plan's checkpointed RDDs once the legs landed — a
     // long-lived ingest loop would otherwise carry one retired batch
     // copy per append until the ContextCleaner collects it
     org.apache.spark.sql.GraftDatasetBridge.freeLocalCheckpoint(routed)
     org.apache.spark.sql.GraftDatasetBridge.freeLocalCheckpoint(grownCells)
+  }
+
+  /** The banded leg of an append: freeze bits for labels the store has
+    * never seen (their first write — the ladder runs on THIS batch's
+    * block size), then land the batch's capped band-key rows
+    * bucket-aligned. Known labels keep their frozen bits (class doc on
+    * why re-deriving would be a rebuild in disguise). Purely additive
+    * on the bands table, so replays converge through the probe's
+    * pair-level dedupe; the bbits rewrite is generation-swapped and
+    * idempotent (a replayed label is no longer fresh).
+    */
+  private[graft] def bandedAppendLeg(spark: SparkSession,
+      tableBase: String, routed: DataFrame): Unit = {
+    val bbitsT = s"${tableBase}_bbits"
+    val bbits = spark.table(bbitsT)
+    val meta = bbits.select(col("dim"), col("bands"), col("max_bits"))
+      .limit(1).collect()
+    // an empty-history store froze no geometry: this append IS the
+    // first write — freeze from the batch + current conf
+    val dim = meta.headOption.map(_.getInt(0)).getOrElse(
+      routed.select(size(col("v")).as("d")).limit(1).collect()
+        .headOption.map(_.getInt(0)).getOrElse(1))
+    val numBands = meta.headOption.map(_.getInt(1))
+      .getOrElse(graft.GraftConf.bandNumBands(spark))
+    val maxBits = meta.headOption.map(_.getInt(2))
+      .getOrElse(graft.GraftConf.bandMaxBits(spark))
+    val targetLoad = graft.GraftConf.bandTargetLoad(spark)
+    val cap = graft.GraftConf.annBandMaxPerBucket(spark)
+    val fresh = routed.groupBy(col("label"))
+      .agg(count(lit(1)).as("n_l"))
+      .join(broadcast(bbits.select(col("label"))), Seq("label"),
+        "left_anti")
+      .select(col("label"),
+        AnnPack.bandBitsCol(maxBits, targetLoad).as("bits"),
+        lit(dim).as("dim"), lit(numBands).as("bands"),
+        lit(maxBits).as("max_bits"))
+      .localCheckpoint(true)
+    try {
+      if (fresh.count() > 0)
+        Bucketed.rewritePlain(spark, bbitsT,
+          spark.table(bbitsT).unionByName(fresh), Seq("label"))
+      Bucketed.appendBucketed(spark,
+        bandsRowsOf(
+          routed.select(col("vec_id"), col("label"), col("v"),
+            col("nrm")),
+          spark.table(bbitsT), dim, numBands, maxBits, cap),
+        s"${tableBase}_bands")
+    } finally
+      org.apache.spark.sql.GraftDatasetBridge.freeLocalCheckpoint(fresh)
   }
 
   /** The append's routing + radius computation, severed
@@ -236,5 +446,10 @@ object EmbedStore {
     Bucketed.compactBucketed(spark, s"${tableBase}_lists")
     Bucketed.compactPlain(spark, s"${tableBase}_cells",
       Seq("label", "cell"))
+    // banded leg: rows preserved exactly — re-capping across append
+    // generations here would CHANGE verdicts under a replayer; the cap
+    // is a per-generation write bound, a rebuild re-tightens it
+    Bucketed.compactBucketed(spark, s"${tableBase}_bands")
+    Bucketed.compactPlain(spark, s"${tableBase}_bbits", Seq("label"))
   }
 }

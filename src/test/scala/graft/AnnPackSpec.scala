@@ -94,15 +94,17 @@ class AnnPackSpec extends GraftSpec {
   }
 
   /** Deterministic planted clustered corpus for the hierarchy tests:
-    * `n` vectors in 64 dims, tight clusters of 20 (fixed similarity
-    * structure — the cluster size does not grow with n), signed
-    * hash-derived centers so cross-cluster angles spread wide.
+    * `n` vectors in 64 dims, tight clusters of `clusterSize` (default
+    * 20; fixed similarity structure — the cluster size does not grow
+    * with n), signed hash-derived centers so cross-cluster angles
+    * spread wide.
     */
-  private def plantedClusters(n: Int): org.apache.spark.sql.DataFrame = {
+  private def plantedClusters(n: Int,
+      clusterSize: Int = 20): org.apache.spark.sql.DataFrame = {
     import spark.implicits._
     val dim = 64
     val rows = (0 until n).map { i =>
-      val cluster = i / 20
+      val cluster = i / clusterSize
       val h0 = cluster.toLong * 2654435761L + 1442695040888963407L
       val raw = (0 until dim).map(j =>
         (((h0 * (j * 6364136223846793005L + 1442695040888963407L))
@@ -257,6 +259,119 @@ class AnnPackSpec extends GraftSpec {
       .collect().count(_.getAs[Long]("nn_id") <= 40L)
     assert(un == 40 * 39 / 2)
     Caches.releaseAll(blocking = true)
+  }
+
+  test("banded ladder cliff (r12 finding 1): past targetLoad·2^maxBits " +
+      "the cap truncates with smallest-id bias — measured, and the " +
+      "maxBits knob is the fix") {
+    // pair-clusters (size 2) so the cap can never bind on a dup group
+    // itself: overload comes purely from DISTINCT clusters colliding in
+    // the clamped key space, which is exactly the past-the-ladder
+    // regime — bits stuck at maxBits, bucket load growing with n, the
+    // smallest-id cap evicting the true neighbor of every LARGE-id pair
+    val n = plantedClusters(2000, clusterSize = 2).repartition(8)
+    val exact = operators.AnnPack.rangePairsOf(n, 0.75)
+      .select(col("vec_id"), col("nn_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    Caches.releaseAll(blocking = true)
+    assert(exact.size >= 900, s"planted pairs missing: ${exact.size}")
+    def banded(maxBits: Int, cap: Int): (Double, Long) = {
+      spark.conf.set(graft.GraftConf.BandMaxBitsKey, maxBits.toString)
+      try {
+        val mass = operators.AnnPack.bandedRangeCandidatesOf(n, 64, cap)
+          .count()
+        val got = operators.AnnPack.bandedRangePairsOf(n, 64, 0.75, cap)
+          .select(col("vec_id"), col("nn_id")).collect()
+          .map(r => (r.getLong(0), r.getLong(1))).toSet
+        Caches.releaseAll(blocking = true)
+        assert(got.subsetOf(exact), "banded invented a pair")
+        (got.size.toDouble / exact.size, mass)
+      } finally spark.conf.unset(graft.GraftConf.BandMaxBitsKey)
+    }
+    // maxBits=6 puts the ladder's reach at targetLoad·2^6 = 256 ≪ 2000:
+    // bits clamps, ~31 docs share each of the 64 per-band buckets, and
+    // a cap of 8 saturates — the truncation the r12 verdict predicted
+    val (rSat, mSat) = banded(6, 8)
+    // the hard mass bound is the design working even at saturation
+    assert(mSat <= 2000L * 8 * 7 * 8,
+      s"candidate mass $mSat exceeds n·bands·(bits+1)·cap")
+    // same clamped ladder, default cap: no truncation, recall intact —
+    // the cliff is the CAP binding, not the clamp alone
+    val (rRoom, _) = banded(6, graft.GraftConf.DefaultMaxPerBucket)
+    // the fix is one conf: maxBits=10 moves the reach past the block
+    // (targetLoad·2^9 = 2048 ≥ 2000 ⇒ bits=9), bucket load back to
+    // ≈targetLoad, and the SAME cap of 8 stops binding
+    val (rFix, _) = banded(10, 8)
+    info(f"past-ladder recall: saturated(maxBits=6,cap=8)=$rSat%.4f " +
+      f"roomy-cap=$rRoom%.4f maxBits-raised(cap=8)=$rFix%.4f " +
+      f"sat-mass=$mSat")
+    assert(rSat < 0.9,
+      f"expected visible cap-saturation decay, got $rSat%.4f — " +
+        "the planted overload no longer saturates the cap")
+    assert(rRoom >= 0.999,
+      f"recall $rRoom%.4f lost under a non-binding cap")
+    assert(rFix >= 0.99,
+      f"raising maxBits did not restore recall: $rFix%.4f")
+  }
+
+  test("dedup_incremental_embedding_banded ⊆ the exact C14 verdict " +
+      "(LSH candidates are a subset; cosines decide identically)") {
+    def vm(name: String) = SparkEntry.queries(name)(spark, sfDir)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    val exact = vm("dedup_incremental_embedding")
+    val banded = vm("dedup_incremental_embedding_banded")
+    assert(banded.keySet == exact.keySet)
+    banded.foreach { case (id, (n, h, c)) =>
+      val (en, _, ec) = exact(id)
+      assert(n <= en, s"$id: banded counted $n > exact $en")
+      assert(c <= ec + 1e-9, s"$id: banded best_cos $c > exact $ec")
+      if (h != -1L) assert(exact(id)._2 != -1L,
+        s"$id: banded matched where exact did not")
+    }
+    val exactHits = exact.count(_._2._1 > 0)
+    val bandedHits = banded.count(_._2._1 > 0)
+    info(s"banded store verdict hits vs exact: $bandedHits/$exactHits")
+  }
+
+  test("rangeEngine conf routes the composed consumers (r13): " +
+      "banded-routed pair graph ⊆ exact's, C10 clusters refine") {
+    // dispatcher ≡ engines on planted clusters
+    val n = plantedClusters(1000).repartition(8)
+    val exactPairs = operators.AnnPack.rangePairsAuto(n, 64, 0.75)
+      .select(col("vec_id"), col("nn_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    Caches.releaseAll(blocking = true)
+    val bandedClu = try {
+      spark.conf.set(graft.GraftConf.RangeEngineKey, "banded")
+      val routed = operators.AnnPack.rangePairsAuto(n, 64, 0.75)
+        .select(col("vec_id"), col("nn_id")).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      Caches.releaseAll(blocking = true)
+      assert(routed.subsetOf(exactPairs),
+        "banded-routed dispatcher invented a pair")
+      val recall = routed.size.toDouble / exactPairs.size
+      info(s"routed recall on planted clusters: " +
+        s"${routed.size}/${exactPairs.size} = $recall")
+      assert(recall >= 0.999)
+      // the composed C10 verdict itself, banded-routed
+      val clu = operators.DedupPack.semanticClusters(spark, sfDir)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      Caches.releaseAll(blocking = true)
+      clu
+    } finally spark.conf.unset(graft.GraftConf.RangeEngineKey)
+    val exactClu = operators.DedupPack.semanticClusters(spark, sfDir)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    Caches.releaseAll(blocking = true)
+    assert(bandedClu.keySet == exactClu.keySet)
+    // edge subset ⇒ component refinement: every banded cluster sits
+    // INSIDE one exact cluster (the banded path can split a component,
+    // never bridge two)
+    bandedClu.groupBy(_._2).foreach { case (bc, members) =>
+      val ec = members.keys.map(exactClu).toSet
+      assert(ec.size == 1,
+        s"banded cluster $bc straddles exact clusters $ec")
+    }
   }
 
   test("D3/C5/D6 plans: no window partitioned by a whole label block") {

@@ -23,7 +23,7 @@ class EmbedStoreSpec extends GraftSpec {
   }
 
   private def cleanup(base: String, path: String): Unit = {
-    Seq("cells", "lists").foreach(s =>
+    Seq("cells", "lists", "bands", "bbits").foreach(s =>
       spark.sql(s"DROP TABLE IF EXISTS ${base}_$s"))
     Caches.deleteDir(path)
   }
@@ -108,6 +108,117 @@ class EmbedStoreSpec extends GraftSpec {
       spark.conf.set("spark.sql.adaptive.enabled", prevA)
       cleanup(base, path)
     }
+  }
+
+  test("banded leg: planted near-identical dups found, verdicts match " +
+      "brute force, and the bands store scan has no exchange above it") {
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.execution.joins.SortMergeJoinExec
+    val history = embDf(Seq(
+      (2L, 1, Seq(1.0, 0.0, 0.0, 0.0)),
+      (4L, 1, Seq(0.999, 0.001, 0.0, 0.0)),
+      (6L, 1, Seq(0.0, 1.0, 0.0, 0.0)),
+      (10L, 2, Seq(0.5, 0.5, 0.0, 0.0))))
+    val batch = embDf(Seq(
+      (1L, 1, Seq(0.9995, 0.0005, 0.0, 0.0)), // near-identical to h2/h4
+      (3L, 1, Seq(0.0, 0.0, 0.0, 1.0)),       // orthogonal to everything
+      (5L, 2, Seq(0.501, 0.499, 0.0, 0.0)),   // near-identical to h10
+      (9L, 3, Seq(1.0, 0.0, 0.0, 0.0))))      // label absent from history
+    val (base, path) = freshBase()
+    val prevB = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val prevA = spark.conf.get("spark.sql.adaptive.enabled")
+    try {
+      EmbedStore.write(history, base, path)
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      val out = EmbedStore.bandedDedupAgainst(spark, base, batch, tau)
+      // near-identical payloads collide with probability ≈ 1, so on
+      // this corpus the LSH path recovers the FULL brute verdict
+      assert(verdictMap(out) == bruteVerdicts(batch, history))
+      def storeScan(p: SparkPlan) = p.collect {
+        case f: FileSourceScanExec if f.relation.bucketSpec.isDefined => f
+      }.nonEmpty
+      val plan = out.queryExecution.executedPlan
+      val storeSides = plan.collect { case j: SortMergeJoinExec => j }
+        .flatMap(j => Seq(j.left, j.right))
+        .filter(side => storeScan(side) &&
+          side.collect { case nj: SortMergeJoinExec => nj }.isEmpty)
+      assert(storeSides.nonEmpty,
+        s"expected the bands probe as a sort-merge join:\n$plan")
+      storeSides.foreach(side => assert(
+        side.collect { case e: ShuffleExchangeExec => e }.isEmpty,
+        s"bands store side re-shuffled:\n$side"))
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevB)
+      spark.conf.set("spark.sql.adaptive.enabled", prevA)
+      cleanup(base, path)
+    }
+  }
+
+  test("banded leg: write+append ≡ one-shot build (same ladder rung), " +
+      "replay converges, compaction is verdict-stable") {
+    val part1 = embDf(Seq(
+      (2L, 1, Seq(1.0, 0.0, 0.0, 0.0)),
+      (4L, 1, Seq(0.0, 1.0, 0.0, 0.0))))
+    val part2 = embDf(Seq(
+      (6L, 1, Seq(0.999, 0.001, 0.0, 0.0)),
+      (8L, 5, Seq(0.0, 0.0, 1.0, 0.0)))) // label 5: frozen at append
+    val full = part1.unionByName(part2)
+    val batch = embDf(Seq(
+      (1L, 1, Seq(0.9995, 0.0005, 0.0, 0.0)), // near h2 AND appended h6
+      (7L, 5, Seq(0.0, 0.0, 0.999, 0.001))))  // near appended h8
+    val (cb, cp) = freshBase()
+    val (base, path) = freshBase()
+    try {
+      EmbedStore.write(full, cb, cp)
+      val control = verdictMap(
+        EmbedStore.bandedDedupAgainst(spark, cb, batch, tau))
+      assert(control(1L)._1 == 2L && control(7L)._2 == 8L,
+        s"control verdicts wrong: $control")
+      EmbedStore.write(part1, base, path)
+      EmbedStore.append(spark, base, part2)
+      // block sizes stay inside one ladder rung (≤ 64 per label), so
+      // the frozen widths equal the one-shot build's — results identical
+      assert(verdictMap(
+        EmbedStore.bandedDedupAgainst(spark, base, batch, tau)) == control)
+      // replay after success: duplicate bands rows collapse at pair level
+      EmbedStore.append(spark, base, part2)
+      assert(verdictMap(
+        EmbedStore.bandedDedupAgainst(spark, base, batch, tau)) == control)
+      EmbedStore.compact(spark, base)
+      assert(verdictMap(
+        EmbedStore.bandedDedupAgainst(spark, base, batch, tau)) == control)
+    } finally { cleanup(base, path); cleanup(cb, cp) }
+  }
+
+  test("banded leg: per-label bits FREEZE at first write — appends " +
+      "that grow the block past a rung keep the write-time keys and " +
+      "stay probe-able") {
+    // 60 history rows: ladder gives 4 bits (targetLoad·2^4 = 64 ≥ 60);
+    // a one-shot build on 140 would give 5 — the frozen contract is
+    // what keeps the persisted keys valid without re-keying history
+    val h0 = embDf((0 until 60).map(i =>
+      (2L * i + 100L, 1, Seq(1.0, i / 60.0, 0.0, 0.0))))
+    val grow = embDf((0 until 80).map(i =>
+      (2L * i + 300L, 1, Seq(0.0, 0.0, 1.0, i / 80.0))))
+    val probe = embDf(Seq((1L, 1, Seq(0.0, 0.0, 0.999, 0.001))))
+    val (base, path) = freshBase()
+    try {
+      EmbedStore.write(h0, base, path)
+      val bitsBefore = spark.table(s"${base}_bbits")
+        .select("bits").collect().map(_.getInt(0)).toSeq
+      assert(bitsBefore == Seq(4), s"write-time bits: $bitsBefore")
+      EmbedStore.append(spark, base, grow)
+      val bitsAfter = spark.table(s"${base}_bbits")
+        .select("bits").collect().map(_.getInt(0)).toSeq
+      assert(bitsAfter == Seq(4),
+        s"append re-derived the frozen bits: $bitsAfter")
+      val got = verdictMap(
+        EmbedStore.bandedDedupAgainst(spark, base, probe, tau))
+      assert(got(1L)._1 >= 1L && got(1L)._2 == 300L,
+        s"appended near-dup not found through frozen keys: $got")
+    } finally cleanup(base, path)
   }
 
   test("append grows the cell radius: an appended outlier far outside " +
