@@ -23,6 +23,34 @@ object GraftConf {
   val TargetCellSizeKey = "spark.graft.ann.targetCellSize"
   val MaxCellsKey = "spark.graft.ann.maxCells"
 
+  /** Lloyd (assign+recenter) rounds at the LEAF level of the
+    * hierarchical cell build (multi-parent blocks only — the
+    * single-parent fast path every gate corpus takes keeps its audited
+    * one-round shape). Hash-ordered seeds are effectively random
+    * members, and one round off them orphans a constant fraction of
+    * natural clusters across leaf boundaries — the orphaned leaf's
+    * radius balloons and the exact upper bound stops pruning it. Each
+    * extra round costs one assign+recenter pass over the block; recall
+    * stays 1 at ANY round count (radii cover final membership), so
+    * this knob trades build passes against candidate mass, never
+    * correctness.
+    */
+  val LeafLloydRoundsKey = "spark.graft.ann.leafLloydRounds"
+
+  /** Orphan threshold (degrees) of the hierarchical build's post-assign
+    * reseed pass (multi-parent blocks only): members further than this
+    * angle from their assigned leaf centroid — overwhelmingly the
+    * members of natural clusters the random seeding missed, which
+    * Lloyd rounds cannot recover because an empty cell dies in
+    * recenter — are pulled into one fresh per-parent seed+assign round
+    * of their own. Their old leaves' radii tighten (radii cover final
+    * membership), so the exact upper bound prunes again. Recall stays
+    * 1 at ANY threshold; the knob trades one extra bounded pass
+    * against candidate mass. ≤ 0 disables the pass (treated as an
+    * infinite threshold — every member keeps its leaf).
+    */
+  val OrphanAngleDegKey = "spark.graft.ann.orphanAngleDeg"
+
   /** In-query hot-bucket admission caps (smallest-doc_id TopKPerKey on
     * the index side of the band/bucket self-joins).
     */
@@ -67,6 +95,8 @@ object GraftConf {
   val DefaultTargetCellSize = 24
   val DefaultMaxCells = 64
   val DefaultMaxPerBucket = 1024
+  val DefaultLeafLloydRounds = 2
+  val DefaultOrphanAngleDeg = 30.0
   val DefaultBandNumBands = 8
   val DefaultBandMaxBits = 16
   val DefaultBandTargetLoad = 4
@@ -80,6 +110,13 @@ object GraftConf {
 
   def maxCells(s: SparkSession): Int =
     intConf(s, MaxCellsKey, DefaultMaxCells)
+
+  def leafLloydRounds(s: SparkSession): Int =
+    intConf(s, LeafLloydRoundsKey, DefaultLeafLloydRounds)
+
+  def orphanAngleDeg(s: SparkSession): Double =
+    s.conf.getOption(OrphanAngleDegKey).map(_.trim.toDouble)
+      .getOrElse(DefaultOrphanAngleDeg)
 
   def simhashMaxPerBucket(s: SparkSession): Int =
     intConf(s, SimhashMaxPerBucketKey, DefaultMaxPerBucket)

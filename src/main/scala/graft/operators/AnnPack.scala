@@ -274,24 +274,33 @@ object AnnPack extends QueryPack {
     math.min(mc.toLong,
       math.max(2L, math.ceil(n / tcs.toDouble).toLong)).toInt
 
-  /** Level-1 slack: a block pays the second level only once it is
-    * l1Slack× past the single-level clamp (targetCellSize·maxCells).
-    * Between 1× and l1Slack× the single-level build's leaf membership
-    * drifts to at most l1Slack·targetCellSize — a bounded constant,
-    * nothing like the old unbounded growth — while the build stays ONE
-    * level (the two-level build costs a full extra assign+recenter
-    * round, measured +3.5 s on media_semantic_dedup at sf0.1 for a
-    * block 8% past the clamp).
+  /** Level-1 slack — MODE hysteresis only (r13): a block pays the
+    * second level only once it is l1Slack× past the single-level clamp
+    * (targetCellSize·maxCells). Between 1× and l1Slack× the
+    * single-level build's leaf membership drifts to at most
+    * l1Slack·targetCellSize — a bounded constant, nothing like the old
+    * unbounded growth — while the build stays ONE level (the two-level
+    * build costs a full extra assign+recenter round, measured +3.5 s
+    * on media_semantic_dedup at sf0.1 for a block 8% past the clamp).
+    * r12 ALSO divided the hierarchical parent count by this slack,
+    * which starved the leaf count 4× on exactly the blocks the
+    * hierarchy exists for (leaves ≈ l1Slack·targetCellSize vectors
+    * spanning several natural clusters → ballooned radii → the UB
+    * pruned nothing: 127× planted two-scale mass at 8×, re-measured
+    * this round); the hierarchical parent count is now unslacked.
     */
   private[graft] val l1Slack = 4
 
-  /** Scalar mirror of the level-1 parent count for a block of `n`. */
+  /** Scalar mirror of the level-1 parent count for a block of `n` ON
+    * THE HIERARCHICAL PATH (blocks ≤ l1Slack·tcs·mc take the
+    * single-level fast path and have no parents at all).
+    */
   private[graft] def l1CellsForBlock(n: Long,
       tcs: Int = graft.GraftConf.DefaultTargetCellSize,
       mc: Int = graft.GraftConf.DefaultMaxCells): Int =
     math.min(mc.toLong,
       math.max(1L,
-        math.ceil(n / (tcs.toDouble * mc * l1Slack)).toLong)).toInt
+        math.ceil(n / (tcs.toDouble * mc)).toLong)).toInt
   /** Slack covering the rounding of [[Vectors.cosine]] (6 decimals,
     * |Δcos| ≤ 5e-7) through acos near |cos|=1, where the amplification
     * is unbounded: acos(1−δ) ≈ √(2δ), so a 5e-7 cosine perturbation
@@ -346,7 +355,8 @@ object AnnPack extends QueryPack {
     * for every vector in any of its leaves), `centR` the leaf table
     * (label, c1, c_cell, cv, cnrm, r), `lists` the leaf inverted lists
     * (vec_id, label, cell, v, nrm) with the composite leaf id
-    * cell = (c1−1)·maxCells + c2.
+    * cell = (c1−1)·2·maxCells + c2 (the upper maxCells of each
+    * parent's id block holds the orphan-pass reseed cells).
     */
   private[graft] case class CellIndex(cent1R: Option[DataFrame],
       centR: DataFrame, lists: DataFrame)
@@ -407,38 +417,39 @@ object AnnPack extends QueryPack {
     val s = n.sparkSession
     val tcs = targetCellSize(s)
     val mc = maxCells(s)
-    // level-1 parent count per label (one partial-agg pass, a tiny
-    // ≤|labels|-row result) — persisted because the multi-parent branch
-    // reads it twice (the peek below and seedCells' broadcast), and
-    // without the persist the second read re-runs the corpus-scale
+    // per-label block counts (one partial-agg pass, a tiny
+    // ≤|labels|-row result) — persisted because the mode peek, the
+    // parent-count broadcast and the single-level cell counts all read
+    // it, and without the persist each read re-runs the corpus-scale
     // count aggregation
-    val nC1 = n.groupBy(col("label"))
-      .agg(least(lit(mc.toLong),
-        greatest(lit(1L),
-          ceil(count(lit(1)) / lit(tcs.toDouble * mc * l1Slack))))
-        .cast(IntegerType).as("n_cells"))
+    val cnt = n.groupBy(col("label")).agg(count(lit(1)).as("n_l"))
       .persistTracked
-    // Single-parent fast path: when EVERY label block fits one parent
-    // (n ≤ targetCellSize·maxCells — all current gate corpora), the
-    // two-level build's level 1 is a trivial one-centroid pass that
-    // still costs an assign+recenter round and an extra probe stage
-    // per consumer (+1.2 s on each of knn_join/dedup_embedding/
-    // ann_range_search at sf0.1, measured). Peek at the parent counts
+    // Single-parent fast path: when EVERY label block is within
+    // l1Slack× of the single-level clamp (all current gate corpora),
+    // the two-level build's level 1 is a trivial one-centroid pass
+    // that still costs an assign+recenter round and an extra probe
+    // stage per consumer (+1.2 s on each of knn_join/dedup_embedding/
+    // ann_range_search at sf0.1, measured). Peek at the max block size
     // (a metadata-scale agg) and build the audited single-level
     // structure directly — bit-identical plans AND structure to the
     // pre-hierarchy engine; probing then skips the level-1 stage
-    // (cent1R = None). Multi-parent blocks take the full hierarchy.
+    // (cent1R = None). Bigger blocks take the full hierarchy. The
+    // slack gates the MODE ONLY (hysteresis on the switch): r12 also
+    // divided the parent count by it, which starved the leaf count 4×
+    // on exactly the blocks the hierarchy exists for — leaves held
+    // ~l1Slack·targetCellSize vectors spanning several natural
+    // clusters, their radii ballooned, and the measured planted
+    // two-scale mass hit 127× at 8× (the r12 verdict's finding 2).
     // max over ZERO rows is NULL — an empty corpus (every media payload
     // under the feature minimum, an empty store history) must take the
     // single-level path and yield empty frames, not NPE on the peek
-    val multiParent = nC1
-      .agg(coalesce(max(col("n_cells")), lit(1)).as("m"))
-      .head.getInt(0) > 1
+    val maxBlock = cnt.agg(coalesce(max(col("n_l")), lit(0L)).as("m"))
+      .head.getLong(0)
+    val multiParent = maxBlock > tcs.toLong * mc * l1Slack
     if (!multiParent) {
-      val nCells = n.groupBy(col("label"))
-        .agg(least(lit(mc.toLong),
-          greatest(lit(2L),
-            ceil(count(lit(1)) / lit(tcs.toDouble))))
+      val nCells = cnt.select(col("label"),
+        least(lit(mc.toLong),
+          greatest(lit(2L), ceil(col("n_l") / lit(tcs.toDouble))))
           .cast(IntegerType).as("n_cells"))
       val seeds = seedCells(n, Seq("label"), nCells, mc)
       val cent = recenterCells(assignToCells(n, seeds), Seq("label"))
@@ -456,6 +467,13 @@ object AnnPack extends QueryPack {
           col("cnrm"), col("r"))
       return CellIndex(None, centR, lists)
     }
+    // UNSLACKED parent count: once hierarchical, leaves must land at
+    // ≈targetCellSize — parents = ceil(n / (tcs·mc)) so each parent's
+    // ceil(|parent|/tcs) leaf count fits under the per-parent clamp
+    val nC1 = cnt.select(col("label"),
+      least(lit(mc.toLong),
+        greatest(lit(1L), ceil(col("n_l") / lit(tcs.toDouble * mc))))
+        .cast(IntegerType).as("n_cells"))
     val seeds1 = seedCells(n, Seq("label"), nC1, mc)
     // cent1/lists1/cent2/lists each fan into 2-4 branches (counts,
     // seeds, assigns, radii, probe broadcasts) and Spark has no
@@ -475,18 +493,85 @@ object AnnPack extends QueryPack {
           ceil(count(lit(1)) / lit(tcs.toDouble))))
         .cast(IntegerType).as("n_cells"))
     val seeds2 = seedCells(lists1, Seq("label", "c1"), nC2, mc)
-    val cent2 = recenterCells(
+    // leaf-level Lloyd rounds (r13, conf: spark.graft.ann.
+    // leafLloydRounds, default 2): the hash-ordered seeds are
+    // effectively random corpus members, and ONE recenter round off
+    // them orphans a constant fraction of natural clusters across leaf
+    // boundaries — the orphaned leaf's radius balloons and the UB
+    // stops pruning it (the r12 ~62× planted measurement). Each extra
+    // round is one assign+recenter pass over the multi-parent blocks
+    // ONLY (single-parent corpora — every gate corpus — never pay it);
+    // the bound stays exact at any round count because radii are
+    // computed over the FINAL membership, so the round count needs no
+    // oracle mirror (the D5 unroll lesson: deterministic argmax + mean
+    // make extra rounds reproducible anyway).
+    var cent2 = recenterCells(
         assignToCells(lists1, seeds2, Seq("label", "c1")),
         Seq("label", "c1"))
+    for (_ <- 1 until math.max(1, graft.GraftConf.leafLloydRounds(s)))
+      cent2 = recenterCells(
+        assignToCells(lists1, cent2, Seq("label", "c1")),
+        Seq("label", "c1"))
+    cent2 = cent2.persistTracked
+    // ORPHAN pass (r13): random seeding misses a constant fraction of
+    // natural clusters (s slots over C clusters leaves C·e^(−s/C)
+    // unseeded — scale-free), Lloyd cannot recover them (an empty cell
+    // dies in recenter and never comes back), and every leaf that
+    // co-houses two unrelated clusters gets a ballooned radius the UB
+    // cannot prune — the measured 38–44× planted mass after the
+    // parent-count fix alone. Members whose angle to their assigned
+    // leaf centroid exceeds the orphanAngle knob are pulled out and
+    // given ONE fresh seed+recenter+assign round of their own per
+    // parent (cell ids offset by maxCells, so the leaf id space is
+    // (c1−1)·2·maxCells + cell) — the orphan population is mostly
+    // whole unseeded clusters, so the reseed isolates them, the
+    // evacuated cells' radii tighten (radii are computed over FINAL
+    // membership below), and recall stays 1 at any threshold because
+    // the bound never depended on assignment quality.
+    val orphanDeg = graft.GraftConf.orphanAngleDeg(s)
+    val orphanRad = if (orphanDeg <= 0) Double.MaxValue
+      else math.toRadians(orphanDeg)
+    val assigned = assignToCells(lists1, cent2, Seq("label", "c1"))
+      .join(broadcast(cent2), Seq("label", "c1", "cell"))
+      .withColumn("ang", clampedAngle(
+        Vectors.cosine(col("v"), col("cv"), col("nrm"), col("cnrm"))))
+      .select(col("vec_id"), col("label"), col("c1"), col("cell"),
+        col("v"), col("nrm"), col("ang"))
       .persistTracked
-    val leafId = ((col("c1") - 1) * mc + col("cell"))
+    val keep = assigned.filter(col("ang") <= orphanRad)
+      .select(col("vec_id"), col("label"), col("c1"), col("cell"),
+        col("v"), col("nrm"))
+    val orph = assigned.filter(col("ang") > orphanRad)
+      .select(col("vec_id"), col("label"), col("c1"), col("v"),
+        col("nrm"))
+    // 2× OVERSEEDED: random seeding misses e^(−slots/clusters) of the
+    // orphan clusters; the orphan cells are the last line of defense,
+    // so spend double slots here (a surplus cell just ends up small or
+    // dies in recenter — radii never suffer from oversampling)
+    val nCo = orph.groupBy(col("label"), col("c1"))
+      .agg(least(lit(mc.toLong),
+        greatest(lit(1L), ceil(count(lit(1)) * 2 / lit(tcs.toDouble))))
+        .cast(IntegerType).as("n_cells"))
+    val seedsO = seedCells(orph, Seq("label", "c1"), nCo, mc)
+    val centO = recenterCells(
+        assignToCells(orph, seedsO, Seq("label", "c1")),
+        Seq("label", "c1"))
+      .persistTracked
+    val assignedO = assignToCells(orph, centO, Seq("label", "c1"))
+      .select(col("vec_id"), col("label"), col("c1"),
+        (col("cell") + mc).cast(IntegerType).as("cell"),
+        col("v"), col("nrm"))
+    val leafId = ((col("c1") - 1) * (2 * mc) + col("cell"))
       .cast(IntegerType)
-    val lists = assignToCells(lists1, cent2, Seq("label", "c1"))
+    val lists = keep.unionByName(assignedO)
       .select(col("vec_id"), col("label"), leafId.as("cell"),
         col("v"), col("nrm"))
       .persistTracked
-    val centLeaf = cent2.select(col("label"), col("c1"),
-      leafId.as("cell"), col("cv"), col("cnrm"))
+    val centLeaf = cent2
+      .unionByName(centO.withColumn("cell",
+        (col("cell") + mc).cast(IntegerType)))
+      .select(col("label"), col("c1"), leafId.as("cell"), col("cv"),
+        col("cnrm"))
     // per-leaf angular radius w.r.t. the final leaf centroids
     val radii = lists
       .join(broadcast(centLeaf.drop("c1")), Seq("label", "cell"))

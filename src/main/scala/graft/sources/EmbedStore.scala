@@ -48,6 +48,13 @@ import org.apache.spark.sql.types.IntegerType
   * WIDER radius — extra candidate cells, never a missed verdict — and
   * the replay converges: radius growth is `greatest` (idempotent) and
   * the probe collapses replayed duplicate lists rows at pair level.
+  *
+  * Canonical policy — STABILITY: hist_canonical is the smallest
+  * matching history id, a pure function of (store, batch) — never a
+  * quality rank, which would couple replayed verdicts to a mutable
+  * score table (the full argument on [[FingerprintStore]]).
+  * Quality-aware election is the downstream C16 composition
+  * ([[graft.operators.DedupPack.bestCanonicalOf]]).
   */
 object EmbedStore {
 

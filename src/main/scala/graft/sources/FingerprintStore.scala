@@ -29,6 +29,22 @@ import org.apache.spark.sql.functions._
   * (the C1 election, agg + join-back — never a window over a viral
   * fingerprint); `dup_of_history` distinguishes re-ingested content
   * from novel within-batch duplicates.
+  *
+  * Canonical policy — STABILITY (r13, the family-wide contract; the
+  * same statement in [[MinHashStore]]/[[SimHashStore]]/[[EmbedStore]]):
+  * the verdict elects the smallest history id, a pure function of
+  * (store content, batch). Replay convergence and the append ≡
+  * one-build gates depend on exactly that purity — a quality-ranked
+  * election here would make every verdict depend on a MUTABLE score
+  * table, so a crash-replayed batch after a quality-model update would
+  * elect a different canonical and the convergence contract would
+  * silently break. A production pipeline that wants the best-QUALITY
+  * member to win feeds the verdict's (batch, canonical) pairs as
+  * cluster labels into the C16 election
+  * ([[graft.operators.DedupPack.bestCanonicalOf]]) — the downstream
+  * composition where a better-quality late arrival replaces a worse
+  * history canonical WITHOUT the store's pointer ever moving
+  * (spec: "canonical policy" in DedupPackSpec).
   */
 object FingerprintStore {
 

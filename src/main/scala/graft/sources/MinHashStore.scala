@@ -24,6 +24,14 @@ import org.apache.spark.sql.functions._
   * shingle sets are fetched from the shingles table for the exact
   * jaccard ≥ τ verdict. History cost is paid once at write; each batch
   * pays its own size, never the corpus's.
+  *
+  * Canonical policy — STABILITY: hist_canonical is the smallest
+  * matching history id, a pure function of (store, batch) — never a
+  * quality rank, which would couple replayed verdicts to a mutable
+  * score table (the full argument on [[FingerprintStore]]).
+  * Quality-aware election is the downstream C16 composition
+  * ([[graft.operators.DedupPack.bestCanonicalOf]] — the "canonical
+  * policy" spec runs it over THIS store's verdict).
   */
 object MinHashStore {
 

@@ -29,6 +29,13 @@ import org.apache.spark.sql.types.LongType
   * flipped bit covers any ≤ 7-bit difference... any 7 differing bits
   * leave some 16-bit block with ≤ 1 of them), which is what lets the
   * driver gate hash-match a brute-force oracle.
+  *
+  * Canonical policy — STABILITY: sh_canonical is the smallest matching
+  * history id, a pure function of (store, batch) — never a quality
+  * rank, which would couple replayed verdicts to a mutable score table
+  * (the full argument on [[FingerprintStore]]). Quality-aware election
+  * is the downstream C16 composition
+  * ([[graft.operators.DedupPack.bestCanonicalOf]]).
   */
 object SimHashStore {
 

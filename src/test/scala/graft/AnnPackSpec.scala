@@ -140,6 +140,35 @@ class AnnPackSpec extends GraftSpec {
     Caches.releaseAll(blocking = true)
   }
 
+  test("exact hierarchical two-scale mass: the leaf Lloyd rounds keep " +
+      "planted tight clusters from orphaning into wide-radius leaves") {
+    // the r12 measurement that motivated the banded path: the
+    // multi-parent build orphaned natural clusters across leaf
+    // boundaries (slack-starved leaf count + one quantization round),
+    // the orphaned leaves' radii ballooned, and the UB stopped pruning
+    // them — re-measured at 127× mass at 8× on 20-member planted
+    // clusters before the r13 fixes. The ladder down, each step
+    // measured on THIS corpus (30-member clusters — bigger than a
+    // targetCellSize leaf, so granularity never forces co-housing and
+    // the measurement isolates ORPHANING): unslacked parent counts
+    // 127→38×, + the orphan reseed pass 14.6×, + 2× overseeding the
+    // orphan cells 8.3× — linear is 8.
+    def mass(n: Int): Long = {
+      val c = operators.AnnPack.rangeCandidatesOf(
+        plantedClusters(n, clusterSize = 30).repartition(8), 0.75)
+        .count()
+      Caches.releaseAll(blocking = true)
+      c
+    }
+    val m1 = mass(3000)  // single-parent fast path
+    val m8 = mass(24000) // > l1Slack·tcs·maxCells = 6144 → multi-parent
+    val ratio = m8.toDouble / math.max(m1, 1L)
+    info(s"exact two-scale mass: x1=$m1 x8=$m8 ratio=$ratio")
+    assert(ratio <= 12.0,
+      s"exact hierarchical candidate mass grew ${ratio}× at 8× planted " +
+        s"clustered data — the orphan fraction is back; x1=$m1 x8=$m8")
+  }
+
   test("banded range-candidate mass grows ~linearly in block size " +
       "(the r11 weak, closed by construction)") {
     // two scales spanning the old single-level cell clamp: the

@@ -760,4 +760,49 @@ class DedupPackSpec extends GraftSpec {
       !plan.toLowerCase.contains("windowexec"),
       s"election regressed to a window:\n$plan")
   }
+
+  test("canonical policy (r13): the store verdict stays STABLE on a " +
+      "better-quality late arrival; the C16 composition is where " +
+      "quality wins") {
+    import graft.sources.MinHashStore
+    import spark.implicits._
+    // the policy decision the store family documents: verdicts are
+    // pure functions of (store content, batch) — replay convergence
+    // and the append ≡ one-build gates depend on that purity, so a
+    // mutable quality table must never steer hist_canonical. The
+    // quality election is the DOWNSTREAM composition (bestCanonicalOf
+    // over the verdict's pair graph), where the late arrival CAN win.
+    val history = Seq(
+      (2L, (1 to 40).map(i => s"w$i").mkString(" "))) // the junk draft
+      .toDF("doc_id", "text")
+    val batch = Seq(
+      (9L, (1 to 40).map(i => if (i == 20) "zz" else s"w$i")
+        .mkString(" "))) // the clean rewrite, one word off → near-dup
+      .toDF("doc_id", "text")
+    val tmp = java.nio.file.Files.createTempDirectory("graft-pol").toString
+    MinHashStore.write(history, "mh_pol", s"$tmp/store")
+    try {
+      val verdict = MinHashStore.dedupAgainst(spark, "mh_pol", batch)
+        .collect().map(r => r.getLong(0) ->
+          (r.getLong(1), r.getLong(2))).toMap
+      // stability: the canonical is the history doc, whatever anyone
+      // later thinks of its quality
+      assert(verdict(9L) == ((1L, 2L)),
+        s"store verdict must point at history: $verdict")
+      // composition: the verdict pair becomes a cluster label, scores
+      // rank the late arrival higher, and the C16 election flips the
+      // canonical — without touching the store's contract
+      val labels = Seq((2L, 2L), (9L, 2L)).toDF("doc_id", "cluster_id")
+      val scores = Seq((2L, 100L), (9L, 500L)).toDF("doc_id", "score_q20")
+      val elected = operators.DedupPack.bestCanonicalOf(labels, scores)
+        .collect().map(r => r.getAs[Long]("doc_id") ->
+          r.getAs[Long]("canonical_id")).toMap
+      assert(elected == Map(2L -> 9L, 9L -> 9L),
+        s"the quality election must crown the late arrival: $elected")
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS mh_pol_bands")
+      spark.sql("DROP TABLE IF EXISTS mh_pol_shingles")
+      Caches.deleteDir(tmp)
+    }
+  }
 }
