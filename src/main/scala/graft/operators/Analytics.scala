@@ -45,8 +45,18 @@ object Analytics extends QueryPack {
         .agg(
           dsum(col("l_quantity")).as("sum_qty"),
           dsum(col("l_extendedprice")).as("sum_base_price"),
-          sum(discPrice).cast(DoubleType).as("sum_disc_price"),
-          sum(charge).cast(DoubleType).as("sum_charge"),
+          // the product sums carry scale 4/6 — ROUND back to money
+          // scale 2 BEFORE the double cast: a scale-6 sum crosses 2^53
+          // significant bits at ~2.8e10 (the sf1 gate caught Spark's
+          // one-step correctly-rounded BigDecimal→double landing one
+          // ulp from DuckDB's int128→double→÷10^6 double-rounding),
+          // while scale 2 keeps the conversion exact to ~9e13. ROUND,
+          // not a decimal downcast: Spark's cast rounds HALF_UP but
+          // DuckDB's TRUNCATES — both engines' ROUND is HALF_UP.
+          round(sum(discPrice), 2).cast(DoubleType)
+            .as("sum_disc_price"),
+          round(sum(charge), 2).cast(DoubleType)
+            .as("sum_charge"),
           (sum(col("l_quantity").cast(DecimalType(18, 2))).cast(DoubleType) /
             count(lit(1))).as("avg_qty"),
           (sum(col("l_extendedprice").cast(DecimalType(18, 2))).cast(DoubleType) /
@@ -58,8 +68,8 @@ object Analytics extends QueryPack {
       SELECT l_returnflag, l_linestatus,
         CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
         CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
-        CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price,
-        CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(18,2))) * (CAST(1 AS DECIMAL(3,2)) + CAST(l_tax AS DECIMAL(18,2)))) AS DOUBLE) AS sum_charge,
+        CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(18,2)))), 2) AS DOUBLE) AS sum_disc_price,
+        CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(18,2))) * (CAST(1 AS DECIMAL(3,2)) + CAST(l_tax AS DECIMAL(18,2)))), 2) AS DOUBLE) AS sum_charge,
         CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_qty,
         CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_price,
         COUNT(*) AS count_order

@@ -60,7 +60,10 @@ def main(sf_dir: str, out_dir: str) -> int:
             print(f"ERR  {name}: {msg[:200]}")
             if name not in oracle:
                 failures += 1
+    only = set(sys.argv[3].split(",")) if len(sys.argv) > 3 else None
     for name, sql in sorted(oracle.items()):
+        if only is not None and name not in only:
+            continue
         if name in errs:
             # an ERR name with an oracle must fail HERE, before any
             # parquet lookup: a reused outDir can carry stale output
