@@ -288,6 +288,23 @@ object EmbedStore {
         coalesce(col("__best"), lit(0.0)).as("best_cos"))
   }
 
+  /** Conf-dispatched probe (r13 — the consumer-routing task): ONE
+    * entry point for callers that should not hard-code the engine
+    * (the StreamingIngest embed leg), switched by
+    * `spark.graft.ann.rangeEngine` exactly like the in-query
+    * [[graft.operators.AnnPack.rangePairsAuto]] dispatcher — `exact`
+    * (default; recall 1, candidate mass data-dependent) or `banded`
+    * (mass bounded by construction; LSH recall, verdicts ⊆ exact's).
+    * Same verdict row shape either way, so a 100 TB ingest flips one
+    * conf instead of editing the topology.
+    */
+  def dedupAgainstAuto(spark: SparkSession, tableBase: String,
+      batch: DataFrame, tau: Double = AnnPack.nearDupTau): DataFrame =
+    graft.GraftConf.rangeEngine(spark) match {
+      case "banded" => bandedDedupAgainst(spark, tableBase, batch, tau)
+      case _ => dedupAgainst(spark, tableBase, batch, tau)
+    }
+
   /** Fold `embs` (vec_id, label, embedding — typically the batch's
     * near-dup SURVIVORS; the policy is the caller's) into the history.
     * Known-label vectors route to their nearest EXISTING centroid (the

@@ -198,8 +198,11 @@ object StreamingIngest {
     bsh.unpersist()
     // semantic probe on the same slice the lexical probe reads — severed
     // BEFORE any append below mutates the vector history
+    // conf-dispatched (spark.graft.ann.rangeEngine): a 100 TB history
+    // routes the probe through the banded leg without editing the
+    // topology; the verdict row shape is identical either way
     val emb = embedBase.map { eb =>
-      EmbedStore.dedupAgainst(spark, eb, embBatchOf(survivors))
+      EmbedStore.dedupAgainstAuto(spark, eb, embBatchOf(survivors))
         .select(col("vec_id").as("doc_id"),
           col("n_hist_matches").as("n_emb_matches"),
           col("hist_canonical").as("emb_canonical"),

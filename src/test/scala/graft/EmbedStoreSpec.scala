@@ -192,6 +192,35 @@ class EmbedStoreSpec extends GraftSpec {
     } finally { cleanup(base, path); cleanup(cb, cp) }
   }
 
+  test("dedupAgainstAuto routes by spark.graft.ann.rangeEngine: exact " +
+      "by default, the banded leg under one conf — same verdict shape") {
+    val history = embDf(Seq(
+      (2L, 1, Seq(1.0, 0.0, 0.0, 0.0)),
+      (4L, 1, Seq(0.0, 1.0, 0.0, 0.0))))
+    val batch = embDf(Seq(
+      (1L, 1, Seq(0.9995, 0.0005, 0.0, 0.0)), // near-identical to h2
+      (3L, 1, Seq(0.5, 0.5, 0.5, 0.5))))      // matches nothing at τ
+    val (base, path) = freshBase()
+    try {
+      EmbedStore.write(history, base, path)
+      val viaDefault = verdictMap(
+        EmbedStore.dedupAgainstAuto(spark, base, batch, tau))
+      assert(viaDefault == verdictMap(
+        EmbedStore.dedupAgainst(spark, base, batch, tau)))
+      spark.conf.set(graft.GraftConf.RangeEngineKey, "banded")
+      try {
+        val viaBanded = verdictMap(
+          EmbedStore.dedupAgainstAuto(spark, base, batch, tau))
+        assert(viaBanded == verdictMap(
+          EmbedStore.bandedDedupAgainst(spark, base, batch, tau)))
+        // near-identical payloads collide w.p. ≈1: the routed probe
+        // still finds the planted dup, and misses nothing exact found
+        assert(viaBanded == viaDefault,
+          s"banded-routed verdicts diverged: $viaBanded vs $viaDefault")
+      } finally spark.conf.unset(graft.GraftConf.RangeEngineKey)
+    } finally cleanup(base, path)
+  }
+
   test("banded leg: per-label bits FREEZE at first write — appends " +
       "that grow the block past a rung keep the write-time keys and " +
       "stay probe-able") {
