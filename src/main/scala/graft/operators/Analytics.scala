@@ -204,12 +204,16 @@ object Analytics extends QueryPack {
         .join(ord, col("l_orderkey") === col("o_orderkey"))
         .join(broadcast(dims), col("o_custkey") === col("c_custkey"))
         .groupBy(col("n_name"))
-        .agg(sum(discPrice).cast(DoubleType).as("revenue"))
+        // Per-nation revenue grows with the corpus; ROUND the scale-4
+        // product sum to money scale 2 before the double cast so the
+        // conversion stays exact to ~9e13 (the q1_agg sf1 width fix —
+        // docs/SF1_GATE.md).
+        .agg(round(sum(discPrice), 2).cast(DoubleType).as("revenue"))
         .orderBy(col("revenue").desc, col("n_name"))
     },
     Some("""
       SELECT n_name,
-        CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+        CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(18,2)))), 2) AS DOUBLE) AS revenue
       FROM customer, orders, lineitem, nation, region
       WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
         AND c_nationkey = n_nationkey AND n_regionkey = r_regionkey
