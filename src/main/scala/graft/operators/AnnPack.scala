@@ -264,9 +264,11 @@ object AnnPack extends QueryPack {
   /** Scalar mirror of the per-parent `n_cells` Column in
     * [[labelCellsOf]] — the spec asserts the executed cell structure
     * matches this, proving the knob actually turns with block size.
-    * Valid as the per-LABEL leaf count whenever the block fits one
-    * parent (n ≤ targetCellSize·maxCells), which every current test
-    * corpus does; bigger blocks split per-parent by the same formula.
+    * Valid as the per-LABEL leaf count whenever the block is under the
+    * single-level clamp (n ≤ targetCellSize·maxCells), which every
+    * gate corpus is; slack-band blocks take the refined build (orphan
+    * reseed cells can push the leaf count past this), and bigger
+    * blocks split per-parent by the same formula.
     */
   private[graft] def cellsForBlock(n: Long,
       tcs: Int = graft.GraftConf.DefaultTargetCellSize,
@@ -276,18 +278,22 @@ object AnnPack extends QueryPack {
 
   /** Level-1 slack — MODE hysteresis only (r13): a block pays the
     * second level only once it is l1Slack× past the single-level clamp
-    * (targetCellSize·maxCells). Between 1× and l1Slack× the
-    * single-level build's leaf membership drifts to at most
-    * l1Slack·targetCellSize — a bounded constant, nothing like the old
-    * unbounded growth — while the build stays ONE level (the two-level
-    * build costs a full extra assign+recenter round, measured +3.5 s
-    * on media_semantic_dedup at sf0.1 for a block 8% past the clamp).
-    * r12 ALSO divided the hierarchical parent count by this slack,
-    * which starved the leaf count 4× on exactly the blocks the
-    * hierarchy exists for (leaves ≈ l1Slack·targetCellSize vectors
-    * spanning several natural clusters → ballooned radii → the UB
-    * pruned nothing: 127× planted two-scale mass at 8×, re-measured
-    * this round); the hierarchical parent count is now unslacked.
+    * (targetCellSize·maxCells). Between 1× and l1Slack× the build
+    * stays ONE level (the two-level build costs a full extra
+    * assign+recenter round and a probe stage, measured +3.5 s on
+    * media_semantic_dedup at sf0.1 for a block 8% past the clamp) but
+    * takes the REFINED single-level path: the same leaf Lloyd rounds +
+    * orphan reseed the hierarchical level 2 gets, via a synthetic
+    * one-parent frame — so leaf membership in the band no longer
+    * drifts to l1Slack·targetCellSize-sized multi-cluster leaves
+    * (measured: 385 → 25 candidates/vector on planted 30-member
+    * clusters at n=3000, AnnPackSpec). r12 ALSO divided the
+    * hierarchical parent count by this slack, which starved the leaf
+    * count 4× on exactly the blocks the hierarchy exists for (leaves ≈
+    * l1Slack·targetCellSize vectors spanning several natural clusters
+    * → ballooned radii → the UB pruned nothing: 127× planted two-scale
+    * mass at 8×, re-measured in r13); the hierarchical parent count is
+    * now unslacked.
     */
   private[graft] val l1Slack = 4
 
@@ -446,6 +452,28 @@ object AnnPack extends QueryPack {
     val maxBlock = cnt.agg(coalesce(max(col("n_l")), lit(0L)).as("m"))
       .head.getLong(0)
     val multiParent = maxBlock > tcs.toLong * mc * l1Slack
+    // REFINED single-level band (r13, the residual-(a) close): blocks
+    // past the single-level clamp (tcs·mc) but inside the l1Slack
+    // hysteresis used to quantize in ONE round with leaves drifting to
+    // l1Slack·targetCellSize — several natural clusters co-housed per
+    // leaf, ballooned radii, UB pruning lost (exactly the pathology the
+    // leaf Lloyd rounds + orphan pass fixed on the hierarchical path,
+    // which this band never reached). Route the band through the SAME
+    // leaf machinery via a synthetic one-parent frame: no level-1
+    // corpus pass, no extra probe stage (cent1R = None — the flat
+    // single-level probe), but leaves get the Lloyd rounds, the orphan
+    // reseed, and the orphan id block (cells up to 2·maxCells, so
+    // granularity no longer clamps at maxCells either). Blocks ≤ the
+    // clamp keep the audited one-round build bit-for-bit — every gate
+    // corpus lives there.
+    val refined = !multiParent && maxBlock > tcs.toLong * mc
+    if (refined) {
+      val lists1 = n.select(col("vec_id"), col("label"),
+          lit(1).cast(IntegerType).as("c1"), col("v"), col("nrm"))
+        .persistTracked
+      val (centR, lists) = leafCellStructure(lists1, tcs, mc, s)
+      return CellIndex(None, centR, lists)
+    }
     if (!multiParent) {
       val nCells = cnt.select(col("label"),
         least(lit(mc.toLong),
@@ -485,7 +513,33 @@ object AnnPack extends QueryPack {
     val lists1 = assignToCells(n, cent1)
       .withColumnRenamed("cell", "c1")
       .persistTracked
-    // level-2 leaf count per parent, from the parent's ACTUAL
+    val (centR, lists) = leafCellStructure(lists1, tcs, mc, s)
+    // per-parent radius over the parent's final membership
+    val radii1 = lists1
+      .join(broadcast(cent1.withColumnRenamed("cell", "c1")),
+        Seq("label", "c1"))
+      .withColumn("ang", clampedAngle(
+        Vectors.cosine(col("v"), col("cv"), col("nrm"), col("cnrm"))))
+      .groupBy(col("label"), col("c1"))
+      .agg(max(col("ang")).as("r"))
+    val cent1R = cent1.withColumnRenamed("cell", "c1")
+      .join(radii1, Seq("label", "c1"))
+    CellIndex(Some(cent1R), centR, lists)
+  }
+
+  /** Leaf-level cell structure over a parent-keyed frame
+    * (vec_id, label, c1, v, nrm) — the quality half of the build,
+    * shared by the hierarchical level 2 and the refined single-level
+    * band (where c1 is the synthetic constant 1 and the caller skips
+    * the level-1 probe stage entirely). Returns
+    * (centR: [label, c1, c_cell, cv, cnrm, r], lists: [vec_id, label,
+    * cell, v, nrm]) with the composite leaf id
+    * cell = (c1−1)·2·maxCells + c2 (the upper maxCells of each
+    * parent's id block holds the orphan-pass reseed cells).
+    */
+  private def leafCellStructure(lists1: DataFrame, tcs: Int, mc: Int,
+      s: SparkSession): (DataFrame, DataFrame) = {
+    // leaf count per parent, from the parent's ACTUAL
     // membership (argmax assignment is not uniform)
     val nC2 = lists1.groupBy(col("label"), col("c1"))
       .agg(least(lit(mc.toLong),
@@ -581,17 +635,7 @@ object AnnPack extends QueryPack {
       .agg(max(col("ang")).as("r"))
     val centR = centLeaf.join(radii, Seq("label", "cell"))
       .withColumnRenamed("cell", "c_cell")
-    // per-parent radius over the parent's final membership
-    val radii1 = lists1
-      .join(broadcast(cent1.withColumnRenamed("cell", "c1")),
-        Seq("label", "c1"))
-      .withColumn("ang", clampedAngle(
-        Vectors.cosine(col("v"), col("cv"), col("nrm"), col("cnrm"))))
-      .groupBy(col("label"), col("c1"))
-      .agg(max(col("ang")).as("r"))
-    val cent1R = cent1.withColumnRenamed("cell", "c1")
-      .join(radii1, Seq("label", "c1"))
-    CellIndex(Some(cent1R), centR, lists)
+    (centR, lists)
   }
 
   /** [[cellIndexOf]] exposed in the legacy (centR, lists) shape for

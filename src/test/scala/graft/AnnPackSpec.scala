@@ -140,19 +140,23 @@ class AnnPackSpec extends GraftSpec {
     Caches.releaseAll(blocking = true)
   }
 
-  test("exact hierarchical two-scale mass: the leaf Lloyd rounds keep " +
-      "planted tight clusters from orphaning into wide-radius leaves") {
+  test("exact per-vector candidate mass stays bounded on planted " +
+      "clusters at both the refined band and the multi-parent scale") {
     // the r12 measurement that motivated the banded path: the
     // multi-parent build orphaned natural clusters across leaf
     // boundaries (slack-starved leaf count + one quantization round),
     // the orphaned leaves' radii ballooned, and the UB stopped pruning
-    // them — re-measured at 127× mass at 8× on 20-member planted
-    // clusters before the r13 fixes. The ladder down, each step
-    // measured on THIS corpus (30-member clusters — bigger than a
-    // targetCellSize leaf, so granularity never forces co-housing and
-    // the measurement isolates ORPHANING): unslacked parent counts
-    // 127→38×, + the orphan reseed pass 14.6×, + 2× overseeding the
-    // orphan cells 8.3× — linear is 8.
+    // them — 127× mass at 8× (≈6,100 candidates/vector) before the r13
+    // fixes; the unslacked parents + leaf Lloyd rounds + orphan reseed
+    // brought the multi-parent corpus to ≈400/vector. Routing the
+    // slack band through the same leaf machinery (the r13 residual-(a)
+    // close) then dropped the 3,000-vector corpus from ≈385/vector to
+    // ≈25/vector (76,440 total — near the ~87k true-pair mass), which
+    // is why the assertions are PER-VECTOR, not a cross-scale ratio: a
+    // fixed cluster size means cluster-pair density (how many OTHER
+    // clusters sit within the τ=0.75 bound's reach in 64 dims) grows
+    // with n, so the scales are not ratio-comparable once each one is
+    // individually near-optimal.
     def mass(n: Int): Long = {
       val c = operators.AnnPack.rangeCandidatesOf(
         plantedClusters(n, clusterSize = 30).repartition(8), 0.75)
@@ -160,13 +164,40 @@ class AnnPackSpec extends GraftSpec {
       Caches.releaseAll(blocking = true)
       c
     }
-    val m1 = mass(3000)  // single-parent fast path
+    val m1 = mass(3000)  // slack band → refined single-level build
     val m8 = mass(24000) // > l1Slack·tcs·maxCells = 6144 → multi-parent
-    val ratio = m8.toDouble / math.max(m1, 1L)
-    info(s"exact two-scale mass: x1=$m1 x8=$m8 ratio=$ratio")
-    assert(ratio <= 12.0,
-      s"exact hierarchical candidate mass grew ${ratio}× at 8× planted " +
-        s"clustered data — the orphan fraction is back; x1=$m1 x8=$m8")
+    info(s"exact mass/vector: x1=${m1 / 3000.0} x8=${m8 / 24000.0} " +
+      s"(x1=$m1 x8=$m8)")
+    // measured 25.5/vec refined (headroom 2×) and 400/vec multi-parent
+    // (headroom ~1.5×; pre-fix was 6,100/vec)
+    assert(m1 <= 3000L * 52,
+      s"refined-band candidate mass ${m1 / 3000.0}/vector — the slack " +
+        s"band lost its leaf refinement; x1=$m1")
+    assert(m8 <= 24000L * 600,
+      s"multi-parent candidate mass ${m8 / 24000.0}/vector — the " +
+        s"orphan fraction is back; x8=$m8")
+  }
+
+  test("slack-band blocks take the refined single-level build: flat " +
+      "probe, orphan id block past maxCells, recall preserved") {
+    val n = 3000 // tcs·mc = 1536 < n ≤ l1Slack·tcs·mc = 6144
+    val frame = plantedClusters(n, clusterSize = 30).repartition(8)
+    val ci = operators.AnnPack.cellIndexOf(frame)
+    assert(ci.cent1R.isEmpty,
+      "the refined band must keep the flat (no level-1 stage) probe")
+    val cells = ci.centR.select(col("c_cell")).distinct().count()
+    // the orphan reseed block lives above maxCells — co-housed planted
+    // clusters get pulled out past the old 64-cell granularity clamp
+    assert(cells > 64,
+      s"only $cells leaves for a slack-band block of $n — the orphan " +
+        "id block is not in play and granularity clamps at maxCells")
+    val maxCell = ci.centR.agg(max(col("c_cell"))).head.getInt(0)
+    assert(maxCell <= 128, s"leaf id $maxCell outside the one-parent " +
+      "composite block (≤ 2·maxCells)")
+    // every vector lands in exactly one leaf list
+    assert(ci.lists.count() == n &&
+      ci.lists.select("vec_id").distinct().count() == n)
+    Caches.releaseAll(blocking = true)
   }
 
   test("banded range-candidate mass grows ~linearly in block size " +
