@@ -51,6 +51,27 @@ object GraftConf {
     */
   val OrphanAngleDegKey = "spark.graft.ann.orphanAngleDeg"
 
+  /** Refinement trigger for the REFINED single-level band (blocks
+    * between the single-level clamp and l1Slack× it): after the
+    * round-1 assignment — which is needed regardless — the build peeks
+    * the fraction of members further than orphanAngleDeg from their
+    * round-1 centroid. Past this fraction the block is a similarity
+    * CONTINUUM: there is no minority of unseeded clusters to isolate,
+    * a reseed would just re-cluster the whole block (which round 1
+    * already did), and the extra Lloyd/orphan passes buy ~nothing
+    * (measured on sf0.1 media vectors: frac 0.96, −3.4% candidate
+    * mass for ~3× build wall) — so the build keeps the audited
+    * one-round structure. Below it, a minority of far members marks
+    * orphaned natural clusters and the full leaf refinement runs
+    * (measured on planted 30-member clusters: frac 0.61, 15× mass
+    * reduction). Multi-parent (hierarchical) builds refine
+    * UNCONDITIONALLY: their block sizes amortize the passes, and even
+    * continuum-like corpora measured −22% mass there (the 8× media
+    * sweep) — the trigger exists for the band where stage overhead
+    * dominates.
+    */
+  val OrphanMaxFracKey = "spark.graft.ann.orphanMaxFrac"
+
   /** In-query hot-bucket admission caps (smallest-doc_id TopKPerKey on
     * the index side of the band/bucket self-joins).
     */
@@ -97,6 +118,7 @@ object GraftConf {
   val DefaultMaxPerBucket = 1024
   val DefaultLeafLloydRounds = 2
   val DefaultOrphanAngleDeg = 30.0
+  val DefaultOrphanMaxFrac = 0.8
   val DefaultBandNumBands = 8
   val DefaultBandMaxBits = 16
   val DefaultBandTargetLoad = 4
@@ -117,6 +139,10 @@ object GraftConf {
   def orphanAngleDeg(s: SparkSession): Double =
     s.conf.getOption(OrphanAngleDegKey).map(_.trim.toDouble)
       .getOrElse(DefaultOrphanAngleDeg)
+
+  def orphanMaxFrac(s: SparkSession): Double =
+    s.conf.getOption(OrphanMaxFracKey).map(_.trim.toDouble)
+      .getOrElse(DefaultOrphanMaxFrac)
 
   def simhashMaxPerBucket(s: SparkSession): Int =
     intConf(s, SimhashMaxPerBucketKey, DefaultMaxPerBucket)

@@ -463,15 +463,20 @@ object AnnPack extends QueryPack {
     // corpus pass, no extra probe stage (cent1R = None — the flat
     // single-level probe), but leaves get the Lloyd rounds, the orphan
     // reseed, and the orphan id block (cells up to 2·maxCells, so
-    // granularity no longer clamps at maxCells either). Blocks ≤ the
-    // clamp keep the audited one-round build bit-for-bit — every gate
-    // corpus lives there.
+    // granularity no longer clamps at maxCells either) — GATED by the
+    // measured orphan-fraction trigger (adaptive = true below): a
+    // similarity-continuum block keeps the audited one-round build,
+    // because the refinement measurably buys it nothing while stage
+    // overhead dominates at band-sized blocks. Blocks ≤ the clamp keep
+    // the audited one-round build bit-for-bit — every gate corpus
+    // lives there.
     val refined = !multiParent && maxBlock > tcs.toLong * mc
     if (refined) {
       val lists1 = n.select(col("vec_id"), col("label"),
           lit(1).cast(IntegerType).as("c1"), col("v"), col("nrm"))
         .persistTracked
-      val (centR, lists) = leafCellStructure(lists1, tcs, mc, s)
+      val (centR, lists) =
+        leafCellStructure(lists1, tcs, mc, s, adaptive = true)
       return CellIndex(None, centR, lists)
     }
     if (!multiParent) {
@@ -538,7 +543,8 @@ object AnnPack extends QueryPack {
     * parent's id block holds the orphan-pass reseed cells).
     */
   private def leafCellStructure(lists1: DataFrame, tcs: Int, mc: Int,
-      s: SparkSession): (DataFrame, DataFrame) = {
+      s: SparkSession, adaptive: Boolean = false): (DataFrame, DataFrame) = {
+    val keys = Seq("label", "c1")
     // leaf count per parent, from the parent's ACTUAL
     // membership (argmax assignment is not uniform)
     val nC2 = lists1.groupBy(col("label"), col("c1"))
@@ -546,7 +552,73 @@ object AnnPack extends QueryPack {
         greatest(lit(2L),
           ceil(count(lit(1)) / lit(tcs.toDouble))))
         .cast(IntegerType).as("n_cells"))
-    val seeds2 = seedCells(lists1, Seq("label", "c1"), nC2, mc)
+    val seeds2 = seedCells(lists1, keys, nC2, mc)
+    val rounds = math.max(1, graft.GraftConf.leafLloydRounds(s))
+    val orphanDeg = graft.GraftConf.orphanAngleDeg(s)
+    val orphanRad = if (orphanDeg <= 0) Double.MaxValue
+      else math.toRadians(orphanDeg)
+    // a (keys..., cell, cv, cnrm) centroid table → the assignment +
+    // angle-to-own-centroid frame the orphan split (and the adaptive
+    // trigger) read
+    def assignWithAngles(cent: DataFrame): DataFrame =
+      assignToCells(lists1, cent, keys)
+        .join(broadcast(cent), keys :+ "cell")
+        .withColumn("ang", clampedAngle(
+          Vectors.cosine(col("v"), col("cv"), col("nrm"), col("cnrm"))))
+        .select(col("vec_id"), col("label"), col("c1"), col("cell"),
+          col("v"), col("nrm"), col("ang"))
+        .persistTracked
+    // round 1 — always paid; this IS the audited one-round build
+    val cent0 = recenterCells(assignToCells(lists1, seeds2, keys), keys)
+      .persistTracked
+    if (adaptive) {
+      // ADAPTIVE trigger (refined single-level band only — the
+      // multi-parent hierarchy refines unconditionally; see
+      // GraftConf.OrphanMaxFracKey): the round-1 assignment is needed
+      // regardless, so materialize it WITH angles and peek the orphan
+      // fraction. Past orphanMaxFrac the block is a similarity
+      // continuum — there is no minority of unseeded clusters to
+      // isolate; a reseed would re-cluster the whole block (round 1
+      // already did) and the extra passes buy ~nothing (sf0.1 media:
+      // frac 0.96, −3.4% mass for ~3× build wall). Below it, the far
+      // members mark orphaned natural clusters and the refinement
+      // runs (planted 30-member clusters: frac 0.61, 15× mass cut).
+      val assigned1 = assignWithAngles(cent0)
+      // one job materializes the persist AND reads both trigger stats
+      val st = assigned1.agg(count(lit(1)).as("n"),
+        coalesce(sum(when(col("ang") > orphanRad, 1L).otherwise(0L)),
+          lit(0L)).as("far")).head
+      val (total, far) = (st.getLong(0), st.getLong(1))
+      val frac = if (total == 0L) 1.0 else far.toDouble / total
+      if (frac > graft.GraftConf.orphanMaxFrac(s)) {
+        // continuum: keep the one-round structure; radii fall out of
+        // the angles already computed for the trigger
+        val leafId = ((col("c1") - 1) * (2 * mc) + col("cell"))
+          .cast(IntegerType)
+        val lists = assigned1
+          .select(col("vec_id"), col("label"), leafId.as("cell"),
+            col("v"), col("nrm"))
+          .persistTracked
+        val radii = assigned1.groupBy(col("label"), col("c1"), col("cell"))
+          .agg(max(col("ang")).as("r"))
+        val centR = cent0.join(radii, keys :+ "cell")
+          .select(col("label"), col("c1"), leafId.as("c_cell"),
+            col("cv"), col("cnrm"), col("r"))
+        return (centR, lists)
+      }
+      // refine: Lloyd rounds 2..N resume from the materialized round-1
+      // assignment, then the orphan split below
+      val (assigned, centFinal) =
+        if (rounds <= 1) (assigned1, cent0)
+        else {
+          var cent2 = recenterCells(assigned1.drop("ang"), keys)
+          for (_ <- 2 until rounds)
+            cent2 = recenterCells(assignToCells(lists1, cent2, keys), keys)
+          val cf = cent2.persistTracked
+          (assignWithAngles(cf), cf)
+        }
+      return finishWithOrphans(assigned, centFinal, tcs, mc, orphanRad)
+    }
     // leaf-level Lloyd rounds (r13, conf: spark.graft.ann.
     // leafLloydRounds, default 2): the hash-ordered seeds are
     // effectively random corpus members, and ONE recenter round off
@@ -559,13 +631,10 @@ object AnnPack extends QueryPack {
     // computed over the FINAL membership, so the round count needs no
     // oracle mirror (the D5 unroll lesson: deterministic argmax + mean
     // make extra rounds reproducible anyway).
-    var cent2 = recenterCells(
-        assignToCells(lists1, seeds2, Seq("label", "c1")),
-        Seq("label", "c1"))
-    for (_ <- 1 until math.max(1, graft.GraftConf.leafLloydRounds(s)))
+    var cent2 = cent0
+    for (_ <- 1 until rounds)
       cent2 = recenterCells(
-        assignToCells(lists1, cent2, Seq("label", "c1")),
-        Seq("label", "c1"))
+        assignToCells(lists1, cent2, keys), keys)
     cent2 = cent2.persistTracked
     // ORPHAN pass (r13): random seeding misses a constant fraction of
     // natural clusters (s slots over C clusters leaves C·e^(−s/C)
@@ -582,16 +651,16 @@ object AnnPack extends QueryPack {
     // evacuated cells' radii tighten (radii are computed over FINAL
     // membership below), and recall stays 1 at any threshold because
     // the bound never depended on assignment quality.
-    val orphanDeg = graft.GraftConf.orphanAngleDeg(s)
-    val orphanRad = if (orphanDeg <= 0) Double.MaxValue
-      else math.toRadians(orphanDeg)
-    val assigned = assignToCells(lists1, cent2, Seq("label", "c1"))
-      .join(broadcast(cent2), Seq("label", "c1", "cell"))
-      .withColumn("ang", clampedAngle(
-        Vectors.cosine(col("v"), col("cv"), col("nrm"), col("cnrm"))))
-      .select(col("vec_id"), col("label"), col("c1"), col("cell"),
-        col("v"), col("nrm"), col("ang"))
-      .persistTracked
+    val assigned = assignWithAngles(cent2)
+    finishWithOrphans(assigned, cent2, tcs, mc, orphanRad)
+  }
+
+  /** The orphan split + reseed + final radii tail shared by both
+    * leaf-structure modes; `assigned` carries the angle to its row's
+    * centroid in `cent2` (the final Lloyd round's centroid table).
+    */
+  private def finishWithOrphans(assigned: DataFrame, cent2: DataFrame,
+      tcs: Int, mc: Int, orphanRad: Double): (DataFrame, DataFrame) = {
     val keep = assigned.filter(col("ang") <= orphanRad)
       .select(col("vec_id"), col("label"), col("c1"), col("cell"),
         col("v"), col("nrm"))

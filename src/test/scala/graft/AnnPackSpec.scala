@@ -200,6 +200,32 @@ class AnnPackSpec extends GraftSpec {
     Caches.releaseAll(blocking = true)
   }
 
+  test("the refined band's trigger keeps the one-round build on a " +
+      "similarity continuum") {
+    // clusterSize=1 → every vector is its own hash-random direction: an
+    // isotropic continuum where nearly every member sits > orphanAngle
+    // from its round-1 centroid (no minority of unseeded clusters to
+    // isolate). The orphan-fraction trigger must SKIP the refinement —
+    // structure stays the one-round build: no orphan id block past
+    // maxCells, and exactly the formula cell count (sf0.1 media
+    // measured frac 0.96 here, −3.4% mass for ~3× build wall when the
+    // refinement ran unconditionally).
+    val n = 3000
+    val iso = plantedClusters(n, clusterSize = 1).repartition(8)
+    val ci = operators.AnnPack.cellIndexOf(iso)
+    assert(ci.cent1R.isEmpty)
+    val maxCell = ci.centR.agg(max(col("c_cell"))).head.getInt(0)
+    assert(maxCell <= 64,
+      s"leaf id $maxCell past maxCells — the continuum trigger did " +
+        "not skip the orphan reseed")
+    val cells = ci.centR.select(col("c_cell")).distinct().count()
+    assert(cells == operators.AnnPack.cellsForBlock(n.toLong),
+      s"expected the one-round formula cell count for a skipped " +
+        s"block, got $cells")
+    assert(ci.lists.count() == n)
+    Caches.releaseAll(blocking = true)
+  }
+
   test("banded range-candidate mass grows ~linearly in block size " +
       "(the r11 weak, closed by construction)") {
     // two scales spanning the old single-level cell clamp: the
