@@ -130,8 +130,18 @@ object GraftConf {
   def targetCellSize(s: SparkSession): Int =
     intConf(s, TargetCellSizeKey, DefaultTargetCellSize)
 
-  def maxCells(s: SparkSession): Int =
-    intConf(s, MaxCellsKey, DefaultMaxCells)
+  def maxCells(s: SparkSession): Int = {
+    val mc = intConf(s, MaxCellsKey, DefaultMaxCells)
+    // the composite leaf id (c1−1)·2·maxCells + cell tops out at
+    // 2·maxCells² and is an IntegerType column — past this ceiling the
+    // cast would wrap and distinct leaves would silently collide into
+    // one id (members cross-matched with wrong centroids), so fail
+    // loudly at plan-build instead
+    require(mc >= 2 && mc <= 16384,
+      s"$MaxCellsKey must be in [2, 16384] (the composite leaf id " +
+        s"2*maxCells^2 must fit an Int), got $mc")
+    mc
+  }
 
   def leafLloydRounds(s: SparkSession): Int =
     intConf(s, LeafLloydRoundsKey, DefaultLeafLloydRounds)

@@ -572,52 +572,68 @@ object AnnPack extends QueryPack {
     val cent0 = recenterCells(assignToCells(lists1, seeds2, keys), keys)
       .persistTracked
     if (adaptive) {
-      // ADAPTIVE trigger (refined single-level band only — the
-      // multi-parent hierarchy refines unconditionally; see
+      // ADAPTIVE trigger, PER LABEL (refined single-level band only —
+      // the multi-parent hierarchy refines unconditionally; see
       // GraftConf.OrphanMaxFracKey): the round-1 assignment is needed
-      // regardless, so materialize it WITH angles and peek the orphan
-      // fraction. Past orphanMaxFrac the block is a similarity
-      // continuum — there is no minority of unseeded clusters to
-      // isolate; a reseed would re-cluster the whole block (round 1
-      // already did) and the extra passes buy ~nothing (sf0.1 media:
-      // frac 0.96, −3.4% mass for ~3× build wall). Below it, the far
-      // members mark orphaned natural clusters and the refinement
-      // runs (planted 30-member clusters: frac 0.61, 15× mass cut).
+      // regardless, so materialize it WITH angles and peek each
+      // label's orphan fraction (≤|labels| rows — the same
+      // metadata-scale driver peek discipline as the mode switch).
+      // Past orphanMaxFrac a label's block is a similarity continuum —
+      // there is no minority of unseeded clusters to isolate; a reseed
+      // would re-cluster the whole block (round 1 already did) and the
+      // extra passes buy ~nothing (sf0.1 media: frac 0.96, −3.4% mass
+      // for ~3× build wall) — the label keeps its one-round structure,
+      // radii falling out of the angles already computed. Below it,
+      // the far members mark orphaned natural clusters and the label
+      // refines (planted 30-member clusters: frac 0.61, 15× mass cut).
+      // The decision is per label so a clustered minority label
+      // co-resident with a continuum majority (or vice versa) never
+      // inherits the wrong branch; homogeneous corpora get a
+      // single-branch plan with zero dead stages.
       val assigned1 = assignWithAngles(cent0)
-      // one job materializes the persist AND reads both trigger stats
-      val st = assigned1.agg(count(lit(1)).as("n"),
-        coalesce(sum(when(col("ang") > orphanRad, 1L).otherwise(0L)),
-          lit(0L)).as("far")).head
-      val (total, far) = (st.getLong(0), st.getLong(1))
-      val frac = if (total == 0L) 1.0 else far.toDouble / total
-      if (frac > graft.GraftConf.orphanMaxFrac(s)) {
-        // continuum: keep the one-round structure; radii fall out of
-        // the angles already computed for the trigger
-        val leafId = ((col("c1") - 1) * (2 * mc) + col("cell"))
-          .cast(IntegerType)
-        val lists = assigned1
-          .select(col("vec_id"), col("label"), leafId.as("cell"),
-            col("v"), col("nrm"))
-          .persistTracked
-        val radii = assigned1.groupBy(col("label"), col("c1"), col("cell"))
-          .agg(max(col("ang")).as("r"))
-        val centR = cent0.join(radii, keys :+ "cell")
-          .select(col("label"), col("c1"), leafId.as("c_cell"),
-            col("cv"), col("cnrm"), col("r"))
-        return (centR, lists)
+      val maxFrac = graft.GraftConf.orphanMaxFrac(s)
+      // one job materializes the persist AND reads every label's stat
+      val fracRows = assigned1.groupBy(col("label"))
+        .agg(avg(when(col("ang") > orphanRad, 1.0).otherwise(0.0))
+          .as("ofrac"))
+        .collect()
+      val refineLabels = fracRows.filter(_.getDouble(1) <= maxFrac)
+        .map(_.get(0)).toSeq
+      val skipLabels = fracRows.filter(_.getDouble(1) > maxFrac)
+        .map(_.get(0)).toSeq
+      if (refineLabels.isEmpty) // all-continuum (or empty) corpus
+        return plainLeafStructure(assigned1, cent0, mc)
+      def refined(a1: DataFrame, l1: DataFrame): (DataFrame, DataFrame) = {
+        // Lloyd rounds 2..N resume from the materialized round-1
+        // assignment, then the orphan split
+        val (assigned, centFinal) =
+          if (rounds <= 1) (a1, cent0)
+          else {
+            var cent2 = recenterCells(a1.drop("ang"), keys)
+            for (_ <- 2 until rounds)
+              cent2 = recenterCells(assignToCells(l1, cent2, keys), keys)
+            val cf = cent2.persistTracked
+            (assignToCells(l1, cf, keys)
+              .join(broadcast(cf), keys :+ "cell")
+              .withColumn("ang", clampedAngle(
+                Vectors.cosine(col("v"), col("cv"), col("nrm"),
+                  col("cnrm"))))
+              .select(col("vec_id"), col("label"), col("c1"),
+                col("cell"), col("v"), col("nrm"), col("ang"))
+              .persistTracked, cf)
+          }
+        finishWithOrphans(assigned, centFinal, tcs, mc, orphanRad)
       }
-      // refine: Lloyd rounds 2..N resume from the materialized round-1
-      // assignment, then the orphan split below
-      val (assigned, centFinal) =
-        if (rounds <= 1) (assigned1, cent0)
-        else {
-          var cent2 = recenterCells(assigned1.drop("ang"), keys)
-          for (_ <- 2 until rounds)
-            cent2 = recenterCells(assignToCells(lists1, cent2, keys), keys)
-          val cf = cent2.persistTracked
-          (assignWithAngles(cf), cf)
-        }
-      return finishWithOrphans(assigned, centFinal, tcs, mc, orphanRad)
+      if (skipLabels.isEmpty) // all-clustered corpus
+        return refined(assigned1, lists1)
+      // mixed corpus: each label takes its own branch; union at the end
+      val (centRS, listsS) = plainLeafStructure(
+        assigned1.filter(col("label").isin(skipLabels: _*)),
+        cent0.filter(col("label").isin(skipLabels: _*)), mc)
+      val (centRR, listsR) = refined(
+        assigned1.filter(col("label").isin(refineLabels: _*)),
+        lists1.filter(col("label").isin(refineLabels: _*)))
+      return (centRR.unionByName(centRS), listsR.unionByName(listsS))
     }
     // leaf-level Lloyd rounds (r13, conf: spark.graft.ann.
     // leafLloydRounds, default 2): the hash-ordered seeds are
@@ -659,8 +675,35 @@ object AnnPack extends QueryPack {
     * leaf-structure modes; `assigned` carries the angle to its row's
     * centroid in `cent2` (the final Lloyd round's centroid table).
     */
+  /** The no-reseed leaf structure straight off an angle-carrying
+    * assignment: composite leaf ids, radii reused from the attached
+    * angles (the centroids in `cent` are exactly what `assigned` was
+    * measured against). Serves the per-label continuum skip AND the
+    * statically-disabled orphan pass.
+    */
+  private def plainLeafStructure(assigned: DataFrame, cent: DataFrame,
+      mc: Int): (DataFrame, DataFrame) = {
+    val leafIdOf = ((col("c1") - 1) * (2 * mc) + col("cell"))
+      .cast(IntegerType)
+    val lists = assigned
+      .select(col("vec_id"), col("label"), leafIdOf.as("cell"),
+        col("v"), col("nrm"))
+      .persistTracked
+    val radii = assigned.groupBy(col("label"), col("c1"), col("cell"))
+      .agg(max(col("ang")).as("r"))
+    val centR = cent.join(radii, Seq("label", "c1", "cell"))
+      .select(col("label"), col("c1"), leafIdOf.as("c_cell"),
+        col("cv"), col("cnrm"), col("r"))
+    (centR, lists)
+  }
+
   private def finishWithOrphans(assigned: DataFrame, cent2: DataFrame,
       tcs: Int, mc: Int, orphanRad: Double): (DataFrame, DataFrame) = {
+    // orphan pass statically disabled (orphanAngleDeg <= 0): `orph` is
+    // provably empty — return the plain assignment instead of paying
+    // ~five no-op stages of seed/recenter/assign/union
+    if (orphanRad == Double.MaxValue)
+      return plainLeafStructure(assigned, cent2, mc)
     val keep = assigned.filter(col("ang") <= orphanRad)
       .select(col("vec_id"), col("label"), col("c1"), col("cell"),
         col("v"), col("nrm"))
@@ -991,6 +1034,20 @@ object AnnPack extends QueryPack {
   // count is too small for banding to mean anything.
   private[graft] val bandMinBits = 4
 
+  /** Geometry check shared by every banded-path entry point — the
+    * persisted EmbedStore leg included: `bandBitsCol(maxBits, load)`
+    * folds over `(bandMinBits until maxBits)`, so maxBits below
+    * bandMinBits would freeze bits=bandMinBits > maxBits into a store
+    * and every band key would bleed into the next band's plane block
+    * (silently, for the store's lifetime) instead of failing fast the
+    * way the in-query path does.
+    */
+  private[graft] def requireBandGeometry(numBands: Int, maxBits: Int,
+      targetLoad: Int): Unit =
+    require(numBands >= 1 && maxBits >= bandMinBits && targetLoad >= 1,
+      s"banded geometry out of range: bands=$numBands (≥1), " +
+        s"maxBits=$maxBits (≥$bandMinBits), targetLoad=$targetLoad (≥1)")
+
   /** The integer bit-width ladder as a Column over a per-label count
     * `n_l`: minBits + Σ_{b=minBits}^{maxBits−1} [n_l > targetLoad·2^b].
     * Shared with [[graft.sources.EmbedStore]]'s banded leg, which
@@ -1077,9 +1134,7 @@ object AnnPack extends QueryPack {
     val numBands = graft.GraftConf.bandNumBands(s)
     val maxBits = graft.GraftConf.bandMaxBits(s)
     val targetLoad = graft.GraftConf.bandTargetLoad(s)
-    require(numBands >= 1 && maxBits >= bandMinBits && targetLoad >= 1,
-      s"banded geometry out of range: bands=$numBands (≥1), " +
-        s"maxBits=$maxBits (≥$bandMinBits), targetLoad=$targetLoad (≥1)")
+    requireBandGeometry(numBands, maxBits, targetLoad)
     val nl = n.groupBy(col("label")).agg(count(lit(1)).as("n_l"))
     val bits = nl.select(col("label"),
       bandBitsCol(maxBits, targetLoad).as("bits"))

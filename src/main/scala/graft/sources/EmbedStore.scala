@@ -202,6 +202,9 @@ object EmbedStore {
     val numBands = graft.GraftConf.bandNumBands(spark)
     val maxBits = graft.GraftConf.bandMaxBits(spark)
     val targetLoad = graft.GraftConf.bandTargetLoad(spark)
+    // same fail-fast as the in-query engine: an out-of-range conf here
+    // would FREEZE mis-keyed geometry into the store for its lifetime
+    AnnPack.requireBandGeometry(numBands, maxBits, targetLoad)
     val cap = graft.GraftConf.annBandMaxPerBucket(spark)
     // the geometry peek: one driver-side width read per store BUILD
     // (not per probe); an empty history freezes dim=1 with zero labels,
@@ -240,6 +243,11 @@ object EmbedStore {
     */
   def bandedDedupAgainst(spark: SparkSession, tableBase: String,
       batch: DataFrame, tau: Double = AnnPack.nearDupTau): DataFrame = {
+    require(spark.catalog.tableExists(s"${tableBase}_bbits"),
+      s"EmbedStore '$tableBase' has no banded leg (persisted before " +
+        "the banded sidecar tables existed): run append() or compact() " +
+        "once to backfill it from the history, or rebuild with write(). " +
+        "The exact-leg probe (dedupAgainst) works unchanged meanwhile.")
     val bbits = spark.table(s"${tableBase}_bbits")
     val meta = bbits.select(col("dim"), col("bands"), col("max_bits"))
       .limit(1).collect()
@@ -359,6 +367,15 @@ object EmbedStore {
   private[graft] def bandedAppendLeg(spark: SparkSession,
       tableBase: String, routed: DataFrame): Unit = {
     val bbitsT = s"${tableBase}_bbits"
+    if (!spark.catalog.tableExists(bbitsT)) {
+      // store persisted before the banded leg existed: upgrade in
+      // place. The lists leg already holds THIS append's batch
+      // (appendListsLeg lands first), so the history backfill covers
+      // history + batch in one pass and the per-batch band append is
+      // skipped this once.
+      backfillBandedLeg(spark, tableBase)
+      return
+    }
     val bbits = spark.table(bbitsT)
     val meta = bbits.select(col("dim"), col("bands"), col("max_bits"))
       .limit(1).collect()
@@ -372,6 +389,10 @@ object EmbedStore {
     val maxBits = meta.headOption.map(_.getInt(2))
       .getOrElse(graft.GraftConf.bandMaxBits(spark))
     val targetLoad = graft.GraftConf.bandTargetLoad(spark)
+    // frozen geometry was validated at write; the empty-history
+    // first-write fallback reads the conf and must fail fast the same
+    // way write() does
+    AnnPack.requireBandGeometry(numBands, maxBits, targetLoad)
     val cap = graft.GraftConf.annBandMaxPerBucket(spark)
     val fresh = routed.groupBy(col("label"))
       .agg(count(lit(1)).as("n_l"))
@@ -394,6 +415,36 @@ object EmbedStore {
         s"${tableBase}_bands")
     } finally
       org.apache.spark.sql.GraftDatasetBridge.freeLocalCheckpoint(fresh)
+  }
+
+  /** Once-only in-place upgrade of a store persisted before the banded
+    * leg existed: build `_bbits`/`_bands` from the FULL persisted
+    * history — a batch-only backfill would leave every pre-upgrade
+    * vector outside the banded index, a permanent recall hole against
+    * the store contract — at the store's own catalog-derived location
+    * and bucket count. Labels come back TYPED via the metadata-scale
+    * cells table (the lists table fuses them into the string ckey).
+    * Called from append()/compact() when the sidecars are missing; the
+    * banded probe fails loudly instead (read-only paths stay
+    * read-only).
+    */
+  private def backfillBandedLeg(spark: SparkSession,
+      tableBase: String): Unit = {
+    val cat = spark.sessionState.catalog
+    val listsMeta = cat.getTableMetadata(spark.sessionState.sqlParser
+      .parseTableIdentifier(s"${tableBase}_lists"))
+    // lists lives at <base>/lists[__gN] (compaction swaps generations)
+    val base = new org.apache.hadoop.fs.Path(
+      listsMeta.location.toString.stripSuffix("/")
+        .replaceAll("__g\\d+$", "")).getParent.toString
+    val buckets = listsMeta.bucketSpec.map(_.numBuckets).getOrElse(8)
+    val cellLabels = spark.table(s"${tableBase}_cells")
+      .select(ckey(col("label"), col("cell")).as("ckey"), col("label"))
+    val hist = spark.table(s"${tableBase}_lists")
+      .join(broadcast(cellLabels), Seq("ckey"))
+      .select(col("h_id").as("vec_id"), col("label"),
+        col("hv").as("v"), col("hnrm").as("nrm"))
+    writeBandedLeg(spark, hist, tableBase, base, buckets)
   }
 
   /** The append's routing + radius computation, severed
@@ -472,8 +523,15 @@ object EmbedStore {
       Seq("label", "cell"))
     // banded leg: rows preserved exactly — re-capping across append
     // generations here would CHANGE verdicts under a replayer; the cap
-    // is a per-generation write bound, a rebuild re-tightens it
-    Bucketed.compactBucketed(spark, s"${tableBase}_bands")
-    Bucketed.compactPlain(spark, s"${tableBase}_bbits", Seq("label"))
+    // is a per-generation write bound, a rebuild re-tightens it. A
+    // store persisted before the banded leg existed has no sidecars
+    // yet — compaction is a maintenance write window, so upgrade it
+    // here from the (just-compacted) history.
+    if (!spark.catalog.tableExists(s"${tableBase}_bands"))
+      backfillBandedLeg(spark, tableBase)
+    else {
+      Bucketed.compactBucketed(spark, s"${tableBase}_bands")
+      Bucketed.compactPlain(spark, s"${tableBase}_bbits", Seq("label"))
+    }
   }
 }

@@ -226,6 +226,33 @@ class AnnPackSpec extends GraftSpec {
     Caches.releaseAll(blocking = true)
   }
 
+  test("the refined band's trigger decides PER LABEL: a mixed corpus " +
+      "refines its clustered label and skips its continuum label") {
+    val n = 3000
+    val clustered = plantedClusters(n, clusterSize = 30) // label 0
+    val continuum = plantedClusters(n, clusterSize = 1)
+      .withColumn("label", lit(1))
+      .withColumn("vec_id", col("vec_id") + 100000L)
+    val mixed = clustered.unionByName(continuum).repartition(8)
+    val ci = operators.AnnPack.cellIndexOf(mixed)
+    assert(ci.cent1R.isEmpty)
+    val byLabel = ci.centR.groupBy(col("label"))
+      .agg(max(col("c_cell")).as("m"),
+        countDistinct(col("c_cell")).as("cells"))
+      .collect().map(r => r.getInt(0) -> (r.getInt(1), r.getLong(2)))
+      .toMap
+    assert(byLabel(0)._1 > 64,
+      s"clustered label kept only ${byLabel(0)._1} max cell id — it " +
+        "inherited the continuum majority's skip")
+    assert(byLabel(1)._1 <= 64 &&
+      byLabel(1)._2 == operators.AnnPack.cellsForBlock(n.toLong),
+      s"continuum label got ${byLabel(1)} — it inherited the " +
+        "clustered label's refinement")
+    assert(ci.lists.count() == 2L * n &&
+      ci.lists.select("vec_id").distinct().count() == 2L * n)
+    Caches.releaseAll(blocking = true)
+  }
+
   test("banded range-candidate mass grows ~linearly in block size " +
       "(the r11 weak, closed by construction)") {
     // two scales spanning the old single-level cell clamp: the

@@ -156,6 +156,57 @@ class EmbedStoreSpec extends GraftSpec {
     }
   }
 
+  test("pre-banded store upgrade: append/compact backfill the banded " +
+      "leg from the FULL history; the banded probe fails loudly before") {
+    val history = embDf(Seq(
+      (2L, 1, Seq(1.0, 0.0, 0.0, 0.0)),
+      (6L, 1, Seq(0.0, 1.0, 0.0, 0.0)),
+      (10L, 2, Seq(0.5, 0.5, 0.0, 0.0))))
+    val appended = embDf(Seq((20L, 1, Seq(0.0, 0.0, 1.0, 0.0))))
+    // near-identical to a PRE-upgrade history vector (h2) and to the
+    // appended one (20): both must be found, proving the backfill
+    // covered the history, not just the upgrading batch
+    val probe = embDf(Seq(
+      (1L, 1, Seq(0.9995, 0.0005, 0.0, 0.0)),
+      (3L, 1, Seq(0.0005, 0.0, 0.9995, 0.0))))
+    val (base, path) = freshBase()
+    def dropBandedLeg(): Unit = {
+      Seq("bbits", "bands").foreach { s =>
+        spark.sql(s"DROP TABLE IF EXISTS ${base}_$s")
+        Caches.deleteDir(s"$path/$s")
+      }
+    }
+    try {
+      EmbedStore.write(history, base, path)
+      dropBandedLeg() // simulate a store persisted before the leg existed
+      val err = intercept[IllegalArgumentException] {
+        EmbedStore.bandedDedupAgainst(spark, base, probe, tau)
+      }
+      assert(err.getMessage.contains("no banded leg"))
+      // exact leg unaffected by the missing sidecars
+      assert(verdictMap(EmbedStore.dedupAgainst(spark, base, probe)) ==
+        bruteVerdicts(probe, history))
+      // append upgrades in place: lists land first, then the backfill
+      // builds bands over history + batch in one pass
+      EmbedStore.append(spark, base, appended)
+      val full = history.unionByName(appended)
+      assert(verdictMap(
+        EmbedStore.bandedDedupAgainst(spark, base, probe, tau)) ==
+        bruteVerdicts(probe, full))
+      // compact() on a pre-banded store backfills too (and on an
+      // upgraded one compacts the sidecars without changing verdicts)
+      dropBandedLeg()
+      EmbedStore.compact(spark, base)
+      assert(verdictMap(
+        EmbedStore.bandedDedupAgainst(spark, base, probe, tau)) ==
+        bruteVerdicts(probe, full))
+      EmbedStore.compact(spark, base)
+      assert(verdictMap(
+        EmbedStore.bandedDedupAgainst(spark, base, probe, tau)) ==
+        bruteVerdicts(probe, full))
+    } finally cleanup(base, path)
+  }
+
   test("banded leg: write+append ≡ one-shot build (same ladder rung), " +
       "replay converges, compaction is verdict-stable") {
     val part1 = embDf(Seq(
