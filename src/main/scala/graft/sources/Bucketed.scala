@@ -44,6 +44,7 @@ object Bucketed {
   def writeBucketed(df: DataFrame, table: String, key: String,
                     buckets: Int, path: String): Unit = {
     val spark = df.sparkSession
+    requireNonGenerationPath(path)
     withWriterLeaseAt(spark, resolveLocation(spark, table, path), table) {
       withSpec(df.write.mode("overwrite")
         .format("parquet")
@@ -61,6 +62,7 @@ object Bucketed {
   def writePlain(df: DataFrame, table: String, path: String,
       sortCols: Seq[String]): Unit = {
     val spark = df.sparkSession
+    requireNonGenerationPath(path)
     withWriterLeaseAt(spark, resolveLocation(spark, table, path), table) {
       df.repartition(1)
         .sortWithinPartitions(
@@ -69,6 +71,18 @@ object Bucketed {
         .option("path", path).saveAsTable(table)
     }
   }
+
+  /** The `__gN` suffix is RESERVED for compaction's generation
+    * directories: a user table written at a path that matches it would
+    * collide with a sibling table's generation namespace — its own
+    * base-stripped lock would alias the sibling's, and the sibling's
+    * compaction retirement sweep could delete it as an elder
+    * generation. Refuse at write time, where the path is chosen.
+    */
+  private def requireNonGenerationPath(path: String): Unit =
+    require(!path.stripSuffix("/").matches(".*__g\\d+$"),
+      s"table path '$path' ends in the reserved generation suffix " +
+        "__g<N> — pick another path (compaction owns that namespace)")
 
   /** The location `saveAsTable` will actually use for a `path` option —
     * a relative path resolves against the TABLE IDENTIFIER's database
@@ -80,14 +94,23 @@ object Bucketed {
   private def resolveLocation(spark: SparkSession, table: String,
       path: String): String = {
     val raw = new org.apache.hadoop.fs.Path(path)
-    val resolved = if (raw.isAbsolute || raw.toUri.getScheme != null) raw
-      else {
-        val db = spark.sessionState.sqlParser.parseTableIdentifier(table)
-          .database.getOrElse(spark.sessionState.catalog.getCurrentDatabase)
-        new org.apache.hadoop.fs.Path(new org.apache.hadoop.fs.Path(
-          spark.sessionState.catalog.getDatabaseMetadata(db).locationUri),
-          path)
-      }
+    if (raw.toUri.getScheme != null) return raw.toString
+    // scheme-less paths — absolute AND relative — qualify against the
+    // TABLE'S DATABASE location, exactly as Spark's
+    // SessionCatalog.makeQualifiedTablePath will when saveAsTable runs:
+    // a scheme-less absolute path on a database whose location is not
+    // on the default filesystem (s3a warehouse, hdfs defaultFS) would
+    // otherwise lease on a DIFFERENT filesystem than the
+    // catalog-derived lock append/compact use, silently admitting a
+    // rebuild beside an in-flight append
+    val db = spark.sessionState.sqlParser.parseTableIdentifier(table)
+      .database.getOrElse(spark.sessionState.catalog.getCurrentDatabase)
+    val dbLoc = new org.apache.hadoop.fs.Path(
+      spark.sessionState.catalog.getDatabaseMetadata(db).locationUri)
+    val resolved =
+      if (raw.isAbsolute) new org.apache.hadoop.fs.Path(
+        dbLoc.toUri.getScheme, dbLoc.toUri.getAuthority, path)
+      else new org.apache.hadoop.fs.Path(dbLoc, path)
     resolved.toString
   }
 
@@ -151,10 +174,15 @@ object Bucketed {
   private def withWriterLeaseAt[T](spark: SparkSession, location: String,
       table: String)(body: => T): T = {
     val loc = location.stripSuffix("/")
-    val lock = new org.apache.hadoop.fs.Path(
+    val rawLock = new org.apache.hadoop.fs.Path(
       loc.replaceAll("__g\\d+$", "") + "__lock")
+    val fs = rawLock.getFileSystem(spark.sessionState.newHadoopConf())
+    // reentrancy keys on the QUALIFIED path: the same physical lock can
+    // arrive spelled two ways (catalog URI "file:/p/t__lock" vs a
+    // resolveLocation-derived bare "/p/t__lock") and an unnormalized
+    // key would read the holder's own live marker as contention
+    val lock = fs.makeQualified(rawLock)
     if (heldLeases.get.contains(lock.toString)) return body
-    val fs = lock.getFileSystem(spark.sessionState.newHadoopConf())
     val holder = s"pid=${ProcessHandle.current().pid()} host=${
       java.net.InetAddress.getLocalHost.getHostName} at=${
       java.time.Instant.now()}"
@@ -263,7 +291,19 @@ object Bucketed {
         val won = try fs.rename(lock, claimed)
           catch { case _: java.io.IOException => false }
         if (won) {
-          val got = readMarker(claimed)
+          // transient read failures must not leak the "unknown"
+          // sentinel into a restored lock (an "unknown" marker never
+          // parses as dead and would wedge the store permanently):
+          // retry, and if the claimed marker stays unreadable, refuse
+          // LOUDLY with the claim path kept for the operator — never
+          // write back content that was not actually verified
+          val got = (1 to 3).iterator.map(_ => readMarker(claimed))
+            .find(_ != "unknown").getOrElse("unknown")
+          if (got == "unknown")
+            throw new java.util.ConcurrentModificationException(
+              s"$table lease break claimed $claimed but its content " +
+                "could not be read back for verification; inspect and " +
+                "remove it manually, then retry.")
           if (!(got == who || holderDead(got)))
             // claimed a live writer's marker: put it back if the slot
             // is still free; if a third writer took it meanwhile, the
@@ -307,26 +347,6 @@ object Bucketed {
     spark.catalog.refreshTable(table)
   }
 
-  /** Rewrite an appended-to bucketed table back to one sorted file per
-    * bucket. Appends amortize ingest but amplify reads: every appended
-    * batch adds a file per touched bucket, and past one file per bucket
-    * Spark stops trusting the sort order (a local sort re-appears below
-    * every sort-merge probe). Compaction writes the full table fresh to
-    * a SIBLING directory (reading and overwriting the same path is
-    * illegal), atomically points the catalog table at it, and retires
-    * the old directory with ONE-generation grace: the dir retired NOW
-    * stays on disk until the NEXT compaction (only generations older
-    * than it are deleted), so a plan resolved before this compaction —
-    * a lazy verdict frame, or a probe through another session whose
-    * relation cache was not refreshed — still reads the files its scan
-    * captured. The reader contract is therefore: re-resolve (or
-    * materialize) any frame older than the PREVIOUS compaction.
-    * Single-writer, like the appends it cleans up after — both enforced
-    * by [[withWriterLease]], so an append racing a compaction (or
-    * another append) refuses loudly instead of corrupting. All paths go
-    * through the table location's own Hadoop filesystem — an hdfs:// or
-    * s3a:// store compacts the same way a local one does.
-    */
   /** Generation-swap scaffolding shared by the compaction paths:
     * compute the next `__gN` sibling of the live location, let `write`
     * land the new generation there under a staging catalog name,
@@ -418,6 +438,26 @@ object Bucketed {
     }
   }
 
+  /** Rewrite an appended-to bucketed table back to one sorted file per
+    * bucket. Appends amortize ingest but amplify reads: every appended
+    * batch adds a file per touched bucket, and past one file per bucket
+    * Spark stops trusting the sort order (a local sort re-appears below
+    * every sort-merge probe). Compaction writes the full table fresh to
+    * a SIBLING directory (reading and overwriting the same path is
+    * illegal), atomically points the catalog table at it, and retires
+    * the old directory with ONE-generation grace: the dir retired NOW
+    * stays on disk until the NEXT compaction (only generations older
+    * than it are deleted), so a plan resolved before this compaction —
+    * a lazy verdict frame, or a probe through another session whose
+    * relation cache was not refreshed — still reads the files its scan
+    * captured. The reader contract is therefore: re-resolve (or
+    * materialize) any frame older than the PREVIOUS compaction.
+    * Single-writer, like the appends it cleans up after — both enforced
+    * by [[withWriterLease]], so an append racing a compaction (or
+    * another append) refuses loudly instead of corrupting. All paths go
+    * through the table location's own Hadoop filesystem — an hdfs:// or
+    * s3a:// store compacts the same way a local one does.
+    */
   def compactBucketed(spark: SparkSession,
       table: String): Unit = withWriterLease(spark, table) {
     val cat = spark.sessionState.catalog
@@ -440,17 +480,28 @@ object Bucketed {
     val autoScanKey =
       "spark.sql.sources.bucketing.autoBucketedScan.enabled"
     swapGeneration(spark, table) { (newPath, tmpTable) =>
-      val prevAuto = spark.conf.get(autoScanKey)
-      spark.conf.set(autoScanKey, "false")
-      try {
-        val cols = spec.bucketColumnNames
-          .map(org.apache.spark.sql.functions.col)
-        withSpec(spark.table(table)
-          .repartition(spec.numBuckets, cols: _*)
-          .write.mode("overwrite").format("parquet")
-          .option("path", newPath), spec)
-          .saveAsTable(tmpTable)
-      } finally spark.conf.set(autoScanKey, prevAuto)
+      // the conf save/set/restore is SESSION-global while the leases
+      // are per table, so two threads compacting different tables of
+      // one session would race it (one restores "true" mid-CTAS of the
+      // other → mixed-bucket fragmented output, then the other
+      // "restores" the first's "false" permanently) — serialize the
+      // whole conf-scoped section process-wide; compaction is
+      // maintenance, the serialization is free
+      compactConfLock.synchronized {
+        val prevAuto = spark.conf.get(autoScanKey)
+        spark.conf.set(autoScanKey, "false")
+        try {
+          val cols = spec.bucketColumnNames
+            .map(org.apache.spark.sql.functions.col)
+          withSpec(spark.table(table)
+            .repartition(spec.numBuckets, cols: _*)
+            .write.mode("overwrite").format("parquet")
+            .option("path", newPath), spec)
+            .saveAsTable(tmpTable)
+        } finally spark.conf.set(autoScanKey, prevAuto)
+      }
     }
   }
+
+  private val compactConfLock = new Object
 }

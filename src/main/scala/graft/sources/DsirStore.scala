@@ -88,13 +88,14 @@ object DsirStore {
   def append(spark: SparkSession, tableBase: String,
       batch: DataFrame): Unit =
     // ONE critical section under the `_docs` writer lease covering the
-    // novelty probe AND both legs (r11 ADVICE): the `_cnt` delta is
-    // plain parquet with no lease of its own, so two concurrent
-    // appends with overlapping doc_ids could both pass the probe and
+    // novelty probe AND both legs (r11 ADVICE): two concurrent appends
+    // with overlapping doc_ids could otherwise both pass the probe and
     // double-count the overlap — the scaladoc's serialize-per-store
     // contract, now enforced instead of documented. commitDocs'
     // internal acquisition of the same lease is reentrant
-    // (Bucketed.heldLeases).
+    // (Bucketed.heldLeases); appendDelta additionally takes the `_cnt`
+    // table's own lease (this `_docs` section does not cover it) so
+    // the delta write cannot race a `_cnt` compaction either.
     Bucketed.withWriterLease(spark, s"${tableBase}_docs") {
       val novel = novelSlice(spark, tableBase, batch)
       if (novel.limit(1).count() > 0) {
@@ -119,8 +120,14 @@ object DsirStore {
 
   private[graft] def appendDelta(spark: SparkSession, tableBase: String,
       novel: DataFrame): Unit = {
-    cntDelta(novel).write.mode("append").format("parquet")
-      .saveAsTable(s"${tableBase}_cnt")
+    // the `_cnt` table's OWN lease (the outer `_docs` critical section
+    // does not cover it — leases key per location): a raw append racing
+    // compactPlain(_cnt)'s generation swap could land the delta file in
+    // the retired directory and silently lose the counts
+    Bucketed.withWriterLease(spark, s"${tableBase}_cnt") {
+      cntDelta(novel).write.mode("append").format("parquet")
+        .saveAsTable(s"${tableBase}_cnt")
+    }
     spark.catalog.refreshTable(s"${tableBase}_cnt")
   }
 

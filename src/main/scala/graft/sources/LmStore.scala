@@ -83,16 +83,25 @@ object LmStore {
     * batch_id collapses the duplicates at read.
     */
   def append(spark: SparkSession, tableBase: String,
-      batch: DataFrame): Unit = {
-    val novel = novelSlice(spark, tableBase, batch)
-    if (novel.limit(1).count() > 0) {
-      appendDeltas(spark, tableBase, novel)
-      commitDocs(spark, tableBase, novel)
+      batch: DataFrame): Unit =
+    // ONE critical section under the `_docs` writer lease covering the
+    // novelty probe AND both delta legs — the DsirStore.append r12 fix,
+    // which this structurally identical append never got: two
+    // concurrent appends sharing doc_ids could both pass the probe
+    // before either commits and land each overlap doc's n-gram deltas
+    // under DISTINCT batch_ids, which do not collapse at read —
+    // permanent double counting. commitDocs' internal acquisition of
+    // the same lease is reentrant (Bucketed.heldLeases).
+    Bucketed.withWriterLease(spark, s"${tableBase}_docs") {
+      val novel = novelSlice(spark, tableBase, batch)
+      if (novel.limit(1).count() > 0) {
+        appendDeltas(spark, tableBase, novel)
+        commitDocs(spark, tableBase, novel)
+      }
+      // free the checkpoint's materialized RDD (Dataset.unpersist is a
+      // no-op on checkpointed frames — the ingest-loop slack lesson)
+      org.apache.spark.sql.GraftDatasetBridge.freeLocalCheckpoint(novel)
     }
-    // free the checkpoint's materialized RDD (Dataset.unpersist is a
-    // no-op on checkpointed frames — the ingest-loop slack lesson)
-    org.apache.spark.sql.GraftDatasetBridge.freeLocalCheckpoint(novel)
-  }
 
   // individually addressable so the spec can inject a crash between
   // the delta legs and the commit record
@@ -105,10 +114,18 @@ object LmStore {
 
   private[graft] def appendDeltas(spark: SparkSession, tableBase: String,
       novel: DataFrame): Unit = {
-    uniDelta(novel).write.mode("append").format("parquet")
-      .saveAsTable(s"${tableBase}_uni")
-    bigDelta(novel).write.mode("append").format("parquet")
-      .saveAsTable(s"${tableBase}_big")
+    // each delta table takes its OWN lease: a raw append racing
+    // compactPlain's generation swap on the same table could land the
+    // delta file in the retired directory and silently lose it —
+    // the lease turns that into the loud refusal the family promises
+    Bucketed.withWriterLease(spark, s"${tableBase}_uni") {
+      uniDelta(novel).write.mode("append").format("parquet")
+        .saveAsTable(s"${tableBase}_uni")
+    }
+    Bucketed.withWriterLease(spark, s"${tableBase}_big") {
+      bigDelta(novel).write.mode("append").format("parquet")
+        .saveAsTable(s"${tableBase}_big")
+    }
     Seq("uni", "big").foreach(t =>
       spark.catalog.refreshTable(s"${tableBase}_$t"))
   }

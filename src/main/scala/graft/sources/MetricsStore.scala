@@ -140,8 +140,13 @@ object MetricsStore {
     */
   def appendCms(spark: SparkSession, tableBase: String,
       events: DataFrame, ts: Column, id: Column): Unit = {
-    cmsDelta(events, ts, id).write.mode("append").format("parquet")
-      .saveAsTable(s"${tableBase}_cms")
+    // leased: a raw append racing compactCms' generation swap (or a
+    // rebuild's overwrite) on the same table could land the delta file
+    // in a retired directory and silently lose it
+    Bucketed.withWriterLease(spark, s"${tableBase}_cms") {
+      cmsDelta(events, ts, id).write.mode("append").format("parquet")
+        .saveAsTable(s"${tableBase}_cms")
+    }
     spark.catalog.refreshTable(s"${tableBase}_cms")
   }
 
@@ -201,8 +206,11 @@ object MetricsStore {
   def appendHist(spark: SparkSession, tableBase: String,
       events: DataFrame, key: Column, ts: Column,
       value: Column): Unit = {
-    histDelta(events, key, ts, value).write.mode("append")
-      .format("parquet").saveAsTable(s"${tableBase}_hist")
+    // leased against compactHist's generation swap (see appendCms)
+    Bucketed.withWriterLease(spark, s"${tableBase}_hist") {
+      histDelta(events, key, ts, value).write.mode("append")
+        .format("parquet").saveAsTable(s"${tableBase}_hist")
+    }
     spark.catalog.refreshTable(s"${tableBase}_hist")
   }
 

@@ -144,8 +144,12 @@ object SearchIndex {
   private def appendTotalsOf(spark: SparkSession, tableBase: String,
       lens: DataFrame): Unit =
     if (lens.limit(1).count() > 0) {
-      totalsDelta(lens).write.mode("append").format("parquet")
-        .saveAsTable(s"${tableBase}_totals")
+      // leased against a rebuild's overwrite of the same location (the
+      // delta-append-vs-generation-swap corruption class)
+      Bucketed.withWriterLease(spark, s"${tableBase}_totals") {
+        totalsDelta(lens).write.mode("append").format("parquet")
+          .saveAsTable(s"${tableBase}_totals")
+      }
       spark.catalog.refreshTable(s"${tableBase}_totals")
     }
 

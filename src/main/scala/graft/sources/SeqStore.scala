@@ -97,9 +97,13 @@ object SeqStore {
     val spark2 = docs.sparkSession
     import spark2.implicits._
     val off = Seq(guard.getLong(2)).toDF("off")
-    packScoped(novel, off) {
-      _.write.mode("append").format("parquet")
-        .saveAsTable(s"${tableBase}_segs")
+    // leased against compact's generation swap on _segs (the
+    // delta-append-vs-generation-swap corruption class)
+    Bucketed.withWriterLease(spark, s"${tableBase}_segs") {
+      packScoped(novel, off) {
+        _.write.mode("append").format("parquet")
+          .saveAsTable(s"${tableBase}_segs")
+      }
     }
     spark.catalog.refreshTable(s"${tableBase}_segs")
   }

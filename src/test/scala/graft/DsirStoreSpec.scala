@@ -61,6 +61,33 @@ class DsirStoreSpec extends GraftSpec {
     } finally cleanup(base, path)
   }
 
+  test("append refuses under a foreign _docs lease BEFORE any leg " +
+      "runs, and the refused append leaks nothing") {
+    val (base, path) = freshBase()
+    val lock = new java.io.File(s"$path/docs__lock")
+    try {
+      DsirStore.write(docs.limit(10), base, path)
+      val cntBefore = spark.table(s"${base}_cnt").count()
+      val docsBefore = spark.table(s"${base}_docs").count()
+      lock.getParentFile.mkdirs()
+      val w = new java.io.FileWriter(lock)
+      try w.write("pid=1 host=not-this-host at=never") finally w.close()
+      intercept[java.util.ConcurrentModificationException] {
+        DsirStore.append(spark, base,
+          docs.limit(20).filter(col("doc_id") >= 10))
+      }
+      spark.catalog.refreshTable(s"${base}_cnt")
+      spark.catalog.refreshTable(s"${base}_docs")
+      assert(spark.table(s"${base}_cnt").count() == cntBefore,
+        "a refused append leaked count delta rows")
+      assert(spark.table(s"${base}_docs").count() == docsBefore,
+        "a refused append leaked commit rows")
+    } finally {
+      lock.delete()
+      cleanup(base, path)
+    }
+  }
+
   test("crash replay converges: count delta landed but no commit " +
       "record — the replay's duplicates collapse at read") {
     val (base, path) = freshBase()

@@ -59,6 +59,37 @@ class LmStoreSpec extends GraftSpec {
     } finally cleanup(base, path)
   }
 
+  test("append is ONE critical section under the _docs lease: a " +
+      "foreign holder blocks the whole append before any delta lands") {
+    val (base, path) = freshBase()
+    val lock = new java.io.File(s"$path/docs__lock")
+    try {
+      LmStore.write(docs.limit(10), base, path)
+      val uniBefore = spark.table(s"${base}_uni").count()
+      val docsBefore = spark.table(s"${base}_docs").count()
+      // a LIVE foreign-host writer's marker: never judged dead, so the
+      // append must refuse loudly — at its OUTER acquisition, before
+      // the novelty probe or either n-gram delta runs (the DsirStore
+      // r12 double-count fix, mirrored here)
+      lock.getParentFile.mkdirs()
+      val w = new java.io.FileWriter(lock)
+      try w.write("pid=1 host=not-this-host at=never") finally w.close()
+      intercept[java.util.ConcurrentModificationException] {
+        LmStore.append(spark, base,
+          docs.limit(20).filter(col("doc_id") >= 10))
+      }
+      spark.catalog.refreshTable(s"${base}_uni")
+      spark.catalog.refreshTable(s"${base}_docs")
+      assert(spark.table(s"${base}_uni").count() == uniBefore,
+        "a refused append leaked n-gram delta rows")
+      assert(spark.table(s"${base}_docs").count() == docsBefore,
+        "a refused append leaked commit rows")
+    } finally {
+      lock.delete()
+      cleanup(base, path)
+    }
+  }
+
   test("crash replay converges: count deltas landed but no commit " +
       "record — the re-run's duplicates collapse at read") {
     val (base, path) = freshBase()
