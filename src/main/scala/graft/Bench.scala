@@ -145,6 +145,9 @@ object Bench {
     // showed vs r8c, on a box whose cumulative /proc/stat steal showed
     // hours of historical theft). (-1, -1) where /proc/stat is absent.
     val (steal0, jiffies0) = SysStat.cpuSteal()
+    // > ~2% steal inflates every query visibly on a 32-thread bench
+    val stealThreshold = sys.env.getOrElse(
+      "SPARK_GRAFT_BENCH_MAX_STEAL_PCT", "2.0").toDouble
 
     val errors = scala.collection.mutable.ArrayBuffer.empty[String]
     // Cached-storage deltas per query: a snapshot of every cached RDD's
@@ -195,6 +198,11 @@ object Bench {
         () => { fn(spark, sfDir).count(); () })
     }
     val gcWarm = driverGcMs - gc0
+    // per-PASS steal windows (r14 — the r13 verdict's task 5: the
+    // committed artifact was a warm window two rounds running, and one
+    // whole-run steal number cannot say WHICH pass was polluted)
+    val (stealC0, jiffC0) = SysStat.cpuSteal()
+    val stealWarm = SysStat.stealPct(steal0, jiffies0, stealC0, jiffC0)
 
     // ---- cold pass: plan + codegen + execute, shared caches hot ----
     // SPARK_GRAFT_BENCH_ONLY (comma-separated names) is a dev-iteration
@@ -210,9 +218,56 @@ object Bench {
     val cold = pass("c")
     val gcCold = driverGcMs - gc0 - gcWarm
     val loadMid = loadAvg
+    val (stealS0v, jiffS0v) = SysStat.cpuSteal()
+    val stealCold = SysStat.stealPct(stealC0, jiffC0, stealS0v, jiffS0v)
     // ---- steady pass: plan/codegen cached, everything warm ----
-    val steady = pass("s")
-    val gcSteady = driverGcMs - gc0 - gcWarm - gcCold
+    // SELF-HEALING steady (r14, task 5): the steady pass is the one
+    // window that can legitimately RE-RUN (plans, codegen and caches
+    // are already warm — a repeat measures the same thing), so when
+    // the pass was provably polluted, re-measure instead of stamping a
+    // wrong number the round diff then chases. Two triggers, both
+    // signals our own 32 threads cannot produce: hypervisor steal over
+    // the pass window, and steady_total exceeding cold_total (steady
+    // strictly removes plan+codegen work from cold; on a quiet box it
+    // is never slower — a 1.05 margin absorbs timer noise). Bounded
+    // retries with a drain wait; every attempt's total is recorded in
+    // "steady_attempts" so the artifact shows its own history. Cold
+    // cannot re-run (a second cold IS a steady), so cold pollution
+    // still stamps contended below.
+    val steadyRetries = sys.env.getOrElse(
+      "SPARK_GRAFT_BENCH_STEADY_RETRIES", "2").toInt
+    var steadyStart = (stealS0v, jiffS0v)
+    var steady = pass("s")
+    var gcSteady = driverGcMs - gc0 - gcWarm - gcCold
+    var steadyEnd = SysStat.cpuSteal()
+    var stealSteady = SysStat.stealPct(steadyStart._1, steadyStart._2,
+      steadyEnd._1, steadyEnd._2)
+    val coldTotal0 = cold.map(_._2).sum
+    val steadyAttempts =
+      scala.collection.mutable.ArrayBuffer(steady.map(_._2).sum)
+    var retries = 0
+    while (retries < steadyRetries &&
+        (stealSteady > stealThreshold ||
+          steadyAttempts.last > coldTotal0 * 1.05)) {
+      retries += 1
+      System.err.println(
+        f"[bench] steady pass polluted (steal $stealSteady%.3f%%, " +
+          f"total ${steadyAttempts.last}%.1f s vs cold $coldTotal0%.1f s)" +
+          f" — draining ${waitSecs}s and re-running " +
+          s"($retries/$steadyRetries)")
+      Thread.sleep(waitSecs * 1000L)
+      // the discarded attempt's task metrics must not double-count
+      listener.acc.keySet.removeIf(_.startsWith("s:"))
+      listener.droppedBlocks.keySet.removeIf(_.startsWith("s:"))
+      val gcPre = driverGcMs
+      steadyStart = SysStat.cpuSteal()
+      steady = pass("s")
+      gcSteady = driverGcMs - gcPre
+      steadyEnd = SysStat.cpuSteal()
+      stealSteady = SysStat.stealPct(steadyStart._1, steadyStart._2,
+        steadyEnd._1, steadyEnd._2)
+      steadyAttempts += steady.map(_._2).sum
+    }
     val load1 = loadAvg
 
     def fmt(m: Seq[(String, Double)]) = m
@@ -230,15 +285,19 @@ object Bench {
     val total = warmupTotal + coldTotal
     val heapMaxMb = Runtime.getRuntime.maxMemory / (1024 * 1024)
     val (steal1, jiffies1) = SysStat.cpuSteal()
-    // % of the machine's cpu-time the hypervisor withheld during the
-    // run; > ~2% inflates every query visibly on a 32-thread bench
+    // % of the machine's cpu-time the hypervisor withheld over the
+    // WHOLE wall window (informational once steady retries exist — it
+    // includes any discarded polluted attempts); the per-pass windows
+    // are the gates: warmup/cold pollution cannot re-run (a second
+    // cold IS a steady), so it stamps contended, and the final
+    // steady's own window gates after the retries above
     val stealPct = SysStat.stealPct(steal0, jiffies0, steal1, jiffies1)
-    val stealThreshold = sys.env.getOrElse(
-      "SPARK_GRAFT_BENCH_MAX_STEAL_PCT", "2.0").toDouble
-    val contended = load0 > loadThreshold || stealPct > stealThreshold
+    val contended = load0 > loadThreshold ||
+      math.max(stealWarm, math.max(stealCold, stealSteady)) > stealThreshold
     if (contended) System.err.println(
       f"[bench] WARNING: load_avg_start $load0%.2f (threshold " +
-        f"$loadThreshold%.2f) / steal $stealPct%.2f%% (threshold " +
+        f"$loadThreshold%.2f) / per-pass steal w=$stealWarm%.2f%% " +
+        f"c=$stealCold%.2f%% s=$stealSteady%.2f%% (threshold " +
         f"$stealThreshold%.2f%%) — the box was busy before the run or " +
         "the hypervisor withheld cpu during it; the artifact is " +
         "stamped \"contended\":true and must not gate performance. " +
@@ -284,7 +343,13 @@ object Bench {
       s""""load_avg_end":$load1,"load_threshold":$loadThreshold,""" +
       s""""load_wait_samples":${loadSamples.map(v => f"$v%.2f")
             .mkString("[", ",", "]")},""" +
-      f""""steal_pct":$stealPct%.3f,"steal_threshold":$stealThreshold}""" +
+      f""""steal_pct":$stealPct%.3f,"steal_threshold":$stealThreshold,""" +
+      f""""steal_pct_warmup":$stealWarm%.3f,""" +
+      f""""steal_pct_cold":$stealCold%.3f,""" +
+      f""""steal_pct_steady":$stealSteady%.3f,""" +
+      s""""steady_retries":$retries,""" +
+      s""""steady_attempts":${steadyAttempts.map(v => f"$v%.3f")
+            .mkString("[", ",", "]")}}""" +
       s""","contended":$contended""" +
       s""","errors":${errors.map("\"" + _ + "\"").mkString("[", ",", "]")}}"""
     println(line)
@@ -301,7 +366,7 @@ object Bench {
     // "parsed": null). Repeat a COMPACT totals-only record as the very
     // LAST stdout line so a structured number survives any tail window.
     System.out.flush()
-    println(s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","steady_total":$steadyTotal,"warmup_total":$warmupTotal,"cold_total":$coldTotal,"heap_max_mb":$heapMaxMb,"driver_gc_ms":${gcWarm + gcCold + gcSteady},"load_avg_start":$load0,"load_avg_end":$load1,"steal_pct":${f"$stealPct%.3f"},"contended":$contended,"failed":${errors.size}}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","steady_total":$steadyTotal,"warmup_total":$warmupTotal,"cold_total":$coldTotal,"heap_max_mb":$heapMaxMb,"driver_gc_ms":${gcWarm + gcCold + gcSteady},"load_avg_start":$load0,"load_avg_end":$load1,"steal_pct":${f"$stealPct%.3f"},"steal_pct_steady":${f"$stealSteady%.3f"},"steady_retries":$retries,"contended":$contended,"failed":${errors.size}}""")
     System.out.flush()
     spark.stop()
     // A run where queries failed must not read as success downstream:

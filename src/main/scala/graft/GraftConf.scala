@@ -51,24 +51,25 @@ object GraftConf {
     */
   val OrphanAngleDegKey = "spark.graft.ann.orphanAngleDeg"
 
-  /** Refinement trigger for the REFINED single-level band (blocks
-    * between the single-level clamp and l1Slack× it): after the
+  /** PER-LABEL refinement trigger of the leaf build — the refined
+    * single-level band AND (r14) the hierarchical level 2: after the
     * round-1 assignment — which is needed regardless — the build peeks
-    * the fraction of members further than orphanAngleDeg from their
-    * round-1 centroid. Past this fraction the block is a similarity
-    * CONTINUUM: there is no minority of unseeded clusters to isolate,
-    * a reseed would just re-cluster the whole block (which round 1
-    * already did), and the extra Lloyd/orphan passes buy ~nothing
-    * (measured on sf0.1 media vectors: frac 0.96, −3.4% candidate
-    * mass for ~3× build wall) — so the build keeps the audited
-    * one-round structure. Below it, a minority of far members marks
-    * orphaned natural clusters and the full leaf refinement runs
-    * (measured on planted 30-member clusters: frac 0.61, 15× mass
-    * reduction). Multi-parent (hierarchical) builds refine
-    * UNCONDITIONALLY: their block sizes amortize the passes, and even
-    * continuum-like corpora measured −22% mass there (the 8× media
-    * sweep) — the trigger exists for the band where stage overhead
-    * dominates.
+    * each label's fraction of members further than orphanAngleDeg from
+    * their round-1 centroid. Past this fraction the label's block is a
+    * similarity CONTINUUM: there is no minority of unseeded clusters
+    * to isolate, a reseed would just re-cluster the whole block (which
+    * round 1 already did), and the extra Lloyd/orphan passes buy
+    * little for their corpus-scale cost (measured on sf0.1 media
+    * vectors: frac 0.96, −3.4% candidate mass for ~3× build wall on
+    * the band; −22% mass on the 8× hierarchical media sweep — a trade
+    * this conf now owns instead of the build hard-coding it) — so the
+    * label keeps the audited one-round structure. Below it, a minority
+    * of far members marks orphaned natural clusters and the full leaf
+    * refinement runs for that label (measured on planted 30-member
+    * clusters: frac 0.61, 15× mass reduction). Set to 1.0 to refine
+    * unconditionally (the pre-r14 hierarchical behavior); recall is 1
+    * on every branch — the trigger trades build passes against
+    * candidate mass, never correctness.
     */
   val OrphanMaxFracKey = "spark.graft.ann.orphanMaxFrac"
 
@@ -102,14 +103,40 @@ object GraftConf {
   val BandMaxBitsKey = "spark.graft.ann.bandMaxBits"
   val BandTargetLoadKey = "spark.graft.ann.bandTargetLoad"
 
+  /** Storage layout of [[graft.sources.EmbedStore]]'s persisted banded
+    * index (r14 — the r13 verdict's task 4). `inline` (default, the
+    * audited r13 shape): the `_bands` rows carry the vector payload, so
+    * the probe never joins back through a corpus-scale table — at the
+    * cost of ×bands (8× at defaults) duplication of the vector payload,
+    * the dominant storage line at 100 TB. `slim`: `_bands` holds
+    * (bkey, h_id) only and the vectors live ONCE in a `_bvecs` table
+    * bucketed by h_id; the probe pays one extra sort-merge join
+    * (candidate-scale, against the in-place bucketed vecs scan) to
+    * fetch payloads. Read at write/rebuild time and FROZEN into the
+    * store (the probe detects the layout from the `_bands` schema);
+    * appends follow the frozen layout, and a declared rebuildBandedLeg
+    * may change it.
+    */
+  val BandStoreLayoutKey = "spark.graft.ann.bandStoreLayout"
+
   /** Range-pair engine dispatch for the composed consumers (C10
     * semantic_dedup's pair generation, C16's election input, F7's
     * media verdict): `exact` (default — the recall-1 cell-bound path
-    * every brute-force oracle verifies) or `banded` (the
+    * every brute-force oracle verifies), `banded` (the
     * linear-mass-by-construction LSH path; recall is the LSH contract,
-    * pair graph ⊆ exact's at the same τ). The gate rows run at the
-    * default; a 100× unstructured corpus flips this per job instead of
-    * paying the exact path's data-dependent candidate curve.
+    * pair graph ⊆ exact's at the same τ), or `auto` (r14 — the r13
+    * verdict's task 1): PER-LABEL routing off the statistics the
+    * engine already computes — labels under the single-level clamp
+    * (targetCellSize·maxCells) take the exact path unconditionally;
+    * bigger labels are measured by the round-1 continuum fraction (the
+    * same statistic the build's orphanMaxFrac trigger reads) and route
+    * banded only when they are a similarity continuum, where the exact
+    * path's candidate mass is data-inherently super-linear. A mixed
+    * 100× corpus — a few mega-label continuum blocks beside many small
+    * clustered labels — gets both engines in ONE plan instead of one
+    * engine for all labels. The gate rows run at the default; verdicts
+    * under auto are ⊆ exact's at the same τ (banded labels follow the
+    * LSH contract, everything else is recall-1).
     */
   val RangeEngineKey = "spark.graft.ann.rangeEngine"
 
@@ -123,6 +150,7 @@ object GraftConf {
   val DefaultBandMaxBits = 16
   val DefaultBandTargetLoad = 4
   val DefaultRangeEngine = "exact"
+  val DefaultBandStoreLayout = "inline"
 
   private def intConf(s: SparkSession, key: String, default: Int): Int =
     s.conf.getOption(key).map(_.trim.toInt).getOrElse(default)
@@ -136,9 +164,14 @@ object GraftConf {
     // 2·maxCells² and is an IntegerType column — past this ceiling the
     // cast would wrap and distinct leaves would silently collide into
     // one id (members cross-matched with wrong centroids), so fail
-    // loudly at plan-build instead
-    require(mc >= 2 && mc <= 16384,
-      s"$MaxCellsKey must be in [2, 16384] (the composite leaf id " +
+    // loudly at plan-build instead. The LOWER bound is 1 (r13 ADVICE:
+    // the overflow rationale only motivates the ceiling, and the
+    // composite-id math is safe at 1 — each parent's 2-wide id block
+    // holds its one cell plus its one orphan-reseed cell): maxCells=1
+    // degrades every label to a single cell per level, which prunes
+    // nothing but stays correct.
+    require(mc >= 1 && mc <= 16384,
+      s"$MaxCellsKey must be in [1, 16384] (the composite leaf id " +
         s"2*maxCells^2 must fit an Int), got $mc")
     mc
   }
@@ -172,11 +205,19 @@ object GraftConf {
   def bandTargetLoad(s: SparkSession): Int =
     intConf(s, BandTargetLoadKey, DefaultBandTargetLoad)
 
+  def bandStoreLayout(s: SparkSession): String = {
+    val v = s.conf.getOption(BandStoreLayoutKey).map(_.trim.toLowerCase)
+      .getOrElse(DefaultBandStoreLayout)
+    require(v == "inline" || v == "slim",
+      s"$BandStoreLayoutKey must be 'inline' or 'slim', got '$v'")
+    v
+  }
+
   def rangeEngine(s: SparkSession): String = {
     val v = s.conf.getOption(RangeEngineKey).map(_.trim.toLowerCase)
       .getOrElse(DefaultRangeEngine)
-    require(v == "exact" || v == "banded",
-      s"$RangeEngineKey must be 'exact' or 'banded', got '$v'")
+    require(v == "exact" || v == "banded" || v == "auto",
+      s"$RangeEngineKey must be 'exact', 'banded' or 'auto', got '$v'")
     v
   }
 }

@@ -299,11 +299,26 @@ object Bucketed {
           // write back content that was not actually verified
           val got = (1 to 3).iterator.map(_ => readMarker(claimed))
             .find(_ != "unknown").getOrElse("unknown")
-          if (got == "unknown")
+          if (got == "unknown") {
+            // fail CLOSED, not open (r13 ADVICE): we won the rename, so
+            // the — possibly LIVE — holder's marker is parked at the
+            // claim path and the lock slot is EMPTY; a concurrent
+            // writer could acquire the free slot while that holder
+            // keeps writing. Re-close the slot first with a diagnostic
+            // sentinel: it carries no pid=/host= fields, so holderDead
+            // never parses it as dead and every later acquisition
+            // refuses loudly until an operator inspects both paths. A
+            // lost create race just means another writer closed the
+            // slot — either way it is no longer free.
+            tryCreate(("lease-break read-back failed; original marker " +
+              s"parked at $claimed — inspect and remove both manually")
+              .getBytes(java.nio.charset.StandardCharsets.UTF_8))
             throw new java.util.ConcurrentModificationException(
               s"$table lease break claimed $claimed but its content " +
-                "could not be read back for verification; inspect and " +
-                "remove it manually, then retry.")
+                "could not be read back for verification; the lock " +
+                "slot was re-closed with a sentinel marker — inspect " +
+                "and remove both manually, then retry.")
+          }
           if (!(got == who || holderDead(got)))
             // claimed a live writer's marker: put it back if the slot
             // is still free; if a third writer took it meanwhile, the

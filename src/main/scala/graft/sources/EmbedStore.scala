@@ -163,7 +163,14 @@ object EmbedStore {
   //    capped at `spark.graft.ann.bandMaxPerBucket` SMALLEST h_ids per
   //    key at write. Vectors are stored inline (×bands duplication —
   //    the classic LSH index trade) so the probe never joins back
-  //    through the corpus-scale lists table.
+  //    through the corpus-scale lists table. Under the SLIM layout
+  //    (r14, spark.graft.ann.bandStoreLayout=slim) the rows are
+  //    (bkey, h_id) only and the payload lives ONCE in
+  //  - `<base>_bvecs` — (h_id, hv, hnrm), bucketed by h_id: 1× the
+  //    vector payload instead of ×bands, traded for one extra
+  //    candidate-scale sort-merge join at probe time. The layout is
+  //    frozen into the store (probes detect it from the _bands
+  //    schema); a declared rebuildBandedLeg may change it.
   //
   // Append is additive: new rows are capped PER BATCH, so a bucket can
   // exceed the cap by one cap's worth per append generation until a
@@ -171,6 +178,37 @@ object EmbedStore {
   // verdicts under the replayers' feet). Recall is the LSH contract
   // (dup-regime pairs collide with probability ≈ 1; borderline-τ pairs
   // may be missed); the exact cell leg stays the recall-1 path.
+
+  /** EVERY banded sidecar present — the one existence test all banded
+    * call sites key on (r13 ADVICE: append/probe keyed on _bbits while
+    * compact keyed on _bands, so the two torn states a crash inside
+    * [[writeBandedLeg]] can leave — _bbits-only, or _bands-only after
+    * a torn backfill — each made one path throw instead of heal). A
+    * SLIM-layout store (r14) additionally needs its `_bvecs` payload
+    * table: slim `_bands` rows carry no vectors, so a torn
+    * slim write without `_bvecs` must heal too.
+    */
+  private def bandedLegComplete(spark: SparkSession,
+      tableBase: String): Boolean =
+    spark.catalog.tableExists(s"${tableBase}_bbits") &&
+      spark.catalog.tableExists(s"${tableBase}_bands") &&
+      (!bandedLayoutSlim(spark, tableBase) ||
+        spark.catalog.tableExists(s"${tableBase}_bvecs"))
+
+  /** The frozen banded storage layout, detected from the `_bands`
+    * schema (slim rows carry no inline vector payload) — the probe,
+    * append and compact must follow what the store IS, not what the
+    * current conf says ([[graft.GraftConf.BandStoreLayoutKey]] is a
+    * write/rebuild-time knob).
+    */
+  private def bandedLayoutSlim(spark: SparkSession,
+      tableBase: String): Boolean =
+    !spark.table(s"${tableBase}_bands").columns.contains("hv")
+
+  /** The slim layout's once-per-vector payload rows. */
+  private def bvecsRows(n: DataFrame): DataFrame =
+    n.select(col("vec_id").as("h_id"), col("v").as("hv"),
+      col("nrm").as("hnrm"))
 
   /** label+band+key as ONE join column, matching the bands table's
     * bucket spec.
@@ -180,10 +218,14 @@ object EmbedStore {
 
   /** Banded index rows for a normed frame under a frozen bits table —
     * capped at `cap` smallest h_ids per key (TopKPerKey bounded heap).
+    * `slim` drops the inline vector payload BEFORE the cap heap (the
+    * r14 slim layout: keys shuffle at ~16 bytes/row instead of the
+    * vector width — the write gets cheaper along with the storage).
     */
   private def bandsRowsOf(n: DataFrame, bbits: DataFrame, dim: Int,
-      numBands: Int, maxBits: Int, cap: Int): DataFrame = {
-    val rows = n.withColumn("v", AnnPack.bandDimGuard(dim))
+      numBands: Int, maxBits: Int, cap: Int,
+      slim: Boolean): DataFrame = {
+    val rows0 = n.withColumn("v", AnnPack.bandDimGuard(dim))
       .withColumn("sigbits", AnnPack.bandSigBits(dim, numBands * maxBits))
       .join(broadcast(bbits.select(col("label"), col("bits"))),
         Seq("label"))
@@ -193,6 +235,7 @@ object EmbedStore {
       .select(bkey3(col("label"), col("bk.band"), col("bk.key"))
           .as("bkey"),
         col("h_id"), col("v").as("hv"), col("nrm").as("hnrm"))
+    val rows = if (slim) rows0.select(col("bkey"), col("h_id")) else rows0
     graft.plans.TopKPerKey(rows, Seq(col("bkey")),
       Seq(col("h_id").asc), cap)
   }
@@ -206,6 +249,7 @@ object EmbedStore {
     // would FREEZE mis-keyed geometry into the store for its lifetime
     AnnPack.requireBandGeometry(numBands, maxBits, targetLoad)
     val cap = graft.GraftConf.annBandMaxPerBucket(spark)
+    val slim = graft.GraftConf.bandStoreLayout(spark) == "slim"
     // the geometry peek: one driver-side width read per store BUILD
     // (not per probe); an empty history freezes dim=1 with zero labels,
     // which every probe then short-circuits on
@@ -218,9 +262,27 @@ object EmbedStore {
         lit(maxBits).as("max_bits"))
     Bucketed.writePlain(bbits, s"${tableBase}_bbits", s"$path/bbits",
       Seq("label"))
+    // slim payload table BEFORE the keys table: a crash between the
+    // two leaves bands missing → bandedLegComplete heals; the reverse
+    // order would leave keys referencing vectors the probe's inner
+    // join silently drops — a permanent recall hole
+    if (slim)
+      Bucketed.writeBucketed(bvecsRows(n), s"${tableBase}_bvecs",
+        "h_id", buckets, s"$path/bvecs")
+    else if (spark.catalog.tableExists(s"${tableBase}_bvecs")) {
+      // a declared inline (re)build of a formerly-slim store retires
+      // the payload sidecar, or the stale table would shadow the next
+      // slim rebuild's fresh one
+      spark.sql(s"DROP TABLE IF EXISTS ${tableBase}_bvecs")
+      val fs = new org.apache.hadoop.fs.Path(path)
+        .getFileSystem(spark.sessionState.newHadoopConf())
+      Option(fs.globStatus(new org.apache.hadoop.fs.Path(
+          s"$path/bvecs*"))).getOrElse(Array.empty)
+        .foreach(st => fs.delete(st.getPath, true))
+    }
     Bucketed.writeBucketed(
       bandsRowsOf(n, spark.table(s"${tableBase}_bbits"), dim, numBands,
-        maxBits, cap),
+        maxBits, cap, slim),
       s"${tableBase}_bands", "bkey", buckets, s"$path/bands")
     spark.catalog.refreshTable(s"${tableBase}_bbits")
   }
@@ -243,11 +305,12 @@ object EmbedStore {
     */
   def bandedDedupAgainst(spark: SparkSession, tableBase: String,
       batch: DataFrame, tau: Double = AnnPack.nearDupTau): DataFrame = {
-    require(spark.catalog.tableExists(s"${tableBase}_bbits"),
-      s"EmbedStore '$tableBase' has no banded leg (persisted before " +
-        "the banded sidecar tables existed): run append() or compact() " +
-        "once to backfill it from the history, or rebuild with write(). " +
-        "The exact-leg probe (dedupAgainst) works unchanged meanwhile.")
+    require(bandedLegComplete(spark, tableBase),
+      s"EmbedStore '$tableBase' has no complete banded leg (persisted " +
+        "before the banded sidecar tables existed, or a crash tore the " +
+        "leg mid-write): run append() or compact() once to backfill it " +
+        "from the history, or rebuild with write(). The exact-leg probe " +
+        "(dedupAgainst) works unchanged meanwhile.")
     val bbits = spark.table(s"${tableBase}_bbits")
     val meta = bbits.select(col("dim"), col("bands"), col("max_bits"))
       .limit(1).collect()
@@ -274,13 +337,26 @@ object EmbedStore {
         explode(AnnPack.bandProbeKeys(maxBits)).as("key"))
       .select(col("vec_id"),
         bkey3(col("label"), col("band"), col("key")).as("bkey"))
-    val verified = probes.join(bands, Seq("bkey"))
+    val cand = probes.join(bands, Seq("bkey"))
       // globally-unique ingest ids: a self-pair is a crash-replayed
       // append of THIS batch (same contract as the exact leg)
       .filter(col("vec_id") =!= col("h_id"))
       // multi-band hits AND replayed duplicate bands rows collapse at
-      // pair level BEFORE the cosine (duplicates carry identical hv)
+      // pair level BEFORE the cosine (duplicates carry identical hv —
+      // and before the slim layout's payload join, so the join input
+      // is one row per candidate pair)
       .dropDuplicates("vec_id", "h_id")
+    // slim layout (r14): the bands rows carry no payload — fetch it
+    // through the h_id-bucketed _bvecs table (candidate-scale batch
+    // side shuffles; the corpus-scale vecs side reads its buckets in
+    // place), then collapse replayed duplicate _bvecs rows at pair
+    // level too
+    val withPayload = if (bandedLayoutSlim(spark, tableBase))
+      cand.select(col("vec_id"), col("h_id"))
+        .join(spark.table(s"${tableBase}_bvecs"), Seq("h_id"))
+        .dropDuplicates("vec_id", "h_id")
+    else cand
+    val verified = withPayload
       .join(n.select(col("vec_id"), col("v").as("qv"),
         col("nrm").as("qn")), Seq("vec_id"))
       .withColumn("cos_sim",
@@ -301,17 +377,56 @@ object EmbedStore {
     * (the StreamingIngest embed leg), switched by
     * `spark.graft.ann.rangeEngine` exactly like the in-query
     * [[graft.operators.AnnPack.rangePairsAuto]] dispatcher — `exact`
-    * (default; recall 1, candidate mass data-dependent) or `banded`
-    * (mass bounded by construction; LSH recall, verdicts ⊆ exact's).
-    * Same verdict row shape either way, so a 100 TB ingest flips one
-    * conf instead of editing the topology.
+    * (default; recall 1, candidate mass data-dependent), `banded`
+    * (mass bounded by construction; LSH recall, verdicts ⊆ exact's),
+    * or `auto` (r14): PER-LABEL routing. Same verdict row shape either
+    * way, so a 100 TB ingest flips one conf instead of editing the
+    * topology.
     */
   def dedupAgainstAuto(spark: SparkSession, tableBase: String,
       batch: DataFrame, tau: Double = AnnPack.nearDupTau): DataFrame =
     graft.GraftConf.rangeEngine(spark) match {
       case "banded" => bandedDedupAgainst(spark, tableBase, batch, tau)
+      case "auto" => autoDedupAgainst(spark, tableBase, batch, tau)
       case _ => dedupAgainst(spark, tableBase, batch, tau)
     }
+
+  /** PER-LABEL auto probe (r14 — the r13 verdict's task 1, store
+    * side). The in-query auto's continuum fraction is a BUILD-time
+    * statistic; at probe time the cheap per-label signal the store
+    * itself carries is the cells table's per-label cell count
+    * (metadata-scale): a label whose count reached maxCells had
+    * history past the single-level clamp at build — the regime where
+    * the exact probe's candidate mass turns data-dependent (the cell
+    * granularity stopped scaling with the block) — and routes through
+    * the banded leg's by-construction mass bound; smaller labels keep
+    * the recall-1 exact probe. Size-only on purpose: clusteredness is
+    * not measurable at probe time without a corpus pass, and both
+    * engines are verdict-sound either way (banded ⊆ exact), so a
+    * misrouted clustered mega-label costs LSH recall on exactly the
+    * blocks the global `banded` setting would have given LSH recall
+    * anyway. Batch labels the store has never seen take the exact
+    * side (sentinels either way). maxCells is read from the CURRENT
+    * conf — a probe-time override shifts routing, never soundness.
+    */
+  private def autoDedupAgainst(spark: SparkSession, tableBase: String,
+      batch: DataFrame, tau: Double): DataFrame = {
+    val mc = graft.GraftConf.maxCells(spark)
+    // ≤|labels| rows off the metadata-scale cells table
+    val cellCnt = spark.table(s"${tableBase}_cells")
+      .groupBy(col("label")).agg(count(lit(1)).as("n_cells"))
+      .collect()
+    val bandedLabels = cellCnt.filter(_.getLong(1) >= mc)
+      .map(_.get(0)).toSeq
+    if (bandedLabels.isEmpty)
+      return dedupAgainst(spark, tableBase, batch, tau)
+    if (bandedLabels.size == cellCnt.length)
+      return bandedDedupAgainst(spark, tableBase, batch, tau)
+    dedupAgainst(spark, tableBase,
+        batch.filter(!col("label").isin(bandedLabels: _*)), tau)
+      .unionByName(bandedDedupAgainst(spark, tableBase,
+        batch.filter(col("label").isin(bandedLabels: _*)), tau))
+  }
 
   /** Fold `embs` (vec_id, label, embedding — typically the batch's
     * near-dup SURVIVORS; the policy is the caller's) into the history.
@@ -367,8 +482,11 @@ object EmbedStore {
   private[graft] def bandedAppendLeg(spark: SparkSession,
       tableBase: String, routed: DataFrame): Unit = {
     val bbitsT = s"${tableBase}_bbits"
-    if (!spark.catalog.tableExists(bbitsT)) {
-      // store persisted before the banded leg existed: upgrade in
+    if (!bandedLegComplete(spark, tableBase)) {
+      // store persisted before the banded leg existed — or a crash
+      // inside writeBandedLeg tore it between the _bbits and _bands
+      // writes (r13 ADVICE: keying the check on _bbits alone made the
+      // torn state die on _bands instead of healing) — upgrade in
       // place. The lists leg already holds THIS append's batch
       // (appendListsLeg lands first), so the history backfill covers
       // history + batch in one pass and the per-batch band append is
@@ -407,11 +525,21 @@ object EmbedStore {
       if (fresh.count() > 0)
         Bucketed.rewritePlain(spark, bbitsT,
           spark.table(bbitsT).unionByName(fresh), Seq("label"))
+      // the append follows the store's FROZEN layout, not the current
+      // conf; payload rows land BEFORE key rows (same crash ordering
+      // as the build: keys referencing absent vectors would be a
+      // silent recall hole, extra unreferenced vectors are harmless
+      // and the replay's duplicates collapse at pair level)
+      val slim = bandedLayoutSlim(spark, tableBase)
+      if (slim)
+        Bucketed.appendBucketed(spark,
+          bvecsRows(routed.select(col("vec_id"), col("v"), col("nrm"))),
+          s"${tableBase}_bvecs")
       Bucketed.appendBucketed(spark,
         bandsRowsOf(
           routed.select(col("vec_id"), col("label"), col("v"),
             col("nrm")),
-          spark.table(bbitsT), dim, numBands, maxBits, cap),
+          spark.table(bbitsT), dim, numBands, maxBits, cap, slim),
         s"${tableBase}_bands")
     } finally
       org.apache.spark.sql.GraftDatasetBridge.freeLocalCheckpoint(fresh)
@@ -513,6 +641,29 @@ object EmbedStore {
     Bucketed.appendBucketed(spark, listsRows(routed),
       s"${tableBase}_lists")
 
+  /** Declared REBUILD of the banded leg (r14 — the r13 verdict's task
+    * 2): re-derives per-label bits from the CURRENT history block
+    * sizes and re-caps every bucket at the current bandMaxPerBucket —
+    * the maintenance op that re-tightens the probe's mass bound after
+    * many appends. The bandMaxPerBucket cap applies per append
+    * GENERATION, so G appends can grow a hot bucket to G·cap and the
+    * probe's bands·(bits+1)·cap bound degrades linearly in append
+    * count (the growth spec measures it); compact() deliberately
+    * preserves rows — a row-preserving compaction must not change
+    * verdicts under a replayer's feet — so the re-tightening needs a
+    * DECLARED op with the opposite contract. Replay safety: a rebuild
+    * changes which candidates the banded probe sees (re-derived bits
+    * re-key labels; re-capping drops high-id rows from hot buckets),
+    * so banded verdicts for batches probed AFTER it may differ from a
+    * replay of batches probed BEFORE it — exactly like rebuilding the
+    * whole store with write(). Run it at a replay barrier (all
+    * in-flight batches committed, none awaiting replay), never between
+    * a crash and its replay. The exact leg — and its recall-1 verdicts
+    * — are untouched.
+    */
+  def rebuildBandedLeg(spark: SparkSession, tableBase: String): Unit =
+    backfillBandedLeg(spark, tableBase)
+
   /** Rewrite the appended-to lists table back to one sorted file per
     * bucket, and the cells table to one file — run between ingest
     * batches to undo append amplification.
@@ -526,12 +677,16 @@ object EmbedStore {
     // is a per-generation write bound, a rebuild re-tightens it. A
     // store persisted before the banded leg existed has no sidecars
     // yet — compaction is a maintenance write window, so upgrade it
-    // here from the (just-compacted) history.
-    if (!spark.catalog.tableExists(s"${tableBase}_bands"))
+    // here from the (just-compacted) history. The check is on BOTH
+    // sidecars (r13 ADVICE): a crash between the _bbits and _bands
+    // writes leaves either-only states that must heal, not throw.
+    if (!bandedLegComplete(spark, tableBase))
       backfillBandedLeg(spark, tableBase)
     else {
       Bucketed.compactBucketed(spark, s"${tableBase}_bands")
       Bucketed.compactPlain(spark, s"${tableBase}_bbits", Seq("label"))
+      if (bandedLayoutSlim(spark, tableBase))
+        Bucketed.compactBucketed(spark, s"${tableBase}_bvecs")
     }
   }
 }

@@ -68,41 +68,48 @@ object SeqStore {
     */
   def append(spark: SparkSession, tableBase: String,
       docs: DataFrame): Unit = {
-    // every read below is off the DEDUPED view: a torn append's
-    // duplicate file pair must not inflate the cursor (which would
-    // shift all later packing) any more than the novelty or bound
-    // reads (review finding — the cursor was the one raw-table read)
-    val segs = segments(spark, tableBase)
-    // zero-token docs occupy no positions and never land in the index:
-    // drop them BEFORE the novelty/monotone logic or a replayed batch
-    // carrying one reads as eternally-novel and fails the monotone
-    // check forever (review finding)
-    val packableDocs = graft.operators.CurationPack.packable(docs)
-    // novel-only: a crash-replayed batch packs zero new docs
-    val novel = packableDocs.join(segs.select(col("doc_id")).distinct(),
-      Seq("doc_id"), "left_anti")
-    // ONE driver action for all three scalars the guards and the
-    // cursor need — min of the novel batch, max of the stored index,
-    // and the stream cursor Σ seg_len (r9 verdict finding #4: two
-    // separate metadata-scale actions where one crossJoined agg does)
-    val guard = novel.agg(min(col("doc_id")).as("mn"))
-      .crossJoin(segs.agg(max(col("doc_id")).as("mx"),
-        coalesce(sum(col("seg_len")), lit(0L)).as("off")))
-      .collect()(0)
-    if (guard.isNullAt(0)) return // whole batch already packed
-    require(guard.isNullAt(1) || guard.getLong(0) > guard.getLong(1),
-      s"SeqStore $tableBase: append batch min doc_id ${guard.get(0)} " +
-        s"does not exceed stored max ${guard.get(1)} — sequence packing " +
-        "is an append-only layout; backfill requires a rebuild")
-    val spark2 = docs.sparkSession
-    import spark2.implicits._
-    val off = Seq(guard.getLong(2)).toDF("off")
-    // leased against compact's generation swap on _segs (the
-    // delta-append-vs-generation-swap corruption class)
+    // The WHOLE read-decide-write is one leased critical section, not
+    // just the write leg: the novelty probe and the Σ seg_len cursor
+    // read are the read half of a read-modify-write, and two appends
+    // that both read the cursor before either writes would pack
+    // different docs at OVERLAPPING token offsets — exactly the silent
+    // layout corruption the lease exists to refuse (r13 ADVICE; same
+    // fix LmStore/DsirStore already carry on their _docs legs). It
+    // also serializes against compact's generation swap on _segs.
     Bucketed.withWriterLease(spark, s"${tableBase}_segs") {
-      packScoped(novel, off) {
-        _.write.mode("append").format("parquet")
-          .saveAsTable(s"${tableBase}_segs")
+      // every read below is off the DEDUPED view: a torn append's
+      // duplicate file pair must not inflate the cursor (which would
+      // shift all later packing) any more than the novelty or bound
+      // reads (review finding — the cursor was the one raw-table read)
+      val segs = segments(spark, tableBase)
+      // zero-token docs occupy no positions and never land in the index:
+      // drop them BEFORE the novelty/monotone logic or a replayed batch
+      // carrying one reads as eternally-novel and fails the monotone
+      // check forever (review finding)
+      val packableDocs = graft.operators.CurationPack.packable(docs)
+      // novel-only: a crash-replayed batch packs zero new docs
+      val novel = packableDocs.join(segs.select(col("doc_id")).distinct(),
+        Seq("doc_id"), "left_anti")
+      // ONE driver action for all three scalars the guards and the
+      // cursor need — min of the novel batch, max of the stored index,
+      // and the stream cursor Σ seg_len (r9 verdict finding #4: two
+      // separate metadata-scale actions where one crossJoined agg does)
+      val guard = novel.agg(min(col("doc_id")).as("mn"))
+        .crossJoin(segs.agg(max(col("doc_id")).as("mx"),
+          coalesce(sum(col("seg_len")), lit(0L)).as("off")))
+        .collect()(0)
+      if (!guard.isNullAt(0)) { // else: whole batch already packed
+        require(guard.isNullAt(1) || guard.getLong(0) > guard.getLong(1),
+          s"SeqStore $tableBase: append batch min doc_id ${guard.get(0)} " +
+            s"does not exceed stored max ${guard.get(1)} — sequence packing " +
+            "is an append-only layout; backfill requires a rebuild")
+        val spark2 = docs.sparkSession
+        import spark2.implicits._
+        val off = Seq(guard.getLong(2)).toDF("off")
+        packScoped(novel, off) {
+          _.write.mode("append").format("parquet")
+            .saveAsTable(s"${tableBase}_segs")
+        }
       }
     }
     spark.catalog.refreshTable(s"${tableBase}_segs")

@@ -487,6 +487,59 @@ class AnnPackSpec extends GraftSpec {
     }
   }
 
+  test("rangeEngine=auto routes PER LABEL (r14): exact under the " +
+      "clamp and on clustered big labels, banded on continuum mega " +
+      "labels — both engines in ONE plan, verdicts ⊆ exact's") {
+    def relabel(df: org.apache.spark.sql.DataFrame, label: Int,
+        off: Long) = df.withColumn("label", lit(label))
+      .withColumn("vec_id", col("vec_id") + off)
+    // conf-shrunk clamp (tcs·mc = 64) so the spec corpus stays small;
+    // the conf path IS the engine path (GraftConf contract)
+    val small = relabel(plantedClusters(60), 0, 0L) // ≤ clamp → exact
+    val bigClu = relabel(plantedClusters(240, clusterSize = 40), 1,
+      10000L) // > clamp, clustered (low round-1 orphan frac) → exact
+    val bigCont = relabel(plantedClusters(240, clusterSize = 2), 2,
+      20000L) // > clamp, continuum (frac ≈ 1) → banded; dup-regime
+              // pairs so the banded side has real recall to measure
+    val mixed = small.unionByName(bigClu).unionByName(bigCont)
+      .repartition(8)
+    def pairs(df: org.apache.spark.sql.DataFrame) = {
+      val p = df.select(col("vec_id"), col("nn_id"), col("label"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+        .toSet
+      Caches.releaseAll(blocking = true)
+      p
+    }
+    def onLabel(s: Set[(Long, Long, Int)], l: Int) = s.filter(_._3 == l)
+    try {
+      spark.conf.set(graft.GraftConf.TargetCellSizeKey, "8")
+      spark.conf.set(graft.GraftConf.MaxCellsKey, "8")
+      val exact = pairs(operators.AnnPack.rangePairsOf(mixed, 0.75))
+      val banded = pairs(
+        operators.AnnPack.bandedRangePairsOf(mixed, 64, 0.75))
+      spark.conf.set(graft.GraftConf.RangeEngineKey, "auto")
+      val auto = pairs(operators.AnnPack.rangePairsAuto(mixed, 64, 0.75))
+      assert(auto.subsetOf(exact), "auto invented a pair")
+      assert(onLabel(auto, 0) == onLabel(exact, 0),
+        "the under-clamp label must ride the exact engine verbatim")
+      assert(onLabel(auto, 1) == onLabel(exact, 1),
+        "the clustered big label must stay exact (its round-1 orphan " +
+          "fraction is below the trigger)")
+      assert(onLabel(auto, 2) == onLabel(banded, 2),
+        "the continuum mega-label must route through the banded engine")
+      assert(onLabel(exact, 2).nonEmpty, "planted dup pairs missing")
+      val recall = onLabel(auto, 2).size.toDouble / onLabel(exact, 2).size
+      info(s"auto recall on the banded-routed continuum label: " +
+        s"${onLabel(auto, 2).size}/${onLabel(exact, 2).size} = $recall")
+      assert(recall >= 0.99, s"dup-regime recall $recall on the " +
+        "banded-routed label — the LSH contract broke")
+    } finally {
+      spark.conf.unset(graft.GraftConf.TargetCellSizeKey)
+      spark.conf.unset(graft.GraftConf.MaxCellsKey)
+      spark.conf.unset(graft.GraftConf.RangeEngineKey)
+    }
+  }
+
   test("D3/C5/D6 plans: no window partitioned by a whole label block") {
     // the r3 verdict's last one-partition-per-key-group sort: a
     // row_number window partitioned by `label` alone would sort each

@@ -23,7 +23,7 @@ class EmbedStoreSpec extends GraftSpec {
   }
 
   private def cleanup(base: String, path: String): Unit = {
-    Seq("cells", "lists", "bands", "bbits").foreach(s =>
+    Seq("cells", "lists", "bands", "bbits", "bvecs").foreach(s =>
       spark.sql(s"DROP TABLE IF EXISTS ${base}_$s"))
     Caches.deleteDir(path)
   }
@@ -182,7 +182,7 @@ class EmbedStoreSpec extends GraftSpec {
       val err = intercept[IllegalArgumentException] {
         EmbedStore.bandedDedupAgainst(spark, base, probe, tau)
       }
-      assert(err.getMessage.contains("no banded leg"))
+      assert(err.getMessage.contains("no complete banded leg"))
       // exact leg unaffected by the missing sidecars
       assert(verdictMap(EmbedStore.dedupAgainst(spark, base, probe)) ==
         bruteVerdicts(probe, history))
@@ -201,6 +201,33 @@ class EmbedStoreSpec extends GraftSpec {
         EmbedStore.bandedDedupAgainst(spark, base, probe, tau)) ==
         bruteVerdicts(probe, full))
       EmbedStore.compact(spark, base)
+      assert(verdictMap(
+        EmbedStore.bandedDedupAgainst(spark, base, probe, tau)) ==
+        bruteVerdicts(probe, full))
+      // TORN sidecar states (r13 ADVICE): a crash inside writeBandedLeg
+      // between the _bbits and _bands writes leaves either-only states.
+      // Every banded call site keys on BOTH sidecars, so the read-only
+      // probe refuses loudly and the maintenance paths HEAL instead of
+      // dying on the missing half. _bbits-only first (the write-order
+      // crash): compact backfills.
+      spark.sql(s"DROP TABLE IF EXISTS ${base}_bands")
+      Caches.deleteDir(s"$path/bands")
+      assert(intercept[IllegalArgumentException] {
+        EmbedStore.bandedDedupAgainst(spark, base, probe, tau)
+      }.getMessage.contains("no complete banded leg"))
+      EmbedStore.compact(spark, base)
+      assert(verdictMap(
+        EmbedStore.bandedDedupAgainst(spark, base, probe, tau)) ==
+        bruteVerdicts(probe, full))
+      // _bands-only (a torn backfill): append heals — the replayed
+      // batch is tolerated (pair-level dedupe) and the rebuilt leg
+      // covers the full history
+      spark.sql(s"DROP TABLE IF EXISTS ${base}_bbits")
+      Caches.deleteDir(s"$path/bbits")
+      assert(intercept[IllegalArgumentException] {
+        EmbedStore.bandedDedupAgainst(spark, base, probe, tau)
+      }.getMessage.contains("no complete banded leg"))
+      EmbedStore.append(spark, base, appended)
       assert(verdictMap(
         EmbedStore.bandedDedupAgainst(spark, base, probe, tau)) ==
         bruteVerdicts(probe, full))
@@ -270,6 +297,151 @@ class EmbedStoreSpec extends GraftSpec {
           s"banded-routed verdicts diverged: $viaBanded vs $viaDefault")
       } finally spark.conf.unset(graft.GraftConf.RangeEngineKey)
     } finally cleanup(base, path)
+  }
+
+  test("dedupAgainstAuto(auto) routes PER LABEL off the cells table " +
+      "(r14): a saturated label takes the banded leg, a small label " +
+      "the exact probe — one verdict frame, ⊆ exact's") {
+    // conf-shrunk geometry: maxCells=4, targetCellSize=2 → a label's
+    // cell count saturates at history ≥ tcs·mc = 8
+    val bigHist = embDf((0 until 24).map(i =>
+      (100L + i, 1, Seq(1.0, i / 24.0, (i % 5) / 5.0, 0.0))))
+    val smallHist = embDf(Seq(
+      (200L, 2, Seq(0.0, 0.0, 1.0, 0.0)),
+      (202L, 2, Seq(0.0, 1.0, 0.0, 0.0))))
+    val history = bigHist.unionByName(smallHist)
+    val batch = embDf(Seq(
+      (1L, 1, Seq(0.999, 0.001, 0.0, 0.0)),   // dup-regime on the big label
+      (3L, 1, Seq(0.0, 0.0, 0.0, 1.0)),       // big label, no match
+      (5L, 2, Seq(0.001, 0.0, 0.999, 0.0)),   // dup-regime on the small label
+      (7L, 3, Seq(1.0, 0.0, 0.0, 0.0))))      // label the store never saw
+    val (base, path) = freshBase()
+    try {
+      spark.conf.set(graft.GraftConf.TargetCellSizeKey, "2")
+      spark.conf.set(graft.GraftConf.MaxCellsKey, "4")
+      EmbedStore.write(history, base, path)
+      // precondition: the routing statistic actually splits the labels
+      val cellCnt = spark.table(s"${base}_cells").groupBy("label")
+        .count().collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+      assert(cellCnt(1) >= 4 && cellCnt(2) < 4,
+        s"cell counts $cellCnt do not split the routing tiers")
+      val exact = verdictMap(
+        EmbedStore.dedupAgainst(spark, base, batch, tau))
+      val banded = verdictMap(
+        EmbedStore.bandedDedupAgainst(spark, base, batch, tau))
+      spark.conf.set(graft.GraftConf.RangeEngineKey, "auto")
+      val auto = verdictMap(
+        EmbedStore.dedupAgainstAuto(spark, base, batch, tau))
+      assert(auto.keySet == exact.keySet,
+        "auto must keep one verdict row per batch vector")
+      // big-label rows ≡ the banded leg's, small/unseen ≡ the exact leg's
+      assert(auto(1L) == banded(1L) && auto(3L) == banded(3L),
+        s"saturated-label rows did not ride the banded leg: $auto")
+      assert(auto(5L) == exact(5L) && auto(7L) == exact(7L),
+        s"small/unseen-label rows did not ride the exact probe: $auto")
+      // the planted dups are found on both routes
+      assert(auto(1L)._1 > 0 && auto(5L)._1 > 0)
+    } finally {
+      spark.conf.unset(graft.GraftConf.TargetCellSizeKey)
+      spark.conf.unset(graft.GraftConf.MaxCellsKey)
+      spark.conf.unset(graft.GraftConf.RangeEngineKey)
+      cleanup(base, path)
+    }
+  }
+
+  test("slim bands layout (r14): 1× payload instead of ×bands, same " +
+      "verdicts as inline across write/append/compact; the layout is " +
+      "frozen per store and a declared rebuild may change it") {
+    val history = embDf((0 until 20).map(i =>
+      (100L + i, 1 + i % 3, Seq(1.0, i / 20.0, (i % 4) / 4.0, 0.0))))
+    val appended = embDf((0 until 10).map(i =>
+      (300L + i, 1 + i % 3, Seq(0.0, 1.0, i / 10.0, 0.0))))
+    val batch = embDf(Seq(
+      (1L, 1, Seq(0.999, 0.05 / 20.0, 0.001, 0.0)),
+      (3L, 2, Seq(0.001, 0.999, 0.3 / 10.0, 0.0)),
+      (5L, 3, Seq(0.0, 0.0, 0.0, 1.0))))
+    val (ib, ip) = freshBase() // inline twin
+    val (sb, sp) = freshBase() // slim store
+    def banded(base: String) = verdictMap(
+      EmbedStore.bandedDedupAgainst(spark, base, batch, tau))
+    try {
+      EmbedStore.write(history, ib, ip)
+      EmbedStore.append(spark, ib, appended)
+      spark.conf.set(graft.GraftConf.BandStoreLayoutKey, "slim")
+      EmbedStore.write(history, sb, sp)
+      // slim schema: no inline payload on the keys table, one payload
+      // row per vector in _bvecs
+      assert(!spark.table(s"${sb}_bands").columns.contains("hv"))
+      assert(spark.table(s"${sb}_bvecs").count() == 20)
+      // the frozen layout survives a conf flip: appends follow the
+      // store, not the session
+      spark.conf.set(graft.GraftConf.BandStoreLayoutKey, "inline")
+      EmbedStore.append(spark, sb, appended)
+      assert(!spark.table(s"${sb}_bands").columns.contains("hv"),
+        "append re-introduced inline payload on a slim store")
+      assert(spark.table(s"${sb}_bvecs").count() == 30)
+      val inline = banded(ib)
+      assert(banded(sb) == inline,
+        "slim-layout verdicts diverged from the inline twin's")
+      // compact keeps the slim sidecars aligned and verdicts stable
+      EmbedStore.compact(spark, sb)
+      assert(banded(sb) == inline)
+      // a declared rebuild under the inline conf changes the layout
+      EmbedStore.rebuildBandedLeg(spark, sb)
+      assert(spark.table(s"${sb}_bands").columns.contains("hv"),
+        "rebuild under layout=inline must re-inline the payload")
+      assert(!spark.catalog.tableExists(s"${sb}_bvecs"),
+        "rebuild to inline must retire the payload sidecar")
+      assert(banded(sb) == inline)
+    } finally {
+      spark.conf.unset(graft.GraftConf.BandStoreLayoutKey)
+      cleanup(ib, ip)
+      cleanup(sb, sp)
+    }
+  }
+
+  test("banded store bucket growth is per append GENERATION and " +
+      "rebuildBandedLeg re-tightens it (r14): G appends grow a hot " +
+      "bucket to ~G·cap; the rebuild re-caps and keeps verdicts sound") {
+    // near-identical vectors share every band key → ONE hot bucket per
+    // band; cap=4 so the growth curve is visible at spec scale
+    def nearDups(ids: Range) = embDf(ids.map(i =>
+      (i.toLong, 1, Seq(1.0, 0.0005 * (i % 7), 0.0, 0.0))))
+    val probe = embDf(Seq((1L, 1, Seq(0.9999, 0.0001, 0.0, 0.0))))
+    val (base, path) = freshBase()
+    def maxBucket(): Long = spark.table(s"${base}_bands")
+      .groupBy(col("bkey")).count().agg(max(col("count")))
+      .head.getLong(0)
+    try {
+      spark.conf.set(graft.GraftConf.AnnBandMaxPerBucketKey, "4")
+      EmbedStore.write(nearDups(100 until 110), base, path)
+      assert(maxBucket() <= 4, s"write-time cap broke: ${maxBucket()}")
+      // three appends into the same hot bucket: each generation adds
+      // its own ≤cap rows — the documented linear degradation
+      EmbedStore.append(spark, base, nearDups(200 until 210))
+      EmbedStore.append(spark, base, nearDups(300 until 310))
+      EmbedStore.append(spark, base, nearDups(400 until 410))
+      val grown = maxBucket()
+      info(s"hot bucket after 3 appends at cap=4: $grown rows")
+      assert(grown > 4 && grown <= 16,
+        s"expected per-generation growth in (cap, 4·cap], got $grown")
+      // compact PRESERVES rows (the replay contract) — growth survives
+      EmbedStore.compact(spark, base)
+      assert(maxBucket() == grown,
+        "compact must not re-cap (verdict stability under replay)")
+      // the declared rebuild re-derives bits and re-caps
+      EmbedStore.rebuildBandedLeg(spark, base)
+      assert(maxBucket() <= 4,
+        s"rebuild did not re-tighten the cap: ${maxBucket()}")
+      // the dup-regime verdict is still found through the re-capped leg
+      val v = verdictMap(
+        EmbedStore.bandedDedupAgainst(spark, base, probe, tau))(1L)
+      assert(v._1 > 0 && v._2 == 100L,
+        s"post-rebuild banded probe lost the planted dup: $v")
+    } finally {
+      spark.conf.unset(graft.GraftConf.AnnBandMaxPerBucketKey)
+      cleanup(base, path)
+    }
   }
 
   test("banded leg: per-label bits FREEZE at first write — appends " +

@@ -587,6 +587,110 @@ class StreamingIngestSpec extends GraftSpec {
     }
   }
 
+  test("full ingest topology at rangeEngine=banded (r14): three " +
+      "micro-batches end-to-end yield the exact run's verdicts on " +
+      "dup-regime plants; a replayed batch converges; the two stores " +
+      "stay probe-equivalent") {
+    import java.nio.file.{Files, Paths}
+    import spark.implicits._
+    import graft.sources.{EmbedStore, SimHashStore}
+    def emb(v: Double*) = v.map(_.toFloat).toArray
+    val base = (1 to 40).map(i => s"w$i").mkString(" ")
+    val novel = (1 to 40).map(i => s"n$i").mkString(" ")
+    val tmp = Files.createTempDirectory("graft-ingest-banded").toString
+    val seedDocs = Seq((2L, "seed history content")).toDF("doc_id", "text")
+    def mkStores(tag: String): Unit = {
+      FingerprintStore.write(seedDocs, s"ingbd_fp_$tag", s"$tmp/fp_$tag")
+      MinHashStore.write(seedDocs, s"ingbd_mh_$tag", s"$tmp/mh_$tag")
+      SimHashStore.write(seedDocs, s"ingbd_sh_$tag", s"$tmp/sh_$tag")
+      EmbedStore.write(
+        Seq((2L, 0, emb(0.0, 1.0, 0.0, 0.0)))
+          .toDF("vec_id", "label", "embedding"),
+        s"ingbd_em_$tag", s"$tmp/em_$tag")
+    }
+    // dup-REGIME plants (cos ≈ 1 — the LSH contract's certain-collision
+    // band) so banded and exact verdicts must agree row for row
+    val batches = Seq(
+      Seq((11L, base, emb(1.0, 0.0, 0.0, 0.0)),
+        (13L, novel, emb(0.0, 0.0, 1.0, 0.0))),
+      Seq( // near-text-dup AND near-vector-dup of batch-1's kept 11
+        (21L, base.replace("w20", "zz"), emb(0.9995, 0.0005, 0.0, 0.0)),
+        (25L, "fresh in batch two", emb(0.0, 0.0, 0.0, 1.0))),
+      Seq( // vector-only dup of 25; exact text dup of 13 (NULL semantics)
+        (31L, "fresh in batch three", emb(0.0005, 0.0, 0.0, 0.9995)),
+        (33L, novel, emb(0.0, 0.0, 1.0, 0.0))))
+    def legsOf(tag: String) = StreamingIngest.IngestLegs(
+      embedBase = Some(s"ingbd_em_$tag"), simBase = Some(s"ingbd_sh_$tag"))
+    def runStream(tag: String): Map[Long, Seq[String]] = {
+      val incoming = Paths.get(tmp, s"incoming_$tag")
+      batches.zipWithIndex.foreach { case (b, i) =>
+        b.toDF("doc_id", "text", "embedding")
+          .coalesce(1).write.parquet(s"$incoming/b$i")
+        // pin arrival order (the file source orders by mod time)
+        new java.io.File(s"$incoming/b$i").listFiles()
+          .filter(_.getName.endsWith(".parquet"))
+          .foreach(_.setLastModified(
+            System.currentTimeMillis() - (10 - i) * 60000L))
+      }
+      val stream = spark.readStream
+        .schema("doc_id LONG, text STRING, embedding ARRAY<FLOAT>")
+        .option("maxFilesPerTrigger", "1")
+        .option("recursiveFileLookup", "true")
+        .parquet(incoming.toString)
+      val out = scala.collection.mutable.Map.empty[Long, Seq[String]]
+      val q = StreamingIngest.run(spark, stream.toDF(),
+        s"ingbd_fp_$tag", s"ingbd_mh_$tag", legsOf(tag),
+        (v: DataFrame, id: Long) =>
+          out(id) = v.collect().map(_.toString).sorted.toSeq)
+      try q.processAllAvailable() finally q.stop()
+      out.toMap
+    }
+    try {
+      mkStores("e")
+      mkStores("b")
+      val exactOut = runStream("e")
+      spark.conf.set(graft.GraftConf.RangeEngineKey, "banded")
+      try {
+        val bandedOut = runStream("b")
+        assert(exactOut.keySet == Set(0L, 1L, 2L) &&
+          bandedOut.keySet == Set(0L, 1L, 2L),
+          s"expected 3 micro-batches: ${exactOut.keySet} / ${bandedOut.keySet}")
+        (0L to 2L).foreach(i => assert(bandedOut(i) == exactOut(i),
+          s"banded-routed batch $i verdicts diverged:\n${bandedOut(i)}" +
+            s"\nvs exact:\n${exactOut(i)}"))
+        // CRASH REPLAY under banded: the whole batch-3 loop body ran
+        // (all appends committed), its sink output was lost, foreachBatch
+        // re-delivers — the replay must yield the same verdicts
+        val b3 = batches(2).toDF("doc_id", "text", "embedding")
+        val replay = StreamingIngest.processBatch(spark, "ingbd_fp_b",
+            "ingbd_mh_b", legsOf("b"), b3)
+          .collect().map(_.toString).sorted.toSeq
+        assert(replay == bandedOut(2L),
+          s"banded replay diverged:\n$replay\nvs\n${bandedOut(2L)}")
+        // the replayed (duplicated) banded rows must not change a LATER
+        // probe either, and the banded-run store must stay
+        // probe-equivalent to the exact-run twin's
+        val next = Seq((41L, 0, emb(0.999, 0.001, 0.0, 0.0)))
+          .toDF("vec_id", "label", "embedding")
+        def probe(tag: String) = EmbedStore.bandedDedupAgainst(spark,
+            s"ingbd_em_$tag", next).collect().map(_.toString).sorted.toSeq
+        assert(probe("b") == probe("e"),
+          "banded-run store diverged from the exact-run twin under probe")
+        assert(probe("b").mkString.contains("41,1,11,"),
+          s"the planted dup of 11 went unmatched: ${probe("b")}")
+      } finally spark.conf.unset(graft.GraftConf.RangeEngineKey)
+    } finally {
+      Seq("e", "b").foreach { t =>
+        Seq(s"ingbd_fp_$t", s"ingbd_mh_${t}_bands",
+          s"ingbd_mh_${t}_shingles", s"ingbd_sh_$t",
+          s"ingbd_em_${t}_cells", s"ingbd_em_${t}_lists",
+          s"ingbd_em_${t}_bands", s"ingbd_em_${t}_bbits")
+          .foreach(tb => spark.sql(s"DROP TABLE IF EXISTS $tb"))
+      }
+      Caches.deleteDir(tmp)
+    }
+  }
+
   test("the loop's working set is scoped: no checkpointed or persisted " +
       "frames survive a trigger") {
     import java.nio.file.{Files, Paths}
