@@ -23,9 +23,10 @@ object GraftConf {
   val TargetCellSizeKey = "spark.graft.ann.targetCellSize"
   val MaxCellsKey = "spark.graft.ann.maxCells"
 
-  /** Lloyd (assign+recenter) rounds at the LEAF level of the
-    * hierarchical cell build (multi-parent blocks only — the
-    * single-parent fast path every gate corpus takes keeps its audited
+  /** Lloyd (assign+recenter) rounds at the LEAF level of the cell
+    * build — multi-parent blocks and the refined single-level band,
+    * for labels the orphanMaxFrac trigger marks as clustered (the
+    * single-level fast path every gate corpus takes keeps its audited
     * one-round shape). Hash-ordered seeds are effectively random
     * members, and one round off them orphans a constant fraction of
     * natural clusters across leaf boundaries — the orphaned leaf's

@@ -386,6 +386,38 @@ class EmbedStoreSpec extends GraftSpec {
       // compact keeps the slim sidecars aligned and verdicts stable
       EmbedStore.compact(spark, sb)
       assert(banded(sb) == inline)
+      // production plan shape (AQE/broadcast off): BOTH store sides —
+      // the keys table AND the payload join-back — read their buckets
+      // in place, no exchange above either bucketed scan
+      locally {
+        import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+        import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+        import org.apache.spark.sql.execution.joins.SortMergeJoinExec
+        val prevB = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        val prevA = spark.conf.get("spark.sql.adaptive.enabled")
+        try {
+          spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+          spark.conf.set("spark.sql.adaptive.enabled", "false")
+          val out = EmbedStore.bandedDedupAgainst(spark, sb, batch, tau)
+          assert(verdictMap(out) == inline)
+          def storeScan(p: SparkPlan) = p.collect {
+            case f: FileSourceScanExec if f.relation.bucketSpec.isDefined => f
+          }.nonEmpty
+          val plan = out.queryExecution.executedPlan
+          val storeSides = plan.collect { case j: SortMergeJoinExec => j }
+            .flatMap(j => Seq(j.left, j.right))
+            .filter(side => storeScan(side) &&
+              side.collect { case nj: SortMergeJoinExec => nj }.isEmpty)
+          assert(storeSides.size >= 2,
+            s"expected bands AND bvecs probes as in-place SMJ sides:\n$plan")
+          storeSides.foreach(side => assert(
+            side.collect { case e: ShuffleExchangeExec => e }.isEmpty,
+            s"a slim store side re-shuffled:\n$side"))
+        } finally {
+          spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevB)
+          spark.conf.set("spark.sql.adaptive.enabled", prevA)
+        }
+      }
       // a declared rebuild under the inline conf changes the layout
       EmbedStore.rebuildBandedLeg(spark, sb)
       assert(spark.table(s"${sb}_bands").columns.contains("hv"),
