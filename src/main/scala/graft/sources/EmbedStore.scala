@@ -661,8 +661,20 @@ object EmbedStore {
     * a crash and its replay. The exact leg — and its recall-1 verdicts
     * — are untouched.
     */
-  def rebuildBandedLeg(spark: SparkSession, tableBase: String): Unit =
+  def rebuildBandedLeg(spark: SparkSession, tableBase: String): Unit = {
+    // Tear the keys table down FIRST (review finding): the rebuild
+    // rewrites _bbits before _bands, so a crash between the two on a
+    // COMPLETE store would leave STALE keys under freshly re-derived
+    // geometry with bandedLegComplete still true — a silent recall
+    // hole (mixed-geometry keys never match the probe's rebuilt
+    // signatures). Dropped first, a crash anywhere mid-rebuild leaves
+    // the leg INCOMPLETE: the probe refuses loudly and the next
+    // append/compact/rebuild heals by backfilling — the family's
+    // loud-over-silent discipline. The files stay on disk until the
+    // rewrite truncates them (catalog drop only).
+    spark.sql(s"DROP TABLE IF EXISTS ${tableBase}_bands")
     backfillBandedLeg(spark, tableBase)
+  }
 
   /** Rewrite the appended-to lists table back to one sorted file per
     * bucket, and the cells table to one file — run between ingest
