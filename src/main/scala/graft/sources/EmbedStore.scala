@@ -349,12 +349,15 @@ object EmbedStore {
     // slim layout (r14): the bands rows carry no payload — fetch it
     // through the h_id-bucketed _bvecs table (candidate-scale batch
     // side shuffles; the corpus-scale vecs side reads its buckets in
-    // place), then collapse replayed duplicate _bvecs rows at pair
-    // level too
+    // place). Replayed duplicate _bvecs rows collapse AT THE SCAN
+    // (dropDuplicates on the bucket key = a bucket-local aggregate,
+    // no exchange — duplicates carry identical payload under the
+    // globally-unique-id ingest contract), so the join emits one row
+    // per candidate pair without a second candidate-scale shuffle
     val withPayload = if (bandedLayoutSlim(spark, tableBase))
       cand.select(col("vec_id"), col("h_id"))
-        .join(spark.table(s"${tableBase}_bvecs"), Seq("h_id"))
-        .dropDuplicates("vec_id", "h_id")
+        .join(spark.table(s"${tableBase}_bvecs").dropDuplicates("h_id"),
+          Seq("h_id"))
     else cand
     val verified = withPayload
       .join(n.select(col("vec_id"), col("v").as("qv"),
