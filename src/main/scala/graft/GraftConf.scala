@@ -135,9 +135,13 @@ object GraftConf {
     * path's candidate mass is data-inherently super-linear. A mixed
     * 100× corpus — a few mega-label continuum blocks beside many small
     * clustered labels — gets both engines in ONE plan instead of one
-    * engine for all labels. The gate rows run at the default; verdicts
-    * under auto are ⊆ exact's at the same τ (banded labels follow the
-    * LSH contract, everything else is recall-1).
+    * engine for all labels. The store probe (EmbedStore) routes on the
+    * continuum flag the build FROZE into `_bbits.cont` (the same
+    * statistic, measured at write/rebuild when it is cheap), falling
+    * back per label to cell-count saturation for unmeasured stores.
+    * The gate rows run at the default; verdicts under auto are ⊆
+    * exact's at the same τ (banded labels follow the LSH contract,
+    * everything else is recall-1).
     */
   val RangeEngineKey = "spark.graft.ann.rangeEngine"
 

@@ -941,7 +941,7 @@ object AnnPack extends QueryPack {
     * above-the-clamp labels); returns ≤|labels| rows to the driver —
     * the established metadata-scale peek discipline.
     */
-  private def round1OrphanFracByLabel(n: DataFrame, tcs: Int,
+  private[graft] def round1OrphanFracByLabel(n: DataFrame, tcs: Int,
       mc: Int): Array[org.apache.spark.sql.Row] = {
     val s = n.sparkSession
     val keys = Seq("label", "c1")

@@ -255,11 +255,34 @@ object EmbedStore {
     // which every probe then short-circuits on
     val dim = n.select(size(col("v")).as("d")).limit(1).collect()
       .headOption.map(_.getInt(0)).getOrElse(1)
-    val bbits = n.groupBy(col("label")).agg(count(lit(1)).as("n_l"))
+    // FREEZE the continuum statistic per label (r14): the build is the
+    // one moment the store can MEASURE clusteredness — the same
+    // round-1 orphan fraction the in-query auto dispatch and the cell
+    // build's trigger read — so the auto probe router can send
+    // clustered mega-labels to the recall-1 exact leg and only
+    // continuum ones to the banded leg. Measured on the >clamp labels
+    // only (~3 passes over just their rows, once per build/rebuild);
+    // under-clamp labels are never continuum-routed. Frozen like bits:
+    // appends do not re-measure (a declared rebuild does).
+    val tcs = graft.GraftConf.targetCellSize(spark)
+    val mc = graft.GraftConf.maxCells(spark)
+    val clamp = tcs.toLong * mc
+    val cnt = n.groupBy(col("label")).agg(count(lit(1)).as("n_l"))
+    val bigLabels = cnt.filter(col("n_l") > clamp).select(col("label"))
+      .collect().map(_.get(0)).toSeq
+    val contLabels = if (bigLabels.isEmpty) Seq.empty[Any]
+      else AnnPack.round1OrphanFracByLabel(
+          n.join(broadcast(cnt.filter(col("n_l") > clamp)
+            .select(col("label"))), Seq("label"), "left_semi"), tcs, mc)
+        .filter(_.getDouble(1) > graft.GraftConf.orphanMaxFrac(spark))
+        .map(_.get(0)).toSeq
+    val contCol = if (contLabels.isEmpty) lit(false)
+      else col("label").isin(contLabels: _*)
+    val bbits = cnt
       .select(col("label"),
         AnnPack.bandBitsCol(maxBits, targetLoad).as("bits"),
         lit(dim).as("dim"), lit(numBands).as("bands"),
-        lit(maxBits).as("max_bits"))
+        lit(maxBits).as("max_bits"), contCol.as("cont"))
     Bucketed.writePlain(bbits, s"${tableBase}_bbits", s"$path/bbits",
       Seq("label"))
     // slim payload table BEFORE the keys table: a crash between the
@@ -395,32 +418,42 @@ object EmbedStore {
     }
 
   /** PER-LABEL auto probe (r14 — the r13 verdict's task 1, store
-    * side). The in-query auto's continuum fraction is a BUILD-time
-    * statistic; at probe time the cheap per-label signal the store
-    * itself carries is the cells table's per-label cell count
-    * (metadata-scale): a label whose count reached maxCells had
-    * history past the single-level clamp at build — the regime where
-    * the exact probe's candidate mass turns data-dependent (the cell
-    * granularity stopped scaling with the block) — and routes through
-    * the banded leg's by-construction mass bound; smaller labels keep
-    * the recall-1 exact probe. Size-only on purpose: clusteredness is
-    * not measurable at probe time without a corpus pass, and both
-    * engines are verdict-sound either way (banded ⊆ exact), so a
-    * misrouted clustered mega-label costs LSH recall on exactly the
-    * blocks the global `banded` setting would have given LSH recall
-    * anyway. Batch labels the store has never seen take the exact
-    * side (sentinels either way). maxCells is read from the CURRENT
-    * conf — a probe-time override shifts routing, never soundness.
+    * side). The routing statistic is the FROZEN per-label continuum
+    * flag the build measured into `_bbits.cont` (the same round-1
+    * orphan fraction the in-query auto dispatch and the cell build's
+    * trigger read — the build is the one moment clusteredness is
+    * measurable without a probe-time corpus pass): cont=true labels —
+    * continuum mega-blocks, where the exact probe's candidate mass is
+    * data-inherently super-linear — route through the banded leg's
+    * by-construction mass bound; everything else (small labels AND
+    * clustered mega-labels, whose refined/hierarchical cells keep the
+    * exact mass near-linear) keeps the recall-1 exact probe. Labels
+    * whose flag is NULL/absent — pre-r14 stores, or rows appended to
+    * one before its first rebuild — fall back per label to the
+    * metadata-scale cell-count saturation signal (count == maxCells ⇔
+    * history ≥ the single-level clamp at build; size-only, but both
+    * engines are verdict-sound and banded ⊆ exact). Batch labels the
+    * store has never seen take the exact side (sentinels either way).
     */
   private def autoDedupAgainst(spark: SparkSession, tableBase: String,
       batch: DataFrame, tau: Double): DataFrame = {
+    val bbitsT = s"${tableBase}_bbits"
+    // ≤|labels| rows off the metadata-scale sidecars
+    val contByLabel: Map[Any, Option[Boolean]] =
+      if (spark.catalog.tableExists(bbitsT) &&
+          spark.table(bbitsT).columns.contains("cont"))
+        spark.table(bbitsT).select(col("label"), col("cont")).collect()
+          .map(r => r.get(0) ->
+            (if (r.isNullAt(1)) None else Some(r.getBoolean(1)))).toMap
+      else Map.empty
     val mc = graft.GraftConf.maxCells(spark)
-    // ≤|labels| rows off the metadata-scale cells table
     val cellCnt = spark.table(s"${tableBase}_cells")
       .groupBy(col("label")).agg(count(lit(1)).as("n_cells"))
       .collect()
-    val bandedLabels = cellCnt.filter(_.getLong(1) >= mc)
-      .map(_.get(0)).toSeq
+    val bandedLabels = cellCnt.filter { r =>
+      contByLabel.getOrElse(r.get(0), None)
+        .getOrElse(r.getLong(1) >= mc) // unmeasured → size fallback
+    }.map(_.get(0)).toSeq
     if (bandedLabels.isEmpty)
       return dedupAgainst(spark, tableBase, batch, tau)
     if (bandedLabels.size == cellCnt.length)
@@ -522,12 +555,20 @@ object EmbedStore {
       .select(col("label"),
         AnnPack.bandBitsCol(maxBits, targetLoad).as("bits"),
         lit(dim).as("dim"), lit(numBands).as("bands"),
-        lit(maxBits).as("max_bits"))
+        lit(maxBits).as("max_bits"),
+        // a fresh label starts as ONE new cell — clusteredness is not
+        // measured on appends (the frozen discipline); it stays
+        // exact-routed until a declared rebuild re-measures
+        lit(false).as("cont"))
       .localCheckpoint(true)
     try {
       if (fresh.count() > 0)
+        // allowMissingColumns: a pre-r14 store's bbits has no `cont`
+        // column — its rows surface NULL (= "unmeasured"), which the
+        // auto router resolves per label via the cell-count fallback
         Bucketed.rewritePlain(spark, bbitsT,
-          spark.table(bbitsT).unionByName(fresh), Seq("label"))
+          spark.table(bbitsT).unionByName(fresh,
+            allowMissingColumns = true), Seq("label"))
       // the append follows the store's FROZEN layout, not the current
       // conf; payload rows land BEFORE key rows (same crash ordering
       // as the build: keys referencing absent vectors would be a

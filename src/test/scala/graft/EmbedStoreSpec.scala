@@ -299,32 +299,51 @@ class EmbedStoreSpec extends GraftSpec {
     } finally cleanup(base, path)
   }
 
-  test("dedupAgainstAuto(auto) routes PER LABEL off the cells table " +
-      "(r14): a saturated label takes the banded leg, a small label " +
-      "the exact probe — one verdict frame, ⊆ exact's") {
-    // conf-shrunk geometry: maxCells=4, targetCellSize=2 → a label's
-    // cell count saturates at history ≥ tcs·mc = 8
-    val bigHist = embDf((0 until 24).map(i =>
-      (100L + i, 1, Seq(1.0, i / 24.0, (i % 5) / 5.0, 0.0))))
-    val smallHist = embDf(Seq(
-      (200L, 2, Seq(0.0, 0.0, 1.0, 0.0)),
-      (202L, 2, Seq(0.0, 1.0, 0.0, 0.0))))
-    val history = bigHist.unionByName(smallHist)
+  test("dedupAgainstAuto(auto) routes PER LABEL off the FROZEN " +
+      "continuum flag (r14): a continuum mega-label takes the banded " +
+      "leg, a CLUSTERED mega-label and small labels keep the recall-1 " +
+      "exact probe; unmeasured stores fall back to cell-count size") {
+    // 64-dim hash directions (the AnnPackSpec plantedClusters formula)
+    def hv(seed: Long): Seq[Double] = {
+      val raw = (0 until 64).map(j =>
+        (((seed * (j * 6364136223846793005L + 1442695040888963407L))
+          >>> 40) & 0xffL).toDouble - 127.5)
+      val n = math.sqrt(raw.map(x => x * x).sum)
+      raw.map(_ / n)
+    }
+    def mix(a: Seq[Double], b: Seq[Double], eps: Double) =
+      a.zip(b).map { case (x, y) => x + eps * y }
+    // conf-shrunk geometry: clamp = tcs·mc = 8, so 24-vector labels
+    // are mega (refined band) and the 2-vector label is small
+    val continuum = embDf((0 until 24).map(i => // every vector its own direction
+      (100L + i, 1, hv(1000L + i))))
+    val clustered = embDf((0 until 24).map(i => // 3 tight clusters of 8
+      (300L + i, 3, mix(hv(2000L + i / 8), hv(3000L + i), 0.02))))
+    val small = embDf(Seq((200L, 2, hv(4000L)), (202L, 2, hv(4001L))))
+    val history = continuum.unionByName(clustered).unionByName(small)
     val batch = embDf(Seq(
-      (1L, 1, Seq(0.999, 0.001, 0.0, 0.0)),   // dup-regime on the big label
-      (3L, 1, Seq(0.0, 0.0, 0.0, 1.0)),       // big label, no match
-      (5L, 2, Seq(0.001, 0.0, 0.999, 0.0)),   // dup-regime on the small label
-      (7L, 3, Seq(1.0, 0.0, 0.0, 0.0))))      // label the store never saw
+      (1L, 1, mix(hv(1000L), hv(5000L), 0.001)), // dup-regime, continuum label
+      (3L, 3, mix(hv(2000L), hv(5001L), 0.001)), // dup-regime, clustered label
+      (5L, 2, mix(hv(4000L), hv(5002L), 0.001)), // dup-regime, small label
+      (7L, 9, hv(6000L))))                       // label the store never saw
     val (base, path) = freshBase()
     try {
       spark.conf.set(graft.GraftConf.TargetCellSizeKey, "2")
       spark.conf.set(graft.GraftConf.MaxCellsKey, "4")
       EmbedStore.write(history, base, path)
-      // precondition: the routing statistic actually splits the labels
+      // the build FROZE the routing statistic: continuum mega-label
+      // true, clustered mega-label false, small false
+      val cont = spark.table(s"${base}_bbits")
+        .select(col("label"), col("cont")).collect()
+        .map(r => r.getInt(0) -> r.getBoolean(1)).toMap
+      assert(cont == Map(1 -> true, 3 -> false, 2 -> false),
+        s"frozen continuum flags wrong: $cont")
+      // both mega-labels saturate the cell count — size alone CANNOT
+      // make this routing decision (the pre-r14 fallback's limit)
       val cellCnt = spark.table(s"${base}_cells").groupBy("label")
         .count().collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
-      assert(cellCnt(1) >= 4 && cellCnt(2) < 4,
-        s"cell counts $cellCnt do not split the routing tiers")
+      assert(cellCnt(1) >= 4 && cellCnt(3) >= 4 && cellCnt(2) < 4,
+        s"cell counts $cellCnt do not saturate both mega-labels")
       val exact = verdictMap(
         EmbedStore.dedupAgainst(spark, base, batch, tau))
       val banded = verdictMap(
@@ -334,13 +353,22 @@ class EmbedStoreSpec extends GraftSpec {
         EmbedStore.dedupAgainstAuto(spark, base, batch, tau))
       assert(auto.keySet == exact.keySet,
         "auto must keep one verdict row per batch vector")
-      // big-label rows ≡ the banded leg's, small/unseen ≡ the exact leg's
-      assert(auto(1L) == banded(1L) && auto(3L) == banded(3L),
-        s"saturated-label rows did not ride the banded leg: $auto")
-      assert(auto(5L) == exact(5L) && auto(7L) == exact(7L),
-        s"small/unseen-label rows did not ride the exact probe: $auto")
+      assert(auto(1L) == banded(1L),
+        s"continuum-label row did not ride the banded leg: $auto")
+      assert(auto(3L) == exact(3L) && auto(5L) == exact(5L) &&
+        auto(7L) == exact(7L),
+        s"clustered/small/unseen rows did not ride the exact probe: $auto")
       // the planted dups are found on both routes
-      assert(auto(1L)._1 > 0 && auto(5L)._1 > 0)
+      assert(auto(1L)._1 > 0 && auto(3L)._1 > 0 && auto(5L)._1 > 0)
+      // pre-r14 fallback: a store whose bbits carries no cont column
+      // routes on cell-count saturation — BOTH mega-labels go banded
+      sources.Bucketed.rewritePlain(spark, s"${base}_bbits",
+        spark.table(s"${base}_bbits").drop("cont"), Seq("label"))
+      val fb = verdictMap(
+        EmbedStore.dedupAgainstAuto(spark, base, batch, tau))
+      assert(fb(1L) == banded(1L) && fb(3L) == banded(3L) &&
+        fb(5L) == exact(5L),
+        s"cont-less fallback did not route on cell saturation: $fb")
     } finally {
       spark.conf.unset(graft.GraftConf.TargetCellSizeKey)
       spark.conf.unset(graft.GraftConf.MaxCellsKey)
