@@ -673,13 +673,21 @@ object AnnPack extends QueryPack {
     }
     if (skipLabels.isEmpty) // all-clustered corpus
       return refined(assigned1, lists1)
-    // mixed corpus: each label takes its own branch; union at the end
-    val (centRS, listsS) = plainLeafStructure(
-      assigned1.filter(col("label").isin(skipLabels: _*)),
-      cent0.filter(col("label").isin(skipLabels: _*)), mc)
-    val (centRR, listsR) = refined(
-      assigned1.filter(col("label").isin(refineLabels: _*)),
-      lists1.filter(col("label").isin(refineLabels: _*)))
+    // mixed corpus: each label takes its own branch; union at the end.
+    // Branch membership travels as ONE broadcast routing frame keyed on
+    // the SMALLER label set (labelFrame — never a literal isin list,
+    // r15: refineLabels can approach the full label count), semi-joined
+    // for that branch and anti-joined for the other.
+    val bySkip = skipLabels.size <= refineLabels.size
+    val routeLabels = if (bySkip) skipLabels else refineLabels
+    // (skip side, refine side) of a label-carrying frame
+    def route(df: DataFrame): (DataFrame, DataFrame) = {
+      val (m, nm) = splitByLabels(df, routeLabels)
+      if (bySkip) (m, nm) else (nm, m)
+    }
+    val (a1S, a1R) = route(assigned1)
+    val (centRS, listsS) = plainLeafStructure(a1S, route(cent0)._1, mc)
+    val (centRR, listsR) = refined(a1R, route(lists1)._2)
     (centRR.unionByName(centRS), listsR.unionByName(listsS))
   }
 
@@ -966,6 +974,40 @@ object AnnPack extends QueryPack {
       .collect()
   }
 
+  /** A driver-decided label set re-injected as a one-column DataFrame
+    * (r15 — the r14 verdict's task 1): the per-label routing peeks are
+    * metadata-scale (≤|labels| rows collected), but re-entering the
+    * decision as a literal `isin` predicate puts the whole label list
+    * in the driver's expression tree and in every task's generated
+    * code — unbounded at a high-cardinality label space, where the
+    * >clamp label count can reach N/(tcs·mc). Carried as DATA in a
+    * broadcast semi/anti join instead, the decision costs one
+    * label-count-bounded broadcast — the same label-cardinality
+    * assumption the engine's broadcast cells tables already make —
+    * and the task-side plan is a constant-size hash probe.
+    */
+  private[graft] def labelFrame(s: SparkSession, dt: DataType,
+      labels: Seq[Any]): DataFrame = {
+    import scala.jdk.CollectionConverters._
+    s.createDataFrame(
+      labels.map(l => org.apache.spark.sql.Row(l)).asJava,
+      StructType(Seq(StructField("label", dt))))
+  }
+
+  /** `n` split by membership in `labels` — (members, non-members) —
+    * via ONE broadcast routing frame ([[labelFrame]]) used as semi and
+    * anti join. Rows whose label is NULL land on the non-member side
+    * (the old literal-`isin` routing dropped them from BOTH sides —
+    * three-valued logic; the join keeps every row routed somewhere).
+    */
+  private[graft] def splitByLabels(n: DataFrame,
+      labels: Seq[Any]): (DataFrame, DataFrame) = {
+    val route = broadcast(
+      labelFrame(n.sparkSession, n.schema("label").dataType, labels))
+    (n.join(route, Seq("label"), "left_semi"),
+      n.join(route, Seq("label"), "left_anti"))
+  }
+
   /** PER-LABEL auto dispatch (r14 — the r13 verdict's task 1): the
     * global conf forces a mixed corpus — a few mega-label continuum
     * blocks beside many small clustered labels — to pick ONE engine
@@ -1001,16 +1043,18 @@ object AnnPack extends QueryPack {
       .collect()
     val bigLabels = cntRows.filter(_.getLong(1) > clamp).map(_.get(0)).toSeq
     if (bigLabels.isEmpty) return rangePairsOf(n, tau)
-    val contLabels = round1OrphanFracByLabel(
-        n.filter(col("label").isin(bigLabels: _*)), tcs, mc)
+    // routing decisions travel as broadcast-joined frames, never as
+    // literal isin lists (r15 — see labelFrame on why)
+    val (bigSide, _) = splitByLabels(n, bigLabels)
+    val contLabels = round1OrphanFracByLabel(bigSide, tcs, mc)
       .filter(_.getDouble(1) > graft.GraftConf.orphanMaxFrac(s))
       .map(_.get(0)).toSeq
     if (contLabels.isEmpty) return rangePairsOf(n, tau)
     if (contLabels.size == cntRows.length)
       return bandedRangePairsOf(n, dim, tau)
-    rangePairsOf(n.filter(!col("label").isin(contLabels: _*)), tau)
-      .unionByName(bandedRangePairsOf(
-        n.filter(col("label").isin(contLabels: _*)), dim, tau))
+    val (contSide, exactSide) = splitByLabels(n, contLabels)
+    rangePairsOf(exactSide, tau)
+      .unionByName(bandedRangePairsOf(contSide, dim, tau))
   }
 
   /** The D6 candidate stage over an arbitrary normed frame — the
@@ -2571,6 +2615,68 @@ object AnnPack extends QueryPack {
       .orderBy(col("vec_id")),
     Some(embedIncBandedOracle))
 
+  /** Build (once per JVM × dataset) the C14c AUTO-gate store: the C14
+    * history, but with the routing statistic conf-PINNED at build so
+    * the frozen cont flag is deterministic at EVERY scale factor —
+    * clamp shrunk to tcs·mc = 8 (every sf's label blocks count as
+    * mega) and orphanMaxFrac = -1 (any measured fraction exceeds it),
+    * so every label freezes `cont = true` and the auto probe routes
+    * the whole batch through the banded leg: the one routing outcome
+    * an oracle can mirror without reimplementing the cell build in
+    * SQL. Sound at any geometry: the exact leg's recall-1 bound never
+    * depended on cell shape, and the banded bits freeze off label
+    * counts + DEFAULT band geometry exactly as the shared store's, so
+    * [[embedIncBandedOracle]] holds verbatim. The MIXED per-label
+    * routing — a function of measured clusteredness — is spec-pinned
+    * instead (EmbedStoreSpec r14/r15, StreamingIngestSpec r15); the
+    * gate's value is the cont FREEZE, the `_bbits` routing read and
+    * the banded probe running at sf1 width every round.
+    */
+  private def embStoreAuto(s: SparkSession, d: String): String = {
+    import graft.sources.StoreMemo
+    val base = s"graft_emb_store_${StoreMemo.tagOf(d)}c"
+    val dir = s"${StoreMemo.root}/$base"
+    StoreMemo.once(s, s"${base}_lists", dir,
+        Seq(s"${base}_cells", s"${base}_lists", s"${base}_bands",
+          s"${base}_bbits")) {
+      val hist = Tables.embeddings(s, d)
+        .filter(pmod(col("vec_id"), lit(2)) === 0)
+        .select(col("vec_id"), col("label"), col("embedding"))
+      val keys = Seq(graft.GraftConf.TargetCellSizeKey -> "2",
+        graft.GraftConf.MaxCellsKey -> "4",
+        graft.GraftConf.OrphanMaxFracKey -> "-1")
+      val prev = keys.map { case (k, _) => k -> s.conf.getOption(k) }
+      try {
+        keys.foreach { case (k, v) => s.conf.set(k, v) }
+        graft.sources.EmbedStore.write(hist, base, dir)
+      } finally prev.foreach {
+        case (k, Some(v)) => s.conf.set(k, v)
+        case (k, None) => s.conf.unset(k)
+      }
+    }
+    base
+  }
+
+  // C14c — the AUTO-dispatched probe of the persisted embedding store
+  // (r15, closing the r14 verdict's task 7): same odd-batch probe, but
+  // routed per label off the cont flags the build FROZE into _bbits
+  // (pinned all-banded — see embStoreAuto on why that is the
+  // oracle-mirrorable outcome). Runs in the repeatable sf1 gate subset
+  // alongside the banded row, so the self-driving routing machinery
+  // gets recurring ≥sf1 coverage.
+  private val dedupIncEmbedAuto = GraftQuery(
+    "dedup_incremental_embedding_auto",
+    (s, d) => {
+      val base = embStoreAuto(s, d)
+      s.conf.set(graft.GraftConf.RangeEngineKey, "auto")
+      // the routing peek is EAGER (metadata-scale _bbits/_cells reads),
+      // so the returned frame is fully routed before the conf restores
+      try graft.sources.EmbedStore.dedupAgainstAuto(s, base,
+          oddBatch(s, d)).orderBy(col("vec_id"))
+      finally s.conf.unset(graft.GraftConf.RangeEngineKey)
+    },
+    Some(embedIncBandedOracle))
+
   /** Build (once per JVM × dataset × path-shape) the D12 gate's PQ
     * store over the corpus slice; `split = true` trains/writes on the
     * vec_id % 11 <> 5 subset and APPENDS the rest (encoded against the
@@ -2629,7 +2735,7 @@ object AnnPack extends QueryPack {
       annRange, annRangeBanded, embeddingQuantize, annQuantized,
       annIndexSearch,
       annIndexAppendSearch, dedupIncEmbed, dedupIncEmbedAppend,
-      dedupIncEmbedBanded,
+      dedupIncEmbedBanded, dedupIncEmbedAuto,
       pqEncode, annPq, pqIndexSearch, pqIndexAppendSearch, annIvfPq,
       docTopics)
 

@@ -540,6 +540,66 @@ class AnnPackSpec extends GraftSpec {
     }
   }
 
+  test("rangeEngine=auto at MANY big labels (r15): the routing " +
+      "decision rides a broadcast-joined frame — no In/InSet literal " +
+      "label list anywhere in the plan — and per-label verdicts are " +
+      "identical to the r14 dispatch") {
+    // the r14 verdict's task 1: the per-label peek is metadata-scale,
+    // but re-injecting its result as a literal isin predicate grows
+    // the driver expression tree with the big-label count; planted
+    // here as 8 over-clamp labels (4 clustered → exact, 4 continuum →
+    // banded) + 1 small, so BOTH sides of the routing split are
+    // multi-label lists
+    def relabel(df: org.apache.spark.sql.DataFrame, label: Int,
+        off: Long) = df.withColumn("label", lit(label))
+      .withColumn("vec_id", col("vec_id") + off)
+    val small = relabel(plantedClusters(40), 0, 0L)
+    val blocks = (1 to 4).map(i => relabel(
+        plantedClusters(150, clusterSize = 30), i, i * 10000L)) ++
+      (5 to 8).map(i => relabel(
+        plantedClusters(150, clusterSize = 2), i, i * 10000L))
+    val mixed = blocks.foldLeft(small)(_ unionByName _).repartition(8)
+    def pairs(df: org.apache.spark.sql.DataFrame) = {
+      val p = df.select(col("vec_id"), col("nn_id"), col("label"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+        .toSet
+      Caches.releaseAll(blocking = true)
+      p
+    }
+    def onLabel(s: Set[(Long, Long, Int)], l: Int) = s.filter(_._3 == l)
+    try {
+      spark.conf.set(graft.GraftConf.TargetCellSizeKey, "8")
+      spark.conf.set(graft.GraftConf.MaxCellsKey, "8")
+      val exact = pairs(operators.AnnPack.rangePairsOf(mixed, 0.75))
+      val banded = pairs(
+        operators.AnnPack.bandedRangePairsOf(mixed, 64, 0.75))
+      spark.conf.set(graft.GraftConf.RangeEngineKey, "auto")
+      val autoDf = operators.AnnPack.rangePairsAuto(mixed, 64, 0.75)
+      // the structural claim: routing carries NO literal label list —
+      // neither an In nor its large-list InSet compilation — and DOES
+      // carry the broadcast semi/anti routing joins
+      val plan = autoDf.queryExecution.optimizedPlan.toString
+      assert(!plan.contains("INSET"),
+        "routing compiled a literal InSet label list into the plan")
+      assert(!"label#\\d+ IN \\(".r.findFirstIn(plan).isDefined,
+        "routing injected a literal In(label, ...) predicate")
+      assert(plan.contains("LeftSemi") && plan.contains("LeftAnti"),
+        "routing should travel as broadcast semi/anti joins")
+      val auto = pairs(autoDf)
+      assert(auto.subsetOf(exact), "auto invented a pair")
+      assert(onLabel(auto, 0) == onLabel(exact, 0))
+      (1 to 4).foreach(l => assert(onLabel(auto, l) == onLabel(exact, l),
+        s"clustered big label $l must ride the exact engine verbatim"))
+      (5 to 8).foreach(l => assert(onLabel(auto, l) == onLabel(banded, l),
+        s"continuum big label $l must route through the banded engine"))
+      assert((5 to 8).forall(l => onLabel(exact, l).nonEmpty))
+    } finally {
+      spark.conf.unset(graft.GraftConf.TargetCellSizeKey)
+      spark.conf.unset(graft.GraftConf.MaxCellsKey)
+      spark.conf.unset(graft.GraftConf.RangeEngineKey)
+    }
+  }
+
   test("D3/C5/D6 plans: no window partitioned by a whole label block") {
     // the r3 verdict's last one-partition-per-key-group sort: a
     // row_number window partitioned by `label` alone would sort each
