@@ -453,6 +453,35 @@ object Bucketed {
     }
   }
 
+  /** Lease-guarded, generation-swapped REWRITE of a BUCKETED table
+    * with new content — the bucketed analog of [[rewritePlain]], for
+    * the declared store-maintenance ops whose contract is the opposite
+    * of compaction's row preservation (re-capping a band store's hot
+    * buckets, retiring a rebuild's elder key generation). `df` MAY
+    * read from the table itself: the new generation lands in a sibling
+    * directory under the catalog's OWN bucket spec (so the rewrite can
+    * never diverge from the layout every probe relies on) while the
+    * old generation's files stay live; the catalog repoint is the
+    * commit and the retired directory keeps one-generation grace — a
+    * crash at any point leaves the pre-rewrite table fully intact.
+    */
+  def rewriteBucketed(spark: SparkSession, table: String,
+      df: DataFrame): Unit = withWriterLease(spark, table) {
+    val spec = spark.sessionState.catalog.getTableMetadata(
+        spark.sessionState.sqlParser.parseTableIdentifier(table))
+      .bucketSpec.getOrElse(throw new IllegalArgumentException(
+        s"$table is not bucketed — rewriteBucketed would drop the " +
+          "layout contract"))
+    swapGeneration(spark, table) { (newPath, tmpTable) =>
+      val cols = spec.bucketColumnNames
+        .map(org.apache.spark.sql.functions.col)
+      withSpec(df.repartition(spec.numBuckets, cols: _*)
+        .write.mode("overwrite").format("parquet")
+        .option("path", newPath), spec)
+        .saveAsTable(tmpTable)
+    }
+  }
+
   /** Rewrite an appended-to bucketed table back to one sorted file per
     * bucket. Appends amortize ingest but amplify reads: every appended
     * batch adds a file per touched bucket, and past one file per bucket

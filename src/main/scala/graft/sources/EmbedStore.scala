@@ -221,10 +221,14 @@ object EmbedStore {
     * `slim` drops the inline vector payload BEFORE the cap heap (the
     * r14 slim layout: keys shuffle at ~16 bytes/row instead of the
     * vector width — the write gets cheaper along with the storage).
+    * `bgen` (r15) stamps each row with the banded-leg GENERATION it
+    * belongs to — the column the atomic [[rebuildBandedLeg]] keys its
+    * serve-through on; `None` keeps the pre-r15 row shape for appends
+    * into a store whose `_bands` table has no `bgen` column yet.
     */
   private def bandsRowsOf(n: DataFrame, bbits: DataFrame, dim: Int,
-      numBands: Int, maxBits: Int, cap: Int,
-      slim: Boolean): DataFrame = {
+      numBands: Int, maxBits: Int, cap: Int, slim: Boolean,
+      bgen: Option[Int]): DataFrame = {
     val rows0 = n.withColumn("v", AnnPack.bandDimGuard(dim))
       .withColumn("sigbits", AnnPack.bandSigBits(dim, numBands * maxBits))
       .join(broadcast(bbits.select(col("label"), col("bits"))),
@@ -235,9 +239,90 @@ object EmbedStore {
       .select(bkey3(col("label"), col("bk.band"), col("bk.key"))
           .as("bkey"),
         col("h_id"), col("v").as("hv"), col("nrm").as("hnrm"))
-    val rows = if (slim) rows0.select(col("bkey"), col("h_id")) else rows0
+    val rows1 = if (slim) rows0.select(col("bkey"), col("h_id")) else rows0
+    val rows = bgen match {
+      case Some(g) => rows1.withColumn("bgen", lit(g))
+      case None => rows1
+    }
     graft.plans.TopKPerKey(rows, Seq(col("bkey")),
       Seq(col("h_id").asc), cap)
+  }
+
+  /** The banded leg's SERVING key generation — the max non-null `bgen`
+    * in `_bbits` (uniform by the write/append/rebuild invariant; max
+    * only defends a half-upgraded legacy store), or 1 when the column
+    * is absent or all-null: pre-r15 stores, and — by the same
+    * convention the upgrade rebuild stamps its pre-existing rows
+    * with — the state an interrupted first rebuild leaves (`_bands`
+    * re-written with old rows stamped 1, the `_bbits` commit not yet
+    * landed). Metadata-scale peek.
+    */
+  private def servingGen(spark: SparkSession, tableBase: String): Int = {
+    val bbits = spark.table(s"${tableBase}_bbits")
+    if (!bbits.columns.contains("bgen")) 1
+    else bbits.agg(max(col("bgen"))).collect().headOption
+      .filterNot(_.isNullAt(0)).map(_.getInt(0)).getOrElse(1)
+  }
+
+  /** The `_bands` table restricted to the SERVING generation: rows of
+    * a staged-but-uncommitted rebuild (higher `bgen`) and a committed
+    * one's not-yet-cleaned elder rows (lower `bgen`) are both filtered
+    * out AT THE SCAN (a pushed-down int predicate), so every probe
+    * reads exactly one internally-consistent key generation. Tables
+    * without the column (pre-r15) pass through unfiltered.
+    */
+  private def servingBands(spark: SparkSession,
+      tableBase: String): DataFrame = {
+    val bands = spark.table(s"${tableBase}_bands")
+    if (bands.columns.contains("bgen"))
+      bands.filter(col("bgen") === servingGen(spark, tableBase))
+        .drop("bgen")
+    else bands
+  }
+
+  /** The `_bbits` sidecar content for a normed history `n` under the
+    * given geometry, stamped with key generation `bgen` (≤|labels|
+    * rows). FREEZES the continuum statistic per label (r14): the
+    * build/rebuild is the one moment the store can MEASURE
+    * clusteredness — the same round-1 orphan fraction the in-query
+    * auto dispatch and the cell build's trigger read — so the auto
+    * probe router can send clustered mega-labels to the recall-1 exact
+    * leg and only continuum ones to the banded leg. Measured on the
+    * >clamp labels only (~3 passes over just their rows, once per
+    * build/rebuild); under-clamp labels are never continuum-routed.
+    * Frozen like bits: appends do not re-measure (a declared rebuild
+    * does) — which is why the row also records the STALENESS basis
+    * (r15 — the r14 verdict's task 5): `n_meas` is the block size this
+    * measurement saw, `n_app` counts rows appended since (grown by
+    * [[bandedAppendLeg]]); [[bandedStaleness]] surfaces the ratio. The
+    * cont verdict joins back in as a broadcast routing frame (r15 —
+    * never a literal isin list; see [[AnnPack.labelFrame]]).
+    */
+  private def bbitsPlan(spark: SparkSession, n: DataFrame, dim: Int,
+      numBands: Int, maxBits: Int, targetLoad: Int,
+      bgen: Int): DataFrame = {
+    val tcs = graft.GraftConf.targetCellSize(spark)
+    val mc = graft.GraftConf.maxCells(spark)
+    val clamp = tcs.toLong * mc
+    val cnt = n.groupBy(col("label")).agg(count(lit(1)).as("n_l"))
+    val bigLabels = cnt.filter(col("n_l") > clamp).select(col("label"))
+      .collect().map(_.get(0)).toSeq
+    val contLabels = if (bigLabels.isEmpty) Seq.empty[Any]
+      else AnnPack.round1OrphanFracByLabel(
+          n.join(broadcast(cnt.filter(col("n_l") > clamp)
+            .select(col("label"))), Seq("label"), "left_semi"), tcs, mc)
+        .filter(_.getDouble(1) > graft.GraftConf.orphanMaxFrac(spark))
+        .map(_.get(0)).toSeq
+    val contDf = AnnPack.labelFrame(spark, n.schema("label").dataType,
+      contLabels).withColumn("__cont", lit(true))
+    cnt.join(broadcast(contDf), Seq("label"), "left")
+      .select(col("label"),
+        AnnPack.bandBitsCol(maxBits, targetLoad).as("bits"),
+        lit(dim).as("dim"), lit(numBands).as("bands"),
+        lit(maxBits).as("max_bits"),
+        coalesce(col("__cont"), lit(false)).as("cont"),
+        lit(bgen).as("bgen"), col("n_l").as("n_meas"),
+        lit(0L).as("n_app"))
   }
 
   private def writeBandedLeg(spark: SparkSession, n: DataFrame,
@@ -255,34 +340,9 @@ object EmbedStore {
     // which every probe then short-circuits on
     val dim = n.select(size(col("v")).as("d")).limit(1).collect()
       .headOption.map(_.getInt(0)).getOrElse(1)
-    // FREEZE the continuum statistic per label (r14): the build is the
-    // one moment the store can MEASURE clusteredness — the same
-    // round-1 orphan fraction the in-query auto dispatch and the cell
-    // build's trigger read — so the auto probe router can send
-    // clustered mega-labels to the recall-1 exact leg and only
-    // continuum ones to the banded leg. Measured on the >clamp labels
-    // only (~3 passes over just their rows, once per build/rebuild);
-    // under-clamp labels are never continuum-routed. Frozen like bits:
-    // appends do not re-measure (a declared rebuild does).
-    val tcs = graft.GraftConf.targetCellSize(spark)
-    val mc = graft.GraftConf.maxCells(spark)
-    val clamp = tcs.toLong * mc
-    val cnt = n.groupBy(col("label")).agg(count(lit(1)).as("n_l"))
-    val bigLabels = cnt.filter(col("n_l") > clamp).select(col("label"))
-      .collect().map(_.get(0)).toSeq
-    val contLabels = if (bigLabels.isEmpty) Seq.empty[Any]
-      else AnnPack.round1OrphanFracByLabel(
-          n.join(broadcast(cnt.filter(col("n_l") > clamp)
-            .select(col("label"))), Seq("label"), "left_semi"), tcs, mc)
-        .filter(_.getDouble(1) > graft.GraftConf.orphanMaxFrac(spark))
-        .map(_.get(0)).toSeq
-    val contCol = if (contLabels.isEmpty) lit(false)
-      else col("label").isin(contLabels: _*)
-    val bbits = cnt
-      .select(col("label"),
-        AnnPack.bandBitsCol(maxBits, targetLoad).as("bits"),
-        lit(dim).as("dim"), lit(numBands).as("bands"),
-        lit(maxBits).as("max_bits"), contCol.as("cont"))
+    // a fresh build starts the key-generation clock at 1
+    val bbits = bbitsPlan(spark, n, dim, numBands, maxBits, targetLoad,
+      bgen = 1)
     Bucketed.writePlain(bbits, s"${tableBase}_bbits", s"$path/bbits",
       Seq("label"))
     // slim payload table BEFORE the keys table: a crash between the
@@ -305,7 +365,7 @@ object EmbedStore {
     }
     Bucketed.writeBucketed(
       bandsRowsOf(n, spark.table(s"${tableBase}_bbits"), dim, numBands,
-        maxBits, cap, slim),
+        maxBits, cap, slim, bgen = Some(1)),
       s"${tableBase}_bands", "bkey", buckets, s"$path/bands")
     spark.catalog.refreshTable(s"${tableBase}_bbits")
   }
@@ -343,7 +403,11 @@ object EmbedStore {
     if (meta.isEmpty) return empty
     val (dim, numBands, maxBits) =
       (meta.head.getInt(0), meta.head.getInt(1), meta.head.getInt(2))
-    val bands = spark.table(s"${tableBase}_bands")
+    // only the SERVING key generation (r15): a staged-but-uncommitted
+    // rebuild's fresh rows and a committed one's not-yet-cleaned elder
+    // rows are both invisible, so the probe always reads one
+    // internally-consistent geometry
+    val bands = servingBands(spark, tableBase)
     val n = normed(batch)
     // labels the store has never seen drop at the inner bits join (no
     // history ⇒ no verdict) and re-attach through the final left join
@@ -458,10 +522,13 @@ object EmbedStore {
       return dedupAgainst(spark, tableBase, batch, tau)
     if (bandedLabels.size == cellCnt.length)
       return bandedDedupAgainst(spark, tableBase, batch, tau)
-    dedupAgainst(spark, tableBase,
-        batch.filter(!col("label").isin(bandedLabels: _*)), tau)
-      .unionByName(bandedDedupAgainst(spark, tableBase,
-        batch.filter(col("label").isin(bandedLabels: _*)), tau))
+    // the routing decision re-enters as a broadcast-joined frame, not
+    // a literal isin list (r15 — see AnnPack.labelFrame); unseen-label
+    // batch rows land on the exact side via the anti join, same as the
+    // old predicate routed them
+    val (bandedSide, exactSide) = AnnPack.splitByLabels(batch, bandedLabels)
+    dedupAgainst(spark, tableBase, exactSide, tau)
+      .unionByName(bandedDedupAgainst(spark, tableBase, bandedSide, tau))
   }
 
   /** Fold `embs` (vec_id, label, embedding — typically the batch's
@@ -506,14 +573,35 @@ object EmbedStore {
     org.apache.spark.sql.GraftDatasetBridge.freeLocalCheckpoint(grownCells)
   }
 
+  /** `_bbits` content widened to the full current column set — absent
+    * columns (pre-r14 `cont`, pre-r15 `bgen`/`n_meas`/`n_app`) surface
+    * as NULLs, which every reader already treats as "unmeasured"
+    * (the auto router's cell-count fallback; [[bandedStaleness]]'s
+    * null fraction; [[servingGen]]'s gen-1 default).
+    */
+  private def withBbitsCols(bbits: DataFrame): DataFrame = {
+    import org.apache.spark.sql.types.{BooleanType, DataType, LongType}
+    val cols: Seq[(String, DataType)] = Seq("cont" -> BooleanType,
+      "bgen" -> IntegerType, "n_meas" -> LongType, "n_app" -> LongType)
+    cols.foldLeft(bbits) { case (df, (c, t)) =>
+      if (df.columns.contains(c)) df
+      else df.withColumn(c, lit(null).cast(t))
+    }
+  }
+
   /** The banded leg of an append: freeze bits for labels the store has
     * never seen (their first write — the ladder runs on THIS batch's
-    * block size), then land the batch's capped band-key rows
-    * bucket-aligned. Known labels keep their frozen bits (class doc on
-    * why re-deriving would be a rebuild in disguise). Purely additive
-    * on the bands table, so replays converge through the probe's
-    * pair-level dedupe; the bbits rewrite is generation-swapped and
-    * idempotent (a replayed label is no longer fresh).
+    * block size), grow every touched label's `n_app` staleness counter
+    * (r15 — the cont flag is FROZEN, so the counter is what tells an
+    * operator the measurement's basis has drifted; see
+    * [[bandedStaleness]]), then land the batch's capped band-key rows
+    * bucket-aligned under the SERVING key generation. Known labels
+    * keep their frozen bits (class doc on why re-deriving would be a
+    * rebuild in disguise). Purely additive on the bands table, so
+    * replays converge through the probe's pair-level dedupe; the bbits
+    * rewrite is generation-swapped, and a crash-replayed append can
+    * only double-count `n_app` — an ADVISORY counter no verdict ever
+    * reads, where over-counting merely recommends a rebuild earlier.
     */
   private[graft] def bandedAppendLeg(spark: SparkSession,
       tableBase: String, routed: DataFrame): Unit = {
@@ -548,8 +636,10 @@ object EmbedStore {
     // way write() does
     AnnPack.requireBandGeometry(numBands, maxBits, targetLoad)
     val cap = graft.GraftConf.annBandMaxPerBucket(spark)
-    val fresh = routed.groupBy(col("label"))
+    val gServe = servingGen(spark, tableBase)
+    val batchCnt = routed.groupBy(col("label"))
       .agg(count(lit(1)).as("n_l"))
+    val fresh = batchCnt
       .join(broadcast(bbits.select(col("label"))), Seq("label"),
         "left_anti")
       .select(col("label"),
@@ -558,35 +648,43 @@ object EmbedStore {
         lit(maxBits).as("max_bits"),
         // a fresh label starts as ONE new cell — clusteredness is not
         // measured on appends (the frozen discipline); it stays
-        // exact-routed until a declared rebuild re-measures
-        lit(false).as("cont"))
-      .localCheckpoint(true)
-    try {
-      if (fresh.count() > 0)
-        // allowMissingColumns: a pre-r14 store's bbits has no `cont`
-        // column — its rows surface NULL (= "unmeasured"), which the
-        // auto router resolves per label via the cell-count fallback
-        Bucketed.rewritePlain(spark, bbitsT,
-          spark.table(bbitsT).unionByName(fresh,
-            allowMissingColumns = true), Seq("label"))
-      // the append follows the store's FROZEN layout, not the current
-      // conf; payload rows land BEFORE key rows (same crash ordering
-      // as the build: keys referencing absent vectors would be a
-      // silent recall hole, extra unreferenced vectors are harmless
-      // and the replay's duplicates collapse at pair level)
-      val slim = bandedLayoutSlim(spark, tableBase)
-      if (slim)
-        Bucketed.appendBucketed(spark,
-          bvecsRows(routed.select(col("vec_id"), col("v"), col("nrm"))),
-          s"${tableBase}_bvecs")
+        // exact-routed until a declared rebuild re-measures. n_meas is
+        // the block size that implicit verdict was based on.
+        lit(false).as("cont"), lit(gServe).as("bgen"),
+        col("n_l").as("n_meas"), lit(0L).as("n_app"))
+    // known labels: n_app += this batch's block contribution (the
+    // r15 staleness counter). One metadata-scale generation-swapped
+    // rewrite per append — the same cost class as the cells-radius
+    // rewrite the append already pays.
+    val grown = withBbitsCols(bbits)
+      .join(batchCnt.select(col("label"), col("n_l").as("__b_n")),
+        Seq("label"), "left")
+      .withColumn("n_app",
+        coalesce(col("n_app"), lit(0L)) + coalesce(col("__b_n"), lit(0L)))
+      .drop("__b_n")
+    Bucketed.rewritePlain(spark, bbitsT, grown.unionByName(fresh),
+      Seq("label"))
+    // the append follows the store's FROZEN layout, not the current
+    // conf; payload rows land BEFORE key rows (same crash ordering
+    // as the build: keys referencing absent vectors would be a
+    // silent recall hole, extra unreferenced vectors are harmless
+    // and the replay's duplicates collapse at pair level)
+    val slim = bandedLayoutSlim(spark, tableBase)
+    if (slim)
       Bucketed.appendBucketed(spark,
-        bandsRowsOf(
-          routed.select(col("vec_id"), col("label"), col("v"),
-            col("nrm")),
-          spark.table(bbitsT), dim, numBands, maxBits, cap, slim),
-        s"${tableBase}_bands")
-    } finally
-      org.apache.spark.sql.GraftDatasetBridge.freeLocalCheckpoint(fresh)
+        bvecsRows(routed.select(col("vec_id"), col("v"), col("nrm"))),
+        s"${tableBase}_bvecs")
+    // new key rows join the SERVING generation (stamped only when the
+    // table carries the column — a pre-r15 store's rows stay unstamped
+    // until its first rebuild introduces the column)
+    val genOpt = if (spark.table(s"${tableBase}_bands").columns
+        .contains("bgen")) Some(gServe) else None
+    Bucketed.appendBucketed(spark,
+      bandsRowsOf(
+        routed.select(col("vec_id"), col("label"), col("v"),
+          col("nrm")),
+        spark.table(bbitsT), dim, numBands, maxBits, cap, slim, genOpt),
+      s"${tableBase}_bands")
   }
 
   /** Once-only in-place upgrade of a store persisted before the banded
@@ -600,8 +698,14 @@ object EmbedStore {
     * banded probe fails loudly instead (read-only paths stay
     * read-only).
     */
-  private def backfillBandedLeg(spark: SparkSession,
-      tableBase: String): Unit = {
+  /** The store's full persisted history as a normed (vec_id, label, v,
+    * nrm) frame, plus the catalog-derived base path and bucket count —
+    * shared by the banded backfill and the declared rebuild. Labels
+    * come back TYPED via the metadata-scale cells table (the lists
+    * table fuses them into the string ckey).
+    */
+  private def persistedHistory(spark: SparkSession,
+      tableBase: String): (DataFrame, String, Int) = {
     val cat = spark.sessionState.catalog
     val listsMeta = cat.getTableMetadata(spark.sessionState.sqlParser
       .parseTableIdentifier(s"${tableBase}_lists"))
@@ -616,6 +720,12 @@ object EmbedStore {
       .join(broadcast(cellLabels), Seq("ckey"))
       .select(col("h_id").as("vec_id"), col("label"),
         col("hv").as("v"), col("hnrm").as("nrm"))
+    (hist, base, buckets)
+  }
+
+  private def backfillBandedLeg(spark: SparkSession,
+      tableBase: String): Unit = {
+    val (hist, base, buckets) = persistedHistory(spark, tableBase)
     writeBandedLeg(spark, hist, tableBase, base, buckets)
   }
 
@@ -686,39 +796,189 @@ object EmbedStore {
       s"${tableBase}_lists")
 
   /** Declared REBUILD of the banded leg (r14 — the r13 verdict's task
-    * 2): re-derives per-label bits from the CURRENT history block
-    * sizes and re-caps every bucket at the current bandMaxPerBucket —
-    * the maintenance op that re-tightens the probe's mass bound after
-    * many appends. The bandMaxPerBucket cap applies per append
-    * GENERATION, so G appends can grow a hot bucket to G·cap and the
-    * probe's bands·(bits+1)·cap bound degrades linearly in append
-    * count (the growth spec measures it); compact() deliberately
-    * preserves rows — a row-preserving compaction must not change
-    * verdicts under a replayer's feet — so the re-tightening needs a
-    * DECLARED op with the opposite contract. Replay safety: a rebuild
-    * changes which candidates the banded probe sees (re-derived bits
-    * re-key labels; re-capping drops high-id rows from hot buckets),
-    * so banded verdicts for batches probed AFTER it may differ from a
-    * replay of batches probed BEFORE it — exactly like rebuilding the
-    * whole store with write(). Run it at a replay barrier (all
-    * in-flight batches committed, none awaiting replay), never between
-    * a crash and its replay. The exact leg — and its recall-1 verdicts
-    * — are untouched.
+    * 2; r15 — the r14 verdict's task 3: GENERATION-ATOMIC): re-derives
+    * per-label bits (and the cont routing flags, resetting the
+    * staleness clock) from the CURRENT history block sizes and re-caps
+    * every bucket at the current bandMaxPerBucket — the maintenance op
+    * that re-tightens the probe's mass bound after many appends. The
+    * bandMaxPerBucket cap applies per append GENERATION, so G appends
+    * can grow a hot bucket to G·cap and the probe's bands·(bits+1)·cap
+    * bound degrades linearly in append count (the growth spec measures
+    * it); compact() deliberately preserves rows — a row-preserving
+    * compaction must not change verdicts under a replayer's feet — so
+    * the re-tightening needs a DECLARED op with the opposite contract.
+    *
+    * SERVE-THROUGH (r15): the r14 rebuild dropped the keys table
+    * first — crash-safe (a torn rebuild left the leg loudly
+    * incomplete, never silently mixed-geometry) but unavailable: every
+    * banded/auto probe refused for the whole rebuild. This version
+    * keeps the old leg serving at every instant by staging the new key
+    * generation BESIDE the old one and committing with ONE atomic
+    * catalog swap:
+    *  1. [[rebuildStage]] — payload first ([[bvecsRows]] re-landed for
+    *     slim stores, superset-safe for concurrent readers), then ONE
+    *     generation-swapped `_bands` rewrite holding old-serving ∪
+    *     newly-derived rows, each stamped with its `bgen`. Probes
+    *     still read the old generation: [[servingBands]] filters on
+    *     the `_bbits` generation, which has not moved.
+    *  2. [[rebuildCommit]] — the atomic step: `_bbits` rewritten
+    *     (generation-swapped, [[Bucketed.rewritePlain]]) with the
+    *     re-derived bits/cont/staleness rows stamped `bgen = old + 1`.
+    *     Before it, every probe serves pre-rebuild verdicts; after it,
+    *     post-rebuild ones — a crash ANYWHERE leaves whichever side
+    *     the commit landed on fully serving, never a refusal, never
+    *     mixed geometry.
+    *  3. [[rebuildCleanup]] — retires the elder generation's rows with
+    *     one more `_bands` rewrite (storage-only: elder rows are
+    *     already invisible to [[servingBands]]; a crash here costs
+    *     bytes, and the next rebuild's stage drops them anyway).
+    * The serve-through costs one extra full `_bands` write (stage
+    * holds both generations) — the price of availability; the r14
+    * tear-down path remains for the one rebuild the staged design
+    * cannot hold in a single table: a LAYOUT migration (inline↔slim
+    * changes the `_bands` schema itself).
+    *
+    * Replay safety: a rebuild changes which candidates the banded
+    * probe sees (re-derived bits re-key labels; re-capping drops
+    * high-id rows from hot buckets), so banded verdicts for batches
+    * probed AFTER it may differ from a replay of batches probed BEFORE
+    * it — exactly like rebuilding the whole store with write(). Run it
+    * at a replay barrier (all in-flight batches committed, none
+    * awaiting replay), never between a crash and its replay. The exact
+    * leg — and its recall-1 verdicts — are untouched.
     */
   def rebuildBandedLeg(spark: SparkSession, tableBase: String): Unit = {
-    // Tear the keys table down FIRST (review finding): the rebuild
-    // rewrites _bbits before _bands, so a crash between the two on a
-    // COMPLETE store would leave STALE keys under freshly re-derived
-    // geometry with bandedLegComplete still true — a silent recall
-    // hole (mixed-geometry keys never match the probe's rebuilt
-    // signatures). Dropped first, a crash anywhere mid-rebuild leaves
-    // the leg INCOMPLETE: the probe refuses loudly and the next
-    // append/compact/rebuild heals by backfilling — the family's
-    // loud-over-silent discipline. The files stay on disk until the
-    // rewrite truncates them (catalog drop only).
-    spark.sql(s"DROP TABLE IF EXISTS ${tableBase}_bands")
-    backfillBandedLeg(spark, tableBase)
+    if (!bandedLegComplete(spark, tableBase)) {
+      // nothing is serving — a torn write/pre-banded store: plain heal
+      backfillBandedLeg(spark, tableBase)
+      return
+    }
+    if ((graft.GraftConf.bandStoreLayout(spark) == "slim")
+        != bandedLayoutSlim(spark, tableBase)) {
+      // LAYOUT migration changes the _bands schema itself, which the
+      // serve-through stage cannot hold two generations of in one
+      // table: tear the keys table down FIRST (the r14 ordering
+      // argument — a crash mid-migration leaves the leg loudly
+      // INCOMPLETE, which the probe refuses and the next
+      // append/compact/rebuild heals, never silently mixed-geometry)
+      spark.sql(s"DROP TABLE IF EXISTS ${tableBase}_bands")
+      backfillBandedLeg(spark, tableBase)
+      return
+    }
+    val staged = rebuildStage(spark, tableBase)
+    try {
+      rebuildCommit(spark, tableBase, staged)
+      rebuildCleanup(spark, tableBase, staged.gen)
+    } finally
+      org.apache.spark.sql.GraftDatasetBridge
+        .freeLocalCheckpoint(staged.bbits)
   }
+
+  /** A staged-but-uncommitted banded rebuild: the new key generation's
+    * number and the `_bbits` content whose landing IS the commit. The
+    * bbits frame is local-checkpointed (≤|labels| rows) — severed from
+    * every table the commit and cleanup rewrite; the caller frees it.
+    */
+  private[graft] case class StagedRebuild(gen: Int, bbits: DataFrame)
+
+  /** Stage a banded rebuild (step 1 of [[rebuildBandedLeg]]'s doc):
+    * derives the new generation from the full persisted history and
+    * lands it in `_bands` BESIDE the serving rows. Individually
+    * addressable (the planAppend discipline) so the crash spec can
+    * stop here and assert the old generation still serves.
+    */
+  private[graft] def rebuildStage(spark: SparkSession,
+      tableBase: String): StagedRebuild = {
+    val numBands = graft.GraftConf.bandNumBands(spark)
+    val maxBits = graft.GraftConf.bandMaxBits(spark)
+    val targetLoad = graft.GraftConf.bandTargetLoad(spark)
+    AnnPack.requireBandGeometry(numBands, maxBits, targetLoad)
+    val cap = graft.GraftConf.annBandMaxPerBucket(spark)
+    val slim = bandedLayoutSlim(spark, tableBase)
+    val gOld = servingGen(spark, tableBase)
+    val gNew = gOld + 1
+    // crash-replayed appends can leave duplicate history rows; the
+    // rebuild collapses them so its output ≡ a fresh write() of the
+    // deduplicated history. Persisted: the dedup shuffle feeds the dim
+    // peek, the cont measurement, the payload re-land and the key
+    // derivation — four consumers, one corpus pass.
+    val hist = persistedHistory(spark, tableBase)._1
+      .dropDuplicates("vec_id")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val dim = hist.select(size(col("v")).as("d")).limit(1).collect()
+        .headOption.map(_.getInt(0)).getOrElse(1)
+      // severed: the commit must not re-scan the corpus, and the frame
+      // must survive the _bands rewrite below
+      val bbitsNew = bbitsPlan(spark, hist, dim, numBands, maxBits,
+        targetLoad, gNew).localCheckpoint(true)
+      // payload BEFORE keys (the class-wide crash ordering): for slim
+      // stores the payload table is re-landed from the full history —
+      // a SUPERSET of every h_id either generation's keys reference
+      // (replay-duplicate rows collapse; concurrent readers see the
+      // retired generation's files under rewrite grace)
+      if (slim)
+        Bucketed.rewriteBucketed(spark, s"${tableBase}_bvecs",
+          bvecsRows(hist))
+      val bandsT = s"${tableBase}_bands"
+      val old = spark.table(bandsT)
+      // serving rows ride along stamped with their generation (a
+      // pre-r15 table's unstamped rows ARE the serving generation —
+      // stamp gOld, which servingGen resolves to 1 for such stores);
+      // orphans of a previously crashed stage (bgen ≠ serving) are
+      // dropped here
+      val servingOld =
+        if (old.columns.contains("bgen")) old.filter(col("bgen") === gOld)
+        else old.withColumn("bgen", lit(gOld))
+      Bucketed.rewriteBucketed(spark, bandsT, servingOld.unionByName(
+        bandsRowsOf(hist, bbitsNew, dim, numBands, maxBits, cap, slim,
+          Some(gNew))))
+      StagedRebuild(gNew, bbitsNew)
+    } finally hist.unpersist()
+  }
+
+  /** Commit a staged rebuild (step 2): ONE generation-swapped rewrite
+    * of the metadata-scale `_bbits` — the atomic flip every probe's
+    * [[servingGen]] keys on.
+    */
+  private[graft] def rebuildCommit(spark: SparkSession, tableBase: String,
+      staged: StagedRebuild): Unit =
+    Bucketed.rewritePlain(spark, s"${tableBase}_bbits", staged.bbits,
+      Seq("label"))
+
+  /** Retire the elder key generation's rows (step 3 — storage only:
+    * [[servingBands]] already filters them out of every probe).
+    */
+  private[graft] def rebuildCleanup(spark: SparkSession,
+      tableBase: String, gen: Int): Unit = {
+    val bandsT = s"${tableBase}_bands"
+    Bucketed.rewriteBucketed(spark, bandsT,
+      spark.table(bandsT).filter(col("bgen") === gen))
+  }
+
+  /** Per-label staleness of the FROZEN cont routing flag (r15 — the
+    * r14 verdict's task 5): appends never re-measure clusteredness, so
+    * a label that drifts from clustered to continuum after heavy
+    * appends keeps the exact route — and its super-linear candidate
+    * mass — until a declared [[rebuildBandedLeg]] re-measures.
+    * Returns (label, cont, bgen, n_meas, n_app, stale_frac) off the
+    * metadata-scale `_bbits`: `n_meas` is the label block size the
+    * cont measurement saw, `n_app` the rows appended since (advisory —
+    * a crash-replayed append may double-count, which only recommends
+    * the rebuild EARLIER), `stale_frac` = n_app / (n_meas + n_app) the
+    * fraction of the label's current block the measurement never saw.
+    * NULL n_meas/stale_frac marks a pre-r15 store (unmeasured basis).
+    * Operating threshold: docs/SCALING.md recommends rebuilding at
+    * stale_frac > 0.5 — past it the majority of the block postdates
+    * the measurement, so the frozen flag is a coin flip, and the
+    * rebuild ALSO re-tightens the cap bound the same appends degraded.
+    */
+  def bandedStaleness(spark: SparkSession, tableBase: String): DataFrame =
+    withBbitsCols(spark.table(s"${tableBase}_bbits"))
+      .select(col("label"), col("cont"), col("bgen"), col("n_meas"),
+        col("n_app"),
+        (col("n_app").cast("double") / (col("n_meas") + col("n_app")))
+          .as("stale_frac"))
 
   /** Rewrite the appended-to lists table back to one sorted file per
     * bucket, and the cells table to one file — run between ingest

@@ -579,6 +579,115 @@ class EmbedStoreSpec extends GraftSpec {
     } finally cleanup(base, path)
   }
 
+  test("rebuildBandedLeg is generation-atomic (r15): the OLD key " +
+      "generation serves all through a staged rebuild — a crash before " +
+      "the commit leaves pre-rebuild verdicts, never a refusal — and " +
+      "the committed rebuild's verdicts ≡ a fresh write's") {
+    // near-identical vectors share every band key → one hot bucket per
+    // band; cap=4 with 3 appended generations grows it to ~16 rows, so
+    // the probe's match COUNT itself distinguishes which generation is
+    // serving (old ≈ 16 bucket rows, rebuilt ≈ 4)
+    def nearDups(ids: Range) = embDf(ids.map(i =>
+      (i.toLong, 1, Seq(1.0, 0.0005 * (i % 7), 0.0, 0.0))))
+    val all = nearDups(100 until 110)
+      .unionByName(nearDups(200 until 210))
+      .unionByName(nearDups(300 until 310))
+      .unionByName(nearDups(400 until 410))
+    val probe = embDf(Seq((1L, 1, Seq(0.9999, 0.0001, 0.0, 0.0))))
+    val (base, path) = freshBase()
+    val (cb, cp) = freshBase() // fresh-write control twin
+    def banded() = verdictMap(
+      EmbedStore.bandedDedupAgainst(spark, base, probe, tau))
+    def gens() = spark.table(s"${base}_bands")
+      .select("bgen").distinct().collect().map(_.getInt(0)).toSet
+    try {
+      spark.conf.set(graft.GraftConf.AnnBandMaxPerBucketKey, "4")
+      EmbedStore.write(nearDups(100 until 110), base, path)
+      EmbedStore.append(spark, base, nearDups(200 until 210))
+      EmbedStore.append(spark, base, nearDups(300 until 310))
+      EmbedStore.append(spark, base, nearDups(400 until 410))
+      EmbedStore.write(all, cb, cp)
+      val before = banded()
+      val control = verdictMap(
+        EmbedStore.bandedDedupAgainst(spark, cb, probe, tau))
+      // the grown store really does serve more candidates than a fresh
+      // build would — otherwise the atomicity claims below are vacuous
+      assert(before(1L)._1 > control(1L)._1,
+        s"growth did not widen the probe: $before vs control $control")
+      // CRASH INJECTION: stage lands the new generation beside the old
+      // one, then the "crash" — no commit
+      val staged = EmbedStore.rebuildStage(spark, base)
+      try {
+        assert(gens() == Set(1, 2),
+          s"stage must hold BOTH generations: ${gens()}")
+        assert(banded() == before,
+          "old generation must keep serving through a staged rebuild " +
+            "(no refusal, pre-rebuild verdicts)")
+        // the commit: one atomic bbits swap flips every probe
+        EmbedStore.rebuildCommit(spark, base, staged)
+        val after = banded()
+        assert(after == control,
+          s"committed rebuild must ≡ a fresh write: $after vs $control")
+        // cleanup retires elder rows without changing verdicts
+        EmbedStore.rebuildCleanup(spark, base, staged.gen)
+        assert(gens() == Set(2), s"elder generation survived: ${gens()}")
+        assert(banded() == after)
+        // the whole declared op end-to-end converges too (gen 3)
+        EmbedStore.rebuildBandedLeg(spark, base)
+        assert(banded() == control && gens() == Set(3))
+      } finally org.apache.spark.sql.GraftDatasetBridge
+        .freeLocalCheckpoint(staged.bbits)
+    } finally {
+      spark.conf.unset(graft.GraftConf.AnnBandMaxPerBucketKey)
+      cleanup(base, path)
+      cleanup(cb, cp)
+    }
+  }
+
+  test("bandedStaleness (r15): n_meas pins the measured basis, appends " +
+      "grow n_app per touched label, fresh labels start their own " +
+      "clock, and a declared rebuild resets it") {
+    val history = embDf((0 until 10).map(i =>
+        (100L + i, 1, Seq(1.0, i / 10.0, 0.0, 0.0))) ++
+      (0 until 4).map(i => (200L + i, 2, Seq(0.0, 1.0, i / 4.0, 0.0))))
+    val app1 = embDf((0 until 6).map(i =>
+        (300L + i, 1, Seq(0.0, 0.0, 1.0, i / 6.0))) ++
+      (0 until 3).map(i => (400L + i, 9, Seq(0.0, i / 3.0, 0.0, 1.0))))
+    val app2 = embDf((0 until 2).map(i =>
+      (500L + i, 9, Seq(1.0, 0.0, i / 2.0, 0.0))))
+    val (base, path) = freshBase()
+    def stale() = EmbedStore.bandedStaleness(spark, base).collect()
+      .map(r => r.getInt(0) -> ((r.getBoolean(1), r.getInt(2),
+        r.getLong(3), r.getLong(4), r.getDouble(5)))).toMap
+    try {
+      EmbedStore.write(history, base, path)
+      val s0 = stale()
+      assert(s0(1) == ((false, 1, 10L, 0L, 0.0)) &&
+        s0(2) == ((false, 1, 4L, 0L, 0.0)), s"post-write basis: $s0")
+      EmbedStore.append(spark, base, app1)
+      val s1 = stale()
+      assert(s1(1)._3 == 10L && s1(1)._4 == 6L,
+        s"label-1 counter must grow by the batch block: $s1")
+      assert(s1(1)._5 == 6.0 / 16.0, s"stale_frac: $s1")
+      assert(s1(2)._4 == 0L, s"untouched label-2 counter moved: $s1")
+      // the fresh label's clock starts at ITS first block size — the
+      // basis its implicit cont=false verdict rests on
+      assert(s1(9) == ((false, 1, 3L, 0L, 0.0)), s"fresh label-9: $s1")
+      EmbedStore.append(spark, base, app2)
+      val s2 = stale()
+      assert(s2(9)._3 == 3L && s2(9)._4 == 2L && s2(9)._5 == 0.4,
+        s"label-9 second append: $s2")
+      // the declared rebuild re-measures: every clock resets, the
+      // basis becomes the CURRENT block sizes, the generation advances
+      EmbedStore.rebuildBandedLeg(spark, base)
+      val s3 = stale()
+      assert(s3(1) == ((false, 2, 16L, 0L, 0.0)) &&
+        s3(2) == ((false, 2, 4L, 0L, 0.0)) &&
+        s3(9) == ((false, 2, 5L, 0L, 0.0)),
+        s"rebuild must reset the staleness clock: $s3")
+    } finally cleanup(base, path)
+  }
+
   test("crash replay converges: cells rewritten but lists not landed — " +
       "verdicts stay sound, the replay ends identical to an uncrashed " +
       "append, and re-appending after success changes nothing") {
