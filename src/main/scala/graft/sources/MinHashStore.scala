@@ -155,6 +155,45 @@ object MinHashStore {
     Bucketed.compactBucketed(spark, s"${tableBase}_shingles")
   }
 
+  /** Declared REBUILD of the band store (r15 — the r14 verdict's task
+    * 2: the [[EmbedStore.rebuildBandedLeg]] re-cap discipline,
+    * generalized to this store's same growth mode). The admission cap
+    * applies per ingest UNIT, so a hot band bucket grows to (N+1)·cap
+    * across N appends and the probe's per-key fan-out bound degrades
+    * linearly in append count; [[compact]] deliberately preserves rows
+    * (a row-preserving compaction must not change verdicts under a
+    * replayer's feet), so the re-tightening needs a DECLARED op with
+    * the opposite contract. Collapses crash-replay duplicate rows,
+    * re-caps every bucket to the `maxPerBucket` SMALLEST h_ids — the
+    * same deterministic retention [[write]] uses, so
+    * rebuild(history store) ≡ write(history) row-for-row — then prunes
+    * the shingle table to the docs the capped bands can still reach,
+    * in that order: a crash between the two rewrites leaves only
+    * unreachable-but-harmless extra shingle rows (the reverse order
+    * would drop shingle sets that live band rows still name, silently
+    * erasing their exact-verify step). Each rewrite is
+    * generation-swapped ([[Bucketed.rewriteBucketed]]) — a crash
+    * leaves that table's pre-rebuild generation fully live. Replay
+    * safety (the EmbedStore rebuild's contract): re-capping can change
+    * which candidates a probe sees, so run at a replay barrier — all
+    * in-flight batches committed, none awaiting replay — never between
+    * a crash and its replay.
+    */
+  def rebuild(spark: SparkSession, tableBase: String,
+      maxPerBucket: Int = 1024): Unit = {
+    val bandsT = s"${tableBase}_bands"
+    Bucketed.rewriteBucketed(spark, bandsT,
+      capBands(spark.table(bandsT).distinct(), maxPerBucket))
+    // re-resolve post-swap: the reachability semi-join must see the
+    // re-capped generation, not the frame that produced it
+    val sh = spark.table(s"${tableBase}_shingles")
+      .dropDuplicates("h_id")
+    Bucketed.rewriteBucketed(spark, s"${tableBase}_shingles",
+      if (maxPerBucket == Int.MaxValue) sh
+      else sh.join(spark.table(bandsT).select("h_id").distinct(),
+        Seq("h_id"), "left_semi"))
+  }
+
   /** Near-dup verdict for `batch` (doc_id, text) against the store:
     * (doc_id, n_hist_matches, hist_canonical, best_jaccard) — one row
     * per batch doc; -1 / 0 / 0.0 sentinels when no history near-dup

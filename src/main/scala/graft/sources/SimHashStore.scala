@@ -47,12 +47,35 @@ object SimHashStore {
       .select(explode(SimHashPack.exactBkeys(col("sig"))).as("bkey"),
         col("doc_id").as("h_id"), col("sig"))
 
+  /** Viral-block-bucket admission cap — the [[MinHashStore.write]]
+    * discipline, OPT-IN here (default `Int.MaxValue` = uncapped):
+    * this store's headline contract is recall 1 at hamming ≤ 7 by
+    * pigeonhole, and any cap trades that away — a doc capped out of
+    * every block bucket it shares with a probe is missed SILENTLY
+    * (block-key collision is structural, so the retained colliders are
+    * no substitute verdict for the evicted doc). The gate rows
+    * therefore run uncapped and hash-match the brute oracle; a
+    * boilerplate-heavy 100 TB history where one 16-bit block key
+    * fronts millions of near-identical docs turns the cap on as a
+    * declared bounded-recall trade, with the same deterministic
+    * smallest-h_id retention as the MinHash store (reproducible across
+    * writers — a [[graft.plans.TopKPerKey]] bounded heap, never a
+    * per-bucket sort).
+    */
+  private def capKeys(rows: DataFrame, maxPerBucket: Int): DataFrame =
+    if (maxPerBucket == Int.MaxValue) rows
+    else graft.plans.TopKPerKey(rows, Seq(col("bkey")),
+      Seq(col("h_id").asc), maxPerBucket)
+
   /** Land the history's exact-block-key table bucketed+sorted by bkey
-    * as catalog table `table` at `path`.
+    * as catalog table `table` at `path`. `maxPerBucket` bounds each
+    * block bucket's admitted docs — see [[capKeys]] on the recall
+    * trade (default uncapped: recall 1 is this store's contract).
     */
   def write(history: DataFrame, table: String, path: String,
-      buckets: Int = 8): Unit =
-    Bucketed.writeBucketed(keyRows(history), table, "bkey", buckets, path)
+      buckets: Int = 8, maxPerBucket: Int = Int.MaxValue): Unit =
+    Bucketed.writeBucketed(capKeys(keyRows(history), maxPerBucket),
+      table, "bkey", buckets, path)
 
   /** Fold `docs` (typically the batch survivors — the policy is the
     * caller's) into the history: their 4 key rows land as new
@@ -60,10 +83,15 @@ object SimHashStore {
     * existing rows. Single-writer ingest contract, enforced by
     * [[Bucketed.withWriterLease]]; a crash-replayed append only
     * duplicates rows the probe's pair-level dedupe collapses, so
-    * replays converge.
+    * replays converge. `maxPerBucket` caps the BATCH's contribution
+    * per block bucket ([[capKeys]]; default uncapped) — per ingest
+    * unit, so a capped bucket's total across history + N appends is
+    * bounded by (N+1)·cap until a declared [[rebuild]] re-tightens it.
     */
-  def append(spark: SparkSession, table: String, docs: DataFrame): Unit =
-    Bucketed.appendBucketed(spark, keyRows(docs), table)
+  def append(spark: SparkSession, table: String, docs: DataFrame,
+      maxPerBucket: Int = Int.MaxValue): Unit =
+    Bucketed.appendBucketed(spark, capKeys(keyRows(docs), maxPerBucket),
+      table)
 
   /** Rewrite the appended-to store back to one sorted file per bucket —
     * run periodically between ingest batches to undo append
@@ -71,6 +99,27 @@ object SimHashStore {
     */
   def compact(spark: SparkSession, table: String): Unit =
     Bucketed.compactBucketed(spark, table)
+
+  /** Declared REBUILD (r15 — the r14 verdict's task 2, the
+    * [[EmbedStore.rebuildBandedLeg]]/[[MinHashStore.rebuild]]
+    * discipline on this store): collapses crash-replay duplicate key
+    * rows and — when a cap is in force — re-caps every block bucket to
+    * the `maxPerBucket` smallest h_ids, undoing the (N+1)·cap
+    * per-generation growth the append-time cap cannot (and [[compact]]
+    * must not: its row-preservation contract is what keeps replayed
+    * verdicts stable). One generation-swapped rewrite
+    * ([[Bucketed.rewriteBucketed]]) — a crash leaves the pre-rebuild
+    * store fully live. At the uncapped default this is a pure
+    * duplicate collapse and verdicts are untouched (the probe already
+    * dedupes pairs — the driver gate rows stay hash-identical); with a
+    * cap it can change which candidates a probe sees, so run it at a
+    * replay barrier, never between a crash and its replay.
+    */
+  def rebuild(spark: SparkSession, table: String,
+      maxPerBucket: Int = Int.MaxValue): Unit =
+    Bucketed.rewriteBucketed(spark, table,
+      capKeys(spark.table(table).dropDuplicates("bkey", "h_id"),
+        maxPerBucket))
 
   /** Near-dup verdict for `batch` (doc_id, text) against the store:
     * (doc_id, n_hist_matches, hist_canonical, best_hamming) — one row

@@ -564,6 +564,79 @@ class DedupPackSpec extends GraftSpec {
     }
   }
 
+  test("minhash store rebuild (r15): the per-ingest-unit cap grows a " +
+      "hot bucket by ~cap per append GENERATION; the declared rebuild " +
+      "re-caps to the smallest ids across generations, prunes the " +
+      "shingle table to reachable docs, and at a non-binding cap is a " +
+      "pure duplicate collapse with verdicts untouched") {
+    import spark.implicits._
+    import graft.sources.MinHashStore
+    val viral = (1 to 40).map(i => s"g$i").mkString(" ")
+    def dups(ids: Range) = ids.map(i => (i.toLong, viral))
+      .toDF("doc_id", "text")
+    val tmp = java.nio.file.Files.createTempDirectory("graft-mh-reb")
+      .toString
+    def maxBucket(base: String): Long = spark.table(s"${base}_bands")
+      .groupBy("bkey").agg(count(lit(1)).as("n")).agg(max("n"))
+      .collect()(0).getLong(0)
+    def shingleIds(base: String): Seq[Long] =
+      spark.table(s"${base}_shingles").select("h_id")
+        .collect().map(_.getLong(0)).sorted.toSeq
+    def verdicts(base: String, batch: org.apache.spark.sql.DataFrame) =
+      MinHashStore.dedupAgainst(spark, base, batch).collect()
+        .map(r => r.getLong(0) ->
+          ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    try {
+      MinHashStore.write(dups(1000 until 1020), "mh_reb", s"$tmp/s",
+        maxPerBucket = 4)
+      assert(maxBucket("mh_reb") == 4)
+      // two more ingest generations into the same hot buckets: the
+      // documented (N+1)·cap growth the write-time cap cannot bound
+      MinHashStore.append(spark, "mh_reb", dups(2000 until 2020),
+        maxPerBucket = 4)
+      MinHashStore.append(spark, "mh_reb", dups(3000 until 3020),
+        maxPerBucket = 4)
+      assert(maxBucket("mh_reb") == 12,
+        s"expected 3 generations × cap rows: ${maxBucket("mh_reb")}")
+      // compact PRESERVES rows (replay stability) — growth survives
+      MinHashStore.compact(spark, "mh_reb")
+      assert(maxBucket("mh_reb") == 12,
+        "compact must not re-cap (verdict stability under replay)")
+      // the declared rebuild re-tightens: cap-smallest ACROSS
+      // generations, shingles pruned to what the capped bands reach
+      MinHashStore.rebuild(spark, "mh_reb", maxPerBucket = 4)
+      assert(maxBucket("mh_reb") == 4,
+        s"rebuild did not re-cap: ${maxBucket("mh_reb")}")
+      assert(shingleIds("mh_reb") == (1000L to 1003L),
+        s"shingles not pruned to the re-capped reachable set: " +
+          s"${shingleIds("mh_reb")}")
+      val probe = Seq((1L, viral.replace("g20", "zz")))
+        .toDF("doc_id", "text")
+      val v = verdicts("mh_reb", probe)(1L)
+      assert(v._1 == 4L && v._2 == 1000L,
+        s"post-rebuild probe must verify against the 4 retained: $v")
+      // non-binding cap: a replay-duplicated store rebuilds to the
+      // SAME verdicts (pure dedupe — the gate-row contract)
+      val hist = Seq((2L, viral),
+        (4L, (1 to 40).map(i => s"h$i").mkString(" ")))
+        .toDF("doc_id", "text")
+      MinHashStore.write(hist, "mh_reb2", s"$tmp/s2")
+      MinHashStore.append(spark, "mh_reb2", hist) // replayed ingest
+      val before = verdicts("mh_reb2", probe)
+      val rowsBefore = spark.table("mh_reb2_bands").count()
+      MinHashStore.rebuild(spark, "mh_reb2")
+      assert(spark.table("mh_reb2_bands").count() == rowsBefore / 2,
+        "uncapped rebuild must collapse the replayed duplicate rows")
+      assert(verdicts("mh_reb2", probe) == before,
+        "uncapped rebuild changed verdicts")
+    } finally {
+      Seq("mh_reb_bands", "mh_reb_shingles", "mh_reb2_bands",
+        "mh_reb2_shingles").foreach(t =>
+        spark.sql(s"DROP TABLE IF EXISTS $t"))
+      Caches.deleteDir(tmp)
+    }
+  }
+
   test("incremental store memo resets with Caches.releaseAll — no stale-history probe after a dataset rewrite") {
     // The C11/C12 memo key is catalog-table existence; releaseAll must
     // clear it like every other dataset-keyed artifact (persisted

@@ -149,6 +149,67 @@ class SimHashStoreSpec extends GraftSpec {
     }
   }
 
+  test("opt-in cap + declared rebuild (r15): the uncapped default " +
+      "keeps recall 1 and rebuild is a pure duplicate collapse; a cap " +
+      "bounds hot block buckets per ingest unit — growing ~cap per " +
+      "append generation — and rebuild re-tightens across generations") {
+    // identical texts share the signature, hence all 4 exact block
+    // keys → 4 hot buckets
+    val viral = "the same viral boilerplate paragraph repeated across " +
+      "thousands of scraped pages word for word every single time"
+    def dups(ids: Range) = docsDf(ids.map(i => (i.toLong, viral)))
+    val probe = docsDf(Seq((1L, viral)))
+    val (capT, capP) = freshStore()
+    val (defT, defP) = freshStore()
+    def maxBucket(t: String): Long = spark.table(t).groupBy("bkey")
+      .agg(count(lit(1)).as("n")).agg(max("n")).collect()(0).getLong(0)
+    try {
+      // capped store: write + two append generations at cap=2
+      SimHashStore.write(dups(100 until 105), capT, capP,
+        maxPerBucket = 2)
+      assert(maxBucket(capT) == 2)
+      SimHashStore.append(spark, capT, dups(200 until 205),
+        maxPerBucket = 2)
+      SimHashStore.append(spark, capT, dups(300 until 305),
+        maxPerBucket = 2)
+      assert(maxBucket(capT) == 6,
+        s"expected 3 generations × cap: ${maxBucket(capT)}")
+      // the probe sees every retained generation (bounded-recall trade:
+      // capped-out ids 102-104 etc. are silently missing — documented)
+      val grown = verdictMap(
+        SimHashStore.dedupAgainst(spark, capT, probe))(1L)
+      assert(grown._1 == 6L && grown._2 == 100L && grown._3 == 0L,
+        s"grown capped store verdict: $grown")
+      SimHashStore.compact(spark, capT)
+      assert(maxBucket(capT) == 6,
+        "compact must not re-cap (replay stability)")
+      SimHashStore.rebuild(spark, capT, maxPerBucket = 2)
+      assert(maxBucket(capT) == 2,
+        s"rebuild did not re-cap: ${maxBucket(capT)}")
+      val tightened = verdictMap(
+        SimHashStore.dedupAgainst(spark, capT, probe))(1L)
+      assert(tightened == ((2L, 100L, 0L)),
+        s"re-capped probe must see the 2 smallest ids: $tightened")
+      // uncapped default: replayed append duplicates rows; rebuild
+      // collapses them and verdicts — recall 1 — are untouched
+      val hist = docsDf(Seq((2L, viral),
+        (4L, "a completely different second document about storage")))
+      SimHashStore.write(hist, defT, defP)
+      SimHashStore.append(spark, defT, hist) // crash-replayed ingest
+      val before = verdictMap(SimHashStore.dedupAgainst(spark, defT, probe))
+      assert(before(1L) == ((1L, 2L, 0L)), s"replayed store verdict: $before")
+      val rowsBefore = spark.table(defT).count()
+      SimHashStore.rebuild(spark, defT)
+      assert(spark.table(defT).count() == rowsBefore / 2,
+        "uncapped rebuild must collapse replayed duplicate key rows")
+      assert(verdictMap(SimHashStore.dedupAgainst(spark, defT, probe))
+        == before, "uncapped rebuild changed verdicts")
+    } finally {
+      cleanup(capT, capP)
+      cleanup(defT, defP)
+    }
+  }
+
   test("a batch doc whose rows are already in the store (replayed " +
       "ingest) does not near-dup itself") {
     val text = "replayed ingest batches must not match their own rows " +
