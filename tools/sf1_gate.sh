@@ -6,12 +6,17 @@
 # instead of at 100 TB. The subset is the docs/SF1_GATE.md list:
 # exact-decimal money sums (q1/q5), Q20 fixed-point sums (E11/E12/I8),
 # DECIMAL token quotas (H6c), and the KMV/CMS/hist estimator rollups.
+# r15 adds the banded-store rows (the r14 verdict's task 7): the
+# persisted banded leg and the frozen-cont AUTO dispatch — the default
+# 100 TB scale machinery — re-verify at sf1 width every round (bits
+# ladder rungs only move with block size, so sf1 is where a rung
+# boundary would first show).
 #
 # Usage: tools/sf1_gate.sh [sf1Dir] [outDir]   (~10 min engine side +
 # DuckDB oracle time, I8 dominating; regenerates the corpus if absent)
 set -euo pipefail
 cd "$(dirname "$0")/.."
-SUBSET=q1_agg,q5_multijoin,token_entropy,doc_kl,mix_sources_tokens,metrics_kmv,metrics_kmv_rollup,metrics_cms,metrics_cms_rollup,metrics_cms_estimate,metrics_hist_rollup,hist_store_rollup,kmv_store_estimate,cms_store_estimate,doc_similarity
+SUBSET=q1_agg,q5_multijoin,token_entropy,doc_kl,mix_sources_tokens,metrics_kmv,metrics_kmv_rollup,metrics_cms,metrics_cms_rollup,metrics_cms_estimate,metrics_hist_rollup,hist_store_rollup,kmv_store_estimate,cms_store_estimate,doc_similarity,dedup_incremental_embedding_banded,dedup_incremental_embedding_auto
 SF1=${1:-testdata_sf1}
 OUT=${2:-/tmp/sf1_gate_out}
 [ -d "$SF1" ] || python3 tools/gen_sf.py /root/testdata/sf0.1 "$SF1" 10
