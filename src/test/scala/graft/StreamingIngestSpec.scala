@@ -691,6 +691,130 @@ class StreamingIngestSpec extends GraftSpec {
     }
   }
 
+  test("ingest topology at rangeEngine=auto against a MIXED store " +
+      "(r15): per-batch routing follows the frozen per-label cont " +
+      "flags — continuum mega-label banded, clustered/small exact — " +
+      "a fresh label appended mid-stream stays exact-routed, and every " +
+      "batch's verdicts match the exact-engine twin run") {
+    import java.nio.file.{Files, Paths}
+    import spark.implicits._
+    import graft.sources.{EmbedStore, SimHashStore}
+    // 64-dim deterministic hash directions (the EmbedStoreSpec auto
+    // fixture): the continuum label is every-vector-its-own-direction,
+    // the clustered one is 3 tight clusters
+    def hv(seed: Long): Array[Float] = {
+      val raw = (0 until 64).map(j =>
+        (((seed * (j * 6364136223846793005L + 1442695040888963407L))
+          >>> 40) & 0xffL).toDouble - 127.5)
+      val n = math.sqrt(raw.map(x => x * x).sum)
+      raw.map(x => (x / n).toFloat).toArray
+    }
+    def mix(a: Array[Float], b: Array[Float], eps: Double): Array[Float] =
+      a.zip(b).map { case (x, y) => (x + eps * y).toFloat }
+    val tmp = Files.createTempDirectory("graft-ingest-auto").toString
+    def text(tag: String) = (1 to 20).map(i => s"$tag$i").mkString(" ")
+    def mkStores(tag: String): Unit = {
+      val seedDocs = Seq((2L, "seed history content")).toDF("doc_id", "text")
+      FingerprintStore.write(seedDocs, s"ingau_fp_$tag", s"$tmp/fp_$tag")
+      MinHashStore.write(seedDocs, s"ingau_mh_$tag", s"$tmp/mh_$tag")
+      SimHashStore.write(seedDocs, s"ingau_sh_$tag", s"$tmp/sh_$tag")
+      val continuum = (0 until 24).map(i => (100L + i, 1, hv(1000L + i)))
+      val clustered = (0 until 24).map(i =>
+        (300L + i, 3, mix(hv(2000L + i / 8), hv(3000L + i), 0.02)))
+      val small = Seq((200L, 2, hv(4000L)), (202L, 2, hv(4001L)))
+      EmbedStore.write(
+        (continuum ++ clustered ++ small)
+          .toDF("vec_id", "label", "embedding"),
+        s"ingau_em_$tag", s"$tmp/em_$tag")
+    }
+    // dup-REGIME plants only (cos ≈ 1): banded and exact verdicts must
+    // agree row for row, so the twin comparison is exact equality
+    val batches = Seq(
+      Seq((11L, text("a"), 1, mix(hv(1000L), hv(5000L), 0.001)), // continuum dup → banded route
+        (13L, text("b"), 3, mix(hv(2000L), hv(5001L), 0.001))),  // clustered dup → exact route
+      Seq((21L, text("c"), 7, hv(6000L)),                        // FRESH label: no history, appended
+        (23L, text("d"), 2, mix(hv(4000L), hv(5002L), 0.001))),  // small-label dup → exact route
+      Seq((31L, text("e"), 7, mix(hv(6000L), hv(5003L), 0.001)))) // dup of 21 through the fresh label
+    def legsOf(tag: String) = StreamingIngest.IngestLegs(
+      embedBase = Some(s"ingau_em_$tag"), simBase = Some(s"ingau_sh_$tag"))
+    def runStream(tag: String): Map[Long, Seq[String]] = {
+      val incoming = Paths.get(tmp, s"incoming_$tag")
+      batches.zipWithIndex.foreach { case (b, i) =>
+        b.toDF("doc_id", "text", "label", "embedding")
+          .coalesce(1).write.parquet(s"$incoming/b$i")
+        new java.io.File(s"$incoming/b$i").listFiles()
+          .filter(_.getName.endsWith(".parquet"))
+          .foreach(_.setLastModified(
+            System.currentTimeMillis() - (10 - i) * 60000L))
+      }
+      val stream = spark.readStream
+        .schema("doc_id LONG, text STRING, label INT, " +
+          "embedding ARRAY<FLOAT>")
+        .option("maxFilesPerTrigger", "1")
+        .option("recursiveFileLookup", "true")
+        .parquet(incoming.toString)
+      val out = scala.collection.mutable.Map.empty[Long, Seq[String]]
+      val q = StreamingIngest.run(spark, stream.toDF(),
+        s"ingau_fp_$tag", s"ingau_mh_$tag", legsOf(tag),
+        (v: DataFrame, id: Long) =>
+          out(id) = v.collect().map(_.toString).sorted.toSeq)
+      try q.processAllAvailable() finally q.stop()
+      out.toMap
+    }
+    try {
+      // conf-shrunk clamp (tcs·mc = 8) so 24-vector labels are mega;
+      // set BEFORE the writes — the build is what freezes the flags
+      spark.conf.set(graft.GraftConf.TargetCellSizeKey, "2")
+      spark.conf.set(graft.GraftConf.MaxCellsKey, "4")
+      mkStores("x")
+      mkStores("a")
+      // the mixed store really is mixed: the routing flags the auto
+      // probe will read are frozen per label
+      val cont = spark.table("ingau_em_a_bbits")
+        .select(col("label"), col("cont")).collect()
+        .map(r => r.getInt(0) -> r.getBoolean(1)).toMap
+      assert(cont == Map(1 -> true, 3 -> false, 2 -> false),
+        s"frozen continuum flags wrong: $cont")
+      val exactOut = runStream("x")
+      spark.conf.set(graft.GraftConf.RangeEngineKey, "auto")
+      try {
+        val autoOut = runStream("a")
+        assert(exactOut.keySet == Set(0L, 1L, 2L) &&
+          autoOut.keySet == Set(0L, 1L, 2L),
+          s"expected 3 micro-batches: ${exactOut.keySet} / ${autoOut.keySet}")
+        (0L to 2L).foreach(i => assert(autoOut(i) == exactOut(i),
+          s"auto-routed batch $i verdicts diverged:\n${autoOut(i)}" +
+            s"\nvs exact:\n${exactOut(i)}"))
+        // the dup plants actually fired: batch 0's rows matched their
+        // mega-label history, batch 2's row matched the FRESH label's
+        // batch-1 doc through the exact route (21 was appended, never
+        // measured — n_emb_matches=1, emb_canonical=21)
+        assert(autoOut(0L).exists(r => r.startsWith("[11,") &&
+          r.contains(",1,100,")), s"continuum dup unmatched: ${autoOut(0L)}")
+        assert(autoOut(2L).exists(r => r.startsWith("[31,") &&
+          r.contains(",1,21,")), s"fresh-label dup unmatched: ${autoOut(2L)}")
+        // the fresh label appended mid-stream follows the frozen
+        // discipline: unmeasured ⇒ cont=false ⇒ exact-routed
+        val cont7 = spark.table("ingau_em_a_bbits")
+          .filter(col("label") === 7).select("cont").collect()
+        assert(cont7.length == 1 && !cont7.head.getBoolean(0),
+          "a label appended mid-stream must stay exact-routed " +
+            "(unmeasured, cont=false) until a declared rebuild")
+      } finally spark.conf.unset(graft.GraftConf.RangeEngineKey)
+    } finally {
+      spark.conf.unset(graft.GraftConf.TargetCellSizeKey)
+      spark.conf.unset(graft.GraftConf.MaxCellsKey)
+      Seq("x", "a").foreach { t =>
+        Seq(s"ingau_fp_$t", s"ingau_mh_${t}_bands",
+          s"ingau_mh_${t}_shingles", s"ingau_sh_$t",
+          s"ingau_em_${t}_cells", s"ingau_em_${t}_lists",
+          s"ingau_em_${t}_bands", s"ingau_em_${t}_bbits")
+          .foreach(tb => spark.sql(s"DROP TABLE IF EXISTS $tb"))
+      }
+      Caches.deleteDir(tmp)
+    }
+  }
+
   test("the loop's working set is scoped: no checkpointed or persisted " +
       "frames survive a trigger") {
     import java.nio.file.{Files, Paths}
