@@ -43,11 +43,11 @@ object EmbedMeasure {
       seedOff: Long, labels: Int): DataFrame = {
     import org.apache.spark.sql.types.FloatType
     val dim = 64
-    val js = (0 until dim).map(j =>
-      j * 6364136223846793005L + 1442695040888963407L)
-    // ((seed*m) >>> 40 & 0xff) - 127.5, normalized — the spec fixture
-    val comps = js.map { m =>
-      (shiftrightunsigned((lit(seedOff) + col("id")) * lit(m), 40)
+    // xxhash64-mixed bytes, normalized — deterministic random-ish
+    // directions without ANSI long-multiply overflow
+    val comps = (0 until dim).map { j =>
+      (shiftrightunsigned(
+        xxhash64(lit(seedOff) + col("id"), lit(j)), 40)
         .bitwiseAND(lit(255L))).cast("double") - lit(127.5)
     }
     spark.range(n)
@@ -81,6 +81,21 @@ object EmbedMeasure {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     graft.expressions.GraftFunctions.register(spark)
+    if (order == "probe") {
+      // fresh-session probe of a kept growth store (attribution mode)
+      val batch0 = vecs(spark, n, 1000000L, 9000L, 20)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      batch0.count()
+      def p0(): Long = EmbedStore
+        .bandedDedupAgainst(spark, "emeas_growth", batch0)
+        .filter(col("n_hist_matches") > 0).count()
+      val (_, c) = wall(p0()); val (_, s1) = wall(p0())
+      val (_, s2) = wall(p0())
+      println(f"WALL fresh-session rebuilt-store probe cold $c%.2f s steady $s1%.2f / $s2%.2f s")
+      println("MEASURE DONE")
+      spark.stop()
+      return
+    }
     val tmp = java.nio.file.Files
       .createTempDirectory("graft-embed-measure").toString
     val hist = vecs(spark, n, 0L, 1000L, 20)
@@ -122,11 +137,16 @@ object EmbedMeasure {
     println(f"WALL probe slim cold $psc%.2f s steady $pss%.2f s")
     println(s"VERDICTS equal=${mi == ms} matched=$mi")
 
-    // growth + the r15 generation-atomic rebuild
+    // growth + the r15 generation-atomic rebuild. The slim conf stays
+    // SET through the rebuild: rebuildBandedLeg under a conf whose
+    // layout differs from the store's is a DECLARED LAYOUT MIGRATION
+    // (tear-down path, re-lands the other layout) — the first version
+    // of this harness unset it here and silently measured that
+    // migration instead of the atomic same-layout rebuild (found when
+    // the "rebuilt" store probed 1.9× slower: it had become INLINE)
     val gb = "emeas_growth"
     spark.conf.set(GraftConf.BandStoreLayoutKey, "slim")
     val (_, gw) = wall(EmbedStore.write(hist, gb, s"$tmp/$gb"))
-    spark.conf.unset(GraftConf.BandStoreLayoutKey)
     println(f"WALL write growth hist $gw%.2f s")
     def buckets(tag: String): Unit = {
       val r = spark.table(s"${gb}_bands").groupBy("bkey")
@@ -145,12 +165,62 @@ object EmbedMeasure {
       buckets(s"G=$g")
     }
     val (_, prePW) = wall(probe(gb))
-    println(f"WALL growth probe pre-rebuild $prePW%.2f s")
+    val (_, prePW2) = wall(probe(gb))
+    println(f"WALL growth probe pre-rebuild cold $prePW%.2f s steady $prePW2%.2f s")
     val (_, rw) = wall(EmbedStore.rebuildBandedLeg(spark, gb))
     println(f"WALL rebuildBandedLeg (r15 atomic serve-through) $rw%.2f s")
+    println(s"LAYOUT post-rebuild slim=" + !spark.table(s"${gb}_bands")
+      .columns.contains("hv"))
     buckets("rebuilt")
     val (_, postPW) = wall(probe(gb))
-    println(f"WALL growth probe post-rebuild $postPW%.2f s")
+    val (_, postPW2) = wall(probe(gb))
+    println(f"WALL growth probe post-rebuild cold $postPW%.2f s steady $postPW2%.2f s")
+    // fresh-JVM attribution probe (r15): the in-session post-rebuild
+    // probe reads slower than pre while index-shape accounting predicts
+    // the opposite; re-probing the SAME rebuilt store from a fresh
+    // session separates session aging from index shape. Keep the store
+    // and print its base dir so a second invocation can target it:
+    //   runMain graft.EmbedMeasure probe <tmpdir>
+    println(s"GROWTH STORE kept at $tmp/$gb (tables ${gb}_*)")
+    spark.conf.unset(GraftConf.BandStoreLayoutKey)
+    // in-session CONTROL: re-probe the untouched slim A/B store after
+    // all the rebuild activity — if its steady wall inflated by the
+    // same factor, the post-rebuild delta above is session aging, not
+    // index shape
+    val (_, ctl1) = wall(probe(sb))
+    val (_, ctl2) = wall(probe(sb))
+    println(f"WALL control re-probe untouched slim store cold $ctl1%.2f s steady $ctl2%.2f s (earlier steady $pss%.2f s)")
+    // second control: FRESH WRITE of the grown 18k history (same bits
+    // rung the rebuild derived, zero rebuild machinery) — separates
+    // "the bits-8 index probes slower at this corpus" from "the
+    // rebuild produced a slow table"
+    val grownHist = hist.unionByName((1 to 4).map(g =>
+      vecs(spark, n / 5, 2000000L + g * 100000L, 777L * g, 20))
+      .reduce(_ unionByName _))
+    spark.conf.set(GraftConf.BandStoreLayoutKey, "slim")
+    EmbedStore.write(grownHist, "emeas_fresh18k", s"$tmp/fresh18k")
+    spark.conf.unset(GraftConf.BandStoreLayoutKey)
+    val (_, f1) = wall(probe("emeas_fresh18k"))
+    val (_, f2) = wall(probe("emeas_fresh18k"))
+    println(f"WALL fresh-write 18k-history probe cold $f1%.2f s steady $f2%.2f s")
+    // physical diff: table inventories + executed plans of the two
+    def inv(base: String): Unit = Seq("bands", "bvecs").foreach { t =>
+      val meta = spark.sessionState.catalog.getTableMetadata(
+        spark.sessionState.sqlParser.parseTableIdentifier(s"${base}_$t"))
+      val loc = new java.io.File(new java.net.URI(meta.location.toString))
+      val files = Option(loc.listFiles()).getOrElse(Array.empty)
+        .filter(_.getName.endsWith(".parquet"))
+      println(s"INV ${base}_$t rows=${spark.table(s"${base}_$t").count()} " +
+        s"files=${files.length} bytes=${files.map(_.length).sum} " +
+        s"loc=${loc.getName}")
+    }
+    inv(gb); inv("emeas_fresh18k")
+    def planOf(base: String): String = EmbedStore
+      .bandedDedupAgainst(spark, base, batch)
+      .queryExecution.executedPlan.toString
+    val pg = planOf(gb); val pf = planOf("emeas_fresh18k")
+    println("PLAN growth-store:\n" + pg)
+    println("PLAN fresh-store:\n" + pf)
     println("MEASURE DONE")
     spark.stop()
   }
