@@ -147,30 +147,39 @@ object EmbedStore {
   // linear-mass-by-construction path against a 100 TB history ----
   //
   // Two more tables under the same base name:
-  //  - `<base>_bbits` — (label, bits, dim, bands, max_bits): the
-  //    per-label band-key width, FROZEN at the label's first write
-  //    (the LmStore frozen-threshold discipline: the ladder's input is
-  //    the block size, which appends grow — re-deriving bits on append
-  //    would re-key the label's ENTIRE history, a rebuild in disguise;
-  //    frozen-by-contract is the honest incremental design, and bits
-  //    only gates candidate recall, never a verdict — those come from
-  //    exact cosines). dim/bands/max_bits pin the plane geometry the
-  //    probe must rebuild (md5-derived planes regenerate
-  //    bit-identically from these three ints). Metadata-scale.
-  //  - `<base>_bands` — (bkey, h_id, hv, hnrm): the banded inverted
-  //    index, bucketed+sorted by `bkey` = label:band:key fused into ONE
-  //    composite column (the MinHashStore lesson), the index side
-  //    capped at `spark.graft.ann.bandMaxPerBucket` SMALLEST h_ids per
-  //    key at write. Vectors are stored inline (×bands duplication —
+  //  - `<base>_bbits` — (label, bits, dim, bands, max_bits, cont,
+  //    bgen, n_meas, n_app): the per-label band-key width, FROZEN at
+  //    the label's first write (the LmStore frozen-threshold
+  //    discipline: the ladder's input is the block size, which appends
+  //    grow — re-deriving bits on append would re-key the label's
+  //    ENTIRE history, a rebuild in disguise; frozen-by-contract is
+  //    the honest incremental design, and bits only gates candidate
+  //    recall, never a verdict — those come from exact cosines).
+  //    dim/bands/max_bits pin the plane geometry the probe must
+  //    rebuild (md5-derived planes regenerate bit-identically from
+  //    these three ints); `cont` is the frozen per-label continuum
+  //    routing flag the auto probe reads (r14); `bgen` is the banded
+  //    leg's SERVING key generation — the single value the atomic
+  //    rebuild's commit flips (r15); n_meas/n_app are the staleness
+  //    basis [[bandedStaleness]] reports. Metadata-scale.
+  //  - `<base>_bands` — (bkey, h_id, hv, hnrm, bgen): the banded
+  //    inverted index, bucketed+sorted by `bkey` = label:band:key
+  //    fused into ONE composite column (the MinHashStore lesson), the
+  //    index side capped at `spark.graft.ann.bandMaxPerBucket`
+  //    SMALLEST h_ids per key at write, every row stamped with its
+  //    key generation (probes read only the serving one — see
+  //    [[servingBands]]; pre-r15 tables lack the column and pass
+  //    unfiltered). Vectors are stored inline (×bands duplication —
   //    the classic LSH index trade) so the probe never joins back
   //    through the corpus-scale lists table. Under the SLIM layout
   //    (r14, spark.graft.ann.bandStoreLayout=slim) the rows are
-  //    (bkey, h_id) only and the payload lives ONCE in
+  //    (bkey, h_id, bgen) only and the payload lives ONCE in
   //  - `<base>_bvecs` — (h_id, hv, hnrm), bucketed by h_id: 1× the
   //    vector payload instead of ×bands, traded for one extra
-  //    candidate-scale sort-merge join at probe time. The layout is
-  //    frozen into the store (probes detect it from the _bands
-  //    schema); a declared rebuildBandedLeg may change it.
+  //    candidate-scale sort-merge join at probe time. Generation-free
+  //    (content is h_id → payload, stable across rebuilds). The
+  //    layout is frozen into the store (probes detect it from the
+  //    _bands schema); a declared rebuildBandedLeg may change it.
   //
   // Append is additive: new rows are capped PER BATCH, so a bucket can
   // exceed the cap by one cap's worth per append generation until a
