@@ -27,6 +27,9 @@ import org.apache.spark.sql.functions._
   * formula) — HIST/BATCH 10k × 64-dim across 20 equal labels, the r14
   * shape. Usage:
   *   runMain graft.EmbedMeasure [is|si] [reps] [n]
+  *   runMain graft.EmbedMeasure probe [n]     (fresh-session re-probe
+  *     of a kept growth store — resolves emeas_growth via the
+  *     persistent catalog, no path operand)
   * Output: the r14 artifact's line format (WALL/BYTES/BUCKETS/...),
   * one WALL line per rep, so docs/SCALING.md rows diff directly.
   */
@@ -70,8 +73,10 @@ object EmbedMeasure {
 
   def main(args: Array[String]): Unit = {
     val order = args.headOption.getOrElse("is")
-    val reps = args.lift(1).map(_.toInt).getOrElse(3)
-    val n = args.lift(2).map(_.toLong).getOrElse(10000L)
+    // measurement-path operands parse AFTER the mode dispatch: probe
+    // mode's operand (an optional [n]) is NOT a reps count, and the
+    // old unconditional args(1).toInt threw before the probe branch
+    // could run (r15 ADVICE)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -82,7 +87,10 @@ object EmbedMeasure {
     spark.sparkContext.setLogLevel("WARN")
     graft.expressions.GraftFunctions.register(spark)
     if (order == "probe") {
-      // fresh-session probe of a kept growth store (attribution mode)
+      // fresh-session probe of a kept growth store (attribution mode);
+      // the store resolves via the persistent catalog — the only
+      // operand is the corpus size the growth run used
+      val n = args.lift(1).map(_.toLong).getOrElse(10000L)
       val batch0 = vecs(spark, n, 1000000L, 9000L, 20)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       batch0.count()
@@ -96,6 +104,8 @@ object EmbedMeasure {
       spark.stop()
       return
     }
+    val reps = args.lift(1).map(_.toInt).getOrElse(3)
+    val n = args.lift(2).map(_.toLong).getOrElse(10000L)
     val tmp = java.nio.file.Files
       .createTempDirectory("graft-embed-measure").toString
     val hist = vecs(spark, n, 0L, 1000L, 20)
@@ -179,8 +189,8 @@ object EmbedMeasure {
     // probe reads slower than pre while index-shape accounting predicts
     // the opposite; re-probing the SAME rebuilt store from a fresh
     // session separates session aging from index shape. Keep the store
-    // and print its base dir so a second invocation can target it:
-    //   runMain graft.EmbedMeasure probe <tmpdir>
+    // (a second invocation finds it through the persistent catalog):
+    //   runMain graft.EmbedMeasure probe
     println(s"GROWTH STORE kept at $tmp/$gb (tables ${gb}_*)")
     spark.conf.unset(GraftConf.BandStoreLayoutKey)
     // in-session CONTROL: re-probe the untouched slim A/B store after

@@ -996,16 +996,24 @@ object AnnPack extends QueryPack {
 
   /** `n` split by membership in `labels` — (members, non-members) —
     * via ONE broadcast routing frame ([[labelFrame]]) used as semi and
-    * anti join. Rows whose label is NULL land on the non-member side
-    * (the old literal-`isin` routing dropped them from BOTH sides —
-    * three-valued logic; the join keeps every row routed somewhere).
+    * anti join. Membership is NULL-SAFE (`<=>`, r16 — the r15 ADVICE
+    * null-routing note): a NULL label group is a member iff the
+    * routing set contains null, so the branch it takes follows its own
+    * measured statistic like any other label's, instead of flipping
+    * with which side of a mixed split happened to carry the smaller
+    * routing set (the plain-equality join's three-valued logic always
+    * dumped null rows on the anti side). Every row still routes to
+    * exactly one side (the old literal-`isin` routing dropped null
+    * rows from BOTH sides).
     */
   private[graft] def splitByLabels(n: DataFrame,
       labels: Seq[Any]): (DataFrame, DataFrame) = {
     val route = broadcast(
-      labelFrame(n.sparkSession, n.schema("label").dataType, labels))
-    (n.join(route, Seq("label"), "left_semi"),
-      n.join(route, Seq("label"), "left_anti"))
+      labelFrame(n.sparkSession, n.schema("label").dataType, labels)
+        .withColumnRenamed("label", "__route_label"))
+    def side(joinType: String): DataFrame =
+      n.join(route, n("label") <=> route("__route_label"), joinType)
+    (side("left_semi"), side("left_anti"))
   }
 
   /** PER-LABEL auto dispatch (r14 — the r13 verdict's task 1): the
@@ -1032,25 +1040,46 @@ object AnnPack extends QueryPack {
     * continuum labels then SKIP the exact build and probe entirely —
     * the asymmetry the trade is priced for.
     */
+  /** The first-tier dispatch statistic as ONE clamp-bounded driver
+    * peek (r16 — the r15 verdict's task 2): the label count and the
+    * above-the-clamp label list, computed in-query so the driver never
+    * holds |labels| rows — a label with more than `clamp` rows is
+    * pigeonhole-bounded at N/clamp of them, so the collected payload
+    * is one row holding ≤ N/clamp labels regardless of how many small
+    * labels the corpus carries. Labels ride inside a struct: a bare
+    * `when(...)` feed would make collect_list silently drop a BIG
+    * NULL-label group (list aggregation skips nulls — the wrapper is
+    * never null even when its field is).
+    */
+  private[graft] def bigLabelStat(n: DataFrame,
+      clamp: Long): (Long, Seq[Any]) = {
+    val stat = n.groupBy(col("label")).agg(count(lit(1)).as("n_l"))
+      .agg(count(lit(1)).as("n_labels"),
+        collect_list(when(col("n_l") > clamp, struct(col("label"))))
+          .as("big"))
+      .collect()(0)
+    (stat.getLong(0),
+      stat.getSeq[org.apache.spark.sql.Row](1).map(_.get(0)))
+  }
+
   private[graft] def autoRangePairsOf(n: DataFrame, dim: Int,
       tau: Double): DataFrame = {
     val s = n.sparkSession
     val tcs = targetCellSize(s)
     val mc = maxCells(s)
     val clamp = tcs.toLong * mc
-    // ≤|labels| rows: block sizes decide the first tier
-    val cntRows = n.groupBy(col("label")).agg(count(lit(1)).as("n_l"))
-      .collect()
-    val bigLabels = cntRows.filter(_.getLong(1) > clamp).map(_.get(0)).toSeq
+    // one clamp-bounded peek: block sizes decide the first tier
+    val (nLabels, bigLabels) = bigLabelStat(n, clamp)
     if (bigLabels.isEmpty) return rangePairsOf(n, tau)
     // routing decisions travel as broadcast-joined frames, never as
     // literal isin lists (r15 — see labelFrame on why)
     val (bigSide, _) = splitByLabels(n, bigLabels)
+    // ≤|bigLabels| rows — already N/clamp-bounded by the first tier
     val contLabels = round1OrphanFracByLabel(bigSide, tcs, mc)
       .filter(_.getDouble(1) > graft.GraftConf.orphanMaxFrac(s))
       .map(_.get(0)).toSeq
     if (contLabels.isEmpty) return rangePairsOf(n, tau)
-    if (contLabels.size == cntRows.length)
+    if (contLabels.size == nLabels)
       return bandedRangePairsOf(n, dim, tau)
     val (contSide, exactSide) = splitByLabels(n, contLabels)
     rangePairsOf(exactSide, tau)
@@ -1791,6 +1820,72 @@ object AnnPack extends QueryPack {
         k = K, nprobe = nprobe)
     },
     Some(kmeansOracle("vec_id % 11 <> 5")))
+
+  // D9's COMPACT path through the driver gate (r16 — the r15 verdict's
+  // task 1): write + append + a REPLAYED append (duplicate postings
+  // rows, the crash shape) fragment the cell dirs; compact rewrites
+  // the same rows to one sorted file per cell under the next
+  // generation. The oracle is IDENTICAL to the append row's — a hash
+  // match proves search is byte-stable across compaction, replay
+  // duplicates included (they survive compact as rows and collapse at
+  // read, the family-wide convergence contract).
+  private val annIndexCompactSearch = GraftQuery(
+    "ann_index_compact_search",
+    (s, d) => {
+      val path = indexDirs.computeIfAbsent(s"$d#compact", _ => {
+        val dir = java.nio.file.Files
+          .createTempDirectory("graft_ann_index_cmp").toString
+        val corpus = Tables.embeddings(s, d)
+          .filter(pmod(col("vec_id"), lit(50)) =!= 0)
+          .select(col("vec_id"), col("embedding"))
+        graft.sources.AnnIndex.write(
+          corpus.filter(pmod(col("vec_id"), lit(11)) =!= 5),
+          dir, k = kmK, iters = kmIters)
+        val slice = corpus.filter(pmod(col("vec_id"), lit(11)) === 5)
+        graft.sources.AnnIndex.append(s, dir, slice)
+        graft.sources.AnnIndex.append(s, dir, slice) // crash replay
+        graft.sources.AnnIndex.compact(s, dir)
+        dir
+      })
+      graft.sources.AnnIndex.search(s, path,
+        Tables.embeddings(s, d)
+          .filter(pmod(col("vec_id"), lit(50)) === 0)
+          .select(col("vec_id"), col("embedding")),
+        k = K, nprobe = nprobe)
+    },
+    Some(kmeansOracle("vec_id % 11 <> 5")))
+
+  // D9's REBUILD path through the driver gate: write on ~91%, append
+  // the rest, then a declared quantizer rebuild — retrain on the
+  // CURRENT (replay-deduplicated) content and re-route every vector.
+  // The oracle is the FULL-corpus training oracle (the ann_index_search
+  // row's): a hash match proves rebuild ≡ a fresh write() of the
+  // deduplicated corpus — the family-wide rebuild contract, here
+  // end-to-end through the persisted store.
+  private val annIndexRebuildSearch = GraftQuery(
+    "ann_index_rebuild_search",
+    (s, d) => {
+      val path = indexDirs.computeIfAbsent(s"$d#rebuild", _ => {
+        val dir = java.nio.file.Files
+          .createTempDirectory("graft_ann_index_rb").toString
+        val corpus = Tables.embeddings(s, d)
+          .filter(pmod(col("vec_id"), lit(50)) =!= 0)
+          .select(col("vec_id"), col("embedding"))
+        graft.sources.AnnIndex.write(
+          corpus.filter(pmod(col("vec_id"), lit(11)) =!= 5),
+          dir, k = kmK, iters = kmIters)
+        graft.sources.AnnIndex.append(s, dir,
+          corpus.filter(pmod(col("vec_id"), lit(11)) === 5))
+        graft.sources.AnnIndex.rebuild(s, dir, k = kmK, iters = kmIters)
+        dir
+      })
+      graft.sources.AnnIndex.search(s, path,
+        Tables.embeddings(s, d)
+          .filter(pmod(col("vec_id"), lit(50)) === 0)
+          .select(col("vec_id"), col("embedding")),
+        k = K, nprobe = nprobe)
+    },
+    Some(kmeansOracle("TRUE")))
 
   // D7 — int8 symmetric quantization of the embedding column: the
   // standard 4x memory/bandwidth cut for the vector working set before
@@ -2734,7 +2829,8 @@ object AnnPack extends QueryPack {
     Seq(annBrute, annLsh, knnJoin, dedupEmbedding, annIvf, annIvfKmeans,
       annRange, annRangeBanded, embeddingQuantize, annQuantized,
       annIndexSearch,
-      annIndexAppendSearch, dedupIncEmbed, dedupIncEmbedAppend,
+      annIndexAppendSearch, annIndexCompactSearch, annIndexRebuildSearch,
+      dedupIncEmbed, dedupIncEmbedAppend,
       dedupIncEmbedBanded, dedupIncEmbedAuto,
       pqEncode, annPq, pqIndexSearch, pqIndexAppendSearch, annIvfPq,
       docTopics)

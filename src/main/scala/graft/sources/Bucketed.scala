@@ -182,8 +182,8 @@ object Bucketed {
       scala.collection.mutable.Set.empty
   }
 
-  private def withWriterLeaseAt[T](spark: SparkSession, location: String,
-      table: String)(body: => T): T = {
+  private[sources] def withWriterLeaseAt[T](spark: SparkSession,
+      location: String, table: String)(body: => T): T = {
     val loc = location.stripSuffix("/")
     val rawLock = new org.apache.hadoop.fs.Path(
       loc.replaceAll("__g\\d+$", "") + "__lock")
@@ -483,6 +483,15 @@ object Bucketed {
     * old generation's files stay live; the catalog repoint is the
     * commit and the retired directory keeps one-generation grace — a
     * crash at any point leaves the pre-rewrite table fully intact.
+    * The write runs under the same conf-locked bucketed-scan guard as
+    * [[compactBucketed]] (r15 ADVICE): every declared rewrite consumer
+    * (rebuildCleanup, the MinHash/SimHash rebuilds) derives `df` FROM
+    * the table being rewritten, which is exactly the shape where the
+    * planner elides the repartition against the scan's claimed bucket
+    * partitioning, auto-disables the bucketed scan, and fragments the
+    * output into tasks × buckets mixed-bucket files — silently NOT
+    * restoring the one-sorted-file-per-bucket layout the rewrite
+    * exists to land.
     */
   def rewriteBucketed(spark: SparkSession, table: String,
       df: DataFrame): Unit = withWriterLease(spark, table) {
@@ -492,12 +501,45 @@ object Bucketed {
         s"$table is not bucketed — rewriteBucketed would drop the " +
           "layout contract"))
     swapGeneration(spark, table) { (newPath, tmpTable) =>
-      val cols = spec.bucketColumnNames
-        .map(org.apache.spark.sql.functions.col)
-      withSpec(df.repartition(spec.numBuckets, cols: _*)
-        .write.mode("overwrite").format("parquet")
-        .option("path", newPath), spec)
-        .saveAsTable(tmpTable)
+      bucketPureWrite(spark, df, spec, newPath, tmpTable)
+    }
+  }
+
+  /** The conf-locked bucket-pure CTAS both bucketed rewrite paths
+    * share. One-file-per-bucket needs each write task to own exactly
+    * one bucket. A repartition on the bucket columns LOOKS right but
+    * is unreliable when `df` scans the table being rewritten: the
+    * planner elides the exchange against the scan's claimed bucket
+    * partitioning, then auto-DISABLES the bucketed scan (nothing left
+    * requires the distribution) and reads by file splits — measured:
+    * mixed-bucket tasks re-fragmenting the output. Forcing the
+    * bucketed scan ON instead makes the scan itself bucket-pure (one
+    * partition per bucket, however many files each holds), so the
+    * writer emits exactly one file per bucket with NO exchange at all.
+    * The repartition stays as a correctness net for frames that do not
+    * read the target (fresh content, other tables); it elides when
+    * redundant. The conf save/set/restore is SESSION-global while the
+    * leases are per table, so two threads rewriting different tables
+    * of one session would race it (one restores "true" mid-CTAS of
+    * the other → fragmented output, then the other "restores" the
+    * first's "false" permanently) — serialized process-wide; rewrites
+    * are maintenance, the serialization is free.
+    */
+  private def bucketPureWrite(spark: SparkSession, df: DataFrame,
+      spec: BucketSpec, newPath: String, tmpTable: String): Unit = {
+    val autoScanKey =
+      "spark.sql.sources.bucketing.autoBucketedScan.enabled"
+    compactConfLock.synchronized {
+      val prevAuto = spark.conf.get(autoScanKey)
+      spark.conf.set(autoScanKey, "false")
+      try {
+        val cols = spec.bucketColumnNames
+          .map(org.apache.spark.sql.functions.col)
+        withSpec(df.repartition(spec.numBuckets, cols: _*)
+          .write.mode("overwrite").format("parquet")
+          .option("path", newPath), spec)
+          .saveAsTable(tmpTable)
+      } finally spark.conf.set(autoScanKey, prevAuto)
     }
   }
 
@@ -523,46 +565,15 @@ object Bucketed {
     */
   def compactBucketed(spark: SparkSession,
       table: String): Unit = withWriterLease(spark, table) {
-    val cat = spark.sessionState.catalog
-    val ident = spark.sessionState.sqlParser.parseTableIdentifier(table)
-    val meta = cat.getTableMetadata(ident)
-    val spec = meta.bucketSpec.getOrElse(throw new IllegalArgumentException(
-      s"$table is not bucketed"))
-    // One-file-per-bucket needs each write task to own exactly one
-    // bucket. A repartition on the bucket columns LOOKS right but is
-    // unreliable here: the planner elides the exchange against the
-    // scan's claimed bucket partitioning, then auto-DISABLES the
-    // bucketed scan (nothing left requires the distribution) and reads
-    // by file splits — measured: mixed-bucket tasks re-fragmenting the
-    // output. Forcing the bucketed scan ON instead makes the scan
-    // itself bucket-pure (one partition per bucket, however many files
-    // each holds), so the writer emits exactly one file per bucket with
-    // NO exchange at all — compaction is a parallel local rewrite. The
-    // repartition stays as a correctness net for sessions where the
-    // scan partitioning is not usable; it elides when redundant.
-    val autoScanKey =
-      "spark.sql.sources.bucketing.autoBucketedScan.enabled"
+    val spec = spark.sessionState.catalog.getTableMetadata(
+        spark.sessionState.sqlParser.parseTableIdentifier(table))
+      .bucketSpec.getOrElse(throw new IllegalArgumentException(
+        s"$table is not bucketed"))
+    // the identity instance of the bucket-pure rewrite: same rows,
+    // fresh one-sorted-file-per-bucket layout (see bucketPureWrite on
+    // why the scan-forcing guard is load-bearing here)
     swapGeneration(spark, table) { (newPath, tmpTable) =>
-      // the conf save/set/restore is SESSION-global while the leases
-      // are per table, so two threads compacting different tables of
-      // one session would race it (one restores "true" mid-CTAS of the
-      // other → mixed-bucket fragmented output, then the other
-      // "restores" the first's "false" permanently) — serialize the
-      // whole conf-scoped section process-wide; compaction is
-      // maintenance, the serialization is free
-      compactConfLock.synchronized {
-        val prevAuto = spark.conf.get(autoScanKey)
-        spark.conf.set(autoScanKey, "false")
-        try {
-          val cols = spec.bucketColumnNames
-            .map(org.apache.spark.sql.functions.col)
-          withSpec(spark.table(table)
-            .repartition(spec.numBuckets, cols: _*)
-            .write.mode("overwrite").format("parquet")
-            .option("path", newPath), spec)
-            .saveAsTable(tmpTable)
-        } finally spark.conf.set(autoScanKey, prevAuto)
-      }
+      bucketPureWrite(spark, spark.table(table), spec, newPath, tmpTable)
     }
   }
 

@@ -508,28 +508,79 @@ object EmbedStore {
     * engines are verdict-sound and banded ⊆ exact). Batch labels the
     * store has never seen take the exact side (sentinels either way).
     */
+  /** Per-tableBase memo of the routing stat, keyed on the sidecar
+    * tables' LOCATIONS: both `_bbits` and `_cells` are rewritten
+    * generation-swapped on every append/rebuild (their location URIs
+    * move to the next `__gN` sibling), so an unchanged key proves the
+    * routing inputs are byte-identical and a repeated probe of an
+    * unchanged store skips the peek entirely (r16 — the r15 verdict's
+    * task 2 memoization). One entry per tableBase, replaced on key
+    * change, so a long ingest loop holds one stat per store, ever.
+    */
+  private[graft] val routingStatMemo =
+    new java.util.concurrent.ConcurrentHashMap[
+      String, (String, (Long, Seq[Any]))]()
+  graft.Caches.onRelease(() => routingStatMemo.clear())
+
+  /** The banded-routing stat as ONE bounded driver peek (r16): label
+    * count plus the banded-eligible label list, computed in-query off
+    * the metadata-scale sidecars — the old shape collected the FULL
+    * per-label `_cells` counts and the full `_bbits` cont map on every
+    * probe, |labels| rows at a high-cardinality label space. Eligible
+    * labels are cont=true (frozen continuum measurement) or, where the
+    * flag is NULL/absent (pre-r14 stores, unmeasured appends), the
+    * cell-count saturation fallback `n_cells = maxCells` ⇔ history at
+    * or past the single-level clamp — so every eligible label is a
+    * LARGE label and the collected list is history-size/clamp-bounded,
+    * never |labels|-bounded. The bbits join and the collect_list
+    * wrapper are null-safe (a NULL label group routes like any other —
+    * the AnnPack.splitByLabels discipline).
+    */
+  private[graft] def bandedRoutingStat(spark: SparkSession,
+      tableBase: String): (Long, Seq[Any]) = {
+    val bbitsT = s"${tableBase}_bbits"
+    val cellsT = s"${tableBase}_cells"
+    // location + createTime: the generation swap moves the location
+    // (append/rebuild invalidate), and a same-path fresh write() after
+    // a drop gets a new createTime (a reused path must not serve the
+    // dropped store's stat)
+    def loc(t: String): String = {
+      val m = spark.sessionState.catalog.getTableMetadata(
+        spark.sessionState.sqlParser.parseTableIdentifier(t))
+      s"${m.location}@${m.createTime}"
+    }
+    val hasCont = spark.catalog.tableExists(bbitsT) &&
+      spark.table(bbitsT).columns.contains("cont")
+    val key = (if (hasCont) loc(bbitsT) else "") + "|" + loc(cellsT)
+    val memo = routingStatMemo.get(tableBase)
+    if (memo != null && memo._1 == key) return memo._2
+    val mc = graft.GraftConf.maxCells(spark)
+    val cells = spark.table(cellsT)
+      .groupBy(col("label")).agg(count(lit(1)).as("n_cells"))
+    val flagged = if (hasCont) {
+      val bb = spark.table(bbitsT)
+        .select(col("label").as("__bl"), col("cont"))
+      cells.join(broadcast(bb), col("label") <=> col("__bl"), "left")
+    } else cells.withColumn("cont",
+      lit(null).cast(org.apache.spark.sql.types.BooleanType))
+    val row = flagged
+      .agg(count(lit(1)).as("n_labels"),
+        collect_list(when(
+          coalesce(col("cont"), col("n_cells") >= mc),
+          struct(col("label")))).as("banded"))
+      .collect()(0)
+    val stat = (row.getLong(0),
+      row.getSeq[org.apache.spark.sql.Row](1).map(_.get(0)))
+    routingStatMemo.put(tableBase, (key, stat))
+    stat
+  }
+
   private def autoDedupAgainst(spark: SparkSession, tableBase: String,
       batch: DataFrame, tau: Double): DataFrame = {
-    val bbitsT = s"${tableBase}_bbits"
-    // ≤|labels| rows off the metadata-scale sidecars
-    val contByLabel: Map[Any, Option[Boolean]] =
-      if (spark.catalog.tableExists(bbitsT) &&
-          spark.table(bbitsT).columns.contains("cont"))
-        spark.table(bbitsT).select(col("label"), col("cont")).collect()
-          .map(r => r.get(0) ->
-            (if (r.isNullAt(1)) None else Some(r.getBoolean(1)))).toMap
-      else Map.empty
-    val mc = graft.GraftConf.maxCells(spark)
-    val cellCnt = spark.table(s"${tableBase}_cells")
-      .groupBy(col("label")).agg(count(lit(1)).as("n_cells"))
-      .collect()
-    val bandedLabels = cellCnt.filter { r =>
-      contByLabel.getOrElse(r.get(0), None)
-        .getOrElse(r.getLong(1) >= mc) // unmeasured → size fallback
-    }.map(_.get(0)).toSeq
+    val (nLabels, bandedLabels) = bandedRoutingStat(spark, tableBase)
     if (bandedLabels.isEmpty)
       return dedupAgainst(spark, tableBase, batch, tau)
-    if (bandedLabels.size == cellCnt.length)
+    if (bandedLabels.size == nLabels)
       return bandedDedupAgainst(spark, tableBase, batch, tau)
     // the routing decision re-enters as a broadcast-joined frame, not
     // a literal isin list (r15 — see AnnPack.labelFrame); unseen-label

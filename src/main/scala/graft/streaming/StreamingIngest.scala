@@ -122,6 +122,28 @@ object StreamingIngest {
     *   kept docs' n-gram counts fold back in (the dsir severing
     *   discipline), so the LM tracks the corpus while the tercile cut
     *   stays a frozen reference. Requires a `lang` column.
+    * @param maintainEvery opt-in store maintenance cadence (r16 — the
+    *   r15 verdict's task 3: SCALING.md documented the stale_frac 0.5
+    *   rebuild threshold but nothing RAN it): every N batches the
+    *   embed leg's [[EmbedStore.bandedStaleness]] is read (one
+    *   metadata-scale peek) and, when any label's frozen cont
+    *   measurement has gone majority-stale
+    *   (`stale_frac > maintainStaleFrac`), the generation-atomic
+    *   [[EmbedStore.rebuildBandedLeg]] runs under the store's existing
+    *   single-writer lease — serve-through preserved (batches probed
+    *   before the `_bbits` commit get pre-rebuild verdicts; the
+    *   rebuild re-measures every label, resetting `n_app`, so the
+    *   trigger disarms itself until appends re-cross the threshold).
+    *   0 (the default) = off. The hook runs AFTER the batch's sink
+    *   returned, inside its foreachBatch call: a crash between the
+    *   rebuild's commit and the streaming checkpoint's replays the
+    *   batch against the REBUILT store, whose banded verdicts may
+    *   differ (the rebuild's own documented replay caveat) — an
+    *   operator for whom replay determinism matters leaves the hook
+    *   off and rebuilds at an explicit replay barrier.
+    * @param maintainStaleFrac the stale_frac trigger (default 0.5,
+    *   the docs/SCALING.md operating threshold: past it the majority
+    *   of a label's block postdates the frozen measurement).
     * @param report compose the per-batch H12 `curation_report` verdict
     *   (r12): lang_ok / tokens_ok / n_tokens plus the failure-reason
     *   bitmask and `keep` over the streamed signals — the SAME bits as
@@ -139,7 +161,9 @@ object StreamingIngest {
       qualityBase: Option[String] = None,
       dsirBase: Option[String] = None,
       ccnetBase: Option[String] = None,
-      report: Boolean = false)
+      report: Boolean = false,
+      maintainEvery: Int = 0,
+      maintainStaleFrac: Double = 0.5)
 
   /** The (vec_id, label, embedding) frame the [[EmbedStore]] leg probes
     * and appends for a doc batch: doc_id is the vector id; the blocking
@@ -348,6 +372,24 @@ object StreamingIngest {
   def releaseBatch(verdict: DataFrame): Unit =
     org.apache.spark.sql.GraftDatasetBridge.freeLocalCheckpoint(verdict)
 
+  /** The embed leg's maintenance probe (see IngestLegs.maintainEvery):
+    * read the metadata-scale staleness frame and rebuild the banded
+    * leg iff some label's frozen measurement has gone majority-stale.
+    * Returns whether a rebuild ran — the spec's trigger-count anchor.
+    * NULL stale_frac rows (pre-r15 stores, unmeasured bases) never
+    * trigger: "unknown basis" is not "known-stale", and the pre-r15
+    * operator remedy stays a declared manual rebuild.
+    */
+  private[streaming] def maybeMaintainEmbed(spark: SparkSession,
+      embedBase: String, staleFrac: Double): Boolean = {
+    if (!spark.catalog.tableExists(s"${embedBase}_bbits")) return false
+    val worst = EmbedStore.bandedStaleness(spark, embedBase)
+      .agg(max(col("stale_frac"))).collect()(0)
+    val trigger = !worst.isNullAt(0) && worst.getDouble(0) > staleFrac
+    if (trigger) EmbedStore.rebuildBandedLeg(spark, embedBase)
+    trigger
+  }
+
   /** Wire a (doc_id, text) stream through [[processBatch]]; per-batch
     * verdicts go to `sink` (e.g. a parquet append, an alerting bus).
     */
@@ -374,6 +416,11 @@ object StreamingIngest {
         // the sink has consumed the verdict — drop the batch's
         // checkpoint storage now (scoped working set: one batch, ever)
         releaseBatch(verdict)
+        // opt-in maintenance cadence: staleness-triggered banded
+        // rebuild AFTER the batch is fully out (IngestLegs doc)
+        if (legs.maintainEvery > 0 && (id + 1) % legs.maintainEvery == 0)
+          legs.embedBase.foreach(eb =>
+            maybeMaintainEmbed(spark, eb, legs.maintainStaleFrac))
       }
       .start()
 

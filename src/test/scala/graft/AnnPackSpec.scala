@@ -600,6 +600,52 @@ class AnnPackSpec extends GraftSpec {
     }
   }
 
+  test("auto dispatch peek is clamp-bounded (r16): a high-cardinality " +
+      "label space collects the over-clamp labels only, and a NULL " +
+      "label routes by its own membership") {
+    // 400 tiny labels + 1 over-clamp label: the r15 shape collected
+    // |labels| = 401 rows to the driver; the bounded stat collects ONE
+    // row whose big-list is pigeonhole-bounded at N/clamp. One local
+    // frame, not a 401-way union (a foldLeft of unionByName builds a
+    // 400-deep plan tree whose repeated by-name analysis is
+    // quadratic — measured minutes of driver CPU)
+    import spark.implicits._
+    val tinyRows = (1 to 400).flatMap(l => (0 until 2).map(i =>
+      (l * 10000L + i, l, Seq.fill(4)(0.5), 1.0)))
+    val bigRows = (0 until 150).map(i =>
+      (i.toLong, 0, Seq.fill(4)(0.5), 1.0))
+    val mixed = (bigRows ++ tinyRows)
+      .toDF("vec_id", "label", "v", "nrm").repartition(8)
+    val clamp = 64L // tcs 8 × mc 8, the dispatch specs' conf
+    val (nLabels, bigLabels) =
+      operators.AnnPack.bigLabelStat(mixed, clamp)
+    assert(nLabels == 401L)
+    assert(bigLabels == Seq(0),
+      s"expected exactly the over-clamp label, got $bigLabels")
+    assert(bigLabels.size <= mixed.count() / clamp,
+      "the collected list is not N/clamp-bounded")
+    // a NULL label with an over-clamp block is COLLECTED (the struct
+    // wrapper — a bare collect_list(when(...)) would silently drop
+    // it) and routed to the MEMBER side by the null-safe split
+    val withNull = mixed.withColumn("label",
+      when(col("label") === 0, lit(null)).otherwise(col("label")))
+    val (nl2, big2) = operators.AnnPack.bigLabelStat(withNull, clamp)
+    assert(nl2 == 401L && big2 == Seq(null),
+      s"NULL over-clamp label lost by the peek: $big2")
+    val (members, nonMembers) =
+      operators.AnnPack.splitByLabels(withNull, big2)
+    assert(members.count() == 150 &&
+      members.filter(col("label").isNull).count() == 150,
+      "null-label rows must route to the member side when null is " +
+        "in the routing set")
+    assert(nonMembers.filter(col("label").isNull).count() == 0)
+    // and with null NOT in the set, they land non-member — membership,
+    // not which side happens to carry the smaller routing list
+    val (m3, nm3) = operators.AnnPack.splitByLabels(withNull, Seq(7))
+    assert(m3.filter(col("label").isNull).count() == 0 &&
+      nm3.filter(col("label").isNull).count() == 150)
+  }
+
   test("D3/C5/D6 plans: no window partitioned by a whole label block") {
     // the r3 verdict's last one-partition-per-key-group sort: a
     // row_number window partitioned by `label` alone would sort each
@@ -707,6 +753,83 @@ class AnnPackSpec extends GraftSpec {
     assert(replayed.map(_.toString).sorted.toSeq
       == byQuery.values.flatten.map(_.toString).toSeq.sorted,
       "replayed append changed the search result")
+  }
+
+  test("AnnIndex maintenance: compact restores one file per cell byte-stably, " +
+      "generations retire with grace, rebuild ≡ fresh write") {
+    val embs = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val corpus = embs.filter(pmod(col("vec_id"), lit(50)) =!= 0)
+      .select(col("vec_id"), col("embedding"))
+    val queries = embs.filter(pmod(col("vec_id"), lit(50)) === 0)
+      .select(col("vec_id"), col("embedding"))
+    val dir = java.nio.file.Files.createTempDirectory("annindex-cmp").toString
+    val base = corpus.filter(pmod(col("vec_id"), lit(11)) =!= 5)
+    val slice = corpus.filter(pmod(col("vec_id"), lit(11)) === 5)
+    graft.sources.AnnIndex.write(base, dir)
+    // cell-aligned write: ONE file per cell from the start (the r15
+    // Bucketed lesson — an unaligned write lands tasks × cells files)
+    assert(graft.sources.AnnIndex.listsFileCounts(spark, dir)
+      .values.forall(_ == 1), "fresh write is not one file per cell")
+    graft.sources.AnnIndex.append(spark, dir, slice)
+    graft.sources.AnnIndex.append(spark, dir, slice) // crash replay
+    // appends accumulate one file per touched cell per batch — bounded
+    // by batches, never by tasks × cells
+    val preCounts = graft.sources.AnnIndex.listsFileCounts(spark, dir)
+    assert(preCounts.values.forall(_ <= 3),
+      s"append fragmented beyond one file per batch per cell: $preCounts")
+    assert(preCounts.values.exists(_ > 1),
+      "fixture never fragmented — the compact assertion below is vacuous")
+    val preRows = spark.read.parquet(s"$dir/lists").count()
+    val pre = graft.sources.AnnIndex.search(spark, dir, queries)
+      .collect().map(_.toString).sorted.toSeq
+    graft.sources.AnnIndex.compact(spark, dir)
+    // one sorted file per cell under the NEXT generation; rows —
+    // replay duplicates included, they are the read-side convergence
+    // key — preserved exactly; search byte-stable
+    assert(new java.io.File(s"$dir/SERVING_g1").exists(),
+      "compact did not commit a serving marker")
+    assert(graft.sources.AnnIndex.listsFileCounts(spark, dir)
+      .values.forall(_ == 1), "compact did not restore one file per cell")
+    assert(spark.read.parquet(s"$dir/lists__g1").count() == preRows,
+      "compact changed the postings row count (replay keys must survive)")
+    val post = graft.sources.AnnIndex.search(spark, dir, queries)
+      .collect().map(_.toString).sorted.toSeq
+    assert(post == pre, "search changed across compact")
+    // one-generation grace: the just-retired gen-0 dirs stay on disk
+    // until the NEXT swap — a plan resolved before this compact still
+    // reads its captured files
+    assert(new java.io.File(s"$dir/lists").exists(),
+      "compact deleted the just-retired generation (no grace)")
+    graft.sources.AnnIndex.compact(spark, dir)
+    assert(!new java.io.File(s"$dir/lists").exists(),
+      "second compact left the elder generation beyond grace")
+    assert(new java.io.File(s"$dir/lists__g1").exists(),
+      "second compact deleted the just-retired generation (no grace)")
+    assert(graft.sources.AnnIndex.search(spark, dir, queries)
+      .collect().map(_.toString).sorted.toSeq == pre,
+      "search changed across second compact")
+    // a mutation racing the lease refuses loudly instead of corrupting
+    val lock = new java.io.File(s"$dir/lists__lock")
+    java.nio.file.Files.writeString(lock.toPath,
+      "pid=999999999 host=elsewhere at=now")
+    intercept[java.util.ConcurrentModificationException] {
+      graft.sources.AnnIndex.append(spark, dir, slice)
+    }
+    assert(lock.delete())
+    // rebuild: retrain on the CURRENT deduplicated content ≡ a fresh
+    // write of the full corpus — byte-identical search results
+    graft.sources.AnnIndex.rebuild(spark, dir)
+    val fresh = java.nio.file.Files
+      .createTempDirectory("annindex-fresh").toString
+    graft.sources.AnnIndex.write(corpus, fresh)
+    assert(graft.sources.AnnIndex.search(spark, dir, queries)
+      .collect().map(_.toString).sorted.toSeq
+      == graft.sources.AnnIndex.search(spark, fresh, queries)
+        .collect().map(_.toString).sorted.toSeq,
+      "rebuild does not equal a fresh write of the deduplicated corpus")
+    // rebuilt layout is cell-aligned too
+    assert(graft.sources.AnnIndex.listsFileCounts(spark, dir)
+      .values.forall(_ == 1), "rebuild is not one file per cell")
   }
 
   test("embedding_quantize: known vectors quantize to the expected codes") {

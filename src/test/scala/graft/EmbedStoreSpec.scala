@@ -377,6 +377,56 @@ class EmbedStoreSpec extends GraftSpec {
     }
   }
 
+  test("bandedRoutingStat (r16): the auto-probe peek collects only " +
+      "banded-ELIGIBLE labels, memoizes per store generation, and " +
+      "invalidates on append") {
+    def hv(seed: Long): Seq[Double] = {
+      val raw = (0 until 64).map(j =>
+        (((seed * (j * 6364136223846793005L + 1442695040888963407L))
+          >>> 40) & 0xffL).toDouble - 127.5)
+      val n = math.sqrt(raw.map(x => x * x).sum)
+      raw.map(_ / n)
+    }
+    // 40 small labels (2 vectors each — never banded-eligible) + one
+    // continuum mega-label: the r15 shape collected |labels| = 41
+    // per-label rows on EVERY probe; the bounded stat collects one row
+    // whose list holds only the eligible label
+    val smalls = embDf((1 to 40).flatMap(l => Seq(
+      (l * 100L, l, hv(l * 10L)), (l * 100L + 1, l, hv(l * 10L + 1)))))
+    val mega = embDf((0 until 24).map(i => (9000L + i, 99, hv(7000L + i))))
+    val (base, path) = freshBase()
+    try {
+      spark.conf.set(graft.GraftConf.TargetCellSizeKey, "2")
+      spark.conf.set(graft.GraftConf.MaxCellsKey, "4")
+      EmbedStore.write(smalls.unionByName(mega), base, path)
+      EmbedStore.routingStatMemo.remove(base)
+      val (nLabels, banded) = EmbedStore.bandedRoutingStat(spark, base)
+      assert(nLabels == 41L)
+      assert(banded == Seq(99),
+        s"expected only the continuum mega-label, got $banded")
+      // memoized: a repeat probe of the unchanged store returns the
+      // SAME entry without re-reading the sidecars
+      val entry = EmbedStore.routingStatMemo.get(base)
+      assert(entry != null)
+      assert(EmbedStore.bandedRoutingStat(spark, base)._2 eq banded,
+        "unchanged store re-collected the routing stat")
+      assert(EmbedStore.routingStatMemo.get(base) eq entry)
+      // an append rewrites the sidecars generation-swapped — the moved
+      // locations invalidate the memo and the stat re-derives
+      EmbedStore.append(spark, base,
+        embDf(Seq((9990L, 41, hv(8000L)))))
+      val (nl2, banded2) = EmbedStore.bandedRoutingStat(spark, base)
+      assert(nl2 == 42L, s"post-append stat stale: $nl2 labels")
+      assert(banded2 == Seq(99))
+      assert(EmbedStore.routingStatMemo.get(base)._1 != entry._1,
+        "append did not move the memo key")
+    } finally {
+      spark.conf.unset(graft.GraftConf.TargetCellSizeKey)
+      spark.conf.unset(graft.GraftConf.MaxCellsKey)
+      cleanup(base, path)
+    }
+  }
+
   test("slim bands layout (r14): 1× payload instead of ×bands, same " +
       "verdicts as inline across write/append/compact; the layout is " +
       "frozen per store and a declared rebuild may change it") {
@@ -642,6 +692,45 @@ class EmbedStoreSpec extends GraftSpec {
       cleanup(base, path)
       cleanup(cb, cp)
     }
+  }
+
+  test("deferred rebuildCleanup is BOUNDED (r16): operators that skip " +
+      "the cleanup step carry at most ONE elder generation — the next " +
+      "stage drops it, so G skipped cleanups never accumulate G " +
+      "generations of filtered-but-scanned rows") {
+    // the elder-row bound is structural: rebuildStage carries ONLY the
+    // serving generation's rows beside the new one (orphans of any
+    // older generation are dropped there), so _bands row growth under
+    // deferred cleanup is ≤ 2× serving regardless of rebuild count
+    val history = embDf((0 until 12).map(i =>
+      (100L + i, 1, Seq(1.0, 0.001 * i, 0.0, 0.0))))
+    val probe = embDf(Seq((1L, 1, Seq(0.9999, 0.0001, 0.0, 0.0))))
+    val (base, path) = freshBase()
+    def banded() = verdictMap(
+      EmbedStore.bandedDedupAgainst(spark, base, probe, tau))
+    def gens() = spark.table(s"${base}_bands")
+      .select("bgen").distinct().collect().map(_.getInt(0)).toSet
+    try {
+      EmbedStore.write(history, base, path)
+      val want = banded()
+      // rebuild 1, cleanup SKIPPED: the elder generation rides along
+      val s1 = EmbedStore.rebuildStage(spark, base)
+      try EmbedStore.rebuildCommit(spark, base, s1)
+      finally org.apache.spark.sql.GraftDatasetBridge
+        .freeLocalCheckpoint(s1.bbits)
+      assert(gens() == Set(1, 2),
+        s"one skipped cleanup must carry exactly one elder: ${gens()}")
+      assert(banded() == want)
+      // rebuild 2, cleanup skipped AGAIN: stage drops generation 1 —
+      // the carried set never exceeds {serving, new}
+      val s2 = EmbedStore.rebuildStage(spark, base)
+      try EmbedStore.rebuildCommit(spark, base, s2)
+      finally org.apache.spark.sql.GraftDatasetBridge
+        .freeLocalCheckpoint(s2.bbits)
+      assert(gens() == Set(2, 3),
+        s"the second stage must retire the first's elder: ${gens()}")
+      assert(banded() == want)
+    } finally cleanup(base, path)
   }
 
   test("bandedStaleness (r15): n_meas pins the measured basis, appends " +

@@ -587,6 +587,102 @@ class StreamingIngestSpec extends GraftSpec {
     }
   }
 
+  test("maintenance hook (r16): a stream whose appends push stale_frac " +
+      "past the threshold triggers exactly one generation-atomic banded " +
+      "rebuild mid-stream; below threshold nothing runs; the rebuilt " +
+      "store ≡ a fresh write of the full corpus") {
+    import java.nio.file.{Files, Paths}
+    import spark.implicits._
+    import graft.sources.EmbedStore
+    val tmp = Files.createTempDirectory("graft-ingest-maint").toString
+    def emb(i: Int) = Array(1.0f, i * 0.25f, i * i * 0.0625f, 0.1f * i)
+    def docs(ids: Seq[Long]) = ids.map(i =>
+      (i, s"unique content $i " + (1 to 20).map(j => s"w${i}_$j")
+        .mkString(" "), emb(i.toInt % 11)))
+      .toDF("doc_id", "text", "embedding")
+    // history: 4 vectors in label 0 → n_meas = 4; the trigger (0.5)
+    // arms once appends exceed the measured basis
+    val seedIds = Seq(1L, 2L, 3L, 4L)
+    val seed = docs(seedIds)
+    FingerprintStore.write(seed.select("doc_id", "text"),
+      "ingmt_fp", s"$tmp/fp")
+    MinHashStore.write(seed.select("doc_id", "text"),
+      "ingmt_mh", s"$tmp/mh")
+    EmbedStore.write(seed.select(col("doc_id").as("vec_id"),
+      lit(0).as("label"), col("embedding")), "ingmt_em", s"$tmp/em")
+    val incoming = Paths.get(tmp, "incoming")
+    // b1: 1 novel doc → stale 1/5 = 0.2, below threshold — no trigger
+    docs(Seq(11L)).coalesce(1).write.parquet(s"$incoming/b1")
+    // b2: 5 novel docs → stale 6/10 = 0.6 — the hook must rebuild
+    docs(Seq(21L, 22L, 23L, 24L, 25L)).coalesce(1)
+      .write.parquet(s"$incoming/b2")
+    // b3: 1 novel doc → stale 1/11 post-rebuild — no second trigger
+    docs(Seq(31L)).coalesce(1).write.parquet(s"$incoming/b3")
+    Seq("b1" -> 120000, "b2" -> 60000).foreach { case (d, ago) =>
+      new java.io.File(s"$incoming/$d").listFiles()
+        .filter(_.getName.endsWith(".parquet"))
+        .foreach(_.setLastModified(System.currentTimeMillis() - ago))
+    }
+    val stream = spark.readStream
+      .schema("doc_id LONG, text STRING, embedding ARRAY<FLOAT>")
+      .option("maxFilesPerTrigger", "1")
+      .option("recursiveFileLookup", "true")
+      .parquet(s"$incoming")
+    // the sink runs BEFORE its batch's maintenance hook, so the state
+    // it snapshots is "after the PREVIOUS batch's hook"
+    case class Snap(bgen: Int, nApp: Long)
+    def snap(): Snap = {
+      val r = EmbedStore.bandedStaleness(spark, "ingmt_em")
+        .agg(max(col("bgen")), sum(col("n_app"))).collect()(0)
+      Snap(r.getInt(0), if (r.isNullAt(1)) 0L else r.getLong(1))
+    }
+    val seen = scala.collection.mutable.Map.empty[Long, Snap]
+    val q = StreamingIngest.run(spark, stream.toDF(),
+      "ingmt_fp", "ingmt_mh",
+      StreamingIngest.IngestLegs(embedBase = Some("ingmt_em"),
+        maintainEvery = 1),
+      (v: DataFrame, id: Long) => { v.collect(); seen(id) = snap() })
+    try {
+      q.processAllAvailable()
+      // batch N's sink snapshot sees batch N's own APPEND but only
+      // batch N-1's maintenance hook
+      assert(seen.keySet == Set(0L, 1L, 2L), s"expected 3 batches: $seen")
+      assert(seen(0L).bgen == 1 && seen(0L).nApp == 1L,
+        s"fresh store must serve gen 1: $seen")
+      assert(seen(1L).bgen == 1 && seen(1L).nApp == 6L,
+        s"batch 0's below-threshold hook must NOT have rebuilt: $seen")
+      assert(seen(2L).bgen == 2,
+        s"batch 1 pushed stale_frac to 0.6 — its hook must rebuild: $seen")
+      // the rebuild re-measured the basis (n_app reset), then batch
+      // 2's own append added one
+      assert(seen(2L).nApp == 1L,
+        s"rebuild must reset the staleness counters: $seen")
+      val fin = snap()
+      assert(fin.bgen == 2 && fin.nApp == 1L,
+        s"batch 2's post-rebuild stale 1/11 must NOT re-trigger: $fin")
+      // the maintained store ≡ a fresh write() of the full kept corpus
+      val allIds = seedIds ++ Seq(11L, 21L, 22L, 23L, 24L, 25L, 31L)
+      EmbedStore.write(docs(allIds).select(col("doc_id").as("vec_id"),
+        lit(0).as("label"), col("embedding")), "ingmt_ref", s"$tmp/ref")
+      val probe = docs(Seq(91L, 92L, 93L))
+        .select(col("doc_id").as("vec_id"), lit(0).as("label"),
+          col("embedding"))
+      def verdicts(b: String) =
+        EmbedStore.bandedDedupAgainst(spark, b, probe)
+          .collect().map(_.toString).sorted.toSeq
+      assert(verdicts("ingmt_em") == verdicts("ingmt_ref"),
+        "maintained store's banded verdicts differ from a fresh write")
+    } finally {
+      q.stop()
+      Seq("ingmt_fp", "ingmt_mh_bands", "ingmt_mh_shingles").foreach(t =>
+        spark.sql(s"DROP TABLE IF EXISTS $t"))
+      Seq("ingmt_em", "ingmt_ref").foreach(b =>
+        Seq("cells", "lists", "bands", "bbits", "bvecs").foreach(s =>
+          spark.sql(s"DROP TABLE IF EXISTS ${b}_$s")))
+      Caches.deleteDir(tmp)
+    }
+  }
+
   test("full ingest topology at rangeEngine=banded (r14): three " +
       "micro-batches end-to-end yield the exact run's verdicts on " +
       "dup-regime plants; a replayed batch converges; the two stores " +

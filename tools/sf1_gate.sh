@@ -11,12 +11,16 @@
 # 100 TB scale machinery — re-verify at sf1 width every round (bits
 # ladder rungs only move with block size, so sf1 is where a rung
 # boundary would first show).
+# r16 adds the store APPEND family (the r15 verdict's task 5): the
+# append paths' cursor arithmetic, batch_id folds and count sums are
+# width-class code the width-sensitive subset never exercised —
+# bm25/lm/pq/dsir/ann-index append rows now re-verify at sf1 width.
 #
-# Usage: tools/sf1_gate.sh [sf1Dir] [outDir]   (~10 min engine side +
+# Usage: tools/sf1_gate.sh [sf1Dir] [outDir]   (~12 min engine side +
 # DuckDB oracle time, I8 dominating; regenerates the corpus if absent)
 set -euo pipefail
 cd "$(dirname "$0")/.."
-SUBSET=q1_agg,q5_multijoin,token_entropy,doc_kl,mix_sources_tokens,metrics_kmv,metrics_kmv_rollup,metrics_cms,metrics_cms_rollup,metrics_cms_estimate,metrics_hist_rollup,hist_store_rollup,kmv_store_estimate,cms_store_estimate,doc_similarity,dedup_incremental_embedding_banded,dedup_incremental_embedding_auto
+SUBSET=q1_agg,q5_multijoin,token_entropy,doc_kl,mix_sources_tokens,metrics_kmv,metrics_kmv_rollup,metrics_cms,metrics_cms_rollup,metrics_cms_estimate,metrics_hist_rollup,hist_store_rollup,kmv_store_estimate,cms_store_estimate,doc_similarity,dedup_incremental_embedding_banded,dedup_incremental_embedding_auto,ann_index_append_search,bm25_index_append_search,lm_index_append_score,pq_index_append_search,dsir_store_append_score
 SF1=${1:-testdata_sf1}
 OUT=${2:-/tmp/sf1_gate_out}
 [ -d "$SF1" ] || python3 tools/gen_sf.py /root/testdata/sf0.1 "$SF1" 10
