@@ -58,9 +58,18 @@ object AnnPack extends QueryPack {
     pmod(pmod(vecId, lit(4096L)) * lit(2481L), lit(4096L))
   private val seedHashSql = "((vec_id % 4096) * 2481) % 4096"
 
-  /** embeddings with double vectors + precomputed norms. */
+  /** embeddings with double vectors + precomputed norms. Parallelized
+    * (r16): every D-block engine runs vector math below its first
+    * exchange — cell builds, signature hashing, brute/quantized dots —
+    * and the one-file local testdata scans single-partition, so the
+    * pre-exchange compute serialized on one core (the guarded
+    * round-robin exchange is a no-op at cluster file counts, the
+    * Tables.parallelized contract). One spelling for every consumer so
+    * the CacheManager's plan-identity dedupe keeps sharing the cell /
+    * candidate / code frames.
+    */
   private def vecs(s: SparkSession, d: String): DataFrame =
-    Tables.embeddings(s, d)
+    Tables.parallelized(Tables.embeddings(s, d))
       .select(col("vec_id"), col("label"),
         Vectors.toDouble(col("embedding")).as("v"))
       .withColumn("nrm", Vectors.norm(col("v")))
@@ -1777,7 +1786,7 @@ object AnnPack extends QueryPack {
         val dir = java.nio.file.Files
           .createTempDirectory("graft_ann_index").toString
         graft.sources.AnnIndex.write(
-          Tables.embeddings(s, d)
+          Tables.parallelized(Tables.embeddings(s, d))
             .filter(pmod(col("vec_id"), lit(50)) =!= 0)
             .select(col("vec_id"), col("embedding")),
           dir, k = kmK, iters = kmIters)
@@ -1791,6 +1800,79 @@ object AnnPack extends QueryPack {
     },
     Some(kmeansOracle("TRUE")))
 
+  /** The 91%-train slice shared by the append/compact/rebuild D9 gate
+    * rows — one spelling so the three stores' base content is
+    * constructed identically.
+    */
+  private def annIndexMaintCorpus(s: SparkSession, d: String): DataFrame =
+    Tables.parallelized(Tables.embeddings(s, d))
+      .filter(pmod(col("vec_id"), lit(50)) =!= 0)
+      .select(col("vec_id"), col("embedding"))
+
+  /** The append row's finished store (write 91%-of-91% + append the
+    * held-out slice), built once per (JVM, dataset) — ALSO the shared
+    * base-store prefix the compact and rebuild rows clone (r16
+    * optimization round): all three maintenance rows started from the
+    * identical write+append sequence, so the two newer rows re-trained
+    * the same quantizer and re-landed the same postings a second and
+    * third time per bench pass (~3-4 s each, pure duplicate work). A
+    * filesystem clone of the memoized base carries the exact same rows
+    * forward; the per-row tail (replayed append + compact, resp.
+    * rebuild) runs on the clone unchanged, so each row's store content
+    * — and its oracle-hashed search result — is bit-identical to the
+    * from-scratch build.
+    */
+  private def annAppendStore(s: SparkSession, d: String): String =
+    indexDirs.computeIfAbsent(s"$d#append", _ => {
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft_ann_index_app").toString
+      val corpus = annIndexMaintCorpus(s, d)
+      graft.sources.AnnIndex.write(
+        corpus.filter(pmod(col("vec_id"), lit(11)) =!= 5),
+        dir, k = kmK, iters = kmIters)
+      graft.sources.AnnIndex.append(s, dir,
+        corpus.filter(pmod(col("vec_id"), lit(11)) === 5))
+      dir
+    })
+
+  /** Recursive file clone of a store directory (parquet + markers) —
+    * the maintenance rows' base-prefix reuse. Plain JVM I/O: the dirs
+    * are driver-local temp stores of the gate rows, never a
+    * distributed filesystem.
+    */
+  private def cloneStoreDir(src: String, prefix: String): String = {
+    val dst = java.nio.file.Files.createTempDirectory(prefix)
+    val srcPath = java.nio.file.Paths.get(src)
+    scala.util.Using.resource(java.nio.file.Files.walk(srcPath)) { st =>
+      val it = st.iterator()
+      while (it.hasNext) {
+        val p = it.next()
+        val t = dst.resolve(srcPath.relativize(p))
+        if (java.nio.file.Files.isDirectory(p))
+          java.nio.file.Files.createDirectories(t)
+        else java.nio.file.Files.copy(p, t,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      }
+    }
+    dst.toString
+  }
+
+  /** Memoized maintenance-row store built from a CLONE of the append
+    * row's base store plus `tail` — see [[annAppendStore]].
+    */
+  private def maintStoreFrom(s: SparkSession, d: String, key: String,
+      prefix: String)(tail: String => Unit): String = {
+    val k = s"$d#$key"
+    val existing = indexDirs.get(k)
+    if (existing != null) existing
+    else {
+      val dir = cloneStoreDir(annAppendStore(s, d), prefix)
+      tail(dir)
+      indexDirs.put(k, dir)
+      dir
+    }
+  }
+
   // D9's APPEND path through the driver gate: train + persist the index
   // on ~91% of the corpus, APPEND the held-out slice (routed to the
   // FIXED trained centroids — no retrain), then search. The oracle
@@ -1800,19 +1882,7 @@ object AnnPack extends QueryPack {
   private val annIndexAppendSearch = GraftQuery(
     "ann_index_append_search",
     (s, d) => {
-      val path = indexDirs.computeIfAbsent(s"$d#append", _ => {
-        val dir = java.nio.file.Files
-          .createTempDirectory("graft_ann_index_app").toString
-        val corpus = Tables.embeddings(s, d)
-          .filter(pmod(col("vec_id"), lit(50)) =!= 0)
-          .select(col("vec_id"), col("embedding"))
-        graft.sources.AnnIndex.write(
-          corpus.filter(pmod(col("vec_id"), lit(11)) =!= 5),
-          dir, k = kmK, iters = kmIters)
-        graft.sources.AnnIndex.append(s, dir,
-          corpus.filter(pmod(col("vec_id"), lit(11)) === 5))
-        dir
-      })
+      val path = annAppendStore(s, d)
       graft.sources.AnnIndex.search(s, path,
         Tables.embeddings(s, d)
           .filter(pmod(col("vec_id"), lit(50)) === 0)
@@ -1832,21 +1902,16 @@ object AnnPack extends QueryPack {
   private val annIndexCompactSearch = GraftQuery(
     "ann_index_compact_search",
     (s, d) => {
-      val path = indexDirs.computeIfAbsent(s"$d#compact", _ => {
-        val dir = java.nio.file.Files
-          .createTempDirectory("graft_ann_index_cmp").toString
-        val corpus = Tables.embeddings(s, d)
-          .filter(pmod(col("vec_id"), lit(50)) =!= 0)
-          .select(col("vec_id"), col("embedding"))
-        graft.sources.AnnIndex.write(
-          corpus.filter(pmod(col("vec_id"), lit(11)) =!= 5),
-          dir, k = kmK, iters = kmIters)
-        val slice = corpus.filter(pmod(col("vec_id"), lit(11)) === 5)
-        graft.sources.AnnIndex.append(s, dir, slice)
-        graft.sources.AnnIndex.append(s, dir, slice) // crash replay
-        graft.sources.AnnIndex.compact(s, dir)
-        dir
-      })
+      // clone of the append row's (write + append) base — identical
+      // rows, see annAppendStore — plus THIS row's tail: the replayed
+      // append (the crash shape) and the compaction under test
+      val path = maintStoreFrom(s, d, "compact", "graft_ann_index_cmp") {
+        dir =>
+          val slice = annIndexMaintCorpus(s, d)
+            .filter(pmod(col("vec_id"), lit(11)) === 5)
+          graft.sources.AnnIndex.append(s, dir, slice) // crash replay
+          graft.sources.AnnIndex.compact(s, dir)
+      }
       graft.sources.AnnIndex.search(s, path,
         Tables.embeddings(s, d)
           .filter(pmod(col("vec_id"), lit(50)) === 0)
@@ -1865,20 +1930,12 @@ object AnnPack extends QueryPack {
   private val annIndexRebuildSearch = GraftQuery(
     "ann_index_rebuild_search",
     (s, d) => {
-      val path = indexDirs.computeIfAbsent(s"$d#rebuild", _ => {
-        val dir = java.nio.file.Files
-          .createTempDirectory("graft_ann_index_rb").toString
-        val corpus = Tables.embeddings(s, d)
-          .filter(pmod(col("vec_id"), lit(50)) =!= 0)
-          .select(col("vec_id"), col("embedding"))
-        graft.sources.AnnIndex.write(
-          corpus.filter(pmod(col("vec_id"), lit(11)) =!= 5),
-          dir, k = kmK, iters = kmIters)
-        graft.sources.AnnIndex.append(s, dir,
-          corpus.filter(pmod(col("vec_id"), lit(11)) === 5))
-        graft.sources.AnnIndex.rebuild(s, dir, k = kmK, iters = kmIters)
-        dir
-      })
+      // clone of the append row's (write + append) base — identical
+      // rows, see annAppendStore — plus the declared rebuild under test
+      val path = maintStoreFrom(s, d, "rebuild", "graft_ann_index_rb") {
+        dir =>
+          graft.sources.AnnIndex.rebuild(s, dir, k = kmK, iters = kmIters)
+      }
       graft.sources.AnnIndex.search(s, path,
         Tables.embeddings(s, d)
           .filter(pmod(col("vec_id"), lit(50)) === 0)
@@ -1950,7 +2007,7 @@ object AnnPack extends QueryPack {
   private val annQuantized = GraftQuery(
     "ann_quantized",
     (s, d) => {
-      val base = quantizedCodes(Tables.embeddings(s, d))
+      val base = quantizedCodes(Tables.parallelized(Tables.embeddings(s, d)))
       val qs = base.filter(pmod(col("vec_id"), lit(50)) === 0)
         .select(col("vec_id").as("query_id"), col("v").as("qv"),
           col("nrm").as("qn"), col("q").as("qq"), col("ql2").as("qql2"))
@@ -2012,7 +2069,7 @@ object AnnPack extends QueryPack {
 
   private val embeddingQuantize = GraftQuery(
     "embedding_quantize",
-    (s, d) => quantizeOver(Tables.embeddings(s, d)),
+    (s, d) => quantizeOver(Tables.parallelized(Tables.embeddings(s, d))),
     Some("""
       WITH e AS (
         SELECT vec_id,
@@ -2550,7 +2607,7 @@ object AnnPack extends QueryPack {
     StoreMemo.once(s, s"${base}_lists", dir,
         Seq(s"${base}_cells", s"${base}_lists", s"${base}_bands",
           s"${base}_bbits")) {
-      val hist = Tables.embeddings(s, d)
+      val hist = Tables.parallelized(Tables.embeddings(s, d))
         .filter(pmod(col("vec_id"), lit(2)) === 0)
         .select(col("vec_id"), col("label"), col("embedding"))
       if (!split)
@@ -2566,7 +2623,7 @@ object AnnPack extends QueryPack {
   }
 
   private def oddBatch(s: SparkSession, d: String): DataFrame =
-    Tables.embeddings(s, d)
+    Tables.parallelized(Tables.embeddings(s, d))
       .filter(pmod(col("vec_id"), lit(2)) =!= 0)
       .select(col("vec_id"), col("label"), col("embedding"))
 
@@ -2734,7 +2791,7 @@ object AnnPack extends QueryPack {
     StoreMemo.once(s, s"${base}_lists", dir,
         Seq(s"${base}_cells", s"${base}_lists", s"${base}_bands",
           s"${base}_bbits")) {
-      val hist = Tables.embeddings(s, d)
+      val hist = Tables.parallelized(Tables.embeddings(s, d))
         .filter(pmod(col("vec_id"), lit(2)) === 0)
         .select(col("vec_id"), col("label"), col("embedding"))
       val keys = Seq(graft.GraftConf.TargetCellSizeKey -> "2",
@@ -2785,7 +2842,7 @@ object AnnPack extends QueryPack {
     val dir = s"${StoreMemo.root}/$base"
     StoreMemo.once(s, s"${base}_codes", dir,
         Seq(s"${base}_books", s"${base}_codes", s"${base}_vecs")) {
-      val corpus = Tables.embeddings(s, d)
+      val corpus = Tables.parallelized(Tables.embeddings(s, d))
         .filter(pmod(col("vec_id"), lit(50)) =!= 0)
         .select(col("vec_id"), col("embedding"))
       if (!split)

@@ -196,7 +196,7 @@ object CurationPack extends QueryPack {
     * by H3 and H4.
     */
   private def docFeatures(s: org.apache.spark.sql.SparkSession, d: String) =
-    DedupPack.withDupFlag(Tables.documents(s, d)
+    DedupPack.withDupFlag(Tables.parallelized(Tables.documents(s, d))
         .select(col("doc_id"), col("lang"),
           size(words(col("text"))).cast(LongType).as("n_tokens"),
           md5(normText(col("text"))).as("fingerprint")))
@@ -427,7 +427,7 @@ object CurationPack extends QueryPack {
       val fracPpm = lit(200000L) *
         (lit(1L) + pmod(expr("CAST(substring(source, 4, 18) AS LONG)"),
           lit(4L)))
-      val base = Tables.documents(s, d)
+      val base = Tables.parallelized(Tables.documents(s, d))
         .select(col("doc_id"), col("source"),
           size(words(col("text"))).cast(LongType).as("n_tokens"),
           hashP(concat(lit(mixSalt), col("doc_id").cast(StringType)))
@@ -577,7 +577,8 @@ object CurationPack extends QueryPack {
   private val sourceReport = GraftQuery(
     "source_report",
     (s, d) => {
-      val base = DedupPack.withDupFlag(Tables.documents(s, d)
+      val base = DedupPack.withDupFlag(
+        Tables.parallelized(Tables.documents(s, d))
         .select(col("doc_id"), col("source"), col("lang"), col("n_chars"),
           size(words(col("text"))).cast(LongType).as("n_tokens"),
           md5(normText(col("text"))).as("fingerprint")))
@@ -906,11 +907,48 @@ object CurationPack extends QueryPack {
     * recomputes, so the recompute path needs disk loss, not just
     * memory pressure.
     */
+  /** Registry-scoped memo of TRAINED weight vectors, keyed by session +
+    * canonicalized feature-frame plan (the [[DedupPack]] ccMemo
+    * discipline): [[qfTrain]] is EAGER — 1 + qfSteps driver-sequential
+    * jobs whose per-step model state lives on the driver — so Spark's
+    * CacheManager can never dedupe a repeated training run the way it
+    * dedupes the declarative frames. Three registry rows
+    * (`quality_score`, `curation_report`, `curation_pipeline_learned`)
+    * plus the [[graft.sources.QualityStore]] build all train the SAME
+    * model over the SAME feature plan; without the memo every pass of
+    * every row re-ran the full 8-step GD (r16 optimization round:
+    * ~9 corpus-scale jobs × 3 extra trainings per bench pass). The
+    * memoized value is the 65-slot weight VECTOR (model-scale driver
+    * state, the same thing the loop already holds between steps) — the
+    * training is deterministic, so the memoized weights are
+    * bit-identical to a re-run's. Cleared with the cache registry,
+    * same invalidation contract as every persistTracked frame.
+    */
+  private val qfTrainMemo = java.util.Collections.synchronizedMap(
+    new java.util.WeakHashMap[org.apache.spark.sql.SparkSession,
+      java.util.concurrent.ConcurrentHashMap[String, Seq[Long]]]())
+  graft.Caches.onRelease(() => qfTrainMemo.clear())
+
   private[graft] def qfTrain(base: org.apache.spark.sql.DataFrame)
       : org.apache.spark.sql.DataFrame = {
     val spark = base.sparkSession
     def wRowOf(w: Seq[Long]) =
       spark.range(1).select(typedLit(w).as("wArr"))
+    val canon = base.queryExecution.analyzed.canonicalized
+    val memoKey = canon.semanticHash() + "|" +
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(canon.toString.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+    val sessionMemo = qfTrainMemo.synchronized {
+      var m = qfTrainMemo.get(spark)
+      if (m == null) {
+        m = new java.util.concurrent.ConcurrentHashMap[String, Seq[Long]]()
+        qfTrainMemo.put(spark, m)
+      }
+      m
+    }
+    val memoed = sessionMemo.get(memoKey)
+    if (memoed != null) return wRowOf(memoed)
     val n = base.count()
     var w: Seq[Long] = Vector.fill(qfF + 1)(0L)
     if (n > 0) (1 to qfSteps).foreach { _ =>
@@ -932,6 +970,7 @@ object CurationPack extends QueryPack {
       }
       w = upd.toVector
     }
+    sessionMemo.put(memoKey, w)
     wRowOf(w)
   }
 
@@ -1008,7 +1047,8 @@ object CurationPack extends QueryPack {
   private val qualityScore = GraftQuery(
     "quality_score",
     (s, d) => qualityScoreOver(
-      Tables.documents(s, d).select(col("doc_id"), col("text"))),
+      Tables.parallelized(Tables.documents(s, d))
+        .select(col("doc_id"), col("text"))),
     Some(qualityScoreOracle))
 
   // ---- H11: DSIR importance weights ----
@@ -1162,7 +1202,7 @@ object CurationPack extends QueryPack {
 
   private val dsirWeights = GraftQuery(
     "dsir_weights",
-    (s, d) => dsirWeightsOver(Tables.documents(s, d)
+    (s, d) => dsirWeightsOver(Tables.parallelized(Tables.documents(s, d))
       .select(col("doc_id"), col("text"), col("lang"))),
     Some(dsirOracleSql))
 
@@ -1181,7 +1221,12 @@ object CurationPack extends QueryPack {
     val dir = s"${StoreMemo.root}/$base"
     StoreMemo.once(s, s"${base}_cnt", dir,
         Seq(s"${base}_cnt", s"${base}_docs")) {
-      val docs = Tables.documents(s, d)
+      // parallelized: the bucket-count delta is a words()-heavy fold
+      // whose cost lives BELOW the first exchange — on the one-file
+      // local testdata the whole tokenize ran in a single scan task
+      // (r16 measured dsir_store_append_score wall ≈ task time, i.e.
+      // parallelism 1.0)
+      val docs = Tables.parallelized(Tables.documents(s, d))
         .select(col("doc_id"), col("text"), col("lang"))
       val history =
         if (split) docs.filter(pmod(col("doc_id"), lit(2)) === 0) else docs
@@ -1196,13 +1241,15 @@ object CurationPack extends QueryPack {
   private val dsirStoreScore = GraftQuery(
     "dsir_store_score",
     (s, d) => graft.sources.DsirStore.score(s, dsirStore(s, d, split = false),
-      Tables.documents(s, d).select(col("doc_id"), col("text"))),
+      Tables.parallelized(Tables.documents(s, d))
+        .select(col("doc_id"), col("text"))),
     Some(dsirOracleSql))
 
   private val dsirStoreAppendScore = GraftQuery(
     "dsir_store_append_score",
     (s, d) => graft.sources.DsirStore.score(s, dsirStore(s, d, split = true),
-      Tables.documents(s, d).select(col("doc_id"), col("text"))),
+      Tables.parallelized(Tables.documents(s, d))
+        .select(col("doc_id"), col("text"))),
     Some(dsirOracleSql))
 
   // ---- H12: curation_report — the composed final verdict ----
@@ -1233,7 +1280,10 @@ object CurationPack extends QueryPack {
     */
   private[graft] def curationReportOf(s: org.apache.spark.sql.SparkSession,
       d: String): org.apache.spark.sql.DataFrame = {
-      val docs = Tables.documents(s, d)
+      // parallelized so the qual/dsir legs' feature plans are IDENTICAL
+      // to the standalone rows' (CacheManager dedupe + the qfTrain memo
+      // both key on the plan)
+      val docs = Tables.parallelized(Tables.documents(s, d))
       val f = docFeatures(s, d)
         .select(col("doc_id"), col("lang"), col("n_tokens"), col("is_dup"),
           col("lang").isin(allowedLangs: _*).as("lang_ok"),
@@ -1370,7 +1420,8 @@ object CurationPack extends QueryPack {
     val dir = s"${StoreMemo.root}/$base"
     StoreMemo.once(s, s"${base}_model", dir, Seq(s"${base}_model")) {
       graft.sources.QualityStore.write(
-        Tables.documents(s, d).select(col("doc_id"), col("text")),
+        Tables.parallelized(Tables.documents(s, d))
+          .select(col("doc_id"), col("text")),
         base, dir)
     }
     base
@@ -1379,14 +1430,16 @@ object CurationPack extends QueryPack {
   private val qualityStoreScore = GraftQuery(
     "quality_store_score",
     (s, d) => graft.sources.QualityStore.score(s, qualityStoreOf(s, d),
-      Tables.documents(s, d).select(col("doc_id"), col("text"))),
+      Tables.parallelized(Tables.documents(s, d))
+        .select(col("doc_id"), col("text"))),
     Some(qualityScoreOracle))
 
   private val qualityStoreBatchScore = GraftQuery(
     "quality_store_batch_score",
     (s, d) => {
       val store = qualityStoreOf(s, d)
-      val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+      val docs = Tables.parallelized(Tables.documents(s, d))
+        .select(col("doc_id"), col("text"))
       graft.sources.QualityStore
         .score(s, store, docs.filter(pmod(col("doc_id"), lit(2)) === 0))
         .union(graft.sources.QualityStore

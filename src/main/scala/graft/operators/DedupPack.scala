@@ -93,7 +93,7 @@ object DedupPack extends QueryPack {
   private val dedupExact = GraftQuery(
     "dedup_exact",
     (s, d) => {
-      withDupFlag(Tables.documents(s, d)
+      withDupFlag(Tables.parallelized(Tables.documents(s, d))
           .select(col("doc_id"),
             md5(normText(col("text"))).as("fingerprint")))
         .select(col("doc_id"), col("fingerprint"),
@@ -993,7 +993,7 @@ object DedupPack extends QueryPack {
       // it would diverge from the oracle's closure over the real edges.
       // the C1 election (agg + join-back), reused: is_dup ⇒ group ≥ 2
       val repOf = withDupFlag(
-          Tables.documents(s, d)
+          Tables.parallelized(Tables.documents(s, d))
             .select(col("doc_id"),
               md5(normText(col("text"))).as("fingerprint"),
               size(words(col("text"))).as("__nw"))
@@ -1098,7 +1098,8 @@ object DedupPack extends QueryPack {
     (s, d) => bestCanonicalOf(
         semanticClusters(s, d).select(col("doc_id"), col("cluster_id")),
         graft.operators.CurationPack.qualityScoreOver(
-          Tables.documents(s, d).select(col("doc_id"), col("text"))))
+          Tables.parallelized(Tables.documents(s, d))
+            .select(col("doc_id"), col("text"))))
       .orderBy(col("doc_id")),
     Some(s"""
       WITH RECURSIVE $semanticClustersSql,
@@ -1141,7 +1142,8 @@ object DedupPack extends QueryPack {
     val dir = s"${StoreMemo.root}/$table"
     StoreMemo.once(s, table, dir, Seq(table)) {
       graft.sources.FingerprintStore.write(
-        Tables.documents(s, d).filter(pmod(col("doc_id"), lit(2)) === 0),
+        Tables.parallelized(Tables.documents(s, d))
+          .filter(pmod(col("doc_id"), lit(2)) === 0),
         table, dir)
     }
     table
@@ -1151,7 +1153,8 @@ object DedupPack extends QueryPack {
     "dedup_incremental",
     (s, d) => graft.sources.FingerprintStore.dedupAgainst(
         s, fpStore(s, d),
-        Tables.documents(s, d).filter(pmod(col("doc_id"), lit(2)) =!= 0))
+        Tables.parallelized(Tables.documents(s, d))
+          .filter(pmod(col("doc_id"), lit(2)) =!= 0))
       .orderBy(col("doc_id")),
     Some(s"""
       WITH f AS (
@@ -1194,7 +1197,8 @@ object DedupPack extends QueryPack {
       // cap (MinHashStore.capBands) is a production-ingest trade, not
       // part of the verified query semantics
       graft.sources.MinHashStore.write(
-        Tables.documents(s, d).filter(pmod(col("doc_id"), lit(2)) === 0),
+        Tables.parallelized(Tables.documents(s, d))
+          .filter(pmod(col("doc_id"), lit(2)) === 0),
         base, dir, maxPerBucket = Int.MaxValue)
     }
     base
@@ -1204,7 +1208,8 @@ object DedupPack extends QueryPack {
     "dedup_incremental_minhash",
     (s, d) => graft.sources.MinHashStore.dedupAgainst(
         s, mhStore(s, d),
-        Tables.documents(s, d).filter(pmod(col("doc_id"), lit(2)) =!= 0))
+        Tables.parallelized(Tables.documents(s, d))
+          .filter(pmod(col("doc_id"), lit(2)) =!= 0))
       .orderBy(col("doc_id")),
     Some(s"""
       WITH $minhashPairsSql,

@@ -22,7 +22,8 @@ object MediaPack extends QueryPack {
   private val mediaFeatures = GraftQuery(
     "media_features",
     (s, d) => {
-      MediaFeaturizer.features(Media.synthesize(Tables.documents(s, d)))
+      MediaFeaturizer.features(Media.synthesize(
+          Tables.parallelized(Tables.documents(s, d))))
         .toDF()
         .orderBy(col("doc_id"))
     },
@@ -52,7 +53,8 @@ object MediaPack extends QueryPack {
   private val mediaFrames = GraftQuery(
     "media_frames",
     (s, d) => {
-      MediaFeaturizer.sampleFrames(Media.synthesize(Tables.documents(s, d)))
+      MediaFeaturizer.sampleFrames(Media.synthesize(
+          Tables.parallelized(Tables.documents(s, d))))
         .toDF()
         .orderBy(col("doc_id"), col("frame_idx"))
     },
@@ -98,7 +100,8 @@ object MediaPack extends QueryPack {
       // skew-split, whereas a window partition cannot (same rule as
       // DedupPack.withDupFlag).
       val base = MediaFeaturizer
-        .features(Media.synthesize(Tables.documents(s, d)))
+        .features(Media.synthesize(
+          Tables.parallelized(Tables.documents(s, d))))
         .toDF()
         .select(col("doc_id"), col("media_type"), col("n_bytes"),
           col("feat_hash"))
@@ -255,7 +258,8 @@ object MediaPack extends QueryPack {
   private val mediaEmbed = GraftQuery(
     "media_embed",
     (s, d) => MediaFeaturizer
-      .embed(Media.synthesize(Tables.documents(s, d)), embedDims)
+      .embed(Media.synthesize(
+        Tables.parallelized(Tables.documents(s, d))), embedDims)
       .toDF()
       .select(col("doc_id"), col("media_type"),
         posexplode(col("embedding")).as(Seq("dim", "v")))
@@ -298,6 +302,23 @@ object MediaPack extends QueryPack {
         graft.functions.Vectors.norm(col("embedding")).as("nrm"))
   }
 
+  /** The PERSISTED normed media-vector frame over the dataset's
+    * documents — the F7/F7b working set (r16 optimization round): the
+    * cell/band builds fan this frame into 5+ branches (counts, seeds,
+    * assignment, radii, probe, verify), and the frame's own projection
+    * is the featurizer's per-byte slice fold through object Encoders —
+    * without the persist every branch re-decoded the whole corpus
+    * (media_semantic_dedup's r16 before-plan repeats the scan+embed
+    * subtree per branch; 53-87 task-seconds steady). Both range rows
+    * construct the identical plan, so one cached frame serves the exact
+    * AND banded engines.
+    */
+  private def mediaNormed(s: org.apache.spark.sql.SparkSession,
+      d: String): org.apache.spark.sql.DataFrame =
+    mediaNormedOf(Media.synthesize(
+      Tables.parallelized(Tables.documents(s, d))).toDF())
+      .persistTracked
+
   /** F7 engine over an arbitrary media frame (spec entry point).
     * Routed through the conf dispatcher (r13): the default is the
     * exact cell-bound path the gate oracle brute-forces; a corpus
@@ -314,8 +335,9 @@ object MediaPack extends QueryPack {
 
   private val mediaSemanticDedup = GraftQuery(
     "media_semantic_dedup",
-    (s, d) => semanticDedupOver(Media.synthesize(
-      Tables.parallelized(Tables.documents(s, d))).toDF()),
+    (s, d) => AnnPack.rangePairsAuto(mediaNormed(s, d), embedDims, mediaTau)
+      .select(col("vec_id"), col("nn_id"), col("label"), col("cos_sim"))
+      .orderBy(col("vec_id"), col("nn_id")),
     Some(s"""
       WITH $mediaVecSql,
       vec AS (
@@ -358,8 +380,10 @@ object MediaPack extends QueryPack {
 
   private val mediaSemanticDedupBanded = GraftQuery(
     "media_semantic_dedup_banded",
-    (s, d) => semanticDedupBandedOver(Media.synthesize(
-      Tables.parallelized(Tables.documents(s, d))).toDF()),
+    (s, d) => AnnPack.bandedRangePairsOf(mediaNormed(s, d), embedDims,
+        mediaTau)
+      .select(col("vec_id"), col("nn_id"), col("label"), col("cos_sim"))
+      .orderBy(col("vec_id"), col("nn_id")),
     Some(s"""
       WITH $mediaVecSql,
       vec AS (
@@ -377,4 +401,13 @@ object MediaPack extends QueryPack {
   override val queries: Seq[GraftQuery] =
     Seq(mediaFeatures, mediaFrames, mediaDedup, mediaNearDedup,
       mediaEmbed, mediaSemanticDedup, mediaSemanticDedupBanded)
+
+  /** The normed media-vector frame feeds both F7 range rows — built in
+    * warmup under its own name (the QueryPack.warm attribution
+    * discipline).
+    */
+  override def warm: Seq[(String,
+      (org.apache.spark.sql.SparkSession, String)
+        => org.apache.spark.sql.DataFrame)] =
+    Seq("media_normed" -> ((s, d) => mediaNormed(s, d)))
 }

@@ -74,8 +74,21 @@ object SearchPack extends QueryPack {
     postingsOf(Tables.parallelized(Tables.documents(s, d)))
       .persistTracked
 
+  /** The PERSISTED per-doc bigram frame over the dataset's documents —
+    * [[docBigramsOf]] of the parallelized corpus scan, shared by
+    * lm_score, ccnet_buckets, collocations AND (r16) the LmStore
+    * scoring rows, whose batch now rides the identical plan. Factored
+    * so the warmup phase can build it under its own name: it was
+    * persisted from whichever consumer ran first, which charged the
+    * whole corpus bigram explode to an arbitrary cold row.
+    */
+  private def corpusDocBigrams(s: SparkSession, d: String): DataFrame =
+    docBigramsOf(Tables.parallelized(Tables.documents(s, d)))
+      .persistTracked
+
   override def warm: Seq[(String, (SparkSession, String) => DataFrame)] =
-    Seq("search_postings" -> ((s, d) => postings(s, d)))
+    Seq("search_postings" -> ((s, d) => postings(s, d)),
+      "search_doc_bigrams" -> ((s, d) => corpusDocBigrams(s, d)))
 
   /** Fixed-point Q20 log over a positive long column. */
   private def lg(c: org.apache.spark.sql.Column) = log2q20(c)
@@ -207,9 +220,7 @@ object SearchPack extends QueryPack {
       // summing per-doc tf over docs is counting occurrences) + vocab
       val uni = p.groupBy(col("word")).agg(sum(col("tf")).as("c1"))
       val vocab = uni.agg(count(lit(1)).as("v"))
-      val docBg = docBigramsOf(
-          Tables.parallelized(Tables.documents(s, d)))
-        .persistTracked
+      val docBg = corpusDocBigrams(s, d)
       val big = docBg.groupBy(col("w1"), col("w2"))
         .agg(sum(col("k")).as("c12"))
       lmScoreOf(docBg, big, uni, vocab)
@@ -246,9 +257,7 @@ object SearchPack extends QueryPack {
       val p = postings(s, d)
       val uni = p.groupBy(col("word")).agg(sum(col("tf")).as("c1"))
       val vocab = uni.agg(count(lit(1)).as("v"))
-      val docBg = docBigramsOf(
-          Tables.parallelized(Tables.documents(s, d)))
-        .persistTracked
+      val docBg = corpusDocBigrams(s, d)
       val big = docBg.groupBy(col("w1"), col("w2"))
         .agg(sum(col("k")).as("c12"))
       val withLang = lmScoreOf(docBg, big, uni, vocab)
@@ -461,7 +470,9 @@ object SearchPack extends QueryPack {
     StoreMemo.once(s, s"${base}_$existsSuffix", dir,
         Seq("postings", "docs", "totals", "uni", "big")
           .map(suf => s"${base}_$suf")) {
-      val docs = Tables.documents(s, d)
+      // parallelized: the store builders tokenize the corpus below the
+      // first exchange (one scan task on the one-file local testdata)
+      val docs = Tables.parallelized(Tables.documents(s, d))
       val history =
         if (split) docs.filter(pmod(col("doc_id"), lit(2)) === 0) else docs
       write(history, base, dir)
@@ -500,16 +511,22 @@ object SearchPack extends QueryPack {
       graft.sources.LmStore.write(_, _, _),
       graft.sources.LmStore.append)
 
+  // the scored batch rides Tables.parallelized so the per-doc bigram
+  // subplan is IDENTICAL to lm_score's persistTracked one — the scoring
+  // joins then read the shared InMemoryRelation instead of re-running
+  // the corpus tokenize single-threaded (r16 optimization round)
   private val lmIndexScore = GraftQuery(
     "lm_index_score",
     (s, d) => graft.sources.LmStore.score(
-      s, lmStore(s, d, split = false), Tables.documents(s, d)),
+      s, lmStore(s, d, split = false),
+      Tables.parallelized(Tables.documents(s, d))),
     Some(lmOracleSql))
 
   private val lmIndexAppendScore = GraftQuery(
     "lm_index_append_score",
     (s, d) => graft.sources.LmStore.score(
-      s, lmStore(s, d, split = true), Tables.documents(s, d)),
+      s, lmStore(s, d, split = true),
+      Tables.parallelized(Tables.documents(s, d))),
     Some(lmOracleSql))
 
   // ---- I3: keyword_extract — per-doc top-3 tf-idf terms ----

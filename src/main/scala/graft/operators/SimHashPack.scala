@@ -198,7 +198,7 @@ object SimHashPack extends QueryPack {
       (if (split) "a" else "")
     val dir = s"${StoreMemo.root}/$table"
     StoreMemo.once(s, table, dir, Seq(table)) {
-      val hist = Tables.documents(s, d)
+      val hist = Tables.parallelized(Tables.documents(s, d))
         .filter(pmod(col("doc_id"), lit(2)) === 0)
         .select(col("doc_id"), col("text"))
       if (!split) graft.sources.SimHashStore.write(hist, table, dir)
@@ -213,7 +213,7 @@ object SimHashPack extends QueryPack {
   }
 
   private def oddBatch(s: SparkSession, d: String): DataFrame =
-    Tables.documents(s, d)
+    Tables.parallelized(Tables.documents(s, d))
       .filter(pmod(col("doc_id"), lit(2)) =!= 0)
       .select(col("doc_id"), col("text"))
 
