@@ -58,18 +58,18 @@ object AnnPack extends QueryPack {
     pmod(pmod(vecId, lit(4096L)) * lit(2481L), lit(4096L))
   private val seedHashSql = "((vec_id % 4096) * 2481) % 4096"
 
-  /** embeddings with double vectors + precomputed norms. Parallelized
-    * (r16): every D-block engine runs vector math below its first
-    * exchange — cell builds, signature hashing, brute/quantized dots —
-    * and the one-file local testdata scans single-partition, so the
-    * pre-exchange compute serialized on one core (the guarded
-    * round-robin exchange is a no-op at cluster file counts, the
-    * Tables.parallelized contract). One spelling for every consumer so
-    * the CacheManager's plan-identity dedupe keeps sharing the cell /
-    * candidate / code frames.
+  /** embeddings with double vectors + precomputed norms. Deliberately
+    * NOT routed through Tables.parallelized (r16 measured): embeddings
+    * is the smallest corpus table (2k rows at sf0.1), and the D-block's
+    * iterative builds (k-means rounds, store writes) run MANY small
+    * jobs over this head — a 32-way round-robin exchange added ~0.3 s
+    * of task-scheduling overhead per job and regressed every
+    * embeddings-headed store row by 1-3 s cold (quiet-window A/B,
+    * docs/retime_r16_post) while the pre-exchange vector math it
+    * parallelized was sub-second to begin with.
     */
   private def vecs(s: SparkSession, d: String): DataFrame =
-    Tables.parallelized(Tables.embeddings(s, d))
+    Tables.embeddings(s, d)
       .select(col("vec_id"), col("label"),
         Vectors.toDouble(col("embedding")).as("v"))
       .withColumn("nrm", Vectors.norm(col("v")))
@@ -1786,7 +1786,7 @@ object AnnPack extends QueryPack {
         val dir = java.nio.file.Files
           .createTempDirectory("graft_ann_index").toString
         graft.sources.AnnIndex.write(
-          Tables.parallelized(Tables.embeddings(s, d))
+          Tables.embeddings(s, d)
             .filter(pmod(col("vec_id"), lit(50)) =!= 0)
             .select(col("vec_id"), col("embedding")),
           dir, k = kmK, iters = kmIters)
@@ -1805,7 +1805,7 @@ object AnnPack extends QueryPack {
     * constructed identically.
     */
   private def annIndexMaintCorpus(s: SparkSession, d: String): DataFrame =
-    Tables.parallelized(Tables.embeddings(s, d))
+    Tables.embeddings(s, d)
       .filter(pmod(col("vec_id"), lit(50)) =!= 0)
       .select(col("vec_id"), col("embedding"))
 
@@ -2007,7 +2007,7 @@ object AnnPack extends QueryPack {
   private val annQuantized = GraftQuery(
     "ann_quantized",
     (s, d) => {
-      val base = quantizedCodes(Tables.parallelized(Tables.embeddings(s, d)))
+      val base = quantizedCodes(Tables.embeddings(s, d))
       val qs = base.filter(pmod(col("vec_id"), lit(50)) === 0)
         .select(col("vec_id").as("query_id"), col("v").as("qv"),
           col("nrm").as("qn"), col("q").as("qq"), col("ql2").as("qql2"))
@@ -2069,7 +2069,7 @@ object AnnPack extends QueryPack {
 
   private val embeddingQuantize = GraftQuery(
     "embedding_quantize",
-    (s, d) => quantizeOver(Tables.parallelized(Tables.embeddings(s, d))),
+    (s, d) => quantizeOver(Tables.embeddings(s, d)),
     Some("""
       WITH e AS (
         SELECT vec_id,
@@ -2607,7 +2607,7 @@ object AnnPack extends QueryPack {
     StoreMemo.once(s, s"${base}_lists", dir,
         Seq(s"${base}_cells", s"${base}_lists", s"${base}_bands",
           s"${base}_bbits")) {
-      val hist = Tables.parallelized(Tables.embeddings(s, d))
+      val hist = Tables.embeddings(s, d)
         .filter(pmod(col("vec_id"), lit(2)) === 0)
         .select(col("vec_id"), col("label"), col("embedding"))
       if (!split)
@@ -2623,7 +2623,7 @@ object AnnPack extends QueryPack {
   }
 
   private def oddBatch(s: SparkSession, d: String): DataFrame =
-    Tables.parallelized(Tables.embeddings(s, d))
+    Tables.embeddings(s, d)
       .filter(pmod(col("vec_id"), lit(2)) =!= 0)
       .select(col("vec_id"), col("label"), col("embedding"))
 
@@ -2791,7 +2791,7 @@ object AnnPack extends QueryPack {
     StoreMemo.once(s, s"${base}_lists", dir,
         Seq(s"${base}_cells", s"${base}_lists", s"${base}_bands",
           s"${base}_bbits")) {
-      val hist = Tables.parallelized(Tables.embeddings(s, d))
+      val hist = Tables.embeddings(s, d)
         .filter(pmod(col("vec_id"), lit(2)) === 0)
         .select(col("vec_id"), col("label"), col("embedding"))
       val keys = Seq(graft.GraftConf.TargetCellSizeKey -> "2",
@@ -2842,7 +2842,7 @@ object AnnPack extends QueryPack {
     val dir = s"${StoreMemo.root}/$base"
     StoreMemo.once(s, s"${base}_codes", dir,
         Seq(s"${base}_books", s"${base}_codes", s"${base}_vecs")) {
-      val corpus = Tables.parallelized(Tables.embeddings(s, d))
+      val corpus = Tables.embeddings(s, d)
         .filter(pmod(col("vec_id"), lit(50)) =!= 0)
         .select(col("vec_id"), col("embedding"))
       if (!split)

@@ -196,7 +196,7 @@ object CurationPack extends QueryPack {
     * by H3 and H4.
     */
   private def docFeatures(s: org.apache.spark.sql.SparkSession, d: String) =
-    DedupPack.withDupFlag(Tables.parallelized(Tables.documents(s, d))
+    DedupPack.withDupFlag(Tables.documents(s, d)
         .select(col("doc_id"), col("lang"),
           size(words(col("text"))).cast(LongType).as("n_tokens"),
           md5(normText(col("text"))).as("fingerprint")))
@@ -577,8 +577,7 @@ object CurationPack extends QueryPack {
   private val sourceReport = GraftQuery(
     "source_report",
     (s, d) => {
-      val base = DedupPack.withDupFlag(
-        Tables.parallelized(Tables.documents(s, d))
+      val base = DedupPack.withDupFlag(Tables.documents(s, d)
         .select(col("doc_id"), col("source"), col("lang"), col("n_chars"),
           size(words(col("text"))).cast(LongType).as("n_tokens"),
           md5(normText(col("text"))).as("fingerprint")))
@@ -1278,7 +1277,25 @@ object CurationPack extends QueryPack {
   /** H12 engine — shared with H13's learned pipeline, which filters on
     * the composed verdict this frame carries.
     */
+  /** The UNORDERED H12 report frame, persistTracked (r16 optimization
+    * round): two registry rows consume it (`curation_report` verbatim
+    * plus the final sort, `curation_pipeline_learned` as its gate
+    * filter), and building it runs the learned components — without
+    * the persist each row re-joined the component frames per pass.
+    * Built in warmup under its own name so the first-touch cost (which
+    * includes the qfTrain memo's one training) stops landing on
+    * whichever row runs first in a cold pass.
+    */
+  private def curationReportFrame(s: org.apache.spark.sql.SparkSession,
+      d: String): org.apache.spark.sql.DataFrame =
+    curationReportUnordered(s, d).persistTracked
+
   private[graft] def curationReportOf(s: org.apache.spark.sql.SparkSession,
+      d: String): org.apache.spark.sql.DataFrame =
+    curationReportFrame(s, d).orderBy(col("doc_id"))
+
+  private def curationReportUnordered(
+      s: org.apache.spark.sql.SparkSession,
       d: String): org.apache.spark.sql.DataFrame = {
       // parallelized so the qual/dsir legs' feature plans are IDENTICAL
       // to the standalone rows' (CacheManager dedupe + the qfTrain memo
@@ -1311,7 +1328,6 @@ object CurationPack extends QueryPack {
           col("lang_ok"), col("tokens_ok"), col("is_dup"),
           col("quality_keep"), col("dsir_keep"), col("ccnet_keep"),
           col("reason"), col("keep"))
-        .orderBy(col("doc_id"))
   }
 
   /** H12's oracle — composed verbatim into H13's. */
@@ -1456,4 +1472,16 @@ object CurationPack extends QueryPack {
       qualityStoreScore, qualityStoreBatchScore, dsirWeights,
       dsirStoreScore, dsirStoreAppendScore, curationReport,
       curationPipelineLearned)
+
+  /** The composed H12 report frame feeds two rows and, through its
+    * legs, trains the shared quality model and materializes the dsir
+    * bucket cache — built in warmup under its own name (the
+    * QueryPack.warm attribution discipline; CurationPack is last in
+    * pack order, so the Search/Dedup caches its legs ride are already
+    * warm).
+    */
+  override def warm: Seq[(String,
+      (org.apache.spark.sql.SparkSession, String)
+        => org.apache.spark.sql.DataFrame)] =
+    Seq("curation_report_frame" -> ((s, d) => curationReportFrame(s, d)))
 }

@@ -93,7 +93,7 @@ object DedupPack extends QueryPack {
   private val dedupExact = GraftQuery(
     "dedup_exact",
     (s, d) => {
-      withDupFlag(Tables.parallelized(Tables.documents(s, d))
+      withDupFlag(Tables.documents(s, d)
           .select(col("doc_id"),
             md5(normText(col("text"))).as("fingerprint")))
         .select(col("doc_id"), col("fingerprint"),

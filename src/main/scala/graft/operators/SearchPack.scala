@@ -470,9 +470,11 @@ object SearchPack extends QueryPack {
     StoreMemo.once(s, s"${base}_$existsSuffix", dir,
         Seq("postings", "docs", "totals", "uni", "big")
           .map(suf => s"${base}_$suf")) {
-      // parallelized: the store builders tokenize the corpus below the
-      // first exchange (one scan task on the one-file local testdata)
-      val docs = Tables.parallelized(Tables.documents(s, d))
+      // NOT parallelized (r16 measured): the build is a burst of small
+      // jobs (write + append legs) whose extra 32-way head exchange
+      // cost more in task scheduling than the one-task tokenize it
+      // spread out (+1 s on the bm25 append row in the quiet A/B)
+      val docs = Tables.documents(s, d)
       val history =
         if (split) docs.filter(pmod(col("doc_id"), lit(2)) === 0) else docs
       write(history, base, dir)

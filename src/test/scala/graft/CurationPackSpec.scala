@@ -255,9 +255,47 @@ class CurationPackSpec extends GraftSpec {
       val S = 1048576L
       assert(s == (math.max(-2 * S, math.min(2 * S, z)) + 2 * S) / 4)
     }
-    // and the scorer is deterministic under re-evaluation
+    // and the scorer is deterministic under re-evaluation — since r16
+    // the second call takes the qfTrain memo path (the weights are
+    // memoized per (session, canonicalized feature plan)), so this also
+    // pins memo-hit ≡ fresh-train bit-for-bit
     val again = operators.CurationPack.qualityScoreOver(docs).collect()
     assert(res.map(_.toString).toSeq == again.map(_.toString).toSeq)
+  }
+
+  test("qfTrain memo: repeated training is memoized per plan, " +
+      "distinct plans train separately, releaseAll clears the memo") {
+    import spark.implicits._
+    val docs = (0 until 40).map { i =>
+      (i.toLong, (0 until 6).map(j => s"w${(i * 5 + j) % 17}")
+        .mkString(" "))
+    }.toDF("doc_id", "text")
+    val base = operators.CurationPack.qfBase(docs)
+    val w1 = operators.CurationPack.qfTrain(base)
+      .collect()(0).getSeq[Long](0)
+    // memo hit: same plan → identical weight vector (the memoized
+    // value IS the driver-held model state, so this is bit-equality
+    // by construction — the assert pins the memo returning the right
+    // entry, not a stale or cross-plan one)
+    val w2 = operators.CurationPack.qfTrain(base)
+      .collect()(0).getSeq[Long](0)
+    assert(w1 == w2)
+    // a DIFFERENT feature plan must not collide with the memo entry
+    val docsB = (0 until 40).map { i =>
+      (i.toLong, Seq.fill(6)(s"loop${i % 3}").mkString(" "))
+    }.toDF("doc_id", "text")
+    val wB = operators.CurationPack
+      .qfTrain(operators.CurationPack.qfBase(docsB))
+      .collect()(0).getSeq[Long](0)
+    assert(wB != w1, "distinct corpora memoized to one model")
+    // the registry release clears the memo (the persistTracked
+    // invalidation contract) — retraining after release still works
+    // and reproduces the same deterministic weights
+    Caches.releaseAll()
+    val w3 = operators.CurationPack
+      .qfTrain(operators.CurationPack.qfBase(docs))
+      .collect()(0).getSeq[Long](0)
+    assert(w3 == w1)
   }
 
   test("dsir_weights: target-profile docs weigh positive, " +
