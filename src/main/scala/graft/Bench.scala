@@ -92,6 +92,13 @@ object Bench {
       .config("spark.sql.adaptive.coalescePartitions.minPartitionSize",
         "64KB")
       .config("spark.ui.enabled", "false")
+      // Cap the per-action SQLExecution event plan rendering (default
+      // ~2 GB): the deep iterative cell-build plans render hundreds of
+      // MB of throwaway string per action with the UI off — pure
+      // driver overhead inside the timed windows (r17, guide §5).
+      // Debug-string truncation only; the timed action, the JSON line
+      // and every query result are untouched.
+      .config("spark.sql.maxPlanStringLength", (16 * 1024 * 1024).toString)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val listener = new MetricsListener

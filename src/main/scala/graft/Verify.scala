@@ -26,6 +26,13 @@ object Verify {
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // every action renders its plan into the SQLExecution listener
+      // event, capped only by this conf's ~2 GB default; the deep
+      // iterative cell-build plans render hundreds of MB of throwaway
+      // string per action with the UI off (r17, guide §5 — the driver
+      // should do almost no data work). Debug-string truncation only;
+      // results are untouched.
+      .config("spark.sql.maxPlanStringLength", (16 * 1024 * 1024).toString)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()

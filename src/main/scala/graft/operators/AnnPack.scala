@@ -1862,15 +1862,18 @@ object AnnPack extends QueryPack {
     */
   private def maintStoreFrom(s: SparkSession, d: String, key: String,
       prefix: String)(tail: String => Unit): String = {
-    val k = s"$d#$key"
-    val existing = indexDirs.get(k)
-    if (existing != null) existing
-    else {
-      val dir = cloneStoreDir(annAppendStore(s, d), prefix)
+    // the base-store lookup is hoisted OUT of the computeIfAbsent body
+    // (its own computeIfAbsent on the same map would be a recursive
+    // update); computeIfAbsent itself is the memo discipline every
+    // sibling uses — the previous get/put pair let two concurrent
+    // callers both clone and build, leaking the loser's temp store
+    // directory outside the Caches release hook (r16 ADVICE)
+    val base = annAppendStore(s, d)
+    indexDirs.computeIfAbsent(s"$d#$key", _ => {
+      val dir = cloneStoreDir(base, prefix)
       tail(dir)
-      indexDirs.put(k, dir)
       dir
-    }
+    })
   }
 
   // D9's APPEND path through the driver gate: train + persist the index

@@ -427,7 +427,11 @@ object CurationPack extends QueryPack {
       val fracPpm = lit(200000L) *
         (lit(1L) + pmod(expr("CAST(substring(source, 4, 18) AS LONG)"),
           lit(4L)))
-      val base = Tables.parallelized(Tables.documents(s, d))
+      // head NOT parallelized (r17 — the r16 verdict's task 2: a kept
+      // loser; r16's clean windows measured +38 % steady with the
+      // 32-way head exchange vs the r15 shape — the tokenize is
+      // persisted once, so the exchange buys nothing back)
+      val base = Tables.documents(s, d)
         .select(col("doc_id"), col("source"),
           size(words(col("text"))).cast(LongType).as("n_tokens"),
           hashP(concat(lit(mixSalt), col("doc_id").cast(StringType)))
@@ -934,9 +938,14 @@ object CurationPack extends QueryPack {
     def wRowOf(w: Seq[Long]) =
       spark.range(1).select(typedLit(w).as("wArr"))
     val canon = base.queryExecution.analyzed.canonicalized
+    // toJSON, not toString (r16 ADVICE): the treeString rendering
+    // elides wide field lists under spark.sql.maxToStringFields
+    // (default 25) — the 65-feature plans here are exactly the wide
+    // case, which would leave collision safety resting solely on the
+    // 32-bit semanticHash. The JSON rendering is truncation-free.
     val memoKey = canon.semanticHash() + "|" +
       java.security.MessageDigest.getInstance("MD5")
-        .digest(canon.toString.getBytes("UTF-8"))
+        .digest(canon.toJSON.getBytes("UTF-8"))
         .map("%02x".format(_)).mkString
     val sessionMemo = qfTrainMemo.synchronized {
       var m = qfTrainMemo.get(spark)
@@ -1220,19 +1229,26 @@ object CurationPack extends QueryPack {
     val dir = s"${StoreMemo.root}/$base"
     StoreMemo.once(s, s"${base}_cnt", dir,
         Seq(s"${base}_cnt", s"${base}_docs")) {
-      // parallelized: the bucket-count delta is a words()-heavy fold
-      // whose cost lives BELOW the first exchange — on the one-file
-      // local testdata the whole tokenize ran in a single scan task
-      // (r16 measured dsir_store_append_score wall ≈ task time, i.e.
-      // parallelism 1.0)
       val docs = Tables.parallelized(Tables.documents(s, d))
         .select(col("doc_id"), col("text"), col("lang"))
+      // the bucket-count deltas ride the SAME persistTracked per-doc
+      // bucket frame dsir_weights caches (plan-identical spelling —
+      // the CacheManager dedupes), with the parity filter ABOVE the
+      // cached projection (r17, the r16 verdict's task 6): the old
+      // spelling tokenized the history slice below the filter, which
+      // can never plan-match the cache. dsirBucketsOf commutes with a
+      // doc_id filter (per-row projection), so the sliced frame is
+      // bit-identical to dsirBucketsOf(history).
+      val bkts = dsirBucketsOf(docs, Seq("lang")).persistTracked
+      def slice(r: Int) = bkts.filter(pmod(col("doc_id"), lit(2)) === r)
       val history =
         if (split) docs.filter(pmod(col("doc_id"), lit(2)) === 0) else docs
-      graft.sources.DsirStore.write(history, base, dir)
+      graft.sources.DsirStore.write(history, base, dir,
+        bkts = Some(if (split) slice(0) else bkts))
       if (split)
         graft.sources.DsirStore.append(s, base,
-          docs.filter(pmod(col("doc_id"), lit(2)) =!= 0))
+          docs.filter(pmod(col("doc_id"), lit(2)) =!= 0),
+          bkts = Some(slice(1)))
     }
     base
   }

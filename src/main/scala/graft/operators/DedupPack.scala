@@ -1151,9 +1151,15 @@ object DedupPack extends QueryPack {
 
   private val dedupIncremental = GraftQuery(
     "dedup_incremental",
+    // batch head NOT parallelized (r17 — the r16 verdict's task 2:
+    // this head was a kept loser; r16's own clean windows measured the
+    // r15 shape at 0.97 s cold vs 1.25/1.49 s with the exchange — the
+    // one-task md5+normText of the half-batch is cheaper than the
+    // 32-way head exchange's scheduling). Guard-gated no-op at cluster
+    // file counts either way.
     (s, d) => graft.sources.FingerprintStore.dedupAgainst(
         s, fpStore(s, d),
-        Tables.parallelized(Tables.documents(s, d))
+        Tables.documents(s, d)
           .filter(pmod(col("doc_id"), lit(2)) =!= 0))
       .orderBy(col("doc_id")),
     Some(s"""

@@ -329,15 +329,22 @@ object MediaPack extends QueryPack {
     */
   def semanticDedupOver(media: org.apache.spark.sql.DataFrame)
       : org.apache.spark.sql.DataFrame =
-    AnnPack.rangePairsAuto(mediaNormedOf(media), embedDims, mediaTau)
+    semanticDedupOverNormed(mediaNormedOf(media))
+
+  /** The ONE engine-tail spelling over a normed frame, shared by the
+    * spec entry point above and the registry row below (r16 ADVICE:
+    * the registry row inlined a second copy of the tail, two spellings
+    * of the same engine that could silently drift apart).
+    */
+  private[graft] def semanticDedupOverNormed(
+      n: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    AnnPack.rangePairsAuto(n, embedDims, mediaTau)
       .select(col("vec_id"), col("nn_id"), col("label"), col("cos_sim"))
       .orderBy(col("vec_id"), col("nn_id"))
 
   private val mediaSemanticDedup = GraftQuery(
     "media_semantic_dedup",
-    (s, d) => AnnPack.rangePairsAuto(mediaNormed(s, d), embedDims, mediaTau)
-      .select(col("vec_id"), col("nn_id"), col("label"), col("cos_sim"))
-      .orderBy(col("vec_id"), col("nn_id")),
+    (s, d) => semanticDedupOverNormed(mediaNormed(s, d)),
     Some(s"""
       WITH $mediaVecSql,
       vec AS (
@@ -374,16 +381,20 @@ object MediaPack extends QueryPack {
   /** F7b engine over an arbitrary media frame (spec entry point). */
   def semanticDedupBandedOver(media: org.apache.spark.sql.DataFrame)
       : org.apache.spark.sql.DataFrame =
-    AnnPack.bandedRangePairsOf(mediaNormedOf(media), embedDims, mediaTau)
+    semanticDedupBandedOverNormed(mediaNormedOf(media))
+
+  /** Banded engine tail over a normed frame — one spelling, like
+    * [[semanticDedupOverNormed]].
+    */
+  private[graft] def semanticDedupBandedOverNormed(
+      n: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    AnnPack.bandedRangePairsOf(n, embedDims, mediaTau)
       .select(col("vec_id"), col("nn_id"), col("label"), col("cos_sim"))
       .orderBy(col("vec_id"), col("nn_id"))
 
   private val mediaSemanticDedupBanded = GraftQuery(
     "media_semantic_dedup_banded",
-    (s, d) => AnnPack.bandedRangePairsOf(mediaNormed(s, d), embedDims,
-        mediaTau)
-      .select(col("vec_id"), col("nn_id"), col("label"), col("cos_sim"))
-      .orderBy(col("vec_id"), col("nn_id")),
+    (s, d) => semanticDedupBandedOverNormed(mediaNormed(s, d)),
     Some(s"""
       WITH $mediaVecSql,
       vec AS (

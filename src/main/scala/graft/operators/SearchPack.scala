@@ -123,12 +123,6 @@ object SearchPack extends QueryPack {
       .groupBy(col("doc_id"), col("w1"), col("w2"))
       .agg(count(lit(1)).as("k"))
 
-  /** Corpus unigram counts (word, c1) of a (doc_id, text) frame. */
-  private[graft] def uniCountsOf(docs: DataFrame): DataFrame =
-    docs
-      .select(col("doc_id"), explode(words(col("text"))).as("word"))
-      .groupBy(col("word")).agg(count(lit(1)).as("c1"))
-
   /** The LM scoring tail over per-doc bigrams (doc_id, w1, w2, k), a
     * bigram model (w1, w2, c12), a unigram model (word, c1) and a
     * one-row vocab size (v) — shared BY REFERENCE between `lm_score`
@@ -484,11 +478,28 @@ object SearchPack extends QueryPack {
     base
   }
 
+  /** Parity slice of the PERSISTED corpus postings frame — the filter
+    * sits ABOVE the cached aggregate, so a store build reads the
+    * InMemoryRelation instead of re-tokenizing its slice below it
+    * (r17 — the r16 verdict's task 6: filter-below-the-aggregate can
+    * never plan-match the cache; filter-above always does, and
+    * postingsOf(docs.filter(p)) ≡ postingsOf(docs).filter(p) because
+    * doc_id is a group key).
+    */
+  private def postingsSlice(s: SparkSession, d: String,
+      parity: Option[Int]): DataFrame = {
+    val p = postings(s, d)
+    parity.map(r => p.filter(pmod(col("doc_id"), lit(2)) === r))
+      .getOrElse(p)
+  }
+
   private def searchStore(s: SparkSession, d: String, split: Boolean)
       : String =
     memoStore(s, d, "graft_bm25", "postings", split)(
-      graft.sources.SearchIndex.write(_, _, _),
-      graft.sources.SearchIndex.append)
+      (h, base, dir) => graft.sources.SearchIndex.write(h, base, dir,
+        posts = Some(postingsSlice(s, d, if (split) Some(0) else None))),
+      (sp, base, b) => graft.sources.SearchIndex.append(sp, base, b,
+        stats = Some(postingsSlice(s, d, Some(1)))))
 
   private val bm25IndexSearch = GraftQuery(
     "bm25_index_search",
@@ -507,11 +518,29 @@ object SearchPack extends QueryPack {
   // the scoring tail is shared by reference, so the full-build row AND
   // the write-evens/append-odds row must both hash-match I1's oracle
   // verbatim.
+  /** Parity slice of BOTH cached per-doc frames as LmStore build
+    * stats — same filter-above-the-cache argument as
+    * [[postingsSlice]]; docBigramsOf commutes with a doc_id filter
+    * for the same doc_id-is-a-group-key reason.
+    */
+  private def lmStats(s: SparkSession, d: String,
+      parity: Option[Int]): graft.sources.LmStore.DocStats = {
+    def slice(df: DataFrame): DataFrame =
+      parity.map(r => df.filter(pmod(col("doc_id"), lit(2)) === r))
+        .getOrElse(df)
+    graft.sources.LmStore.DocStats(
+      slice(corpusDocBigrams(s, d)),
+      slice(postings(s, d))
+        .select(col("doc_id"), col("word"), col("tf")))
+  }
+
   private def lmStore(s: SparkSession, d: String, split: Boolean)
       : String =
     memoStore(s, d, "graft_lm", "uni", split)(
-      graft.sources.LmStore.write(_, _, _),
-      graft.sources.LmStore.append)
+      (h, base, dir) => graft.sources.LmStore.write(h, base, dir,
+        stats = Some(lmStats(s, d, if (split) Some(0) else None))),
+      (sp, base, b) => graft.sources.LmStore.append(sp, base, b,
+        stats = Some(lmStats(s, d, Some(1)))))
 
   // the scored batch rides Tables.parallelized so the per-doc bigram
   // subplan is IDENTICAL to lm_score's persistTracked one — the scoring

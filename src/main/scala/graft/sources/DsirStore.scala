@@ -55,24 +55,37 @@ import org.apache.spark.sql.functions._
   */
 object DsirStore {
 
-  /** Per-batch (batch_id, lang, f, c) bucket-count delta of a
-    * (doc_id, text, lang) frame — the feature spelling is H11's by
-    * reference ([[CurationPack.dsirBucketsOf]]).
+  /** Per-batch (batch_id, lang, f, c) bucket-count delta from an ids
+    * frame and a per-doc bucket frame (doc_id, lang, bkts) — the
+    * feature spelling is H11's by reference
+    * ([[CurationPack.dsirBucketsOf]], which the no-stats entry points
+    * derive `bkts` with).
     */
-  private def cntDelta(docs: DataFrame): DataFrame =
-    CurationPack.dsirBucketsOf(docs, Seq("lang"))
+  private def cntDelta(ids: DataFrame, bkts: DataFrame): DataFrame =
+    bkts
       .select(col("lang"), explode(col("bkts")).as("f"))
       .groupBy(col("lang"), col("f")).agg(count(lit(1)).as("c"))
-      .crossJoin(broadcast(IngestId.of(docs.select(col("doc_id")))))
+      .crossJoin(broadcast(IngestId.of(ids)))
       .select(col("batch_id"), col("lang"), col("f"), col("c"))
 
+  private def bktsOf(docs: DataFrame): DataFrame =
+    CurationPack.dsirBucketsOf(docs, Seq("lang"))
+
   /** Build the model over `history` (doc_id, text, lang) as catalog
-    * tables `<tableBase>_cnt` / `_docs` rooted at `path`.
+    * tables `<tableBase>_cnt` / `_docs` rooted at `path`. `bkts`, when
+    * given, must equal [[CurationPack.dsirBucketsOf]] of `history`
+    * with the lang passthrough (r17 — the r16 verdict's task 6): a
+    * caller holding the already-cached corpus-wide bucket frame passes
+    * the slice (parity filter ABOVE the cached projection) so the
+    * build reads the InMemoryRelation instead of re-tokenizing its
+    * slice below it.
     */
   def write(history: DataFrame, tableBase: String, path: String,
-      buckets: Int = 8): Unit = {
+      buckets: Int = 8, bkts: Option[DataFrame] = None): Unit = {
     val spark = history.sparkSession
-    cntDelta(history).write.mode("overwrite").format("parquet")
+    cntDelta(history.select(col("doc_id")),
+        bkts.getOrElse(bktsOf(history)))
+      .write.mode("overwrite").format("parquet")
       .option("path", s"$path/cnt").saveAsTable(s"${tableBase}_cnt")
     Bucketed.writeBucketed(history.select(col("doc_id")),
       s"${tableBase}_docs", "doc_id", buckets, s"$path/docs")
@@ -86,7 +99,7 @@ object DsirStore {
     * duplicates at read.
     */
   def append(spark: SparkSession, tableBase: String,
-      batch: DataFrame): Unit =
+      batch: DataFrame, bkts: Option[DataFrame] = None): Unit =
     // ONE critical section under the `_docs` writer lease covering the
     // novelty probe AND both legs (r11 ADVICE): two concurrent appends
     // with overlapping doc_ids could otherwise both pass the probe and
@@ -99,7 +112,7 @@ object DsirStore {
     Bucketed.withWriterLease(spark, s"${tableBase}_docs") {
       val novel = novelSlice(spark, tableBase, batch)
       if (novel.limit(1).count() > 0) {
-        appendDelta(spark, tableBase, novel)
+        appendDelta(spark, tableBase, novel, bkts)
         commitDocs(spark, tableBase, novel)
       }
       // Dataset.unpersist is a no-op on a checkpointed frame — free the
@@ -119,13 +132,19 @@ object DsirStore {
       .localCheckpoint(true)
 
   private[graft] def appendDelta(spark: SparkSession, tableBase: String,
-      novel: DataFrame): Unit = {
+      novel: DataFrame, bkts: Option[DataFrame] = None): Unit = {
+    val ids = novel.select(col("doc_id"))
+    // supplied bkts cover the whole BATCH; the delta must cover only
+    // its NOVEL docs — semi-join on the (checkpointed, batch-sized)
+    // novel id set, above the caller's cached per-doc frame
+    val b = bkts.map(_.join(ids, Seq("doc_id"), "left_semi"))
+      .getOrElse(bktsOf(novel))
     // the `_cnt` table's OWN lease (the outer `_docs` critical section
     // does not cover it — leases key per location): a raw append racing
     // compactPlain(_cnt)'s generation swap could land the delta file in
     // the retired directory and silently lose the counts
     Bucketed.withWriterLease(spark, s"${tableBase}_cnt") {
-      cntDelta(novel).write.mode("append").format("parquet")
+      cntDelta(ids, b).write.mode("append").format("parquet")
         .saveAsTable(s"${tableBase}_cnt")
     }
     spark.catalog.refreshTable(s"${tableBase}_cnt")

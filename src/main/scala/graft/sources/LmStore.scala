@@ -49,26 +49,55 @@ import org.apache.spark.sql.functions._
   */
 object LmStore {
 
-  private def uniDelta(docs: DataFrame): DataFrame =
-    SearchPack.uniCountsOf(docs)
-      .crossJoin(broadcast(IngestId.of(docs.select(col("doc_id")))))
+  /** Precomputed PER-DOC stat frames for a (doc_id, text) docs frame
+    * (r17 optimization round — the r16 verdict's task 6): `docBg` must
+    * equal [[SearchPack.docBigramsOf]] of the docs frame passed beside
+    * it, `docTf` its per-doc term frequencies (doc_id, word, tf —
+    * [[SearchPack.postingsOf]]'s projection). The count-delta
+    * derivations below run FROM these frames (one spelling either
+    * way), so a caller holding an already-cached corpus-wide per-doc
+    * frame can hand the store a slice of it — parity filter ABOVE the
+    * cached aggregate — and the build reads the InMemoryRelation
+    * instead of re-tokenizing its slice below it (the lm_index_score
+    * cache-plan-identity trick, now reaching the write path).
+    */
+  final case class DocStats(docBg: DataFrame, docTf: DataFrame)
+
+  /** The one derivation of [[DocStats]] from raw (doc_id, text) docs —
+    * the no-stats entry points delegate through this, so the assisted
+    * and unassisted paths cannot drift. Unigram counts come off the
+    * per-doc tf frame (summing per-doc tf over docs IS counting
+    * occurrences — the lm_score spelling), bit-identical to the old
+    * direct uniCountsOf fold.
+    */
+  private def statsOf(docs: DataFrame): DocStats =
+    DocStats(SearchPack.docBigramsOf(docs),
+      SearchPack.postingsOf(docs)
+        .select(col("doc_id"), col("word"), col("tf")))
+
+  private def uniDelta(ids: DataFrame, st: DocStats): DataFrame =
+    st.docTf.groupBy(col("word")).agg(sum(col("tf")).as("c1"))
+      .crossJoin(broadcast(IngestId.of(ids)))
       .select(col("batch_id"), col("word"), col("c1"))
 
-  private def bigDelta(docs: DataFrame): DataFrame =
-    SearchPack.docBigramsOf(docs)
+  private def bigDelta(ids: DataFrame, st: DocStats): DataFrame =
+    st.docBg
       .groupBy(col("w1"), col("w2")).agg(sum(col("k")).as("c12"))
-      .crossJoin(broadcast(IngestId.of(docs.select(col("doc_id")))))
+      .crossJoin(broadcast(IngestId.of(ids)))
       .select(col("batch_id"), col("w1"), col("w2"), col("c12"))
 
   /** Build the model over `history` (doc_id, text) as catalog tables
-    * `<tableBase>_uni` / `_big` / `_docs` rooted at `path`.
+    * `<tableBase>_uni` / `_big` / `_docs` rooted at `path`. `stats`,
+    * when given, must be [[DocStats]] of EXACTLY `history`'s docs.
     */
   def write(history: DataFrame, tableBase: String, path: String,
-      buckets: Int = 8): Unit = {
+      buckets: Int = 8, stats: Option[DocStats] = None): Unit = {
     val spark = history.sparkSession
-    uniDelta(history).write.mode("overwrite").format("parquet")
+    val ids = history.select(col("doc_id"))
+    val st = stats.getOrElse(statsOf(history))
+    uniDelta(ids, st).write.mode("overwrite").format("parquet")
       .option("path", s"$path/uni").saveAsTable(s"${tableBase}_uni")
-    bigDelta(history).write.mode("overwrite").format("parquet")
+    bigDelta(ids, st).write.mode("overwrite").format("parquet")
       .option("path", s"$path/big").saveAsTable(s"${tableBase}_big")
     Bucketed.writeBucketed(history.select(col("doc_id")),
       s"${tableBase}_docs", "doc_id", buckets, s"$path/docs")
@@ -83,7 +112,7 @@ object LmStore {
     * batch_id collapses the duplicates at read.
     */
   def append(spark: SparkSession, tableBase: String,
-      batch: DataFrame): Unit =
+      batch: DataFrame, stats: Option[DocStats] = None): Unit =
     // ONE critical section under the `_docs` writer lease covering the
     // novelty probe AND both delta legs — the DsirStore.append r12 fix,
     // which this structurally identical append never got: two
@@ -95,7 +124,7 @@ object LmStore {
     Bucketed.withWriterLease(spark, s"${tableBase}_docs") {
       val novel = novelSlice(spark, tableBase, batch)
       if (novel.limit(1).count() > 0) {
-        appendDeltas(spark, tableBase, novel)
+        appendDeltas(spark, tableBase, novel, stats)
         commitDocs(spark, tableBase, novel)
       }
       // free the checkpoint's materialized RDD (Dataset.unpersist is a
@@ -113,17 +142,27 @@ object LmStore {
       .localCheckpoint(true)
 
   private[graft] def appendDeltas(spark: SparkSession, tableBase: String,
-      novel: DataFrame): Unit = {
+      novel: DataFrame, stats: Option[DocStats] = None): Unit = {
+    val ids = novel.select(col("doc_id"))
+    // supplied stats cover the whole BATCH; the deltas must cover only
+    // its NOVEL docs — restrict by semi-join on the (checkpointed,
+    // batch-sized) novel id set, which stays above the caller's cached
+    // per-doc frame in the plan
+    val st = stats
+      .map(s => DocStats(
+        s.docBg.join(ids, Seq("doc_id"), "left_semi"),
+        s.docTf.join(ids, Seq("doc_id"), "left_semi")))
+      .getOrElse(statsOf(novel))
     // each delta table takes its OWN lease: a raw append racing
     // compactPlain's generation swap on the same table could land the
     // delta file in the retired directory and silently lose it —
     // the lease turns that into the loud refusal the family promises
     Bucketed.withWriterLease(spark, s"${tableBase}_uni") {
-      uniDelta(novel).write.mode("append").format("parquet")
+      uniDelta(ids, st).write.mode("append").format("parquet")
         .saveAsTable(s"${tableBase}_uni")
     }
     Bucketed.withWriterLease(spark, s"${tableBase}_big") {
-      bigDelta(novel).write.mode("append").format("parquet")
+      bigDelta(ids, st).write.mode("append").format("parquet")
         .saveAsTable(s"${tableBase}_big")
     }
     Seq("uni", "big").foreach(t =>

@@ -73,13 +73,24 @@ object SearchIndex {
 
   /** Build the index over `history` (doc_id, text) as catalog tables
     * `<tableBase>_postings` / `_docs` / `_totals` rooted at `path`.
+    *
+    * `posts`, when given, must equal [[SearchPack.postingsOf]] of
+    * `history` (r17 — the r16 verdict's task 6): a caller holding the
+    * already-cached corpus-wide postings frame passes the slice
+    * (parity filter ABOVE the cached aggregate) so the build reads the
+    * InMemoryRelation instead of re-tokenizing its slice below it.
+    * Doc lengths derive from the postings frame either way (dl rides
+    * on every posting row — the append path's one-tokenize-pass
+    * discipline, now on the write path too; the doc_id set, and with
+    * it the totals batch_id, is unchanged).
     */
   def write(history: DataFrame, tableBase: String, path: String,
-      buckets: Int = 8): Unit = {
+      buckets: Int = 8, posts: Option[DataFrame] = None): Unit = {
     val spark = history.sparkSession
-    Bucketed.writeBucketed(postingsOf(history),
+    val p = posts.getOrElse(postingsOf(history))
+    Bucketed.writeBucketed(p,
       s"${tableBase}_postings", "word", buckets, s"$path/postings")
-    val lens = docLens(history)
+    val lens = p.select(col("doc_id"), col("dl")).distinct()
     Bucketed.writeBucketed(lens,
       s"${tableBase}_docs", "doc_id", buckets, s"$path/docs")
     totalsDelta(lens).write.mode("overwrite").format("parquet")
@@ -97,7 +108,7 @@ object SearchIndex {
     * see the election made against the pre-append store.
     */
   def append(spark: SparkSession, tableBase: String,
-      batch: DataFrame): Unit = {
+      batch: DataFrame, stats: Option[DataFrame] = None): Unit = {
     // tokenize the severed batch ONCE: the postings frame is the
     // single words() pass, and lens derive from it (dl rides on every
     // posting row, so distinct (doc_id, dl) is a cheap projection of
@@ -105,9 +116,16 @@ object SearchIndex {
     // postingsOf(novel) pair re-ran the tokenization twice per
     // micro-batch, review finding). An all-known batch (every trigger
     // of a steady stream re-offering history) short-circuits before
-    // any lease acquisition or empty file lands.
+    // any lease acquisition or empty file lands. `stats`, when given,
+    // must be postingsOf(batch) — typically a slice of the cached
+    // corpus postings frame (see write); the novel restriction is a
+    // semi-join on the checkpointed novel id set.
     val novel = novelSlice(spark, tableBase, batch)
-    val posts = postingsOf(novel).localCheckpoint(true)
+    val posts = stats
+      .map(_.join(novel.select(col("doc_id")), Seq("doc_id"), "left_semi")
+        .select(col("doc_id"), col("dl"), col("word"), col("tf")))
+      .getOrElse(postingsOf(novel))
+      .localCheckpoint(true)
     val lens = posts.select(col("doc_id"), col("dl")).distinct()
     if (posts.limit(1).count() > 0) {
       appendPostingsOf(spark, tableBase, posts)

@@ -123,7 +123,11 @@ class AnnPackSpec extends GraftSpec {
 
   test("hierarchical cells: leaf size stays ≈targetCellSize past the " +
       "old single-level clamp") {
-    val n = 30000 // > l1Slack·targetCellSize·maxCells = 6144 → multi-parent
+    // r17: trimmed 30000 → 9000 (still > l1Slack·tcs·mc = 6144, so the
+    // multi-parent path and every assertion below are unchanged; the
+    // 30k corpus made this the suite's slowest test — 2.5 min of the
+    // driver's verify budget for no extra assertion strength)
+    val n = 9000 // > l1Slack·targetCellSize·maxCells = 6144 → multi-parent
     val ci = operators.AnnPack.cellIndexOf(plantedClusters(n).repartition(8))
     val sizes = ci.lists.groupBy(col("label"), col("cell"))
       .agg(count(lit(1)).as("m")).collect().map(_.getAs[Long]("m"))
@@ -165,16 +169,22 @@ class AnnPackSpec extends GraftSpec {
       c
     }
     val m1 = mass(3000)  // slack band → refined single-level build
-    val m8 = mass(24000) // > l1Slack·tcs·maxCells = 6144 → multi-parent
-    info(s"exact mass/vector: x1=${m1 / 3000.0} x8=${m8 / 24000.0} " +
+    // r17: multi-parent corpus trimmed 24000 → 12000 (still >
+    // l1Slack·tcs·maxCells = 6144 → same path and assertions;
+    // cluster-pair density GROWS with n, so the unchanged per-vector
+    // bound is strictly tighter at the smaller n — the pre-fix
+    // 6,100/vec pathology still trips it by an order of magnitude).
+    // Cut for the driver verify budget (r16 verdict task 1).
+    val m8 = mass(12000) // > l1Slack·tcs·maxCells = 6144 → multi-parent
+    info(s"exact mass/vector: x1=${m1 / 3000.0} x8=${m8 / 12000.0} " +
       s"(x1=$m1 x8=$m8)")
     // measured 25.5/vec refined (headroom 2×) and 400/vec multi-parent
-    // (headroom ~1.5×; pre-fix was 6,100/vec)
+    // at 24k (headroom ~1.5×; pre-fix was 6,100/vec)
     assert(m1 <= 3000L * 52,
       s"refined-band candidate mass ${m1 / 3000.0}/vector — the slack " +
         s"band lost its leaf refinement; x1=$m1")
-    assert(m8 <= 24000L * 600,
-      s"multi-parent candidate mass ${m8 / 24000.0}/vector — the " +
+    assert(m8 <= 12000L * 600,
+      s"multi-parent candidate mass ${m8 / 12000.0}/vector — the " +
         s"orphan fraction is back; x8=$m8")
   }
 
